@@ -1,0 +1,48 @@
+"""Engine configuration.
+
+Mirrors the reference's ``ParseConfig`` / ``Settings`` surface
+(``/root/reference/agentic_doc/config.py:22-43,85-148``) for the knobs that
+still make sense in a Ray-Data engine. Validation bounds copied from the
+reference: ``split_size`` in (0, 100] (``utils.py:229-231``,
+``config.py:123-128``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Per-pipeline configuration, passed explicitly to every stage.
+
+    Unlike the reference (module-level settings snapshot at import time,
+    the known wart at ``parse.py:742``), config is an explicit value so Ray
+    workers all see the same snapshot.
+    """
+
+    # --- reference-parity knobs -------------------------------------------
+    split_size: int = 10          # pages per part; reference default 10, (0,100]
+    include_marginalia: bool = True
+    include_metadata_in_markdown: bool = True
+
+    # --- Ray execution knobs ----------------------------------------------
+    # Autoscaling actor pool (min, max): a FIXED pool that reserves every CPU
+    # starves the all-to-all (repartition/sort/groupby) operators and the
+    # pipeline deadlocks — min must leave slack for the shuffle stages.
+    parse_concurrency: int | tuple[int, int] = (1, 16)
+    parse_batch_size: int = 1024                   # span rows per parse batch
+    explode_batch_size: int = 256                  # corpus rows per explode batch
+    reassemble_num_partitions: int | None = None   # repartition before groupby (None = Ray default)
+
+    # --- synthesis knobs (deterministic fixtures) -------------------------
+    seed: int = 42
+    mega_doc_modulus: int = 1000   # doc_id % modulus == modulus-1 -> mega doc (skew fixture)
+    mega_doc_spans: int = 200
+
+    def __post_init__(self) -> None:
+        if not (0 < self.split_size <= 100):
+            raise ValueError("split_size must be in (0, 100]")
+
+
+DEFAULT_CONFIG = EngineConfig()
