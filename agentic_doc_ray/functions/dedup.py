@@ -1,0 +1,353 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (the 100 TB design, exercised at sf-small):
+  - exact dedup pre-aggregates per batch (one row per hash per batch) before
+    the global groupby — the shuffle moves partials, not documents;
+  - MinHash signatures are computed vectorized per batch, then exploded to
+    (band_id, band_hash, doc_id) rows; only the tiny band table shuffles;
+  - candidate verification uses signature agreement (mergeable, no second
+    pass over the texts); exact-Jaccard verification broadcasts only the
+    candidate docs' shingle sets (ray.put once, read per task);
+  - embedding near-dup buckets by random-hyperplane LSH sign bits so only
+    same-bucket pairs are compared (the all-pairs path is test-only).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _md5_hex(texts: list[str]) -> list[str]:
+    return [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+
+
+def _exact_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial: (h, keeper_id, n_dups) one row per distinct hash."""
+    h = pa.array(_md5_hex(batch.column("text").to_pylist()))
+    t = pa.Table.from_arrays([h, batch.column("doc_id")], names=["h", "doc_id"])
+    g = t.group_by("h").aggregate([("doc_id", "min"), ("doc_id", "count")])
+    return g.rename_columns(["h", "keeper_id", "n_dups"])
+
+
+def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """content-hash dedup: (h, keeper_id=min doc_id, n_dups) per distinct text."""
+    partials = docs.map_batches(_exact_partial, batch_format="pyarrow")
+    return partials.groupby("h").aggregate(
+        Min("keeper_id", alias_name="keeper_id"), Sum("n_dups", alias_name="n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16  # 16 bands x 4 rows
+ROWS_PER_BAND = N_HASHES // N_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    # a,b < 2^31 and shingle hashes are crc32 (< 2^32), so a*x+b < 2^63:
+    # no uint64 overflow, the modular hash family is exact.
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 31, size=N_HASHES, dtype=np.int64)
+    b = rng.randint(0, 1 << 31, size=N_HASHES, dtype=np.int64)
+    return a, b
+
+
+_A, _B = _hash_params()
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """crc32 hashes of the k-char shingles of a normalized text."""
+    import zlib
+
+    t = " ".join((text or "").lower().split())
+    if len(t) < k:
+        t = t + " " * (k - len(t))
+    enc = t.encode()
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)),
+            dtype=np.int64,
+        )
+    )
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """(N_HASHES,) int64 signature: min((a*x+b) mod p) per hash function."""
+    if len(shingles) == 0:
+        return np.zeros(N_HASHES, dtype=np.int64)
+    # (H,1)*(S,) broadcasting in object->int128 is unavailable; use Python int
+    # mod via float-safe int64 multiply within 2^61 modulus using np.uint64
+    x = shingles.astype(np.uint64)
+    vals = (_A.astype(np.uint64)[:, None] * x[None, :] + _B.astype(np.uint64)[:, None]) % np.uint64(
+        _MERSENNE
+    )
+    return vals.min(axis=1).astype(np.int64)
+
+
+class MinHashActor:
+    """doc -> 64-wide MinHash signature (warm hash params per actor)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = np.stack([minhash_signature(char_shingles(t)) for t in texts])
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), pa.int64()), N_HASHES
+                ),
+            ],
+            names=["doc_id", "sig"],
+        )
+
+
+def _explode_bands(batch: pa.Table) -> pa.Table:
+    """signature rows -> (band_id, band_hash, doc_id, sig) rows."""
+    n = batch.num_rows
+    sig = np.asarray(batch.column("sig").combine_chunks().flatten()).reshape(
+        n, N_HASHES
+    )
+    rows = {"band_id": [], "band_hash": [], "doc_id": [], "sig": []}
+    doc_ids = batch.column("doc_id").to_pylist()
+    for b in range(N_BANDS):
+        band = sig[:, b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        # mix the band rows into one int64 bucket key
+        mixed = np.zeros(n, dtype=np.uint64)
+        for c in range(ROWS_PER_BAND):
+            mixed = mixed * np.uint64(1_000_003) + band[:, c].astype(np.uint64)
+        rows["band_id"].extend([b] * n)
+        rows["band_hash"].extend((mixed >> np.uint64(1)).astype(np.int64).tolist())
+        rows["doc_id"].extend(doc_ids)
+        rows["sig"].extend(sig.tolist())
+    return pa.Table.from_pydict(
+        rows,
+        schema=pa.schema(
+            [
+                ("band_id", pa.int32()),
+                ("band_hash", pa.int64()),
+                ("doc_id", pa.string()),
+                ("sig", pa.list_(pa.int64())),
+            ]
+        ),
+    )
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Emit candidate pairs within one LSH bucket, with signature-estimated
+    Jaccard. Buckets are tiny by construction; cap guards pathological ones."""
+    out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
+    n = group.num_rows
+    if 2 <= n <= 1000:  # cap: a degenerate bucket (all-identical corpus) is skew
+        ids = group.column("doc_id").to_pylist()
+        sigs = np.array(group.column("sig").to_pylist())
+        order = np.argsort(np.array(ids, dtype=object))
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b = order[i], order[j]
+                est = float(np.mean(sigs[a] == sigs[b]))
+                out["doc_a"].append(ids[a])
+                out["doc_b"].append(ids[b])
+                out["est_jaccard"].append(est)
+    return pa.Table.from_pydict(
+        out,
+        schema=pa.schema(
+            [("doc_a", pa.string()), ("doc_b", pa.string()), ("est_jaccard", pa.float64())]
+        ),
+    )
+
+
+def minhash_dedup_pairs(
+    docs: "ray.data.Dataset", threshold: float = 0.8
+) -> "ray.data.Dataset":
+    """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
+
+    shingle -> minhash -> band -> bucket-groupby -> pairwise within bucket
+    -> dedupe pairs (a pair can collide in many bands) -> threshold filter.
+    """
+    sigs = docs.map_batches(MinHashActor, batch_format="pyarrow", concurrency=(1, 8))
+    bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard")
+    )
+    return uniq.filter(
+        expr=f"est_jaccard >= {threshold}"
+    )
+
+
+def jaccard_verify(
+    docs: "ray.data.Dataset", pairs: list[tuple[str, str]]
+) -> list[dict]:
+    """Exact n-gram Jaccard for candidate pairs.
+
+    The candidate set is small (LSH output); broadcast the needed shingle
+    sets once (ray.put) instead of shuffling the corpus.
+    """
+    needed = {d for p in pairs for d in p}
+    shingle_rows = (
+        docs.filter(lambda r: r["doc_id"] in needed)  # tiny control filter
+        .map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "shingles": [
+                        char_shingles(t).tolist()
+                        for t in b.column("text").to_pylist()
+                    ],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    sets = {r["doc_id"]: set(r["shingles"]) for r in shingle_rows}
+    out = []
+    for a, b in sorted(pairs):
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        inter = len(sa & sb)
+        union = len(sa | sb) or 1
+        out.append({"doc_a": a, "doc_b": b, "jaccard": inter / union})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """63-bit SimHash over crc32(token) hashes (int64-safe, deterministic)."""
+    import zlib
+
+    texts = batch.column("text").to_pylist()
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        # widen crc32 to 63 bits with a salted second crc so all simhash
+        # bit positions carry signal
+        hs = np.fromiter(
+            (
+                zlib.crc32(x.encode()) | (zlib.crc32((x + "#").encode()) << 31)
+                for x in toks
+            ),
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(63, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        vote = (2 * bits - 1).sum(axis=0)
+        out[i] = int(((vote > 0).astype(np.uint64) << np.arange(63, dtype=np.uint64)).sum())
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(out, pa.int64())],
+        names=["doc_id", "simhash"],
+    )
+
+
+def simhashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (LSH-bucketed)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8   # sign bits per band
+_N_LSH_BANDS = 12  # independent plane sets; recall ~= 1-(1-p^8)^12
+
+
+def embedding_dup_pairs(
+    embeddings: "ray.data.Dataset", dim: int, threshold: float = 0.95, seed: int = 11
+) -> "ray.data.Dataset":
+    """Pairs of vectors with cosine similarity >= threshold.
+
+    Scale path: random-hyperplane LSH with _N_LSH_BANDS independent plane
+    sets (band-style, like MinHash bands): a pair is a candidate if it
+    agrees on all _N_PLANES sign bits of ANY band. Exact cosine is computed
+    only within buckets; duplicate candidates from multiple bands are merged
+    by a final (vec_a, vec_b) groupby.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, _N_LSH_BANDS * _N_PLANES))
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        signs = (vecs @ P) > 0  # (n, bands*planes)
+        out = {"band_id": [], "bucket": [], "vec_id": [], "unit": []}
+        ids = batch.column("vec_id").to_pylist()
+        units = [u.tolist() for u in unit]
+        for band in range(_N_LSH_BANDS):
+            s = signs[:, band * _N_PLANES : (band + 1) * _N_PLANES]
+            bucket = (
+                s.astype(np.uint64) << np.arange(_N_PLANES, dtype=np.uint64)
+            ).sum(axis=1)
+            out["band_id"].extend([band] * len(ids))
+            out["bucket"].extend(bucket.astype(np.int64).tolist())
+            out["vec_id"].extend(ids)
+            out["unit"].extend(units)
+        return pa.Table.from_pydict(
+            out,
+            schema=pa.schema(
+                [
+                    ("band_id", pa.int32()),
+                    ("bucket", pa.int64()),
+                    ("vec_id", pa.int64()),
+                    ("unit", pa.list_(pa.float64())),
+                ]
+            ),
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_pylist()
+        out = {"vec_a": [], "vec_b": [], "cosine": []}
+        if 2 <= len(ids) <= 5000:
+            U = np.array(group.column("unit").to_pylist(), dtype=np.float64)
+            S = U @ U.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = S[ii, jj] >= threshold
+            for i, j, s in zip(ii[keep], jj[keep], S[ii, jj][keep]):
+                a, b = ids[i], ids[j]
+                if a > b:
+                    a, b = b, a
+                out["vec_a"].append(a)
+                out["vec_b"].append(b)
+                out["cosine"].append(float(s))
+        return pa.Table.from_pydict(
+            out,
+            schema=pa.schema(
+                [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+            ),
+        )
+
+    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    pairs = bucketed.groupby(["band_id", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("cosine", alias_name="cosine")
+    )

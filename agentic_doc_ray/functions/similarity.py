@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each batch does one float64 matmul against it and emits only
+its LOCAL top-k partials (k rows per query per batch); the driver merges the
+tiny partial set. No shuffle of the corpus, no materialization.
+
+Scale path: IVF-style partitioning — assign each vector to its nearest of C
+coarse centroids (broadcast), shuffle once by centroid id, and probe only
+the nearest P centroids per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def brute_force_topk(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+) -> pa.Table:
+    """Exact cosine top-k: (query_id, rank, vec_id, cosine), rank 1..k.
+
+    Ties broken by vec_id ascending — deterministic and mirrored in the SQL
+    oracle's ORDER BY.
+    """
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q_unit)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        Q = ray.get(q_ref)
+        vecs = _unit(_as_matrix(batch.column("embedding")))
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        sims = vecs @ Q.T  # (n, q)
+        out = {"query_idx": [], "vec_id": [], "cosine": []}
+        kk = min(k, len(ids))
+        for qi in range(Q.shape[0]):
+            s = sims[:, qi]
+            # top-k with (sim desc, vec_id asc) tie-break
+            order = np.lexsort((ids, -s))[:kk]
+            out["query_idx"].extend([qi] * len(order))
+            out["vec_id"].extend(ids[order].tolist())
+            out["cosine"].extend(s[order].tolist())
+        return pa.Table.from_pydict(
+            out,
+            schema=pa.schema(
+                [("query_idx", pa.int32()), ("vec_id", pa.int64()), ("cosine", pa.float64())]
+            ),
+        )
+
+    partials = embeddings.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(int(r["query_idx"]), []).append(
+            (float(r["cosine"]), int(r["vec_id"]))
+        )
+    for qi, cands in sorted(by_q.items()):
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, vid) in enumerate(cands[:k], start=1):
+            rows["query_id"].append(query_ids[qi])
+            rows["rank"].append(rank)
+            rows["vec_id"].append(vid)
+            rows["cosine"].append(cos)
+    return pa.Table.from_pydict(
+        rows,
+        schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("rank", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("cosine", pa.float64()),
+            ]
+        ),
+    )
+
+
+def ivf_topk(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 5,
+) -> pa.Table:
+    """Approximate top-k via IVF bucketing.
+
+    Centroids are sampled deterministically (seeded) from the dataset, then
+    broadcast; every batch assigns its vectors to the nearest centroid and
+    emits partial top-k ONLY for queries probing that centroid. Same output
+    schema as brute_force_topk; recall < 1 by design (approximate).
+    """
+    sample = embeddings.limit(max(n_centroids * 20, 256)).take_all()
+    X = _unit(np.array([r["embedding"] for r in sample], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :n_probe]  # (q, P)
+    ref = ray.put((q_unit, centroids, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Q, C, PR = ray.get(ref)
+        vecs = _unit(_as_matrix(batch.column("embedding")))
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        assign = np.argmax(vecs @ C.T, axis=1)  # nearest centroid per vector
+        out = {"query_idx": [], "vec_id": [], "cosine": []}
+        for qi in range(Q.shape[0]):
+            mask = np.isin(assign, PR[qi])
+            if not mask.any():
+                continue
+            s = vecs[mask] @ Q[qi]
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -s))[: min(k, len(sub_ids))]
+            out["query_idx"].extend([qi] * len(order))
+            out["vec_id"].extend(sub_ids[order].tolist())
+            out["cosine"].extend(s[order].tolist())
+        return pa.Table.from_pydict(
+            out,
+            schema=pa.schema(
+                [("query_idx", pa.int32()), ("vec_id", pa.int64()), ("cosine", pa.float64())]
+            ),
+        )
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(int(r["query_idx"]), []).append(
+            (float(r["cosine"]), int(r["vec_id"]))
+        )
+    for qi in range(len(query_ids)):
+        for rank, (cos, vid) in enumerate(
+            sorted(by_q.get(qi, []), key=lambda t: (-t[0], t[1]))[:k], start=1
+        ):
+            rows["query_id"].append(query_ids[qi])
+            rows["rank"].append(rank)
+            rows["vec_id"].append(vid)
+            rows["cosine"].append(cos)
+    return pa.Table.from_pydict(
+        rows,
+        schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("rank", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("cosine", pa.float64()),
+            ]
+        ),
+    )

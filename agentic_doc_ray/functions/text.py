@@ -1,0 +1,160 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All hot paths are vectorized Arrow kernels (``pyarrow.compute``) inside
+``map_batches`` — no per-row Python in the counting stages. Counting
+queries emit INTEGER metrics only, so the DuckDB oracle comparison is exact
+(no float rounding divergence).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# Python len(text.split()) == number of \s+ separated tokens of the trimmed
+# string; mirrored in SQL as regexp_split_to_array(trim(text), '\s+').
+_PUNCT_PATTERN = r"[.!?,;:]"
+_UPPER_PATTERN = r"[A-Z]"
+_DIGIT_PATTERN = r"[0-9]"
+
+# Tiny per-language stopword inventories for the n-gram/stopword language-ID
+# heuristic. Deterministic, order-stable.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+    "es": ("el", "la", "los", "que", "es", "una", "por"),
+    "zh": ("de", "shi", "bu", "le", "zai", "wo", "you"),
+}
+
+
+def _token_count(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    trimmed = pc.utf8_trim_whitespace(text)
+    n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    return pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), n).cast(
+        pa.int64()
+    )
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, n_tokens)."""
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), _token_count(batch.column("text"))],
+        names=["doc_id", "n_tokens"],
+    )
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """Integer quality metrics per document (vectorized RE2 kernels).
+
+    punct/upper/digit counts use the same RE2 regex engine DuckDB uses, so
+    the oracle comparison is exact.
+    """
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_tokens = _token_count(text)
+    n_punct = pc.count_substring_regex(text, _PUNCT_PATTERN).cast(pa.int64())
+    n_upper = pc.count_substring_regex(text, _UPPER_PATTERN).cast(pa.int64())
+    n_digit = pc.count_substring_regex(text, _DIGIT_PATTERN).cast(pa.int64())
+    # integer per-mille ratios: exact in both numpy and SQL integer division
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    punct_per_mille = pc.divide(pc.multiply(n_punct, pa.scalar(1000, pa.int64())), denom)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            n_chars,
+            n_tokens,
+            n_punct,
+            n_upper,
+            n_digit,
+            punct_per_mille,
+        ],
+        names=[
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            "n_punct",
+            "n_upper",
+            "n_digit",
+            "punct_per_mille",
+        ],
+    )
+
+
+class LangIdActor:
+    """Stopword-ratio language ID (actor pool: patterns compiled once).
+
+    Scores each language by whole-word stopword hits per token and picks the
+    argmax, tie-broken by language code — deterministic.
+    """
+
+    def __init__(self) -> None:
+        self.patterns = {
+            lang: r"\b(" + "|".join(words) + r")\b"
+            for lang, words in sorted(STOPWORDS.items())
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(batch.column("text"))
+        n_tokens = _token_count(batch.column("text")).to_numpy(zero_copy_only=False)
+        denom = np.maximum(n_tokens, 1).astype(np.float64)
+        best_lang = np.full(len(batch), "und", dtype=object)
+        best_score = np.zeros(len(batch), dtype=np.float64)
+        for lang, pat in self.patterns.items():  # sorted -> deterministic ties
+            hits = pc.count_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+            score = hits / denom
+            better = score > best_score + 1e-12
+            best_score = np.where(better, score, best_score)
+            best_lang = np.where(better, lang, best_lang)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(best_lang, pa.string()),
+                pa.array(best_score, pa.float64()),
+            ],
+            names=["doc_id", "lang_pred", "stopword_ratio"],
+        )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    crc32(token) values, mod 2^61-1. Stable across runs/platforms."""
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+    texts = batch.column("text").to_pylist()
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = 0
+        for tok in (t or "").split():
+            h = (h * BASE + zlib.crc32(tok.encode())) % MOD
+        out[i] = h
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(out, pa.int64())],
+        names=["doc_id", "fingerprint"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level wrappers
+# ---------------------------------------------------------------------------
+
+
+def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def text_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(text_stats_batch, batch_format="pyarrow")
+
+
+def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(LangIdActor, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(fingerprint_batch, batch_format="pyarrow")

@@ -1,0 +1,94 @@
+"""Relational operators vs DuckDB oracles (pre-agg groupby, broadcast join,
+tumbling windows, sessionization)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from agentic_doc_ray.functions import analytics as A
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql):
+    for t in ["lineitem", "orders", "customer", "events"]:
+        sql = sql.replace(f" {t}", f" read_parquet('{SF}/{t}.parquet')")
+    return duckdb.sql(sql).df()
+
+
+def test_lineitem_pricing_summary():
+    got = (
+        A.lineitem_pricing_summary(SF)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1,2 ORDER BY 1,2
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+
+
+def test_orders_by_segment_broadcast_join():
+    got = (
+        A.orders_by_segment(SF)
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        SELECT c.c_mktsegment, sum(o.o_totalprice) AS total_price,
+               count(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+
+
+def test_events_hourly_window():
+    got = (
+        A.events_hourly(SF)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               sum(value) AS sum_value, count(*) AS n_events,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY 1,2 ORDER BY 1,2
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_sessionize_against_sql_gaps():
+    got = A.sessionize(SF, gap_minutes=30).to_pandas()
+    got = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    want = _duck(
+        """
+        WITH marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        ), numbered AS (
+          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sess
+          FROM marked
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, sum(value) AS sum_value
+        FROM numbered GROUP BY user_id, sess ORDER BY user_id, session_start
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)

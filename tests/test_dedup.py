@@ -1,0 +1,114 @@
+"""Dedup operators: exact vs DuckDB, MinHash/SimHash/embedding near-dup vs
+brute-force oracles on planted duplicates."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from agentic_doc_ray.functions import dedup as D
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_matches_sql():
+    # plant duplicates on top of the real table
+    base = duckdb.sql(
+        f"SELECT CAST(doc_id AS VARCHAR) doc_id, text FROM read_parquet('{SF}/documents.parquet') LIMIT 50"
+    ).arrow()
+    dup = pa.Table.from_pydict(
+        {"doc_id": ["x1", "x2"], "text": [base["text"][0].as_py(), base["text"][0].as_py()]}
+    )
+    t = pa.concat_tables([base.cast(dup.schema), dup])
+    got = (
+        D.exact_dedup(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT md5(text) h, min(doc_id) keeper_id, count(*) n_dups FROM t GROUP BY md5(text) ORDER BY h"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_dups"] == 3).sum() == 1  # the planted triple
+
+
+def _planted_docs():
+    base = (
+        "the quick brown fox jumps over the lazy dog while reading documents "
+        "about distributed data processing engines and arrow tables " * 3
+    )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": ["a", "a_dup", "b", "c"],
+            "text": [
+                base,
+                base + " tiny suffix",  # near-dup of a
+                "completely different content about cooking pasta recipes and italian food culture traditions " * 3,
+                "yet another unrelated document describing mountain hiking trails and weather conditions in the alps " * 3,
+            ],
+        }
+    )
+
+
+def test_minhash_finds_planted_near_dup():
+    pairs = D.minhash_dedup_pairs(
+        ray.data.from_arrow(_planted_docs()), threshold=0.7
+    ).take_all()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    assert ("a", "a_dup") in found
+    assert all({p[0], p[1]} == {"a", "a_dup"} for p in found)  # no false positives
+
+
+def test_minhash_estimate_close_to_exact_jaccard():
+    docs = ray.data.from_arrow(_planted_docs())
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5).take_all()
+    est = {(p["doc_a"], p["doc_b"]): p["est_jaccard"] for p in pairs}
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_verify(docs, list(est.keys()))
+    }
+    for k, e in est.items():
+        assert abs(e - exact[k]) < 0.2  # 64-hash estimator tolerance
+
+
+def test_simhash_hamming_separates():
+    t = _planted_docs()
+    out = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhashes(ray.data.from_arrow(t)).take_all()
+    }
+    ham = lambda x, y: bin((x ^ y) & ((1 << 63) - 1)).count("1")
+    assert ham(out["a"], out["a_dup"]) <= 8
+    assert ham(out["a"], out["b"]) > 12
+    assert ham(out["a"], out["c"]) > 12
+
+
+def test_embedding_dup_pairs_vs_bruteforce():
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((40, 16))
+    # plant 5 near-duplicate pairs
+    dups = base[:5] + rng.standard_normal((5, 16)) * 0.02
+    vecs = np.vstack([base, dups])
+    ids = list(range(len(vecs)))
+    t = pa.Table.from_pydict(
+        {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}
+    )
+    got = D.embedding_dup_pairs(
+        ray.data.from_arrow(t), dim=16, threshold=0.95
+    ).take_all()
+    got_pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    # brute-force oracle
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    S = unit @ unit.T
+    ii, jj = np.triu_indices(len(vecs), k=1)
+    want = {(int(a), int(b)) for a, b in zip(ii[S[ii, jj] >= 0.95], jj[S[ii, jj] >= 0.95])}
+    assert want, "oracle found no pairs — fixture broken"
+    # no false positives; recall high (banded LSH)
+    assert got_pairs <= want
+    assert len(got_pairs) >= int(0.8 * len(want))

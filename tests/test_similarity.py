@@ -1,0 +1,63 @@
+"""Similarity search vs numpy brute-force oracle on the real embeddings."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from agentic_doc_ray.functions.similarity import brute_force_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb():
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return t
+
+
+def _oracle_topk(vecs, ids, queries, k):
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    q = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    sims = unit @ q.T
+    out = []
+    for qi in range(q.shape[0]):
+        order = np.lexsort((ids, -sims[:, qi]))[:k]
+        out.append([int(ids[o]) for o in order])
+    return out
+
+
+def test_brute_force_matches_oracle(emb):
+    vecs = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(emb["vec_id"].to_pylist())
+    queries, qids = vecs[:5], [int(i) for i in ids[:5]]
+    got = brute_force_topk(
+        ray.data.from_arrow(emb).repartition(6), queries, qids, k=10
+    ).to_pylist()
+    want = _oracle_topk(vecs, ids, queries, 10)
+    for qi, qid in enumerate(qids):
+        got_ids = [r["vec_id"] for r in got if r["query_id"] == qid]
+        assert got_ids == want[qi]
+        ranks = [r["rank"] for r in got if r["query_id"] == qid]
+        assert ranks == list(range(1, 11))
+    # querying with a dataset vector: rank 1 is itself with cosine ~1
+    self_hit = next(r for r in got if r["query_id"] == qids[0] and r["rank"] == 1)
+    assert self_hit["vec_id"] == qids[0]
+    assert self_hit["cosine"] > 0.999999
+
+
+def test_ivf_topk_is_subset_with_self_hit(emb):
+    vecs = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(emb["vec_id"].to_pylist())
+    queries, qids = vecs[:5], [int(i) for i in ids[:5]]
+    got = ivf_topk(ray.data.from_arrow(emb), queries, qids, k=10).to_pylist()
+    all_ids = set(int(i) for i in ids)
+    for qid in qids:
+        rows = sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        assert rows, f"no results for query {qid}"
+        assert all(r["vec_id"] in all_ids for r in rows)
+        # the query's own vector assigns to its nearest centroid, which the
+        # query probes first -> self is always a candidate and ranks first
+        assert rows[0]["vec_id"] == qid and rows[0]["cosine"] > 0.999999

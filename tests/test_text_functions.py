@@ -1,0 +1,83 @@
+"""Text-analysis operators vs DuckDB oracles on the real testdata."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from agentic_doc_ray.functions import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _duck(sql):
+    return duckdb.sql(sql.replace("documents", f"read_parquet('{SF}/documents.parquet')")).df()
+
+
+def test_token_counts_match_sql(docs_ds):
+    got = T.token_counts(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = _duck(
+        """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+        FROM documents ORDER BY doc_id
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_text_stats_match_sql(docs_ds):
+    got = T.text_stats(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = _duck(
+        """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+               len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+               len(regexp_extract_all(text, '[.!?,;:]')) * 1000
+                   // greatest(length(text), 1) AS punct_per_mille
+        FROM documents ORDER BY doc_id
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lang_id_known_strings():
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat and the dog went to the house of a friend",
+                "der hund und die katze ist ein tier und das ist gut",
+                "el perro y la casa que es una cosa por la noche",
+            ],
+        }
+    )
+    out = T.lang_id(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de", "es"]
+
+
+def test_lang_id_deterministic(docs_ds):
+    a = T.lang_id(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = T.lang_id(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fingerprint_order_sensitive_and_deterministic():
+    t = pa.Table.from_pydict(
+        {"doc_id": [1, 2, 3], "text": ["a b c", "c b a", "a b c"]}
+    )
+    out = T.fingerprints(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    fps = out["fingerprint"].tolist()
+    assert fps[0] == fps[2]  # same text, same fingerprint
+    assert fps[0] != fps[1]  # order matters
