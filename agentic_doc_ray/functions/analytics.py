@@ -35,20 +35,49 @@ def lineitem_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        t = batch.append_column("revenue", revenue)
+        # Sum exact scaled integers: float summation is order-dependent, so a
+        # distributed sum can never hash-match a sequential oracle sum.
+        # Scale by 1e4 (the product of two 2-decimal columns is an exact
+        # 4-decimal quantity) so round() never lands on a .5 tie — ties are
+        # where numpy half-even and DuckDB half-away diverge.
+        rev_cents = pc.round(pc.multiply(revenue, pa.scalar(10000.0))).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [
+                batch.column("l_returnflag"),
+                batch.column("l_linestatus"),
+                batch.column("l_quantity"),
+                rev_cents,
+            ],
+            names=["l_returnflag", "l_linestatus", "l_quantity", "rev_cents"],
+        )
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("revenue", "sum"), ("l_quantity", "count")]
+            [("l_quantity", "sum"), ("rev_cents", "sum"), ("l_quantity", "count")]
         )
         return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "n_rows"]
+            ["l_returnflag", "l_linestatus", "sum_qty", "rev_cents", "n_rows"]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_revenue", alias_name="sum_revenue"),
+        Sum("rev_cents", alias_name="rev_cents"),
         Sum("n_rows", alias_name="n_rows"),
     )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rev = pc.divide(batch.column("rev_cents").cast(pa.float64()), 10000.0)
+        return pa.Table.from_arrays(
+            [
+                batch.column("l_returnflag"),
+                batch.column("l_linestatus"),
+                batch.column("sum_qty"),
+                rev,
+                batch.column("n_rows"),
+            ],
+            names=["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "n_rows"],
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def orders_by_segment(sf_dir: str) -> "ray.data.Dataset":
@@ -67,18 +96,30 @@ def orders_by_segment(sf_dir: str) -> "ray.data.Dataset":
         lookup = ray.get(cust_ref)
         keys = batch.column("o_custkey").to_pylist()
         seg = pa.array([lookup.get(k, "UNKNOWN") for k in keys])
-        t = pa.Table.from_arrays(
-            [seg, batch.column("o_totalprice")], names=["c_mktsegment", "o_totalprice"]
-        )
+        cents = pc.round(
+            pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        t = pa.Table.from_arrays([seg, cents], names=["c_mktsegment", "cents"])
         g = t.group_by("c_mktsegment").aggregate(
-            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+            [("cents", "sum"), ("cents", "count")]
         )
-        return g.rename_columns(["c_mktsegment", "total_price", "n_orders"])
+        return g.rename_columns(["c_mktsegment", "cents", "n_orders"])
 
     partials = orders.map_batches(join_partial, batch_format="pyarrow")
-    return partials.groupby("c_mktsegment").aggregate(
-        Sum("total_price", alias_name="total_price"),
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("cents", alias_name="cents"),
         Sum("n_orders", alias_name="n_orders"),
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("c_mktsegment"),
+                pc.divide(b.column("cents").cast(pa.float64()), 100.0),
+                b.column("n_orders"),
+            ],
+            names=["c_mktsegment", "total_price", "n_orders"],
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -93,23 +134,43 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        cents = pc.round(
+            pc.multiply(batch.column("value"), pa.scalar(100.0))
+        ).cast(pa.int64())
         t = pa.Table.from_arrays(
-            [hour, batch.column("event_type"), batch.column("value")],
-            names=["window_start", "event_type", "value"],
+            [hour, batch.column("event_type"), cents, batch.column("value")],
+            names=["window_start", "event_type", "cents", "value"],
         )
         g = t.group_by(["window_start", "event_type"]).aggregate(
-            [("value", "sum"), ("value", "count"), ("value", "min"), ("value", "max")]
+            [("cents", "sum"), ("cents", "count"), ("value", "min"), ("value", "max")]
         )
         return g.rename_columns(
-            ["window_start", "event_type", "sum_value", "n_events", "min_value", "max_value"]
+            ["window_start", "event_type", "cents", "n_events", "min_value", "max_value"]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["window_start", "event_type"]).aggregate(
-        Sum("sum_value", alias_name="sum_value"),
+    agg = partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("cents", alias_name="cents"),
         Sum("n_events", alias_name="n_events"),
         Min("min_value", alias_name="min_value"),
         Max("max_value", alias_name="max_value"),
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("window_start"),
+                b.column("event_type"),
+                pc.divide(b.column("cents").cast(pa.float64()), 100.0),
+                b.column("n_events"),
+                b.column("min_value"),
+                b.column("max_value"),
+            ],
+            names=[
+                "window_start", "event_type", "sum_value", "n_events",
+                "min_value", "max_value",
+            ],
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -120,16 +181,19 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def sessions(group):
+        import numpy as np
         import pandas as pd
 
         g = group.sort_values("ts")
+        g = g.assign(cents=np.round(g["value"] * 100.0).astype("int64"))
         gap = (g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)).cumsum()
         out = g.groupby(gap).agg(
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("ts", "count"),
-            sum_value=("value", "sum"),
+            cents=("cents", "sum"),  # exact int sum (see events_hourly)
         )
+        out["sum_value"] = out.pop("cents") / 100.0
         out["user_id"] = g["user_id"].iloc[0]
         return out.reset_index(drop=True)[
             ["user_id", "session_start", "session_end", "n_events", "sum_value"]

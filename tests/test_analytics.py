@@ -27,12 +27,12 @@ def test_lineitem_pricing_summary():
         """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_revenue,
                count(*) AS n_rows
         FROM lineitem GROUP BY 1,2 ORDER BY 1,2
         """
     )
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
 def test_orders_by_segment_broadcast_join():
@@ -44,13 +44,14 @@ def test_orders_by_segment_broadcast_join():
     )
     want = _duck(
         """
-        SELECT c.c_mktsegment, sum(o.o_totalprice) AS total_price,
+        SELECT c.c_mktsegment,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price,
                count(*) AS n_orders
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
         """
     )
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
 def test_events_hourly_window():
@@ -63,12 +64,13 @@ def test_events_hourly_window():
     want = _duck(
         """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
-               sum(value) AS sum_value, count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
+               count(*) AS n_events,
                min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY 1,2 ORDER BY 1,2
         """
     )
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
 def test_sessionize_against_sql_gaps():
@@ -87,8 +89,9 @@ def test_sessionize_against_sql_gaps():
           FROM marked
         )
         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-               count(*) AS n_events, sum(value) AS sum_value
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM numbered GROUP BY user_id, sess ORDER BY user_id, session_start
         """
     )
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
