@@ -31,9 +31,18 @@ class EngineConfig:
     # starves the all-to-all (repartition/sort/groupby) operators and the
     # pipeline deadlocks — min must leave slack for the shuffle stages.
     parse_concurrency: int | tuple[int, int] = (1, 16)
-    parse_batch_size: int = 1024                   # span rows per parse batch
+    # Batch sizes bound task granularity: the fused explode->strip->parse
+    # operator creates one task per batch, so batches must be small enough
+    # to fan out across the cluster (5000-row batches = 5 tasks = 5 busy
+    # cores, measured). 256 corpus rows ~= 1-2k span rows per task.
+    parse_batch_size: int = 256                    # rows per parse batch
     explode_batch_size: int = 256                  # corpus rows per explode batch
-    reassemble_num_partitions: int | None = None   # repartition before groupby (None = Ray default)
+    # The reassembly sort's partition count = its input block count. With
+    # parse batches of 256 rows the parse stage already emits enough blocks;
+    # an explicit repartition adds a second all-to-all (measured +4.5s at
+    # sf0.1) — only set this when upstream produces pathologically few
+    # blocks.
+    reassemble_num_partitions: int | None = None
 
     # --- synthesis knobs (deterministic fixtures) -------------------------
     seed: int = 42

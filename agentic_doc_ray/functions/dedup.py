@@ -42,10 +42,17 @@ def _exact_partial(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["h", "keeper_id", "n_dups"])
 
 
-def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """content-hash dedup: (h, keeper_id=min doc_id, n_dups) per distinct text."""
+def exact_dedup(
+    docs: "ray.data.Dataset", shuffle_partitions: int = 8
+) -> "ray.data.Dataset":
+    """content-hash dedup: (h, keeper_id=min doc_id, n_dups) per distinct text.
+
+    Partials are coalesced to a few blocks before the groupby: the
+    sort-based aggregate costs O(blocks^2) scheduling, and partials are tiny
+    relative to the input (measured 11.5s -> 2.4s at 64 -> 4 blocks).
+    """
     partials = docs.map_batches(_exact_partial, batch_format="pyarrow")
-    return partials.groupby("h").aggregate(
+    return partials.repartition(shuffle_partitions).groupby("h").aggregate(
         Min("keeper_id", alias_name="keeper_id"), Sum("n_dups", alias_name="n_dups")
     )
 
@@ -72,33 +79,36 @@ def _hash_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 _A, _B = _hash_params()
 
 
-def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """crc32 hashes of the k-char shingles of a normalized text."""
-    import zlib
+_SHINGLE_BASE = np.uint64(1_000_003)
 
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Rolling polynomial hashes (mod 2^64) of the k-byte shingles of a
+    normalized text. Fully vectorized: k shifted multiply-adds over the
+    utf-8 byte array, no per-shingle Python."""
     t = " ".join((text or "").lower().split())
-    if len(t) < k:
-        t = t + " " * (k - len(t))
     enc = t.encode()
-    return np.unique(
-        np.fromiter(
-            (zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)),
-            dtype=np.int64,
-        )
-    )
+    if len(enc) < k:
+        enc = enc + b" " * (k - len(enc))
+    b = np.frombuffer(enc, dtype=np.uint8).astype(np.uint64)
+    n = len(b) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = h * _SHINGLE_BASE + b[j : j + n]
+    return np.unique(h)
 
 
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
-    """(N_HASHES,) int64 signature: min((a*x+b) mod p) per hash function."""
+    """(N_HASHES,) int64 signature: min over a fixed affine hash family.
+
+    Arithmetic wraps mod 2^64 (numpy uint64): not a textbook universal
+    family, but a fixed pseudorandom mapping — the estimator accuracy is
+    pinned empirically by tests (|est - exact Jaccard| < 0.2)."""
     if len(shingles) == 0:
         return np.zeros(N_HASHES, dtype=np.int64)
-    # (H,1)*(S,) broadcasting in object->int128 is unavailable; use Python int
-    # mod via float-safe int64 multiply within 2^61 modulus using np.uint64
     x = shingles.astype(np.uint64)
-    vals = (_A.astype(np.uint64)[:, None] * x[None, :] + _B.astype(np.uint64)[:, None]) % np.uint64(
-        _MERSENNE
-    )
-    return vals.min(axis=1).astype(np.int64)
+    vals = _A.astype(np.uint64)[:, None] * x[None, :] + _B.astype(np.uint64)[:, None]
+    return (vals.min(axis=1) >> np.uint64(1)).astype(np.int64)
 
 
 class MinHashActor:
@@ -118,53 +128,93 @@ class MinHashActor:
         )
 
 
+_N_SHARDS = 64  # bucket-space shards: groupby runs per shard, not per bucket
+
+
 def _explode_bands(batch: pa.Table) -> pa.Table:
-    """signature rows -> (band_id, band_hash, doc_id, sig) rows."""
+    """signature rows -> (shard, band_id, band_hash, doc_id, sig) rows.
+
+    ``shard = band_hash % _N_SHARDS`` coarsens the shuffle key: a groupby
+    per LSH *bucket* means one Python map_groups call per bucket (~16x docs
+    — measured 50s); per *shard* it is _N_SHARDS calls with vectorized
+    bucket detection inside.
+    """
     n = batch.num_rows
     sig = np.asarray(batch.column("sig").combine_chunks().flatten()).reshape(
         n, N_HASHES
     )
-    rows = {"band_id": [], "band_hash": [], "doc_id": [], "sig": []}
     doc_ids = batch.column("doc_id").to_pylist()
+    band_ids = np.repeat(np.arange(N_BANDS, dtype=np.int32), n)
+    hashes = np.empty(N_BANDS * n, dtype=np.int64)
     for b in range(N_BANDS):
         band = sig[:, b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-        # mix the band rows into one int64 bucket key
         mixed = np.zeros(n, dtype=np.uint64)
         for c in range(ROWS_PER_BAND):
             mixed = mixed * np.uint64(1_000_003) + band[:, c].astype(np.uint64)
-        rows["band_id"].extend([b] * n)
-        rows["band_hash"].extend((mixed >> np.uint64(1)).astype(np.int64).tolist())
-        rows["doc_id"].extend(doc_ids)
-        rows["sig"].extend(sig.tolist())
+        hashes[b * n : (b + 1) * n] = (mixed >> np.uint64(1)).astype(np.int64)
+    shard = (hashes % _N_SHARDS).astype(np.int32)
     return pa.Table.from_pydict(
-        rows,
+        {
+            "shard": shard,
+            "band_id": band_ids,
+            "band_hash": hashes,
+            "doc_id": doc_ids * N_BANDS,
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.tile(sig.reshape(-1), N_BANDS), pa.int64()), N_HASHES
+            ),
+        },
         schema=pa.schema(
             [
+                ("shard", pa.int32()),
                 ("band_id", pa.int32()),
                 ("band_hash", pa.int64()),
                 ("doc_id", pa.string()),
-                ("sig", pa.list_(pa.int64())),
+                ("sig", pa.list_(pa.int64(), N_HASHES)),
             ]
         ),
     )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Emit candidate pairs within one LSH bucket, with signature-estimated
-    Jaccard. Buckets are tiny by construction; cap guards pathological ones."""
+def _shard_pairs(group: pa.Table, threshold: float = 0.0) -> pa.Table:
+    """Candidate pairs for every LSH bucket inside one shard.
+
+    Buckets found vectorized (lexsort + boundary diff); the pairwise loop
+    touches only buckets with >= 2 members. The per-bucket cap guards the
+    degenerate all-identical-corpus case (bucket skew).
+
+    The threshold is applied HERE, before the pair-dedup groupby: the
+    estimate is a pure function of the pair, so filtering commutes with the
+    dedup — and sub-threshold pairs vastly outnumber survivors (measured
+    604k -> 245 at sf0.1, cutting the dedup shuffle from 25s to <1s)."""
     out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
     n = group.num_rows
-    if 2 <= n <= 1000:  # cap: a degenerate bucket (all-identical corpus) is skew
+    if n >= 2:
+        band_id = np.asarray(group.column("band_id").combine_chunks())
+        band_hash = np.asarray(group.column("band_hash").combine_chunks())
         ids = group.column("doc_id").to_pylist()
-        sigs = np.array(group.column("sig").to_pylist())
-        order = np.argsort(np.array(ids, dtype=object))
-        for i in range(n):
-            for j in range(i + 1, n):
-                a, b = order[i], order[j]
-                est = float(np.mean(sigs[a] == sigs[b]))
-                out["doc_a"].append(ids[a])
-                out["doc_b"].append(ids[b])
-                out["est_jaccard"].append(est)
+        sigs = np.asarray(group.column("sig").combine_chunks().flatten()).reshape(
+            n, N_HASHES
+        )
+        order = np.lexsort((np.array(ids, dtype=object), band_hash, band_id))
+        bid, bh = band_id[order], band_hash[order]
+        boundary = np.flatnonzero((np.diff(bid) != 0) | (np.diff(bh) != 0)) + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [n]))
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > 1000:
+                continue
+            members = order[s:e]
+            # vectorized pairwise signature agreement for the whole bucket
+            S = sigs[members]  # (m, N_HASHES)
+            agree = (S[:, None, :] == S[None, :, :]).mean(axis=2)
+            ii, jj = np.triu_indices(m, k=1)
+            est = agree[ii, jj]
+            keep = est >= threshold
+            ii, jj, est = ii[keep], jj[keep], est[keep]
+            out["doc_a"].extend(ids[members[i]] for i in ii)
+            out["doc_b"].extend(ids[members[j]] for j in jj)
+            out["est_jaccard"].extend(est.tolist())
     return pa.Table.from_pydict(
         out,
         schema=pa.schema(
@@ -174,23 +224,26 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
 
 
 def minhash_dedup_pairs(
-    docs: "ray.data.Dataset", threshold: float = 0.8
+    docs: "ray.data.Dataset", threshold: float = 0.8, shuffle_partitions: int = 16
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
 
-    shingle -> minhash -> band -> bucket-groupby -> pairwise within bucket
+    shingle -> minhash -> band -> shard-groupby -> pairwise within bucket
     -> dedupe pairs (a pair can collide in many bands) -> threshold filter.
     """
     sigs = docs.map_batches(MinHashActor, batch_format="pyarrow", concurrency=(1, 8))
     bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+    pairs = (
+        bands.repartition(shuffle_partitions)
+        .groupby("shard")
+        .map_groups(
+            lambda g: _shard_pairs(g, threshold), batch_format="pyarrow"
+        )
     )
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard")
-    )
-    return uniq.filter(
-        expr=f"est_jaccard >= {threshold}"
+    return (
+        pairs.repartition(max(2, shuffle_partitions // 4))
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
     )
 
 
@@ -210,7 +263,7 @@ def jaccard_verify(
                 {
                     "doc_id": b.column("doc_id"),
                     "shingles": [
-                        char_shingles(t).tolist()
+                        char_shingles(t).view(np.int64).tolist()
                         for t in b.column("text").to_pylist()
                     ],
                 }

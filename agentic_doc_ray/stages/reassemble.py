@@ -33,19 +33,20 @@ from agentic_doc_ray.textparse import merge_markdown, part_markdown
 
 
 def merge_doc_group(group: pa.Table, config: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
-    """Merge one doc's chunk rows (CHUNK_SCHEMA) -> one PARSED_DOC_SCHEMA row."""
-    order = pa.compute.sort_indices(
-        group,
-        sort_keys=[
-            ("part_idx", "ascending"),
-            ("page_rel", "ascending"),
-            ("block_idx", "ascending"),
-        ],
+    """Merge one doc's chunk rows (CHUNK_SCHEMA) -> one PARSED_DOC_SCHEMA row.
+
+    Single to_pydict + python sort: groups are small (one document), where
+    per-call pyarrow overhead dominates vectorized kernels (measured ~3x).
+    """
+    d = group.to_pydict()
+    n = len(d["doc_id"])
+    order = sorted(
+        range(n),
+        key=lambda i: (d["part_idx"][i], d["page_rel"][i], d["block_idx"][i]),
     )
-    g = group.take(order)
-    doc_id = g.column("doc_id")[0].as_py()
-    doc_type = g.column("doc_type")[0].as_py()
-    n_spans = int(g.column("n_spans")[0].as_py())
+    doc_id = d["doc_id"][0]
+    doc_type = d["doc_type"][0]
+    n_spans = int(d["n_spans"][0])
     split = config.split_size
 
     if n_spans == 0:
@@ -65,20 +66,20 @@ def merge_doc_group(group: pa.Table, config: EngineConfig = DEFAULT_CONFIG) -> p
             schema=PARSED_DOC_SCHEMA,
         )
 
-    part_idx = g.column("part_idx").to_pylist()
-    page_rel = g.column("page_rel").to_pylist()
-    kinds = g.column("kind").to_pylist()
-    texts = g.column("text").to_pylist()
-    refs = g.column("media_ref").to_pylist()
-    chunk_ids = g.column("chunk_id").to_pylist()
-    bboxes = g.column("bbox").to_pylist()
-    is_err = g.column("is_error").to_pylist()
-    errs = g.column("error").to_pylist()
+    part_idx = d["part_idx"]
+    page_rel = d["page_rel"]
+    kinds = d["kind"]
+    texts = d["text"]
+    refs = d["media_ref"]
+    chunk_ids = d["chunk_id"]
+    bboxes = d["bbox"]
+    is_err = d["is_error"]
+    errs = d["error"]
 
     spans, errors = [], []
     part_mds: list[str] = []
     cur_part, cur_texts = None, []
-    for i in range(len(part_idx)):
+    for out_i, i in enumerate(order):
         page_abs = page_rel[i] + part_idx[i] * split  # the rebase
         if part_idx[i] != cur_part:
             if cur_part is not None:
@@ -89,7 +90,7 @@ def merge_doc_group(group: pa.Table, config: EngineConfig = DEFAULT_CONFIG) -> p
                 "kind": kinds[i],
                 "text": texts[i],
                 "media_ref": refs[i],
-                "offset": i,
+                "offset": out_i,
                 "chunk_id": chunk_ids[i],
                 "page": page_abs,
                 "bbox": bboxes[i],
@@ -117,7 +118,15 @@ def merge_doc_group(group: pa.Table, config: EngineConfig = DEFAULT_CONFIG) -> p
 def reassemble(
     chunks: "ray.data.Dataset", config: EngineConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":
-    """The groupby(doc_id) shuffle restoring per-document span order."""
+    """The groupby(doc_id) shuffle restoring per-document span order.
+
+    The sort-based groupby partitions by the input block count, so chunks
+    are first repartitioned to ``reassemble_num_partitions`` blocks — this
+    sets the merge stage's parallelism (measured: 5 blocks = 5 merge tasks
+    regardless of cluster size).
+    """
+    if config.reassemble_num_partitions:
+        chunks = chunks.repartition(config.reassemble_num_partitions)
     return chunks.groupby("doc_id").map_groups(
         lambda g: merge_doc_group(g, config), batch_format="pyarrow"
     )

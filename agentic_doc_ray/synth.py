@@ -237,15 +237,37 @@ def build_corpus_table(
     return synth_batch(t, config)
 
 
-def corpus_path_for(sf_dir: str, config: EngineConfig = DEFAULT_CONFIG) -> str:
-    """Synthesize (once, cached) the corpus parquet for an sf dir under /tmp."""
+def corpus_path_for(
+    sf_dir: str, config: EngineConfig = DEFAULT_CONFIG, n_files: int = 16
+) -> str:
+    """Synthesize (once, cached) the corpus for an sf dir under /tmp.
+
+    Written as a DIRECTORY of parquet shard files: a single file serializes
+    the read into one task, and the shards double as the partition units for
+    the resumable manifest (state/manifest.py).
+    """
     tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = f"/tmp/agentic_corpus/{tag}-seed{config.seed}"
-    out = os.path.join(out_dir, "corpus.parquet")
-    if not os.path.exists(out):
-        os.makedirs(out_dir, exist_ok=True)
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        tmp_dir = out_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir, exist_ok=True)
         table = build_corpus_table(os.path.join(sf_dir, "documents.parquet"), config)
-        tmp = out + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, out)  # atomic publish
-    return out
+        n = max(1, min(n_files, table.num_rows))
+        step = (table.num_rows + n - 1) // n
+        for i in range(n):
+            part = table.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(part, os.path.join(tmp_dir, f"corpus-{i:04d}.parquet"))
+        with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
+            f.write("ok")
+        os.makedirs(out_dir, exist_ok=True)
+        import shutil
+
+        shutil.rmtree(out_dir)
+        os.replace(tmp_dir, out_dir)  # atomic publish
+    return out_dir

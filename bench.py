@@ -1,0 +1,176 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "extract_sf_corpus", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <dir>, "num_cpus": N,
+     "docs_per_sec": ...}
+
+Headline: the flagship extraction pipeline (corpus -> parsed docs ->
+parquet sink) over the corpus derived from $GRAFT_SF_DIR (default sf0.1).
+
+--scaling: runs the headline twice in FRESH processes at num_cpus=8 and 32
+on the same input and reports both plus efficiency = (t8/t32)/4 — the
+sandbox stand-in for N vs 4N nodes (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        _scaling()
+        return
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+    from agentic_doc_ray.config import EngineConfig
+    from agentic_doc_ray.pipelines import extract_corpus
+    from agentic_doc_ray.synth import corpus_path_for
+
+    cfg = EngineConfig(parse_concurrency=(1, max(2, NUM_CPUS - 4)))
+
+    # untimed: corpus synthesis is cached; one read warms the page cache and
+    # a small extract warms the Ray worker pool (process startup + imports
+    # otherwise land inside the first timed pipeline)
+    corpus_path = corpus_path_for(SF_DIR)
+    n_docs = ray.data.read_parquet(corpus_path).count()
+    extract_corpus(ray.data.read_parquet(corpus_path).limit(200), cfg).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- headline: full extraction with parquet sink ----------------------
+    sink = f"/tmp/bench_out/{os.path.basename(os.path.normpath(SF_DIR))}-{NUM_CPUS}"
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def headline() -> None:
+        ds = ray.data.read_parquet(corpus_path)
+        extract_corpus(ds, cfg).write_parquet(sink)
+
+    timed("extract", headline)
+
+    # --- secondary pipelines ----------------------------------------------
+    docs = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    from agentic_doc_ray.functions import analytics as A
+    from agentic_doc_ray.functions import dedup as D
+    from agentic_doc_ray.functions import text as T
+
+    timed("token_counts", lambda: T.token_counts(docs()).count())
+    timed("lang_id", lambda: T.lang_id(docs()).count())
+    timed("exact_dedup", lambda: D.exact_dedup(docs()).count())
+    timed(
+        "minhash_dedup",
+        lambda: D.minhash_dedup_pairs(
+            docs().map_batches(
+                lambda b: b.set_column(
+                    b.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    b["doc_id"].cast("string"),
+                ),
+                batch_format="pyarrow",
+            ),
+            threshold=0.9,
+        ).count(),
+    )
+    timed("simhash", lambda: D.simhashes(docs()).count())
+    timed("lineitem_q1", lambda: A.lineitem_pricing_summary(SF_DIR).count())
+    timed("events_hourly", lambda: A.events_hourly(SF_DIR).count())
+
+    def similarity() -> None:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from agentic_doc_ray.functions.similarity import brute_force_topk
+
+        t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        qs = np.array(t["embedding"].to_pylist()[:8], dtype=np.float64)
+        brute_force_topk(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            qs,
+            list(range(8)),
+            k=10,
+        )
+
+    timed("similarity_topk", similarity)
+
+    headline_sec = timings["extract"]
+    print(
+        json.dumps(
+            {
+                "metric": "extract_sf_corpus",
+                "value": headline_sec,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / headline_sec, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

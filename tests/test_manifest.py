@@ -1,0 +1,83 @@
+"""Checkpoint/resume: kill after k partitions, rerun, final table identical
+to an uninterrupted run and only pending partitions re-execute."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from agentic_doc_ray.config import EngineConfig
+from agentic_doc_ray.state import load_manifest, plan_partitions, run_resumable
+
+CFG = EngineConfig(parse_concurrency=(1, 2))
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(sf_smoke_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    # multiple shard files, as a real corpus would have
+    ray.data.from_arrow(sf_smoke_corpus).repartition(6).write_parquet(d)
+    return d
+
+
+def _read_sorted(out_dir):
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
+    rows = ray.data.read_parquet(files).take_all()
+    out = []
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        out.append(
+            (
+                r["doc_id"],
+                tuple(
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in r["spans"]
+                ),
+            )
+        )
+    return out
+
+
+def test_kill_and_resume_identical(corpus_dir, tmp_path):
+    full_out = str(tmp_path / "full")
+    run_resumable(corpus_dir, full_out, CFG, n_partitions=4)
+    want = _read_sorted(full_out)
+    m_full = load_manifest(full_out)
+    assert all(r["status"] == "done" for r in m_full.values())
+    assert sum(r["n_docs"] for r in m_full.values()) == len(want)
+
+    # interrupted run: commit only 2 partitions, then "die"
+    out = str(tmp_path / "resumed")
+    m1 = run_resumable(corpus_dir, out, CFG, n_partitions=4, fail_after=2)
+    assert sum(1 for r in m1.values() if r["status"] == "done") == 2
+
+    # resume: only the 2 pending partitions execute (attempt stays 1 for done)
+    m2 = run_resumable(corpus_dir, out, CFG, n_partitions=4)
+    assert sorted(m2) == [0, 1, 2, 3]
+    assert all(r["status"] == "done" and r["attempt"] == 1 for r in m2.values())
+    assert _read_sorted(out) == want
+
+
+def test_partitions_cover_all_files(corpus_dir):
+    parts = plan_partitions(corpus_dir, 4)
+    flat = sorted(f for p in parts for f in p)
+    all_files = sorted(
+        os.path.join(corpus_dir, f)
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    )
+    assert flat == all_files
+    assert all(parts), "no empty partitions"
+
+
+def test_resume_skips_done_partitions_no_rewrite(corpus_dir, tmp_path):
+    out = str(tmp_path / "out")
+    run_resumable(corpus_dir, out, CFG, n_partitions=3, fail_after=1)
+    done_part = next(iter(load_manifest(out).values()))["partition_id"]
+    marker = os.path.join(out, f"part={done_part}")
+    mtime = os.path.getmtime(marker)
+    run_resumable(corpus_dir, out, CFG, n_partitions=3)
+    assert os.path.getmtime(marker) == mtime  # untouched on resume
