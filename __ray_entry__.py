@@ -95,12 +95,17 @@ _ORACLE_SQL_DIR = _oracle_dir(SF_CORRECTNESS)  # static path used in SQL strings
 
 def entry() -> Any:
     """Flagship pipeline on sf0.001: corpus -> parsed documents Dataset."""
+    from agentic_doc_ray.context import tune_context
     from agentic_doc_ray.pipelines import extract_corpus
 
+    tune_context(quiet=False)
     return extract_corpus(_corpus_ds("/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from agentic_doc_ray.context import tune_context
+
+    tune_context(quiet=False)
     from agentic_doc_ray.functions import analytics as A
     from agentic_doc_ray.functions import dedup as D
     from agentic_doc_ray.functions import multimodal as M

@@ -37,11 +37,8 @@ class EngineConfig:
     # cores, measured). 256 corpus rows ~= 1-2k span rows per task.
     parse_batch_size: int = 256                    # rows per parse batch
     explode_batch_size: int = 256                  # corpus rows per explode batch
-    # The reassembly sort's partition count = its input block count. With
-    # parse batches of 256 rows the parse stage already emits enough blocks;
-    # an explicit repartition adds a second all-to-all (measured +4.5s at
-    # sf0.1) — only set this when upstream produces pathologically few
-    # blocks.
+    # Bucket count for the bucketed reassembly exchange (crc32(doc_id) % B).
+    # None -> 64. Size to >= cluster cores; each bucket is one merge task.
     reassemble_num_partitions: int | None = None
 
     # --- synthesis knobs (deterministic fixtures) -------------------------

@@ -1,0 +1,40 @@
+"""Session-level Ray Data tuning for this engine.
+
+Call ``tune_context()`` once per Ray session (bench, tests, driver entry).
+Settings are read at EXECUTION time from the ambient DataContext — they
+cannot be scoped per stage — so the engine standardizes on:
+
+  - HASH_SHUFFLE: our groupbys key on low-cardinality int buckets or
+    pre-aggregated partials; hash partitioning skips the sort sampling +
+    range exchange entirely (measured 1.75s vs 3.0s for the reassembly
+    exchange at 680k rows, and it removes the sort's all-to-all barrier).
+  - preserve_order off: order is data (offset columns), never block order.
+"""
+
+from __future__ import annotations
+
+from ray.data import DataContext
+from ray.data.context import ShuffleStrategy
+
+
+def tune_context(quiet: bool = True) -> DataContext:
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.execution_options.preserve_order = False
+    if quiet:
+        ctx.enable_progress_bars = False
+    return ctx
+
+
+def shuffle_partitions(requested: int | None = None) -> int:
+    """Cap a groupby's num_partitions to the cluster CPU count.
+
+    Each hash-shuffle partition is backed by an aggregator actor; asking for
+    more aggregators than CPUs deadlocks a small cluster (measured: np=64 on
+    a 4-CPU session never schedules).
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    cap = max(2, cpus)
+    return min(requested, cap) if requested else cap

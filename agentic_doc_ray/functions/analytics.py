@@ -199,4 +199,8 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
             ["user_id", "session_start", "session_end", "n_events", "sum_value"]
         ]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    return ds.groupby("user_id", num_partitions=_cap(16)).map_groups(
+        sessions, batch_format="pandas"
+    )

@@ -51,8 +51,11 @@ def exact_dedup(
     sort-based aggregate costs O(blocks^2) scheduling, and partials are tiny
     relative to the input (measured 11.5s -> 2.4s at 64 -> 4 blocks).
     """
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    np_ = _cap(shuffle_partitions)
     partials = docs.map_batches(_exact_partial, batch_format="pyarrow")
-    return partials.repartition(shuffle_partitions).groupby("h").aggregate(
+    return partials.repartition(np_).groupby("h", num_partitions=np_).aggregate(
         Min("keeper_id", alias_name="keeper_id"), Sum("n_dups", alias_name="n_dups")
     )
 
@@ -233,16 +236,19 @@ def minhash_dedup_pairs(
     """
     sigs = docs.map_batches(MinHashActor, batch_format="pyarrow", concurrency=(1, 8))
     bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    np_ = _cap(shuffle_partitions)
     pairs = (
-        bands.repartition(shuffle_partitions)
-        .groupby("shard")
+        bands.repartition(np_)
+        .groupby("shard", num_partitions=np_)
         .map_groups(
             lambda g: _shard_pairs(g, threshold), batch_format="pyarrow"
         )
     )
     return (
-        pairs.repartition(max(2, shuffle_partitions // 4))
-        .groupby(["doc_a", "doc_b"])
+        pairs.repartition(max(2, np_ // 4))
+        .groupby(["doc_a", "doc_b"], num_partitions=max(2, np_ // 4))
         .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
     )
 
@@ -397,10 +403,13 @@ def embedding_dup_pairs(
             ),
         )
 
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    np_ = _cap(16)
     bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
-    pairs = bucketed.groupby(["band_id", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+    pairs = bucketed.repartition(np_).groupby(
+        ["band_id", "bucket"], num_partitions=np_
+    ).map_groups(bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["vec_a", "vec_b"], num_partitions=max(2, np_ // 4)).aggregate(
         Min("cosine", alias_name="cosine")
     )

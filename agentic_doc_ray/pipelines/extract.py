@@ -38,6 +38,13 @@ def extract_corpus(
     corpus: "ray.data.Dataset", config: EngineConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":
     """corpus (doc_id, spans) -> parsed documents (PARSED_DOC_SCHEMA)."""
+    # Empty input -> empty output without running the shuffle: Ray's hash
+    # shuffle aggregator raises ArrowInvalid on zero input rows, and count()
+    # on the raw input is metadata-only (no execution of the pipeline).
+    if corpus.count() == 0:
+        from agentic_doc_ray.schema import PARSED_DOC_SCHEMA
+
+        return ray.data.from_arrow(PARSED_DOC_SCHEMA.empty_table())
     pages = corpus.map_batches(
         explode_spans,
         fn_kwargs={"config": config},

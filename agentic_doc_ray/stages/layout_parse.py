@@ -25,6 +25,8 @@ from agentic_doc_ray.schema import CHUNK_SCHEMA
 from agentic_doc_ray.stages.explode import EMPTY_KIND
 from agentic_doc_ray.textparse import parse_page
 
+CHUNK_WITH_BUCKET_SCHEMA = CHUNK_SCHEMA.append(pa.field("bucket", pa.int32()))
+
 
 class LayoutParseActor:
     def __init__(self, config: EngineConfig = DEFAULT_CONFIG):
@@ -32,6 +34,10 @@ class LayoutParseActor:
         # model weights load (once per actor, amortized over all batches).
         self.config = config
         self._include_marginalia = config.include_marginalia
+        # bucket key for the downstream reassembly exchange, computed here
+        # so no extra operator hop is needed (crc32: deterministic across
+        # processes, unlike python hash())
+        self._n_buckets = config.reassemble_num_partitions or 64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -44,8 +50,17 @@ class LayoutParseActor:
         n_spans = batch.column("n_spans").to_pylist()
         doc_types = batch.column("doc_type").to_pylist()
 
+        import zlib
+
+        nb = self._n_buckets
+        bucket_cache: dict[str, int] = {}
         cols: dict[str, list] = {name: [] for name in CHUNK_SCHEMA.names}
+        cols["bucket"] = []
         for i in range(len(doc_ids)):
+            b = bucket_cache.get(doc_ids[i])
+            if b is None:
+                b = zlib.crc32(doc_ids[i].encode()) % nb
+                bucket_cache[doc_ids[i]] = b
             if kinds[i] == EMPTY_KIND:
                 # zero-span document: forward the sentinel so the doc still
                 # yields an (empty) output row after reassembly
@@ -62,6 +77,7 @@ class LayoutParseActor:
                 cols["error"].append("")
                 cols["n_spans"].append(0)
                 cols["doc_type"].append("pdf")
+                cols["bucket"].append(b)
                 continue
             chunks = parse_page(
                 doc_ids[i],
@@ -85,4 +101,5 @@ class LayoutParseActor:
                 cols["error"].append(c.error)
                 cols["n_spans"].append(n_spans[i])
                 cols["doc_type"].append(doc_types[i])
-        return pa.Table.from_pydict(cols, schema=CHUNK_SCHEMA)
+                cols["bucket"].append(b)
+        return pa.Table.from_pydict(cols, schema=CHUNK_WITH_BUCKET_SCHEMA)

@@ -23,110 +23,197 @@ exceeds a worker's heap.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
 
 from agentic_doc_ray.config import DEFAULT_CONFIG, EngineConfig
-from agentic_doc_ray.schema import PARSED_DOC_SCHEMA
+from agentic_doc_ray.schema import ERROR_STRUCT, OUTPUT_SPAN_STRUCT, PARSED_DOC_SCHEMA
 from agentic_doc_ray.textparse import merge_markdown, part_markdown
 
 
-def merge_doc_group(group: pa.Table, config: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
-    """Merge one doc's chunk rows (CHUNK_SCHEMA) -> one PARSED_DOC_SCHEMA row.
+_EMPTY_PARSED = PARSED_DOC_SCHEMA.empty_table()
 
-    Single to_pydict + python sort: groups are small (one document), where
-    per-call pyarrow overhead dominates vectorized kernels (measured ~3x).
+
+def merge_bucket_group(
+    group: pa.Table, config: EngineConfig = DEFAULT_CONFIG
+) -> pa.Table:
+    """Merge EVERY doc inside one hash bucket -> one output row per doc.
+
+    Fully vectorized assembly: one C-speed multi-key sort, numpy boundary
+    detection, and direct ListArray/StructArray construction reusing the
+    sorted chunk columns as the span child arrays (zero row-dict building —
+    measured 5-10x over from_pylist). Python touches only the markdown
+    string joins. Grouping by bucket instead of doc_id collapses shuffle
+    key cardinality and amortizes per-group overhead.
     """
-    d = group.to_pydict()
-    n = len(d["doc_id"])
-    order = sorted(
-        range(n),
-        key=lambda i: (d["part_idx"][i], d["page_rel"][i], d["block_idx"][i]),
+    from agentic_doc_ray.stages.explode import EMPTY_KIND
+
+    if group.num_rows == 0:
+        return _EMPTY_PARSED
+    order = pa.compute.sort_indices(
+        group,
+        sort_keys=[
+            ("doc_id", "ascending"),
+            ("part_idx", "ascending"),
+            ("page_rel", "ascending"),
+            ("block_idx", "ascending"),
+        ],
     )
-    doc_id = d["doc_id"][0]
-    doc_type = d["doc_type"][0]
-    n_spans = int(d["n_spans"][0])
+    g = group.take(order).combine_chunks()
+    n = g.num_rows
     split = config.split_size
 
-    if n_spans == 0:
-        # zero-span document -> empty ParsedDocument (parse.py:599-611)
-        return pa.Table.from_pylist(
-            [
-                {
-                    "doc_id": doc_id,
-                    "markdown": "",
-                    "spans": [],
-                    "errors": [],
-                    "start_page_idx": 0,
-                    "end_page_idx": 0,
-                    "doc_type": doc_type,
-                }
-            ],
-            schema=PARSED_DOC_SCHEMA,
-        )
+    doc_id_arr = g.column("doc_id").combine_chunks()
+    # doc boundaries: row i starts a new doc iff doc_id[i] != doc_id[i-1]
+    neq = pa.compute.not_equal(doc_id_arr.slice(1), doc_id_arr.slice(0, n - 1))
+    changes = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+    starts = np.concatenate(([0], changes))
+    counts = np.diff(np.concatenate((starts, [n])))
+    n_docs = len(starts)
 
-    part_idx = d["part_idx"]
-    page_rel = d["page_rel"]
-    kinds = d["kind"]
-    texts = d["text"]
-    refs = d["media_ref"]
-    chunk_ids = d["chunk_id"]
-    bboxes = d["bbox"]
-    is_err = d["is_error"]
-    errs = d["error"]
+    kind_np = np.asarray(g.column("kind").to_pylist(), dtype=object)
+    is_real = kind_np != EMPTY_KIND
+    is_err = g.column("is_error").combine_chunks().to_numpy(zero_copy_only=False)
+    part_np = g.column("part_idx").combine_chunks().to_numpy(zero_copy_only=False)
+    page_abs = (
+        g.column("page_rel").combine_chunks().to_numpy(zero_copy_only=False)
+        + part_np * split
+    ).astype(np.int32)
 
-    spans, errors = [], []
-    part_mds: list[str] = []
-    cur_part, cur_texts = None, []
-    for out_i, i in enumerate(order):
-        page_abs = page_rel[i] + part_idx[i] * split  # the rebase
-        if part_idx[i] != cur_part:
-            if cur_part is not None:
-                part_mds.append(part_markdown(cur_texts))
-            cur_part, cur_texts = part_idx[i], []
-        spans.append(
-            {
-                "kind": kinds[i],
-                "text": texts[i],
-                "media_ref": refs[i],
-                "offset": out_i,
-                "chunk_id": chunk_ids[i],
-                "page": page_abs,
-                "bbox": bboxes[i],
-            }
-        )
-        if is_err[i]:
-            errors.append({"page_num": page_abs, "error": errs[i], "error_code": -1})
-        else:
-            cur_texts.append(texts[i])
-    if cur_part is not None:
+    def seg_sum(mask: np.ndarray) -> np.ndarray:
+        return np.add.reduceat(mask.astype(np.int64), starts)
+
+    real_counts = seg_sum(is_real)
+    err_counts = seg_sum(is_err)
+
+    # --- spans list<struct> built from the sorted chunk columns -----------
+    real_idx = np.flatnonzero(is_real)
+    sv = g.take(pa.array(real_idx, pa.int64()))
+    real_starts = np.concatenate(([0], np.cumsum(real_counts)))
+    offset_in_doc = (
+        np.arange(len(real_idx), dtype=np.int64)
+        - np.repeat(real_starts[:-1], real_counts)
+    ).astype(np.int32)
+    span_struct = pa.StructArray.from_arrays(
+        [
+            sv.column("kind").combine_chunks(),
+            sv.column("text").combine_chunks(),
+            sv.column("media_ref").combine_chunks(),
+            pa.array(offset_in_doc, pa.int32()),
+            sv.column("chunk_id").combine_chunks(),
+            pa.array(page_abs[real_idx], pa.int32()),
+            sv.column("bbox").combine_chunks(),
+        ],
+        fields=list(OUTPUT_SPAN_STRUCT),
+    )
+    spans_arr = pa.ListArray.from_arrays(
+        pa.array(real_starts, pa.int32()), span_struct
+    )
+
+    # --- errors list<struct> ----------------------------------------------
+    err_idx = np.flatnonzero(is_err)
+    ev = g.take(pa.array(err_idx, pa.int64()))
+    err_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(page_abs[err_idx], pa.int32()),
+            ev.column("error").combine_chunks(),
+            pa.array(np.full(len(err_idx), -1, np.int32)),
+        ],
+        fields=list(ERROR_STRUCT),
+    )
+    errors_arr = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(err_counts))), pa.int32()),
+        err_struct,
+    )
+
+    # --- markdown: the one inherently sequential piece --------------------
+    texts = g.column("text").to_pylist()
+    markdowns = []
+    for di in range(n_docs):
+        lo, hi = starts[di], starts[di] + counts[di]
+        if real_counts[di] == 0:
+            markdowns.append("")
+            continue
+        part_mds, cur_part, cur_texts = [], None, []
+        for i in range(lo, hi):
+            if not is_real[i]:
+                continue
+            if part_np[i] != cur_part:
+                if cur_part is not None:
+                    part_mds.append(part_markdown(cur_texts))
+                cur_part, cur_texts = part_np[i], []
+            if not is_err[i]:
+                cur_texts.append(texts[i])
         part_mds.append(part_markdown(cur_texts))
+        markdowns.append(merge_markdown(part_mds))
 
-    row = {
-        "doc_id": doc_id,
-        "markdown": merge_markdown(part_mds),
-        "spans": spans,
-        "errors": errors,
-        "start_page_idx": 0,
-        "end_page_idx": 0 if doc_type == "image" else max(0, n_spans - 1),
-        "doc_type": doc_type,
-    }
-    return pa.Table.from_pylist([row], schema=PARSED_DOC_SCHEMA)
+    # --- doc-level columns from each doc's first row ----------------------
+    first = pa.array(starts, pa.int64())
+    doc_type_out = pa.compute.take(g.column("doc_type").combine_chunks(), first)
+    n_spans_first = g.column("n_spans").combine_chunks().to_numpy(
+        zero_copy_only=False
+    )[starts]
+    is_image = np.asarray(doc_type_out.to_pylist(), dtype=object) == "image"
+    end_page = np.where(
+        is_image, 0, np.maximum(0, n_spans_first - 1)
+    ).astype(np.int32)
+
+    return pa.Table.from_arrays(
+        [
+            pa.compute.take(doc_id_arr, first),
+            pa.array(markdowns, pa.string()),
+            spans_arr,
+            errors_arr,
+            pa.array(np.zeros(n_docs, np.int32)),
+            pa.array(end_page, pa.int32()),
+            doc_type_out,
+        ],
+        schema=PARSED_DOC_SCHEMA,
+    )
+
+
+def merge_doc_group(group: pa.Table, config: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Merge one doc's chunk rows (CHUNK_SCHEMA) -> one PARSED_DOC_SCHEMA row."""
+    return merge_bucket_group(group, config)
+
+
+def _add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """bucket = crc32(doc_id) % n_buckets — deterministic across processes
+    (python hash() is salted per process and must never be a shuffle key)."""
+    import zlib
+
+    ids = batch.column("doc_id").to_pylist()
+    bucket = pa.array(
+        [zlib.crc32(s.encode()) % n_buckets for s in ids], pa.int32()
+    )
+    return batch.append_column("bucket", bucket)
 
 
 def reassemble(
-    chunks: "ray.data.Dataset", config: EngineConfig = DEFAULT_CONFIG
+    chunks: "ray.data.Dataset",
+    config: EngineConfig = DEFAULT_CONFIG,
+    has_bucket: bool = True,
 ) -> "ray.data.Dataset":
     """The groupby(doc_id) shuffle restoring per-document span order.
 
-    The sort-based groupby partitions by the input block count, so chunks
-    are first repartitioned to ``reassemble_num_partitions`` blocks — this
-    sets the merge stage's parallelism (measured: 5 blocks = 5 merge tasks
-    regardless of cluster size).
+    Implemented as a salted/bucketed exchange: chunks are keyed by
+    ``crc32(doc_id) % B`` and grouped by bucket, and each bucket merges all
+    of its documents in one vectorized pass (merge_bucket_group). Same
+    rows-to-reducer movement as groupby(doc_id), but the shuffle sorts 64
+    small int keys instead of one string key per document, and per-group
+    overhead is amortized across the bucket (SURVEY.md §4.3 skew design:
+    a pathological doc still lands in one bucket — buckets hold many docs,
+    so B spreads them; raise B for larger clusters).
     """
-    if config.reassemble_num_partitions:
-        chunks = chunks.repartition(config.reassemble_num_partitions)
-    return chunks.groupby("doc_id").map_groups(
-        lambda g: merge_doc_group(g, config), batch_format="pyarrow"
-    )
+    from agentic_doc_ray.context import shuffle_partitions
+
+    b = config.reassemble_num_partitions or 64
+    if not has_bucket:
+        chunks = chunks.map_batches(
+            _add_bucket, fn_kwargs={"n_buckets": b}, batch_format="pyarrow"
+        )
+    return chunks.groupby(
+        "bucket", num_partitions=shuffle_partitions(b)
+    ).map_groups(lambda g: merge_bucket_group(g, config), batch_format="pyarrow")

@@ -271,3 +271,46 @@ def corpus_path_for(
         shutil.rmtree(out_dir)
         os.replace(tmp_dir, out_dir)  # atomic publish
     return out_dir
+
+
+def replicated_corpus_path_for(
+    sf_dir: str, repl: int, config: EngineConfig = DEFAULT_CONFIG
+) -> str:
+    """Corpus replicated ``repl``x with distinct doc_ids (bench-only).
+
+    Scales the workload without external data so scaling runs are not
+    dominated by fixed session overhead; each replica re-suffixes doc_ids,
+    preserving per-doc determinism.
+    """
+    if repl <= 1:
+        return corpus_path_for(sf_dir, config)
+    base = corpus_path_for(sf_dir, config)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/agentic_corpus/{tag}-seed{config.seed}-x{repl}"
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        tmp_dir = out_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        import pyarrow.compute as pc
+
+        files = sorted(
+            os.path.join(base, f) for f in os.listdir(base) if f.endswith(".parquet")
+        )
+        for fi, f in enumerate(files):
+            t = pq.read_table(f)
+            for k in range(repl):
+                ids = pc.binary_join_element_wise(
+                    t["doc_id"].combine_chunks(), f"~r{k}", ""
+                )
+                pq.write_table(
+                    t.set_column(0, "doc_id", ids),
+                    os.path.join(tmp_dir, f"corpus-{fi:04d}-r{k:03d}.parquet"),
+                )
+        with open(os.path.join(tmp_dir, "_DONE"), "w") as fh:
+            fh.write("ok")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(tmp_dir, out_dir)
+    return out_dir

@@ -42,9 +42,9 @@ def main() -> None:
         address="local", num_cpus=8, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from agentic_doc_ray.context import tune_context
 
-    DataContext.get_current().enable_progress_bars = False
+    tune_context()
 
     import __ray_entry__ as entrymod
 

@@ -11,9 +11,9 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from agentic_doc_ray.context import tune_context
 
-    DataContext.get_current().enable_progress_bars = False
+    tune_context()
     yield
     ray.shutdown()
 
