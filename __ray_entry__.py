@@ -80,9 +80,55 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         }
     )
     _pq.write_table(stats, os.path.join(out_dir, "doc_stats.parquet"))
+
+    # grounding manifest oracle: same pure crop function, single-process
+    from agentic_doc_ray.functions.grounding import GROUNDING_SCHEMA, crop_rect
+
+    g_rows = []
+    for d, spans in zip(parsed["doc_id"].to_pylist(), parsed["spans"].to_pylist()):
+        for s in spans:
+            x0, y0, x1, y1, oob = crop_rect(tuple(s["bbox"]), 816, 1056)
+            g_rows.append(
+                {
+                    "doc_id": d,
+                    "chunk_id": s["chunk_id"],
+                    "kind": s["kind"],
+                    "page": s["page"],
+                    "xmin": x0,
+                    "ymin": y0,
+                    "xmax": x1,
+                    "ymax": y1,
+                    "out_of_bounds": oob,
+                    "image_path": f"/tmp/gm/page_{s['page']}/{s['kind']}_{s['chunk_id']}_0.png",
+                }
+            )
+    _pq.write_table(
+        pa.Table.from_pylist(g_rows, schema=GROUNDING_SCHEMA),
+        os.path.join(out_dir, "grounding.parquet"),
+    )
+
+    # field-extraction oracle: same pure field rules + validator, no Ray
+    from agentic_doc_ray.functions.extract_fields import FieldExtractActor
+
+    actor = FieldExtractActor(EXTRACTION_SCHEMA)
+    ex = actor(parsed.select(["doc_id", "spans", "end_page_idx"]))
+    _pq.write_table(ex, os.path.join(out_dir, "extraction.parquet"))
+
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
+
+
+EXTRACTION_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "title": {"type": "string"},
+        "n_pages": {"type": "integer"},
+        "n_figures": {"type": "integer"},
+        "first_text": {"type": "string"},
+    },
+    "required": ["n_pages", "first_text"],
+}
 
 
 _ORACLE_SQL_DIR = _oracle_dir(SF_CORRECTNESS)  # static path used in SQL strings
@@ -245,11 +291,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(digest, batch_format="pyarrow")
 
+    def q_grounding(sf_dir):
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.grounding import grounding_manifest
+
+        return grounding_manifest(extract_corpus(_corpus_ds(sf_dir)), "/tmp/gm")
+
+    def q_extract_fields(sf_dir):
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.extract_fields import extract_fields
+
+        parsed = extract_corpus(_corpus_ds(sf_dir))
+        return extract_fields(parsed, EXTRACTION_SCHEMA)
+
     return {
         # extraction (python-oracle via read_parquet SQL)
         "extract_flat_spans": q_extract_flat,
         "extract_doc_stats": q_doc_stats,
         "extract_kind_counts": q_kind_counts,
+        "grounding_manifest": q_grounding,
+        "extract_fields": q_extract_fields,
         # text analysis (SQL oracles on views)
         "doc_token_counts": lambda sf: T.token_counts(docs(sf)),
         "doc_text_stats": lambda sf: T.text_stats(docs(sf)),
@@ -295,6 +356,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extract_kind_counts": (
             f"SELECT kind, count(*) AS n FROM {flat} GROUP BY kind"
+        ),
+        "grounding_manifest": (
+            "SELECT doc_id, chunk_id, kind, page, xmin, ymin, xmax, ymax, "
+            f"out_of_bounds, image_path FROM read_parquet('{_ORACLE_SQL_DIR}/grounding.parquet')"
+        ),
+        "extract_fields": (
+            "SELECT doc_id, extraction, extraction_metadata, extraction_error "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/extraction.parquet')"
         ),
         "doc_token_counts": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "

@@ -1,0 +1,152 @@
+"""Parity extras: grounding crop math, binary sources, field extraction."""
+
+import math
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from agentic_doc_ray.config import EngineConfig
+from agentic_doc_ray.functions.extract_fields import (
+    FieldExtractActor,
+    extract_fields,
+    resolve_refs,
+)
+from agentic_doc_ray.functions.grounding import (
+    crop_rect,
+    grounding_manifest,
+)
+from agentic_doc_ray.pipelines import extract_corpus
+from agentic_doc_ray.sources.files import (
+    is_valid_httpurl,
+    read_binary_corpus,
+    sniff_bytes,
+)
+
+CFG = EngineConfig(parse_concurrency=(1, 2))
+
+
+class TestCropRect:
+    """Pins the reference's _crop_image math (utils.py:172-211; clamp edge
+    cases mirror tests/unit/test_utils.py:801-859)."""
+
+    def test_basic_floor_ceil(self):
+        assert crop_rect((0.1, 0.2, 0.5, 0.8), 100, 200) == (10, 40, 50, 160, False)
+
+    def test_fractional_floor_ceil(self):
+        x0, y0, x1, y1, oob = crop_rect((0.111, 0.0, 0.555, 1.0), 100, 50)
+        assert (x0, x1) == (math.floor(11.1), math.ceil(55.5))
+        assert (y0, y1) == (0, 50)
+        assert not oob
+
+    def test_out_of_bounds_clamped_and_flagged(self):
+        x0, y0, x1, y1, oob = crop_rect((-0.5, -0.1, 1.5, 1.2), 100, 100)
+        assert (x0, y0, x1, y1) == (0, 0, 100, 100)
+        assert oob
+
+    def test_inverted_box_flagged(self):
+        *_, oob = crop_rect((0.8, 0.8, 0.2, 0.2), 100, 100)
+        assert oob
+
+
+def test_grounding_manifest_paths(sf_smoke_corpus):
+    parsed = extract_corpus(ray.data.from_arrow(sf_smoke_corpus.slice(0, 10)), CFG)
+    rows = grounding_manifest(parsed, "/tmp/gm").take_all()
+    assert rows
+    for r in rows:
+        assert r["image_path"] == (
+            f"/tmp/gm/page_{r['page']}/{r['kind']}_{r['chunk_id']}_0.png"
+        )
+        assert 0 <= r["xmin"] <= r["xmax"] <= 816
+        assert 0 <= r["ymin"] <= r["ymax"] <= 1056
+        assert not r["out_of_bounds"]
+
+
+class TestSniff:
+    def test_pdf_magic(self):
+        assert sniff_bytes(b"%PDF-1.7 junk") == "pdf"
+
+    def test_text(self):
+        assert sniff_bytes("hello wörld".encode()) == "text"
+
+    def test_image(self):
+        assert sniff_bytes(b"\x89PNG\r\n\x1a\n\xff\xfe") == "image"
+
+    def test_url_validation(self):
+        assert is_valid_httpurl("https://example.com/x.pdf")
+        assert is_valid_httpurl("http://a/b")
+        assert not is_valid_httpurl("ftp://a/b")
+        assert not is_valid_httpurl("not a url")
+
+
+def test_read_binary_corpus_end_to_end(tmp_path):
+    (tmp_path / "doc.txt").write_text("first paragraph here\n\nsecond paragraph here")
+    (tmp_path / "img.png").write_bytes(b"\x89PNG\r\n\x1a\n\xff\xfe\x00\x01")
+    (tmp_path / "real.pdf").write_bytes(b"%PDF-1.4 binarystuff")
+    corpus = read_binary_corpus(str(tmp_path))
+    parsed = {r["doc_id"]: r for r in extract_corpus(corpus, CFG).take_all()}
+    assert len(parsed) == 3
+    txt = parsed[str(tmp_path / "doc.txt")]
+    assert [s["text"] for s in txt["spans"]] == [
+        "first paragraph here",
+        "second paragraph here",
+    ]
+    img = parsed[str(tmp_path / "img.png")]
+    assert img["doc_type"] == "image"
+    assert img["spans"][0]["kind"] == "figure"
+    # real pdf: decode stubbed -> error placeholder, job does not fail
+    pdf = parsed[str(tmp_path / "real.pdf")]
+    assert [e["error_code"] for e in pdf["errors"]] == [-1]
+    assert [s["kind"] for s in pdf["spans"]] == ["error"]
+
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "title": {"$ref": "#/$defs/name"},
+        "n_pages": {"type": "integer"},
+        "n_figures": {"type": "integer"},
+    },
+    "required": ["title", "n_pages"],
+    "$defs": {"name": {"type": "string"}},
+}
+
+
+def test_resolve_refs_inlines():
+    r = resolve_refs(SCHEMA)
+    assert r["properties"]["title"] == {"type": "string"}
+    assert "$defs" not in r
+
+
+def test_field_extraction_success_and_failure(sf_smoke_corpus):
+    parsed = extract_corpus(ray.data.from_arrow(sf_smoke_corpus.slice(0, 30)), CFG)
+    out = {r["doc_id"]: r for r in extract_fields(parsed, SCHEMA).take_all()}
+    assert len(out) == 30
+    import json
+
+    ok = [r for r in out.values() if r["extraction"] is not None]
+    failed = [r for r in out.values() if r["extraction"] is None]
+    assert ok, "some docs must satisfy the schema"
+    assert failed, "docs without a title must fail the required-title schema"
+    for r in ok:
+        e = json.loads(r["extraction"])
+        assert isinstance(e["title"], str) and isinstance(e["n_pages"], int)
+        m = json.loads(r["extraction_metadata"])
+        assert m["title"]["chunk_references"], "title must cite its chunk"
+        assert m["title"]["confidence"] == 1.0
+        assert r["extraction_error"] == ""
+    for r in failed:
+        assert r["extraction_error"]
+
+
+def test_metadata_model_shape(sf_smoke_corpus):
+    # every leaf is {value, chunk_references, confidence} (common.py:66-69)
+    import json
+
+    parsed = extract_corpus(ray.data.from_arrow(sf_smoke_corpus.slice(0, 5)), CFG)
+    rows = extract_fields(parsed, SCHEMA).take_all()
+    for r in rows:
+        meta = json.loads(r["extraction_metadata"])
+        assert set(meta) == {"title", "n_pages", "n_figures"}
+        for leaf in meta.values():
+            assert set(leaf) == {"value", "chunk_references", "confidence"}
