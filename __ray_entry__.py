@@ -291,6 +291,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(digest, batch_format="pyarrow")
 
+    def q_ngram_jaccard(sf_dir):
+        """Exact n-gram Jaccard verification of the MinHash-LSH candidates
+        (candidate shingle sets broadcast, not shuffled)."""
+        d = docs(sf_dir).map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("doc_id"),
+                "doc_id",
+                b["doc_id"].cast(pa.string()),
+            ),
+            batch_format="pyarrow",
+        )
+        cands = D.minhash_dedup_pairs(d, threshold=0.8).take_all()
+        pairs = [(r["doc_a"], r["doc_b"]) for r in cands]
+        rows = D.jaccard_verify(d, pairs)
+        import pandas as pd
+
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    def q_similarity_ivf(sf_dir):
+        import numpy as np
+
+        from agentic_doc_ray.functions.similarity import ivf_topk
+
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        qt = t.filter(pc.less(t["vec_id"], 5))
+        res = ivf_topk(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            np.array(qt["embedding"].to_pylist(), dtype=np.float64),
+            [int(x) for x in qt["vec_id"].to_pylist()],
+            k=10,
+        )
+        return res.select(["query_id", "rank", "vec_id"])
+
     def q_grounding(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         from agentic_doc_ray.functions.grounding import grounding_manifest
@@ -313,11 +350,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fields": q_extract_fields,
         # text analysis (SQL oracles on views)
         "doc_token_counts": lambda sf: T.token_counts(docs(sf)),
+        "doc_bpe_token_counts": lambda sf: T.bpe_token_counts(docs(sf)),
         "doc_text_stats": lambda sf: T.text_stats(docs(sf)),
         "lang_doc_stats": q_lang_stats,
         # dedup
         "exact_dedup": q_exact_dedup,
         "minhash_dedup_pairs": q_minhash,          # rows-only
+        "ngram_jaccard_pairs": q_ngram_jaccard,    # rows-only
+        "similarity_topk_ivf": q_similarity_ivf,   # rows-only (approximate)
         "simhash": lambda sf: D.simhashes(docs(sf)),        # rows-only
         "doc_fingerprints": lambda sf: T.fingerprints(docs(sf)),  # rows-only
         "lang_id": lambda sf: T.lang_id(docs(sf)),          # rows-only
@@ -369,6 +409,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
             "FROM documents"
+        ),
+        "doc_bpe_token_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens FROM documents"
         ),
         "doc_text_stats": (
             "SELECT doc_id, length(text) AS n_chars, "

@@ -121,6 +121,19 @@ class LangIdActor:
         )
 
 
+# BPE-ish lexer classes (RE2-safe: no lookahead, mirrored verbatim in the
+# DuckDB oracle): letter runs, digit runs, single punctuation marks.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, n_bpe_tokens): subword-style token count."""
+    n = pc.count_substring_regex(batch.column("text"), _BPE_PATTERN).cast(pa.int64())
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n], names=["doc_id", "n_bpe_tokens"]
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Deterministic document fingerprint: polynomial rolling hash over
     crc32(token) values, mod 2^61-1. Stable across runs/platforms."""
@@ -158,3 +171,7 @@ def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def bpe_token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(bpe_token_count_batch, batch_format="pyarrow")
