@@ -25,6 +25,11 @@ class EngineConfig:
     split_size: int = 10          # pages per part; reference default 10, (0,100]
     include_marginalia: bool = True
     include_metadata_in_markdown: bool = True
+    # Infra retries (reference: tenacity, <=3 attempts, parse.py:743-750).
+    # APPLICATION errors never retry — they become error rows (the
+    # never-throw contract); these retries cover worker/actor death only,
+    # which is safe because every UDF is a pure function of its batch.
+    max_retries: int = 3
 
     # --- Ray execution knobs ----------------------------------------------
     # Autoscaling actor pool (min, max): a FIXED pool that reserves every CPU

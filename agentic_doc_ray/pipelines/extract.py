@@ -62,6 +62,9 @@ def extract_corpus(
         batch_size=config.parse_batch_size,
         concurrency=config.parse_concurrency,
         zero_copy_batch=True,
+        # infra-failure retries only (UDFs are pure; app errors are rows)
+        max_task_retries=config.max_retries,
+        max_restarts=config.max_retries,
     )
     return reassemble(chunks, config)
 
