@@ -150,3 +150,16 @@ def test_metadata_model_shape(sf_smoke_corpus):
         assert set(meta) == {"title", "n_pages", "n_figures"}
         for leaf in meta.values():
             assert set(leaf) == {"value", "chunk_references", "confidence"}
+
+
+def test_viz_commands(sf_smoke_corpus):
+    from agentic_doc_ray.functions.viz import COLOR_MAP, viz_commands
+
+    parsed = extract_corpus(ray.data.from_arrow(sf_smoke_corpus.slice(0, 8)), CFG)
+    rows = viz_commands(parsed).take_all()
+    assert rows
+    for r in rows:
+        idx, kind = r["label"].split(" ", 1)
+        assert idx.isdigit() and kind in COLOR_MAP
+        assert (r["color_b"], r["color_g"], r["color_r"]) == COLOR_MAP[kind]
+        assert r["xmin"] <= r["xmax"] and r["ymin"] <= r["ymax"]
