@@ -192,7 +192,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         flat = extract_flat_spans(_corpus_ds(sf_dir))
         from ray.data.aggregate import Count
 
-        return flat.groupby("kind").aggregate(Count(alias_name="n"))
+        from agentic_doc_ray.context import shuffle_partitions
+
+        return flat.repartition(shuffle_partitions(4)).groupby(
+            "kind", num_partitions=shuffle_partitions(4)
+        ).aggregate(Count(alias_name="n"))
 
     # --- text analysis ----------------------------------------------------
     def q_similarity(sf_dir):

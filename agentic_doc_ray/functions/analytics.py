@@ -57,8 +57,12 @@ def lineitem_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
             ["l_returnflag", "l_linestatus", "sum_qty", "rev_cents", "n_rows"]
         )
 
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    agg = partials.repartition(_cap(4)).groupby(
+        ["l_returnflag", "l_linestatus"], num_partitions=_cap(4)
+    ).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("rev_cents", alias_name="rev_cents"),
         Sum("n_rows", alias_name="n_rows"),
@@ -105,8 +109,12 @@ def orders_by_segment(sf_dir: str) -> "ray.data.Dataset":
         )
         return g.rename_columns(["c_mktsegment", "cents", "n_orders"])
 
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
     partials = orders.map_batches(join_partial, batch_format="pyarrow")
-    agg = partials.groupby("c_mktsegment").aggregate(
+    agg = partials.repartition(_cap(4)).groupby(
+        "c_mktsegment", num_partitions=_cap(4)
+    ).aggregate(
         Sum("cents", alias_name="cents"),
         Sum("n_orders", alias_name="n_orders"),
     )
@@ -148,8 +156,12 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
             ["window_start", "event_type", "cents", "n_events", "min_value", "max_value"]
         )
 
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["window_start", "event_type"]).aggregate(
+    agg = partials.repartition(_cap(8)).groupby(
+        ["window_start", "event_type"], num_partitions=_cap(8)
+    ).aggregate(
         Sum("cents", alias_name="cents"),
         Sum("n_events", alias_name="n_events"),
         Min("min_value", alias_name="min_value"),
