@@ -46,9 +46,12 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
+_ORACLE_VERSION = 2  # bump when any oracle-producing logic changes
+
+
 def _oracle_dir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/agentic_oracle/{tag}"
+    return f"/tmp/agentic_oracle/v{_ORACLE_VERSION}/{tag}"
 
 
 def _ensure_extraction_oracles(sf_dir: str) -> str:

@@ -83,14 +83,20 @@ def _extract_field(name: str, spans: list[dict], doc: dict) -> tuple[Any, list[s
 class FieldExtractActor:
     """Parsed docs -> (extraction, extraction_metadata, extraction_error).
 
-    Schema compiled + $refs inlined once per actor (warm state)."""
+    Schema compiled + $refs inlined once per actor (warm state).
 
-    def __init__(self, schema: dict):
+    ``max_pages`` mirrors the reference's ``extraction_split_size`` cap
+    (default 50; docs with more pages are rejected when extraction is on,
+    parse.py:483-498) — except rejection is an ``extraction_error`` row,
+    not a raised exception (engine-wide never-throw contract)."""
+
+    def __init__(self, schema: dict, max_pages: int = 50):
         import jsonschema
 
         self.schema = resolve_refs(schema)
         self.validator = jsonschema.Draft202012Validator(self.schema)
         self.props = list(self.schema.get("properties", {}))
+        self.max_pages = max_pages
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {
@@ -102,6 +108,15 @@ class FieldExtractActor:
         spans_col = batch.column("spans").to_pylist()
         end_pages = batch.column("end_page_idx").to_pylist()
         for spans, end_page in zip(spans_col, end_pages):
+            if end_page + 1 > self.max_pages:
+                out["extraction"].append(None)
+                out["extraction_metadata"].append("{}")
+                out["extraction_error"].append(
+                    f"Document has {end_page + 1} pages, which exceeds the "
+                    f"maximum of {self.max_pages} pages allowed when using "
+                    "field extraction."
+                )
+                continue
             doc = {"end_page_idx": end_page}
             extraction: dict[str, Any] = {}
             metadata: dict[str, Any] = {}
@@ -140,12 +155,12 @@ class FieldExtractActor:
 
 
 def extract_fields(
-    parsed: "ray.data.Dataset", schema: dict, concurrency=(1, 4)
+    parsed: "ray.data.Dataset", schema: dict, concurrency=(1, 4), max_pages: int = 50
 ) -> "ray.data.Dataset":
     """Attach schema-validated field extraction to parsed documents."""
     return parsed.map_batches(
         FieldExtractActor,
-        fn_constructor_kwargs={"schema": schema},
+        fn_constructor_kwargs={"schema": schema, "max_pages": max_pages},
         batch_format="pyarrow",
         concurrency=concurrency,
     )

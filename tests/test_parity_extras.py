@@ -163,3 +163,38 @@ def test_viz_commands(sf_smoke_corpus):
         assert idx.isdigit() and kind in COLOR_MAP
         assert (r["color_b"], r["color_g"], r["color_r"]) == COLOR_MAP[kind]
         assert r["xmin"] <= r["xmax"] and r["ymin"] <= r["ymax"]
+
+
+def test_extraction_page_cap(sf_smoke_corpus):
+    # extraction_split_size analogue (parse.py:483-498): oversized docs get
+    # an extraction_error row instead of a raised exception
+    parsed = extract_corpus(ray.data.from_arrow(sf_smoke_corpus.slice(0, 30)), CFG)
+    rows = extract_fields(parsed, SCHEMA, max_pages=3).take_all()
+    capped = [r for r in rows if "exceeds the maximum" in r["extraction_error"]]
+    assert capped, "smoke corpus has multi-page docs beyond the cap"
+    for r in capped:
+        assert r["extraction"] is None
+
+
+def test_config_split_size_and_marginalia_e2e(sf_smoke_corpus):
+    # non-default split + marginalia off, end-to-end vs oracle
+    from agentic_doc_ray.oracle import parse_corpus_oracle
+
+    cfg = EngineConfig(split_size=3, include_marginalia=False, parse_concurrency=(1, 2))
+    small = sf_smoke_corpus.slice(0, 25)
+    got = sorted(
+        extract_corpus(ray.data.from_arrow(small), cfg).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    want = parse_corpus_oracle(small, cfg).to_pylist()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    saw_multi_part = False
+    for g, w in zip(got, want):
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]
+        ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in w["spans"]]
+        assert g["markdown"] == w["markdown"]
+        assert all(s["kind"] != "marginalia" for s in g["spans"])
+        if g["end_page_idx"] >= 3:
+            saw_multi_part = True
+    assert saw_multi_part
