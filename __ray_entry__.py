@@ -298,6 +298,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(digest, batch_format="pyarrow")
 
+    def q_dedup_keep(sf_dir):
+        """Deduplicated corpus via broadcast semi-join: the keeper-id set
+        (one per distinct content hash) is ray.put once and each batch
+        filters against it — no second shuffle of the documents."""
+        import ray as _ray
+
+        d = docs(sf_dir)
+        keepers = {
+            r["keeper_id"] for r in D.exact_dedup(d).take_all()
+        }
+        ref = _ray.put(keepers)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ks = _ray.get(ref)
+            mask = pa.array([x in ks for x in batch.column("doc_id").to_pylist()])
+            return batch.filter(mask).select(["doc_id"])
+
+        return d.map_batches(keep, batch_format="pyarrow")
+
+    def q_quality_filter(sf_dir):
+        return T.quality_filter(docs(sf_dir), 20, 100).select_columns(["doc_id"])
+
+    def q_top_tokens(sf_dir):
+        return T.top_tokens(docs(sf_dir), k=100)
+
     def q_ngram_jaccard(sf_dir):
         """Exact n-gram Jaccard verification of the MinHash-LSH candidates
         (candidate shingle sets broadcast, not shuffled)."""
@@ -360,8 +385,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_token_counts": lambda sf: T.bpe_token_counts(docs(sf)),
         "doc_text_stats": lambda sf: T.text_stats(docs(sf)),
         "lang_doc_stats": q_lang_stats,
+        "quality_filter": q_quality_filter,
+        "top_tokens": q_top_tokens,
         # dedup
         "exact_dedup": q_exact_dedup,
+        "dedup_keep": q_dedup_keep,
         "minhash_dedup_pairs": q_minhash,          # rows-only
         "ngram_jaccard_pairs": q_ngram_jaccard,    # rows-only
         "similarity_topk_ivf": q_similarity_ivf,   # rows-only (approximate)
@@ -439,6 +467,23 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT md5(text) AS h, min(doc_id) AS keeper_id, "
             "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_keep": (
+            "SELECT doc_id FROM documents WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY text)"
+        ),
+        "quality_filter": (
+            "SELECT doc_id FROM documents WHERE "
+            "(CASE WHEN trim(text) = '' THEN 0 "
+            " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 20 "
+            "AND len(regexp_extract_all(text, '[.!?,;:]')) * 1000 "
+            "// greatest(length(text), 1) <= 100"
+        ),
+        "top_tokens": (
+            "SELECT token, count(*) AS n FROM ("
+            "  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+            "  FROM documents WHERE trim(text) <> ''"
+            ") GROUP BY token ORDER BY n DESC, token LIMIT 100"
         ),
         "embedding_dup_pairs": (
             "WITH all_vecs AS ("

@@ -175,3 +175,48 @@ def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def bpe_token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
+def quality_filter(
+    docs: "ray.data.Dataset", min_tokens: int = 20, max_punct_per_mille: int = 100
+) -> "ray.data.Dataset":
+    """Training-data quality gate: keep documents passing integer-metric
+    thresholds. Pure vectorized filter inside map_batches (no ds.filter
+    row fn)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        stats = text_stats_batch(batch)
+        keep = pc.and_(
+            pc.greater_equal(stats.column("n_tokens"), min_tokens),
+            pc.less_equal(stats.column("punct_per_mille"), max_punct_per_mille),
+        )
+        return batch.filter(keep)
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def top_tokens(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
+    """Vocabulary building: top-k most frequent whitespace tokens.
+
+    explode tokens vectorized -> per-batch partial counts -> small global
+    groupby -> sort/limit. The shuffle moves one row per distinct token per
+    batch, not one per token occurrence.
+    """
+    from agentic_doc_ray.context import shuffle_partitions
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        flat = toks.flatten() if not isinstance(toks, pa.ChunkedArray) else toks.combine_chunks().flatten()
+        t = pa.Table.from_arrays([flat], names=["token"])
+        g = t.group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "n"])
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    agg = partials.repartition(shuffle_partitions(8)).groupby(
+        "token", num_partitions=shuffle_partitions(8)
+    ).aggregate(Sum("n", alias_name="n"))
+    # deterministic tie-break: count desc, token asc
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
