@@ -21,6 +21,10 @@ from agentic_doc_ray.schema import FLAT_SPAN_SCHEMA, PAGE_SCHEMA
 
 # Sentinel "kind" marking a document that arrived with zero spans.
 EMPTY_KIND = "__empty__"
+# Sentinel "kind" for a page whose payload yields zero chunks (blank page):
+# it must still mark its part in the markdown join and keep the doc alive,
+# but never appears as an output span.
+BLANK_KIND = "__blank__"
 
 
 def explode_spans(

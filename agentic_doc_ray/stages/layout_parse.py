@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from agentic_doc_ray.config import DEFAULT_CONFIG, EngineConfig
 from agentic_doc_ray.schema import CHUNK_SCHEMA
-from agentic_doc_ray.stages.explode import EMPTY_KIND
+from agentic_doc_ray.stages.explode import BLANK_KIND, EMPTY_KIND
 from agentic_doc_ray.textparse import parse_page
 
 CHUNK_WITH_BUCKET_SCHEMA = CHUNK_SCHEMA.append(pa.field("bucket", pa.int32()))
@@ -87,6 +87,24 @@ class LayoutParseActor:
                 refs[i],
                 include_marginalia=self._include_marginalia,
             )
+            if not chunks:
+                # blank page: no extractable blocks, but the page still
+                # occupies its slot in the part/markdown structure
+                cols["doc_id"].append(doc_ids[i])
+                cols["part_idx"].append(part_idxs[i])
+                cols["page_rel"].append(page_rels[i])
+                cols["block_idx"].append(0)
+                cols["kind"].append(BLANK_KIND)
+                cols["text"].append("")
+                cols["media_ref"].append("")
+                cols["chunk_id"].append(f"{doc_ids[i]}-{offsets[i]:05d}-blank")
+                cols["bbox"].append([0.0, 0.0, 1.0, 1.0])
+                cols["is_error"].append(False)
+                cols["error"].append("")
+                cols["n_spans"].append(n_spans[i])
+                cols["doc_type"].append(doc_types[i])
+                cols["bucket"].append(b)
+                continue
             for c in chunks:
                 cols["doc_id"].append(doc_ids[i])
                 cols["part_idx"].append(part_idxs[i])

@@ -48,7 +48,7 @@ def merge_bucket_group(
     string joins. Grouping by bucket instead of doc_id collapses shuffle
     key cardinality and amortizes per-group overhead.
     """
-    from agentic_doc_ray.stages.explode import EMPTY_KIND
+    from agentic_doc_ray.stages.explode import BLANK_KIND, EMPTY_KIND
 
     if group.num_rows == 0:
         return _EMPTY_PARSED
@@ -74,7 +74,11 @@ def merge_bucket_group(
     n_docs = len(starts)
 
     kind_np = np.asarray(g.column("kind").to_pylist(), dtype=object)
-    is_real = kind_np != EMPTY_KIND
+    # page rows (everything but the zero-span doc sentinel) drive part/
+    # markdown structure; span rows (also excluding blank pages) become
+    # output spans
+    is_page = kind_np != EMPTY_KIND
+    is_real = is_page & (kind_np != BLANK_KIND)
     is_err = g.column("is_error").combine_chunks().to_numpy(zero_copy_only=False)
     part_np = g.column("part_idx").combine_chunks().to_numpy(zero_copy_only=False)
     page_abs = (
@@ -131,20 +135,21 @@ def merge_bucket_group(
     # --- markdown: the one inherently sequential piece --------------------
     texts = g.column("text").to_pylist()
     markdowns = []
+    page_counts = seg_sum(is_page)
     for di in range(n_docs):
         lo, hi = starts[di], starts[di] + counts[di]
-        if real_counts[di] == 0:
+        if page_counts[di] == 0:  # zero-span doc sentinel only
             markdowns.append("")
             continue
         part_mds, cur_part, cur_texts = [], None, []
         for i in range(lo, hi):
-            if not is_real[i]:
+            if not is_page[i]:
                 continue
             if part_np[i] != cur_part:
                 if cur_part is not None:
                     part_mds.append(part_markdown(cur_texts))
                 cur_part, cur_texts = part_np[i], []
-            if not is_err[i]:
+            if not is_err[i] and is_real[i]:
                 cur_texts.append(texts[i])
         part_mds.append(part_markdown(cur_texts))
         markdowns.append(merge_markdown(part_mds))

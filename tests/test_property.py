@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): the pipeline's local transform chain
+must equal the oracle for ARBITRARY valid corpora, not just the fixture
+families. Runs the stage functions directly (no Ray session per example);
+one seeded example goes through the full Ray pipeline in test_pipeline.py.
+"""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from agentic_doc_ray.config import EngineConfig
+from agentic_doc_ray.oracle import parse_corpus_oracle
+from agentic_doc_ray.schema import CORPUS_SCHEMA
+from agentic_doc_ray.stages.explode import explode_spans
+from agentic_doc_ray.stages.html_strip import strip_html_batch
+from agentic_doc_ray.stages.layout_parse import LayoutParseActor
+from agentic_doc_ray.stages.reassemble import merge_bucket_group
+from agentic_doc_ray.textparse import strip_html
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+_kind = st.sampled_from(["text", "html", "pdf_page", "image"])
+
+
+@st.composite
+def corpora(draw):
+    n_docs = draw(st.integers(0, 6))
+    doc_ids, spans_col = [], []
+    for d in range(n_docs):
+        n_spans = draw(st.integers(0, 12))
+        spans = []
+        offsets = list(range(n_spans))
+        # permute offsets: input list order must not matter
+        perm = draw(st.permutations(offsets))
+        for off in perm:
+            spans.append(
+                {
+                    "kind": draw(_kind),
+                    "text": draw(_text),
+                    "media_ref": draw(st.sampled_from(["", "media://x/1"])),
+                    "offset": off,
+                }
+            )
+        doc_ids.append(f"doc-{d}")
+        spans_col.append(spans)
+    return pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": spans_col}, schema=CORPUS_SCHEMA
+    )
+
+
+def _local_pipeline(corpus: pa.Table, cfg: EngineConfig) -> list[dict]:
+    """The stage chain composed locally, with adversarial batch slicing."""
+    pages = strip_html_batch(explode_spans(corpus, cfg))
+    actor = LayoutParseActor(cfg)
+    chunk_tables = [
+        t
+        for t in (
+            actor(pages.slice(i, 3)) for i in range(0, max(1, pages.num_rows), 3)
+        )
+        if t.num_rows
+    ]
+    if not chunk_tables:
+        return []
+    chunks = pa.concat_tables(chunk_tables)
+    merged = merge_bucket_group(chunks, cfg)
+    return sorted(merged.to_pylist(), key=lambda r: r["doc_id"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(corpus=corpora(), split=st.integers(1, 5))
+def test_pipeline_equals_oracle_on_arbitrary_corpora(corpus, split):
+    cfg = EngineConfig(split_size=split)
+    got = _local_pipeline(corpus, cfg)
+    want = sorted(
+        parse_corpus_oracle(corpus, cfg).to_pylist(), key=lambda r: r["doc_id"]
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["doc_id"] == w["doc_id"]
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]
+        ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in w["spans"]]
+        assert g["markdown"] == w["markdown"]
+        assert g["errors"] == w["errors"]
+        assert g["end_page_idx"] == w["end_page_idx"]
+        assert g["doc_type"] == w["doc_type"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(html=st.text(max_size=500))
+def test_strip_html_total_and_deterministic(html):
+    a = strip_html(html)
+    assert a == strip_html(html)
+    assert isinstance(a, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(text=_text, kind=_kind, off=st.integers(0, 1000))
+def test_parse_page_never_throws_and_ids_unique(text, kind, off):
+    from agentic_doc_ray.textparse import parse_page
+
+    chunks = parse_page("d", off, kind, text, "m")
+    ids = [c.chunk_id for c in chunks]
+    assert len(set(ids)) == len(ids)
+    for c in chunks:
+        l, t, r, b = c.bbox
+        assert 0.0 <= l < r <= 1.0 and 0.0 <= t < b <= 1.0
