@@ -441,8 +441,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/extraction.parquet')"
         ),
         "doc_token_counts": (
-            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "SELECT doc_id, CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+')) END AS n_tokens "
             "FROM documents"
         ),
         "doc_bpe_token_counts": (
@@ -451,8 +451,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_text_stats": (
             "SELECT doc_id, length(text) AS n_chars, "
-            "CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+            "CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens, "
             "len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct, "
             "len(regexp_extract_all(text, '[A-Z]')) AS n_upper, "
             "len(regexp_extract_all(text, '[0-9]')) AS n_digit, "
@@ -474,15 +474,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_filter": (
             "SELECT doc_id FROM documents WHERE "
-            "(CASE WHEN trim(text) = '' THEN 0 "
-            " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 20 "
+            "(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0 "
+            " ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+')) END) >= 20 "
             "AND len(regexp_extract_all(text, '[.!?,;:]')) * 1000 "
             "// greatest(length(text), 1) <= 100"
         ),
         "top_tokens": (
             "SELECT token, count(*) AS n FROM ("
-            "  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
-            "  FROM documents WHERE trim(text) <> ''"
+            "  SELECT unnest(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+')) AS token "
+            "  FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''"
             ") GROUP BY token ORDER BY n DESC, token LIMIT 100"
         ),
         "embedding_dup_pairs": (

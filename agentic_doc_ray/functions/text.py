@@ -33,8 +33,15 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _regex_trim(text):
+    # RE2 ASCII \s trim on BOTH engines: DuckDB's trim() strips only
+    # spaces and Arrow's utf8_trim_whitespace strips unicode whitespace —
+    # either mismatch flips token counts on leading \t/\n (fuzz-caught)
+    return pc.replace_substring_regex(text, r"^\s+|\s+$", "")
+
+
 def _token_count(text: pa.ChunkedArray | pa.Array) -> pa.Array:
-    trimmed = pc.utf8_trim_whitespace(text)
+    trimmed = _regex_trim(text)
     n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
     return pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), n).cast(
         pa.int64()
@@ -206,7 +213,7 @@ def top_tokens(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = _regex_trim(batch.column("text"))
         nonempty = pc.not_equal(trimmed, "")
         toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
         flat = toks.flatten() if not isinstance(toks, pa.ChunkedArray) else toks.combine_chunks().flatten()

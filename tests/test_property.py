@@ -106,3 +106,40 @@ def test_parse_page_never_throws_and_ids_unique(text, kind, off):
     for c in chunks:
         l, t, r, b = c.bbox
         assert 0.0 <= l < r <= 1.0 and 0.0 <= t < b <= 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts=st.lists(_text, min_size=1, max_size=20))
+def test_token_counts_cross_engine(texts):
+    """Arrow kernels and DuckDB must agree on ARBITRARY unicode text — both
+    sides use RE2 with an explicit regex trim (duckdb trim() strips only
+    spaces; arrow utf8_trim_whitespace strips unicode whitespace; a previous
+    version diverged on leading \\t/\\n, caught by this fuzz)."""
+    import duckdb
+
+    from agentic_doc_ray.functions.text import token_count_batch
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = token_count_batch(t)["n_tokens"].to_pylist()
+    want = duckdb.sql(
+        "SELECT CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n "
+        "FROM t ORDER BY doc_id"
+    ).df()["n"].tolist()
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts=st.lists(_text, min_size=1, max_size=20))
+def test_bpe_counts_cross_engine(texts):
+    import duckdb
+
+    from agentic_doc_ray.functions.text import bpe_token_count_batch
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = bpe_token_count_batch(t)["n_bpe_tokens"].to_pylist()
+    want = duckdb.sql(
+        "SELECT len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n "
+        "FROM t ORDER BY doc_id"
+    ).df()["n"].tolist()
+    assert got == want

@@ -25,8 +25,8 @@ def test_token_counts_match_sql(docs_ds):
     want = _duck(
         """
         SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+               CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                    ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens
         FROM documents ORDER BY doc_id
         """
     )
@@ -39,8 +39,8 @@ def test_text_stats_match_sql(docs_ds):
         """
         SELECT doc_id,
                length(text) AS n_chars,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                    ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens,
                len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
                len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
                len(regexp_extract_all(text, '[0-9]')) AS n_digit,
