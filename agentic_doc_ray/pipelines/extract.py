@@ -55,8 +55,14 @@ def extract_corpus(
     pages = pages.map_batches(
         strip_html_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+    if config.parse_impl == "vectorized":
+        from agentic_doc_ray.stages.layout_parse_vec import VecLayoutParseActor
+
+        parser_cls = VecLayoutParseActor
+    else:
+        parser_cls = LayoutParseActor
     chunks = pages.map_batches(
-        LayoutParseActor,
+        parser_cls,
         fn_constructor_kwargs={"config": config},
         batch_format="pyarrow",
         batch_size=config.parse_batch_size,

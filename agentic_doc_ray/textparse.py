@@ -29,9 +29,15 @@ KIND_FIGURE = "figure"
 KIND_MARGINALIA = "marginalia"
 KIND_ERROR = "error"
 
-_FIGURE_RE = re.compile(r"^!\[(?P<caption>[^\]]*)\]\((?P<ref>[^)]*)\)")
-_PAGENUM_RE = re.compile(r"^(Page \d+( of \d+)?|- \d+ -|\d{1,4})$")
-_ALLCAPS_RE = re.compile(r"^[A-Z][A-Z0-9 .,&'\-]{2,60}$")
+# All patterns use re.ASCII so python-re semantics == RE2 semantics: the
+# vectorized Arrow implementation (stages/layout_parse_vec.py) must be
+# bit-identical to this spec, and RE2's \s, \d, \b are ASCII-only.
+_FIGURE_RE = re.compile(r"^!\[(?P<caption>[^\]]*)\]\((?P<ref>[^)]*)\)", re.A)
+_PAGENUM_RE = re.compile(r"^(Page \d+( of \d+)?|- \d+ -|\d{1,4})$", re.A)
+_ALLCAPS_RE = re.compile(r"^[A-Z][A-Z0-9 .,&'\-]{2,60}$", re.A)
+_BLOCK_SEP_RE = re.compile(r"\n\s*\n", re.A)
+_EDGE_WS_RE = re.compile(r"^\s+|\s+$", re.A)
+_LINE_TABLE_RE = re.compile(r"[ \t]*\|", re.A)
 
 # --- HTML boilerplate stripping (DOM heuristics) ---------------------------
 _SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
@@ -88,8 +94,10 @@ def strip_html(html: str) -> str:
 
 
 def segment_blocks(page_text: str) -> list[str]:
-    """Split a page payload into layout blocks (blank-line separated)."""
-    blocks = [b.strip() for b in re.split(r"\n\s*\n", page_text)]
+    """Split a page payload into layout blocks (blank-line separated).
+
+    ASCII whitespace semantics throughout (see pattern note above)."""
+    blocks = [_EDGE_WS_RE.sub("", b) for b in _BLOCK_SEP_RE.split(page_text)]
     return [b for b in blocks if b]
 
 
@@ -111,7 +119,7 @@ def classify_block(block: str) -> tuple[str, str]:
     if m:
         return KIND_FIGURE, m.group("ref")
     lines = block.split("\n")
-    if all(ln.lstrip().startswith("|") for ln in lines):
+    if all(_LINE_TABLE_RE.match(ln) for ln in lines):
         return KIND_TABLE, ""
     if len(lines) == 1:
         ln = lines[0]
