@@ -45,8 +45,11 @@ def _scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # two alternating trials per level, min per level: the host is a
+    # time-shared VM and single trials vary ~2x under neighbor load
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    r_lo = min((run(lo) for _ in range(2)), key=lambda r: r["value"])
+    r_hi = min((run(hi) for _ in range(2)), key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
