@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": A.lineitem_pricing_summary,
         "orders_by_segment": A.orders_by_segment,
         "events_hourly": A.events_hourly,
+        "events_sliding": A.events_sliding,
         "sessionize": A.sessionize,
         # multimodal plumbing (rows-only)
         "media_features": q_media_features,
@@ -531,6 +532,14 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "min(value) AS min_value, max(value) AS max_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_sliding": (
+            "SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE "
+            "AS window_start, event_type, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value, "
+            "count(*) AS n_events "
+            "FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) "
+            "GROUP BY 1, 2"
         ),
         "sessionize": (
             "WITH marked AS ("

@@ -186,6 +186,64 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def events_sliding(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding 1-hour windows advancing every 15 minutes, per event_type.
+
+    Each event belongs to exactly 4 windows: w = bucket15(ts) - k*15min for
+    k in 0..3. The window assignment is computed vectorized and exploded
+    in-batch, then pre-aggregated exactly like the tumbling case — no
+    watermark machinery needed for a bounded log.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch.column("ts"), multiple=15, unit="minute")
+        cents = pc.round(
+            pc.multiply(batch.column("value"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        tables = []
+        for k in range(4):
+            # arrow only accepts us-resolution timedelta scalars
+            w = pc.subtract(
+                base, pa.scalar(np.timedelta64(15 * k * 60_000_000, "us"))
+            )
+            tables.append(
+                pa.Table.from_arrays(
+                    [w, batch.column("event_type"), cents],
+                    names=["window_start", "event_type", "cents"],
+                )
+            )
+        t = pa.concat_tables(tables)
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["window_start", "event_type", "cents", "n_events"])
+
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.repartition(_cap(8)).groupby(
+        ["window_start", "event_type"], num_partitions=_cap(8)
+    ).aggregate(
+        Sum("cents", alias_name="cents"),
+        Sum("n_events", alias_name="n_events"),
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("window_start"),
+                b.column("event_type"),
+                pc.divide(b.column("cents").cast(pa.float64()), 100.0),
+                b.column("n_events"),
+            ],
+            names=["window_start", "event_type", "sum_value", "n_events"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """Session windows per user: events within gap_minutes belong to one
     session. groupby(user).map_groups over ts-sorted groups — the

@@ -95,3 +95,26 @@ def test_sessionize_against_sql_gaps():
         """
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_events_sliding_window():
+    got = (
+        A.events_sliding(SF)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
+               event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
+               count(*) AS n_events
+        FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)
+        GROUP BY 1,2 ORDER BY 1,2
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # every event lands in exactly 4 windows
+    n_events = _duck("SELECT count(*) n FROM events")["n"][0]
+    assert got["n_events"].sum() == 4 * n_events
