@@ -136,6 +136,14 @@ EXTRACTION_SCHEMA = {
 
 _ORACLE_SQL_DIR = _oracle_dir(SF_CORRECTNESS)  # static path used in SQL strings
 
+_ORDER_PRIORITY_SQL = (
+    "SELECT o.o_orderpriority, "
+    "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue, "
+    "count(DISTINCT o.o_orderkey) AS n_orders "
+    "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "GROUP BY o.o_orderpriority"
+)
+
 
 # ---------------------------------------------------------------------------
 # driver entry points
@@ -298,6 +306,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(digest, batch_format="pyarrow")
 
+    def _J():
+        from agentic_doc_ray.functions import joins
+
+        return joins
+
     def q_dedup_keep(sf_dir):
         """Deduplicated corpus via broadcast semi-join: the keeper-id set
         (one per distinct content hash) is ray.put once and each batch
@@ -402,6 +415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / windows (money sums are exact integer-cents internally)
         "lineitem_pricing_summary": A.lineitem_pricing_summary,
         "orders_by_segment": A.orders_by_segment,
+        "order_priority_revenue": _J().order_priority_revenue,
+        "order_priority_revenue_bucketed": _J().order_priority_revenue_bucketed,
         "events_hourly": A.events_hourly,
         "events_sliding": A.events_sliding,
         "sessionize": A.sessionize,
@@ -533,6 +548,8 @@ def oracle_sql() -> dict[str, str]:
             "min(value) AS min_value, max(value) AS max_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "order_priority_revenue": _ORDER_PRIORITY_SQL,
+        "order_priority_revenue_bucketed": _ORDER_PRIORITY_SQL,
         "events_sliding": (
             "SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE "
             "AS window_start, event_type, "

@@ -118,3 +118,43 @@ def test_events_sliding_window():
     # every event lands in exactly 4 windows
     n_events = _duck("SELECT count(*) n FROM events")["n"][0]
     assert got["n_events"].sum() == 4 * n_events
+
+
+def _order_priority_oracle():
+    return _duck(
+        """
+        SELECT o.o_orderpriority,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+def test_order_priority_revenue_native_join():
+    from agentic_doc_ray.functions.joins import order_priority_revenue
+
+    got = (
+        order_priority_revenue(SF)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, _order_priority_oracle(), check_dtype=False, check_exact=True
+    )
+
+
+def test_order_priority_revenue_bucketed_join():
+    from agentic_doc_ray.functions.joins import order_priority_revenue_bucketed
+
+    got = (
+        order_priority_revenue_bucketed(SF)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, _order_priority_oracle(), check_dtype=False, check_exact=True
+    )
