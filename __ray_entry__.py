@@ -419,6 +419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue_bucketed": _J().order_priority_revenue_bucketed,
         "events_hourly": A.events_hourly,
         "events_sliding": A.events_sliding,
+        "purchase_prior_view": A.purchase_prior_view,
+        "distinct_users": A.distinct_users,
         "sessionize": A.sessionize,
         # multimodal plumbing (rows-only)
         "media_features": q_media_features,
@@ -557,6 +559,16 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events "
             "FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) "
             "GROUP BY 1, 2"
+        ),
+        "purchase_prior_view": (
+            "SELECT p.event_id, p.user_id, p.ts, v.ts AS prior_view_ts "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+            "ON p.user_id = v.user_id AND p.ts > v.ts"
+        ),
+        "distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
         ),
         "sessionize": (
             "WITH marked AS ("

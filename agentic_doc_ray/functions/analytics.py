@@ -244,6 +244,77 @@ def events_sliding(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def purchase_prior_view(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join: for each purchase, the user's most recent STRICTLY prior
+    view event. Sorted per-user groups + pandas merge_asof inside
+    map_groups — the documented pattern for as-of/range joins (both sides
+    live in the same partition after one shuffle on the user key).
+    Purchases with no prior view are dropped (inner as-of semantics,
+    matching DuckDB's ASOF JOIN oracle)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def asof(group):
+        import pandas as pd
+
+        p = group[group["event_type"] == "purchase"].sort_values("ts")
+        v = group[group["event_type"] == "view"].sort_values("ts")
+        if p.empty or v.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "prior_view_ts"]
+            ).astype({"event_id": "int64", "user_id": "int64"})
+        m = pd.merge_asof(
+            p[["event_id", "user_id", "ts"]],
+            v[["ts"]].assign(prior_view_ts=v["ts"]),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return m.dropna(subset=["prior_view_ts"])[
+            ["event_id", "user_id", "ts", "prior_view_ts"]
+        ]
+
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    return ds.groupby("user_id", num_partitions=_cap(16)).map_groups(
+        asof, batch_format="pandas"
+    )
+
+
+def distinct_users(sf_dir: str) -> "ray.data.Dataset":
+    """Exact count-distinct per event_type via two-level dedup: each batch
+    emits its distinct (event_type, user_id) pairs, a pair-groupby dedupes
+    globally, then a tiny count per type — the exact-distinct pattern that
+    shuffles unique pairs, never raw events."""
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    np_ = _cap(8)
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(np_)
+        .groupby(["event_type", "user_id"], num_partitions=np_)
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "n_users"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .repartition(_cap(2))
+        .groupby("event_type", num_partitions=_cap(2))
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """Session windows per user: events within gap_minutes belong to one
     session. groupby(user).map_groups over ts-sorted groups — the

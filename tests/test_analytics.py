@@ -158,3 +158,35 @@ def test_order_priority_revenue_bucketed_join():
     pd.testing.assert_frame_equal(
         got, _order_priority_oracle(), check_dtype=False, check_exact=True
     )
+
+
+def test_purchase_prior_view_asof():
+    got = (
+        A.purchase_prior_view(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        SELECT p.event_id, p.user_id, p.ts, v.ts AS prior_view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts > v.ts
+        ORDER BY p.event_id
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_distinct_users():
+    got = (
+        A.distinct_users(SF)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1 ORDER BY 1"
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
