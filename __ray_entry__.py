@@ -306,6 +306,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(digest, batch_format="pyarrow")
 
+    def q_hll(sf_dir):
+        from agentic_doc_ray.functions.sketches import hll_distinct
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        return hll_distinct(ds, "event_type", "user_id")
+
     def _J():
         from agentic_doc_ray.functions import joins
 
@@ -421,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": A.events_sliding,
         "purchase_prior_view": A.purchase_prior_view,
         "distinct_users": A.distinct_users,
+        "hll_distinct_users": q_hll,  # rows-only (approximate sketch)
         "sessionize": A.sessionize,
         # multimodal plumbing (rows-only)
         "media_features": q_media_features,

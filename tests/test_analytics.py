@@ -190,3 +190,30 @@ def test_distinct_users():
         "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1 ORDER BY 1"
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_hll_distinct_within_error():
+    import ray.data
+
+    from agentic_doc_ray.functions.sketches import hll_distinct
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    got = hll_distinct(ds.repartition(6), "event_type", "user_id").to_pandas()
+    want = _duck(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    ).set_index("event_type")["n"]
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        exact = want[row["event_type"]]
+        assert abs(row["approx_distinct"] - exact) / exact < 0.05  # 4096 regs ~1.6% se
+
+
+def test_hll_merge_is_partition_invariant():
+    import ray.data
+
+    from agentic_doc_ray.functions.sketches import hll_distinct
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    a = hll_distinct(ds.repartition(2), "event_type", "user_id").to_pydict()
+    b = hll_distinct(ds.repartition(11), "event_type", "user_id").to_pydict()
+    assert a == b
