@@ -321,27 +321,42 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     streaming-shaped pattern from the guide."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
+    # Coarse-bucket the shuffle (user_id % B) and sessionize ALL users of a
+    # bucket in one vectorized pandas pass — per-user map_groups spends more
+    # time in per-group overhead than in windowing (same lesson as the
+    # reassembly merge).
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return batch.append_column("bucket", b)
+
     def sessions(group):
         import numpy as np
         import pandas as pd
 
-        g = group.sort_values("ts")
-        g = g.assign(cents=np.round(g["value"] * 100.0).astype("int64"))
-        gap = (g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)).cumsum()
-        out = g.groupby(gap).agg(
+        g = group.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        g["cents"] = np.round(g["value"] * 100.0).astype("int64")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sess = (new_user | gap).cumsum()
+        out = g.groupby(sess).agg(
+            user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("ts", "count"),
             cents=("cents", "sum"),  # exact int sum (see events_hourly)
         )
         out["sum_value"] = out.pop("cents") / 100.0
-        out["user_id"] = g["user_id"].iloc[0]
         return out.reset_index(drop=True)[
             ["user_id", "session_start", "session_end", "n_events", "sum_value"]
         ]
 
     from agentic_doc_ray.context import shuffle_partitions as _cap
 
-    return ds.groupby("user_id", num_partitions=_cap(16)).map_groups(
-        sessions, batch_format="pandas"
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=_cap(16))
+        .map_groups(sessions, batch_format="pandas")
     )

@@ -27,29 +27,46 @@ from agentic_doc_ray.context import shuffle_partitions
 
 
 def _lineitem_revenue_per_order(sf_dir: str) -> "ray.data.Dataset":
+    """Revenue cents per orderkey.
+
+    High-cardinality aggregate design (measured at sf0.1):
+      - in-batch pre-aggregation is USELESS here — lineitem has no key
+        locality, so 600k rows "compress" to 581k partials;
+      - Ray's hash aggregate costs ~60us per distinct group (7.4s for 147k
+        groups); bucketing the shuffle key to a few coarse int buckets and
+        running Arrow's C-speed group_by inside each bucket does the same
+        work in 3.0s. Same trick as the reassembly exchange.
+    """
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def to_cents(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
         cents = pc.round(pc.multiply(rev, pa.scalar(10000.0))).cast(pa.int64())
-        t = pa.Table.from_arrays(
-            [batch.column("l_orderkey"), cents], names=["o_orderkey", "cents"]
+        bucket = pc.cast(
+            pc.bit_wise_and(batch.column("l_orderkey"), pa.scalar(31, pa.int64())),
+            pa.int32(),
         )
-        g = t.group_by("o_orderkey").aggregate([("cents", "sum")])
+        return pa.Table.from_arrays(
+            [batch.column("l_orderkey"), cents, bucket],
+            names=["o_orderkey", "cents", "bucket"],
+        )
+
+    def agg_bucket(group: pa.Table) -> pa.Table:
+        g = group.select(["o_orderkey", "cents"]).group_by("o_orderkey").aggregate(
+            [("cents", "sum")]
+        )
         return g.rename_columns(["o_orderkey", "cents"])
 
-    np_ = shuffle_partitions(16)
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(np_)
-        .groupby("o_orderkey", num_partitions=np_)
-        .aggregate(Sum("cents", alias_name="cents"))
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=shuffle_partitions(8))
+        .map_groups(agg_bucket, batch_format="pyarrow")
     )
 
 

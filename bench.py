@@ -181,6 +181,13 @@ def main() -> None:
     timed("simhash", lambda: D.simhashes(docs()).count())
     timed("lineitem_q1", lambda: A.lineitem_pricing_summary(SF_DIR).count())
     timed("events_hourly", lambda: A.events_hourly(SF_DIR).count())
+    timed("events_sliding", lambda: A.events_sliding(SF_DIR).count())
+    timed("sessionize", lambda: A.sessionize(SF_DIR).count())
+    timed("asof_join", lambda: A.purchase_prior_view(SF_DIR).count())
+
+    from agentic_doc_ray.functions.joins import order_priority_revenue
+
+    timed("hash_join", lambda: order_priority_revenue(SF_DIR).count())
 
     def similarity() -> None:
         import numpy as np
