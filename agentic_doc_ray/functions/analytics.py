@@ -291,28 +291,28 @@ def distinct_users(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        return batch.group_by(["event_type", "user_id"]).aggregate([])
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        b = pc.cast(
+            pc.bit_wise_and(g["user_id"], pa.scalar(31, pa.int64())), pa.int32()
+        )
+        return g.append_column("bucket", b)
 
-    np_ = _cap(8)
-    pairs = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(np_)
-        .groupby(["event_type", "user_id"], num_partitions=np_)
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    )
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("event_type").aggregate([("user_id", "count")])
+    def count_bucket(group: pa.Table) -> pa.Table:
+        # distinct pairs within the bucket (Arrow C-speed), then per-type count
+        d = group.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"]
+        ).aggregate([])
+        g = d.group_by("event_type").aggregate([("user_id", "count")])
         return g.rename_columns(["event_type", "n_users"])
 
     from ray.data.aggregate import Sum
 
-    return (
-        pairs.map_batches(count_partial, batch_format="pyarrow")
-        .repartition(_cap(2))
-        .groupby("event_type", num_partitions=_cap(2))
-        .aggregate(Sum("n_users", alias_name="n_users"))
-    )
+    counts = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "bucket", num_partitions=_cap(8)
+    ).map_groups(count_bucket, batch_format="pyarrow")
+    return counts.repartition(_cap(2)).groupby(
+        "event_type", num_partitions=_cap(2)
+    ).aggregate(Sum("n_users", alias_name="n_users"))
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
