@@ -23,9 +23,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# corpus replication for scaling runs: fixed overhead (session + scheduling)
-# must not dominate, or efficiency measures Ray startup, not the pipeline
-REPL = int(os.environ.get("GRAFT_BENCH_REPL", "1"))
+# corpus replication: fixed overhead (session + scheduling) must not
+# dominate, or the headline measures Ray startup, not the pipeline. The
+# default x8 corpus (~40k docs at sf0.1) is the recorded protocol;
+# --scaling uses x64.
+REPL = int(os.environ.get("GRAFT_BENCH_REPL", "8"))
 
 
 def _scaling() -> None:
