@@ -82,13 +82,18 @@ class VecLayoutParseActor:
         n_pages = batch.num_rows
         text = batch.column("text").combine_chunks()
 
-        # pages -> blocks (one kernel call), then ASCII-trim each block
-        blocks_list = pc.split_pattern_regex(text, r"\n\s*\n")
+        # pages -> blocks (one kernel call), then ASCII-trim each block.
+        # Explicit whitespace class: RE2 \s lacks \x0b, python ASCII \s has
+        # it — the spec (textparse) uses this class for exactly that reason.
+        WS = "[ \\t\\n\\r\\f\\v]"
+        blocks_list = pc.split_pattern_regex(text, f"\\n{WS}*\\n")
         raw_blocks = blocks_list.flatten()
         page_of_block = pc.list_parent_indices(blocks_list).to_numpy(
             zero_copy_only=False
         )
-        trimmed = pc.replace_substring_regex(raw_blocks, r"^\s+|\s+$", "")
+        trimmed = pc.replace_substring_regex(
+            raw_blocks, f"^{WS}+|{WS}+$", ""
+        )
         nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
 
         blocks = trimmed.filter(pa.array(nonempty))

@@ -35,8 +35,11 @@ KIND_ERROR = "error"
 _FIGURE_RE = re.compile(r"^!\[(?P<caption>[^\]]*)\]\((?P<ref>[^)]*)\)", re.A)
 _PAGENUM_RE = re.compile(r"^(Page \d+( of \d+)?|- \d+ -|\d{1,4})$", re.A)
 _ALLCAPS_RE = re.compile(r"^[A-Z][A-Z0-9 .,&'\-]{2,60}$", re.A)
-_BLOCK_SEP_RE = re.compile(r"\n\s*\n", re.A)
-_EDGE_WS_RE = re.compile(r"^\s+|\s+$", re.A)
+# explicit whitespace class: python-re ASCII \s includes \x0b (vertical
+# tab) but RE2's \s does not — the vectorized parser must match exactly
+_WS = r"[ \t\n\r\f\v]"
+_BLOCK_SEP_RE = re.compile(rf"\n{_WS}*\n", re.A)
+_EDGE_WS_RE = re.compile(rf"^{_WS}+|{_WS}+$", re.A)
 _LINE_TABLE_RE = re.compile(r"[ \t]*\|", re.A)
 
 # --- HTML boilerplate stripping (DOM heuristics) ---------------------------
