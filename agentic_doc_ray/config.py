@@ -9,7 +9,7 @@ reference: ``split_size`` in (0, 100] (``utils.py:229-231``,
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -286,7 +286,6 @@ def distinct_users(sf_dir: str) -> "ray.data.Dataset":
     globally, then a tiny count per type — the exact-distinct pattern that
     shuffles unique pairs, never raw events."""
     from agentic_doc_ray.context import shuffle_partitions as _cap
-    from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 

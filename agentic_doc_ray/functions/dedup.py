@@ -19,11 +19,10 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Min
 
 # ---------------------------------------------------------------------------
 # Exact dedup

@@ -16,7 +16,6 @@ moves 150k rows instead of 600k.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -21,7 +21,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from agentic_doc_ray.config import DEFAULT_CONFIG, EngineConfig
-from agentic_doc_ray.schema import CHUNK_SCHEMA
 from agentic_doc_ray.stages.explode import BLANK_KIND, EMPTY_KIND
 from agentic_doc_ray.stages.layout_parse import CHUNK_WITH_BUCKET_SCHEMA, LayoutParseActor
 from agentic_doc_ray.textparse import CORRUPT_MARKER

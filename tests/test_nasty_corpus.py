@@ -1,0 +1,55 @@
+"""One frozen adversarial corpus through the FULL Ray pipeline vs oracle:
+every edge the fuzzers found, in one distributed run (the local property
+tests exercise the same semantics without Ray)."""
+
+import pyarrow as pa
+import ray.data
+
+from agentic_doc_ray.config import EngineConfig
+from agentic_doc_ray.oracle import parse_corpus_oracle
+from agentic_doc_ray.pipelines import extract_corpus
+from agentic_doc_ray.schema import CORPUS_SCHEMA
+from agentic_doc_ray.textparse import CORRUPT_MARKER
+
+
+def _span(kind, text, ref, off):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+NASTY = [
+    ("empty-doc", []),
+    ("blank-pages", [_span("text", "", "", 0), _span("text", "\x0b", "", 1), _span("text", "  \n ", "", 2)]),
+    ("gap-offsets", [_span("text", "late words", "", 12), _span("text", "early words", "", 7)]),
+    ("all-corrupt", [_span("pdf_page", CORRUPT_MARKER + "x", "", i) for i in range(4)]),
+    ("mixed-corrupt", [_span("pdf_page", "good page body", "", 0), _span("pdf_page", CORRUPT_MARKER, "", 1), _span("pdf_page", "more body", "", 2)]),
+    ("sixtyone-caps", [_span("text", "A" + "B" * 60, "", 0)]),
+    ("sixty-caps", [_span("text", "A" + "B" * 59, "", 0)]),
+    ("lone-pipe", [_span("text", "| a |", "", 0)]),
+    ("lone-digit", [_span("text", "7", "", 0)]),
+    ("unicode", [_span("text", "h\u00e9llo w\u00f6rld \u2028 line", "", 0)]),
+    ("figure-no-ref", [_span("text", "![cap]()", "", 0)]),
+    ("html-short", [_span("html", "<p>tiny</p>", "", 0)]),
+    ("html-unclosed", [_span("html", "<nav><a>x</a><p>long enough main paragraph text", "", 0)]),
+    ("image-empty-caption", [_span("image", "", "m://x", 0)]),
+    ("many-parts", [_span("pdf_page", f"page {i} body words here", "", i) for i in range(23)]),
+]
+
+
+def test_nasty_corpus_ray_vs_oracle():
+    t = pa.Table.from_pydict(
+        {"doc_id": [n for n, _ in NASTY], "spans": [s for _, s in NASTY]},
+        schema=CORPUS_SCHEMA,
+    )
+    cfg = EngineConfig(split_size=4, parse_concurrency=(1, 2))
+    ds = ray.data.from_arrow(t).random_shuffle(seed=1).repartition(5)
+    got = sorted(extract_corpus(ds, cfg).take_all(), key=lambda r: r["doc_id"])
+    want = parse_corpus_oracle(t, cfg).to_pylist()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]
+        ] == [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in w["spans"]
+        ], g["doc_id"]
+        assert g["markdown"] == w["markdown"], g["doc_id"]
+        assert [dict(e) for e in g["errors"]] == w["errors"], g["doc_id"]
