@@ -128,7 +128,12 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
 
 
 class MinHashActor:
-    """doc -> 64-wide MinHash signature (warm hash params per actor)."""
+    """doc -> 64-wide MinHash signature (warm hash params per actor).
+
+    Deliberately per-document: each doc's (64 x n_shingles) hash matrix is
+    already a vectorized numpy op; batching all docs into one broadcast was
+    measured SLOWER (a 640 MB intermediate turns it bandwidth-bound).
+    """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
