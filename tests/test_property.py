@@ -67,7 +67,7 @@ def _local_pipeline(corpus: pa.Table, cfg: EngineConfig) -> list[dict]:
     return sorted(merged.to_pylist(), key=lambda r: r["doc_id"])
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(corpus=corpora(), split=st.integers(1, 5))
 def test_pipeline_equals_oracle_on_arbitrary_corpora(corpus, split):
     cfg = EngineConfig(split_size=split)
@@ -87,7 +87,7 @@ def test_pipeline_equals_oracle_on_arbitrary_corpora(corpus, split):
         assert g["doc_type"] == w["doc_type"]
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(html=st.text(max_size=500))
 def test_strip_html_total_and_deterministic(html):
     a = strip_html(html)
@@ -95,7 +95,7 @@ def test_strip_html_total_and_deterministic(html):
     assert isinstance(a, str)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(text=_text, kind=_kind, off=st.integers(0, 1000))
 def test_parse_page_never_throws_and_ids_unique(text, kind, off):
     from agentic_doc_ray.textparse import parse_page
@@ -108,7 +108,7 @@ def test_parse_page_never_throws_and_ids_unique(text, kind, off):
         assert 0.0 <= l < r <= 1.0 and 0.0 <= t < b <= 1.0
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(texts=st.lists(_text, min_size=1, max_size=20))
 def test_token_counts_cross_engine(texts):
     """Arrow kernels and DuckDB must agree on ARBITRARY unicode text — both
@@ -129,7 +129,7 @@ def test_token_counts_cross_engine(texts):
     assert got == want
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(texts=st.lists(_text, min_size=1, max_size=20))
 def test_bpe_counts_cross_engine(texts):
     import duckdb

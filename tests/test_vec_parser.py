@@ -39,7 +39,7 @@ def test_parity_without_marginalia(sf_smoke_corpus):
     _assert_parity(sf_smoke_corpus.slice(0, 30), EngineConfig(include_marginalia=False))
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(corpus=corpora())
 def test_parity_on_arbitrary_corpora(corpus):
     _assert_parity(corpus, EngineConfig(split_size=3))
