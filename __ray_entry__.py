@@ -46,7 +46,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 2  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 3  # bump when any oracle-producing logic changes
 
 
 def _oracle_dir(sf_dir: str) -> str:
@@ -117,9 +117,53 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     ex = actor(parsed.select(["doc_id", "spans", "end_page_idx"]))
     _pq.write_table(ex, os.path.join(out_dir, "extraction.parquet"))
 
+    # single-process oracles for the deterministic per-doc functions: the
+    # same pure batch fns applied WITHOUT Ray — the side-by-side compare
+    # then validates the distributed execution (batching, ordering, merge)
+    docs_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    from agentic_doc_ray.functions.dedup import simhash_batch
+    from agentic_doc_ray.functions.text import LangIdActor, fingerprint_batch
+
+    _pq.write_table(
+        simhash_batch(docs_tbl), os.path.join(out_dir, "simhash.parquet")
+    )
+    _pq.write_table(
+        fingerprint_batch(docs_tbl), os.path.join(out_dir, "fingerprints.parquet")
+    )
+    _pq.write_table(
+        LangIdActor()(docs_tbl), os.path.join(out_dir, "lang_id.parquet")
+    )
+
+    from agentic_doc_ray.functions.multimodal import MediaFeatureActor, synth_media_table
+
+    media = synth_media_table(os.path.join(sf_dir, "documents.parquet"), limit=96)
+    _pq.write_table(
+        _media_digest(MediaFeatureActor()(media)),
+        os.path.join(out_dir, "media_features.parquet"),
+    )
+
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
+
+
+def _media_digest(feats: pa.Table) -> pa.Table:
+    import numpy as np
+
+    from agentic_doc_ray.functions.multimodal import FEATURE_DIM
+
+    f = np.asarray(feats["features"].combine_chunks().flatten()).reshape(
+        feats.num_rows, FEATURE_DIM
+    )
+    return pa.Table.from_pydict(
+        {
+            "media_id": feats["media_id"],
+            "media_type": feats["media_type"],
+            "feat_sum_milli": pa.array((f.sum(axis=1) * 1000).astype("int64")),
+        }
+    )
 
 
 EXTRACTION_SCHEMA = {
@@ -282,29 +326,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_media_features(sf_dir):
+        _ensure_extraction_oracles(sf_dir)
         media = ray.data.from_arrow(
             M.synth_media_table(f"{sf_dir}/documents.parquet", limit=96)
         )
-        feats = M.media_features(media)
-
-        def digest(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            import numpy as np
-
-            f = np.asarray(batch["features"].combine_chunks().flatten()).reshape(
-                n, M.FEATURE_DIM
-            )
-            return pa.Table.from_pydict(
-                {
-                    "media_id": batch["media_id"],
-                    "media_type": batch["media_type"],
-                    "feat_sum_milli": pa.array(
-                        (f.sum(axis=1) * 1000).astype("int64")
-                    ),
-                }
-            )
-
-        return feats.map_batches(digest, batch_format="pyarrow")
+        return M.media_features(media).map_batches(
+            _media_digest, batch_format="pyarrow"
+        )
 
     def q_hll(sf_dir):
         from agentic_doc_ray.functions.sketches import hll_distinct
@@ -318,6 +346,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from agentic_doc_ray.functions import joins
 
         return joins
+
+    def q_simhash(sf_dir):
+        _ensure_extraction_oracles(sf_dir)
+        return D.simhashes(docs(sf_dir))
+
+    def q_fingerprints(sf_dir):
+        _ensure_extraction_oracles(sf_dir)
+        return T.fingerprints(docs(sf_dir))
+
+    def q_lang_id(sf_dir):
+        _ensure_extraction_oracles(sf_dir)
+        return T.lang_id(docs(sf_dir))
 
     def q_dedup_keep(sf_dir):
         """Deduplicated corpus via broadcast semi-join: the keeper-id set
@@ -414,9 +454,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": q_minhash,          # rows-only
         "ngram_jaccard_pairs": q_ngram_jaccard,    # rows-only
         "similarity_topk_ivf": q_similarity_ivf,   # rows-only (approximate)
-        "simhash": lambda sf: D.simhashes(docs(sf)),        # rows-only
-        "doc_fingerprints": lambda sf: T.fingerprints(docs(sf)),  # rows-only
-        "lang_id": lambda sf: T.lang_id(docs(sf)),          # rows-only
+        "simhash": q_simhash,
+        "doc_fingerprints": q_fingerprints,
+        "lang_id": q_lang_id,
         "embedding_dup_pairs": q_embedding_dups,
         # similarity
         "similarity_topk": q_similarity,
@@ -593,7 +633,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value "
             "FROM numbered GROUP BY user_id, sess"
         ),
-        # minhash_dedup_pairs / simhash / doc_fingerprints / lang_id /
-        # media_features: intentionally omitted (non-SQL-expressible; driver
-        # records rows-only; semantics pinned in tests/).
+        # deterministic per-doc functions: single-process oracle parquet
+        # (same pure fns, no Ray) — the compare validates distribution
+        "simhash": f"SELECT doc_id, simhash FROM read_parquet('{_ORACLE_SQL_DIR}/simhash.parquet')",
+        "doc_fingerprints": f"SELECT doc_id, fingerprint FROM read_parquet('{_ORACLE_SQL_DIR}/fingerprints.parquet')",
+        "lang_id": f"SELECT doc_id, lang_pred, stopword_ratio FROM read_parquet('{_ORACLE_SQL_DIR}/lang_id.parquet')",
+        "media_features": (
+            "SELECT media_id, media_type, feat_sum_milli "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/media_features.parquet')"
+        ),
+        # minhash_dedup_pairs / ngram_jaccard_pairs / similarity_topk_ivf /
+        # hll_distinct_users: intentionally omitted (approximate or
+        # candidate-set-dependent; driver records rows-only; semantics
+        # pinned in tests/).
     }
