@@ -13,10 +13,18 @@ Correctness strategy:
     under /tmp and the oracle SQL reads it with ``read_parquet`` — so the
     driver's side-by-side compare still enforces full span-sequence
     equality (kind, text, media_ref, order) per document.
-  - Approximate / hash-sketch operators (MinHash, SimHash, IVF, language
-    ID, fingerprints, multimodal stubs) have no SQL entry: the driver
-    records the weaker rows-only check; their exact semantics are pinned by
-    the pytest suite against brute-force oracles.
+  - Deterministic per-doc functions (SimHash, fingerprints, language ID,
+    media features) use the same materialised-oracle mechanism: the pure
+    batch fns applied single-process, so the compare validates distributed
+    execution.
+  - Only approximate / candidate-set-dependent operators (MinHash pairs,
+    n-gram Jaccard over LSH candidates, IVF top-k, HLL) are rows-only;
+    their semantics are pinned by the pytest suite against brute-force
+    oracles.
+
+Note: the oracle SQL paths are fixed to the sf0.01 materialisation (the
+driver's correctness scale); running queries at another sf still works,
+but the materialised-oracle comparisons are only meaningful at sf0.01.
 """
 
 from __future__ import annotations
