@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_stats": q_lang_stats,
         "quality_filter": q_quality_filter,
         "top_tokens": q_top_tokens,
+        "top_bigrams": lambda sf: T.top_bigrams(docs(sf), k=100),
         # dedup
         "exact_dedup": q_exact_dedup,
         "dedup_keep": q_dedup_keep,
@@ -559,6 +560,18 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT unnest(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+')) AS token "
             "  FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''"
             ") GROUP BY token ORDER BY n DESC, token LIMIT 100"
+        ),
+        "top_bigrams": (
+            "WITH toks AS ("
+            "  SELECT regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t "
+            "  FROM documents "
+            "  WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''"
+            ") "
+            "SELECT bigram, count(*) AS n FROM ("
+            "  SELECT t[i] || ' ' || t[i+1] AS bigram "
+            "  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS r(i) "
+            "  WHERE len(t) >= 2"
+            ") GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"
         ),
         "embedding_dup_pairs": (
             "WITH all_vecs AS ("

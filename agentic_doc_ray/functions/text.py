@@ -202,6 +202,48 @@ def quality_filter(
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def top_bigrams(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
+    """Top-k word bigrams (n-gram counting for vocabulary building).
+
+    Bigrams form vectorized: tokens flatten across the batch with parent
+    indices, adjacent tokens join in one Arrow kernel, and a same-document
+    mask drops the cross-document seams. Same partial-count -> small
+    groupby -> sort/limit shape as top_tokens.
+    """
+    from agentic_doc_ray.context import shuffle_partitions
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        flat = toks_list.flatten()
+        parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < 2:
+            return pa.Table.from_pydict(
+                {"bigram": [], "n": []},
+                schema=pa.schema([("bigram", pa.string()), ("n", pa.int64())]),
+            )
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1), " "
+        )
+        same_doc = parents[:-1] == parents[1:]
+        bigrams = joined.filter(pa.array(same_doc))
+        t = pa.Table.from_arrays([bigrams], names=["bigram"])
+        g = t.group_by("bigram").aggregate([("bigram", "count")])
+        return g.rename_columns(["bigram", "n"])
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    np_ = shuffle_partitions(8)
+    agg = partials.repartition(np_).groupby(
+        "bigram", num_partitions=np_
+    ).aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
 def top_tokens(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
     """Vocabulary building: top-k most frequent whitespace tokens.
 

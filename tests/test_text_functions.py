@@ -81,3 +81,27 @@ def test_fingerprint_order_sensitive_and_deterministic():
     fps = out["fingerprint"].tolist()
     assert fps[0] == fps[2]  # same text, same fingerprint
     assert fps[0] != fps[1]  # order matters
+
+
+def test_top_bigrams_match_sql(docs_ds):
+    got = (
+        T.top_bigrams(docs_ds, k=50)
+        .to_pandas()
+        .sort_values(["n", "bigram"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        WITH toks AS (
+          SELECT regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+          FROM documents
+          WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+        )
+        SELECT bigram, count(*) AS n FROM (
+          SELECT t[i] || ' ' || t[i+1] AS bigram
+          FROM toks, UNNEST(generate_series(1, len(t)-1)) AS r(i)
+          WHERE len(t) >= 2
+        ) GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
