@@ -84,8 +84,10 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _hash_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    # a,b < 2^31 and shingle hashes are crc32 (< 2^32), so a*x+b < 2^63:
-    # no uint64 overflow, the modular hash family is exact.
+    # Shingle hashes are full 64-bit rolling hashes, so a*x+b wraps mod 2^64
+    # (numpy uint64 arithmetic). Not a textbook universal family — a fixed
+    # pseudorandom mapping whose estimator accuracy is pinned empirically by
+    # tests (|est - exact Jaccard| < 0.2 in test_dedup.py).
     rng = np.random.RandomState(seed)
     a = rng.randint(1, 1 << 31, size=N_HASHES, dtype=np.int64)
     b = rng.randint(0, 1 << 31, size=N_HASHES, dtype=np.int64)
@@ -196,12 +198,18 @@ def _explode_bands(batch: pa.Table) -> pa.Table:
     )
 
 
+_BUCKET_PAIR_CAP = 1000
+
+
 def _shard_pairs(group: pa.Table, threshold: float = 0.0) -> pa.Table:
     """Candidate pairs for every LSH bucket inside one shard.
 
     Buckets found vectorized (lexsort + boundary diff); the pairwise loop
-    touches only buckets with >= 2 members. The per-bucket cap guards the
-    degenerate all-identical-corpus case (bucket skew).
+    touches only buckets with >= 2 members. Oversized buckets (the
+    degenerate all-identical-corpus case) fall back to STAR pairing: every
+    member pairs against the bucket representative (min doc_id) — linear in
+    bucket size, and the most-duplicated content still surfaces as pairs
+    instead of silently vanishing (ADVICE r1).
 
     The threshold is applied HERE, before the pair-dedup groupby: the
     estimate is a pure function of the pair, so filtering commutes with the
@@ -223,11 +231,27 @@ def _shard_pairs(group: pa.Table, threshold: float = 0.0) -> pa.Table:
         ends = np.concatenate((boundary, [n]))
         for s, e in zip(starts, ends):
             m = e - s
-            if m < 2 or m > 1000:
+            if m < 2:
                 continue
             members = order[s:e]
-            # vectorized pairwise signature agreement for the whole bucket
             S = sigs[members]  # (m, N_HASHES)
+            if m > _BUCKET_PAIR_CAP:
+                # Star pairs vs representative: members are already sorted by
+                # doc_id within the bucket (lexsort tiebreak), so members[0]
+                # is the min-doc_id representative.
+                rep = members[0]
+                est = (sigs[rep][None, :] == S[1:]).mean(axis=1)
+                keep = np.flatnonzero(est >= threshold)
+                rep_id = ids[rep]
+                out["doc_a"].extend(
+                    min(rep_id, ids[members[1 + j]]) for j in keep
+                )
+                out["doc_b"].extend(
+                    max(rep_id, ids[members[1 + j]]) for j in keep
+                )
+                out["est_jaccard"].extend(est[keep].tolist())
+                continue
+            # vectorized pairwise signature agreement for the whole bucket
             agree = (S[:, None, :] == S[None, :, :]).mean(axis=2)
             ii, jj = np.triu_indices(m, k=1)
             est = agree[ii, jj]
@@ -402,18 +426,34 @@ def embedding_dup_pairs(
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = group.column("vec_id").to_pylist()
         out = {"vec_a": [], "vec_b": [], "cosine": []}
-        if 2 <= len(ids) <= 5000:
+        if len(ids) >= 2:
             U = np.array(group.column("unit").to_pylist(), dtype=np.float64)
-            S = U @ U.T
-            ii, jj = np.triu_indices(len(ids), k=1)
-            keep = S[ii, jj] >= threshold
-            for i, j, s in zip(ii[keep], jj[keep], S[ii, jj][keep]):
-                a, b = ids[i], ids[j]
-                if a > b:
-                    a, b = b, a
-                out["vec_a"].append(a)
-                out["vec_b"].append(b)
-                out["cosine"].append(float(s))
+            if len(ids) > 5000:
+                # Oversized bucket: star pairs vs the min-id representative
+                # (linear, never all-pairs) so heavily-duplicated vectors
+                # still surface instead of being silently dropped.
+                rep = int(np.argmin(ids))
+                s_rep = U @ U[rep]
+                for j in np.flatnonzero(s_rep >= threshold):
+                    if j == rep:
+                        continue
+                    a, b = ids[rep], ids[j]
+                    if a > b:
+                        a, b = b, a
+                    out["vec_a"].append(a)
+                    out["vec_b"].append(b)
+                    out["cosine"].append(float(s_rep[j]))
+            else:
+                S = U @ U.T
+                ii, jj = np.triu_indices(len(ids), k=1)
+                keep = S[ii, jj] >= threshold
+                for i, j, s in zip(ii[keep], jj[keep], S[ii, jj][keep]):
+                    a, b = ids[i], ids[j]
+                    if a > b:
+                        a, b = b, a
+                    out["vec_a"].append(a)
+                    out["vec_b"].append(b)
+                    out["cosine"].append(float(s))
         return pa.Table.from_pydict(
             out,
             schema=pa.schema(

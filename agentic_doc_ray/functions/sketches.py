@@ -34,16 +34,27 @@ def _hash64(values: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact bit_length of a uint64 array via shift/mask (float64 log2
+    rounds up for values just below a power of two — ADVICE r1)."""
+    bl = np.zeros(len(x), dtype=np.int64)
+    v = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >> np.uint64(shift)
+        has = m > 0
+        bl[has] += shift
+        v = np.where(has, m, v)
+    bl[x > 0] += 1
+    return bl
+
+
 def _registers(values: np.ndarray) -> np.ndarray:
     """(M,) uint8 register array for a batch of int64 values."""
     h = _hash64(values)
     idx = (h >> np.uint64(64 - P)).astype(np.int64)
     rest = (h << np.uint64(P)) | np.uint64((1 << P) - 1)  # pad low bits
-    # rank = leading zeros of `rest` + 1, computed via bit_length
-    # bit_length of uint64 via log2 on nonzero values
-    bl = np.zeros(len(rest), dtype=np.int64)
-    nz = rest > 0
-    bl[nz] = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64) + 1
+    # rank = leading zeros of `rest` + 1, via exact bit_length
+    bl = _bit_length_u64(rest)
     rank = (64 - bl + 1).astype(np.uint8)
     regs = np.zeros(M, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
@@ -71,19 +82,24 @@ def hll_distinct(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        groups = batch.column(group_col).to_pylist()
+        # Vectorized grouping: dictionary-encode the key, argsort-split the
+        # value array at group boundaries (no per-row Python dict).
+        enc = batch.column(group_col).combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices)
+        uniq = enc.dictionary.to_pylist()
         vals = batch.column(value_col).combine_chunks().to_numpy(
             zero_copy_only=False
-        )
+        ).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        sv = vals[order]
+        boundaries = np.flatnonzero(np.diff(sc)) + 1
+        starts = np.concatenate(([0], boundaries)) if len(sc) else np.array([], int)
+        ends = np.concatenate((boundaries, [len(sc)])) if len(sc) else np.array([], int)
         out_g, out_r = [], []
-        import collections
-
-        by_g = collections.defaultdict(list)
-        for g, v in zip(groups, vals):
-            by_g[g].append(v)
-        for g, vs in sorted(by_g.items()):
-            out_g.append(g)
-            out_r.append(_registers(np.asarray(vs, dtype=np.int64)).tobytes())
+        for s, e in zip(starts, ends):
+            out_g.append(uniq[sc[s]])
+            out_r.append(_registers(sv[s:e]).tobytes())
         return pa.Table.from_pydict(
             {"g": out_g, "regs": out_r},
             schema=pa.schema([("g", pa.string()), ("regs", pa.binary())]),

@@ -41,13 +41,25 @@ def is_valid_httpurl(url: str) -> bool:
 
 
 def sniff_bytes(data: bytes) -> str:
-    """'pdf' | 'text' | 'image' by magic number / utf-8 probe."""
+    """'pdf' | 'text' | 'image' by magic number / utf-8 probe.
+
+    A truncated probe can cut a multi-byte UTF-8 sequence at the boundary;
+    a decode failure in the probe's final 3 bytes of a longer file is the
+    straddle case, not invalid text (ADVICE r1) — retry without the tail.
+    """
     if data[:5] == _PDF_MAGIC:
         return "pdf"
+    probe = data[:4096]
     try:
-        data[:4096].decode("utf-8")
+        probe.decode("utf-8")
         return "text"
-    except UnicodeDecodeError:
+    except UnicodeDecodeError as e:
+        if len(data) > len(probe) and e.start >= len(probe) - 3:
+            try:
+                probe[: e.start].decode("utf-8")
+                return "text"
+            except UnicodeDecodeError:
+                pass
         return "image"
 
 

@@ -49,10 +49,12 @@ def explode_spans(
     is_img = pc.equal(kind, "image").cast(pa.int32()).to_numpy(zero_copy_only=False)
     n_docs = len(spans)
     if len(is_img) and n_docs:
+        # Exact segment sums via prefix-sum differences: correct even when
+        # zero-span docs sit anywhere in the batch (reduceat with clipped
+        # starts truncated the last non-empty doc's segment in that case).
         starts = np.concatenate(([0], np.cumsum(lens_np[:-1])))
-        # reduceat cannot take start == len; clip and mask empty segments
-        safe = np.minimum(starts, len(is_img) - 1)
-        seg_img = np.add.reduceat(is_img, safe)
+        cs = np.concatenate(([0], np.cumsum(is_img)))
+        seg_img = cs[starts + lens_np] - cs[starts]
         all_img = (seg_img == lens_np) & (lens_np > 0)
     else:
         all_img = np.zeros(n_docs, dtype=bool)

@@ -112,3 +112,23 @@ def test_embedding_dup_pairs_vs_bruteforce():
     # no false positives; recall high (banded LSH)
     assert got_pairs <= want
     assert len(got_pairs) >= int(0.8 * len(want))
+
+
+def test_oversized_bucket_star_pairs():
+    # Regression (ADVICE r1): >_BUCKET_PAIR_CAP identical docs in one LSH
+    # bucket must still produce pairs (star vs representative), not silence.
+    cap = D._BUCKET_PAIR_CAP
+    n = cap + 50
+    text = "identical content repeated across the whole corpus many times " * 5
+    t = pa.Table.from_pydict(
+        {"doc_id": [f"d{i:05d}" for i in range(n)], "text": [text] * n}
+    )
+    pairs = D.minhash_dedup_pairs(
+        ray.data.from_arrow(t), threshold=0.8
+    ).take_all()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    # star shape: every doc pairs with the min-id representative
+    rep = "d00000"
+    assert len(found) == n - 1
+    assert all(a == rep for a, _ in found)
+    assert all(p["est_jaccard"] == 1.0 for p in pairs)

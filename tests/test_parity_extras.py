@@ -72,6 +72,19 @@ class TestSniff:
     def test_image(self):
         assert sniff_bytes(b"\x89PNG\r\n\x1a\n\xff\xfe") == "image"
 
+    def test_multibyte_char_straddles_probe_boundary(self):
+        # Regression (ADVICE r1): a valid UTF-8 file whose multi-byte char
+        # crosses the 4096-byte probe edge must not be misread as 'image'.
+        for pad in (4095, 4094):  # 2-byte char split at either byte
+            data = b"a" * pad + "é".encode() + b" more valid text"
+            assert sniff_bytes(data) == "text"
+        data = b"a" * 4094 + "€".encode() + b" tail"  # 3-byte char
+        assert sniff_bytes(data) == "text"
+
+    def test_invalid_bytes_at_probe_tail_without_truncation(self):
+        # genuinely invalid trailing bytes in a short file stay 'image'
+        assert sniff_bytes(b"a" * 100 + b"\xff\xfe") == "image"
+
     def test_url_validation(self):
         assert is_valid_httpurl("https://example.com/x.pdf")
         assert is_valid_httpurl("http://a/b")

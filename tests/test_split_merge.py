@@ -48,6 +48,45 @@ def test_image_doc_type():
     assert pages.column("doc_type").to_pylist() == ["image"]
 
 
+def test_image_doc_followed_by_empty_doc():
+    # Regression (ADVICE r1): reduceat with clipped starts truncated the last
+    # non-empty doc's segment when a zero-span doc ended the batch, flipping
+    # an all-image doc to doc_type='pdf'.
+    corpus = pa.Table.from_pydict(
+        {
+            "doc_id": ["img", "empty"],
+            "spans": [
+                [
+                    {"kind": "image", "text": "Figure: a", "media_ref": "m", "offset": 0},
+                    {"kind": "image", "text": "Figure: b", "media_ref": "m", "offset": 1},
+                ],
+                [],
+            ],
+        },
+        schema=CORPUS_SCHEMA,
+    )
+    pages = explode_spans(corpus)
+    by_doc = dict(zip(pages.column("doc_id").to_pylist(), pages.column("doc_type").to_pylist()))
+    assert by_doc["img"] == "image"
+
+
+def test_empty_doc_between_pdf_docs():
+    corpus = pa.Table.from_pydict(
+        {
+            "doc_id": ["a", "e", "b"],
+            "spans": [
+                [{"kind": "pdf_page", "text": "x", "media_ref": "", "offset": 0}],
+                [],
+                [{"kind": "image", "text": "Figure: y", "media_ref": "m", "offset": 0}],
+            ],
+        },
+        schema=CORPUS_SCHEMA,
+    )
+    pages = explode_spans(corpus)
+    by_doc = dict(zip(pages.column("doc_id").to_pylist(), pages.column("doc_type").to_pylist()))
+    assert by_doc == {"a": "pdf", "e": "pdf", "b": "image"}
+
+
 def test_mixed_doc_is_pdf_type():
     spans = [
         {"kind": "text", "text": "words", "media_ref": "", "offset": 0},
