@@ -54,7 +54,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 3  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 4  # bump when any oracle-producing logic changes
 
 
 def _oracle_dir(sf_dir: str) -> str:
@@ -124,6 +124,22 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     actor = FieldExtractActor(EXTRACTION_SCHEMA)
     ex = actor(parsed.select(["doc_id", "spans", "end_page_idx"]))
     _pq.write_table(ex, os.path.join(out_dir, "extraction.parquet"))
+
+    # Pydantic extraction_model oracle: same typed actor, single-process
+    from agentic_doc_ray.functions.extract_fields import ModelFieldExtractActor
+    from agentic_doc_ray.models import DocExtraction
+
+    m_actor = ModelFieldExtractActor(DocExtraction)
+    m_ex = m_actor(parsed.select(["doc_id", "spans", "end_page_idx"]))
+    _pq.write_table(m_ex, os.path.join(out_dir, "extraction_model.parquet"))
+
+    # chunk_reference lookup oracle: same warm actor, single-process
+    from agentic_doc_ray.functions.extract_fields import ChunkLookupActor
+
+    cl = ChunkLookupActor(EXTRACTION_SCHEMA)(
+        parsed.select(["doc_id", "spans", "end_page_idx"])
+    )
+    _pq.write_table(cl, os.path.join(out_dir, "chunk_lookup.parquet"))
 
     # single-process oracles for the deterministic per-doc functions: the
     # same pure batch fns applied WITHOUT Ray — the side-by-side compare
@@ -442,6 +458,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         parsed = extract_corpus(_corpus_ds(sf_dir))
         return extract_fields(parsed, EXTRACTION_SCHEMA)
 
+    def q_extract_fields_model(sf_dir):
+        """Pydantic extraction_model path: recursive typed extraction with
+        a recursively-rewritten MetadataType metadata model (the reference's
+        create_metadata_model surface, common.py:72-126)."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.extract_fields import extract_fields_model
+        from agentic_doc_ray.models import DocExtraction
+
+        parsed = extract_corpus(_corpus_ds(sf_dir))
+        return extract_fields_model(parsed, DocExtraction)
+
+    def q_chunk_lookup(sf_dir):
+        """get_chunk_from_reference as a distributed operator: resolve every
+        extraction_metadata chunk_reference back to its span text (the FK
+        consumer, ref utils.py:127-128). References and spans ride the same
+        row, so the lookup is per-doc local — no shuffle."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.extract_fields import chunk_reference_lookup
+
+        parsed = extract_corpus(_corpus_ds(sf_dir))
+        return chunk_reference_lookup(parsed, EXTRACTION_SCHEMA)
+
     return {
         # extraction (python-oracle via read_parquet SQL)
         "extract_flat_spans": q_extract_flat,
@@ -449,6 +487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_counts": q_kind_counts,
         "grounding_manifest": q_grounding,
         "extract_fields": q_extract_fields,
+        "extract_fields_model": q_extract_fields_model,
+        "chunk_reference_lookup": q_chunk_lookup,
         # text analysis (SQL oracles on views)
         "doc_token_counts": lambda sf: T.token_counts(docs(sf)),
         "doc_bpe_token_counts": lambda sf: T.bpe_token_counts(docs(sf)),
@@ -515,6 +555,14 @@ def oracle_sql() -> dict[str, str]:
         "extract_fields": (
             "SELECT doc_id, extraction, extraction_metadata, extraction_error "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/extraction.parquet')"
+        ),
+        "extract_fields_model": (
+            "SELECT doc_id, extraction, extraction_metadata, extraction_error "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/extraction_model.parquet')"
+        ),
+        "chunk_reference_lookup": (
+            "SELECT doc_id, field, chunk_id, chunk_text "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/chunk_lookup.parquet')"
         ),
         "doc_token_counts": (
             "SELECT doc_id, CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0 "
