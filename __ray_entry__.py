@@ -384,23 +384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return T.lang_id(docs(sf_dir))
 
     def q_dedup_keep(sf_dir):
-        """Deduplicated corpus via broadcast semi-join: the keeper-id set
-        (one per distinct content hash) is ray.put once and each batch
-        filters against it — no second shuffle of the documents."""
-        import ray as _ray
-
-        d = docs(sf_dir)
-        keepers = {
-            r["keeper_id"] for r in D.exact_dedup(d).take_all()
-        }
-        ref = _ray.put(keepers)
-
-        def keep(batch: pa.Table) -> pa.Table:
-            ks = _ray.get(ref)
-            mask = pa.array([x in ks for x in batch.column("doc_id").to_pylist()])
-            return batch.filter(mask).select(["doc_id"])
-
-        return d.map_batches(keep, batch_format="pyarrow")
+        """Deduplicated corpus via a distributed bucketed semi-join — no
+        driver-side collection of per-doc state (see D.dedup_keep)."""
+        return D.dedup_keep(docs(sf_dir))
 
     def q_quality_filter(sf_dir):
         return T.quality_filter(docs(sf_dir), 20, 100).select_columns(["doc_id"])

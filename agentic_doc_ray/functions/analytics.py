@@ -97,9 +97,12 @@ def orders_by_segment(sf_dir: str) -> "ray.data.Dataset":
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def join_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         lookup = ray.get(cust_ref)
-        keys = batch.column("o_custkey").to_pylist()
-        seg = pa.array([lookup.get(k, "UNKNOWN") for k in keys])
+        # vectorized probe: pandas map runs the dict lookup in C
+        keys = batch.column("o_custkey").to_pandas()
+        seg = pa.array(keys.map(lookup).fillna("UNKNOWN"))
         cents = pc.round(
             pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))
         ).cast(pa.int64())
@@ -246,12 +249,19 @@ def events_sliding(sf_dir: str) -> "ray.data.Dataset":
 
 def purchase_prior_view(sf_dir: str) -> "ray.data.Dataset":
     """As-of join: for each purchase, the user's most recent STRICTLY prior
-    view event. Sorted per-user groups + pandas merge_asof inside
-    map_groups — the documented pattern for as-of/range joins (both sides
-    live in the same partition after one shuffle on the user key).
-    Purchases with no prior view are dropped (inner as-of semantics,
-    matching DuckDB's ASOF JOIN oracle)."""
+    view event. Shuffles on a COARSE bucket (user_id % 64, like sessionize)
+    and runs ONE vectorized ``merge_asof(by="user_id")`` per bucket — never
+    a per-user Python call, and the shuffle key cardinality is 64 regardless
+    of user count. Purchases with no prior view are dropped (inner as-of
+    semantics, matching DuckDB's ASOF JOIN oracle)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return batch.append_column("bucket", b)
 
     def asof(group):
         import pandas as pd
@@ -264,8 +274,9 @@ def purchase_prior_view(sf_dir: str) -> "ray.data.Dataset":
             ).astype({"event_id": "int64", "user_id": "int64"})
         m = pd.merge_asof(
             p[["event_id", "user_id", "ts"]],
-            v[["ts"]].assign(prior_view_ts=v["ts"]),
+            v[["user_id", "ts"]].assign(prior_view_ts=v["ts"]),
             on="ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=False,
         )
@@ -275,8 +286,10 @@ def purchase_prior_view(sf_dir: str) -> "ray.data.Dataset":
 
     from agentic_doc_ray.context import shuffle_partitions as _cap
 
-    return ds.groupby("user_id", num_partitions=_cap(16)).map_groups(
-        asof, batch_format="pandas"
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=_cap(16))
+        .map_groups(asof, batch_format="pandas")
     )
 
 

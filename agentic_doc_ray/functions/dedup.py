@@ -73,6 +73,45 @@ def exact_dedup(
     ).map_groups(_exact_merge_bucket, batch_format="pyarrow")
 
 
+def dedup_keep(
+    docs: "ray.data.Dataset", shuffle_partitions: int = 8
+) -> "ray.data.Dataset":
+    """Deduplicated corpus (the min-doc_id row per distinct text), fully
+    distributed: one bucketed exchange of small (bucket, h, doc_id) keys and
+    a vectorized per-bucket semi-join — NOTHING is collected on the driver
+    and document payloads never shuffle (contrast: a driver-side keeper-id
+    set is billions of entries at 100 TB)."""
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        h = pa.array(_md5_hex(batch.column("text").to_pylist()))
+        bucket = pa.array(
+            [int(x[:4], 16) % _N_DEDUP_BUCKETS for x in h.to_pylist()],
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [bucket, h, batch.column("doc_id")], names=["bucket", "h", "doc_id"]
+        )
+
+    def keep_group(group: pa.Table) -> pa.Table:
+        mins = (
+            group.select(["h", "doc_id"])
+            .group_by("h")
+            .aggregate([("doc_id", "min")])
+            .rename_columns(["h", "keeper"])
+        )
+        df = group.select(["h", "doc_id"]).to_pandas().merge(
+            mins.to_pandas(), on="h"
+        )
+        kept = df.loc[df["doc_id"] == df["keeper"], ["doc_id"]]
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    keyed = docs.map_batches(key_rows, batch_format="pyarrow")
+    return keyed.groupby(
+        "bucket", num_partitions=_cap(shuffle_partitions)
+    ).map_groups(keep_group, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

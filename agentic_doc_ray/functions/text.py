@@ -141,20 +141,98 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+_M61 = np.uint64(_FP_MOD)
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x (uint64, any value) mod 2^61-1 — Mersenne fold, no division."""
+    x = (x & _M61) + (x >> np.uint64(61))
+    return np.where(x >= _M61, x - _M61, x)
+
+
+def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*b) mod 2^61-1 for a,b < 2^61, without 128-bit ints.
+
+    Split both into 31/30-bit halves; 2^62 ≡ 2 and 2^61 ≡ 1 (mod M) fold
+    the partial products back into uint64 range."""
+    lo31 = np.uint64((1 << 31) - 1)
+    a1, a0 = a >> np.uint64(31), a & lo31  # a1 < 2^30, a0 < 2^31
+    b1, b0 = b >> np.uint64(31), b & lo31
+    hi = _mod61((a1 * b1) << np.uint64(1))  # a1*b1*2^62 ≡ a1*b1*2
+    mid = _mod61(_mod61(a1 * b0) + _mod61(a0 * b1))  # coefficient of 2^31
+    m1, m0 = mid >> np.uint64(30), mid & np.uint64((1 << 30) - 1)
+    midshift = _mod61(m1 + (m0 << np.uint64(31)))  # mid*2^31: m1*2^61 ≡ m1
+    lo = _mod61(a0 * b0)
+    return _mod61(hi + midshift + lo)
+
+
+_FP_POWERS = np.array([], dtype=np.uint64)  # B^i mod M, grown on demand
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    global _FP_POWERS
+    if len(_FP_POWERS) < n:
+        size = max(n, 4096)
+        p, acc = [], 1
+        for _ in range(size):
+            p.append(acc)
+            acc = (acc * _FP_BASE) % _FP_MOD
+        _FP_POWERS = np.array(p, dtype=np.uint64)
+    return _FP_POWERS
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Deterministic document fingerprint: polynomial rolling hash over
-    crc32(token) values, mod 2^61-1. Stable across runs/platforms."""
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
-    texts = batch.column("text").to_pylist()
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        h = 0
-        for tok in (t or "").split():
-            h = (h * BASE + zlib.crc32(tok.encode())) % MOD
-        out[i] = h
+    crc32(token) values, mod 2^61-1 (h = Σ crc32(tok_j)·B^(n-1-j) mod M;
+    tokens = ASCII-\\s+ split of the trimmed text). Stable across
+    runs/platforms.
+
+    Fully vectorized: tokens flatten across the batch, crc32 is computed
+    once per DISTINCT token (dictionary encode), coefficients multiply
+    against precomputed base powers with a 61-bit Mersenne mulmod, and the
+    per-document sums come from 32-bit-split prefix-sum differences."""
+    n_rows = batch.num_rows
+    out = np.zeros(n_rows, dtype=np.uint64)
+    trimmed = _regex_trim(batch.column("text"))
+    nonempty_mask = pc.not_equal(trimmed, "")
+    rows = np.flatnonzero(
+        nonempty_mask.combine_chunks().to_numpy(zero_copy_only=False)
+    )
+    if len(rows):
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty_mask), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        # crc32 once per distinct token, broadcast back via dictionary codes
+        enc = flat.dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        crc = np.fromiter(
+            (zlib.crc32(t.encode()) for t in vocab),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        codes = np.asarray(enc.indices.cast(pa.int64()))
+        coeffs = crc[codes]
+        # exponent of token j in doc d = (end_d - 1 - j)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        parents = np.repeat(np.arange(len(lens)), lens)
+        exps = ends[parents] - 1 - np.arange(len(flat))
+        contrib = _mulmod61(coeffs, _fp_powers(int(lens.max()))[exps])
+        # segmented modular sum: split 61-bit terms into 32-bit halves so
+        # prefix sums never overflow uint64, then recombine mod M
+        hi, lo = contrib >> np.uint64(32), contrib & np.uint64((1 << 32) - 1)
+        cs_hi = np.concatenate(([0], np.cumsum(hi)))
+        cs_lo = np.concatenate(([0], np.cumsum(lo)))
+        seg_hi = _mod61((cs_hi[ends] - cs_hi[starts]).astype(np.uint64))
+        seg_lo = _mod61((cs_lo[ends] - cs_lo[starts]).astype(np.uint64))
+        two32 = np.full(len(rows), 1 << 32, dtype=np.uint64)
+        out[rows] = _mod61(_mulmod61(seg_hi, two32) + seg_lo)
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(out, pa.int64())],
+        [batch.column("doc_id"), pa.array(out.astype(np.int64), pa.int64())],
         names=["doc_id", "fingerprint"],
     )
 

@@ -105,3 +105,23 @@ def test_top_bigrams_match_sql(docs_ds):
         """
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_fingerprint_vectorized_matches_scalar_horner():
+    # The vectorized Σ crc32(tok)·B^e mod M must equal the sequential
+    # Horner fold it replaced, including empty/whitespace-only docs.
+    import zlib
+
+    def scalar_fp(t):
+        MOD = (1 << 61) - 1
+        h = 0
+        for tok in (t or "").split():
+            h = (h * 1_000_003 + zlib.crc32(tok.encode())) % MOD
+        return h
+
+    texts = ["a b c", "", "   ", "single", "tok " * 300, "\t\n a  b \n", "a"]
+    t = pa.Table.from_pydict({"doc_id": list(range(len(texts))), "text": texts})
+    from agentic_doc_ray.functions.text import fingerprint_batch
+
+    got = fingerprint_batch(t).column("fingerprint").to_pylist()
+    assert got == [scalar_fp(x) for x in texts]
