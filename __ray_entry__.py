@@ -54,7 +54,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 4  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 5  # bump when any oracle-producing logic changes
 
 
 def _oracle_dir(sf_dir: str) -> str:

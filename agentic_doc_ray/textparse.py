@@ -43,13 +43,21 @@ _EDGE_WS_RE = re.compile(rf"^{_WS}+|{_WS}+$", re.A)
 _LINE_TABLE_RE = re.compile(r"[ \t]*\|", re.A)
 
 # --- HTML boilerplate stripping (DOM heuristics) ---------------------------
-_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
-_CHROME_RE = re.compile(r"<(nav|footer|header|aside)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+# Sequential per-tag subtree strips (one regex pass per tag, in this order)
+# instead of a single alternation with a backreference: RE2 has no
+# backreferences, and the vectorized Arrow implementation
+# (stages/html_strip.py) must be bit-identical to this spec. All patterns
+# are ASCII (re.A) for the same reason.
+_SUBTREE_TAGS = ("script", "style", "nav", "footer", "header", "aside")
+_SUBTREE_RES = [
+    re.compile(rf"<{t}\b[^>]*>.*?</{t}{_WS}*>", re.S | re.I | re.A)
+    for t in _SUBTREE_TAGS
+]
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _BLOCK_SPLIT_RE = re.compile(
-    r"</?(?:p|div|h[1-6]|ul|ol|li|table|tr|section|article|br)\b[^>]*>", re.I
+    r"</?(?:p|div|h[1-6]|ul|ol|li|table|tr|section|article|br)\b[^>]*>", re.I | re.A
 )
-_ANCHOR_TEXT_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.S | re.I)
+_ANCHOR_RE = re.compile(rf"<a\b[^>]*>.*?</a{_WS}*>", re.S | re.I | re.A)
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
 
@@ -71,23 +79,28 @@ def strip_html(html: str) -> str:
     """
     if not html:
         return ""
-    s = _SCRIPT_STYLE_RE.sub(" ", html)
-    s = _CHROME_RE.sub(" ", s)
+    s = html
+    for pat in _SUBTREE_RES:
+        s = pat.sub(" ", s)
     s = _COMMENT_RE.sub(" ", s)
     kept: list[str] = []
     for raw in _BLOCK_SPLIT_RE.split(s):
-        if not raw or raw.isspace():
+        if not raw:
             continue
-        anchor_chars = sum(
-            len(_TAG_RE.sub("", m)) for m in _ANCHOR_TEXT_RE.findall(raw)
-        )
-        visible = _TAG_RE.sub("", raw)
-        visible = _WS_RE.sub(" ", visible).strip()
+        # anchor visible chars = visible(raw) - visible(raw minus anchors):
+        # removing an anchor removes exactly its tag-stripped inner text
+        # from the tag-stripped whole (exact, and RE2-expressible — unlike
+        # findall with a capture group).
+        visible_all = _TAG_RE.sub("", raw)
+        visible_no_anchor = _TAG_RE.sub("", _ANCHOR_RE.sub("", raw))
+        anchor_chars = len(visible_all) - len(visible_no_anchor)
+        visible = _EDGE_WS_RE.sub("", _WS_RE.sub(" ", visible_all))
         if not visible:
             continue
         if len(visible) < MIN_BLOCK_CHARS:
             continue
-        if anchor_chars / max(1, len(visible)) > LINK_DENSITY_MAX:
+        # link density > 0.5, in exact integers (len(visible) >= 1 here)
+        if 2 * anchor_chars > len(visible):
             continue
         kept.append(visible)
     return "\n\n".join(kept)
