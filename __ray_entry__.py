@@ -466,6 +466,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         parsed = extract_corpus(_corpus_ds(sf_dir))
         return chunk_reference_lookup(parsed, EXTRACTION_SCHEMA)
 
+    def q_save_reload(sf_dir):
+        """Save/reload roundtrip (ref parse.py:201-221,453-466): per-doc
+        JSON sink, then re-read + re-validate through ParsedDocument and
+        recompute doc stats from the RELOADED rows — matching the doc_stats
+        oracle proves the roundtrip is lossless."""
+        import shutil as _sh
+        import tempfile as _tf
+
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.state.results import load_results_json, save_results_json
+
+        parsed = extract_corpus(_corpus_ds(sf_dir))
+        out_dir = _tf.mkdtemp(prefix="agentic_results_")
+        try:
+            save_results_json(parsed, out_dir).materialize()
+            reloaded = load_results_json(out_dir)
+
+            def stats(batch: pa.Table) -> pa.Table:
+                return pa.Table.from_pydict(
+                    {
+                        "doc_id": batch["doc_id"],
+                        "n_spans": pc.list_value_length(batch["spans"]).cast(pa.int64()),
+                        "n_errors": pc.list_value_length(batch["errors"]).cast(pa.int64()),
+                        "markdown_chars": pc.utf8_length(batch["markdown"]).cast(pa.int64()),
+                        "start_page_idx": batch["start_page_idx"],
+                        "end_page_idx": batch["end_page_idx"],
+                        "doc_type": batch["doc_type"],
+                    }
+                )
+
+            # materialize before the tmp dir disappears
+            return reloaded.map_batches(stats, batch_format="pyarrow").to_pandas()
+        finally:
+            _sh.rmtree(out_dir, ignore_errors=True)
+
     return {
         # extraction (python-oracle via read_parquet SQL)
         "extract_flat_spans": q_extract_flat,
@@ -475,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fields": q_extract_fields,
         "extract_fields_model": q_extract_fields_model,
         "chunk_reference_lookup": q_chunk_lookup,
+        "save_reload_stats": q_save_reload,
         # text analysis (SQL oracles on views)
         "doc_token_counts": lambda sf: T.token_counts(docs(sf)),
         "doc_bpe_token_counts": lambda sf: T.bpe_token_counts(docs(sf)),
@@ -549,6 +585,12 @@ def oracle_sql() -> dict[str, str]:
         "chunk_reference_lookup": (
             "SELECT doc_id, field, chunk_id, chunk_text "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/chunk_lookup.parquet')"
+        ),
+        # the roundtrip query recomputes doc stats from RELOADED JSON; it
+        # must equal the doc_stats oracle exactly (lossless save/reload)
+        "save_reload_stats": (
+            "SELECT doc_id, n_spans, n_errors, markdown_chars, start_page_idx, "
+            f"end_page_idx, doc_type FROM {stats}"
         ),
         "doc_token_counts": (
             "SELECT doc_id, CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0 "

@@ -40,6 +40,11 @@ class ChunkType(str, Enum):
     figure = "figure"
     text = "text"
     marginalia = "marginalia"
+    # engine extensions beyond the reference enum (common.py:22-26): the
+    # local layout classifier also emits titles, and failed pages surface
+    # as error chunks instead of raising (never-throw contract)
+    title = "title"
+    error = "error"
 
 
 class ChunkGroundingBox(BaseModel):

@@ -107,6 +107,59 @@ def _to_corpus_rows(batch: pa.Table) -> pa.Table:
 
 
 def read_binary_corpus(paths: str | list[str]) -> "ray.data.Dataset":
-    """Directory/file paths -> corpus table (doc_id=path, spans)."""
+    """Directory/file paths -> corpus table (doc_id=path, spans).
+
+    Accepts any fsspec-style scheme Ray's ``read_binary_files`` supports —
+    plain paths, ``local://``, ``s3://`` (the S3 connector surface, ref
+    connectors.py:355-451; exercised in tests against a local stand-in
+    since this sandbox has no network)."""
     ds = ray.data.read_binary_files(paths, include_paths=True)
     return ds.map_batches(_to_corpus_rows, batch_format="pyarrow")
+
+
+def default_fetcher(url: str) -> bytes:
+    """Stream-download a URL (the reference's httpx download,
+    utils.py:433-453 / connectors.py:469-497). This sandbox has no network;
+    tests inject a mock fetcher through the same seam."""
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=30) as resp:  # pragma: no cover
+        return resp.read()
+
+
+def read_url_corpus(
+    urls: list[str], fetcher=None
+) -> "ray.data.Dataset":
+    """URL list -> corpus table (the URLConnector surface,
+    ref connectors.py:454-517).
+
+    Semantics of ref parse.py:182-190: an invalid URL or failed download is
+    DROPPED with a log — it never fails the job. Downloads run inside
+    map_batches tasks, so a large URL list fans out across the cluster and
+    streams straight into the corpus schema (no temp-file staging)."""
+    import logging
+
+    fetcher = fetcher or default_fetcher
+    log = logging.getLogger(__name__)
+    ds = ray.data.from_items([{"url": u} for u in urls])
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        paths: list[str] = []
+        blobs: list[bytes] = []
+        for u in batch.column("url").to_pylist():
+            if not is_valid_httpurl(u):
+                log.error("Invalid URL, skipping: %s", u)
+                continue
+            try:
+                blobs.append(fetcher(u))
+                paths.append(u)
+            except Exception as exc:
+                log.error("Failed to download file %s: %s", u, exc)
+        return _to_corpus_rows(
+            pa.Table.from_pydict(
+                {"path": paths, "bytes": blobs},
+                schema=pa.schema([("path", pa.string()), ("bytes", pa.binary())]),
+            )
+        )
+
+    return ds.map_batches(fetch, batch_format="pyarrow")

@@ -81,3 +81,47 @@ def test_resume_skips_done_partitions_no_rewrite(corpus_dir, tmp_path):
     mtime = os.path.getmtime(marker)
     run_resumable(corpus_dir, out, CFG, n_partitions=3)
     assert os.path.getmtime(marker) == mtime  # untouched on resume
+
+
+def test_save_reload_roundtrip(tmp_path):
+    """Per-doc JSON save -> reload re-validates and attaches result_path
+    (ref parse.py:201-221,453-466 semantics)."""
+    import ray.data
+
+    from agentic_doc_ray.pipelines import extract_corpus
+    from agentic_doc_ray.state.results import load_results_json, save_results_json
+    from agentic_doc_ray.synth import corpus_path_for
+
+    parsed = extract_corpus(
+        ray.data.read_parquet(corpus_path_for("/root/testdata/sf0.001"))
+    ).limit(40)
+    orig = {r["doc_id"]: r for r in parsed.take_all()}
+
+    out_dir = str(tmp_path / "results")
+    manifest = save_results_json(
+        ray.data.from_items(list(orig.values())), out_dir, timestamp="20260101_000000"
+    ).take_all()
+    assert len(manifest) == len(orig)
+    assert all(m["result_path"].endswith("_20260101_000000.json") for m in manifest)
+
+    back = {r["doc_id"]: r for r in load_results_json(out_dir).take_all()}
+    assert set(back) == set(orig)
+    for doc_id, row in orig.items():
+        got = back[doc_id]
+        assert got["result_path"].endswith(".json")
+        assert got["markdown"] == row["markdown"]
+        assert got["doc_type"] == row["doc_type"]
+        assert got["start_page_idx"] == row["start_page_idx"]
+        assert got["end_page_idx"] == row["end_page_idx"]
+        assert got["errors"] == row["errors"]
+        assert len(got["spans"]) == len(row["spans"])
+        for gs, os_ in zip(got["spans"], row["spans"]):
+            assert gs["kind"] == os_["kind"]
+            assert gs["text"] == os_["text"]
+            assert gs["media_ref"] == os_["media_ref"]
+            assert gs["offset"] == os_["offset"]
+            assert gs["chunk_id"] == os_["chunk_id"]
+            assert gs["page"] == os_["page"]
+            assert [round(x, 5) for x in gs["bbox"]] == [
+                round(x, 5) for x in os_["bbox"]
+            ]
