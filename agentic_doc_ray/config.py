@@ -61,3 +61,35 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+# Reference Settings env-var names (config.py:85-148) -> EngineConfig fields.
+_ENV_MAP = {
+    "SPLIT_SIZE": ("split_size", int),
+    "MAX_RETRIES": ("max_retries", int),
+    "BATCH_SIZE": ("parse_batch_size", int),
+    "INCLUDE_MARGINALIA": ("include_marginalia", lambda v: v.lower() in ("1", "true", "yes")),
+    "INCLUDE_METADATA_IN_MARKDOWN": (
+        "include_metadata_in_markdown",
+        lambda v: v.lower() in ("1", "true", "yes"),
+    ),
+    # MAX_WORKERS caps the parse actor pool (reference: per-doc thread pool)
+    "MAX_WORKERS": ("parse_concurrency", lambda v: (1, max(1, int(v)))),
+}
+
+
+def settings_from_env(environ: dict | None = None) -> EngineConfig:
+    """Build an EngineConfig from reference-named env vars (Settings
+    parity, ref config.py:85-148 — BATCH_SIZE, SPLIT_SIZE, MAX_RETRIES,
+    MAX_WORKERS...). Explicit-config remains the primary surface (env
+    snapshots at import time were the reference's known wart); this adapter
+    exists so reference users' environment keeps working. Unknown vars are
+    ignored; values go through EngineConfig's validation."""
+    import os
+
+    env = os.environ if environ is None else environ
+    kwargs = {}
+    for var, (field, conv) in _ENV_MAP.items():
+        if var in env and env[var] != "":
+            kwargs[field] = conv(env[var])
+    return EngineConfig(**kwargs)

@@ -10,6 +10,8 @@ Not on the hot path (debug only).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pyarrow as pa
 
 import ray.data
@@ -37,12 +39,42 @@ VIZ_SCHEMA = pa.schema(
         ("color_b", pa.int32()),
         ("color_g", pa.int32()),
         ("color_r", pa.int32()),
+        ("thickness", pa.int32()),
+        ("font_scale", pa.float64()),
     ]
 )
 
 
+@dataclass(frozen=True)
+class VisualizationConfig:
+    """Customizable draw styling (reference config.py:182-221 parity:
+    thickness / text bg / padding / font / per-ChunkType color map). The
+    ``font`` int mirrors the reference's cv2 font code — carried through
+    the draw-command table for whatever renderer replays it."""
+
+    thickness: int = 1
+    text_bg_color: tuple[int, int, int] = (211, 211, 211)
+    text_bg_opacity: float = 0.7
+    padding: int = 1
+    font_scale: float = 0.5
+    font: int = 0  # cv2.FONT_HERSHEY_SIMPLEX
+    color_map: dict[str, tuple[int, int, int]] | None = None  # overrides COLOR_MAP
+
+    def __post_init__(self) -> None:
+        if self.thickness < 0 or self.padding < 0 or self.font_scale < 0:
+            raise ValueError("thickness/padding/font_scale must be >= 0")
+        if not (0.0 <= self.text_bg_opacity <= 1.0):
+            raise ValueError("text_bg_opacity must be in [0, 1]")
+
+
+DEFAULT_VIZ_CONFIG = VisualizationConfig()
+
+
 def viz_commands(
-    parsed: "ray.data.Dataset", page_width: int = 816, page_height: int = 1056
+    parsed: "ray.data.Dataset",
+    page_width: int = 816,
+    page_height: int = 1056,
+    viz_config: VisualizationConfig = DEFAULT_VIZ_CONFIG,
 ) -> "ray.data.Dataset":
     """Parsed docs -> draw-command rows (one per chunk grounding).
 
@@ -52,10 +84,12 @@ def viz_commands(
     """
     from agentic_doc_ray.functions.grounding import grounding_manifest_batch
 
+    cmap = {**COLOR_MAP, **(viz_config.color_map or {})}
+
     def to_commands(batch: pa.Table) -> pa.Table:
         m = grounding_manifest_batch(batch, "", page_width, page_height)
         kinds = m.column("kind").to_pylist()
-        colors = [COLOR_MAP.get(k, (255, 0, 0)) for k in kinds]
+        colors = [cmap.get(k, (255, 0, 0)) for k in kinds]
         idx_by_doc: dict[str, int] = {}
         labels = []
         for d, k in zip(m.column("doc_id").to_pylist(), kinds):
@@ -74,6 +108,8 @@ def viz_commands(
                 pa.array([c[0] for c in colors], pa.int32()),
                 pa.array([c[1] for c in colors], pa.int32()),
                 pa.array([c[2] for c in colors], pa.int32()),
+                pa.array([viz_config.thickness] * m.num_rows, pa.int32()),
+                pa.array([viz_config.font_scale] * m.num_rows, pa.float64()),
             ],
             schema=VIZ_SCHEMA,
         )

@@ -262,3 +262,45 @@ def test_read_binary_corpus_scheme_stand_in(tmp_path):
         (r["doc_id"].rsplit("/", 1)[-1], r["spans"][0]["kind"]) for r in rows
     )
     assert kinds == [("x.txt", "text"), ("y.pdf", "pdf_page")]
+
+
+def test_settings_from_env():
+    from agentic_doc_ray.config import settings_from_env
+
+    cfg = settings_from_env(
+        {
+            "SPLIT_SIZE": "5",
+            "MAX_RETRIES": "2",
+            "BATCH_SIZE": "64",
+            "MAX_WORKERS": "8",
+            "INCLUDE_MARGINALIA": "false",
+            "UNRELATED": "x",
+        }
+    )
+    assert cfg.split_size == 5
+    assert cfg.max_retries == 2
+    assert cfg.parse_batch_size == 64
+    assert cfg.parse_concurrency == (1, 8)
+    assert not cfg.include_marginalia
+    # defaults untouched
+    assert cfg.include_metadata_in_markdown
+    # validation still applies (split_size bound, ref config.py:123-128)
+    with pytest.raises(ValueError):
+        settings_from_env({"SPLIT_SIZE": "500"})
+
+
+def test_visualization_config_custom(sf_smoke_corpus):
+    from agentic_doc_ray.functions.viz import VisualizationConfig, viz_commands
+
+    parsed = extract_corpus(ray.data.from_arrow(sf_smoke_corpus.slice(0, 5)), CFG)
+    vc = VisualizationConfig(
+        thickness=3, font_scale=1.25, color_map={"text": (1, 2, 3)}
+    )
+    rows = viz_commands(parsed, viz_config=vc).take_all()
+    assert rows
+    for r in rows:
+        assert r["thickness"] == 3 and r["font_scale"] == 1.25
+        if r["label"].split(" ", 1)[1] == "text":
+            assert (r["color_b"], r["color_g"], r["color_r"]) == (1, 2, 3)
+    with pytest.raises(ValueError):
+        VisualizationConfig(text_bg_opacity=1.5)
