@@ -160,6 +160,36 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         LangIdActor()(docs_tbl), os.path.join(out_dir, "lang_id.parquet")
     )
 
+    # exact all-pairs Jaccard oracle for the verified near-dup queries
+    from agentic_doc_ray.functions.dedup import bruteforce_jaccard_pairs
+
+    d_ids = [str(x) for x in docs_tbl.column("doc_id").to_pylist()]
+    d_txt = docs_tbl.column("text").to_pylist()
+    _pq.write_table(
+        bruteforce_jaccard_pairs(d_ids, d_txt, threshold=0.5),
+        os.path.join(out_dir, "jaccard_pairs.parquet"),
+    )
+
+    # single-process IVF replica (validates the distributed execution; the
+    # approximation itself is pinned by tests/test_similarity.py)
+    from agentic_doc_ray.functions.similarity import ivf_topk_oracle
+
+    emb_tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qt = emb_tbl.filter(pc.less(emb_tbl["vec_id"], 5))
+    import numpy as _np
+
+    _pq.write_table(
+        ivf_topk_oracle(
+            emb_tbl,
+            _np.array(qt["embedding"].to_pylist(), dtype=_np.float64),
+            [int(x) for x in qt["vec_id"].to_pylist()],
+            k=10,
+        ),
+        os.path.join(out_dir, "ivf_topk.parquet"),
+    )
+
     from agentic_doc_ray.functions.multimodal import MediaFeatureActor, synth_media_table
 
     media = synth_media_table(os.path.join(sf_dir, "documents.parquet"), limit=96)
@@ -323,8 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = D.embedding_dup_pairs(planted, dim=dim, threshold=0.99)
         return pairs.select_columns(["vec_a", "vec_b"])
 
-    def q_minhash(sf_dir):
-        d = docs(sf_dir).map_batches(
+    def _docs_str(sf_dir):
+        return docs(sf_dir).map_batches(
             lambda b: b.set_column(
                 b.schema.get_field_index("doc_id"),
                 "doc_id",
@@ -332,9 +362,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             batch_format="pyarrow",
         )
-        return D.minhash_dedup_pairs(d, threshold=0.9).select_columns(
-            ["doc_a", "doc_b"]
-        )
+
+    def q_minhash(sf_dir):
+        """MinHash-LSH candidates verified by exact n-gram Jaccard — the
+        output is exact (brute-force all-pairs oracle), the LSH stage only
+        bounds the candidate set."""
+        _ensure_extraction_oracles(sf_dir)
+        return D.verified_dedup_pairs(
+            _docs_str(sf_dir), exact_threshold=0.8
+        ).select(["doc_a", "doc_b"])
 
     def q_exact_dedup(sf_dir):
         return D.exact_dedup(docs(sf_dir))
@@ -395,28 +431,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return T.top_tokens(docs(sf_dir), k=100)
 
     def q_ngram_jaccard(sf_dir):
-        """Exact n-gram Jaccard verification of the MinHash-LSH candidates
-        (candidate shingle sets broadcast, not shuffled)."""
-        d = docs(sf_dir).map_batches(
-            lambda b: b.set_column(
-                b.schema.get_field_index("doc_id"),
-                "doc_id",
-                b["doc_id"].cast(pa.string()),
-            ),
-            batch_format="pyarrow",
-        )
-        cands = D.minhash_dedup_pairs(d, threshold=0.8).take_all()
-        pairs = [(r["doc_a"], r["doc_b"]) for r in cands]
-        rows = D.jaccard_verify(d, pairs)
-        import pandas as pd
-
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        """Exact n-gram Jaccard pairs at a looser threshold (0.7), with the
+        jaccard values themselves — integer-ratio division is deterministic
+        on both sides, so values hash-match the brute-force oracle."""
+        _ensure_extraction_oracles(sf_dir)
+        return D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.7)
 
     def q_similarity_ivf(sf_dir):
         import numpy as np
 
         from agentic_doc_ray.functions.similarity import ivf_topk
 
+        _ensure_extraction_oracles(sf_dir)
         t = pq.read_table(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
@@ -522,9 +548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "exact_dedup": q_exact_dedup,
         "dedup_keep": q_dedup_keep,
-        "minhash_dedup_pairs": q_minhash,          # rows-only
-        "ngram_jaccard_pairs": q_ngram_jaccard,    # rows-only
-        "similarity_topk_ivf": q_similarity_ivf,   # rows-only (approximate)
+        "minhash_dedup_pairs": q_minhash,          # exact (verified pipeline)
+        "ngram_jaccard_pairs": q_ngram_jaccard,    # exact (verified pipeline)
+        "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
@@ -739,8 +765,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, media_type, feat_sum_milli "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/media_features.parquet')"
         ),
-        # minhash_dedup_pairs / ngram_jaccard_pairs / similarity_topk_ivf /
-        # hll_distinct_users: intentionally omitted (approximate or
-        # candidate-set-dependent; driver records rows-only; semantics
-        # pinned in tests/).
+        # verified near-dup pipelines: LSH bounds the candidate set, exact
+        # n-gram Jaccard decides — so brute-force all-pairs IS the oracle
+        "minhash_dedup_pairs": (
+            "SELECT doc_a, doc_b "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') "
+            "WHERE jaccard >= 0.8"
+        ),
+        "ngram_jaccard_pairs": (
+            "SELECT doc_a, doc_b, jaccard "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') "
+            "WHERE jaccard >= 0.7"
+        ),
+        "similarity_topk_ivf": (
+            "SELECT query_id, rank, vec_id "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/ivf_topk.parquet')"
+        ),
+        # hll_distinct_users: intentionally omitted (approximate sketch;
+        # estimator semantics pinned in tests/; the exact path
+        # distinct_users is fully oracle-checked).
     }

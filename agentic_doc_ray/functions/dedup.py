@@ -19,6 +19,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -343,8 +344,13 @@ def jaccard_verify(
     sets once (ray.put) instead of shuffling the corpus.
     """
     needed = {d for p in pairs for d in p}
+    needed_arr = pa.array(sorted(needed), pa.string())
+
+    def keep_needed(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("doc_id"), value_set=needed_arr))
+
     shingle_rows = (
-        docs.filter(lambda r: r["doc_id"] in needed)  # tiny control filter
+        docs.map_batches(keep_needed, batch_format="pyarrow")
         .map_batches(
             lambda b: pa.Table.from_pydict(
                 {
@@ -367,6 +373,67 @@ def jaccard_verify(
         union = len(sa | sb) or 1
         out.append({"doc_a": a, "doc_b": b, "jaccard": inter / union})
     return out
+
+
+PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.string()), ("doc_b", pa.string()), ("jaccard", pa.float64())]
+)
+
+
+def verified_dedup_pairs(
+    docs: "ray.data.Dataset",
+    exact_threshold: float = 0.8,
+    lsh_threshold: float = 0.5,
+) -> pa.Table:
+    """The standard near-dup pipeline: LSH candidates -> exact n-gram
+    Jaccard verification -> threshold. Output is EXACT (a brute-force
+    all-pairs oracle reproduces it), because the loose LSH stage recalls
+    every pair whose exact Jaccard clears the (much higher) final
+    threshold; only the candidate set is approximate, and only pairs far
+    below threshold are ever missed.
+
+    Driver-facing shape: the verified pair set is tiny (LSH-bounded), so
+    the final verify runs against broadcast shingle sets."""
+    cands = minhash_dedup_pairs(docs, threshold=lsh_threshold).take_all()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in cands]
+    rows = [
+        r for r in jaccard_verify(docs, pairs) if r["jaccard"] >= exact_threshold
+    ]
+    return pa.Table.from_pylist(
+        [
+            {"doc_a": r["doc_a"], "doc_b": r["doc_b"], "jaccard": r["jaccard"]}
+            for r in rows
+        ],
+        schema=PAIR_SCHEMA,
+    )
+
+
+def bruteforce_jaccard_pairs(
+    doc_ids: list[str], texts: list[str], threshold: float = 0.5
+) -> pa.Table:
+    """Single-process exact all-pairs char-shingle Jaccard >= threshold
+    (oracle for verified_dedup_pairs; O(n^2) with a set-size ratio
+    prefilter — |A∩B|/|A∪B| >= t requires |A|/|B| in [t, 1/t])."""
+    sets = [set(char_shingles(t).tolist()) for t in texts]
+    sizes = np.array([len(s) for s in sets], dtype=np.int64)
+    order = np.argsort(sizes, kind="stable")
+    out = []
+    for oi in range(len(order)):
+        i = order[oi]
+        for oj in range(oi + 1, len(order)):
+            j = order[oj]
+            # sizes ascending: once |A|/|B| < t no later j can match
+            if sizes[i] < threshold * sizes[j]:
+                break
+            inter = len(sets[i] & sets[j])
+            union = sizes[i] + sizes[j] - inter
+            jac = inter / (union or 1)
+            if jac >= threshold:
+                a, b = doc_ids[i], doc_ids[j]
+                if a > b:
+                    a, b = b, a
+                out.append({"doc_a": a, "doc_b": b, "jaccard": jac})
+    return pa.Table.from_pylist(out, schema=PAIR_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,64 @@ def brute_force_topk(
     )
 
 
+def _sample_centroids(
+    X_unit: np.ndarray, n_centroids: int, seed: int
+) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return X_unit[
+        rng.choice(len(X_unit), size=min(n_centroids, len(X_unit)), replace=False)
+    ]
+
+
+TOPK_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("rank", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("cosine", pa.float64()),
+    ]
+)
+
+
+def ivf_topk_oracle(
+    embeddings: pa.Table,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 5,
+) -> pa.Table:
+    """Single-process replica of ``ivf_topk`` (no Ray): same centroid
+    sample (first rows in table order, seeded choice), same assignment,
+    probe mask and tie-break — the materialized oracle that validates the
+    distributed execution. Per-batch partial top-k then merge equals
+    global top-k over the probed subset, so one global pass suffices."""
+    sample_n = max(n_centroids * 20, 256)
+    X = _unit(_as_matrix(embeddings.column("embedding").slice(0, sample_n)))
+    centroids = _sample_centroids(X, n_centroids, seed)
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :n_probe]
+
+    vecs = _unit(_as_matrix(embeddings.column("embedding")))
+    ids = np.asarray(embeddings.column("vec_id").to_pylist(), dtype=np.int64)
+    assign = np.argmax(vecs @ centroids.T, axis=1)
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    for qi in range(q_unit.shape[0]):
+        mask = np.isin(assign, probe[qi])
+        if not mask.any():
+            continue
+        s = vecs[mask] @ q_unit[qi]
+        sub_ids = ids[mask]
+        order = np.lexsort((sub_ids, -s))[: min(k, len(sub_ids))]
+        for rank, oi in enumerate(order, start=1):
+            rows["query_id"].append(query_ids[qi])
+            rows["rank"].append(rank)
+            rows["vec_id"].append(int(sub_ids[oi]))
+            rows["cosine"].append(float(s[oi]))
+    return pa.Table.from_pydict(rows, schema=TOPK_SCHEMA)
+
+
 def ivf_topk(
     embeddings: "ray.data.Dataset",
     queries: np.ndarray,
@@ -109,8 +167,7 @@ def ivf_topk(
     """
     sample = embeddings.limit(max(n_centroids * 20, 256)).take_all()
     X = _unit(np.array([r["embedding"] for r in sample], dtype=np.float64))
-    rng = np.random.RandomState(seed)
-    centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    centroids = _sample_centroids(X, n_centroids, seed)
     q_unit = _unit(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :n_probe]  # (q, P)
     ref = ray.put((q_unit, centroids, probe))
