@@ -34,6 +34,12 @@ class EngineConfig:
     # "reference": the per-page spec implementation (textparse) — identical
     # output, enforced by parity tests.
     parse_impl: str = "vectorized"
+    # Fuse explode->strip->parse into ONE actor stage (corpus rows in,
+    # chunks out): removes the 16x page-row intermediate through the object
+    # store and two operator boundaries — the measured IPC bottleneck at
+    # high CPU counts. False = the unfused 3-operator pipeline (parity
+    # reference, pinned equal by tests).
+    fuse_stages: bool = True
 
     # --- Ray execution knobs ----------------------------------------------
     # Autoscaling actor pool (min, max): a FIXED pool that reserves every CPU

@@ -45,6 +45,24 @@ def extract_corpus(
         from agentic_doc_ray.schema import PARSED_DOC_SCHEMA
 
         return ray.data.from_arrow(PARSED_DOC_SCHEMA.empty_table())
+    if config.fuse_stages:
+        from agentic_doc_ray.stages.fused import fused_parse_batch
+
+        # Corpus rows carry whole documents, so the fused stage merges each
+        # doc locally and NO reassembly exchange runs at all (fused.py).
+        # Task-based (not an actor pool): parser state is cheap and cached
+        # per worker process, and the default worker pool persists across
+        # executions — an actor pool cold-starts on every run. A stage with
+        # genuinely expensive state (a real layout model) would switch back
+        # to an actor pool (fuse_stages=False path keeps that shape).
+        return corpus.map_batches(
+            fused_parse_batch,
+            fn_kwargs={"config": config},
+            batch_format="pyarrow",
+            batch_size=config.explode_batch_size,
+            zero_copy_batch=True,
+            max_retries=config.max_retries,
+        )
     pages = corpus.map_batches(
         explode_spans,
         fn_kwargs={"config": config},

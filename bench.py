@@ -104,11 +104,12 @@ def main() -> None:
     # batch size ~ n_docs/(cpus*5): big corpora get big batches (fewer
     # tasks -> less per-task IPC, the sandbox's bottleneck), small corpora
     # still fan out across every core
-    bs = max(128, min(2048, n_docs // (NUM_CPUS * 5)))
+    bs = max(128, min(4000, n_docs // (NUM_CPUS * 5)))
     cfg = EngineConfig(
         parse_concurrency=(1, max(2, NUM_CPUS - 4)),
         parse_batch_size=bs,
         explode_batch_size=bs,
+        reassemble_num_partitions=max(8, NUM_CPUS // 2),
     )
     extract_corpus(ray.data.read_parquet(corpus_path).limit(200), cfg).count()
 

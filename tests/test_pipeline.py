@@ -140,3 +140,23 @@ def test_output_schema(sf_smoke_corpus):
     assert batches
     for b in batches:
         assert b.schema.equals(PARSED_DOC_SCHEMA), b.schema
+
+
+def test_fused_equals_unfused(sf_smoke_corpus):
+    import ray.data
+
+    from agentic_doc_ray.config import EngineConfig
+    from agentic_doc_ray.pipelines import extract_corpus
+
+    small = sf_smoke_corpus.slice(0, 60)
+    fused = EngineConfig(fuse_stages=True, parse_concurrency=(1, 2))
+    unfused = EngineConfig(fuse_stages=False, parse_concurrency=(1, 2))
+    a = sorted(
+        extract_corpus(ray.data.from_arrow(small), fused).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        extract_corpus(ray.data.from_arrow(small), unfused).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert a == b
