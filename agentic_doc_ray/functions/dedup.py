@@ -169,17 +169,44 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return (vals.min(axis=1) >> np.uint64(1)).astype(np.int64)
 
 
-class MinHashActor:
-    """doc -> 64-wide MinHash signature (warm hash params per actor).
+_SIG_CHUNK_DOCS = 32  # docs per signature block (intermediate ~50 MB)
 
-    Deliberately per-document: each doc's (64 x n_shingles) hash matrix is
-    already a vectorized numpy op; batching all docs into one broadcast was
-    measured SLOWER (a 640 MB intermediate turns it bandwidth-bound).
-    """
+
+def _chunk_signatures(texts: list[str]) -> np.ndarray:
+    """(n_docs, N_HASHES) signatures, vectorized over CHUNKS of docs.
+
+    Whole-batch batching was measured slower (a 640 MB (64 x shingles)
+    intermediate turns it bandwidth-bound); per-doc looping pays numpy
+    dispatch per doc. The middle ground: concatenate ~32 docs' shingles,
+    one (64 x chunk_shingles) multiply, then per-doc minima via
+    min.reduceat on segment boundaries."""
+    n = len(texts)
+    out = np.zeros((n, N_HASHES), dtype=np.int64)
+    A = _A.astype(np.uint64)
+    B = _B.astype(np.uint64)
+    for s in range(0, n, _SIG_CHUNK_DOCS):
+        chunk = texts[s : s + _SIG_CHUNK_DOCS]
+        shingle_sets = [char_shingles(t) for t in chunk]
+        lens = np.array([len(x) for x in shingle_sets], dtype=np.int64)
+        nonempty = lens > 0
+        if not nonempty.any():
+            continue
+        x = np.concatenate([shingle_sets[i] for i in np.flatnonzero(nonempty)])
+        vals = A[:, None] * x[None, :] + B[:, None]  # (64, chunk_shingles)
+        starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        mins = np.minimum.reduceat(vals, starts, axis=1)  # (64, n_nonempty)
+        sigs = (mins >> np.uint64(1)).astype(np.int64).T
+        out[s + np.flatnonzero(nonempty)] = sigs
+    return out
+
+
+class MinHashActor:
+    """doc -> 64-wide MinHash signature (hash params are module-level;
+    chunked vectorized signatures — see _chunk_signatures)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = np.stack([minhash_signature(char_shingles(t)) for t in texts])
+        sigs = _chunk_signatures(texts)
         return pa.Table.from_arrays(
             [
                 batch.column("doc_id"),
@@ -316,7 +343,9 @@ def minhash_dedup_pairs(
     shingle -> minhash -> band -> shard-groupby -> pairwise within bucket
     -> dedupe pairs (a pair can collide in many bands) -> threshold filter.
     """
-    sigs = docs.map_batches(MinHashActor, batch_format="pyarrow", concurrency=(1, 8))
+    # task-based: MinHashActor holds no warm state worth an actor pool
+    # (pool cold-start lands in every dataset execution)
+    sigs = docs.map_batches(MinHashActor(), batch_format="pyarrow")
     bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
     from agentic_doc_ray.context import shuffle_partitions as _cap
 

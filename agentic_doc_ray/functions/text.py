@@ -250,8 +250,20 @@ def text_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(text_stats_batch, batch_format="pyarrow")
 
 
+# Per-worker cache: LangIdActor state is 5 compiled patterns — too cheap
+# for an actor pool (pool cold-start lands in every dataset execution; the
+# default worker pool persists across runs).
+_LANG_ID_CACHE: list = []
+
+
+def _lang_id_batch(batch: pa.Table) -> pa.Table:
+    if not _LANG_ID_CACHE:
+        _LANG_ID_CACHE.append(LangIdActor())
+    return _LANG_ID_CACHE[0](batch)
+
+
 def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    return docs.map_batches(LangIdActor, batch_format="pyarrow", concurrency=(1, 4))
+    return docs.map_batches(_lang_id_batch, batch_format="pyarrow")
 
 
 def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
