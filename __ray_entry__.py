@@ -190,6 +190,14 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         os.path.join(out_dir, "ivf_topk.parquet"),
     )
 
+    # sequence-packing oracle: single-process replica
+    from agentic_doc_ray.functions.sampling import pack_sequences_oracle
+
+    _pq.write_table(
+        pack_sequences_oracle(d_ids, d_txt, token_budget=1024),
+        os.path.join(out_dir, "pack_sequences.parquet"),
+    )
+
     from agentic_doc_ray.functions.multimodal import MediaFeatureActor, synth_media_table
 
     media = synth_media_table(os.path.join(sf_dir, "documents.parquet"), limit=96)
@@ -427,6 +435,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_quality_filter(sf_dir):
         return T.quality_filter(docs(sf_dir), 20, 100).select_columns(["doc_id"])
 
+    def q_train_val_split(sf_dir):
+        from agentic_doc_ray.functions.sampling import train_val_split
+
+        return train_val_split(_docs_str(sf_dir), val_pct=10)
+
+    def q_stratified_sample(sf_dir):
+        from agentic_doc_ray.functions.sampling import stratified_sample
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        ).map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("doc_id"),
+                "doc_id",
+                b["doc_id"].cast(pa.string()),
+            ),
+            batch_format="pyarrow",
+        )
+        return stratified_sample(d, by="lang", pct=20)
+
+    def q_pack_sequences(sf_dir):
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.sampling import pack_sequences
+
+        return pack_sequences(docs(sf_dir), token_budget=1024)
+
     def q_top_tokens(sf_dir):
         return T.top_tokens(docs(sf_dir), k=100)
 
@@ -543,6 +577,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_stats": lambda sf: T.text_stats(docs(sf)),
         "lang_doc_stats": q_lang_stats,
         "quality_filter": q_quality_filter,
+        "train_val_split": q_train_val_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "top_tokens": q_top_tokens,
         "top_bigrams": lambda sf: T.top_bigrams(docs(sf), k=100),
         # dedup
@@ -656,6 +693,21 @@ def oracle_sql() -> dict[str, str]:
             " ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+')) END) >= 20 "
             "AND len(regexp_extract_all(text, '[.!?,;:]')) * 1000 "
             "// greatest(length(text), 1) <= 100"
+        ),
+        # stable md5-percentile split/sample: int(md5(id)[:4],16) % 100 on
+        # both sides — content-keyed, resumable, block-layout-independent
+        "train_val_split": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 100 < 10 "
+            "THEN 'val' ELSE 'train' END AS split FROM documents"
+        ),
+        "stratified_sample": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents "
+            "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 100 < 20"
+        ),
+        "pack_sequences": (
+            "SELECT pack_id, doc_id, position, n_tokens "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/pack_sequences.parquet')"
         ),
         "top_tokens": (
             "SELECT token, count(*) AS n FROM ("

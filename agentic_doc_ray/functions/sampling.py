@@ -1,0 +1,187 @@
+"""Dataset splitting / sampling / sequence packing for training pipelines.
+
+All three are deterministic functions of the data (never of block layout or
+a RNG stream), so distributed output is reproducible and oracle-checkable:
+
+  - ``train_val_split`` / ``stratified_sample`` key on
+    ``int(md5(doc_id)[:4], 16) % 100`` — a content-stable percentile that
+    DuckDB reproduces exactly (the classic "salt and hash, don't sample
+    randomly" pattern: resumable, and a rerun sees the same split);
+  - ``pack_sequences`` greedy-packs documents into fixed token budgets
+    WITHIN doc_id-hash buckets (sorted by doc_id inside each bucket), so
+    the packing is independent of batch/block boundaries — the at-scale
+    shape (global greedy packing is inherently serial; per-bucket packing
+    is the standard practice and shuffles one small row per doc).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from agentic_doc_ray.functions.text import _token_count
+
+
+def _pct(doc_ids: list[str]) -> np.ndarray:
+    """Stable percentile 0..99 per doc_id (md5-based; SQL-reproducible)."""
+    return np.array(
+        [int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 100 for d in doc_ids],
+        dtype=np.int64,
+    )
+
+
+def train_val_split(
+    docs: "ray.data.Dataset", val_pct: int = 10
+) -> "ray.data.Dataset":
+    """Tag each doc 'train' / 'val' by its stable hash percentile."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pct = _pct(batch.column("doc_id").to_pylist())
+        split = np.where(pct < val_pct, "val", "train")
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(split, pa.string())],
+            names=["doc_id", "split"],
+        )
+
+    return docs.map_batches(tag, batch_format="pyarrow")
+
+
+def stratified_sample(
+    docs: "ray.data.Dataset", by: str, pct: int = 20
+) -> "ray.data.Dataset":
+    """Keep ~pct% of each stratum (deterministic hash sample; exact at the
+    row level so distributed output == the SQL predicate)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        p = _pct(batch.column("doc_id").to_pylist())
+        return batch.filter(pa.array(p < pct)).select(["doc_id", by])
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+_N_PACK_BUCKETS = 64
+
+
+def pack_sequences(
+    docs: "ray.data.Dataset", token_budget: int = 1024
+) -> "ray.data.Dataset":
+    """Greedy-pack documents into sequences of <= token_budget tokens.
+
+    Output: one row per doc — (pack_id, doc_id, position, n_tokens).
+    Docs longer than the budget get their own pack (never split).
+    Packing runs per crc32(doc_id)%64 bucket over doc_id-sorted members,
+    so the result is independent of block layout; only (bucket, doc_id,
+    n_tokens) rows move through the exchange, never text.
+    """
+    from agentic_doc_ray.context import shuffle_partitions
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = [str(x) for x in batch.column("doc_id").to_pylist()]
+        bucket = pa.array(
+            [zlib.crc32(d.encode()) % _N_PACK_BUCKETS for d in ids], pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.string()),
+                _token_count(batch.column("text")),
+                bucket,
+            ],
+            names=["doc_id", "n_tokens", "bucket"],
+        )
+
+    def pack_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("doc_id"))
+        ids = pc.take(group.column("doc_id"), order).to_pylist()
+        toks = pc.take(group.column("n_tokens"), order).to_numpy(
+            zero_copy_only=False
+        )
+        bucket = int(group.column("bucket")[0].as_py())
+        pack_ids, positions = [], []
+        seq = 0
+        used = 0
+        pos = 0
+        for t in toks:
+            # sequential by nature: one compare + add per doc
+            if pos > 0 and used + t > token_budget:
+                seq += 1
+                used = 0
+                pos = 0
+            pack_ids.append(f"{bucket}-{seq}")
+            positions.append(pos)
+            used += int(t)
+            pos += 1
+        return pa.Table.from_pydict(
+            {
+                "pack_id": pack_ids,
+                "doc_id": ids,
+                "position": np.array(positions, dtype=np.int64),
+                "n_tokens": toks.astype(np.int64),
+            },
+            schema=pa.schema(
+                [
+                    ("pack_id", pa.string()),
+                    ("doc_id", pa.string()),
+                    ("position", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                ]
+            ),
+        )
+
+    np_ = shuffle_partitions(8)
+    return (
+        docs.map_batches(keyed, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(pack_bucket, batch_format="pyarrow")
+    )
+
+
+def pack_sequences_oracle(
+    doc_ids: list[str], texts: list[str], token_budget: int = 1024
+) -> pa.Table:
+    """Single-process replica of pack_sequences (materialized oracle)."""
+    t = pa.Table.from_pydict(
+        {"doc_id": [str(d) for d in doc_ids], "text": texts}
+    )
+    ids = t.column("doc_id").to_pylist()
+    toks = _token_count(t.column("text")).to_numpy(zero_copy_only=False)
+    by_bucket: dict[int, list[tuple[str, int]]] = {}
+    for d, n in zip(ids, toks):
+        by_bucket.setdefault(zlib.crc32(d.encode()) % _N_PACK_BUCKETS, []).append(
+            (d, int(n))
+        )
+    rows = []
+    for bucket in sorted(by_bucket):
+        members = sorted(by_bucket[bucket])
+        seq = used = pos = 0
+        for d, n in members:
+            if pos > 0 and used + n > token_budget:
+                seq += 1
+                used = 0
+                pos = 0
+            rows.append(
+                {
+                    "pack_id": f"{bucket}-{seq}",
+                    "doc_id": d,
+                    "position": pos,
+                    "n_tokens": n,
+                }
+            )
+            used += n
+            pos += 1
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("pack_id", pa.string()),
+                ("doc_id", pa.string()),
+                ("position", pa.int64()),
+                ("n_tokens", pa.int64()),
+            ]
+        ),
+    )

@@ -1,0 +1,58 @@
+"""Split / sample / sequence packing: determinism + budget invariants."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from agentic_doc_ray.functions import sampling as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def test_split_deterministic_and_proportional():
+    a = {r["doc_id"]: r["split"] for r in S.train_val_split(_docs(), 10).take_all()}
+    b = {r["doc_id"]: r["split"] for r in S.train_val_split(_docs(), 10).take_all()}
+    assert a == b  # stable across runs
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.03 < frac < 0.2  # ~10% at n=500
+
+
+def test_pack_sequences_budget_invariants():
+    budget = 512
+    rows = S.pack_sequences(_docs(), token_budget=budget).take_all()
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    # every doc packed exactly once
+    assert sum(len(v) for v in by_pack.values()) == _docs().count()
+    for pack_id, members in by_pack.items():
+        members.sort(key=lambda r: r["position"])
+        # positions dense from 0
+        assert [m["position"] for m in members] == list(range(len(members)))
+        total = sum(m["n_tokens"] for m in members)
+        # budget respected unless a single oversized doc owns the pack
+        assert total <= budget or len(members) == 1
+    # greedy: a pack under budget is followed by a doc that would overflow
+    # (checked implicitly by the oracle equality in the driver gate)
+
+
+def test_pack_sequences_independent_of_block_layout():
+    rows1 = sorted(
+        map(tuple, (
+            (r["pack_id"], r["doc_id"], r["position"])
+            for r in S.pack_sequences(_docs(), 1024).take_all()
+        ))
+    )
+    rows2 = sorted(
+        map(tuple, (
+            (r["pack_id"], r["doc_id"], r["position"])
+            for r in S.pack_sequences(_docs().repartition(7), 1024).take_all()
+        ))
+    )
+    assert rows1 == rows2
