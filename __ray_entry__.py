@@ -577,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_stats": lambda sf: T.text_stats(docs(sf)),
         "lang_doc_stats": q_lang_stats,
         "quality_filter": q_quality_filter,
+        "repetition_stats": lambda sf: T.repetition_stats(docs(sf)),
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -693,6 +694,21 @@ def oracle_sql() -> dict[str, str]:
             " ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+')) END) >= 20 "
             "AND len(regexp_extract_all(text, '[.!?,;:]')) * 1000 "
             "// greatest(length(text), 1) <= 100"
+        ),
+        "repetition_stats": (
+            "WITH lines AS ("
+            "  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents"
+            "), counted AS ("
+            "  SELECT doc_id, line, count(*) AS c FROM lines "
+            "  WHERE line <> '' GROUP BY doc_id, line"
+            ") "
+            "SELECT d.doc_id, "
+            "COALESCE(sum(c.c), 0) AS n_lines, "
+            "COALESCE(sum(CASE WHEN c.c > 1 THEN c.c ELSE 0 END), 0) AS n_dup_lines, "
+            "COALESCE(sum(CASE WHEN c.c > 1 THEN c.c ELSE 0 END), 0) * 1000 "
+            "// greatest(COALESCE(sum(c.c), 0), 1) AS dup_line_per_mille "
+            "FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id "
+            "GROUP BY d.doc_id"
         ),
         # stable md5-percentile split/sample: int(md5(id)[:4],16) % 100 on
         # both sides — content-keyed, resumable, block-layout-independent

@@ -237,6 +237,50 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition metrics per doc (integer, oracle-exact):
+    n_lines (non-empty), n_dup_lines (lines whose text occurs more than
+    once IN the doc, counted with multiplicity), dup_line_per_mille.
+
+    Vectorized: one split across the batch, duplicate detection via Arrow
+    group_by on (doc_index, line) — no per-row Python."""
+    lines = pc.split_pattern(batch.column("text"), "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    parents = pc.list_parent_indices(lines)
+    nonempty = pc.not_equal(flat, "")
+    t = pa.Table.from_arrays(
+        [parents.filter(nonempty), flat.filter(nonempty)], names=["d", "line"]
+    )
+    per_line = t.group_by(["d", "line"]).aggregate([("line", "count")])
+    n = batch.num_rows
+    n_lines = np.zeros(n, dtype=np.int64)
+    n_dup = np.zeros(n, dtype=np.int64)
+    d = per_line.column("d").to_numpy(zero_copy_only=False)
+    cnt = per_line.column("line_count").to_numpy(zero_copy_only=False)
+    np.add.at(n_lines, d, cnt)
+    dup_mask = cnt > 1
+    np.add.at(n_dup, d[dup_mask], cnt[dup_mask])
+    denom = np.maximum(n_lines, 1)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": n_lines,
+            "n_dup_lines": n_dup,
+            "dup_line_per_mille": n_dup * 1000 // denom,
+        },
+        schema=pa.schema(
+            [
+                ("doc_id", batch.schema.field("doc_id").type),
+                ("n_lines", pa.int64()),
+                ("n_dup_lines", pa.int64()),
+                ("dup_line_per_mille", pa.int64()),
+            ]
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dataset-level wrappers
 # ---------------------------------------------------------------------------
@@ -272,6 +316,10 @@ def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def bpe_token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
+def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(repetition_stats_batch, batch_format="pyarrow")
 
 
 def quality_filter(

@@ -125,3 +125,26 @@ def test_fingerprint_vectorized_matches_scalar_horner():
 
     got = fingerprint_batch(t).column("fingerprint").to_pylist()
     assert got == [scalar_fp(x) for x in texts]
+
+
+def test_repetition_stats_planted_duplicates():
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.text import repetition_stats_batch
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a\nb\nc",             # no dups
+                "x\nx\nx\ny",          # 3 dup lines of 4
+                "",                      # empty -> zeros
+                "p\n\n\np\nq",         # empty lines ignored; p duplicated
+            ],
+        }
+    )
+    out = {r["doc_id"]: r for r in repetition_stats_batch(t).to_pylist()}
+    assert out[1] == {"doc_id": 1, "n_lines": 3, "n_dup_lines": 0, "dup_line_per_mille": 0}
+    assert out[2] == {"doc_id": 2, "n_lines": 4, "n_dup_lines": 3, "dup_line_per_mille": 750}
+    assert out[3] == {"doc_id": 3, "n_lines": 0, "n_dup_lines": 0, "dup_line_per_mille": 0}
+    assert out[4] == {"doc_id": 4, "n_lines": 3, "n_dup_lines": 2, "dup_line_per_mille": 666}
