@@ -172,10 +172,14 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
 
     # single-process IVF replica (validates the distributed execution; the
     # approximation itself is pinned by tests/test_similarity.py)
-    from agentic_doc_ray.functions.similarity import ivf_topk_oracle
+    from agentic_doc_ray.functions.similarity import ivf_topk_oracle, kmeans_oracle
 
     emb_tbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    _pq.write_table(
+        kmeans_oracle(emb_tbl, k=8, n_iter=5),
+        os.path.join(out_dir, "kmeans.parquet"),
     )
     qt = emb_tbl.filter(pc.less(emb_tbl["vec_id"], 5))
     import numpy as _np
@@ -491,6 +495,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res.select(["query_id", "rank", "vec_id"])
 
+    def q_kmeans(sf_dir):
+        """Distributed Lloyd's k-means with exact-integer partial sums
+        (order-independent updates -> bit-equal to the single-process
+        replica oracle)."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.similarity import kmeans
+
+        return kmeans(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            k=8,
+            n_iter=5,
+        )
+
     def q_grounding(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         from agentic_doc_ray.functions.grounding import grounding_manifest
@@ -595,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q_embedding_dups,
         # similarity
         "similarity_topk": q_similarity,
+        "kmeans_clusters": q_kmeans,
         # relational / windows (money sums are exact integer-cents internally)
         "lineitem_pricing_summary": A.lineitem_pricing_summary,
         "orders_by_segment": A.orders_by_segment,
@@ -848,6 +868,10 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_ivf": (
             "SELECT query_id, rank, vec_id "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/ivf_topk.parquet')"
+        ),
+        "kmeans_clusters": (
+            "SELECT vec_id, cluster "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/kmeans.parquet')"
         ),
         # hll_distinct_users: intentionally omitted (approximate sketch;
         # estimator semantics pinned in tests/; the exact path

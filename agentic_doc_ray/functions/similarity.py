@@ -91,6 +91,109 @@ def brute_force_topk(
     )
 
 
+_KM_SCALE = 1 << 20  # exact-integer accumulation scale for k-means sums
+
+
+def _km_assign(vecs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest centroid by squared L2 (ties -> lowest centroid id)."""
+    d2 = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+def kmeans(
+    embeddings: "ray.data.Dataset",
+    k: int = 8,
+    n_iter: int = 5,
+    seed: int = 5,
+) -> "ray.data.Dataset":
+    """Distributed Lloyd's k-means: (vec_id, cluster) assignments.
+
+    Per iteration: centroids broadcast (ray.put), every batch emits
+    per-centroid partial sums as EXACT scaled integers (round(x * 2^20)
+    per element, int64 sums) — integer addition is associative, so the
+    update is independent of block arrival order and a single-process
+    replica (``kmeans_oracle``) reproduces it bit-for-bit. The driver
+    merges k x dim ints per iteration (kilobytes regardless of input
+    size). Init = seeded choice from the first rows (same sampling as
+    ``ivf_topk``); an emptied cluster keeps its previous centroid.
+    """
+    sample = embeddings.limit(max(k * 20, 256)).take_all()
+    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+
+    for _ in range(n_iter):
+        ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            C = ray.get(ref)
+            vecs = _as_matrix(batch.column("embedding"))
+            assign = _km_assign(vecs, C)
+            scaled = np.round(vecs * _KM_SCALE).astype(np.int64)
+            sums = np.zeros((len(C), vecs.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, scaled)
+            counts = np.bincount(assign, minlength=len(C)).astype(np.int64)
+            return pa.Table.from_pydict(
+                {
+                    "cluster": np.arange(len(C), dtype=np.int64),
+                    "sum": [row.tolist() for row in sums],
+                    "count": counts,
+                }
+            )
+
+        parts = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
+        dim = centroids.shape[1]
+        tot = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            tot[r["cluster"]] += np.asarray(r["sum"], dtype=np.int64)
+            cnt[r["cluster"]] += r["count"]
+        nonempty = cnt > 0
+        centroids[nonempty] = tot[nonempty] / (
+            cnt[nonempty, None].astype(np.float64) * _KM_SCALE
+        )
+
+    final_ref = ray.put(centroids)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        C = ray.get(final_ref)
+        vecs = _as_matrix(batch.column("embedding"))
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": _km_assign(vecs, C).astype(np.int64),
+            }
+        )
+
+    return embeddings.map_batches(assign_batch, batch_format="pyarrow")
+
+
+def kmeans_oracle(
+    embeddings: pa.Table, k: int = 8, n_iter: int = 5, seed: int = 5
+) -> pa.Table:
+    """Single-process replica of ``kmeans`` (same integer accumulation)."""
+    X = _as_matrix(embeddings.column("embedding").slice(0, max(k * 20, 256)))
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    vecs = _as_matrix(embeddings.column("embedding"))
+    for _ in range(n_iter):
+        assign = _km_assign(vecs, centroids)
+        scaled = np.round(vecs * _KM_SCALE).astype(np.int64)
+        tot = np.zeros((k, vecs.shape[1]), dtype=np.int64)
+        np.add.at(tot, assign, scaled)
+        cnt = np.bincount(assign, minlength=k).astype(np.int64)
+        nonempty = cnt > 0
+        centroids[nonempty] = tot[nonempty] / (
+            cnt[nonempty, None].astype(np.float64) * _KM_SCALE
+        )
+    return pa.Table.from_pydict(
+        {
+            "vec_id": embeddings.column("vec_id"),
+            "cluster": _km_assign(vecs, centroids).astype(np.int64),
+        }
+    )
+
+
 def _sample_centroids(
     X_unit: np.ndarray, n_centroids: int, seed: int
 ) -> np.ndarray:

@@ -61,3 +61,37 @@ def test_ivf_topk_is_subset_with_self_hit(emb):
         # the query's own vector assigns to its nearest centroid, which the
         # query probes first -> self is always a candidate and ranks first
         assert rows[0]["vec_id"] == qid and rows[0]["cosine"] > 0.999999
+
+
+def test_kmeans_separates_planted_clusters():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import kmeans, kmeans_oracle
+
+    rng = np.random.RandomState(0)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    vecs = np.vstack([c + rng.standard_normal((30, 4)) * 0.1 for c in centers])
+    t = pa.Table.from_pydict(
+        {"vec_id": list(range(90)), "embedding": [v.tolist() for v in vecs]}
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans(ray.data.from_arrow(t), k=3, n_iter=5).take_all()
+    }
+    # each planted group maps to exactly one cluster id
+    groups = [sorted({got[i] for i in range(g * 30, (g + 1) * 30)}) for g in range(3)]
+    assert all(len(g) == 1 for g in groups)
+    assert len({g[0] for g in groups}) == 3
+    # distributed == single-process replica (exact-integer updates),
+    # regardless of block layout
+    want = {
+        r["vec_id"]: r["cluster"] for r in kmeans_oracle(t, k=3, n_iter=5).to_pylist()
+    }
+    assert got == want
+    got7 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans(ray.data.from_arrow(t).repartition(7), k=3, n_iter=5).take_all()
+    }
+    assert got7 == want
