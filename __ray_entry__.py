@@ -495,6 +495,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res.select(["query_id", "rank", "vec_id"])
 
+    def q_semantic_dedup(sf_dir):
+        """SemDeDup-shaped near-dup: k-means co-location + within-cluster
+        exact cosine. Same planted exact duplicates as embedding_dup_pairs
+        (copies always co-cluster), so the exact all-pairs SQL is the
+        oracle."""
+        from agentic_doc_ray.functions.similarity import semantic_dedup_pairs
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+        def plant(batch: pa.Table) -> pa.Table:
+            m = pc.less(batch["vec_id"], 20)
+            extra = batch.filter(m)
+            if extra.num_rows:
+                extra = extra.set_column(
+                    extra.schema.get_field_index("vec_id"),
+                    "vec_id",
+                    pc.add(extra["vec_id"], 100000),
+                )
+                return pa.concat_tables([batch, extra])
+            return batch
+
+        planted = emb.map_batches(plant, batch_format="pyarrow")
+        return semantic_dedup_pairs(planted, threshold=0.99).select_columns(
+            ["vec_a", "vec_b"]
+        )
+
     def q_kmeans(sf_dir):
         """Distributed Lloyd's k-means with exact-integer partial sums
         (order-independent updates -> bit-equal to the single-process
@@ -615,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity
         "similarity_topk": q_similarity,
         "kmeans_clusters": q_kmeans,
+        "semantic_dedup_pairs": q_semantic_dedup,
         # relational / windows (money sums are exact integer-cents internally)
         "lineitem_pricing_summary": A.lineitem_pricing_summary,
         "orders_by_segment": A.orders_by_segment,
@@ -872,6 +901,19 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": (
             "SELECT vec_id, cluster "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/kmeans.parquet')"
+        ),
+        # exact copies always co-cluster, so the exact all-pairs predicate
+        # is a valid oracle for the cluster-partitioned dedup too
+        "semantic_dedup_pairs": (
+            "WITH all_vecs AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL"
+            "  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20"
+            ") "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.99"
         ),
         # hll_distinct_users: intentionally omitted (approximate sketch;
         # estimator semantics pinned in tests/; the exact path

@@ -100,13 +100,13 @@ def _km_assign(vecs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
-def kmeans(
+def kmeans_fit(
     embeddings: "ray.data.Dataset",
     k: int = 8,
     n_iter: int = 5,
     seed: int = 5,
-) -> "ray.data.Dataset":
-    """Distributed Lloyd's k-means: (vec_id, cluster) assignments.
+) -> np.ndarray:
+    """Distributed Lloyd's k-means fit -> final (k, dim) centroids.
 
     Per iteration: centroids broadcast (ray.put), every batch emits
     per-centroid partial sums as EXACT scaled integers (round(x * 2^20)
@@ -152,11 +152,17 @@ def kmeans(
         centroids[nonempty] = tot[nonempty] / (
             cnt[nonempty, None].astype(np.float64) * _KM_SCALE
         )
+    return centroids
 
-    final_ref = ray.put(centroids)
+
+def kmeans_assign(
+    embeddings: "ray.data.Dataset", centroids: np.ndarray
+) -> "ray.data.Dataset":
+    """(vec_id, cluster) for broadcast centroids."""
+    ref = ray.put(centroids)
 
     def assign_batch(batch: pa.Table) -> pa.Table:
-        C = ray.get(final_ref)
+        C = ray.get(ref)
         vecs = _as_matrix(batch.column("embedding"))
         return pa.Table.from_pydict(
             {
@@ -166,6 +172,16 @@ def kmeans(
         )
 
     return embeddings.map_batches(assign_batch, batch_format="pyarrow")
+
+
+def kmeans(
+    embeddings: "ray.data.Dataset",
+    k: int = 8,
+    n_iter: int = 5,
+    seed: int = 5,
+) -> "ray.data.Dataset":
+    """fit + assign: (vec_id, cluster) assignments (see kmeans_fit)."""
+    return kmeans_assign(embeddings, kmeans_fit(embeddings, k, n_iter, seed))
 
 
 def kmeans_oracle(
@@ -191,6 +207,82 @@ def kmeans_oracle(
             "vec_id": embeddings.column("vec_id"),
             "cluster": _km_assign(vecs, centroids).astype(np.int64),
         }
+    )
+
+
+def semantic_dedup_pairs(
+    embeddings: "ray.data.Dataset",
+    threshold: float = 0.99,
+    k: int = 8,
+    n_iter: int = 3,
+) -> "ray.data.Dataset":
+    """SemDeDup-shaped near-dup pairs: cluster with k-means, compare only
+    WITHIN clusters (identical/near-identical vectors always co-cluster).
+
+    The cluster-partitioned alternative to hyperplane-LSH bucketing
+    (``dedup.embedding_dup_pairs``): one small exchange keyed by cluster
+    id, exact cosine only inside each cluster, never all-pairs. Oversized
+    clusters fall back to star pairs against the min-id member (the same
+    no-silent-drop rule as the LSH buckets)."""
+    from ray.data.aggregate import Min
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    # centroids are k x dim (driver-held, tiny); assignment recomputed
+    # inside the tag stage from the broadcast — no per-vector state ever
+    # reaches the driver
+    centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter)
+    ref = ray.put(centroids)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        C = ray.get(ref)
+        vecs = _as_matrix(batch.column("embedding"))
+        return pa.Table.from_pydict(
+            {
+                "cluster": _km_assign(vecs, C).astype(np.int64),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def cluster_pairs(group: pa.Table) -> pa.Table:
+        ids = [int(x) for x in group.column("vec_id").to_pylist()]
+        out = {"vec_a": [], "vec_b": [], "cosine": []}
+        if len(ids) >= 2:
+            U = _unit(_as_matrix(group.column("embedding")))
+            if len(ids) > 5000:
+                rep = int(np.argmin(ids))
+                s = U @ U[rep]
+                for j in np.flatnonzero(s >= threshold):
+                    if j == rep:
+                        continue
+                    a, b = ids[rep], ids[j]
+                    out["vec_a"].append(min(a, b))
+                    out["vec_b"].append(max(a, b))
+                    out["cosine"].append(float(s[j]))
+            else:
+                S = U @ U.T
+                ii, jj = np.triu_indices(len(ids), k=1)
+                keep = S[ii, jj] >= threshold
+                for i, j, s in zip(ii[keep], jj[keep], S[ii, jj][keep]):
+                    a, b = ids[i], ids[j]
+                    out["vec_a"].append(min(a, b))
+                    out["vec_b"].append(max(a, b))
+                    out["cosine"].append(float(s))
+        return pa.Table.from_pydict(
+            out,
+            schema=pa.schema(
+                [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+            ),
+        )
+
+    np_ = shuffle_partitions(8)
+    return (
+        embeddings.map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster", num_partitions=np_)
+        .map_groups(cluster_pairs, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"], num_partitions=max(2, np_ // 4))
+        .aggregate(Min("cosine", alias_name="cosine"))
     )
 
 
