@@ -182,6 +182,25 @@ def main() -> None:
         ).count(),
     )
     timed("simhash", lambda: D.simhashes(docs()).count())
+    timed("dedup_keep", lambda: D.dedup_keep(docs()).count())
+    timed("repetition_stats", lambda: T.repetition_stats(docs()).count())
+
+    from agentic_doc_ray.functions import sampling as SA
+
+    timed("pack_sequences", lambda: SA.pack_sequences(docs()).count())
+
+    def kmeans_q() -> None:
+        from agentic_doc_ray.functions.similarity import kmeans
+
+        kmeans(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            k=8,
+            n_iter=3,
+        ).count()
+
+    timed("kmeans", kmeans_q)
     timed("lineitem_q1", lambda: A.lineitem_pricing_summary(SF_DIR).count())
     timed("events_hourly", lambda: A.events_hourly(SF_DIR).count())
     timed("events_sliding", lambda: A.events_sliding(SF_DIR).count())
