@@ -114,52 +114,109 @@ def order_priority_revenue(sf_dir: str) -> "ray.data.Dataset":
 
 
 def order_priority_revenue_bucketed(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
-    """Same query via the explicit bucketed hash join (tag -> union ->
-    groupby(bucket) -> merge per bucket). Salting note: a hot key would get
-    sub-bucketed on (key, salt) with the small side replicated per salt."""
-    rev = _lineitem_revenue_per_order(sf_dir)
+    """Same query via ONE explicit bucketed exchange: both sides tag
+    bucket = orderkey % n_buckets, union, and a single groupby(bucket)
+    does aggregate + join + priority partial-agg per bucket (the per-order
+    pre-aggregation runs batch-locally before the exchange, not as its own
+    shuffle — one all-to-all total vs the native path's two). Salting
+    note: a hot key would get sub-bucketed on (key, salt) with the small
+    side replicated per salt."""
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
 
-    def tag(side: str):
-        def f(batch: pa.Table) -> pa.Table:
-            key = batch.column("o_orderkey")
-            bucket = pc.cast(
-                pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
-                pa.int32(),
-            )
-            prio = (
-                batch.column("o_orderpriority")
-                if side == "orders"
-                else pa.nulls(batch.num_rows, pa.string())
-            )
-            cents = (
-                batch.column("cents")
-                if side == "rev"
-                else pa.nulls(batch.num_rows, pa.int64())
-            )
-            return pa.Table.from_arrays(
-                [bucket, key, pa.array([side] * batch.num_rows), prio, cents],
-                names=["bucket", "o_orderkey", "side", "o_orderpriority", "cents"],
-            )
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        cents = pc.round(pc.multiply(rev, pa.scalar(10000.0))).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("l_orderkey"), cents], names=["o_orderkey", "cents"]
+        )
+        # batch-local partial: one row per orderkey per batch (pays off
+        # only with key locality, but costs one C-speed group_by)
+        g = t.group_by("o_orderkey").aggregate([("cents", "sum")]).rename_columns(
+            ["o_orderkey", "cents"]
+        )
+        key = g.column("o_orderkey")
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                key,
+                pa.array(["rev"] * g.num_rows),
+                pa.nulls(g.num_rows, pa.string()),
+                g.column("cents"),
+            ],
+            names=["bucket", "o_orderkey", "side", "o_orderpriority", "cents"],
+        )
 
-        return f
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey")
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                key,
+                pa.array(["orders"] * batch.num_rows),
+                batch.column("o_orderpriority"),
+                pa.nulls(batch.num_rows, pa.int64()),
+            ],
+            names=["bucket", "o_orderkey", "side", "o_orderpriority", "cents"],
+        )
 
-    unioned = orders.map_batches(tag("orders"), batch_format="pyarrow").union(
-        rev.map_batches(tag("rev"), batch_format="pyarrow")
+    unioned = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(tag_lineitem, batch_format="pyarrow")
     )
 
     def join_bucket(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        left = df[df["side"] == "orders"][["o_orderkey", "o_orderpriority"]]
-        right = df[df["side"] == "rev"][["o_orderkey", "cents"]]
-        m = left.merge(right, on="o_orderkey", how="inner")
-        return pa.Table.from_pandas(
-            m[["o_orderpriority", "cents"]], preserve_index=False
+        side = group.column("side")
+        is_rev = pc.equal(side, "rev")
+        rev = (
+            group.filter(is_rev)
+            .select(["o_orderkey", "cents"])
+            .group_by("o_orderkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["o_orderkey", "cents"])
         )
+        left = group.filter(pc.invert(is_rev)).select(
+            ["o_orderkey", "o_orderpriority"]
+        )
+        m = left.to_pandas().merge(rev.to_pandas(), on="o_orderkey", how="inner")
+        # priority partial-agg inside the bucket: 5 rows leave, not 150k
+        g = (
+            pa.Table.from_pandas(m[["o_orderpriority", "cents"]], preserve_index=False)
+            .group_by("o_orderpriority")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return g.rename_columns(["o_orderpriority", "cents", "n_orders"])
 
-    joined = unioned.groupby(
+    partials = unioned.groupby(
         "bucket", num_partitions=shuffle_partitions(n_buckets)
     ).map_groups(join_bucket, batch_format="pyarrow")
-    return _finalize(joined)
+    np_ = shuffle_partitions(4)
+    agg = partials.repartition(np_).groupby(
+        "o_orderpriority", num_partitions=np_
+    ).aggregate(
+        Sum("cents", alias_name="cents"), Sum("n_orders", alias_name="n_orders")
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("o_orderpriority"),
+                pc.divide(b.column("cents").cast(pa.float64()), 10000.0),
+                b.column("n_orders"),
+            ],
+            names=["o_orderpriority", "revenue", "n_orders"],
+        ),
+        batch_format="pyarrow",
+    )
