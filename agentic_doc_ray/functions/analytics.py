@@ -288,7 +288,7 @@ def purchase_prior_view(sf_dir: str) -> "ray.data.Dataset":
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=_cap(16))
+        .groupby("bucket", num_partitions=_cap(8))
         .map_groups(asof, batch_format="pandas")
     )
 
@@ -369,6 +369,6 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=_cap(16))
+        .groupby("bucket", num_partitions=_cap(8))
         .map_groups(sessions, batch_format="pandas")
     )
