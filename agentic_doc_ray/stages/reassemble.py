@@ -196,6 +196,151 @@ def _add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
     return batch.append_column("bucket", bucket)
 
 
+def _combine_partial_docs(group: pa.Table) -> pa.Table:
+    """Phase 2 of the two-phase merge: concatenate partial ParsedDocument
+    rows (one per (doc_id, part_range)) into full docs.
+
+    Associative by construction: partial markdowns are "\\n\\n"-joined part
+    markdowns, so joining partials with "\\n\\n" reproduces the single-phase
+    join exactly; spans/errors concatenate in part_range order with page
+    numbers already absolute; offsets are re-assigned dense per doc."""
+    if group.num_rows == 0:
+        return _EMPTY_PARSED
+    order = pa.compute.sort_indices(
+        group, sort_keys=[("doc_id", "ascending"), ("part_range", "ascending")]
+    )
+    g = group.take(order).combine_chunks()
+    n = g.num_rows
+    doc_id_arr = g.column("doc_id").combine_chunks()
+    neq = pa.compute.not_equal(doc_id_arr.slice(1), doc_id_arr.slice(0, n - 1))
+    changes = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+    starts = np.concatenate(([0], changes))
+    counts = np.diff(np.concatenate((starts, [n])))
+    n_docs = len(starts)
+
+    spans_col = g.column("spans").combine_chunks()
+    span_lens = pa.compute.list_value_length(spans_col).to_numpy(
+        zero_copy_only=False
+    )
+    flat_spans = spans_col.flatten()
+    # spans per DOC = sum of partial span counts over the doc's rows
+    cs = np.concatenate(([0], np.cumsum(span_lens)))
+    doc_span_counts = cs[starts + counts] - cs[starts]
+    doc_starts = np.concatenate(([0], np.cumsum(doc_span_counts)))
+    # dense offsets per doc (flat order already doc-major, range-ordered)
+    offsets_dense = (
+        np.arange(len(flat_spans), dtype=np.int64)
+        - np.repeat(doc_starts[:-1], doc_span_counts)
+    ).astype(np.int32)
+    span_struct = pa.StructArray.from_arrays(
+        [
+            flat_spans.field("kind"),
+            flat_spans.field("text"),
+            flat_spans.field("media_ref"),
+            pa.array(offsets_dense, pa.int32()),
+            flat_spans.field("chunk_id"),
+            flat_spans.field("page"),
+            flat_spans.field("bbox"),
+        ],
+        fields=list(OUTPUT_SPAN_STRUCT),
+    )
+    spans_arr = pa.ListArray.from_arrays(pa.array(doc_starts, pa.int32()), span_struct)
+
+    errors_col = g.column("errors").combine_chunks()
+    err_lens = pa.compute.list_value_length(errors_col).to_numpy(
+        zero_copy_only=False
+    )
+    cse = np.concatenate(([0], np.cumsum(err_lens)))
+    doc_err_counts = cse[starts + counts] - cse[starts]
+    errors_arr = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(doc_err_counts))), pa.int32()),
+        errors_col.flatten(),
+    )
+
+    mds = g.column("markdown").to_pylist()
+    markdowns = [
+        merge_markdown(mds[starts[di] : starts[di] + counts[di]])
+        for di in range(n_docs)
+    ]
+
+    first = pa.array(starts, pa.int64())
+    ends = g.column("end_page_idx").combine_chunks().to_numpy(zero_copy_only=False)
+    end_page = np.maximum.reduceat(ends, starts).astype(np.int32)
+    return pa.Table.from_arrays(
+        [
+            pa.compute.take(doc_id_arr, first),
+            pa.array(markdowns, pa.string()),
+            spans_arr,
+            errors_arr,
+            pa.array(np.zeros(n_docs, np.int32)),
+            pa.array(end_page, pa.int32()),
+            pa.compute.take(g.column("doc_type").combine_chunks(), first),
+        ],
+        schema=PARSED_DOC_SCHEMA,
+    )
+
+
+def reassemble_two_phase(
+    chunks: "ray.data.Dataset",
+    config: EngineConfig = DEFAULT_CONFIG,
+    range_size: int = 8,
+) -> "ray.data.Dataset":
+    """Salted two-phase merge — the escape hatch for documents whose chunk
+    rows exceed a single reducer's heap.
+
+    Phase 1 groups by (bucket, part_idx // range_size): each partial group
+    holds at most ``range_size`` parts of any document, merges them with
+    the SAME vectorized merge as the single-phase path, and emits a partial
+    ParsedDocument row. Phase 2 groups by bucket only and concatenates each
+    doc's partials in part_range order (``_combine_partial_docs``). The
+    merge is associative because parts are order-indexed — pinned equal to
+    single-phase ``reassemble`` by tests/test_split_merge.py."""
+    from agentic_doc_ray.context import shuffle_partitions
+
+    b = config.reassemble_num_partitions or 64
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        rng = pa.compute.cast(
+            pa.compute.divide(batch.column("part_idx"), pa.scalar(range_size, pa.int32())),
+            pa.int32(),
+        )
+        # widen the shuffle key so one mega-doc's ranges spread across
+        # reducers: salt = bucket * large + range would explode key space;
+        # key on (bucket, part_range) pairs instead
+        return batch.append_column("part_range", rng)
+
+    keyed = chunks.map_batches(add_range, batch_format="pyarrow")
+
+    def merge_partial(group: pa.Table) -> pa.Table:
+        rng = group.column("part_range")[0].as_py() if group.num_rows else 0
+        merged = merge_bucket_group(group.drop_columns(["part_range"]), config)
+        return merged.append_column(
+            "part_range", pa.array([rng] * merged.num_rows, pa.int32())
+        )
+
+    partials = keyed.groupby(
+        ["bucket", "part_range"], num_partitions=shuffle_partitions(b)
+    ).map_groups(merge_partial, batch_format="pyarrow")
+
+    def re_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        ids = batch.column("doc_id").to_pylist()
+        return batch.append_column(
+            "bucket",
+            pa.array([zlib.crc32(str(s).encode()) % b for s in ids], pa.int32()),
+        )
+
+    return (
+        partials.map_batches(re_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=shuffle_partitions(b))
+        .map_groups(
+            lambda g: _combine_partial_docs(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def reassemble(
     chunks: "ray.data.Dataset",
     config: EngineConfig = DEFAULT_CONFIG,

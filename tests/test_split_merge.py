@@ -150,3 +150,35 @@ def test_merge_failed_part_contributes_empty_markdown():
     assert all(e["error_code"] == -1 for e in out["errors"])
     # error spans present in the span stream with kind="error"
     assert [s["kind"] for s in out["spans"]] == ["text", "text", "error", "error", "text"]
+
+
+def test_two_phase_merge_equals_single_phase(sf_smoke_corpus):
+    """The salted two-phase escape hatch must be bit-equal to the
+    single-phase reassembly on a corpus with mega docs, empty docs and
+    error parts."""
+    import ray.data
+
+    from agentic_doc_ray.pipelines import extract_corpus
+    from agentic_doc_ray.stages.fused import FusedParseActor
+    from agentic_doc_ray.stages.reassemble import reassemble, reassemble_two_phase
+
+    cfg = EngineConfig(split_size=2, parse_concurrency=(1, 2), fuse_stages=False)
+    corpus = ray.data.from_arrow(sf_smoke_corpus.slice(0, 40))
+    # chunk rows via the fused stage without local reassembly
+    chunks = corpus.map_batches(
+        FusedParseActor,
+        fn_constructor_kwargs={"config": cfg, "local_reassembly": False},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 2),
+    )
+    single = sorted(
+        reassemble(chunks, cfg).take_all(), key=lambda r: r["doc_id"]
+    )
+    double = sorted(
+        reassemble_two_phase(chunks, cfg, range_size=2).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert len(single) == len(double)
+    for a, b in zip(single, double):
+        assert a == b, (a["doc_id"],)
