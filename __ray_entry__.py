@@ -406,6 +406,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _media_digest, batch_format="pyarrow"
         )
 
+    def q_quantiles(sf_dir):
+        """Exact per-type value percentiles via distribution compression
+        (one (group, value, count) row per distinct value per batch — never
+        a full sort)."""
+        from agentic_doc_ray.functions.sketches import exact_quantiles
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        return exact_quantiles(ds, "event_type", "value")
+
     def q_hll(sf_dir):
         from agentic_doc_ray.functions.sketches import hll_distinct
 
@@ -653,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": A.events_sliding,
         "purchase_prior_view": A.purchase_prior_view,
         "distinct_users": A.distinct_users,
+        "value_quantiles": q_quantiles,
         "hll_distinct_users": q_hll,  # rows-only (approximate sketch)
         "sessionize": A.sessionize,
         # multimodal plumbing (rows-only)
@@ -857,6 +869,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "value_quantiles": (
+            "SELECT event_type, "
+            "quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0 AS p50, "
+            "quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) / 100.0 AS p90, "
+            "quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) / 100.0 AS p99 "
             "FROM events GROUP BY event_type"
         ),
         "sessionize": (

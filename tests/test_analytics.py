@@ -217,3 +217,53 @@ def test_hll_merge_is_partition_invariant():
     a = hll_distinct(ds.repartition(2), "event_type", "user_id").to_pydict()
     b = hll_distinct(ds.repartition(11), "event_type", "user_id").to_pydict()
     assert a == b
+
+
+def test_exact_quantiles_vs_duckdb():
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from agentic_doc_ray.functions.sketches import exact_quantiles
+
+    SF = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    got = (
+        exact_quantiles(ds, "event_type", "value")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT event_type, "
+            "quantile_disc(CAST(round(value*100) AS BIGINT), 0.5)/100.0 AS p50, "
+            "quantile_disc(CAST(round(value*100) AS BIGINT), 0.9)/100.0 AS p90, "
+            "quantile_disc(CAST(round(value*100) AS BIGINT), 0.99)/100.0 AS p99 "
+            f"FROM read_parquet('{SF}/events.parquet') GROUP BY event_type "
+            "ORDER BY event_type"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_exact_quantiles_edge_small_groups():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.sketches import exact_quantiles
+
+    t = pa.Table.from_pydict(
+        {"g": ["a", "a", "a", "a", "b"], "v": [1.0, 2.0, 3.0, 4.0, 7.0]}
+    )
+    out = {
+        r["g"]: r
+        for r in exact_quantiles(
+            ray.data.from_arrow(t), "g", "v", quantiles=(0.5, 0.9)
+        ).to_pylist()
+    }
+    # quantile_disc: smallest value with cumulative fraction >= q
+    assert out["a"]["p50"] == 2.0 and out["a"]["p90"] == 4.0
+    assert out["b"]["p50"] == 7.0 and out["b"]["p90"] == 7.0
