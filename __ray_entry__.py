@@ -406,6 +406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _media_digest, batch_format="pyarrow"
         )
 
+    def q_tfidf(sf_dir):
+        d = docs(sf_dir)
+        return T.top_tfidf_tokens(d, n_docs=d.count(), k=100)
+
     def q_quantiles(sf_dir):
         """Exact per-type value percentiles via distribution compression
         (one (group, value, count) row per distinct value per batch — never
@@ -641,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "top_tokens": q_top_tokens,
         "top_bigrams": lambda sf: T.top_bigrams(docs(sf), k=100),
+        "top_tfidf_tokens": q_tfidf,
         # dedup
         "exact_dedup": q_exact_dedup,
         "dedup_keep": q_dedup_keep,
@@ -803,6 +808,17 @@ def oracle_sql() -> dict[str, str]:
             "  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS r(i) "
             "  WHERE len(t) >= 2"
             ") GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"
+        ),
+        "top_tfidf_tokens": (
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token "
+            "  FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''"
+            "), stats AS ("
+            "  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df "
+            "  FROM toks GROUP BY token"
+            ") "
+            "SELECT token, tf * (SELECT count(*) FROM documents) // df AS score "
+            "FROM stats ORDER BY score DESC, token LIMIT 100"
         ),
         "embedding_dup_pairs": (
             "WITH all_vecs AS ("

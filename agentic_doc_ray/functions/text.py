@@ -382,6 +382,65 @@ def top_bigrams(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def top_tfidf_tokens(
+    docs: "ray.data.Dataset", n_docs: int, k: int = 100
+) -> "ray.data.Dataset":
+    """Top-k tokens by an integer tf-idf score: tf_total * n_docs // df.
+
+    df needs distinct docs per token; because each document is ONE input
+    row, per-batch distinct (token, doc) counts sum to the global df — no
+    global dedup shuffle. The exchange moves one (token, tf, df) partial
+    per distinct token per batch. Integer score (floor division) keeps the
+    SQL oracle comparison exact (float idf would be order-dependent)."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks)
+        t = pa.Table.from_arrays([flat, parents], names=["token", "d"])
+        tf = t.group_by("token").aggregate([("token", "count")]).rename_columns(
+            ["token", "tf"]
+        )
+        df = (
+            t.group_by(["token", "d"])
+            .aggregate([])
+            .group_by("token")
+            .aggregate([("d", "count")])
+            .rename_columns(["token", "df"])
+        )
+        return tf.join(df, keys="token")
+
+    np_ = shuffle_partitions(8)
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .repartition(np_)
+        .groupby("token", num_partitions=np_)
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = pc.divide(
+            pc.multiply(batch.column("tf"), pa.scalar(n_docs, pa.int64())),
+            batch.column("df"),
+        )
+        return pa.Table.from_arrays(
+            [batch.column("token"), s.cast(pa.int64())], names=["token", "score"]
+        )
+
+    return (
+        agg.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def top_tokens(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
     """Vocabulary building: top-k most frequent whitespace tokens.
 
