@@ -210,9 +210,40 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         os.path.join(out_dir, "media_features.parquet"),
     )
 
+    from agentic_doc_ray.functions.multimodal import AudioChunkActor, ResizeActor
+
+    _pq.write_table(
+        _resize_digest(ResizeActor(max_w=96, max_h=96)(media)),
+        os.path.join(out_dir, "media_resized.parquet"),
+    )
+    _pq.write_table(
+        AudioChunkActor()(media), os.path.join(out_dir, "audio_chunks.parquet")
+    )
+
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
+
+
+def _resize_digest(resized: pa.Table) -> pa.Table:
+    """Hashable projection of the resize output (payload -> sha prefix)."""
+    import hashlib as _hl
+
+    digests = [
+        _hl.sha256(p or b"").hexdigest()[:16]
+        for p in resized.column("payload").to_pylist()
+    ]
+    return pa.Table.from_pydict(
+        {
+            "media_id": resized["media_id"],
+            "media_type": resized["media_type"],
+            "width": resized["width"],
+            "height": resized["height"],
+            "orig_width": resized["orig_width"],
+            "orig_height": resized["orig_height"],
+            "payload_digest": digests,
+        }
+    )
 
 
 def _media_digest(feats: pa.Table) -> pa.Table:
@@ -420,6 +451,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/events.parquet", columns=["event_type", "value"]
         )
         return exact_quantiles(ds, "event_type", "value")
+
+    def q_media_resize(sf_dir):
+        _ensure_extraction_oracles(sf_dir)
+        media = ray.data.from_arrow(
+            M.synth_media_table(f"{sf_dir}/documents.parquet", limit=96)
+        )
+        return M.resize_media(media, max_w=96, max_h=96).map_batches(
+            _resize_digest, batch_format="pyarrow"
+        )
+
+    def q_audio_chunks(sf_dir):
+        _ensure_extraction_oracles(sf_dir)
+        media = ray.data.from_arrow(
+            M.synth_media_table(f"{sf_dir}/documents.parquet", limit=96)
+        )
+        return M.audio_chunks(media)
 
     def q_hll(sf_dir):
         from agentic_doc_ray.functions.sketches import hll_distinct
@@ -672,8 +719,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": q_quantiles,
         "hll_distinct_users": q_hll,  # rows-only (approximate sketch)
         "sessionize": A.sessionize,
-        # multimodal plumbing (rows-only)
+        # multimodal plumbing (single-process replica oracles)
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "audio_chunks": q_audio_chunks,
     }
 
 
@@ -916,6 +965,15 @@ def oracle_sql() -> dict[str, str]:
         "media_features": (
             "SELECT media_id, media_type, feat_sum_milli "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/media_features.parquet')"
+        ),
+        "media_resize": (
+            "SELECT media_id, media_type, width, height, orig_width, "
+            "orig_height, payload_digest "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/media_resized.parquet')"
+        ),
+        "audio_chunks": (
+            "SELECT media_id, chunk_idx, byte_lo, byte_hi, digest "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/audio_chunks.parquet')"
         ),
         # verified near-dup pipelines: LSH bounds the candidate set, exact
         # n-gram Jaccard decides — so brute-force all-pairs IS the oracle

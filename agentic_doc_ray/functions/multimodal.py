@@ -107,6 +107,132 @@ class FrameSampleActor:
         )
 
 
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("media_type", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("orig_width", pa.int32()),
+        ("orig_height", pa.int32()),
+    ]
+)
+
+
+class ResizeActor:
+    """Image resize stage: fit within (max_w, max_h) preserving aspect
+    ratio — the dimension math is real (matches PIL.thumbnail semantics:
+    floor with a 1px minimum), the pixel resample is the stubbed codec
+    (deterministic digest-tagged payload on the fake path). Non-image rows
+    pass through unchanged with their original dims copied."""
+
+    def __init__(self, max_w: int = 512, max_h: int = 512, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise ValueError("decoder must be 'fake' or 'real'")
+        self.max_w, self.max_h = max_w, max_h
+        self.decoder = decoder
+
+    def target_dims(self, w: int, h: int) -> tuple[int, int]:
+        if w <= self.max_w and h <= self.max_h:
+            return w, h
+        scale = min(self.max_w / w, self.max_h / h)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            raise NotImplementedError("real resize requires PIL, unavailable here")
+        out = {k: [] for k in RESIZED_SCHEMA.names}
+        for row in batch.to_pylist():
+            w, h = row["width"], row["height"]
+            if row["media_type"] == "image":
+                tw, th = self.target_dims(w, h)
+                payload = (
+                    row["payload"]
+                    if (tw, th) == (w, h)
+                    else hashlib.sha256(
+                        (row["payload"] or b"") + f"{tw}x{th}".encode()
+                    ).digest()
+                )
+            else:
+                tw, th, payload = w, h, row["payload"]
+            out["media_id"].append(row["media_id"])
+            out["media_type"].append(row["media_type"])
+            out["payload"].append(payload)
+            out["width"].append(tw)
+            out["height"].append(th)
+            out["orig_width"].append(w)
+            out["orig_height"].append(h)
+        return pa.Table.from_pydict(out, schema=RESIZED_SCHEMA)
+
+
+class AudioChunkActor:
+    """Audio chunking stub: fixed-duration windows over the byte stream
+    (stand-in for sample-rate-aware segmentation); one row per chunk with
+    byte offsets so a real codec slots in without schema changes."""
+
+    def __init__(self, chunk_bytes: int = 2048, decoder: str = "fake"):
+        self.chunk = chunk_bytes
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            raise NotImplementedError("real audio decode requires ffmpeg")
+        out = {"media_id": [], "chunk_idx": [], "byte_lo": [], "byte_hi": [], "digest": []}
+        for mid, mtype, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mtype != "audio":
+                continue
+            p = payload or b""
+            n = max(1, (len(p) + self.chunk - 1) // self.chunk)
+            for c in range(n):
+                lo, hi = c * self.chunk, min((c + 1) * self.chunk, len(p))
+                out["media_id"].append(mid)
+                out["chunk_idx"].append(c)
+                out["byte_lo"].append(lo)
+                out["byte_hi"].append(hi)
+                out["digest"].append(hashlib.sha256(p[lo:hi]).hexdigest()[:16])
+        return pa.Table.from_pydict(
+            out,
+            schema=pa.schema(
+                [
+                    ("media_id", pa.string()),
+                    ("chunk_idx", pa.int32()),
+                    ("byte_lo", pa.int64()),
+                    ("byte_hi", pa.int64()),
+                    ("digest", pa.string()),
+                ]
+            ),
+        )
+
+
+def resize_media(
+    media: "ray.data.Dataset", max_w: int = 512, max_h: int = 512, decoder: str = "fake"
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        ResizeActor,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h, "decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+
+def audio_chunks(
+    media: "ray.data.Dataset", chunk_bytes: int = 2048, decoder: str = "fake"
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        AudioChunkActor,
+        fn_constructor_kwargs={"chunk_bytes": chunk_bytes, "decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+
 def media_features(
     media: "ray.data.Dataset", decoder: str = "fake"
 ) -> "ray.data.Dataset":

@@ -37,3 +37,67 @@ def test_real_decoder_is_stubbed(media_ds):
     batch = M.synth_media_table(f"{SF}/documents.parquet", limit=2)
     with pytest.raises(NotImplementedError):
         actor(batch)
+
+
+def test_resize_dimension_math():
+    from agentic_doc_ray.functions.multimodal import ResizeActor
+
+    a = ResizeActor(max_w=100, max_h=50)
+    assert a.target_dims(80, 40) == (80, 40)       # already fits
+    assert a.target_dims(200, 50) == (100, 25)     # width-bound
+    assert a.target_dims(100, 200) == (25, 50)     # height-bound
+    assert a.target_dims(10000, 10) == (100, 1)    # 1px floor... scale=0.01 -> h=0.1 -> 1
+    # aspect preserved within floor rounding
+    tw, th = a.target_dims(317, 211)
+    assert abs(tw / th - 317 / 211) < 0.05
+
+
+def test_resize_passthrough_non_images():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.multimodal import MEDIA_SCHEMA, resize_media
+
+    t = pa.Table.from_pydict(
+        {
+            "media_id": ["i1", "a1"],
+            "media_type": ["image", "audio"],
+            "payload": [b"imagebytes" * 100, b"audiobytes" * 100],
+            "width": [1024, 0],
+            "height": [768, 0],
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in resize_media(ray.data.from_arrow(t), 512, 512).take_all()}
+    img = rows["i1"]
+    assert (img["width"], img["height"]) == (512, 384)
+    assert (img["orig_width"], img["orig_height"]) == (1024, 768)
+    assert img["payload"] != b"imagebytes" * 100  # resampled (fake digest)
+    aud = rows["a1"]
+    assert aud["payload"] == b"audiobytes" * 100  # untouched
+
+
+def test_audio_chunks_cover_payload():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.multimodal import MEDIA_SCHEMA, audio_chunks
+
+    payload = b"x" * 5000
+    t = pa.Table.from_pydict(
+        {
+            "media_id": ["a1", "v1"],
+            "media_type": ["audio", "video"],
+            "payload": [payload, b"video"],
+            "width": [0, 64],
+            "height": [0, 64],
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    rows = audio_chunks(ray.data.from_arrow(t), chunk_bytes=2048).take_all()
+    assert all(r["media_id"] == "a1" for r in rows)  # video rows skipped
+    rows.sort(key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["byte_lo"] == 0 and rows[-1]["byte_hi"] == 5000
+    for a, b in zip(rows, rows[1:]):
+        assert a["byte_hi"] == b["byte_lo"]  # contiguous coverage
