@@ -194,6 +194,34 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         os.path.join(out_dir, "ivf_topk.parquet"),
     )
 
+    # contamination oracle: same n-gram math single-process; benchmark =
+    # every 50th doc's text (deterministic, so those docs self-flag)
+    import numpy as _np2
+
+    from agentic_doc_ray.functions.dedup import _word_ngram_hashes as _wng
+
+    bench_texts = [t for i, t in enumerate(d_txt) if i % 50 == 0]
+    B = (
+        _np2.unique(_np2.concatenate([_wng(t, 13) for t in bench_texts]))
+        if bench_texts
+        else _np2.array([], dtype=_np2.uint64)
+    )
+    overlaps = _np2.zeros(len(d_txt), dtype=_np2.int64)
+    for i, t in enumerate(d_txt):
+        hs = _wng(t, 13)
+        if len(hs) and len(B):
+            overlaps[i] = int(_np2.isin(hs, B, assume_unique=True).sum())
+    _pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "doc_id": d_ids,
+                "n_overlaps": overlaps,
+                "contaminated": overlaps > 0,
+            }
+        ),
+        os.path.join(out_dir, "contamination.parquet"),
+    )
+
     # sequence-packing oracle: single-process replica
     from agentic_doc_ray.functions.sampling import pack_sequences_oracle
 
@@ -501,6 +529,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_quality_filter(sf_dir):
         return T.quality_filter(docs(sf_dir), 20, 100).select_columns(["doc_id"])
 
+    def q_contamination(sf_dir):
+        """Benchmark decontamination: 13-gram overlap against a broadcast
+        benchmark set (every 50th doc's text — those self-flag)."""
+        _ensure_extraction_oracles(sf_dir)
+        bench = [
+            t
+            for i, t in enumerate(
+                pq.read_table(
+                    f"{sf_dir}/documents.parquet", columns=["text"]
+                ).column("text").to_pylist()
+            )
+            if i % 50 == 0
+        ]
+        return D.contamination_flags(_docs_str(sf_dir), bench, n=13)
+
     def q_train_val_split(sf_dir):
         from agentic_doc_ray.functions.sampling import train_val_split
 
@@ -687,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_stats": q_lang_stats,
         "quality_filter": q_quality_filter,
         "repetition_stats": lambda sf: T.repetition_stats(docs(sf)),
+        "contamination_flags": q_contamination,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -824,6 +868,10 @@ def oracle_sql() -> dict[str, str]:
             "// greatest(COALESCE(sum(c.c), 0), 1) AS dup_line_per_mille "
             "FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id "
             "GROUP BY d.doc_id"
+        ),
+        "contamination_flags": (
+            "SELECT doc_id, n_overlaps, contaminated "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/contamination.parquet')"
         ),
         # stable md5-percentile split/sample: int(md5(id)[:4],16) % 100 on
         # both sides — content-keyed, resumable, block-layout-independent

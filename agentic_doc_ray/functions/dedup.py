@@ -404,6 +404,69 @@ def jaccard_verify(
     return out
 
 
+def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
+    """Rolling 64-bit hashes of word n-grams (crc32 per token, polynomial
+    combine) — the decontamination fingerprint unit."""
+    import zlib
+
+    toks = (text or "").lower().split()
+    if len(toks) < n:
+        return np.array([], dtype=np.uint64)
+    crcs = np.fromiter(
+        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+    m = len(crcs) - n + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        h = h * np.uint64(1_000_003) + crcs[j : j + m]
+    return np.unique(h)
+
+
+def contamination_flags(
+    docs: "ray.data.Dataset",
+    benchmark_texts: list[str],
+    n: int = 13,
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag documents sharing any word n-gram
+    with a benchmark set (the standard 13-gram overlap check).
+
+    The benchmark's n-gram hash set is broadcast ONCE (ray.put) — typically
+    kilobytes-to-megabytes for eval suites — and each batch intersects its
+    docs' n-gram hashes against it vectorized (np.isin); the corpus never
+    shuffles. Output: (doc_id, n_overlaps, contaminated)."""
+    bench = (
+        np.unique(np.concatenate([_word_ngram_hashes(t, n) for t in benchmark_texts]))
+        if benchmark_texts
+        else np.array([], dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        B = ray.get(bench_ref)
+        ids = batch.column("doc_id").to_pylist()
+        overlaps = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            hs = _word_ngram_hashes(t, n)
+            if len(hs) and len(B):
+                overlaps[i] = int(np.isin(hs, B, assume_unique=True).sum())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_overlaps": overlaps,
+                "contaminated": overlaps > 0,
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", batch.schema.field("doc_id").type),
+                    ("n_overlaps", pa.int64()),
+                    ("contaminated", pa.bool_()),
+                ]
+            ),
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
 PAIR_SCHEMA = pa.schema(
     [("doc_a", pa.string()), ("doc_b", pa.string()), ("jaccard", pa.float64())]
 )

@@ -132,3 +132,31 @@ def test_oversized_bucket_star_pairs():
     assert len(found) == n - 1
     assert all(a == rep for a, _ in found)
     assert all(p["est_jaccard"] == 1.0 for p in pairs)
+
+
+def test_contamination_flags_planted():
+    bench_doc = (
+        "the quick brown fox jumps over the lazy dog while running through "
+        "a dense forest full of obstacles and strange noises everywhere today"
+    )
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": ["contam", "clean", "short"],
+            "text": [
+                "prefix words here " + bench_doc + " suffix trailing words",
+                "completely different content about cooking pasta and italian "
+                "food culture with many other words that never overlap at all "
+                "in any thirteen gram window of the benchmark text sample",
+                "too short",
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.contamination_flags(
+            ray.data.from_arrow(t), [bench_doc], n=13
+        ).take_all()
+    }
+    assert out["contam"]["contaminated"] and out["contam"]["n_overlaps"] > 0
+    assert not out["clean"]["contaminated"]
+    assert not out["short"]["contaminated"]  # < n tokens -> no n-grams
