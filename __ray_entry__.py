@@ -54,7 +54,10 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 5  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 6  # bump when any oracle-producing logic changes
+# (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
+# pack_sequences/contamination/media_resized/audio_chunks oracles — the
+# bump invalidates any stale _DONE marker that predates them)
 
 
 def _oracle_dir(sf_dir: str) -> str:
