@@ -143,3 +143,62 @@ def test_bpe_counts_cross_engine(texts):
         "FROM t ORDER BY doc_id"
     ).df()["n"].tolist()
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=" abcdef\n\t", min_size=0, max_size=80),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=40),
+)
+def test_pack_sequences_fuzz_matches_oracle(texts, budget):
+    import ray.data
+
+    from agentic_doc_ray.functions.sampling import (
+        pack_sequences,
+        pack_sequences_oracle,
+    )
+
+    ids = [f"doc-{i:03d}" for i in range(len(texts))]
+    t = pa.Table.from_pydict({"doc_id": ids, "text": texts})
+    got = sorted(
+        (r["pack_id"], r["doc_id"], r["position"], r["n_tokens"])
+        for r in pack_sequences(
+            ray.data.from_arrow(t), token_budget=budget
+        ).take_all()
+    )
+    want = sorted(
+        (r["pack_id"], r["doc_id"], r["position"], r["n_tokens"])
+        for r in pack_sequences_oracle(ids, texts, token_budget=budget).to_pylist()
+    )
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=" abc\n", min_size=0, max_size=60),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_repetition_stats_fuzz_matches_naive(texts):
+    from collections import Counter
+
+    from agentic_doc_ray.functions.text import repetition_stats_batch
+
+    t = pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts}
+    )
+    got = {r["doc_id"]: r for r in repetition_stats_batch(t).to_pylist()}
+    for i, txt in enumerate(texts):
+        counts = Counter(l for l in txt.split("\n") if l != "")
+        n_lines = sum(counts.values())
+        n_dup = sum(c for c in counts.values() if c > 1)
+        r = got[i]
+        assert r["n_lines"] == n_lines
+        assert r["n_dup_lines"] == n_dup
+        assert r["dup_line_per_mille"] == n_dup * 1000 // max(n_lines, 1)
