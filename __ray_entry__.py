@@ -163,6 +163,17 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         LangIdActor()(docs_tbl), os.path.join(out_dir, "lang_id.parquet")
     )
 
+    # grounding crop-file oracle: same save fn single-process, digesting
+    # the written PPM bytes (paths excluded — tmp dirs differ per run)
+    from agentic_doc_ray.functions.grounding import save_groundings_batch
+
+    g_out = save_groundings_batch(
+        parsed.select(["doc_id", "spans"]), "/tmp/gcrops_oracle"
+    )
+    _pq.write_table(
+        _crop_digest(g_out), os.path.join(out_dir, "grounding_crops.parquet")
+    )
+
     # exact all-pairs Jaccard oracle for the verified near-dup queries
     from agentic_doc_ray.functions.dedup import bruteforce_jaccard_pairs
 
@@ -254,6 +265,26 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
+
+
+def _crop_digest(manifest: pa.Table) -> pa.Table:
+    """Digest the written crop files (proves identical pixel bytes)."""
+    import hashlib as _hl
+
+    digests = []
+    for p in manifest.column("image_path").to_pylist():
+        with open(p, "rb") as fh:
+            digests.append(_hl.sha256(fh.read()).hexdigest()[:16])
+    return pa.Table.from_pydict(
+        {
+            "doc_id": manifest["doc_id"],
+            "chunk_id": manifest["chunk_id"],
+            "page": manifest["page"],
+            "crop_w": manifest["crop_w"],
+            "crop_h": manifest["crop_h"],
+            "crop_digest": digests,
+        }
+    )
 
 
 def _resize_digest(resized: pa.Table) -> pa.Table:
@@ -652,6 +683,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return grounding_manifest(extract_corpus(_corpus_ds(sf_dir)), "/tmp/gm")
 
+    def q_grounding_crops(sf_dir):
+        """Real grounding media write: rasterize -> crop -> PPM -> file,
+        verified by digesting the written bytes against the single-process
+        replica's files."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.grounding import save_groundings
+
+        parsed = extract_corpus(_corpus_ds(sf_dir))
+        manifest = save_groundings(parsed, "/tmp/gcrops_query")
+        return manifest.map_batches(_crop_digest, batch_format="pyarrow")
+
     def q_extract_fields(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         from agentic_doc_ray.functions.extract_fields import extract_fields
@@ -722,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_doc_stats": q_doc_stats,
         "extract_kind_counts": q_kind_counts,
         "grounding_manifest": q_grounding,
+        "grounding_crops": q_grounding_crops,
         "extract_fields": q_extract_fields,
         "extract_fields_model": q_extract_fields_model,
         "chunk_reference_lookup": q_chunk_lookup,
@@ -799,6 +842,10 @@ def oracle_sql() -> dict[str, str]:
         "grounding_manifest": (
             "SELECT doc_id, chunk_id, kind, page, xmin, ymin, xmax, ymax, "
             f"out_of_bounds, image_path FROM read_parquet('{_ORACLE_SQL_DIR}/grounding.parquet')"
+        ),
+        "grounding_crops": (
+            "SELECT doc_id, chunk_id, page, crop_w, crop_h, crop_digest "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/grounding_crops.parquet')"
         ),
         "extract_fields": (
             "SELECT doc_id, extraction, extraction_metadata, extraction_error "

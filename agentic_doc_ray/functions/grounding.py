@@ -11,10 +11,14 @@ Reimplements the crop/path semantics of
   - per-page grouping is LOCAL to a document (utils.py:94-100), so the
     stage is a plain map_batches over parsed docs — no shuffle.
 
-The actual rasterize+encode (pymupdf/cv2 in the reference) is stubbed —
-those libs are absent here — so the stage emits the *grounding manifest*
-(crop rects + target paths); a deployment plugs a decoder into
-``MediaFeatureActor``-style actors to write the bytes.
+The full rasterize -> crop -> encode -> save -> read-back path is REAL:
+pages render to RGB ndarrays (a deterministic synthetic rasterizer stands
+in for pymupdf's PDF rendering only — each chunk paints its pixel rect
+with a content-derived color), crops are actual array slices, and files
+are PPM (P6) — a pure-bytes image format needing no codec library, with
+``read_img_rgb`` as the reader (the reference's ``_read_img_rgb``,
+utils.py:417-430). ``grounding_manifest`` stays as the metadata-only
+fast path (no pixel work).
 """
 
 from __future__ import annotations
@@ -115,6 +119,147 @@ def grounding_manifest(
 ) -> "ray.data.Dataset":
     return parsed.map_batches(
         grounding_manifest_batch,
+        fn_kwargs={
+            "save_dir": save_dir,
+            "page_width": page_width,
+            "page_height": page_height,
+        },
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real rasterize -> crop -> encode -> save -> read path (PPM, no codec lib)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_color(text: str) -> np.ndarray:
+    """Deterministic RGB for a chunk's painted rect (content-derived)."""
+    import hashlib
+
+    d = hashlib.sha256((text or "").encode()).digest()
+    # keep away from the 255 background so crops are distinguishable
+    return np.frombuffer(d[:3], dtype=np.uint8) % 200
+
+
+def rasterize_page(
+    page_spans: list[dict], width: int = 816, height: int = 1056
+) -> np.ndarray:
+    """Render one page to an RGB array (the ``page_to_image`` analogue,
+    ref utils.py:110-124). Deterministic synthetic rendering: white page,
+    each chunk's pixel rect painted with a color derived from its text —
+    the stand-in for pymupdf's rasterizer; everything downstream (crop,
+    encode, save, read) operates on these real arrays."""
+    img = np.full((height, width, 3), 255, dtype=np.uint8)
+    for s in page_spans:
+        x0, y0, x1, y1, _ = crop_rect(tuple(s["bbox"]), width, height)
+        if x1 > x0 and y1 > y0:
+            img[y0:y1, x0:x1] = _chunk_color(s["text"])
+    return img
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """RGB array -> binary PPM (P6): pure bytes, no codec library."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def read_img_rgb(data: bytes) -> np.ndarray:
+    """PPM (P6) bytes -> RGB array (the reference's _read_img_rgb reader
+    surface, utils.py:417-430 — theirs wraps cv2 imread + BGR->RGB)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace separated, with
+    # possible '#' comments
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def save_groundings_batch(
+    batch: pa.Table, save_dir: str, page_width: int = 816, page_height: int = 1056
+) -> pa.Table:
+    """Parsed-doc rows -> written crop files + manifest rows.
+
+    Per doc: group chunks by page (LOCAL, ref utils.py:94-100), rasterize
+    each page once, slice every grounding's crop out of the page array, and
+    write ``{save_dir}/page_{p}/{kind}_{chunk_id}_0.ppm`` atomically."""
+    import os
+
+    out = {
+        "doc_id": [],
+        "chunk_id": [],
+        "page": [],
+        "image_path": [],
+        "crop_w": [],
+        "crop_h": [],
+    }
+    for row in batch.to_pylist():
+        by_page: dict[int, list[dict]] = {}
+        for s in row["spans"] or []:
+            by_page.setdefault(s["page"], []).append(s)
+        for p, spans in sorted(by_page.items()):
+            img = rasterize_page(spans, page_width, page_height)
+            page_dir = os.path.join(save_dir, f"page_{p}")
+            os.makedirs(page_dir, exist_ok=True)
+            for s in spans:
+                x0, y0, x1, y1, _ = crop_rect(
+                    tuple(s["bbox"]), page_width, page_height
+                )
+                crop = img[y0:y1, x0:x1]
+                path = os.path.join(page_dir, f"{s['kind']}_{s['chunk_id']}_0.ppm")
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(encode_ppm(crop))
+                os.replace(tmp, path)
+                out["doc_id"].append(row["doc_id"])
+                out["chunk_id"].append(s["chunk_id"])
+                out["page"].append(p)
+                out["image_path"].append(path)
+                out["crop_w"].append(max(0, x1 - x0))
+                out["crop_h"].append(max(0, y1 - y0))
+    return pa.Table.from_pydict(
+        out,
+        schema=pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("chunk_id", pa.string()),
+                ("page", pa.int32()),
+                ("image_path", pa.string()),
+                ("crop_w", pa.int32()),
+                ("crop_h", pa.int32()),
+            ]
+        ),
+    )
+
+
+def save_groundings(
+    parsed: "ray.data.Dataset",
+    save_dir: str,
+    page_width: int = 816,
+    page_height: int = 1056,
+) -> "ray.data.Dataset":
+    """Write every grounding crop as a real image file; returns the
+    manifest of written files (a shared filesystem at multi-node scale)."""
+    return parsed.map_batches(
+        save_groundings_batch,
         fn_kwargs={
             "save_dir": save_dir,
             "page_width": page_width,

@@ -304,3 +304,46 @@ def test_visualization_config_custom(sf_smoke_corpus):
             assert (r["color_b"], r["color_g"], r["color_r"]) == (1, 2, 3)
     with pytest.raises(ValueError):
         VisualizationConfig(text_bg_opacity=1.5)
+
+
+def test_grounding_save_and_read_roundtrip(tmp_path, sf_smoke_corpus):
+    """rasterize -> crop -> PPM encode -> save -> read back: the written
+    crop must equal the page slice, and dims must match the crop rect."""
+    import numpy as np
+
+    from agentic_doc_ray.functions.grounding import (
+        crop_rect,
+        encode_ppm,
+        rasterize_page,
+        read_img_rgb,
+        save_groundings,
+    )
+
+    # pure roundtrip first
+    img = rasterize_page(
+        [{"bbox": [0.1, 0.1, 0.5, 0.4], "text": "hello", "kind": "text"}], 64, 48
+    )
+    assert read_img_rgb(encode_ppm(img)).tolist() == img.tolist()
+
+    parsed = extract_corpus(ray.data.from_arrow(sf_smoke_corpus.slice(0, 8)), CFG)
+    rows = save_groundings(parsed, str(tmp_path)).take_all()
+    assert rows
+    doc_rows = {r["doc_id"]: r for r in parsed.take_all()}
+    import collections
+
+    by_doc_page = collections.defaultdict(list)
+    for d, r in doc_rows.items():
+        for s in r["spans"]:
+            by_doc_page[(d, s["page"])].append(s)
+    checked = 0
+    for m in rows[:40]:
+        spans = by_doc_page[(m["doc_id"], m["page"])]
+        page_img = rasterize_page(spans)
+        s = next(x for x in spans if x["chunk_id"] == m["chunk_id"])
+        x0, y0, x1, y1, _ = crop_rect(tuple(s["bbox"]), 816, 1056)
+        with open(m["image_path"], "rb") as fh:
+            got = read_img_rgb(fh.read())
+        assert got.shape == (m["crop_h"], m["crop_w"], 3)
+        assert np.array_equal(got, page_img[y0:y1, x0:x1])
+        checked += 1
+    assert checked
