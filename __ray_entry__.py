@@ -252,7 +252,11 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         os.path.join(out_dir, "media_features.parquet"),
     )
 
-    from agentic_doc_ray.functions.multimodal import AudioChunkActor, ResizeActor
+    from agentic_doc_ray.functions.multimodal import (
+        AudioChunkActor,
+        ResizeActor,
+        synth_ppm_media_table,
+    )
 
     _pq.write_table(
         _resize_digest(ResizeActor(max_w=96, max_h=96)(media)),
@@ -260,6 +264,19 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     )
     _pq.write_table(
         AudioChunkActor()(media), os.path.join(out_dir, "audio_chunks.parquet")
+    )
+
+    # REAL-decode oracles over PPM payloads (same single-process replica)
+    ppm_media = synth_ppm_media_table(
+        os.path.join(sf_dir, "documents.parquet"), limit=64
+    )
+    _pq.write_table(
+        _media_digest(MediaFeatureActor(decoder="ppm")(ppm_media)),
+        os.path.join(out_dir, "ppm_features.parquet"),
+    )
+    _pq.write_table(
+        _resize_digest(ResizeActor(max_w=100, max_h=100, decoder="ppm")(ppm_media)),
+        os.path.join(out_dir, "ppm_resized.parquet"),
     )
 
     with open(marker, "w") as f:
@@ -529,6 +546,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             M.synth_media_table(f"{sf_dir}/documents.parquet", limit=96)
         )
         return M.audio_chunks(media)
+
+    def q_ppm_features(sf_dir):
+        """REAL image decode + feature extraction over PPM payloads (the
+        engine's native image format; no codec library needed)."""
+        _ensure_extraction_oracles(sf_dir)
+        media = ray.data.from_arrow(
+            M.synth_ppm_media_table(f"{sf_dir}/documents.parquet", limit=64)
+        )
+        return M.media_features(media, decoder="ppm").map_batches(
+            _media_digest, batch_format="pyarrow"
+        )
+
+    def q_ppm_resize(sf_dir):
+        """REAL nearest-neighbor resample of PPM images (pure numpy)."""
+        _ensure_extraction_oracles(sf_dir)
+        media = ray.data.from_arrow(
+            M.synth_ppm_media_table(f"{sf_dir}/documents.parquet", limit=64)
+        )
+        return M.resize_media(media, max_w=100, max_h=100, decoder="ppm").map_batches(
+            _resize_digest, batch_format="pyarrow"
+        )
 
     def q_hll(sf_dir):
         from agentic_doc_ray.functions.sketches import hll_distinct
@@ -813,6 +851,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "audio_chunks": q_audio_chunks,
+        "ppm_media_features": q_ppm_features,
+        "ppm_media_resize": q_ppm_resize,
     }
 
 
@@ -1072,6 +1112,15 @@ def oracle_sql() -> dict[str, str]:
         "audio_chunks": (
             "SELECT media_id, chunk_idx, byte_lo, byte_hi, digest "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/audio_chunks.parquet')"
+        ),
+        "ppm_media_features": (
+            "SELECT media_id, media_type, feat_sum_milli "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/ppm_features.parquet')"
+        ),
+        "ppm_media_resize": (
+            "SELECT media_id, media_type, width, height, orig_width, "
+            "orig_height, payload_digest "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/ppm_resized.parquet')"
         ),
         # verified near-dup pipelines: LSH bounds the candidate set, exact
         # n-gram Jaccard decides — so brute-force all-pairs IS the oracle

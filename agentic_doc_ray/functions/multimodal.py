@@ -43,12 +43,39 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     )
 
 
+def _ppm_features(payload: bytes) -> np.ndarray:
+    """REAL image features from a PPM payload: per-channel mean/std/min/max
+    + aspect + size (padded to FEATURE_DIM). No codec library — PPM is the
+    engine's native image format (functions/grounding.py)."""
+    from agentic_doc_ray.functions.grounding import read_img_rgb
+
+    img = read_img_rgb(payload).astype(np.float64) / 255.0
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    feats = np.concatenate(
+        [
+            flat.mean(axis=0),
+            flat.std(axis=0),
+            flat.min(axis=0),
+            flat.max(axis=0),
+            [w / max(h, 1), np.log1p(w * h) / 20.0],
+        ]
+    )
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[: len(feats)] = feats.astype(np.float32)
+    return out
+
+
 class MediaFeatureActor:
-    """binary payload -> feature vector (actor pool; codec is warm state)."""
+    """binary payload -> feature vector (actor pool; codec is warm state).
+
+    decoder: "ppm" = REAL decode+features for the engine's native PPM
+    format; "fake" = deterministic digest features (any payload); "real" =
+    the PIL/ffmpeg seam (unavailable in this container, raises)."""
 
     def __init__(self, decoder: str = "fake"):
-        if decoder not in ("fake", "real"):
-            raise ValueError("decoder must be 'fake' or 'real'")
+        if decoder not in ("fake", "real", "ppm"):
+            raise ValueError("decoder must be 'fake', 'real' or 'ppm'")
         self.decoder = decoder
         # real path: this is where the codec/model would be loaded once
 
@@ -57,6 +84,8 @@ class MediaFeatureActor:
             raise NotImplementedError(
                 "real image/audio decode requires PIL/ffmpeg, unavailable here"
             )
+        if self.decoder == "ppm":
+            return _ppm_features(payload)
         return _fake_decode(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -128,8 +157,8 @@ class ResizeActor:
     pass through unchanged with their original dims copied."""
 
     def __init__(self, max_w: int = 512, max_h: int = 512, decoder: str = "fake"):
-        if decoder not in ("fake", "real"):
-            raise ValueError("decoder must be 'fake' or 'real'")
+        if decoder not in ("fake", "real", "ppm"):
+            raise ValueError("decoder must be 'fake', 'real' or 'ppm'")
         self.max_w, self.max_h = max_w, max_h
         self.decoder = decoder
 
@@ -139,6 +168,16 @@ class ResizeActor:
         scale = min(self.max_w / w, self.max_h / h)
         return max(1, int(w * scale)), max(1, int(h * scale))
 
+    def _resample_ppm(self, payload: bytes, tw: int, th: int) -> bytes:
+        """REAL nearest-neighbor resample of a PPM payload (pure numpy)."""
+        from agentic_doc_ray.functions.grounding import encode_ppm, read_img_rgb
+
+        img = read_img_rgb(payload)
+        h, w = img.shape[:2]
+        yi = np.minimum((np.arange(th) * h) // th, h - 1)
+        xi = np.minimum((np.arange(tw) * w) // tw, w - 1)
+        return encode_ppm(img[yi][:, xi])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder == "real":
             raise NotImplementedError("real resize requires PIL, unavailable here")
@@ -147,13 +186,14 @@ class ResizeActor:
             w, h = row["width"], row["height"]
             if row["media_type"] == "image":
                 tw, th = self.target_dims(w, h)
-                payload = (
-                    row["payload"]
-                    if (tw, th) == (w, h)
-                    else hashlib.sha256(
+                if (tw, th) == (w, h):
+                    payload = row["payload"]
+                elif self.decoder == "ppm":
+                    payload = self._resample_ppm(row["payload"], tw, th)
+                else:
+                    payload = hashlib.sha256(
                         (row["payload"] or b"") + f"{tw}x{th}".encode()
                     ).digest()
-                )
             else:
                 tw, th, payload = w, h, row["payload"]
             out["media_id"].append(row["media_id"])
@@ -255,6 +295,36 @@ def frame_samples(
         batch_size=64,
         concurrency=(1, 8),
     )
+
+
+def synth_ppm_media_table(documents_parquet: str, limit: int = 64) -> pa.Table:
+    """Deterministic IMAGE fixture with REAL PPM payloads: each document's
+    first spans rasterized to a small page (functions/grounding.py), so the
+    decode/feature/resize paths operate on genuine image bytes."""
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions.grounding import encode_ppm, rasterize_page
+
+    t = pq.read_table(documents_parquet, columns=["doc_id", "text"]).slice(0, limit)
+    rows = {"media_id": [], "media_type": [], "payload": [], "width": [], "height": []}
+    for i, (d, txt) in enumerate(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())):
+        w, h = 96 + (i % 4) * 32, 96 + (i % 3) * 32
+        blocks = [b for b in (txt or "x").split("\n\n") if b][:4] or ["x"]
+        n = len(blocks)
+        spans = [
+            {
+                "bbox": [0.05, 0.05 + j * (0.9 / n), 0.95, 0.05 + (j + 0.8) * (0.9 / n)],
+                "text": b,
+                "kind": "text",
+            }
+            for j, b in enumerate(blocks)
+        ]
+        rows["media_id"].append(f"ppm-{int(d):08d}")
+        rows["media_type"].append("image")
+        rows["payload"].append(encode_ppm(rasterize_page(spans, w, h)))
+        rows["width"].append(w)
+        rows["height"].append(h)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
 
 def synth_media_table(documents_parquet: str, limit: int = 64) -> pa.Table:

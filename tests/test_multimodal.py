@@ -101,3 +101,44 @@ def test_audio_chunks_cover_payload():
     assert rows[0]["byte_lo"] == 0 and rows[-1]["byte_hi"] == 5000
     for a, b in zip(rows, rows[1:]):
         assert a["byte_hi"] == b["byte_lo"]  # contiguous coverage
+
+
+def test_ppm_decoder_real_features_and_resize():
+    import numpy as np
+    import ray.data
+
+    from agentic_doc_ray.functions.grounding import encode_ppm, read_img_rgb
+    from agentic_doc_ray.functions.multimodal import (
+        MEDIA_SCHEMA,
+        media_features,
+        resize_media,
+    )
+    import pyarrow as pa
+
+    # a 40x20 image: left half black, right half white
+    img = np.zeros((20, 40, 3), dtype=np.uint8)
+    img[:, 20:] = 255
+    t = pa.Table.from_pydict(
+        {
+            "media_id": ["m1"],
+            "media_type": ["image"],
+            "payload": [encode_ppm(img)],
+            "width": [40],
+            "height": [20],
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    feats = media_features(ray.data.from_arrow(t), decoder="ppm").take_all()[0][
+        "features"
+    ]
+    # real stats: mean 0.5 per channel, min 0, max 1
+    assert all(abs(f - 0.5) < 1e-6 for f in feats[:3])
+    assert all(f == 0.0 for f in feats[6:9])  # min
+    assert all(f == 1.0 for f in feats[9:12])  # max
+
+    resized = resize_media(ray.data.from_arrow(t), 20, 20, decoder="ppm").take_all()[0]
+    assert (resized["width"], resized["height"]) == (20, 10)
+    out = read_img_rgb(resized["payload"])
+    assert out.shape == (10, 20, 3)
+    # halves preserved under nearest-neighbor
+    assert (out[:, :10] == 0).all() and (out[:, 10:] == 255).all()
