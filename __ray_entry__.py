@@ -17,10 +17,12 @@ Correctness strategy:
     media features) use the same materialised-oracle mechanism: the pure
     batch fns applied single-process, so the compare validates distributed
     execution.
-  - Only approximate / candidate-set-dependent operators (MinHash pairs,
-    n-gram Jaccard over LSH candidates, IVF top-k, HLL) are rows-only;
-    their semantics are pinned by the pytest suite against brute-force
-    oracles.
+  - Verified near-dup pipelines (LSH candidates -> exact Jaccard) have a
+    brute-force all-pairs materialized oracle; IVF top-k / k-means /
+    packing / contamination / media paths have single-process replica
+    oracles (deterministic by construction: integer accumulation or
+    digest outputs). Only the HLL sketch remains rows-only (approximate
+    estimator; pinned by the pytest suite).
 
 Note: the oracle SQL paths are fixed to the sf0.01 materialisation (the
 driver's correctness scale); running queries at another sf still works,
