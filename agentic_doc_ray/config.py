@@ -40,6 +40,12 @@ class EngineConfig:
     # high CPU counts. False = the unfused 3-operator pipeline (parity
     # reference, pinned equal by tests).
     fuse_stages: bool = True
+    # Run the fused stage as an ACTOR POOL (parse_concurrency) instead of
+    # cached tasks. Default False: the current parser state is cheap and
+    # actor pools cold-start on every dataset execution; flip to True when
+    # the stage holds a genuinely expensive model (the north_star's
+    # warm-model actor-pool shape — load in __init__, amortized per actor).
+    fused_use_actors: bool = False
 
     # --- Ray execution knobs ----------------------------------------------
     # Autoscaling actor pool (min, max): a FIXED pool that reserves every CPU

@@ -46,15 +46,26 @@ def extract_corpus(
 
         return ray.data.from_arrow(PARSED_DOC_SCHEMA.empty_table())
     if config.fuse_stages:
-        from agentic_doc_ray.stages.fused import fused_parse_batch
+        from agentic_doc_ray.stages.fused import FusedParseActor, fused_parse_batch
 
         # Corpus rows carry whole documents, so the fused stage merges each
         # doc locally and NO reassembly exchange runs at all (fused.py).
-        # Task-based (not an actor pool): parser state is cheap and cached
-        # per worker process, and the default worker pool persists across
-        # executions — an actor pool cold-starts on every run. A stage with
-        # genuinely expensive state (a real layout model) would switch back
-        # to an actor pool (fuse_stages=False path keeps that shape).
+        if config.fused_use_actors:
+            # warm-model actor-pool shape (expensive state loads once per
+            # actor in __init__)
+            return corpus.map_batches(
+                FusedParseActor,
+                fn_constructor_kwargs={"config": config, "local_reassembly": True},
+                batch_format="pyarrow",
+                batch_size=config.explode_batch_size,
+                concurrency=config.parse_concurrency,
+                zero_copy_batch=True,
+                max_task_retries=config.max_retries,
+                max_restarts=config.max_retries,
+            )
+        # Task-based default: parser state is cheap and cached per worker
+        # process, and the default worker pool persists across executions —
+        # an actor pool cold-starts on every run.
         return corpus.map_batches(
             fused_parse_batch,
             fn_kwargs={"config": config},

@@ -123,6 +123,7 @@ def save_results_json(
     os.makedirs(result_save_dir, exist_ok=True)
 
     def save(batch: pa.Table) -> pa.Table:
+        has_extraction = "extraction" in batch.schema.names
         paths = []
         for row in batch.to_pylist():
             doc = doc_row_to_parsed_document(row)
@@ -139,6 +140,22 @@ def save_results_json(
                     for s in (row["spans"] or [])
                     if s["media_ref"]
                 }
+                if has_extraction:
+                    # extraction travels in the ParsedDocument shape
+                    # (common.py:129-161): typed dict + metadata + error
+                    payload["extraction"] = (
+                        json.loads(row["extraction"])
+                        if row.get("extraction")
+                        else None
+                    )
+                    payload["extraction_metadata"] = (
+                        json.loads(row["extraction_metadata"])
+                        if row.get("extraction_metadata")
+                        else None
+                    )
+                    payload["extraction_error"] = (
+                        row.get("extraction_error") or None
+                    )
                 json.dump(payload, fh)
             os.replace(tmp, path)
             paths.append(path)
@@ -151,14 +168,21 @@ def save_results_json(
 
 
 RELOADED_SCHEMA = pa.schema(
-    list(PARSED_DOC_SCHEMA) + [pa.field("result_path", pa.string())]
+    list(PARSED_DOC_SCHEMA)
+    + [
+        pa.field("result_path", pa.string()),
+        pa.field("extraction", pa.string()),
+        pa.field("extraction_metadata", pa.string()),
+        pa.field("extraction_error", pa.string()),
+    ]
 )
 
 
 def load_results_json(result_save_dir: str) -> "ray.data.Dataset":
     """Re-read + re-validate saved JSON results, attaching result_path
     (parse.py:201-221 semantics: every file goes back through
-    ParsedDocument.model_validate)."""
+    ParsedDocument.model_validate). Extraction fields round-trip when
+    present (null columns otherwise)."""
     files = ray.data.read_binary_files(result_save_dir, include_paths=True)
 
     def load(batch: pa.Table) -> pa.Table:
@@ -169,9 +193,22 @@ def load_results_json(result_save_dir: str) -> "ray.data.Dataset":
             data = json.loads(blob.decode("utf-8"))
             doc_id = data.pop("doc_id")
             media_refs = data.pop("media_refs", {})
+            # keep the raw extraction dicts: unparameterized ParsedDocument
+            # validates Union[T, Dict] with T bound to bare BaseModel,
+            # which would swallow the dict's fields
+            ex_raw = data.pop("extraction", None)
+            md_raw = data.pop("extraction_metadata", None)
+            err_raw = data.pop("extraction_error", None)
             doc = ParsedDocument.model_validate(data)
             row = parsed_document_to_doc_row(doc, doc_id, media_refs)
             row["result_path"] = path
+            row["extraction"] = (
+                json.dumps(ex_raw, sort_keys=True) if ex_raw is not None else None
+            )
+            row["extraction_metadata"] = (
+                json.dumps(md_raw, sort_keys=True) if md_raw is not None else None
+            )
+            row["extraction_error"] = err_raw
             rows.append(row)
         return pa.Table.from_pylist(rows, schema=RELOADED_SCHEMA)
 

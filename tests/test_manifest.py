@@ -125,3 +125,52 @@ def test_save_reload_roundtrip(tmp_path):
             assert [round(x, 5) for x in gs["bbox"]] == [
                 round(x, 5) for x in os_["bbox"]
             ]
+
+
+def test_save_reload_with_extraction(tmp_path):
+    """Extraction fields round-trip through the per-doc JSON envelope
+    (ref ParsedDocument.extraction/extraction_metadata/extraction_error)."""
+    import json
+
+    import ray.data
+
+    from agentic_doc_ray.functions.extract_fields import extract_fields_model
+    from agentic_doc_ray.models import DocExtraction
+    from agentic_doc_ray.pipelines import extract_corpus
+    from agentic_doc_ray.state.results import load_results_json, save_results_json
+    from agentic_doc_ray.synth import corpus_path_for
+
+    parsed = extract_corpus(
+        ray.data.read_parquet(corpus_path_for("/root/testdata/sf0.001"))
+    ).limit(20)
+    rows = {r["doc_id"]: r for r in parsed.take_all()}
+    ex = {
+        r["doc_id"]: r
+        for r in extract_fields_model(
+            ray.data.from_items(list(rows.values())), DocExtraction
+        ).take_all()
+    }
+    combined = []
+    for d, r in rows.items():
+        r = dict(r)
+        r["extraction"] = ex[d]["extraction"]
+        r["extraction_metadata"] = ex[d]["extraction_metadata"]
+        r["extraction_error"] = ex[d]["extraction_error"]
+        combined.append(r)
+
+    out_dir = str(tmp_path / "res_ex")
+    save_results_json(
+        ray.data.from_items(combined), out_dir, timestamp="20260101_000000"
+    ).materialize()
+    back = {r["doc_id"]: r for r in load_results_json(out_dir).take_all()}
+    assert set(back) == set(rows)
+    for d in rows:
+        got, want = back[d], ex[d]
+        if want["extraction"] is None:
+            assert got["extraction"] is None
+        else:
+            assert json.loads(got["extraction"]) == json.loads(want["extraction"])
+            assert json.loads(got["extraction_metadata"]) == json.loads(
+                want["extraction_metadata"]
+            )
+        assert (got["extraction_error"] or "") == (want["extraction_error"] or "")

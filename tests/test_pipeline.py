@@ -160,3 +160,25 @@ def test_fused_equals_unfused(sf_smoke_corpus):
         key=lambda r: r["doc_id"],
     )
     assert a == b
+
+
+def test_fused_actor_pool_equals_tasks(sf_smoke_corpus):
+    import ray.data
+
+    from agentic_doc_ray.config import EngineConfig
+    from agentic_doc_ray.pipelines import extract_corpus
+
+    small = sf_smoke_corpus.slice(0, 40)
+    tasks = EngineConfig(fuse_stages=True, fused_use_actors=False)
+    actors = EngineConfig(
+        fuse_stages=True, fused_use_actors=True, parse_concurrency=(1, 2)
+    )
+    a = sorted(
+        extract_corpus(ray.data.from_arrow(small), tasks).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        extract_corpus(ray.data.from_arrow(small), actors).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert a == b
