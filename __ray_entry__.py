@@ -603,6 +603,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_quality_filter(sf_dir):
         return T.quality_filter(docs(sf_dir), 20, 100).select_columns(["doc_id"])
 
+    def q_redact_pii(sf_dir):
+        """PII redaction over a corpus with planted PII (emails/phones/
+        SSNs/IPs appended to every 25th doc) — chained RE2 kernels,
+        oracle = the same chained regexp_replace in DuckDB."""
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out = [
+                t + " reach me at jane.doe@example.com or 555-123-4567, "
+                "ssn 123-45-6789, host 192.168.0.1"
+                if int(i) % 25 == 0
+                else t
+                for i, t in zip(ids, texts)
+            ]
+            return pa.Table.from_pydict(
+                {"doc_id": batch.column("doc_id"), "text": out}
+            )
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(plant, batch_format="pyarrow")
+        return T.redact_pii(d)
+
     def q_contamination(sf_dir):
         """Benchmark decontamination: 13-gram overlap against a broadcast
         benchmark set (every 50th doc's text — those self-flag)."""
@@ -816,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_stats": q_lang_stats,
         "quality_filter": q_quality_filter,
         "repetition_stats": lambda sf: T.repetition_stats(docs(sf)),
+        "redact_pii": q_redact_pii,
         "contamination_flags": q_contamination,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
@@ -964,6 +989,24 @@ def oracle_sql() -> dict[str, str]:
         "contamination_flags": (
             "SELECT doc_id, n_overlaps, contaminated "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/contamination.parquet')"
+        ),
+        # same pattern chain + order as text.PII_PATTERNS (email first)
+        "redact_pii": (
+            "WITH planted AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 25 = 0 THEN text || "
+            "' reach me at jane.doe@example.com or 555-123-4567, ssn 123-45-6789, host 192.168.0.1' "
+            "ELSE text END AS text FROM documents"
+            ") SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), "
+            "'\\b(\\+?1[ .\\-]?)?(\\([0-9]{3}\\)|[0-9]{3})[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b', '<PHONE>', 'g'), "
+            "'\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS text, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) "
+            "+ len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) "
+            "+ len(regexp_extract_all(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), '\\b(\\+?1[ .\\-]?)?(\\([0-9]{3}\\)|[0-9]{3})[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b')) "
+            "+ len(regexp_extract_all(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), '\\b(\\+?1[ .\\-]?)?(\\([0-9]{3}\\)|[0-9]{3})[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b', '<PHONE>', 'g'), '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_pii "
+            "FROM planted"
         ),
         # stable md5-percentile split/sample: int(md5(id)[:4],16) % 100 on
         # both sides — content-keyed, resumable, block-layout-independent

@@ -237,6 +237,36 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# PII patterns (RE2-safe, mirrored verbatim in the DuckDB oracle).
+# Order matters: email before phone so the digits inside an address
+# aren't double-redacted by a later pass.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b(\+?1[ .\-]?)?(\([0-9]{3}\)|[0-9]{3})[ .\-][0-9]{3}[ .\-][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, text redacted, n_pii): chained RE2
+    replace kernels, one count+replace pass per pattern class — no per-row
+    Python. The redaction order is part of the spec (email first)."""
+    text = batch.column("text")
+    n_pii = pa.nulls(len(text), pa.int64()).fill_null(0)
+    for _, pat, repl in PII_PATTERNS:
+        n_pii = pc.add(n_pii, pc.count_substring_regex(text, pat).cast(pa.int64()))
+        text = pc.replace_substring_regex(text, pat, repl)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), text, n_pii],
+        names=["doc_id", "text", "n_pii"],
+    )
+
+
+def redact_pii(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(redact_pii_batch, batch_format="pyarrow")
+
+
 def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     """Gopher-style repetition metrics per doc (integer, oracle-exact):
     n_lines (non-empty), n_dup_lines (lines whose text occurs more than

@@ -148,3 +148,25 @@ def test_repetition_stats_planted_duplicates():
     assert out[2] == {"doc_id": 2, "n_lines": 4, "n_dup_lines": 3, "dup_line_per_mille": 750}
     assert out[3] == {"doc_id": 3, "n_lines": 0, "n_dup_lines": 0, "dup_line_per_mille": 0}
     assert out[4] == {"doc_id": 4, "n_lines": 3, "n_dup_lines": 2, "dup_line_per_mille": 666}
+
+
+def test_redact_pii_patterns():
+    from agentic_doc_ray.functions.text import redact_pii_batch
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "mail a.b+c@ex-ample.co.uk, call (212) 555-1234 or 555-123-4567, "
+                "ssn 123-45-6789, ip 10.0.0.255 done",
+                "no pii here at all",
+            ],
+        }
+    )
+    out = redact_pii_batch(t).to_pylist()
+    r = out[0]
+    assert "<EMAIL>" in r["text"] and "<PHONE>" in r["text"]
+    assert "<SSN>" in r["text"] and "<IP>" in r["text"]
+    assert "a.b+c@" not in r["text"] and "123-45-6789" not in r["text"]
+    assert r["n_pii"] == 5
+    assert out[1]["text"] == "no pii here at all" and out[1]["n_pii"] == 0
