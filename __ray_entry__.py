@@ -1000,12 +1000,12 @@ def oracle_sql() -> dict[str, str]:
             "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
             "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
             "'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), "
-            "'\\b(\\+?1[ .\\-]?)?(\\([0-9]{3}\\)|[0-9]{3})[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b', '<PHONE>', 'g'), "
+            "'(\\+?1[ .\\-]?)?(\\([0-9]{3}\\)|\\b[0-9]{3})[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b', '<PHONE>', 'g'), "
             "'\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS text, "
             "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) "
             "+ len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) "
-            "+ len(regexp_extract_all(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), '\\b(\\+?1[ .\\-]?)?(\\([0-9]{3}\\)|[0-9]{3})[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b')) "
-            "+ len(regexp_extract_all(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), '\\b(\\+?1[ .\\-]?)?(\\([0-9]{3}\\)|[0-9]{3})[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b', '<PHONE>', 'g'), '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_pii "
+            "+ len(regexp_extract_all(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), '(\\+?1[ .\\-]?)?(\\([0-9]{3}\\)|\\b[0-9]{3})[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b')) "
+            "+ len(regexp_extract_all(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), '(\\+?1[ .\\-]?)?(\\([0-9]{3}\\)|\\b[0-9]{3})[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b', '<PHONE>', 'g'), '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_pii "
             "FROM planted"
         ),
         # stable md5-percentile split/sample: int(md5(id)[:4],16) % 100 on

@@ -243,7 +243,7 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-    ("phone", r"\b(\+?1[ .\-]?)?(\([0-9]{3}\)|[0-9]{3})[ .\-][0-9]{3}[ .\-][0-9]{4}\b", "<PHONE>"),
+    ("phone", r"(\+?1[ .\-]?)?(\([0-9]{3}\)|\b[0-9]{3})[ .\-][0-9]{3}[ .\-][0-9]{4}\b", "<PHONE>"),
     ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
 )
 
