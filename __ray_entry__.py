@@ -583,6 +583,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return joins
 
+    def _Sc():
+        from agentic_doc_ray.functions import scans
+
+        return scans
+
+    def _Rk():
+        from agentic_doc_ray.functions import ranking
+
+        return ranking
+
     def q_simhash(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         return D.simhashes(docs(sf_dir))
@@ -874,6 +884,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": q_quantiles,
         "hll_distinct_users": q_hll,  # rows-only (approximate sketch)
         "sessionize": A.sessionize,
+        "purchase_sessions": A.purchase_sessions,
+        # ordered scans (distributed prefix scan / partitioned scan)
+        "late_events": _Sc().late_events,
+        "user_cumulative_spend": _Sc().user_cumulative_spend,
+        # ranking
+        "top_orders_per_segment": _Rk().top_orders_per_segment,
+        "heavy_hitter_tokens": lambda sf: _Rk().heavy_hitter_tokens(
+            docs(sf), per_mille=2
+        ),
+        # anti-join / bloom semi-join
+        "customers_without_urgent": _J().customers_without_urgent,
+        "urgent_revenue_bloom": _J().urgent_revenue_bloom,
         # multimodal plumbing (single-process replica oracles)
         "media_features": q_media_features,
         "media_resize": q_media_resize,
@@ -1199,6 +1221,77 @@ def oracle_sql() -> dict[str, str]:
             "FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.99"
+        ),
+        # ordered scans: the arrival jitter expression matches
+        # functions/scans.py:_arrival_ts exactly (content-keyed, no RNG)
+        "late_events": (
+            "WITH a AS ("
+            "  SELECT event_id, ts, "
+            "    ts + to_seconds(CAST((event_id * 2654435761) % 600 AS BIGINT)) AS arrival_ts "
+            "  FROM events"
+            "), w AS ("
+            "  SELECT event_id, ts, "
+            "    max(ts) OVER (ORDER BY arrival_ts, event_id "
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS watermark_ts "
+            "  FROM a"
+            ") "
+            "SELECT event_id, ts, watermark_ts, "
+            "COALESCE(watermark_ts - ts > INTERVAL 5 MINUTE, false) AS is_late FROM w"
+        ),
+        "user_cumulative_spend": (
+            "SELECT event_id, user_id, ts, "
+            "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS n_purchases, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS cum_spend "
+            "FROM events WHERE event_type = 'purchase'"
+        ),
+        "purchase_sessions": (
+            "WITH marked AS ("
+            "  SELECT user_id, ts, "
+            "    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events"
+            "), numbered AS ("
+            "  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts "
+            "    ROWS UNBOUNDED PRECEDING) AS sess FROM marked"
+            "), sessions AS ("
+            "  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end "
+            "  FROM numbered GROUP BY user_id, sess"
+            ") "
+            "SELECT e.event_id, e.user_id, e.ts, s.session_start, s.session_end "
+            "FROM events e JOIN sessions s ON e.user_id = s.user_id "
+            "AND e.ts BETWEEN s.session_start AND s.session_end "
+            "WHERE e.event_type = 'purchase'"
+        ),
+        "top_orders_per_segment": (
+            "SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice "
+            "FROM ("
+            "  SELECT c.c_mktsegment, "
+            "    row_number() OVER (PARTITION BY c.c_mktsegment "
+            "      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank, "
+            "    o.o_orderkey, o.o_totalprice "
+            "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+            ") WHERE rank <= 3"
+        ),
+        "heavy_hitter_tokens": (
+            "WITH toks AS ("
+            "  SELECT unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token "
+            "  FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''"
+            ") "
+            "SELECT token, count(*) AS n FROM toks GROUP BY token "
+            "HAVING count(*) * 1000 >= 2 * (SELECT count(*) FROM toks)"
+        ),
+        "customers_without_urgent": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
+            "  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "  AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "urgent_revenue_bloom": (
+            "SELECT l_returnflag, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue, "
+            "count(*) AS n_items FROM lineitem WHERE l_orderkey IN ("
+            "  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "
+            "GROUP BY l_returnflag"
         ),
         # hll_distinct_users: intentionally omitted (approximate sketch;
         # estimator semantics pinned in tests/; the exact path

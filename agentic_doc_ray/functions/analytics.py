@@ -293,6 +293,101 @@ def purchase_prior_view(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def purchase_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """INTERVAL join: each purchase event joined to the session interval
+    [session_start, session_end] that contains it.
+
+    Generic point-in-interval join shape: intervals (the sessionize
+    output) and points are tagged, bucketed on the same coarse user key
+    (user_id % 64), and each bucket runs ONE vectorized ``merge_asof`` on
+    the interval start (backward, by user) followed by an end-bound
+    filter — never a per-user or per-interval Python loop. Session
+    intervals per user are disjoint, so each point matches at most once.
+    """
+    sessions = sessionize(sf_dir, gap_minutes=gap_minutes)
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        bucket = pc.cast(
+            pc.bit_wise_and(f.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                pa.array(["point"] * n, pa.string()),
+                f.column("user_id"),
+                f.column("event_id"),
+                f.column("ts"),
+                pa.nulls(n, pa.timestamp("us")),
+                pa.nulls(n, pa.timestamp("us")),
+            ],
+            names=["bucket", "side", "user_id", "event_id", "ts", "session_start", "session_end"],
+        )
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                pa.array(["ivl"] * n, pa.string()),
+                batch.column("user_id"),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.timestamp("us")),
+                batch.column("session_start").cast(pa.timestamp("us")),
+                batch.column("session_end").cast(pa.timestamp("us")),
+            ],
+            names=["bucket", "side", "user_id", "event_id", "ts", "session_start", "session_end"],
+        )
+
+    unioned = events.map_batches(tag_points, batch_format="pyarrow").union(
+        sessions.map_batches(tag_intervals, batch_format="pyarrow")
+    )
+
+    def join_bucket(group):
+        import pandas as pd
+
+        pts = group[group["side"] == "point"][["event_id", "user_id", "ts"]]
+        ivl = group[group["side"] == "ivl"][
+            ["user_id", "session_start", "session_end"]
+        ]
+        if pts.empty or ivl.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "session_start": pd.Series([], dtype="datetime64[us]"),
+                    "session_end": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        m = pd.merge_asof(
+            pts.sort_values("ts"),
+            ivl.sort_values("session_start").rename(
+                columns={"session_start": "_start"}
+            ),
+            left_on="ts",
+            right_on="_start",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m[m["ts"] <= m["session_end"]].rename(columns={"_start": "session_start"})
+        return m[["event_id", "user_id", "ts", "session_start", "session_end"]]
+
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    return unioned.groupby("bucket", num_partitions=_cap(8)).map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
 def distinct_users(sf_dir: str) -> "ray.data.Dataset":
     """Exact count-distinct per event_type via two-level dedup: each batch
     emits its distinct (event_type, user_id) pairs, a pair-groupby dedupes

@@ -113,6 +113,220 @@ def order_priority_revenue(sf_dir: str) -> "ray.data.Dataset":
     return _finalize(joined)
 
 
+def customers_without_urgent(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """ANTI-join: customers with no '1-URGENT' order. Same one-exchange
+    bucketed pattern as the hash join (tag sides -> union -> groupby
+    bucket), with the probe side pre-deduplicated per batch (distinct
+    custkeys, not order rows, cross the wire) and the per-bucket resolve a
+    vectorized ``is_in`` invert — no pairwise work anywhere."""
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def tag_customer(batch: pa.Table) -> pa.Table:
+        key = batch.column("c_custkey")
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [bucket, key, pa.array(["cust"] * batch.num_rows, pa.string()), batch.column("c_name")],
+            names=["bucket", "c_custkey", "side", "c_name"],
+        )
+
+    def tag_urgent(batch: pa.Table) -> pa.Table:
+        urgent = batch.filter(
+            pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        )
+        # batch-local distinct: one row per custkey per batch
+        d = urgent.select(["o_custkey"]).group_by("o_custkey").aggregate([])
+        key = d.column("o_custkey")
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [bucket, key, pa.array(["urgent"] * d.num_rows, pa.string()), pa.nulls(d.num_rows, pa.string())],
+            names=["bucket", "c_custkey", "side", "c_name"],
+        )
+
+    unioned = customer.map_batches(tag_customer, batch_format="pyarrow").union(
+        orders.map_batches(tag_urgent, batch_format="pyarrow")
+    )
+
+    def anti_bucket(group: pa.Table) -> pa.Table:
+        is_cust = pc.equal(group.column("side"), "cust")
+        cust = group.filter(is_cust)
+        urgent_keys = group.filter(pc.invert(is_cust)).column("c_custkey")
+        keep = pc.invert(
+            pc.is_in(cust.column("c_custkey"), value_set=urgent_keys.combine_chunks())
+        )
+        out = cust.filter(keep)
+        return out.select(["c_custkey", "c_name"])
+
+    return unioned.groupby(
+        "bucket", num_partitions=shuffle_partitions(n_buckets)
+    ).map_groups(anti_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join
+
+
+_BLOOM_BITS = 1 << 20  # 128 KiB per filter; sized for build sides ~<100k keys
+_BLOOM_HASHES = 4
+
+
+def _bloom_positions(keys: "pa.Array") -> "tuple":
+    """k hash positions per key via splitmix64 double hashing (vectorized)."""
+    import numpy as np
+
+    x = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        h1 = z & np.uint64(_BLOOM_BITS - 1)
+        h2 = ((z >> np.uint64(32)) | np.uint64(1)) & np.uint64(_BLOOM_BITS - 1)
+        return tuple(
+            ((h1 + np.uint64(i) * h2) & np.uint64(_BLOOM_BITS - 1)).astype(np.int64)
+            for i in range(_BLOOM_HASHES)
+        )
+
+
+def urgent_revenue_bloom(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Revenue of '1-URGENT' orders' lineitems per returnflag, probed
+    through a broadcast Bloom filter.
+
+    The Bloom filter is the SCALE device: the probe side tests membership
+    against 128 KiB of bits instead of shuffling every lineitem row into
+    the join — only bloom-positive rows (true matches + ~0.1% false
+    positives at these parameters) enter the exact bucketed semi-join that
+    removes false positives, so the result is EXACT. The filter is built
+    distributed (per-batch partial bitmaps, OR-merged on the driver —
+    bitmap count is O(blocks), each 128 KiB; a 256-node run would
+    tree-reduce the OR instead of driver-merging)."""
+    import numpy as np
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        for pos in _bloom_positions(batch.column("o_orderkey").combine_chunks()):
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.Table.from_pydict({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for r in urgent.map_batches(build_partial, batch_format="pyarrow").take_all():
+        merged |= np.frombuffer(r["bits"], dtype=np.uint8)
+    bloom_ref = ray.put(merged)
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        keys = batch.column("l_orderkey").combine_chunks()
+        hit = np.ones(len(keys), dtype=bool)
+        for pos in _bloom_positions(keys):
+            hit &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        f = batch.filter(pa.array(hit))
+        rev = pc.multiply(
+            f.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+        )
+        cents = pc.round(pc.multiply(rev, pa.scalar(10000.0))).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [f.column("l_orderkey"), f.column("l_returnflag"), cents],
+            names=["o_orderkey", "l_returnflag", "cents"],
+        )
+        # batch-local partial: (orderkey, flag) rows with count + cents
+        g = t.group_by(["o_orderkey", "l_returnflag"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        ).rename_columns(["o_orderkey", "l_returnflag", "cents", "n_items"])
+        key = g.column("o_orderkey")
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                key,
+                pa.array(["probe"] * g.num_rows, pa.string()),
+                g.column("l_returnflag"),
+                g.column("cents"),
+                g.column("n_items"),
+            ],
+            names=["bucket", "o_orderkey", "side", "l_returnflag", "cents", "n_items"],
+        )
+
+    def tag_build(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey")
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                key,
+                pa.array(["build"] * n, pa.string()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+            ],
+            names=["bucket", "o_orderkey", "side", "l_returnflag", "cents", "n_items"],
+        )
+
+    unioned = lineitem.map_batches(probe, batch_format="pyarrow").union(
+        urgent.map_batches(tag_build, batch_format="pyarrow")
+    )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        is_probe = pc.equal(group.column("side"), "probe")
+        probe_rows = group.filter(is_probe)
+        true_keys = group.filter(pc.invert(is_probe)).column("o_orderkey")
+        keep = pc.is_in(
+            probe_rows.column("o_orderkey"), value_set=true_keys.combine_chunks()
+        )
+        kept = probe_rows.filter(keep)
+        g = kept.select(["l_returnflag", "cents", "n_items"]).group_by(
+            "l_returnflag"
+        ).aggregate([("cents", "sum"), ("n_items", "sum")])
+        return g.rename_columns(["l_returnflag", "cents", "n_items"])
+
+    partials = unioned.groupby(
+        "bucket", num_partitions=shuffle_partitions(n_buckets)
+    ).map_groups(verify_bucket, batch_format="pyarrow")
+    np_ = shuffle_partitions(4)
+    agg = partials.repartition(np_).groupby(
+        "l_returnflag", num_partitions=np_
+    ).aggregate(Sum("cents", alias_name="cents"), Sum("n_items", alias_name="n_items"))
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("l_returnflag"),
+                pc.divide(b.column("cents").cast(pa.float64()), 10000.0),
+                b.column("n_items"),
+            ],
+            names=["l_returnflag", "revenue", "n_items"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def order_priority_revenue_bucketed(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
     """Same query via ONE explicit bucketed exchange: both sides tag
     bucket = orderkey % n_buckets, union, and a single groupby(bucket)
@@ -151,7 +365,7 @@ def order_priority_revenue_bucketed(sf_dir: str, n_buckets: int = 32) -> "ray.da
             [
                 bucket,
                 key,
-                pa.array(["rev"] * g.num_rows),
+                pa.array(["rev"] * g.num_rows, pa.string()),
                 pa.nulls(g.num_rows, pa.string()),
                 g.column("cents"),
             ],
@@ -167,7 +381,7 @@ def order_priority_revenue_bucketed(sf_dir: str, n_buckets: int = 32) -> "ray.da
             [
                 bucket,
                 key,
-                pa.array(["orders"] * batch.num_rows),
+                pa.array(["orders"] * batch.num_rows, pa.string()),
                 batch.column("o_orderpriority"),
                 pa.nulls(batch.num_rows, pa.int64()),
             ],

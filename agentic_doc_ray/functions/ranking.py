@@ -1,0 +1,172 @@
+"""Ranking operators: top-k per group and exact heavy hitters.
+
+Both avoid shuffling raw rows:
+
+  - ``top_orders_per_segment`` moves at most (groups x k) rows per batch
+    through the exchange — a per-batch local top-k is a valid partial for
+    a global top-k because the global winners are winners in their batch;
+  - ``heavy_hitter_tokens`` is the two-pass exact heavy-hitters scheme:
+    pass 1 builds a MERGEABLE truncated-counter summary per batch
+    (exact batch counts compressed Misra-Gries-style: subtract the
+    (capacity+1)-th largest count, keep positives — error <= n_b/(cap+1),
+    errors add under merge, so any token with global frequency above the
+    threshold is guaranteed to survive); pass 2 broadcasts the candidate
+    set and EXACTLY recounts only those tokens. The driver merge handles
+    summaries (<= capacity rows per batch), never token occurrences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from agentic_doc_ray.context import shuffle_partitions
+from agentic_doc_ray.functions.text import _regex_trim
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Top-k orders by o_totalprice per market segment (deterministic
+    tie-break: price desc, orderkey asc). Broadcast dimension join +
+    per-batch partial top-k; the final per-segment selection sees only
+    (segments x k x n_batches) rows."""
+    cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        .to_pandas()
+        .set_index("c_custkey")["c_mktsegment"]
+        .to_dict()
+    )
+    cust_ref = ray.put(cust)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> "object":
+        lookup = ray.get(cust_ref)
+        df = batch.select(["o_orderkey", "o_custkey", "o_totalprice"]).to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(lookup).fillna("UNKNOWN")
+        df = df.sort_values(
+            ["c_mktsegment", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby("c_mktsegment", sort=False).head(k)[
+                ["c_mktsegment", "o_orderkey", "o_totalprice"]
+            ],
+            preserve_index=False,
+        )
+
+    def final(group):
+        g = group.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index + 1
+        return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment", num_partitions=shuffle_partitions(4))
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def heavy_hitter_tokens(
+    docs: "ray.data.Dataset", per_mille: int = 1, capacity: int = 4000
+) -> "ray.data.Dataset":
+    """EXACT tokens occurring in >= per_mille/1000 of all token positions.
+
+    Guarantee: the pass-1 merged summary undercounts any token by at most
+    n_total/(capacity+1); candidates are kept down to
+    threshold - n_total/(capacity+1), so the candidate set is a superset
+    of the true answer whenever capacity+1 > 1000/per_mille. Pass 2
+    recounts candidates exactly, so the output has no approximation.
+    """
+    if capacity + 1 <= 1000 // max(per_mille, 1):
+        raise ValueError("capacity must exceed 1000/per_mille for exactness")
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        n_batch = len(flat)
+        g = (
+            pa.Table.from_arrays([flat], names=["token"])
+            .group_by("token")
+            .aggregate([("token", "count")])
+            .rename_columns(["token", "n"])
+        )
+        counts = np.asarray(g.column("n").combine_chunks())
+        if len(counts) > capacity:
+            # Misra-Gries compression of exact counts: subtract the
+            # (capacity+1)-th largest, drop non-positives.
+            cut = np.partition(counts, len(counts) - capacity - 1)[
+                len(counts) - capacity - 1
+            ]
+            adj = counts - cut
+            keep = adj > 0
+            g = pa.Table.from_arrays(
+                [g.column("token").combine_chunks().filter(pa.array(keep)),
+                 pa.array(adj[keep])],
+                names=["token", "n"],
+            )
+        total_row = pa.Table.from_pydict(
+            {"token": pa.array([None], pa.string()),
+             "n": pa.array([n_batch], pa.int64())}
+        )
+        return pa.concat_tables([g.set_column(1, "n", g.column("n").cast(pa.int64())), total_row])
+
+    partials = docs.map_batches(summarize, batch_format="pyarrow").take_all()
+    n_total = sum(r["n"] for r in partials if r["token"] is None)
+    merged: dict[str, int] = {}
+    for r in partials:
+        if r["token"] is not None:
+            merged[r["token"]] = merged.get(r["token"], 0) + r["n"]
+    threshold = max(1, -(-n_total * per_mille // 1000))  # ceil
+    slack = n_total // (capacity + 1)
+    candidates = pa.array(
+        [t for t, c in merged.items() if c >= max(1, threshold - slack)],
+        pa.string(),
+    )
+    cand_ref = ray.put(candidates)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        hits = flat.filter(pc.is_in(flat, value_set=cand))
+        g = (
+            pa.Table.from_arrays([hits], names=["token"])
+            .group_by("token")
+            .aggregate([("token", "count")])
+            .rename_columns(["token", "n"])
+        )
+        return g.set_column(1, "n", g.column("n").cast(pa.int64()))
+
+    agg = (
+        docs.map_batches(recount, batch_format="pyarrow")
+        .repartition(shuffle_partitions(4))
+        .groupby("token", num_partitions=shuffle_partitions(4))
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), pa.scalar(threshold))),
+        batch_format="pyarrow",
+    )

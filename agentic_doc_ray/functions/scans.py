@@ -1,0 +1,171 @@
+"""Distributed ordered scans over the event log.
+
+Two scan shapes a streaming-style pipeline needs that Ray Data has no
+primitive for:
+
+  - a GLOBAL prefix scan (running max over a total arrival order) —
+    implemented as range-partition -> per-partition extrema (tiny) ->
+    driver-side exclusive prefix over the partition summaries (one value
+    per partition, independent of row count) -> vectorized within-partition
+    scan seeded with the partition's prefix;
+  - a PARTITIONED scan (cumulative aggregates per user) — no global
+    coordination at all: coarse-bucket the shuffle key (user_id % 64, the
+    sessionize pattern) and run one vectorized sorted pass per bucket.
+
+Both are exact and deterministic: order is data ((arrival_ts, event_id) /
+(user_id, ts, event_id)), never block order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from agentic_doc_ray.context import shuffle_partitions
+
+# Deterministic out-of-order arrival simulation: the synthetic event log is
+# perfectly time-ordered by event_id, so a watermark operator would never
+# see a late event. Jitter each event's ARRIVAL (not its event time) by a
+# content-keyed 0..599 s offset — the same expression the SQL oracle uses.
+_JITTER_MULT = 2654435761  # Knuth multiplicative hash constant
+_JITTER_MOD = 600
+
+
+def _arrival_ts(batch: pa.Table) -> pa.Array:
+    ids = batch.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+    jitter_us = ((ids * _JITTER_MULT) % _JITTER_MOD) * 1_000_000
+    return pc.add(batch.column("ts"), pa.array(jitter_us.astype("timedelta64[us]")))
+
+
+def late_events(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset":
+    """Watermark-based late-event detection via a distributed prefix scan.
+
+    The watermark before an event is the max EVENT time over all STRICTLY
+    earlier ARRIVALS (order: arrival_ts, event_id). An event is late when
+    ``watermark - ts > lateness``. Plan:
+
+      1. one pass computes per-arrival-day partial maxima (<= 31 tiny rows
+         per batch; the driver merge is per-partition summaries, not data);
+      2. driver takes the exclusive prefix max across day partitions;
+      3. one groupby(day) exchange; each group sorts by (arrival_ts,
+         event_id) and runs a vectorized exclusive cummax seeded with its
+         partition prefix.
+
+    Day partitions are a RANGE partition of the scan order, so the prefix
+    seed is exact; at 10^12 rows the day key would be (day, hour) or
+    finer — the summary table stays O(partitions).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def with_keys(batch: pa.Table) -> pa.Table:
+        arrival = _arrival_ts(batch)
+        day = pc.cast(
+            pc.days_between(
+                pa.scalar(np.datetime64("1970-01-01", "us")), arrival
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [batch.column("event_id"), batch.column("ts"), arrival, day],
+            names=["event_id", "ts", "arrival_ts", "day"],
+        )
+
+    keyed = ds.map_batches(with_keys, batch_format="pyarrow")
+
+    # Pass 1: per-day max event-time. Partial per batch, merged on the
+    # driver — bounded by the number of day partitions, not rows.
+    def day_max(batch: pa.Table) -> pa.Table:
+        g = batch.select(["day", "ts"]).group_by("day").aggregate([("ts", "max")])
+        return g.rename_columns(["day", "max_ts"])
+
+    summaries = keyed.map_batches(day_max, batch_format="pyarrow").take_all()
+    per_day: dict[int, np.datetime64] = {}
+    for r in summaries:
+        t = np.datetime64(r["max_ts"], "us")
+        if r["day"] not in per_day or t > per_day[r["day"]]:
+            per_day[r["day"]] = t
+    days = sorted(per_day)
+    prefix: dict[int, np.datetime64 | None] = {}
+    running: np.datetime64 | None = None
+    for d in days:
+        prefix[d] = running  # exclusive: max over all PRIOR days
+        running = per_day[d] if running is None else max(running, per_day[d])
+    prefix_ref = ray.put(prefix)
+    late_us = lateness_minutes * 60 * 1_000_000
+
+    def scan_day(group: pa.Table) -> pa.Table:
+        seed_map = ray.get(prefix_ref)
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("arrival_ts", "ascending"), ("event_id", "ascending")],
+        )
+        g = group.take(order)
+        ts = g.column("ts").combine_chunks().to_numpy(zero_copy_only=False)
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        # exclusive running max within the partition
+        inc = np.maximum.accumulate(ts_us)
+        excl = np.empty_like(inc)
+        excl[0] = np.iinfo(np.int64).min
+        excl[1:] = inc[:-1]
+        seed = seed_map.get(int(g.column("day")[0].as_py()))
+        if seed is not None:
+            excl = np.maximum(excl, seed.astype("datetime64[us]").astype(np.int64))
+        has_wm = excl != np.iinfo(np.int64).min
+        late = has_wm & ((excl - ts_us) > late_us)
+        wm = pa.array(
+            np.where(has_wm, excl, 0).astype("datetime64[us]"),
+            mask=~has_wm,
+        )
+        return pa.Table.from_arrays(
+            [g.column("event_id"), g.column("ts"), wm, pa.array(late)],
+            names=["event_id", "ts", "watermark_ts", "is_late"],
+        )
+
+    return keyed.groupby("day", num_partitions=shuffle_partitions(8)).map_groups(
+        scan_day, batch_format="pyarrow"
+    )
+
+
+def user_cumulative_spend(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user running purchase totals: for every purchase event, the
+    user's cumulative purchase count and spend up to and including it
+    (order: ts, event_id). A partitioned scan — shuffle on user_id % 64
+    (64-ary key regardless of user count) and ONE vectorized sorted
+    cumsum per bucket; exact integer cents inside."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        cents = pc.round(pc.multiply(f.column("value"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        bucket = pc.cast(
+            pc.bit_wise_and(f.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [f.column("event_id"), f.column("user_id"), f.column("ts"), cents, bucket],
+            names=["event_id", "user_id", "ts", "cents", "bucket"],
+        )
+
+    def scan_bucket(group):
+        g = group.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        grp = g.groupby("user_id", sort=False)
+        g["n_purchases"] = grp.cumcount() + 1
+        g["cum_spend"] = grp["cents"].cumsum() / 100.0
+        return g[["event_id", "user_id", "ts", "n_purchases", "cum_spend"]]
+
+    return (
+        ds.map_batches(purchases, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=shuffle_partitions(8))
+        .map_groups(scan_bucket, batch_format="pandas")
+    )

@@ -2,7 +2,11 @@
 given sf and compare with oracle_sql() through DuckDB (row count + schema
 names + order-insensitive value comparison). Usage:
 
-    python scripts/driver_sim.py [sf_dir]
+    python scripts/driver_sim.py [sf_dir] [query_substring ...]
+
+With query_substring args, only matching queries run (and the entry()
+smoke-check is skipped) — for iterating on a new operator without paying
+for the whole suite.
 """
 
 import sys
@@ -13,6 +17,7 @@ import pandas as pd
 import ray
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -48,9 +53,10 @@ def main() -> None:
 
     import __ray_entry__ as entrymod
 
-    e = entrymod.entry()
-    n = e.count() if hasattr(e, "count") else len(e)
-    print(f"entry(): {n} rows")
+    if not ONLY:
+        e = entrymod.entry()
+        n = e.count() if hasattr(e, "count") else len(e)
+        print(f"entry(): {n} rows")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -60,6 +66,8 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     ok = fail = 0
     for name, fn in qs.items():
+        if ONLY and not any(s in name for s in ONLY):
+            continue
         try:
             got = norm(to_pandas(fn(SF)))
         except Exception as ex:

@@ -1,0 +1,185 @@
+"""Ordered scans, ranking, anti-join and Bloom semi-join vs DuckDB oracles.
+
+Also pins the non-SQL invariants the oracles can't see: the heavy-hitter
+candidate superset guarantee under aggressive truncation, and the Bloom
+filter's no-false-negative property.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from agentic_doc_ray.functions import analytics as A
+from agentic_doc_ray.functions import joins as J
+from agentic_doc_ray.functions import ranking as R
+from agentic_doc_ray.functions import scans as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql):
+    for t in ["lineitem", "orders", "customer", "events", "documents"]:
+        sql = sql.replace(f" {t}", f" read_parquet('{SF}/{t}.parquet')")
+    return duckdb.sql(sql).df()
+
+
+def _cmp(got, want, sort_cols):
+    got = got.sort_values(sort_cols).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(sort_cols).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_late_events_prefix_scan():
+    got = S.late_events(SF).to_pandas()
+    want = _duck(
+        """
+        WITH a AS (
+          SELECT event_id, ts,
+            ts + to_seconds(CAST((event_id * 2654435761) % 600 AS BIGINT)) AS arrival_ts
+          FROM events
+        ), w AS (
+          SELECT event_id, ts,
+            max(ts) OVER (ORDER BY arrival_ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS watermark_ts
+          FROM a
+        )
+        SELECT event_id, ts, watermark_ts,
+          COALESCE(watermark_ts - ts > INTERVAL 5 MINUTE, false) AS is_late FROM w
+        """
+    )
+    assert bool(got["is_late"].any())  # jitter must actually produce lateness
+    _cmp(got, want, ["event_id"])
+
+
+def test_user_cumulative_spend():
+    got = S.user_cumulative_spend(SF).to_pandas()
+    want = _duck(
+        """
+        SELECT event_id, user_id, ts,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS n_purchases,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS cum_spend
+        FROM events WHERE event_type = 'purchase'
+        """
+    )
+    _cmp(got, want, ["event_id"])
+
+
+def test_top_orders_per_segment():
+    got = R.top_orders_per_segment(SF).to_pandas()
+    want = _duck(
+        """
+        SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
+        FROM (
+          SELECT c.c_mktsegment,
+            row_number() OVER (PARTITION BY c.c_mktsegment
+              ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank,
+            o.o_orderkey, o.o_totalprice
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rank <= 3
+        """
+    )
+    _cmp(got, want, ["c_mktsegment", "rank"])
+
+
+def test_heavy_hitter_tokens_exact():
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = R.heavy_hitter_tokens(docs, per_mille=2).to_pandas()
+    want = _duck(
+        """
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+          FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+        )
+        SELECT token, count(*) AS n FROM toks GROUP BY token
+        HAVING count(*) * 1000 >= 2 * (SELECT count(*) FROM toks)
+        """
+    )
+    _cmp(got, want, ["token"])
+
+
+def test_heavy_hitter_truncation_still_exact():
+    # capacity barely above the exactness bound forces real Misra-Gries
+    # truncation in every batch; the answer must not change.
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    loose = R.heavy_hitter_tokens(docs, per_mille=2, capacity=4000).to_pandas()
+    tight = R.heavy_hitter_tokens(docs, per_mille=2, capacity=501).to_pandas()
+    _cmp(tight, loose, ["token"])
+
+
+def test_customers_without_urgent_anti_join():
+    got = J.customers_without_urgent(SF).to_pandas()
+    want = _duck(
+        """
+        SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+    assert len(want) > 0
+    _cmp(got, want, ["c_custkey"])
+
+
+def test_bloom_no_false_negatives():
+    keys = pa.array(np.arange(0, 50000, 7, dtype=np.int64))
+    bits = np.zeros(J._BLOOM_BITS // 8, dtype=np.uint8)
+    for pos in J._bloom_positions(keys):
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    hit = np.ones(len(keys), dtype=bool)
+    for pos in J._bloom_positions(keys):
+        hit &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    assert hit.all()
+    # false-positive rate on disjoint probes stays small at this load
+    probes = pa.array(np.arange(1, 50000, 7, dtype=np.int64))
+    fp = np.ones(len(probes), dtype=bool)
+    for pos in J._bloom_positions(probes):
+        fp &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    assert fp.mean() < 0.01
+
+
+def test_urgent_revenue_bloom():
+    got = J.urgent_revenue_bloom(SF).to_pandas()
+    want = _duck(
+        """
+        SELECT l_returnflag,
+          CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+          count(*) AS n_items FROM lineitem WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+        """
+    )
+    _cmp(got, want, ["l_returnflag"])
+
+
+def test_purchase_sessions_interval_join():
+    got = A.purchase_sessions(SF).to_pandas()
+    want = _duck(
+        """
+        WITH marked AS (
+          SELECT user_id, ts,
+            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events
+        ), numbered AS (
+          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sess FROM marked
+        ), sessions AS (
+          SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+          FROM numbered GROUP BY user_id, sess
+        )
+        SELECT e.event_id, e.user_id, e.ts, s.session_start, s.session_end
+        FROM events e JOIN sessions s ON e.user_id = s.user_id
+        AND e.ts BETWEEN s.session_start AND s.session_end
+        WHERE e.event_type = 'purchase'
+        """
+    )
+    # every purchase falls in exactly one of its user's sessions
+    assert len(got) == len(_duck("SELECT 1 FROM events WHERE event_type = 'purchase'"))
+    _cmp(got, want, ["event_id"])
