@@ -593,6 +593,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ranking
 
+    def q_group_median(sf_dir):
+        from agentic_doc_ray.functions.sketches import filter_above_group_median
+
+        return filter_above_group_median(sf_dir)
+
     def q_simhash(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         return D.simhashes(docs(sf_dir))
@@ -888,6 +893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered scans (distributed prefix scan / partitioned scan)
         "late_events": _Sc().late_events,
         "user_cumulative_spend": _Sc().user_cumulative_spend,
+        "global_rank": _Sc().global_rank,
+        "docs_above_group_median": q_group_median,
         # ranking
         "top_orders_per_segment": _Rk().top_orders_per_segment,
         "heavy_hitter_tokens": lambda sf: _Rk().heavy_hitter_tokens(
@@ -1262,6 +1269,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN sessions s ON e.user_id = s.user_id "
             "AND e.ts BETWEEN s.session_start AND s.session_end "
             "WHERE e.event_type = 'purchase'"
+        ),
+        "global_rank": (
+            "SELECT doc_id, n_chars, "
+            "CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_rank "
+            "FROM documents"
+        ),
+        "docs_above_group_median": (
+            "WITH m AS ("
+            "  SELECT lang, quantile_disc(n_chars, 0.5) AS med "
+            "  FROM documents GROUP BY lang"
+            ") "
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+            "JOIN m ON d.lang = m.lang WHERE d.n_chars >= m.med"
         ),
         "top_orders_per_segment": (
             "SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice "

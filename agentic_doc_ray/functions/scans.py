@@ -132,6 +132,80 @@ def late_events(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset":
     )
 
 
+def global_rank(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Dense global ranking of documents by (n_chars, doc_id) WITHOUT a
+    global sort: value-range partition the key, count per partition (tiny
+    summary), exclusive prefix-sum the counts on the driver, then rank
+    within each partition as offset + local sorted index.
+
+    The exchange is ONE range-partitioned groupby; driver state is one
+    integer per partition. At 10^12 rows this is how you assign stable
+    global ids / ranks — Ray's ``sort()`` would range-partition anyway but
+    then materialize a totally ordered dataset nobody asked for.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    # key range for the value-range partition: one tiny metadata pass
+    # (parquet column stats would serve at scale; min/max here)
+    mm = ds.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"lo": [pc.min(b.column("n_chars")).as_py()],
+             "hi": [pc.max(b.column("n_chars")).as_py()]}
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.divide(
+                pc.subtract(batch.column("n_chars"), pa.scalar(lo, pa.int64())),
+                pa.scalar(width, pa.int64()),
+            ),
+            pa.int32(),
+        )
+        return batch.append_column("bucket", b)
+
+    keyed = ds.map_batches(with_bucket, batch_format="pyarrow")
+
+    counts = keyed.map_batches(
+        lambda b: b.select(["bucket"]).group_by("bucket").aggregate(
+            [("bucket", "count")]
+        ).rename_columns(["bucket", "n"]),
+        batch_format="pyarrow",
+    ).take_all()
+    per_bucket: dict[int, int] = {}
+    for r in counts:
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["n"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc  # ranks preceding this bucket
+        acc += per_bucket[b]
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        order = pc.sort_indices(
+            group, sort_keys=[("n_chars", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        base = offs[int(g.column("bucket")[0].as_py())]
+        rank = pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64) + base)
+        return pa.Table.from_arrays(
+            [g.column("doc_id"), g.column("n_chars"), rank],
+            names=["doc_id", "n_chars", "global_rank"],
+        )
+
+    return keyed.groupby("bucket", num_partitions=shuffle_partitions(8)).map_groups(
+        rank_bucket, batch_format="pyarrow"
+    )
+
+
 def user_cumulative_spend(sf_dir: str) -> "ray.data.Dataset":
     """Per-user running purchase totals: for every purchase event, the
     user's cumulative purchase count and spend up to and including it

@@ -125,6 +125,44 @@ def exact_quantiles(
     return t.rename_columns([group_col] + [f"p{int(q * 100)}" for q in quantiles])
 
 
+def filter_above_group_median(sf_dir: str) -> "ray.data.Dataset":
+    """Documents at or above their language's median length.
+
+    Sketch-then-filter composition: ``exact_quantiles`` reduces the
+    dataset to a per-group threshold table (one row per language, exact
+    ``quantile_disc`` semantics), the thresholds broadcast via ``ray.put``,
+    and a second streaming pass filters vectorized — no shuffle touches
+    the document rows at all.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    q = exact_quantiles(ds, "lang", "n_chars", quantiles=(0.5,), scale=1.0)
+    med = {
+        r["lang"]: int(r["p50"]) for r in q.to_pylist()
+    }
+    med_ref = ray.put(med)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        # vectorized probe: dictionary-encode the group key (a handful of
+        # distinct values), map only the DICTIONARY through the lookup,
+        # then gather per row at C speed
+        enc = batch.column("lang").combine_chunks().dictionary_encode()
+        dict_thresh = np.array(
+            [m[v] for v in enc.dictionary.to_pylist()], dtype=np.int64
+        )
+        thresh = pa.array(dict_thresh[np.asarray(enc.indices)])
+        keep = pc.greater_equal(batch.column("n_chars").combine_chunks(), thresh)
+        return batch.filter(keep).select(["doc_id", "lang", "n_chars"])
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def hll_distinct(
     ds: "ray.data.Dataset", group_col: str, value_col: str
 ) -> pa.Table:

@@ -230,6 +230,22 @@ def main() -> None:
 
     timed("similarity_topk", similarity)
 
+    from agentic_doc_ray.functions import joins as J
+    from agentic_doc_ray.functions import ranking as R
+    from agentic_doc_ray.functions import scans as SC
+
+    timed("late_events", lambda: SC.late_events(SF_DIR).count())
+    timed("cumulative_spend", lambda: SC.user_cumulative_spend(SF_DIR).count())
+    timed("topk_per_group", lambda: R.top_orders_per_segment(SF_DIR).count())
+    timed(
+        "heavy_hitters",
+        lambda: R.heavy_hitter_tokens(docs(), per_mille=2).count(),
+    )
+    timed("anti_join", lambda: J.customers_without_urgent(SF_DIR).count())
+    timed("bloom_semi_join", lambda: J.urgent_revenue_bloom(SF_DIR).count())
+    timed("interval_join", lambda: A.purchase_sessions(SF_DIR).count())
+    timed("global_rank", lambda: SC.global_rank(SF_DIR).count())
+
     headline_sec = timings["extract"]
     print(
         json.dumps(

@@ -69,6 +69,32 @@ def test_user_cumulative_spend():
     _cmp(got, want, ["event_id"])
 
 
+def test_global_rank_no_global_sort():
+    got = S.global_rank(SF).to_pandas()
+    want = _duck(
+        "SELECT doc_id, n_chars, CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_rank"
+        " FROM documents"
+    )
+    # dense, total, no duplicates
+    assert sorted(got["global_rank"]) == list(range(1, len(got) + 1))
+    _cmp(got, want, ["doc_id"])
+
+
+def test_filter_above_group_median():
+    from agentic_doc_ray.functions.sketches import filter_above_group_median
+
+    got = filter_above_group_median(SF).to_pandas()
+    want = _duck(
+        """
+        WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+                   FROM documents GROUP BY lang)
+        SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        JOIN m ON d.lang = m.lang WHERE d.n_chars >= m.med
+        """
+    )
+    _cmp(got, want, ["doc_id"])
+
+
 def test_top_orders_per_segment():
     got = R.top_orders_per_segment(SF).to_pandas()
     want = _duck(
