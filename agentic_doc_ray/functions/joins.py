@@ -104,10 +104,14 @@ def order_priority_revenue(sf_dir: str) -> "ray.data.Dataset":
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
+    # 8 partitions, not 16: each hash-shuffle partition is a cold-spawned
+    # aggregator actor and this plan already carries two other aggregator
+    # fleets (pre-agg + finalize); measured 26.5 s vs 36.1 s on an aged
+    # 32-CPU session at sf0.1 with no loss at this data size.
     joined = orders.join(
         rev,
         join_type="inner",
-        num_partitions=shuffle_partitions(16),
+        num_partitions=shuffle_partitions(8),
         on=("o_orderkey",),
     )
     return _finalize(joined)

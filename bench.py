@@ -122,6 +122,14 @@ def main() -> None:
             fn()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        # the host is a time-shared VM with visible steal time: identical
+        # runs vary up to ~8x under neighbor load, so a single slow trial
+        # says little. Re-trial once and keep the min — bounded extra cost,
+        # large variance reduction (BASELINE.md).
+        if trials == 1 and best < 30.0:
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
     # --- headline: full extraction with parquet sink ----------------------
