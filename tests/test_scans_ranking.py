@@ -69,6 +69,30 @@ def test_user_cumulative_spend():
     _cmp(got, want, ["event_id"])
 
 
+def test_on_time_hourly_watermark_window():
+    got = S.on_time_hourly(SF).to_pandas()
+    want = _duck(
+        """
+        WITH a AS (
+          SELECT event_id, ts, event_type, value,
+            ts + to_seconds(CAST((event_id * 2654435761) % 600 AS BIGINT)) AS arrival_ts
+          FROM events
+        ), w AS (
+          SELECT *, max(ts) OVER (ORDER BY arrival_ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM a
+        )
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
+          count(*) AS n_events FROM w
+        WHERE wm IS NULL OR wm - ts <= INTERVAL 5 MINUTE GROUP BY 1, 2
+        """
+    )
+    # it must actually drop something vs the unfiltered hourly aggregate
+    n_all = int(_duck("SELECT count(*) AS n FROM events")["n"][0])
+    assert int(got["n_events"].sum()) < n_all
+    _cmp(got, want, ["window_start", "event_type"])
+
+
 def test_global_rank_no_global_sort():
     got = S.global_rank(SF).to_pandas()
     want = _duck(
