@@ -894,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _Sc().late_events,
         "user_cumulative_spend": _Sc().user_cumulative_spend,
         "global_rank": _Sc().global_rank,
+        "on_time_hourly": _Sc().on_time_hourly,
         "docs_above_group_median": q_group_median,
         # ranking
         "top_orders_per_segment": _Rk().top_orders_per_segment,
@@ -1269,6 +1270,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN sessions s ON e.user_id = s.user_id "
             "AND e.ts BETWEEN s.session_start AND s.session_end "
             "WHERE e.event_type = 'purchase'"
+        ),
+        "on_time_hourly": (
+            "WITH a AS ("
+            "  SELECT event_id, ts, event_type, value, "
+            "    ts + to_seconds(CAST((event_id * 2654435761) % 600 AS BIGINT)) AS arrival_ts "
+            "  FROM events"
+            "), w AS ("
+            "  SELECT *, max(ts) OVER (ORDER BY arrival_ts, event_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM a"
+            ") "
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value, "
+            "count(*) AS n_events FROM w "
+            "WHERE wm IS NULL OR wm - ts <= INTERVAL 5 MINUTE GROUP BY 1, 2"
         ),
         "global_rank": (
             "SELECT doc_id, n_chars, "

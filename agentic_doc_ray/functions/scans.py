@@ -132,6 +132,114 @@ def late_events(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset":
     )
 
 
+def on_time_hourly(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset":
+    """Watermark-filtered tumbling window: hourly event counts + exact
+    integer-cents sums over ON-TIME events only (late ones — as judged by
+    the arrival-order watermark of ``late_events`` — are dropped, the
+    standard streaming-engine semantics for closed windows).
+
+    Composition, not new machinery: the prefix-scan output feeds the same
+    vectorized window partial-aggregation as ``events_hourly``; the join
+    back to event values rides the scan's own exchange (values are carried
+    through the scan columns).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+
+    def with_keys(batch: pa.Table) -> pa.Table:
+        arrival = _arrival_ts(batch)
+        day = pc.cast(
+            pc.days_between(
+                pa.scalar(np.datetime64("1970-01-01", "us")), arrival
+            ),
+            pa.int32(),
+        )
+        cents = pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("event_id"), batch.column("ts"), arrival, day,
+                batch.column("event_type"), cents,
+            ],
+            names=["event_id", "ts", "arrival_ts", "day", "event_type", "cents"],
+        )
+
+    keyed = ds.map_batches(with_keys, batch_format="pyarrow")
+
+    def day_max(batch: pa.Table) -> pa.Table:
+        g = batch.select(["day", "ts"]).group_by("day").aggregate([("ts", "max")])
+        return g.rename_columns(["day", "max_ts"])
+
+    summaries = keyed.map_batches(day_max, batch_format="pyarrow").take_all()
+    per_day: dict[int, np.datetime64] = {}
+    for r in summaries:
+        t = np.datetime64(r["max_ts"], "us")
+        if r["day"] not in per_day or t > per_day[r["day"]]:
+            per_day[r["day"]] = t
+    prefix: dict[int, np.datetime64 | None] = {}
+    running: np.datetime64 | None = None
+    for d in sorted(per_day):
+        prefix[d] = running
+        running = per_day[d] if running is None else max(running, per_day[d])
+    prefix_ref = ray.put(prefix)
+    late_us = lateness_minutes * 60 * 1_000_000
+
+    def window_partial(group: pa.Table) -> pa.Table:
+        seed_map = ray.get(prefix_ref)
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("arrival_ts", "ascending"), ("event_id", "ascending")],
+        )
+        g = group.take(order)
+        ts = g.column("ts").combine_chunks().to_numpy(zero_copy_only=False)
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        inc = np.maximum.accumulate(ts_us)
+        excl = np.empty_like(inc)
+        excl[0] = np.iinfo(np.int64).min
+        excl[1:] = inc[:-1]
+        seed = seed_map.get(int(g.column("day")[0].as_py()))
+        if seed is not None:
+            excl = np.maximum(excl, seed.astype("datetime64[us]").astype(np.int64))
+        on_time = ~((excl != np.iinfo(np.int64).min) & ((excl - ts_us) > late_us))
+        f = g.filter(pa.array(on_time))
+        hour = pc.floor_temporal(f.column("ts"), unit="hour")
+        t = pa.Table.from_arrays(
+            [hour, f.column("event_type"), f.column("cents")],
+            names=["window_start", "event_type", "cents"],
+        )
+        agg = t.group_by(["window_start", "event_type"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return agg.rename_columns(
+            ["window_start", "event_type", "cents", "n_events"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = keyed.groupby(
+        "day", num_partitions=shuffle_partitions(8)
+    ).map_groups(window_partial, batch_format="pyarrow")
+    agg = partials.repartition(shuffle_partitions(4)).groupby(
+        ["window_start", "event_type"], num_partitions=shuffle_partitions(4)
+    ).aggregate(
+        Sum("cents", alias_name="cents"), Sum("n_events", alias_name="n_events")
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("window_start"),
+                b.column("event_type"),
+                pc.divide(b.column("cents").cast(pa.float64()), 100.0),
+                b.column("n_events"),
+            ],
+            names=["window_start", "event_type", "sum_value", "n_events"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def global_rank(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
     """Dense global ranking of documents by (n_chars, doc_id) WITHOUT a
     global sort: value-range partition the key, count per partition (tiny

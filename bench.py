@@ -253,6 +253,7 @@ def main() -> None:
     timed("bloom_semi_join", lambda: J.urgent_revenue_bloom(SF_DIR).count())
     timed("interval_join", lambda: A.purchase_sessions(SF_DIR).count())
     timed("global_rank", lambda: SC.global_rank(SF_DIR).count())
+    timed("on_time_hourly", lambda: SC.on_time_hourly(SF_DIR).count())
 
     headline_sec = timings["extract"]
     print(
