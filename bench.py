@@ -47,11 +47,15 @@ def _scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # two alternating trials per level, min per level: the host is a
-    # time-shared VM and single trials vary ~2x under neighbor load
+    # three alternating trials per level, min per level: the host is a
+    # time-shared VM and single trials vary ~2x under neighbor load — the
+    # 32-CPU level is hit hardest (it needs all hyperthreads at once, so
+    # steal time lands squarely on it)
     lo, hi = 8, 32
-    r_lo = min((run(lo) for _ in range(2)), key=lambda r: r["value"])
-    r_hi = min((run(hi) for _ in range(2)), key=lambda r: r["value"])
+    trials_lo = [run(lo) for _ in range(3)]
+    trials_hi = [run(hi) for _ in range(3)]
+    r_lo = min(trials_lo, key=lambda r: r["value"])
+    r_hi = min(trials_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
