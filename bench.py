@@ -52,8 +52,10 @@ def _scaling() -> None:
     # 32-CPU level is hit hardest (it needs all hyperthreads at once, so
     # steal time lands squarely on it)
     lo, hi = 8, 32
-    trials_lo = [run(lo) for _ in range(3)]
-    trials_hi = [run(hi) for _ in range(3)]
+    trials_lo, trials_hi = [], []
+    for _ in range(3):  # genuinely alternate so both levels sample the
+        trials_lo.append(run(lo))  # same noise regime
+        trials_hi.append(run(hi))
     r_lo = min(trials_lo, key=lambda r: r["value"])
     r_hi = min(trials_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
