@@ -598,6 +598,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return filter_above_group_median(sf_dir)
 
+    def q_substr_spans(sf_dir):
+        from agentic_doc_ray.functions.substr import repeated_substring_spans
+
+        return repeated_substring_spans(docs(sf_dir))
+
     def q_simhash(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         return D.simhashes(docs(sf_dir))
@@ -901,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": lambda sf: _Rk().heavy_hitter_tokens(
             docs(sf), per_mille=2
         ),
+        "repeated_substring_spans": q_substr_spans,
         # anti-join / bloom semi-join
         "customers_without_urgent": _J().customers_without_urgent,
         "urgent_revenue_bloom": _J().urgent_revenue_bloom,
@@ -1315,6 +1321,27 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT token, count(*) AS n FROM toks GROUP BY token "
             "HAVING count(*) * 1000 >= 2 * (SELECT count(*) FROM toks)"
+        ),
+        # L=50 grams; positions are 1-based chars, matching substr()
+        "repeated_substring_spans": (
+            "WITH pos AS ("
+            "  SELECT doc_id, i AS pos, substr(text, i, 50) AS gram "
+            "  FROM documents, UNNEST(generate_series(1, length(text) - 49)) AS t(i) "
+            "  WHERE length(text) >= 50"
+            "), dup AS ("
+            "  SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1"
+            "), marked AS ("
+            "  SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (gram)"
+            "), grp AS ("
+            "  SELECT doc_id, pos, "
+            "    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 49 "
+            "    THEN 1 ELSE 0 END AS brk FROM marked"
+            "), island AS ("
+            "  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos "
+            "    ROWS UNBOUNDED PRECEDING) AS g FROM grp"
+            ") "
+            "SELECT doc_id, min(pos) AS span_start, max(pos) + 49 AS span_end "
+            "FROM island GROUP BY doc_id, g"
         ),
         "customers_without_urgent": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("

@@ -261,6 +261,13 @@ def main() -> None:
     timed("global_rank", lambda: SC.global_rank(SF_DIR).count())
     timed("on_time_hourly", lambda: SC.on_time_hourly(SF_DIR).count())
 
+    def substr_q() -> None:
+        from agentic_doc_ray.functions.substr import repeated_substring_spans
+
+        repeated_substring_spans(docs()).count()
+
+    timed("substr_spans", substr_q)
+
     headline_sec = timings["extract"]
     print(
         json.dumps(

@@ -1,0 +1,94 @@
+"""Exact repeated-substring spans vs the DuckDB substr oracle, plus
+constructed-corpus edge cases (no duplication at all, shared-prefix merge,
+sub-L docs)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from agentic_doc_ray.functions.substr import repeated_substring_spans
+
+SF = "/root/testdata/sf0.001"
+
+ORACLE = """
+WITH pos AS (
+  SELECT doc_id, i AS pos, substr(text, i, {L}) AS gram
+  FROM {tbl}, UNNEST(generate_series(1, length(text) - {Lm1})) AS t(i)
+  WHERE length(text) >= {L}
+), dup AS (
+  SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1
+), marked AS (
+  SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (gram)
+), grp AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {Lm1}
+    THEN 1 ELSE 0 END AS brk FROM marked
+), island AS (
+  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+    ROWS UNBOUNDED PRECEDING) AS g FROM grp
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {Lm1} AS span_end
+FROM island GROUP BY doc_id, g
+"""
+
+
+def _norm(df):
+    return (
+        df.sort_values(["doc_id", "span_start"]).reset_index(drop=True)[
+            ["doc_id", "span_start", "span_end"]
+        ]
+    )
+
+
+def test_matches_oracle_on_corpus():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = _norm(repeated_substring_spans(docs).to_pandas())
+    want = _norm(
+        duckdb.sql(
+            ORACLE.format(
+                L=50, Lm1=49, tbl=f"read_parquet('{SF}/documents.parquet')"
+            )
+        ).df()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _rand_text(seed, n):
+    import random
+    import string
+
+    return "".join(random.Random(seed).choices(string.ascii_lowercase, k=n))
+
+
+def test_constructed_cases():
+    shared = "x" * 30 + "SHARED-PAYLOAD-" + "y" * 30  # 75 chars > L
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "A" * 10 + shared + "B" * 10,
+            "C" * 25 + shared + "D" * 3,
+            "unique-" + _rand_text(7, 200),
+            "short",  # < L: contributes nothing
+            "",  # empty doc
+        ],
+    }
+    docs = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = _norm(repeated_substring_spans(docs, L=20).to_pandas())
+    con = duckdb.connect()
+    con.register("tdocs", pa.Table.from_pydict(rows))
+    want = _norm(con.sql(ORACLE.format(L=20, Lm1=19, tbl="tdocs")).df())
+    assert set(got["doc_id"]) == {1, 2}
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_no_duplication_is_empty():
+    rows = {
+        "doc_id": [1, 2],
+        "text": [_rand_text(1, 120), _rand_text(2, 120).upper()],
+    }
+    docs = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = repeated_substring_spans(docs, L=30).to_pandas()
+    assert len(got) == 0
