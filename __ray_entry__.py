@@ -603,6 +603,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return repeated_substring_spans(docs(sf_dir))
 
+    def q_substr_stats(sf_dir):
+        from agentic_doc_ray.functions.substr import substring_dup_stats
+
+        return substring_dup_stats(docs(sf_dir))
+
     def q_simhash(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         return D.simhashes(docs(sf_dir))
@@ -907,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs(sf), per_mille=2
         ),
         "repeated_substring_spans": q_substr_spans,
+        "substring_dup_stats": q_substr_stats,
         # anti-join / bloom semi-join
         "customers_without_urgent": _J().customers_without_urgent,
         "urgent_revenue_bloom": _J().urgent_revenue_bloom,
@@ -1342,6 +1348,34 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT doc_id, min(pos) AS span_start, max(pos) + 49 AS span_end "
             "FROM island GROUP BY doc_id, g"
+        ),
+        "substring_dup_stats": (
+            "WITH pos AS ("
+            "  SELECT doc_id, i AS pos, substr(text, i, 50) AS gram "
+            "  FROM documents, UNNEST(generate_series(1, length(text) - 49)) AS t(i) "
+            "  WHERE length(text) >= 50"
+            "), dup AS ("
+            "  SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1"
+            "), marked AS ("
+            "  SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (gram)"
+            "), grp AS ("
+            "  SELECT doc_id, pos, "
+            "    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 49 "
+            "    THEN 1 ELSE 0 END AS brk FROM marked"
+            "), island AS ("
+            "  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos "
+            "    ROWS UNBOUNDED PRECEDING) AS g FROM grp"
+            "), spans AS ("
+            "  SELECT doc_id, min(pos) AS s, max(pos) + 49 AS e "
+            "  FROM island GROUP BY doc_id, g"
+            "), per_doc AS ("
+            "  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_chars "
+            "  FROM spans GROUP BY doc_id"
+            ") "
+            "SELECT d.doc_id, COALESCE(p.dup_chars, 0) AS dup_chars, "
+            "length(d.text) AS n_chars, "
+            "COALESCE(p.dup_chars, 0) * 1000 // greatest(length(d.text), 1) AS dup_per_mille "
+            "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
         ),
         "customers_without_urgent": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("

@@ -200,3 +200,50 @@ def repeated_substring_spans(
         .groupby("bucket", num_partitions=shuffle_partitions(8))
         .map_groups(spans_bucket, batch_format="pandas")
     )
+
+
+def substring_dup_stats(
+    docs: "ray.data.Dataset", L: int = 50
+) -> "ray.data.Dataset":
+    """Per-document duplicated-character totals — the dedup FILTER stage
+    that consumes ``repeated_substring_spans``: (doc_id, dup_chars,
+    n_chars, dup_per_mille) for every document (0 for clean ones).
+
+    Spans are disjoint per doc by construction, so dup_chars is a plain
+    sum of span lengths. The span table is small (bounded by actual
+    duplication), so it broadcasts; documents stream through untouched.
+    """
+    spans = repeated_substring_spans(docs, L).take_all()
+    dup_chars: dict[int, int] = {}
+    for r in spans:
+        dup_chars[r["doc_id"]] = dup_chars.get(r["doc_id"], 0) + (
+            r["span_end"] - r["span_start"] + 1
+        )
+    keys = np.array(sorted(dup_chars), dtype=np.int64)
+    vals = np.array([dup_chars[k] for k in keys], dtype=np.int64)
+    dup_ref = ray.put((keys, vals))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        keys_, vals_ = ray.get(dup_ref)
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        n_chars = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        # vectorized probe of the (small) duplicated-doc table
+        if len(keys_):
+            idx = np.minimum(np.searchsorted(keys_, ids), len(keys_) - 1)
+            dups = np.where(keys_[idx] == ids, vals_[idx], 0)
+        else:
+            dups = np.zeros(len(ids), dtype=np.int64)
+        nc = n_chars.combine_chunks().to_numpy(zero_copy_only=False)
+        per_mille = dups * 1000 // np.maximum(nc, 1)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids),
+                "dup_chars": pa.array(dups),
+                "n_chars": n_chars,
+                "dup_per_mille": pa.array(per_mille),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")

@@ -84,6 +84,38 @@ def test_constructed_cases():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_substring_dup_stats():
+    from agentic_doc_ray.functions.substr import substring_dup_stats
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = (
+        substring_dup_stats(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH spans AS ({ORACLE.format(L=50, Lm1=49, tbl=f"read_parquet('{SF}/documents.parquet')")}),
+        per_doc AS (
+          SELECT doc_id, CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars
+          FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(p.dup_chars, 0) AS dup_chars,
+          length(d.text) AS n_chars,
+          COALESCE(p.dup_chars, 0) * 1000 // greatest(length(d.text), 1) AS dup_per_mille
+        FROM read_parquet('{SF}/documents.parquet') d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
+        """
+    ).df()
+    assert (got["dup_chars"] > 0).any()
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "dup_chars", "n_chars", "dup_per_mille"]],
+        want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_no_duplication_is_empty():
     rows = {
         "doc_id": [1, 2],
