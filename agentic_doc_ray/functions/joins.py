@@ -129,6 +129,12 @@ def customers_without_urgent(sf_dir: str, n_buckets: int = 32) -> "ray.data.Data
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
     )
+    if customer.count() == 0:  # metadata-only; zero-row shuffle guard
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string())}
+            )
+        )
 
     def tag_customer(batch: pa.Table) -> pa.Table:
         key = batch.column("c_custkey")
@@ -228,11 +234,30 @@ def urgent_revenue_bloom(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset"
         bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
         for pos in _bloom_positions(batch.column("o_orderkey").combine_chunks()):
             np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-        return pa.Table.from_pydict({"bits": pa.array([bits.tobytes()], pa.binary())})
+        return pa.Table.from_pydict(
+            {
+                "bits": pa.array([bits.tobytes()], pa.binary()),
+                "n": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
 
     merged = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    n_build = 0
     for r in urgent.map_batches(build_partial, batch_format="pyarrow").take_all():
         merged |= np.frombuffer(r["bits"], dtype=np.uint8)
+        n_build += r["n"]
+    if n_build == 0:
+        # empty build side: the semi-join result is definitionally empty,
+        # and an all-empty union would crash Ray's zero-row hash shuffle
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                    "n_items": pa.array([], pa.int64()),
+                }
+            )
+        )
     bloom_ref = ray.put(merged)
 
     lineitem = ray.data.read_parquet(

@@ -46,6 +46,17 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
+    if orders.count() == 0:  # metadata-only; zero-row shuffle guard
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     def partial(batch: pa.Table) -> "object":
         lookup = ray.get(cust_ref)
@@ -139,6 +150,14 @@ def heavy_hitter_tokens(
         [t for t, c in merged.items() if c >= max(1, threshold - slack)],
         pa.string(),
     )
+    if len(candidates) == 0:
+        # empty candidate set would feed a zero-row shuffle (Ray crashes);
+        # the exact answer is definitionally empty
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        )
     cand_ref = ray.put(candidates)
 
     def recount(batch: pa.Table) -> pa.Table:

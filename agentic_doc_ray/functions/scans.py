@@ -62,6 +62,17 @@ def late_events(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
     )
+    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "watermark_ts": pa.array([], pa.timestamp("us")),
+                    "is_late": pa.array([], pa.bool_()),
+                }
+            )
+        )
 
     def with_keys(batch: pa.Table) -> pa.Table:
         arrival = _arrival_ts(batch)
@@ -146,6 +157,17 @@ def on_time_hourly(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset"
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
     )
+    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "event_type": pa.array([], pa.string()),
+                    "sum_value": pa.array([], pa.float64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def with_keys(batch: pa.Table) -> pa.Table:
         arrival = _arrival_ts(batch)
@@ -254,6 +276,16 @@ def global_rank(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
+    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "global_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     # key range for the value-range partition: one tiny metadata pass
     # (parquet column stats would serve at scale; min/max here)
@@ -340,14 +372,43 @@ def user_cumulative_spend(sf_dir: str) -> "ray.data.Dataset":
         )
 
     def scan_bucket(group):
-        g = group.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        import pandas as pd
+
+        if group.empty or "event_id" not in group.columns:
+            # Ray hands empty shuffle blocks over as schema-less frames
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "n_purchases": pd.Series([], dtype="int64"),
+                    "cum_spend": pd.Series([], dtype="float64"),
+                }
+            )
+        g = group[group["event_id"] >= 0]  # drop the sentinel
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         grp = g.groupby("user_id", sort=False)
         g["n_purchases"] = grp.cumcount() + 1
         g["cum_spend"] = grp["cents"].cumsum() / 100.0
         return g[["event_id", "user_id", "ts", "n_purchases", "cum_spend"]]
 
+    # sentinel row: the purchases FILTER can empty the stream and Ray's
+    # hash shuffle crashes on zero input rows; one dropped sentinel keeps
+    # the exchange non-empty with no extra pass over the data
+    sentinel = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([np.datetime64("1970-01-01", "us")]),
+                "cents": pa.array([0], pa.int64()),
+                "bucket": pa.array([-1], pa.int32()),
+            }
+        )
+    )
     return (
         ds.map_batches(purchases, batch_format="pyarrow")
+        .union(sentinel)
         .groupby("bucket", num_partitions=shuffle_partitions(8))
         .map_groups(scan_bucket, batch_format="pandas")
     )

@@ -120,8 +120,21 @@ def repeated_substring_spans(
         g = group.select(["h", "n"]).group_by("h").aggregate([("n", "sum")])
         return g.filter(pc.greater_equal(g.column("n_sum"), 2)).select(["h"])
 
+    # sentinel row: a corpus where every doc is shorter than L emits zero
+    # hash rows and Ray's hash shuffle crashes on zero input; the n=0
+    # sentinel never survives the count>=2 filter
+    sentinel = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "bucket": pa.array([-1], pa.int32()),
+                "h": pa.array([0], pa.int64()),
+                "n": pa.array([0], pa.int64()),
+            }
+        )
+    )
     dup_rows = (
         docs.map_batches(hash_counts, batch_format="pyarrow")
+        .union(sentinel)
         .groupby("bucket", num_partitions=shuffle_partitions(8))
         .map_groups(dups_in_bucket, batch_format="pyarrow")
         .take_all()
