@@ -215,9 +215,9 @@ def urgent_revenue_bloom(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset"
     the join — only bloom-positive rows (true matches + ~0.1% false
     positives at these parameters) enter the exact bucketed semi-join that
     removes false positives, so the result is EXACT. The filter is built
-    distributed (per-batch partial bitmaps, OR-merged on the driver —
-    bitmap count is O(blocks), each 128 KiB; a 256-node run would
-    tree-reduce the OR instead of driver-merging)."""
+    distributed: per-batch partial bitmaps tree-reduce (OR within a few
+    repartitioned blocks) before the driver reads O(4) bitmaps, however
+    many build batches there were."""
     import numpy as np
 
     orders = ray.data.read_parquet(
@@ -241,9 +241,30 @@ def urgent_revenue_bloom(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset"
             }
         )
 
+    def or_merge(batch: pa.Table) -> pa.Table:
+        # tree-reduce level: OR every partial bitmap in this block into one
+        import numpy as np
+
+        acc = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        total = 0
+        for row in batch.to_pylist():
+            acc |= np.frombuffer(row["bits"], dtype=np.uint8)
+            total += row["n"]
+        return pa.Table.from_pydict(
+            {"bits": pa.array([acc.tobytes()], pa.binary()),
+             "n": pa.array([total], pa.int64())}
+        )
+
     merged = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
     n_build = 0
-    for r in urgent.map_batches(build_partial, batch_format="pyarrow").take_all():
+    # two-level reduce: per-batch bitmaps OR within 4 blocks first, so the
+    # driver reads O(4) bitmaps however many build batches there were
+    reduced = (
+        urgent.map_batches(build_partial, batch_format="pyarrow")
+        .repartition(shuffle_partitions(4))
+        .map_batches(or_merge, batch_format="pyarrow", batch_size=None)
+    )
+    for r in reduced.take_all():
         merged |= np.frombuffer(r["bits"], dtype=np.uint8)
         n_build += r["n"]
     if n_build == 0:

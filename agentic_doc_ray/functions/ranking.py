@@ -11,8 +11,8 @@ Both avoid shuffling raw rows:
     (capacity+1)-th largest count, keep positives — error <= n_b/(cap+1),
     errors add under merge, so any token with global frequency above the
     threshold is guaranteed to survive); pass 2 broadcasts the candidate
-    set and EXACTLY recounts only those tokens. The driver merge handles
-    summaries (<= capacity rows per batch), never token occurrences.
+    set and EXACTLY recounts only those tokens. Summaries merge through
+    a distributed groupby — the driver sees only the candidate set.
 """
 
 from __future__ import annotations
@@ -98,6 +98,10 @@ def heavy_hitter_tokens(
     threshold - n_total/(capacity+1), so the candidate set is a superset
     of the true answer whenever capacity+1 > 1000/per_mille. Pass 2
     recounts candidates exactly, so the output has no approximation.
+
+    Merge topology: per-batch summaries materialize once (summary-sized),
+    merge through a distributed groupby, and only the CANDIDATE tokens
+    ever reach the driver — O(heavy hitters), not O(batches x capacity).
     """
     if capacity + 1 <= 1000 // max(per_mille, 1):
         raise ValueError("capacity must exceed 1000/per_mille for exactness")
@@ -138,18 +142,41 @@ def heavy_hitter_tokens(
         )
         return pa.concat_tables([g.set_column(1, "n", g.column("n").cast(pa.int64())), total_row])
 
-    partials = docs.map_batches(summarize, batch_format="pyarrow").take_all()
-    n_total = sum(r["n"] for r in partials if r["token"] is None)
-    merged: dict[str, int] = {}
-    for r in partials:
-        if r["token"] is not None:
-            merged[r["token"]] = merged.get(r["token"], 0) + r["n"]
+    # summaries are materialized once (capacity rows per batch — summary-
+    # sized, never token occurrences) and merged DISTRIBUTED: the driver
+    # only ever sees the candidate set, not per-batch counters
+    partials = docs.map_batches(summarize, batch_format="pyarrow").materialize()
+    n_total = sum(
+        r["n"]
+        for r in partials.map_batches(
+            lambda b: b.filter(pc.is_null(b.column("token"))).select(["n"]),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    if n_total == 0:  # no tokens anywhere: empty answer, skip the shuffle
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        )
     threshold = max(1, -(-n_total * per_mille // 1000))  # ceil
     slack = n_total // (capacity + 1)
-    candidates = pa.array(
-        [t for t, c in merged.items() if c >= max(1, threshold - slack)],
-        pa.string(),
+    cutoff = max(1, threshold - slack)
+    merged = (
+        partials.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column("token"))),
+            batch_format="pyarrow",
+        )
+        .groupby("token", num_partitions=shuffle_partitions(8))
+        .aggregate(Sum("n", alias_name="n"))
     )
+    cand_rows = merged.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), pa.scalar(cutoff))).select(
+            ["token"]
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    candidates = pa.array([r["token"] for r in cand_rows], pa.string())
     if len(candidates) == 0:
         # empty candidate set would feed a zero-row shuffle (Ray crashes);
         # the exact answer is definitionally empty
