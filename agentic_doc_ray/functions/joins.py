@@ -176,7 +176,11 @@ def customers_without_urgent(sf_dir: str, n_buckets: int = 32) -> "ray.data.Data
         return out.select(["c_custkey", "c_name"])
 
     return unioned.groupby(
-        "bucket", num_partitions=shuffle_partitions(n_buckets)
+        # partition count stays well below the bucket-key count: each
+        # hash-shuffle partition is a cold-spawned aggregator actor, and 8
+        # partitions x 4 bucket keys each give the same parallelism with a
+        # quarter of the actor spawns (aged-session latency, BASELINE.md)
+        "bucket", num_partitions=shuffle_partitions(8)
     ).map_groups(anti_bucket, batch_format="pyarrow")
 
 
@@ -358,7 +362,11 @@ def urgent_revenue_bloom(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset"
         return g.rename_columns(["l_returnflag", "cents", "n_items"])
 
     partials = unioned.groupby(
-        "bucket", num_partitions=shuffle_partitions(n_buckets)
+        # partition count stays well below the bucket-key count: each
+        # hash-shuffle partition is a cold-spawned aggregator actor, and 8
+        # partitions x 4 bucket keys each give the same parallelism with a
+        # quarter of the actor spawns (aged-session latency, BASELINE.md)
+        "bucket", num_partitions=shuffle_partitions(8)
     ).map_groups(verify_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
     agg = partials.repartition(np_).groupby(
@@ -465,7 +473,11 @@ def order_priority_revenue_bucketed(sf_dir: str, n_buckets: int = 32) -> "ray.da
         return g.rename_columns(["o_orderpriority", "cents", "n_orders"])
 
     partials = unioned.groupby(
-        "bucket", num_partitions=shuffle_partitions(n_buckets)
+        # partition count stays well below the bucket-key count: each
+        # hash-shuffle partition is a cold-spawned aggregator actor, and 8
+        # partitions x 4 bucket keys each give the same parallelism with a
+        # quarter of the actor spawns (aged-session latency, BASELINE.md)
+        "bucket", num_partitions=shuffle_partitions(8)
     ).map_groups(join_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
     agg = partials.repartition(np_).groupby(

@@ -135,7 +135,15 @@ def main() -> None:
         if trials == 1 and best < 30.0:
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
+            dt2 = time.perf_counter() - t0
+            worst = max(best, dt2)
+            best = min(best, dt2)
+            if worst > 3 * best:
+                # the two trials disagree wildly — a steal spike hit one of
+                # them; a third tie-breaker costs little and saves the stat
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
     # --- headline: full extraction with parquet sink ----------------------
