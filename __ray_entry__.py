@@ -608,6 +608,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return substring_dup_stats(docs(sf_dir))
 
+    def q_dedup_components(sf_dir):
+        """Connected components over the VERIFIED near-dup pairs: every
+        doc in a duplicate cluster labeled with its canonical (min) member.
+        Oracle: recursive transitive closure over the same exact pair set."""
+        from agentic_doc_ray.functions.graph import connected_components
+
+        _ensure_extraction_oracles(sf_dir)
+        return connected_components(
+            D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8).select(
+                ["doc_a", "doc_b"]
+            )
+        )
+
     def q_simhash(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         return D.simhashes(docs(sf_dir))
@@ -878,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep": q_dedup_keep,
         "minhash_dedup_pairs": q_minhash,          # exact (verified pipeline)
         "ngram_jaccard_pairs": q_ngram_jaccard,    # exact (verified pipeline)
+        "dedup_components": q_dedup_components,
         "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
@@ -1215,6 +1229,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') "
             "WHERE jaccard >= 0.8"
+        ),
+        # transitive closure over the same exact pair set (pairs are tiny
+        # at the correctness sf, so the recursive CTE is cheap)
+        "dedup_components": (
+            "WITH RECURSIVE und AS ("
+            f"  SELECT doc_a AS a, doc_b AS b FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') WHERE jaccard >= 0.8 "
+            "  UNION "
+            f"  SELECT doc_b, doc_a FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') WHERE jaccard >= 0.8"
+            "), reach(a, b) AS ("
+            "  SELECT a, b FROM und "
+            "  UNION "
+            "  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a"
+            ") "
+            "SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a"
         ),
         "ngram_jaccard_pairs": (
             "SELECT doc_a, doc_b, jaccard "

@@ -1,0 +1,263 @@
+"""Distributed connected components over near-duplicate pairs.
+
+The missing last stage of a dedup pipeline: pair output (doc_a, doc_b)
+says who matches whom, but keep/drop decisions need CLUSTERS — every doc
+labeled with the canonical (minimum) member of its duplicate component.
+
+Iterative min-label propagation, the standard bulk-synchronous CC: labels
+start as self; each round every node takes the min of its own label and
+its neighbors' labels; converged when no label changed (an exact check —
+labels only ever decrease, and stopping early on a false "no change"
+would mislabel). Rounds needed = component diameter, tiny for duplicate
+clusters. Each round is TWO bucketed hash exchanges over tables bounded
+by the PAIR count, never the corpus (the explicit union+groupby join
+pattern from joins.py).
+
+Two Ray hash-shuffle landmines this module defuses explicitly:
+
+  1. Every batch is explicitly-typed Arrow — a zero-row pandas block
+     erases its schema and poisons downstream unions.
+  2. SENTINEL ROWS: Ray's hash shuffle broadcasts schemas to aggregators
+     with the FIRST block of each input sequence, but `_shuffle_block`
+     returns early on a zero-row block WITHOUT broadcasting (while the
+     driver already marked schemas as sent). If that first block is empty
+     — routine here, since each round's map_groups re-emits the previous
+     exchange's empty partitions — any partition that then receives no
+     rows finalizes a schema-less block and dies with "No match for
+     FieldRef.Name(bucket)". Fix: union one sentinel row per bucket value
+     (side='s', filtered inside every map_groups fn) so NO partition is
+     ever empty. 64 int32 bucket values cover every partition for
+     num_partitions 2..9 under Ray's hash_partition (verified
+     exhaustively; shuffle_partitions(8) caps at 8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from agentic_doc_ray.context import shuffle_partitions
+
+_N_BUCKETS = 64
+
+# union schema for exchange 1 (key: src): edge rows + label rows
+_EDGE_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("side", pa.string()),
+        ("label", pa.string()),
+    ]
+)
+# union schema for init + exchange 2 (key: node): candidates + old labels
+_NODE_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.string()),
+        ("label", pa.string()),
+        ("side", pa.string()),
+    ]
+)
+_RESOLVED_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.string()),
+        ("label", pa.string()),
+        ("changed", pa.int64()),
+    ]
+)
+
+
+def _bucket_of(arr: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Deterministic vectorized string->bucket hash (pandas siphash with
+    its fixed default key — stable across processes, unlike hash())."""
+    vals = np.asarray(arr.to_pandas(), dtype=object)
+    return pa.array(
+        (pd.util.hash_array(vals) % _N_BUCKETS).astype(np.int32), pa.int32()
+    )
+
+
+def _sentinels(schema: pa.Schema) -> "ray.data.Dataset":
+    """One side='s' row per bucket value: guarantees every hash partition
+    of a groupby('bucket') receives at least one row (see module doc #2).
+    64 rows per exchange — noise at any scale."""
+    cols = []
+    for f in schema:
+        if f.name == "bucket":
+            cols.append(pa.array(np.arange(_N_BUCKETS, dtype=np.int32), pa.int32()))
+        elif f.name == "side":
+            cols.append(pa.array(["s"] * _N_BUCKETS, pa.string()))
+        else:
+            cols.append(pa.nulls(_N_BUCKETS, f.type))
+    return ray.data.from_arrow(pa.Table.from_arrays(cols, schema=schema))
+
+
+def _drop_sentinels(group: pa.Table) -> pa.Table:
+    return group.filter(pc.not_equal(group.column("side"), "s"))
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> "ray.data.Dataset":
+    """(doc_id, component) for every doc appearing in ``pairs``; component
+    is the minimum doc id reachable through the pair graph."""
+    if isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "component": pa.array([], pa.string()),
+                }
+            )
+        )
+
+    np_ = shuffle_partitions(8)
+
+    def symmetric(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch.column(a_col), pa.string()).combine_chunks()
+        b = pc.cast(batch.column(b_col), pa.string()).combine_chunks()
+        src = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
+        n = len(src)
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(src),
+                src,
+                dst,
+                pa.array(["e"] * n, pa.string()),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=_EDGE_SCHEMA,
+        )
+
+    edges = pairs.map_batches(symmetric, batch_format="pyarrow").materialize()
+
+    # initial labels: every node labels itself (batch-local distinct, then
+    # one exchange makes it globally distinct)
+    def self_label(batch: pa.Table) -> pa.Table:
+        nodes = (
+            batch.select(["src"]).group_by("src").aggregate([]).column("src")
+        ).combine_chunks()
+        n = len(nodes)
+        return pa.Table.from_arrays(
+            [_bucket_of(nodes), nodes, nodes, pa.array(["o"] * n, pa.string())],
+            schema=_NODE_SCHEMA,
+        )
+
+    def dedup_nodes(group: pa.Table) -> pa.Table:
+        g = (
+            _drop_sentinels(group)
+            .select(["bucket", "node", "label"])
+            .group_by(["bucket", "node"])
+            .aggregate([("label", "min")])
+        )
+        return g.rename_columns(["bucket", "node", "label"])
+
+    labels = (
+        edges.map_batches(self_label, batch_format="pyarrow")
+        .union(_sentinels(_NODE_SCHEMA))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(dedup_nodes, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("bucket"),
+                batch.column("node"),
+                pa.nulls(n, pa.string()),
+                pa.array(["l"] * n, pa.string()),
+                batch.column("label"),
+            ],
+            schema=_EDGE_SCHEMA,
+        )
+
+    def propagate(group: pa.Table) -> pa.Table:
+        group = _drop_sentinels(group)
+        is_edge = pc.equal(group.column("side"), "e")
+        e = group.filter(is_edge).select(["src", "dst"])
+        l = group.filter(pc.invert(is_edge)).select(["src", "label"])
+        m = e.join(l, keys="src", join_type="inner")
+        dst = m.column("dst").combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(dst),
+                dst,
+                m.column("label"),
+                pa.array(["c"] * m.num_rows, pa.string()),
+            ],
+            schema=_NODE_SCHEMA,
+        )
+
+    def tag_old(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("bucket"),
+                batch.column("node"),
+                batch.column("label"),
+                pa.array(["o"] * batch.num_rows, pa.string()),
+            ],
+            schema=_NODE_SCHEMA,
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        # min over candidates + own label; exact per-node changed flag
+        # (the old label is co-located by construction)
+        group = _drop_sentinels(group)
+        best = (
+            group.select(["node", "label"])
+            .group_by("node")
+            .aggregate([("label", "min")])
+            .rename_columns(["node", "new_label"])
+        )
+        old = (
+            group.filter(pc.equal(group.column("side"), "o"))
+            .select(["bucket", "node", "label"])
+            .rename_columns(["bucket", "node", "old_label"])
+        )
+        m = old.join(best, keys="node", join_type="inner")
+        changed = pc.cast(
+            pc.not_equal(m.column("new_label"), m.column("old_label")), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [m.column("bucket"), m.column("node"), m.column("new_label"), changed],
+            schema=_RESOLVED_SCHEMA,
+        )
+
+    for _ in range(max_iters):
+        cands = (
+            edges.union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+            .union(_sentinels(_EDGE_SCHEMA))
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        resolved = (
+            cands.union(labels.map_batches(tag_old, batch_format="pyarrow"))
+            .union(_sentinels(_NODE_SCHEMA))
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(resolve, batch_format="pyarrow")
+            .materialize()
+        )
+        n_changed = resolved.sum("changed")
+        labels = resolved.drop_columns(["changed"]).materialize()
+        if not n_changed:
+            break
+
+    return labels.map_batches(
+        lambda b: b.select(["node", "label"]).rename_columns(
+            ["doc_id", "component"]
+        ),
+        batch_format="pyarrow",
+    )

@@ -204,6 +204,26 @@ def main() -> None:
         ).count(),
     )
     timed("simhash", lambda: D.simhashes(docs()).count())
+
+    docs_str = lambda: docs().map_batches(  # noqa: E731
+        lambda b: b.set_column(
+            b.schema.get_field_index("doc_id"),
+            "doc_id",
+            b["doc_id"].cast("string"),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def cc_q() -> None:
+        from agentic_doc_ray.functions.graph import connected_components
+
+        connected_components(
+            D.verified_dedup_pairs(docs_str(), exact_threshold=0.8).select(
+                ["doc_a", "doc_b"]
+            )
+        ).count()
+
+    timed("dedup_components", cc_q)
     timed("dedup_keep", lambda: D.dedup_keep(docs()).count())
     timed("repetition_stats", lambda: T.repetition_stats(docs()).count())
 

@@ -1,0 +1,65 @@
+"""Connected components vs a naive union-find on constructed graphs."""
+
+import pyarrow as pa
+
+import ray.data
+
+from agentic_doc_ray.functions.graph import connected_components
+
+
+def _naive_cc(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comps.values() for n in members}
+
+
+def _run(edges, **kw):
+    t = pa.Table.from_pydict(
+        {"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]}
+    )
+    got = connected_components(ray.data.from_arrow(t), **kw).to_pandas()
+    return dict(zip(got["doc_id"], got["component"]))
+
+
+def test_mixed_components():
+    edges = [
+        ("d1", "d2"), ("d2", "d3"),            # chain
+        ("d4", "d5"), ("d5", "d6"), ("d4", "d6"),  # triangle
+        ("d7", "d8"),                           # pair
+        ("d9", "d10"), ("d9", "d11"),           # star (min is d10)
+    ]
+    assert _run(edges) == _naive_cc(edges)
+
+
+def test_long_chain_converges():
+    n = 14
+    edges = [(f"x{i:02d}", f"x{i+1:02d}") for i in range(n - 1)]
+    got = _run(edges)
+    assert got == _naive_cc(edges)
+    assert set(got.values()) == {"x00"}
+
+
+def test_duplicate_and_reversed_edges():
+    edges = [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "a")]
+    assert _run(edges) == _naive_cc(edges)
+
+
+def test_empty_pairs():
+    t = pa.Table.from_pydict({"doc_a": pa.array([], pa.string()),
+                              "doc_b": pa.array([], pa.string())})
+    got = connected_components(ray.data.from_arrow(t)).to_pandas()
+    assert len(got) == 0
