@@ -621,6 +621,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_near_dedup_keep(sf_dir):
+        """Corpus ids surviving near-dup clustering: one canonical (min)
+        member per verified-duplicate component, everything unpaired kept.
+        Fully distributed (CC + bucketed anti-join; nothing on driver)."""
+        from agentic_doc_ray.functions.graph import near_dedup_keep
+
+        _ensure_extraction_oracles(sf_dir)
+        return near_dedup_keep(
+            _docs_str(sf_dir),
+            D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8).select(
+                ["doc_a", "doc_b"]
+            ),
+        )
+
     def q_simhash(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         return D.simhashes(docs(sf_dir))
@@ -892,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": q_minhash,          # exact (verified pipeline)
         "ngram_jaccard_pairs": q_ngram_jaccard,    # exact (verified pipeline)
         "dedup_components": q_dedup_components,
+        "near_dedup_keep": q_near_dedup_keep,
         "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
@@ -1243,6 +1258,24 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a"
             ") "
             "SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a"
+        ),
+        # drop set = non-canonical members of each transitive-closure
+        # component; string doc_ids on both sides (min is string min)
+        "near_dedup_keep": (
+            "WITH RECURSIVE und AS ("
+            f"  SELECT doc_a AS a, doc_b AS b FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') WHERE jaccard >= 0.8 "
+            "  UNION "
+            f"  SELECT doc_b, doc_a FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') WHERE jaccard >= 0.8"
+            "), reach(a, b) AS ("
+            "  SELECT a, b FROM und "
+            "  UNION "
+            "  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a"
+            "), comp AS ("
+            "  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a"
+            ") "
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
+            "WHERE CAST(doc_id AS VARCHAR) NOT IN "
+            "(SELECT doc_id FROM comp WHERE doc_id <> component)"
         ),
         "ngram_jaccard_pairs": (
             "SELECT doc_a, doc_b, jaccard "

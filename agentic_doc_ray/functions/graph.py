@@ -63,6 +63,14 @@ _NODE_SCHEMA = pa.schema(
         ("side", pa.string()),
     ]
 )
+# union schema for the near_dedup_keep anti-join (key: doc_id)
+_ANTI_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("doc_id", pa.string()),
+        ("side", pa.string()),
+    ]
+)
 _RESOLVED_SCHEMA = pa.schema(
     [
         ("bucket", pa.int32()),
@@ -260,4 +268,58 @@ def connected_components(
             ["doc_id", "component"]
         ),
         batch_format="pyarrow",
+    )
+
+
+def near_dedup_keep(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> "ray.data.Dataset":
+    """Doc ids surviving near-dup clustering: every duplicate component
+    keeps only its canonical (min) member; docs in no pair pass through.
+
+    The end-use of connected_components: pairs -> clusters -> keep/drop.
+    Fully distributed — the drop set (one id per non-canonical cluster
+    member) anti-joins against the corpus ids through the same bucketed
+    exchange; only (bucket, doc_id, side) key rows move, never payloads,
+    and nothing lands on the driver."""
+    comp = connected_components(pairs, a_col, b_col)
+    np_ = shuffle_partitions(8)
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        m = batch.filter(
+            pc.not_equal(batch.column("doc_id"), batch.column("component"))
+        )
+        ids = m.column("doc_id").combine_chunks()
+        return pa.Table.from_arrays(
+            [_bucket_of(ids), ids, pa.array(["d"] * len(ids), pa.string())],
+            schema=_ANTI_SCHEMA,
+        )
+
+    def id_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string()).combine_chunks()
+        return pa.Table.from_arrays(
+            [_bucket_of(ids), ids, pa.array(["a"] * len(ids), pa.string())],
+            schema=_ANTI_SCHEMA,
+        )
+
+    def anti(group: pa.Table) -> pa.Table:
+        group = _drop_sentinels(group)
+        is_a = pc.equal(group.column("side"), "a")
+        a = group.filter(is_a)
+        dropped = group.filter(pc.invert(is_a)).column("doc_id")
+        keep = pc.invert(
+            pc.is_in(a.column("doc_id"), value_set=dropped.combine_chunks())
+        )
+        return a.filter(keep).select(["doc_id"])
+
+    return (
+        docs.select_columns(["doc_id"])
+        .map_batches(id_rows, batch_format="pyarrow")
+        .union(comp.map_batches(drop_rows, batch_format="pyarrow"))
+        .union(_sentinels(_ANTI_SCHEMA))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(anti, batch_format="pyarrow")
     )

@@ -58,6 +58,23 @@ def test_duplicate_and_reversed_edges():
     assert _run(edges) == _naive_cc(edges)
 
 
+def test_near_dedup_keep():
+    from agentic_doc_ray.functions.graph import near_dedup_keep
+
+    edges = [("d1", "d2"), ("d2", "d3"), ("d5", "d4")]
+    all_ids = [f"d{i}" for i in range(8)]
+    docs = ray.data.from_arrow(pa.Table.from_pydict({"doc_id": all_ids}))
+    t = pa.Table.from_pydict(
+        {"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]}
+    )
+    got = sorted(
+        near_dedup_keep(docs, ray.data.from_arrow(t)).to_pandas()["doc_id"]
+    )
+    comp = _naive_cc(edges)
+    want = sorted(i for i in all_ids if comp.get(i, i) == i)
+    assert got == want  # d2,d3,d5 dropped; d1,d4 canonical; rest untouched
+
+
 def test_empty_pairs():
     t = pa.Table.from_pydict({"doc_a": pa.array([], pa.string()),
                               "doc_b": pa.array([], pa.string())})
