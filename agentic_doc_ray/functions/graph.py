@@ -17,18 +17,13 @@ Two Ray hash-shuffle landmines this module defuses explicitly:
 
   1. Every batch is explicitly-typed Arrow — a zero-row pandas block
      erases its schema and poisons downstream unions.
-  2. SENTINEL ROWS: Ray's hash shuffle broadcasts schemas to aggregators
-     with the FIRST block of each input sequence, but `_shuffle_block`
-     returns early on a zero-row block WITHOUT broadcasting (while the
-     driver already marked schemas as sent). If that first block is empty
-     — routine here, since each round's map_groups re-emits the previous
-     exchange's empty partitions — any partition that then receives no
-     rows finalizes a schema-less block and dies with "No match for
-     FieldRef.Name(bucket)". Fix: union one sentinel row per bucket value
-     (side='s', filtered inside every map_groups fn) so NO partition is
-     ever empty. 64 int32 bucket values cover every partition for
-     num_partitions 2..9 under Ray's hash_partition (verified
-     exhaustively; shuffle_partitions(8) caps at 8).
+  2. SENTINEL ROWS (see functions/_exchange.py for the full story):
+     each round's map_groups re-emits the previous exchange's empty
+     partitions, so the next exchange's first-arriving block is often
+     empty, which loses Ray's schema broadcast and crashes any partition
+     that receives no rows. Every exchange here unions one sentinel row
+     per bucket value (side='s', dropped inside every map_groups fn) so
+     no partition is ever empty.
 """
 
 from __future__ import annotations
@@ -94,15 +89,9 @@ def _sentinels(schema: pa.Schema) -> "ray.data.Dataset":
     """One side='s' row per bucket value: guarantees every hash partition
     of a groupby('bucket') receives at least one row (see module doc #2).
     64 rows per exchange — noise at any scale."""
-    cols = []
-    for f in schema:
-        if f.name == "bucket":
-            cols.append(pa.array(np.arange(_N_BUCKETS, dtype=np.int32), pa.int32()))
-        elif f.name == "side":
-            cols.append(pa.array(["s"] * _N_BUCKETS, pa.string()))
-        else:
-            cols.append(pa.nulls(_N_BUCKETS, f.type))
-    return ray.data.from_arrow(pa.Table.from_arrays(cols, schema=schema))
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    return int_key_sentinels(schema, "bucket", fill={"side": "s"})
 
 
 def _drop_sentinels(group: pa.Table) -> pa.Table:

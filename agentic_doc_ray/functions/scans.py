@@ -392,19 +392,24 @@ def user_cumulative_spend(sf_dir: str) -> "ray.data.Dataset":
         g["cum_spend"] = grp["cents"].cumsum() / 100.0
         return g[["event_id", "user_id", "ts", "n_purchases", "cum_spend"]]
 
-    # sentinel row: the purchases FILTER can empty the stream and Ray's
-    # hash shuffle crashes on zero input rows; one dropped sentinel keeps
-    # the exchange non-empty with no extra pass over the data
-    sentinel = ray.data.from_arrow(
-        pa.Table.from_pydict(
-            {
-                "event_id": pa.array([-1], pa.int64()),
-                "user_id": pa.array([-1], pa.int64()),
-                "ts": pa.array([np.datetime64("1970-01-01", "us")]),
-                "cents": pa.array([0], pa.int64()),
-                "bucket": pa.array([-1], pa.int32()),
-            }
-        )
+    # sentinel rows: the purchases FILTER can empty individual blocks (or
+    # the whole stream), and an empty first block loses Ray's hash-shuffle
+    # schema broadcast (see functions/_exchange.py) — one dropped sentinel
+    # per bucket value keeps EVERY partition non-empty
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    sentinel = int_key_sentinels(
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("cents", pa.int64()),
+                ("bucket", pa.int32()),
+            ]
+        ),
+        "bucket",
+        fill={"event_id": -1, "user_id": -1, "cents": 0},
     )
     return (
         ds.map_batches(purchases, batch_format="pyarrow")

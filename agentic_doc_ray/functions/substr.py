@@ -155,6 +155,10 @@ def repeated_substring_spans(
     dup_ref = ray.put(dup_sorted)
 
     # --- pass B: ship real grams for candidate positions only -------------
+    gram_schema = pa.schema(
+        [("gram", pa.string()), ("doc_id", pa.int64()), ("pos", pa.int64())]
+    )
+
     def candidate_grams(batch: pa.Table) -> pa.Table:
         dups = ray.get(dup_ref)
         h, doc_idx, local_pos, buf, offsets = _gram_hashes(batch.column("text"), L)
@@ -165,23 +169,35 @@ def repeated_substring_spans(
         ids = batch.column("doc_id").combine_chunks().to_numpy(
             zero_copy_only=False
         )
-        return pa.Table.from_pydict(
-            {
-                "gram": pa.array(grams, pa.string()),
-                "doc_id": pa.array(ids[doc_idx]),
-                "pos": pa.array(local_pos + 1),  # 1-based, matches substr()
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array(grams, pa.string()),
+                pa.array(ids[doc_idx], pa.int64()),
+                pa.array(local_pos + 1, pa.int64()),  # 1-based, matches substr()
+            ],
+            schema=gram_schema,
         )
 
     def verify_gram(group: pa.Table) -> pa.Table:
+        # singleton groups are hash collisions — and each exchange sentinel
+        # (unique NUL-prefixed gram) forms one, so both drop here
         if group.num_rows < 2:
             return pa.Table.from_pydict(
                 {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
             )
         return group.select(["doc_id", "pos"])
 
+    from agentic_doc_ray.functions._exchange import (
+        int_key_sentinels,
+        str_key_sentinels,
+    )
+
+    # candidate_grams emits EMPTY blocks for batches with no candidate
+    # positions; sentinels keep every gram partition non-empty (the
+    # empty-first-block schema-broadcast race, _exchange.py)
     marks = (
         docs.map_batches(candidate_grams, batch_format="pyarrow")
+        .union(str_key_sentinels(gram_schema, "gram", fill={"doc_id": -1, "pos": -1}))
         .groupby("gram", num_partitions=shuffle_partitions(8))
         .map_groups(verify_gram, batch_format="pyarrow")
     )
@@ -195,7 +211,18 @@ def repeated_substring_spans(
         return batch.append_column("bucket", b)
 
     def spans_bucket(group):
-        g = group.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        import pandas as pd
+
+        g = group[group["doc_id"] >= 0]  # drop exchange sentinels
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "span_start": pd.Series([], dtype="int64"),
+                    "span_end": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["doc_id", "pos"]).reset_index(drop=True)
         brk = (g["doc_id"].ne(g["doc_id"].shift())) | (
             g["pos"] > g["pos"].shift() + (L - 1)
         )
@@ -208,8 +235,14 @@ def repeated_substring_spans(
         out["span_end"] = out["span_end"] + (L - 1)
         return out.reset_index(drop=True)[["doc_id", "span_start", "span_end"]]
 
+    # marks is map_groups output (empty partition blocks are routine) —
+    # same empty-first-block guard for the span-merge exchange
+    marks_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("bucket", pa.int32())]
+    )
     return (
         marks.map_batches(add_bucket, batch_format="pyarrow")
+        .union(int_key_sentinels(marks_schema, "bucket", fill={"doc_id": -1, "pos": 1}))
         .groupby("bucket", num_partitions=shuffle_partitions(8))
         .map_groups(spans_bucket, batch_format="pandas")
     )

@@ -75,6 +75,33 @@ def test_near_dedup_keep():
     assert got == want  # d2,d3,d5 dropped; d1,d4 canonical; rest untouched
 
 
+def test_sentinel_partition_coverage():
+    """The _exchange sentinel key sets must land >=1 row in EVERY hash
+    partition under Ray's own partitioner — the whole point of the guard
+    (see functions/_exchange.py docstring)."""
+    from ray.data._internal.arrow_ops.transform_pyarrow import hash_partition
+
+    from agentic_doc_ray.functions import _exchange as X
+
+    import numpy as np
+
+    # the partition hash is TYPE-sensitive — verify both int key widths
+    for dt in (pa.int32(), pa.int64()):
+        ints = pa.table(
+            {"k": pa.array(np.arange(X.N_INT_SENTINELS, dtype=np.int64), dt)}
+        )
+        for np_ in range(2, 10):
+            parts = hash_partition(ints, hash_cols=["k"], num_partitions=np_)
+            covered = {p for p, b in parts.items() if b.num_rows > 0}
+            assert covered == set(range(np_)), f"{dt} keys miss at np={np_}"
+
+    strs = pa.table({"k": pa.array(X.STR_SENTINEL_KEYS, pa.string())})
+    for np_ in range(2, 18):
+        parts = hash_partition(strs, hash_cols=["k"], num_partitions=np_)
+        covered = {p for p, b in parts.items() if b.num_rows > 0}
+        assert covered == set(range(np_)), f"str keys miss partitions at np={np_}"
+
+
 def test_empty_pairs():
     t = pa.Table.from_pydict({"doc_a": pa.array([], pa.string()),
                               "doc_b": pa.array([], pa.string())})
