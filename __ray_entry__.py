@@ -615,9 +615,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from agentic_doc_ray.functions.graph import connected_components
 
         _ensure_extraction_oracles(sf_dir)
+        # Dataset input ON PURPOSE: routes through the distributed BSP
+        # path so the oracle validates it (a pa.Table input would take
+        # the local union-find fast path)
         return connected_components(
-            D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8).select(
-                ["doc_a", "doc_b"]
+            ray.data.from_arrow(
+                D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8).select(
+                    ["doc_a", "doc_b"]
+                )
             )
         )
 
@@ -633,6 +638,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8).select(
                 ["doc_a", "doc_b"]
             ),
+        )
+
+    def q_bm25(sf_dir):
+        """BM25 top-10 per keyword query (rank-only output; scores are
+        engine-internal floats — same contract as similarity_topk)."""
+        from agentic_doc_ray.functions.retrieval import bm25_topk
+
+        return bm25_topk(
+            docs(sf_dir),
+            {"q0": ["hash", "join"], "q1": ["window", "stream"], "q2": ["vector"]},
+            k=10,
         )
 
     def q_simhash(sf_dir):
@@ -907,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,    # exact (verified pipeline)
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
+        "bm25_topk": q_bm25,
         "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
@@ -1133,6 +1150,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.99"
+        ),
+        # BM25 with the engine's exact tokenization (trim + \s+ split) and
+        # association order; ranks compare exactly, scores stay internal
+        "bm25_topk": (
+            "WITH tr AS (SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed FROM documents), "
+            "tok AS (SELECT doc_id, CASE WHEN trimmed = '' THEN CAST([] AS VARCHAR[]) "
+            "  ELSE regexp_split_to_array(trimmed, '\\s+') END AS toks FROM tr), "
+            "dl AS (SELECT doc_id, len(toks) AS dl FROM tok), "
+            "g AS (SELECT count(*) AS n, sum(dl) AS total FROM dl), "
+            "terms(query_id, term) AS (VALUES ('q0','hash'),('q0','join'),"
+            "  ('q1','window'),('q1','stream'),('q2','vector')), "
+            "df AS (SELECT u.term, (SELECT count(*) FROM tok WHERE list_contains(tok.toks, u.term)) AS df "
+            "  FROM (SELECT DISTINCT term FROM terms) u), "
+            "tf AS (SELECT te.query_id, te.term, k.doc_id, "
+            "  len(list_filter(k.toks, x -> x = te.term)) AS tf FROM terms te CROSS JOIN tok k), "
+            "sc AS (SELECT tf.query_id, tf.doc_id, "
+            "  sum( ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 / "
+            "       (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * g.n / CAST(g.total AS DOUBLE)))) ) AS s "
+            "  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g "
+            "  GROUP BY tf.query_id, tf.doc_id) "
+            "SELECT query_id, rank, doc_id FROM ("
+            "  SELECT query_id, row_number() OVER (PARTITION BY query_id "
+            "    ORDER BY s DESC, doc_id) AS rank, doc_id FROM sc"
+            ") WHERE rank <= 10"
         ),
         "similarity_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "

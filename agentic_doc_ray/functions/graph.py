@@ -98,6 +98,39 @@ def _drop_sentinels(group: pa.Table) -> pa.Table:
     return group.filter(pc.not_equal(group.column("side"), "s"))
 
 
+def _local_cc(t: pa.Table, a_col: str, b_col: str) -> pa.Table:
+    """Union-find with path compression for a driver-resident pair table
+    — semantics identical to the BSP path (min STRING label per
+    component)."""
+    a = [str(x) for x in t.column(a_col).to_pylist()]
+    b = [str(x) for x in t.column(b_col).to_pylist()]
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    best: dict[str, str] = {}
+    for n in parent:
+        r = find(n)
+        if r not in best or n < best[r]:
+            best[r] = n
+    nodes = sorted(parent)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(nodes, pa.string()),
+            "component": pa.array([best[find(n)] for n in nodes], pa.string()),
+        }
+    )
+
+
 def connected_components(
     pairs: "ray.data.Dataset",
     a_col: str = "doc_a",
@@ -105,10 +138,18 @@ def connected_components(
     max_iters: int = 50,
 ) -> "ray.data.Dataset":
     """(doc_id, component) for every doc appearing in ``pairs``; component
-    is the minimum doc id reachable through the pair graph."""
+    is the minimum doc id reachable through the pair graph.
+
+    A pa.Table input is ALREADY driver-resident (the verified-pairs
+    pipeline returns its bounded candidate set that way), so it gets a
+    local union-find — microseconds instead of ~1s of exchange fixed cost
+    per BSP round. Dataset inputs take the distributed BSP path whatever
+    their size: a producer that kept pairs distributed did so on purpose.
+    """
     if isinstance(pairs, pa.Table):
-        pairs = ray.data.from_arrow(pairs)
-    if pairs.count() == 0:
+        return ray.data.from_arrow(_local_cc(pairs, a_col, b_col))
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {
@@ -118,7 +159,13 @@ def connected_components(
             )
         )
 
-    np_ = shuffle_partitions(8)
+    # partitions scale with the PAIR table, not the cluster: every hash
+    # partition is a cold-spawned aggregator actor per execution and CC
+    # runs two exchanges per round, so a tiny pair graph on 8 partitions
+    # pays ~16 actor fleets per round for nothing (measured 30s -> ~10s at
+    # sf0.1). 64k pair rows per partition; 10^9-pair graphs still spread
+    # to the full shuffle_partitions cap.
+    np_ = max(2, min(shuffle_partitions(8), 1 + n_pairs // 65536))
 
     def symmetric(batch: pa.Table) -> pa.Table:
         a = pc.cast(batch.column(a_col), pa.string()).combine_chunks()
@@ -248,7 +295,9 @@ def connected_components(
             .materialize()
         )
         n_changed = resolved.sum("changed")
-        labels = resolved.drop_columns(["changed"]).materialize()
+        # resolved is already materialized; the drop is a lazy projection
+        # re-run (cheaply) by the next round's two consumers
+        labels = resolved.drop_columns(["changed"])
         if not n_changed:
             break
 

@@ -224,6 +224,17 @@ def main() -> None:
         ).count()
 
     timed("dedup_components", cc_q)
+
+    def bm25_q() -> None:
+        from agentic_doc_ray.functions.retrieval import bm25_topk
+
+        bm25_topk(
+            docs(),
+            {"q0": ["hash", "join"], "q1": ["window", "stream"], "q2": ["vector"]},
+            k=10,
+        ).count()
+
+    timed("bm25_topk", bm25_q)
     timed("dedup_keep", lambda: D.dedup_keep(docs()).count())
     timed("repetition_stats", lambda: T.repetition_stats(docs()).count())
 

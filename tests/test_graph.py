@@ -75,6 +75,18 @@ def test_near_dedup_keep():
     assert got == want  # d2,d3,d5 dropped; d1,d4 canonical; rest untouched
 
 
+def test_local_table_path_matches_bsp():
+    """A pa.Table input takes the local union-find; it must agree exactly
+    with the distributed BSP path (Dataset input) and the naive oracle."""
+    edges = [("d1", "d2"), ("d2", "d3"), ("d9", "d10"), ("d9", "d11")]
+    t = pa.Table.from_pydict(
+        {"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]}
+    )
+    local = connected_components(t).to_pandas()
+    got = dict(zip(local["doc_id"], local["component"]))
+    assert got == _naive_cc(edges) == _run(edges)
+
+
 def test_sentinel_partition_coverage():
     """The _exchange sentinel key sets must land >=1 row in EVERY hash
     partition under Ray's own partitioner — the whole point of the guard
