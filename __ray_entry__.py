@@ -651,6 +651,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=10,
         )
 
+    def q_index_postings(sf_dir):
+        """Targeted postings extraction through the distributed inverted-
+        index exchange: exact (term, doc_id, tf) rows for a term set."""
+        from agentic_doc_ray.functions.index import index_postings
+
+        return index_postings(docs(sf_dir), ["hash", "join", "vector", "window"])
+
     def q_simhash(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         return D.simhashes(docs(sf_dir))
@@ -924,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
         "bm25_topk": q_bm25,
+        "index_postings": q_index_postings,
         "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
@@ -1150,6 +1158,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.99"
+        ),
+        # postings via the engine's exact tokenization (trim + \s+ split)
+        "index_postings": (
+            "WITH tr AS (SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed FROM documents), "
+            "tok AS (SELECT doc_id, CASE WHEN trimmed = '' THEN CAST([] AS VARCHAR[]) "
+            "  ELSE regexp_split_to_array(trimmed, '\\s+') END AS toks FROM tr), "
+            "terms(term) AS (VALUES ('hash'),('join'),('vector'),('window')) "
+            "SELECT term, doc_id, tf FROM ("
+            "  SELECT t.term, k.doc_id, len(list_filter(k.toks, x -> x = t.term)) AS tf "
+            "  FROM terms t CROSS JOIN tok k"
+            ") WHERE tf > 0"
         ),
         # BM25 with the engine's exact tokenization (trim + \s+ split) and
         # association order; ranks compare exactly, scores stay internal
