@@ -946,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": A.orders_by_segment,
         "order_priority_revenue": _J().order_priority_revenue,
         "order_priority_revenue_bucketed": _J().order_priority_revenue_bucketed,
+        "nation_returned_revenue": _J().nation_returned_revenue,
         "events_hourly": A.events_hourly,
         "events_sliding": A.events_sliding,
         "purchase_prior_view": A.purchase_prior_view,
@@ -954,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": q_hll,  # rows-only (approximate sketch)
         "sessionize": A.sessionize,
         "purchase_sessions": A.purchase_sessions,
+        "funnel_counts": A.funnel_counts,
         # ordered scans (distributed prefix scan / partitioned scan)
         "late_events": _Sc().late_events,
         "user_cumulative_spend": _Sc().user_cumulative_spend,
@@ -1232,6 +1234,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "order_priority_revenue": _ORDER_PRIORITY_SQL,
         "order_priority_revenue_bucketed": _ORDER_PRIORITY_SQL,
+        # TPC-H Q10-shaped 4-table join (returned-item revenue per nation)
+        "nation_returned_revenue": (
+            "SELECT n.n_name, "
+            "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue, "
+            "count(DISTINCT o.o_orderkey) AS n_orders "
+            "FROM lineitem l "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "WHERE l.l_returnflag = 'R' GROUP BY n.n_name"
+        ),
+        # ordered funnel: each stage strictly after the user's first
+        # occurrence of the previous stage
+        "funnel_counts": (
+            "WITH v AS (SELECT user_id, min(ts) AS prev FROM events "
+            "  WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, min(e.ts) AS prev FROM events e "
+            "  JOIN v ON e.user_id = v.user_id "
+            "  WHERE e.event_type = 'click' AND e.ts > v.prev GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(e.ts) AS prev FROM events e "
+            "  JOIN c ON e.user_id = c.user_id "
+            "  WHERE e.event_type = 'purchase' AND e.ts > c.prev GROUP BY e.user_id) "
+            "SELECT '1_view' AS stage, count(*) AS n_users FROM v "
+            "UNION ALL SELECT '2_view_click', count(*) FROM c "
+            "UNION ALL SELECT '3_view_click_purchase', count(*) FROM p"
+        ),
         "events_sliding": (
             "SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE "
             "AS window_start, event_type, "

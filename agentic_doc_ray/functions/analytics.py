@@ -467,3 +467,81 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         .groupby("bucket", num_partitions=_cap(8))
         .map_groups(sessions, batch_format="pandas")
     )
+
+
+def funnel_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered-funnel analysis: how many users progressed view -> click ->
+    purchase, each stage STRICTLY after the previous one (the classic
+    product-analytics sequence query; ref has no counterpart — this is an
+    engine capability for event-log corpora).
+
+    Shape: one exchange on a coarse user bucket (user_id % 64, the
+    sessionize pattern) — a user's whole history co-locates, then each
+    bucket computes the per-user first-time chain with three vectorized
+    groupby-min passes (no per-user Python). Only (stage, n_users)
+    partials leave the buckets; the final stage groupby moves <=
+    3 rows x buckets.
+    """
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    stages = ["view", "click", "purchase"]
+
+    tag_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_type", pa.string()),
+        ]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.is_in(batch.column("event_type"), value_set=pa.array(stages)))
+        bucket = pc.cast(
+            pc.bit_wise_and(f.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [bucket, f.column("user_id"), f.column("ts").cast(pa.timestamp("us")), f.column("event_type")],
+            schema=tag_schema,
+        )
+
+    def funnel_bucket(group: pa.Table) -> pa.Table:
+        # drop sentinels (user_id=-1), then chain three groupby-mins:
+        # t1 = first view; t2 = first click after t1; t3 = first purchase
+        # after t2 — all vectorized pandas merges, never a per-user loop.
+        g = group.filter(pc.greater_equal(group.column("user_id"), 0)).to_pandas()
+        cur = None
+        counts = []
+        for stage in stages:
+            ev = g[g["event_type"] == stage][["user_id", "ts"]]
+            if cur is not None:
+                ev = ev.merge(cur, on="user_id")
+                ev = ev[ev["ts"] > ev["prev"]]
+            cur = ev.groupby("user_id", as_index=False)["ts"].min().rename(
+                columns={"ts": "prev"}
+            )
+            counts.append(len(cur))
+        return pa.Table.from_pydict(
+            {
+                "stage": pa.array(
+                    ["1_view", "2_view_click", "3_view_click_purchase"], pa.string()
+                ),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        # event_type filter can empty blocks -> empty-first-block guard;
+        # sentinel user_id=-1 rows are dropped in funnel_bucket
+        .union(int_key_sentinels(tag_schema, "bucket", fill={"user_id": -1, "event_type": ""}))
+        .groupby("bucket", num_partitions=_cap(8))
+        .map_groups(funnel_bucket, batch_format="pyarrow")
+    )
+    np_ = _cap(4)
+    return partials.repartition(np_).groupby(
+        "stage", num_partitions=np_
+    ).aggregate(Sum("n_users", alias_name="n_users"))

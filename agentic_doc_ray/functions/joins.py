@@ -496,3 +496,222 @@ def order_priority_revenue_bucketed(sf_dir: str, n_buckets: int = 32) -> "ray.da
         ),
         batch_format="pyarrow",
     )
+
+
+def nation_returned_revenue(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """TPC-H Q10-shaped 4-table pipeline: revenue of RETURNED lineitems per
+    nation — lineitem JOIN orders JOIN customer JOIN nation, two different
+    join keys, exact integer cents.
+
+    The multi-hop join playbook at scale:
+      - filter + batch-local partial aggregation BEFORE the first exchange
+        (only 'R' rows, one row per orderkey per batch crosses the wire);
+      - exchange 1 on crc-free orderkey % B: join rev<->orders per bucket,
+        then partial-agg to (custkey, cents, n_orders) INSIDE the bucket —
+        the key switch (orderkey -> custkey) pays one re-exchange but the
+        re-exchanged stream is already order-granular, not lineitem-rows;
+      - exchange 2 on custkey % B: join with customer, partial-agg to
+        (nationkey, ...) — at most #nations rows leave each bucket;
+      - nation itself is a bounded dimension (25 rows at every TPC-H SF):
+        read driver-side once and mapped via a vectorized numpy take, the
+        broadcast-small-side pattern (never a shuffle).
+    Both exchanges carry sentinel rows (side='sent'): each is fed by
+    filtering/aggregating stages, the empty-first-block hash-shuffle race
+    (_exchange.py).
+    """
+    import numpy as np
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    ex1_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("side", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def tag_returned(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        rev = pc.multiply(
+            f.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+        )
+        cents = pc.round(pc.multiply(rev, pa.scalar(10000.0))).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [f.column("l_orderkey"), cents], names=["o_orderkey", "cents"]
+        )
+        g = t.group_by("o_orderkey").aggregate([("cents", "sum")]).rename_columns(
+            ["o_orderkey", "cents"]
+        )
+        key = g.column("o_orderkey")
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                pa.array(["rev"] * g.num_rows, pa.string()),
+                key,
+                pa.nulls(g.num_rows, pa.int64()),
+                g.column("cents"),
+            ],
+            schema=ex1_schema,
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey")
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                pa.array(["ord"] * n, pa.string()),
+                key,
+                batch.column("o_custkey"),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=ex1_schema,
+        )
+
+    ex1 = (
+        lineitem.map_batches(tag_returned, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1_schema, "bucket", fill={"side": "sent"}))
+    )
+
+    ex2_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("side", pa.string()),
+            ("c_custkey", pa.int64()),
+            ("c_nationkey", pa.int32()),
+            ("cents", pa.int64()),
+            ("n_orders", pa.int64()),
+        ]
+    )
+
+    def join_orderkey_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("side")
+        rev = (
+            group.filter(pc.equal(side, "rev"))
+            .select(["o_orderkey", "cents"])
+            .group_by("o_orderkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["o_orderkey", "cents"])
+        )
+        ords = group.filter(pc.equal(side, "ord")).select(
+            ["o_orderkey", "o_custkey"]
+        )
+        m = rev.to_pandas().merge(ords.to_pandas(), on="o_orderkey", how="inner")
+        # key switch: partial-agg per custkey inside the bucket; each rev
+        # row here is one distinct order, so count == n distinct orders
+        g = (
+            m.groupby("o_custkey", as_index=False)
+            .agg(cents=("cents", "sum"), n_orders=("o_orderkey", "count"))
+        )
+        key = pa.array(g["o_custkey"].to_numpy(dtype=np.int64), pa.int64())
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        n = len(g)
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                pa.array(["rev"] * n, pa.string()),
+                key,
+                pa.nulls(n, pa.int32()),
+                pa.array(g["cents"].to_numpy(dtype=np.int64), pa.int64()),
+                pa.array(g["n_orders"].to_numpy(dtype=np.int64), pa.int64()),
+            ],
+            schema=ex2_schema,
+        )
+
+    def tag_customer(batch: pa.Table) -> pa.Table:
+        key = batch.column("c_custkey")
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                pa.array(["cust"] * n, pa.string()),
+                key,
+                batch.column("c_nationkey").cast(pa.int32()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=ex2_schema,
+        )
+
+    per_cust = (
+        ex1.groupby("bucket", num_partitions=shuffle_partitions(8))
+        .map_groups(join_orderkey_bucket, batch_format="pyarrow")
+        .union(customer.map_batches(tag_customer, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex2_schema, "bucket", fill={"side": "sent"}))
+    )
+
+    # nation is a BOUNDED dimension (25 rows at any SF): driver-side read +
+    # vectorized numpy take is the broadcast-small-side pattern
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nkeys = nat.column("n_nationkey").to_numpy()
+    names_by_key = np.empty(int(nkeys.max()) + 1 if len(nkeys) else 1, dtype=object)
+    names_by_key[nkeys] = nat.column("n_name").to_pylist()
+
+    def join_custkey_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("side")
+        rev = group.filter(pc.equal(side, "rev")).select(
+            ["c_custkey", "cents", "n_orders"]
+        )
+        cust = group.filter(pc.equal(side, "cust")).select(
+            ["c_custkey", "c_nationkey"]
+        )
+        m = rev.to_pandas().merge(cust.to_pandas(), on="c_custkey", how="inner")
+        g = m.groupby("c_nationkey", as_index=False).agg(
+            cents=("cents", "sum"), n_orders=("n_orders", "sum")
+        )
+        names = names_by_key[g["c_nationkey"].to_numpy(dtype=np.int64)]
+        return pa.Table.from_pydict(
+            {
+                "n_name": pa.array(list(names), pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(dtype=np.int64), pa.int64()),
+                "n_orders": pa.array(g["n_orders"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    partials = per_cust.groupby(
+        "bucket", num_partitions=shuffle_partitions(8)
+    ).map_groups(join_custkey_bucket, batch_format="pyarrow")
+    np_ = shuffle_partitions(4)
+    agg = partials.repartition(np_).groupby(
+        "n_name", num_partitions=np_
+    ).aggregate(Sum("cents", alias_name="cents"), Sum("n_orders", alias_name="n_orders"))
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("n_name"),
+                pc.divide(b.column("cents").cast(pa.float64()), 10000.0),
+                b.column("n_orders"),
+            ],
+            names=["n_name", "revenue", "n_orders"],
+        ),
+        batch_format="pyarrow",
+    )

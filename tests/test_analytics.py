@@ -267,3 +267,55 @@ def test_exact_quantiles_edge_small_groups():
     # quantile_disc: smallest value with cumulative fraction >= q
     assert out["a"]["p50"] == 2.0 and out["a"]["p90"] == 4.0
     assert out["b"]["p50"] == 7.0 and out["b"]["p90"] == 7.0
+
+
+def test_funnel_counts_vs_sql_chain():
+    got = (
+        A.funnel_counts(SF).to_pandas().sort_values("stage").reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        WITH v AS (SELECT user_id, min(ts) AS prev FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS prev FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.prev GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS prev FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.prev GROUP BY e.user_id)
+        SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT '2_view_click', count(*) FROM c
+        UNION ALL SELECT '3_view_click_purchase', count(*) FROM p
+        ORDER BY stage
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # funnel must be monotone non-increasing
+    assert got["n_users"].is_monotonic_decreasing or got["n_users"].nunique() == 1
+
+
+def test_nation_returned_revenue_four_table_join():
+    from agentic_doc_ray.functions import joins as J
+
+    got = (
+        J.nation_returned_revenue(SF)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    sql = """
+        SELECT n.n_name,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R' GROUP BY n.n_name ORDER BY n.n_name
+    """
+    import re
+
+    for t in ["lineitem", "orders", "customer", "nation"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
