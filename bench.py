@@ -295,6 +295,15 @@ def main() -> None:
         lambda: R.heavy_hitter_tokens(docs(), per_mille=2).count(),
     )
     timed("anti_join", lambda: J.customers_without_urgent(SF_DIR).count())
+    timed("four_table_join", lambda: J.nation_returned_revenue(SF_DIR).count())
+    timed("funnel", lambda: A.funnel_counts(SF_DIR).count())
+
+    def index_q() -> None:
+        from agentic_doc_ray.functions.index import build_inverted_index
+
+        build_inverted_index(docs()).count()
+
+    timed("inverted_index", index_q)
     timed("bloom_semi_join", lambda: J.urgent_revenue_bloom(SF_DIR).count())
     timed("interval_join", lambda: A.purchase_sessions(SF_DIR).count())
     timed("global_rank", lambda: SC.global_rank(SF_DIR).count())
