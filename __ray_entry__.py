@@ -956,6 +956,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": A.sessionize,
         "purchase_sessions": A.purchase_sessions,
         "funnel_counts": A.funnel_counts,
+        "user_event_paths": A.user_event_paths,
+        "order_rollup": A.order_priority_status_rollup,
         # ordered scans (distributed prefix scan / partitioned scan)
         "late_events": _Sc().late_events,
         "user_cumulative_spend": _Sc().user_cumulative_spend,
@@ -1259,6 +1261,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT '1_view' AS stage, count(*) AS n_users FROM v "
             "UNION ALL SELECT '2_view_click', count(*) FROM c "
             "UNION ALL SELECT '3_view_click_purchase', count(*) FROM p"
+        ),
+        # ordered collect: per-user event-path string, deterministic
+        # (ts, event_id) order inside the aggregate
+        "user_event_paths": (
+            "SELECT user_id, "
+            "string_agg(event_type, '>' ORDER BY ts, event_id) AS path, "
+            "count(*) AS n_events FROM events GROUP BY user_id"
+        ),
+        # grouping-sets rollup in one scan (exact integer cents)
+        "order_rollup": (
+            "SELECT coalesce(o_orderpriority, 'ALL') AS priority, "
+            "coalesce(o_orderstatus, 'ALL') AS status, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents, "
+            "count(*) AS n_orders FROM orders "
+            "GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
         ),
         "events_sliding": (
             "SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE "

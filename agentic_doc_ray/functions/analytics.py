@@ -545,3 +545,174 @@ def funnel_counts(sf_dir: str) -> "ray.data.Dataset":
     return partials.repartition(np_).groupby(
         "stage", num_partitions=np_
     ).aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def user_event_paths(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user ordered event-path string (distributed ``string_agg(...
+    ORDER BY ts, event_id)``): the ordered-collect operator behind
+    clickstream/session-sequence mining.
+
+    Shape: one exchange on a coarse user bucket (``user_id % 64`` — the
+    sessionize/funnel pattern, bounded key cardinality regardless of user
+    count); inside each bucket everything is Arrow kernels — ``sort_by``
+    on (user_id, ts, event_id), a single-threaded grouped ``list``
+    aggregation (scan order == sort order), and ``pc.binary_join`` to fold
+    each user's list into one string. No per-user Python call anywhere.
+    Output is one row per user; a user's history is co-located by the
+    bucket exchange, never split across partitions.
+    """
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    tag_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                batch.column("user_id"),
+                batch.column("ts").cast(pa.timestamp("us")),
+                batch.column("event_id"),
+                batch.column("event_type"),
+            ],
+            schema=tag_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("path", pa.string()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def paths_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("user_id"), 0))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        t = g.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        # use_threads=False pins the grouped `list` aggregation to scan
+        # order, so each user's list is exactly the (ts, event_id) order
+        agg = pa.TableGroupBy(t, "user_id", use_threads=False).aggregate(
+            [("event_type", "list")]
+        )
+        lists = agg.column("event_type_list").combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                agg.column("user_id").combine_chunks().cast(pa.int64()),
+                pc.binary_join(lists, ">"),
+                pc.list_value_length(lists).cast(pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        # empty-first-block guard; sentinel user_id=-1 rows dropped above
+        .union(
+            int_key_sentinels(
+                tag_schema, "bucket", fill={"user_id": -1, "event_type": ""}
+            )
+        )
+        .groupby("bucket", num_partitions=_cap(8))
+        .map_groups(paths_bucket, batch_format="pyarrow")
+    )
+
+
+def order_priority_status_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Multi-level ROLLUP aggregate — exact revenue cents + order counts at
+    (priority, status), (priority, ALL) and (ALL, ALL) levels in ONE pass.
+
+    The rollup levels are derived per batch from the level-0 partial (a
+    few rows), so the shuffle moves three tiny partial tables per batch
+    and the input is scanned once — the partial-aggregation pattern
+    extended to grouping sets. Exact integer cents keep sums
+    order-independent and hash-matchable against DuckDB's GROUP BY ROLLUP.
+    """
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    rollup_schema = pa.schema(
+        [
+            ("priority", pa.string()),
+            ("status", pa.string()),
+            ("cents", pa.int64()),
+            ("n_orders", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return rollup_schema.empty_table()
+        cents = pc.round(
+            pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [
+                batch.column("o_orderpriority"),
+                batch.column("o_orderstatus"),
+                cents,
+            ],
+            names=["priority", "status", "cents"],
+        )
+        lvl0 = t.group_by(["priority", "status"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        lvl0 = lvl0.rename_columns(["priority", "status", "cents", "n_orders"])
+        lvl1 = (
+            lvl0.group_by("priority")
+            .aggregate([("cents", "sum"), ("n_orders", "sum")])
+            .rename_columns(["priority", "cents", "n_orders"])
+        )
+        lvl1 = lvl1.add_column(
+            1, "status", pa.array(["ALL"] * lvl1.num_rows, pa.string())
+        )
+        lvl2 = pa.Table.from_pydict(
+            {
+                "priority": pa.array(["ALL"], pa.string()),
+                "status": pa.array(["ALL"], pa.string()),
+                "cents": pa.array(
+                    [int(pc.sum(lvl0.column("cents")).as_py())], pa.int64()
+                ),
+                "n_orders": pa.array(
+                    [int(pc.sum(lvl0.column("n_orders")).as_py())], pa.int64()
+                ),
+            }
+        )
+        cols = ["priority", "status", "cents", "n_orders"]
+        return pa.concat_tables(
+            [lvl0.select(cols), lvl1.select(cols), lvl2.select(cols)]
+        )
+
+    np_ = _cap(4)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["priority", "status"], num_partitions=np_)
+        .aggregate(
+            Sum("cents", alias_name="cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )

@@ -319,3 +319,48 @@ def test_nation_returned_revenue_four_table_join():
         sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
     want = duckdb.sql(sql).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_user_event_paths_ordered_collect():
+    got = (
+        A.user_event_paths(SF)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               count(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # path length must equal n_events (ordered collect drops nothing)
+    assert (got["path"].str.count(">") + 1 == got["n_events"]).all()
+
+
+def test_order_rollup_grouping_sets():
+    got = (
+        A.order_priority_status_rollup(SF)
+        .to_pandas()
+        .sort_values(["priority", "status"])
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+               count(*) AS n_orders
+        FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        ORDER BY 1, 2
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # the grand total must equal the sum of the leaf level
+    leaf = got[(got.priority != "ALL") & (got.status != "ALL")]
+    total = got[(got.priority == "ALL") & (got.status == "ALL")]
+    assert int(leaf.cents.sum()) == int(total.cents.iloc[0])
+    assert int(leaf.n_orders.sum()) == int(total.n_orders.iloc[0])
