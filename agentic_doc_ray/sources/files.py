@@ -106,14 +106,21 @@ def _to_corpus_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_binary_corpus(paths: str | list[str]) -> "ray.data.Dataset":
+def read_binary_corpus(
+    paths: str | list[str], *, filesystem=None
+) -> "ray.data.Dataset":
     """Directory/file paths -> corpus table (doc_id=path, spans).
 
     Accepts any fsspec-style scheme Ray's ``read_binary_files`` supports —
     plain paths, ``local://``, ``s3://`` (the S3 connector surface, ref
-    connectors.py:355-451; exercised in tests against a local stand-in
-    since this sandbox has no network)."""
-    ds = ray.data.read_binary_files(paths, include_paths=True)
+    connectors.py:355-451). ``filesystem`` is the explicit
+    ``pyarrow.fs.FileSystem`` seam: an ``S3FileSystem`` in production, a
+    ``SubTreeFileSystem`` object-store stand-in in tests (this sandbox has
+    no network). The filesystem object is serialized into every read task,
+    so it must be picklable — pyarrow filesystems are."""
+    ds = ray.data.read_binary_files(
+        paths, include_paths=True, filesystem=filesystem
+    )
     return ds.map_batches(_to_corpus_rows, batch_format="pyarrow")
 
 

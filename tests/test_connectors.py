@@ -70,3 +70,28 @@ def test_factory():
 def test_empty_listing_yields_empty_corpus(tmp_path):
     ds = read_connector_corpus(LocalConnector(), str(tmp_path))
     assert ds.count() == 0
+
+
+def test_read_binary_corpus_explicit_filesystem(tmp_path):
+    """The S3 connector surface (ref connectors.py:355-451) against an
+    object-store stand-in: a SubTreeFileSystem scopes all reads to a
+    "bucket" root exactly the way S3FileSystem scopes them to a bucket —
+    same explicit-filesystem seam, no network required. The filesystem
+    object ships inside each Ray read task, proving the distributed path
+    (not just a driver-local read)."""
+    from pyarrow import fs as pafs
+
+    from agentic_doc_ray.sources.files import read_binary_corpus
+
+    bucket = tmp_path / "bucket"
+    (bucket / "docs").mkdir(parents=True)
+    (bucket / "docs" / "a.txt").write_text("object store text payload")
+    (bucket / "docs" / "b.pdf").write_bytes(b"%PDF-1.5 payload")
+
+    subfs = pafs.SubTreeFileSystem(str(bucket), pafs.LocalFileSystem())
+    ds = read_binary_corpus(["docs/a.txt", "docs/b.pdf"], filesystem=subfs)
+    rows = {r["doc_id"].rsplit("/", 1)[-1]: r for r in ds.take_all()}
+    assert set(rows) == {"a.txt", "b.pdf"}
+    assert rows["a.txt"]["spans"][0]["kind"] == "text"
+    assert rows["a.txt"]["spans"][0]["text"] == "object store text payload"
+    assert rows["b.pdf"]["spans"][0]["kind"] == "pdf_page"
