@@ -958,6 +958,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": A.funnel_counts,
         "user_event_paths": A.user_event_paths,
         "order_rollup": A.order_priority_status_rollup,
+        "user_event_pivot": A.user_event_pivot,
+        "event_value_histogram": A.event_value_histogram,
+        "priority_revenue_share": A.priority_revenue_share,
         # ordered scans (distributed prefix scan / partitioned scan)
         "late_events": _Sc().late_events,
         "user_cumulative_spend": _Sc().user_cumulative_spend,
@@ -1268,6 +1271,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, "
             "string_agg(event_type, '>' ORDER BY ts, event_id) AS path, "
             "count(*) AS n_events FROM events GROUP BY user_id"
+        ),
+        # long -> wide pivot via conditional aggregation
+        "user_event_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        # exact-integer-bin histogram (values are positive, so // cannot
+        # diverge between DuckDB truncation and numpy floor)
+        "event_value_histogram": (
+            "SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS bin, "
+            "count(*) AS n_events FROM events GROUP BY 1"
+        ),
+        # percent-of-total over exact int cents (float64 division of
+        # exactly-representable ints is bit-identical on both sides)
+        "priority_revenue_share": (
+            "WITH a AS (SELECT o_orderpriority AS priority, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1) "
+            "SELECT priority, cents, CAST(cents AS DOUBLE) / "
+            "(SELECT CAST(sum(cents) AS DOUBLE) FROM a) AS share FROM a"
         ),
         # grouping-sets rollup in one scan (exact integer cents)
         "order_rollup": (

@@ -716,3 +716,118 @@ def order_priority_status_rollup(sf_dir: str) -> "ray.data.Dataset":
             Sum("n_orders", alias_name="n_orders"),
         )
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Long -> wide pivot: one row per user with a count column per event
+    type (conditional aggregation — the fixed-column pivot a feature
+    pipeline feeds to a model).
+
+    Per batch, each event type becomes a 0/1 mask column and ONE Arrow
+    group_by emits per-user partial counts; the global groupby then moves
+    at most one row per user per batch. No row ever carries its event
+    payload through the shuffle.
+    """
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = [batch.column("user_id")]
+        names = ["user_id"]
+        for et in _EVENT_TYPES:
+            cols.append(
+                pc.equal(batch.column("event_type"), pa.scalar(et)).cast(
+                    pa.int64()
+                )
+            )
+            names.append(f"n_{et}")
+        t = pa.Table.from_arrays(cols, names=names)
+        g = t.group_by("user_id").aggregate(
+            [(f"n_{et}", "sum") for et in _EVENT_TYPES]
+        )
+        return g.rename_columns(["user_id"] + [f"n_{et}" for et in _EVENT_TYPES])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=_cap(8))
+        .aggregate(
+            *[Sum(f"n_{et}", alias_name=f"n_{et}") for et in _EVENT_TYPES]
+        )
+    )
+
+
+def event_value_histogram(sf_dir: str, bin_cents: int = 1000) -> "ray.data.Dataset":
+    """Fixed-width histogram over ``events.value`` with EXACT integer bin
+    edges: cents = round(value*100), bin = cents // bin_cents — integer
+    arithmetic end-to-end, so bin membership is order- and float-safe and
+    the result hash-matches SQL exactly.
+
+    Per-batch partials reduce each batch to one row per occupied bin;
+    the groupby moves a bounded-cardinality table regardless of row count.
+    """
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(batch.column("value"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        bins = np.asarray(cents) // bin_cents
+        t = pa.Table.from_arrays([pa.array(bins, pa.int64())], names=["bin"])
+        g = t.group_by("bin").aggregate([("bin", "count")])
+        return g.rename_columns(["bin", "n_events"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin", num_partitions=_cap(4))
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+
+def priority_revenue_share(sf_dir: str) -> pa.Table:
+    """Percent-of-total: each priority's share of exact total revenue
+    cents. Two-phase: streamed partial aggregation collapses the input to
+    one row per priority (5 rows on the driver — constant, not
+    data-sized), then the share divides exact int64 cents in float64 —
+    bit-identical to SQL's ``cents / sum(cents) OVER ()`` on the same
+    ints.
+    """
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("o_orderpriority"), cents],
+            names=["priority", "cents"],
+        )
+        g = t.group_by("priority").aggregate([("cents", "sum")])
+        return g.rename_columns(["priority", "cents"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("priority", num_partitions=_cap(4))
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("priority")
+        .reset_index(drop=True)
+    )
+    total = int(agg["cents"].sum())
+    return pa.Table.from_pydict(
+        {
+            "priority": pa.array(agg["priority"], pa.string()),
+            "cents": pa.array(agg["cents"].astype("int64"), pa.int64()),
+            "share": pa.array(
+                (agg["cents"].astype("int64") / total).astype("float64"),
+                pa.float64(),
+            ),
+        }
+    )

@@ -299,6 +299,8 @@ def main() -> None:
     timed("funnel", lambda: A.funnel_counts(SF_DIR).count())
     timed("event_paths", lambda: A.user_event_paths(SF_DIR).count())
     timed("rollup", lambda: A.order_priority_status_rollup(SF_DIR).count())
+    timed("pivot", lambda: A.user_event_pivot(SF_DIR).count())
+    timed("histogram", lambda: A.event_value_histogram(SF_DIR).count())
 
     def index_q() -> None:
         from agentic_doc_ray.functions.index import build_inverted_index

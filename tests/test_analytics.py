@@ -364,3 +364,65 @@ def test_order_rollup_grouping_sets():
     total = got[(got.priority == "ALL") & (got.status == "ALL")]
     assert int(leaf.cents.sum()) == int(total.cents.iloc[0])
     assert int(leaf.n_orders.sum()) == int(total.n_orders.iloc[0])
+
+
+def test_user_event_pivot_conditional_agg():
+    got = (
+        A.user_event_pivot(SF)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'error') AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view') AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id
+        """
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False, check_exact=True
+    )
+
+
+def test_event_value_histogram_exact_bins():
+    got = (
+        A.event_value_histogram(SF)
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS bin,
+               count(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY 1
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert int(got["n_events"].sum()) == len(_duck("SELECT * FROM events"))
+
+
+def test_priority_revenue_share_sums_to_one():
+    got = (
+        A.priority_revenue_share(SF)
+        .to_pandas()
+        .sort_values("priority")
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        WITH a AS (SELECT o_orderpriority AS priority,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                   FROM orders GROUP BY 1)
+        SELECT priority, cents, CAST(cents AS DOUBLE) /
+               (SELECT CAST(sum(cents) AS DOUBLE) FROM a) AS share
+        FROM a ORDER BY priority
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert abs(got["share"].sum() - 1.0) < 1e-12
