@@ -737,6 +737,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return stratified_sample(d, by="lang", pct=20)
 
+    def q_sample_k_per_group(sf_dir):
+        from agentic_doc_ray.functions.sampling import sample_k_per_group
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        ).map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("doc_id"),
+                "doc_id",
+                b["doc_id"].cast(pa.string()),
+            ),
+            batch_format="pyarrow",
+        )
+        return sample_k_per_group(d, by="lang", k=10)
+
     def q_pack_sequences(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         from agentic_doc_ray.functions.sampling import pack_sequences
@@ -919,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_flags": q_contamination,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
+        "sample_k_per_group": q_sample_k_per_group,
         "pack_sequences": q_pack_sequences,
         "top_tokens": q_top_tokens,
         "top_bigrams": lambda sf: T.top_bigrams(docs(sf), k=100),
@@ -1121,6 +1137,16 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents "
             "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 100 < 20"
+        ),
+        # bottom-k-by-hash per group == row_number over md5 (uniform
+        # fixed-size sample, deterministic and rerun-stable)
+        "sample_k_per_group": (
+            "SELECT lang, doc_id, sample_rank FROM ("
+            "SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)"
+            ") AS BIGINT) AS sample_rank FROM documents) "
+            "WHERE sample_rank <= 10"
         ),
         "pack_sequences": (
             "SELECT pack_id, doc_id, position, n_tokens "

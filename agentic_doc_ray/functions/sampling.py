@@ -185,3 +185,50 @@ def pack_sequences_oracle(
             ]
         ),
     )
+
+
+def sample_k_per_group(
+    docs: "ray.data.Dataset", by: str = "lang", k: int = 10
+) -> "ray.data.Dataset":
+    """EXACTLY k uniform samples per group via bottom-k-by-hash: keep the
+    k rows with the smallest (md5(doc_id), doc_id) per group — the
+    deterministic, mergeable alternative to reservoir sampling (a hash of
+    the row id is a uniform draw, and bottom-k of a uniform draw is a
+    uniform fixed-size sample; Broder's min-wise sampling argument).
+
+    Per-batch partial bottom-k bounds the exchange at groups x k rows per
+    batch; the per-group final sees only those partials. Reruns and
+    re-partitions reproduce the identical sample — resumable by
+    construction, SQL-reproducible (row_number over md5).
+    """
+    from agentic_doc_ray.context import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = [str(x) for x in batch.column("doc_id").to_pylist()]
+        df = pd.DataFrame(
+            {
+                "g": batch.column(by).to_pylist(),
+                "h": [hashlib.md5(d.encode()).hexdigest() for d in ids],
+                "doc_id": ids,
+            }
+        )
+        df = df.sort_values(["g", "h", "doc_id"])
+        return pa.Table.from_pandas(
+            df.groupby("g", sort=False).head(k), preserve_index=False
+        )
+
+    def final(group):
+        g = group.sort_values(["h", "doc_id"]).head(k).reset_index(drop=True)
+        g["sample_rank"] = g.index + 1
+        return g[["g", "doc_id", "sample_rank"]].rename(columns={"g": by})
+
+    # partial emits >=1 row per non-empty input batch, so the exchange's
+    # first block is never empty (the empty-first-block guard is not
+    # needed here — same justification as top_orders_per_segment)
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("g", num_partitions=shuffle_partitions(4))
+        .map_groups(final, batch_format="pandas")
+    )

@@ -56,3 +56,48 @@ def test_pack_sequences_independent_of_block_layout():
         ))
     )
     assert rows1 == rows2
+
+
+def test_sample_k_per_group_bottom_k_hash(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.sampling import sample_k_per_group
+
+    sf = "/root/testdata/sf0.001"
+    d = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("doc_id"),
+            "doc_id",
+            b["doc_id"].cast(pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
+    got = (
+        sample_k_per_group(d, by="lang", k=5)
+        .to_pandas()
+        .sort_values(["lang", "sample_rank"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT lang, doc_id, sample_rank FROM (
+          SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                            CAST(doc_id AS VARCHAR)) AS BIGINT) AS sample_rank
+          FROM read_parquet('{sf}/documents.parquet'))
+        WHERE sample_rank <= 5 ORDER BY lang, sample_rank
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # every group contributes exactly min(k, group size) rows
+    sizes = duckdb.sql(
+        f"SELECT lang, count(*) n FROM read_parquet('{sf}/documents.parquet') GROUP BY 1"
+    ).df()
+    for _, r in sizes.iterrows():
+        assert (got.lang == r.lang).sum() == min(5, r.n)
