@@ -401,6 +401,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return extract_flat_spans(_corpus_ds(sf_dir))
 
+    def q_extract_adaptive(sf_dir):
+        # size-aware router (mega docs -> two-phase exchange, small docs
+        # -> fused zero-exchange path); must equal the SAME oracle as the
+        # standard pipeline, flat-span for flat-span
+        from agentic_doc_ray.pipelines import extract_corpus_adaptive
+        from agentic_doc_ray.stages.explode import flatten_parsed
+
+        _ensure_extraction_oracles(sf_dir)
+        parsed = extract_corpus_adaptive(_corpus_ds(sf_dir), span_threshold=64)
+        return parsed.map_batches(flatten_parsed, batch_format="pyarrow")
+
     def q_doc_stats(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         parsed = extract_corpus(_corpus_ds(sf_dir))
@@ -915,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (python-oracle via read_parquet SQL)
         "extract_flat_spans": q_extract_flat,
+        "extract_adaptive_flat_spans": q_extract_adaptive,
         "extract_doc_stats": q_doc_stats,
         "extract_kind_counts": q_kind_counts,
         "grounding_manifest": q_grounding,
@@ -1016,6 +1028,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_flat_spans": (
             # "offset" is a reserved word in DuckDB — must be quoted
+            f'SELECT doc_id, "offset", kind, text, media_ref, chunk_id, page FROM {flat}'
+        ),
+        # the size-aware router must reproduce the SAME flat-span oracle
+        "extract_adaptive_flat_spans": (
             f'SELECT doc_id, "offset", kind, text, media_ref, chunk_id, page FROM {flat}'
         ),
         "extract_doc_stats": (

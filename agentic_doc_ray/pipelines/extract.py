@@ -104,6 +104,144 @@ def extract_corpus(
     return reassemble(chunks, config)
 
 
+_ADAPTIVE_SENTINEL_PREFIX = "\x00sr"
+_N_ADAPTIVE_SENTINELS = 128  # covers both exchanges for 2..9 partitions
+                             # (pinned by tests/test_graph.py)
+
+
+def _adaptive_sentinel_chunks(n_buckets: int) -> "ray.data.Dataset":
+    """Chunk-schema sentinel rows guarding the mega-doc branch's exchanges
+    against Ray's empty-first-block schema-broadcast loss (the branch is
+    fed by a filtering map_batches — see functions/_exchange.py). Each
+    sentinel is a legal one-chunk document whose doc_id carries a NUL
+    prefix no real corpus id can have; they ride through both merge
+    phases as (fake) parsed docs and are dropped after reassembly.
+    Phase 1 partitions on the explicit (bucket, part_range) columns —
+    bucket = i covers them; phase 2 re-keys on crc32(doc_id) % b, which
+    the 128 distinct ids also cover (both pinned against Ray's own
+    hash_partition)."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from agentic_doc_ray.stages.layout_parse_vec import CHUNK_WITH_BUCKET_SCHEMA
+
+    n = _N_ADAPTIVE_SENTINELS
+    ids = [f"{_ADAPTIVE_SENTINEL_PREFIX}{i:04d}" for i in range(n)]
+    t = pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array(np.zeros(n, np.int32)),  # part_idx -> part_range 0
+            pa.array(np.zeros(n, np.int32)),  # page_rel
+            pa.array(np.zeros(n, np.int32)),  # block_idx
+            pa.array(["text"] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([f"{d}-00000-00" for d in ids], pa.string()),
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(np.tile([0.0, 0.0, 1.0, 1.0], n), pa.float32()), 4
+            ),
+            pa.array(np.zeros(n, bool)),
+            pa.array([""] * n, pa.string()),
+            pa.array(np.ones(n, np.int32)),  # n_spans
+            pa.array(["pdf"] * n, pa.string()),
+            pa.array(np.arange(n, dtype=np.int32)),  # bucket: phase-1 coverage
+        ],
+        schema=CHUNK_WITH_BUCKET_SCHEMA,
+    )
+    return ray.data.from_arrow(t)
+
+
+def extract_corpus_adaptive(
+    corpus: "ray.data.Dataset",
+    config: EngineConfig = DEFAULT_CONFIG,
+    span_threshold: int | None = None,
+) -> "ray.data.Dataset":
+    """Size-aware routing (north-star: "size-aware repartitioning splits
+    mega-PDFs across blocks"): documents at or under ``span_threshold``
+    spans take the fused ZERO-exchange path; oversized documents explode
+    to page rows and reassemble through the salted TWO-PHASE exchange
+    (``reassemble_two_phase``), so no single task parses — and no single
+    reducer merges — a whole pathological document.
+
+    The input is scanned twice (one filter per branch); at production
+    scale the router predicate would be pushed to a span-count statistics
+    column so each branch prunes row groups at the read. Output equals
+    ``extract_corpus`` row-for-row (pinned by tests), including when
+    either branch is empty — the mega branch's exchanges are sentinel-
+    guarded, so an all-small corpus runs them on 128 sentinel rows only.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from agentic_doc_ray.schema import PARSED_DOC_SCHEMA
+    from agentic_doc_ray.stages.fused import fused_parse_batch
+    from agentic_doc_ray.stages.layout_parse_vec import VecLayoutParseActor
+    from agentic_doc_ray.stages.reassemble import reassemble_two_phase
+
+    thr = int(span_threshold if span_threshold is not None else config.mega_doc_spans)
+    if corpus.count() == 0:
+        return ray.data.from_arrow(PARSED_DOC_SCHEMA.empty_table())
+
+    def small_only(batch: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(batch.column("spans"))
+        return batch.filter(pc.less_equal(lens, thr))
+
+    def big_only(batch: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(batch.column("spans"))
+        return batch.filter(pc.greater(lens, thr))
+
+    small_parsed = corpus.map_batches(
+        small_only, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        fused_parse_batch,
+        fn_kwargs={"config": config},
+        batch_format="pyarrow",
+        batch_size=config.explode_batch_size,
+        zero_copy_batch=True,
+        max_retries=config.max_retries,
+    )
+
+    pages = corpus.map_batches(
+        big_only, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        explode_spans,
+        fn_kwargs={"config": config},
+        batch_format="pyarrow",
+        # mega docs: small batches so one task never holds many mega rows
+        batch_size=max(1, config.explode_batch_size // 64),
+        zero_copy_batch=True,
+    )
+    pages = pages.map_batches(
+        strip_html_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    chunks = pages.map_batches(
+        VecLayoutParseActor,
+        fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow",
+        batch_size=config.parse_batch_size,
+        concurrency=config.parse_concurrency,
+        zero_copy_batch=True,
+        max_task_retries=config.max_retries,
+        max_restarts=config.max_retries,
+    )
+    b = config.reassemble_num_partitions or 64
+    guarded = chunks.union(_adaptive_sentinel_chunks(b))
+    big_parsed = reassemble_two_phase(guarded, config)
+
+    def drop_sentinels(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.starts_with(batch.column("doc_id"), pattern="\x00")
+        )
+        return batch.filter(keep)
+
+    big_parsed = big_parsed.map_batches(
+        drop_sentinels, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return small_parsed.union(big_parsed)
+
+
 def extract_flat_spans(
     corpus: "ray.data.Dataset", config: EngineConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":

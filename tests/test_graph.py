@@ -119,3 +119,41 @@ def test_empty_pairs():
                               "doc_b": pa.array([], pa.string())})
     got = connected_components(ray.data.from_arrow(t)).to_pandas()
     assert len(got) == 0
+
+
+def test_adaptive_sentinel_partition_coverage():
+    """The adaptive router's chunk sentinels must cover every partition of
+    BOTH reassemble_two_phase exchanges: phase 1 on (bucket, part_range)
+    and phase 2 on the recomputed crc32(doc_id) % b bucket."""
+    import zlib
+
+    import numpy as np
+    from ray.data._internal.arrow_ops.transform_pyarrow import hash_partition
+
+    from agentic_doc_ray.pipelines.extract import (
+        _ADAPTIVE_SENTINEL_PREFIX,
+        _N_ADAPTIVE_SENTINELS,
+    )
+
+    n = _N_ADAPTIVE_SENTINELS
+    ids = [f"{_ADAPTIVE_SENTINEL_PREFIX}{i:04d}" for i in range(n)]
+    phase1 = pa.table(
+        {
+            "bucket": pa.array(np.arange(n, dtype=np.int32)),
+            "part_range": pa.array(np.zeros(n, dtype=np.int32)),
+        }
+    )
+    phase2 = pa.table(
+        {
+            "bucket": pa.array(
+                np.array([zlib.crc32(s.encode()) % 64 for s in ids], np.int32)
+            )
+        }
+    )
+    for np_ in range(2, 10):
+        p1 = hash_partition(
+            phase1, hash_cols=["bucket", "part_range"], num_partitions=np_
+        )
+        assert {k for k, b in p1.items() if b.num_rows > 0} == set(range(np_))
+        p2 = hash_partition(phase2, hash_cols=["bucket"], num_partitions=np_)
+        assert {k for k, b in p2.items() if b.num_rows > 0} == set(range(np_))

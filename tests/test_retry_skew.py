@@ -87,3 +87,75 @@ def test_mega_doc_skew_matches_oracle():
     mega = next(r for r in got if r["doc_id"] == "mega")
     assert mega["end_page_idx"] == 1999
     assert [s["page"] for s in mega["spans"]] == list(range(2000))
+
+def _mixed_corpus(n_small=25, mega_spans=300):
+    rows = {"doc_id": ["mega-a", "mega-b"], "spans": []}
+    for m in range(2):
+        rows["spans"].append(
+            [
+                {
+                    "kind": "pdf_page",
+                    "text": f"mega {m} page {p} body words",
+                    "media_ref": "",
+                    "offset": p,
+                }
+                for p in range(mega_spans)
+            ]
+        )
+    for i in range(n_small):
+        rows["doc_id"].append(f"small-{i:02d}")
+        rows["spans"].append(
+            [
+                {
+                    "kind": "text" if i % 3 else "html",
+                    "text": f"<p>tiny doc {i} words</p>" if i % 3 == 0 else f"tiny doc {i} words",
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ]
+        )
+    return pa.Table.from_pydict(rows, schema=CORPUS_SCHEMA)
+
+
+def _span_tuples(rows):
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in rows
+    }
+
+
+def test_adaptive_router_mixed_corpus_matches_oracle():
+    """Size-aware routing: megas through the two-phase exchange, smalls
+    through the fused path — output equals the oracle bit-for-bit."""
+    from agentic_doc_ray.pipelines import extract_corpus_adaptive
+
+    t = _mixed_corpus()
+    ds = ray.data.from_arrow(t).random_shuffle(seed=7).repartition(6)
+    got = sorted(
+        extract_corpus_adaptive(ds, CFG, span_threshold=50).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    want = parse_corpus_oracle(t, CFG).to_pylist()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    assert _span_tuples(got) == _span_tuples(want)
+    for g, w in zip(got, want):
+        assert g["markdown"] == w["markdown"]
+        assert g["end_page_idx"] == w["end_page_idx"]
+
+
+def test_adaptive_router_all_small_corpus():
+    """No doc exceeds the threshold: the mega branch runs on sentinel rows
+    only and the output still equals extract_corpus."""
+    from agentic_doc_ray.pipelines import extract_corpus_adaptive
+
+    t = _mixed_corpus(n_small=12, mega_spans=3)  # "megas" under threshold too
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = sorted(
+        extract_corpus_adaptive(ds, CFG, span_threshold=50).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    want = parse_corpus_oracle(t, CFG).to_pylist()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    assert _span_tuples(got) == _span_tuples(want)
