@@ -942,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_stats": q_lang_stats,
         "quality_filter": q_quality_filter,
         "repetition_stats": lambda sf: T.repetition_stats(docs(sf)),
+        "token_commonness": lambda sf: T.token_commonness(docs(sf)),
         "redact_pii": q_redact_pii,
         "contamination_flags": q_contamination,
         "train_val_split": q_train_val_split,
@@ -1120,6 +1121,24 @@ def oracle_sql() -> dict[str, str]:
             "// greatest(COALESCE(sum(c.c), 0), 1) AS dup_line_per_mille "
             "FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id "
             "GROUP BY d.doc_id"
+        ),
+        "token_commonness": (
+            # CCNet-style unigram signal: per doc, sum of the GLOBAL corpus
+            # frequencies of its tokens + its token count (integer-exact;
+            # consumers derive the float mean-log-frequency score)
+            "WITH tv AS ("
+            "  SELECT doc_id, unnest(regexp_split_to_array("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token "
+            "  FROM documents "
+            "  WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''"
+            "), vocab AS (SELECT token, count(*) AS cnt FROM tv GROUP BY token), "
+            "scored AS ("
+            "  SELECT t.doc_id, CAST(sum(v.cnt) AS BIGINT) AS freq_sum, "
+            "count(*) AS n_tokens FROM tv t JOIN vocab v USING (token) "
+            "GROUP BY t.doc_id) "
+            "SELECT d.doc_id, coalesce(s.freq_sum, 0) AS freq_sum, "
+            "coalesce(s.n_tokens, 0) AS n_tokens "
+            "FROM documents d LEFT JOIN scored s USING (doc_id)"
         ),
         "contamination_flags": (
             "SELECT doc_id, n_overlaps, contaminated "

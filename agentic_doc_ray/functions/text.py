@@ -496,3 +496,128 @@ def top_tokens(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
     ).aggregate(Sum("n", alias_name="n"))
     # deterministic tie-break: count desc, token asc
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def _commonness_batch(batch: pa.Table, vocab: "object") -> pa.Table:
+    import pandas as pd
+
+    trimmed = _regex_trim(batch.column("text"))
+    if isinstance(trimmed, pa.ChunkedArray):
+        trimmed = trimmed.combine_chunks()
+    nonempty = pc.not_equal(trimmed, "")
+    toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    # vectorized hashtable lookup; out-of-vocab (capped vocabulary) -> 0
+    mapped = (
+        pd.Series(flat.to_numpy(zero_copy_only=False))
+        .map(vocab)
+        .fillna(0)
+        .to_numpy(dtype=np.int64)
+    )
+    # per-doc segment sums via prefix-sum differences (exact for empty
+    # segments — same shape as stages/explode.py doc_type aggregation)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1]))) if len(lens) else np.zeros(0, np.int64)
+    cs = np.concatenate(([0], np.cumsum(mapped)))
+    seg = cs[starts + lens] - cs[starts] if len(lens) else np.zeros(0, np.int64)
+
+    n_docs = batch.num_rows
+    freq_sum = np.zeros(n_docs, np.int64)
+    n_tokens = np.zeros(n_docs, np.int64)
+    idx = np.flatnonzero(nonempty.to_numpy(zero_copy_only=False))
+    freq_sum[idx] = seg
+    n_tokens[idx] = lens
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(freq_sum, pa.int64()),
+            pa.array(n_tokens, pa.int64()),
+        ],
+        names=["doc_id", "freq_sum", "n_tokens"],
+    )
+
+
+def token_commonness(
+    docs: "ray.data.Dataset", max_vocab: int = 1 << 20
+) -> "ray.data.Dataset":
+    """CCNet-style unigram quality signal, integer-exact.
+
+    Per document: ``freq_sum`` = sum over its tokens of that token's
+    GLOBAL corpus frequency, and ``n_tokens`` — both integers, so the
+    DuckDB oracle comparison is exact. The consumer derives the float
+    quality score (mean log-frequency / perplexity proxy) from the two.
+
+    Shape: pass 1 builds the vocabulary with the same partial-count ->
+    small-groupby exchange as ``top_tokens`` (one row per distinct token
+    per batch moves, never one per occurrence); the resulting (token,
+    count) table — the small side — is broadcast once via ``ray.put`` and
+    probed with a vectorized pandas hashtable ``map`` in pass 2. The
+    corpus is scanned twice, both passes streaming.
+
+    Scale: the vocabulary is capped at ``max_vocab`` most-frequent tokens
+    (fixed-vocab LM practice); out-of-cap tokens score 0 and the
+    truncation is LOGGED, never silent. At the default 2^20 cap the
+    broadcast is tens of MB — one object-store copy per node.
+    """
+    import logging
+
+    import ray
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        t = pa.Table.from_arrays([toks.flatten()], names=["token"])
+        g = t.group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "n"])
+
+    np_ = shuffle_partitions(8)
+    vocab_ds = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .repartition(np_)
+        .groupby("token", num_partitions=np_)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # Ray's hash-aggregate finalizer emits SCHEMA-LESS blocks for empty
+    # partitions (the "new schema: ." artifact) — drop them before concat
+    blocks = [b for b in ray.get(vocab_ds.to_arrow_refs()) if b.num_rows]
+    vocab_t = (
+        pa.concat_tables(blocks)
+        if blocks
+        else pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    )
+    if vocab_t.num_rows > max_vocab:
+        logging.getLogger(__name__).warning(
+            "token_commonness: vocabulary %d > cap %d; keeping the %d "
+            "most frequent, out-of-cap tokens score 0",
+            vocab_t.num_rows, max_vocab, max_vocab,
+        )
+        order = pc.sort_indices(
+            vocab_t,
+            sort_keys=[("n", "descending"), ("token", "ascending")],
+        )
+        vocab_t = vocab_t.take(order.slice(0, max_vocab))
+    import pandas as pd
+
+    vocab = pd.Series(
+        vocab_t.column("n").to_numpy(zero_copy_only=False),
+        index=vocab_t.column("token").to_numpy(zero_copy_only=False),
+    )
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pa.Table, *, _ref=vocab_ref) -> pa.Table:
+        # per-worker cache: deserialize the broadcast once per process,
+        # not per batch (plain tasks; cheap state needs no actor pool)
+        cache = score.__dict__
+        if "vocab" not in cache:
+            cache["vocab"] = ray.get(_ref)
+        return _commonness_batch(batch, cache["vocab"])
+
+    return docs.map_batches(score, batch_format="pyarrow")

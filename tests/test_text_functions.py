@@ -170,3 +170,54 @@ def test_redact_pii_patterns():
     assert "a.b+c@" not in r["text"] and "123-45-6789" not in r["text"]
     assert r["n_pii"] == 5
     assert out[1]["text"] == "no pii here at all" and out[1]["n_pii"] == 0
+
+
+def test_token_commonness_matches_sql(docs_ds):
+    got = (
+        T.token_commonness(docs_ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        WITH tv AS (
+          SELECT doc_id, unnest(regexp_split_to_array(
+            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+          FROM documents
+          WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+        ), vocab AS (SELECT token, count(*) AS cnt FROM tv GROUP BY token),
+        scored AS (
+          SELECT t.doc_id, CAST(sum(v.cnt) AS BIGINT) AS freq_sum,
+                 count(*) AS n_tokens
+          FROM tv t JOIN vocab v USING (token) GROUP BY t.doc_id)
+        SELECT d.doc_id, coalesce(s.freq_sum, 0) AS freq_sum,
+               coalesce(s.n_tokens, 0) AS n_tokens
+        FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_token_commonness_edge_cases_and_vocab_cap():
+    # empty / whitespace-only docs score (0, 0); the vocabulary cap keeps
+    # the most frequent tokens and out-of-cap tokens score 0 (logged)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a a a b", "", "   \t\n", "a rare"], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    full = {
+        r["doc_id"]: (r["freq_sum"], r["n_tokens"])
+        for r in T.token_commonness(ds).take_all()
+    }
+    # counts: a=4, b=1, rare=1
+    assert full == {1: (4 + 4 + 4 + 1, 4), 2: (0, 0), 3: (0, 0), 4: (4 + 1, 2)}
+    capped = {
+        r["doc_id"]: (r["freq_sum"], r["n_tokens"])
+        for r in T.token_commonness(ds, max_vocab=1).take_all()
+    }
+    # only 'a' stays in vocab; b/rare -> OOV score 0, n_tokens unchanged
+    assert capped == {1: (12, 4), 2: (0, 0), 3: (0, 0), 4: (4, 2)}
