@@ -748,6 +748,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return stratified_sample(d, by="lang", pct=20)
 
+    def q_mixture_sample(sf_dir):
+        from agentic_doc_ray.functions.sampling import mixture_sample
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        return mixture_sample(
+            d,
+            {"src0": 900, "src1": 700, "src2": 500, "src3": 250},
+            default_per_mille=100,
+        )
+
+    def q_snapshot_diff(sf_dir):
+        from agentic_doc_ray.functions.delta import (
+            snapshot_diff,
+            synth_second_crawl,
+        )
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return snapshot_diff(d, synth_second_crawl(d))
+
     def q_sample_k_per_group(sf_dir):
         from agentic_doc_ray.functions.sampling import sample_k_per_group
 
@@ -947,6 +970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_flags": q_contamination,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "snapshot_diff": q_snapshot_diff,
         "sample_k_per_group": q_sample_k_per_group,
         "pack_sequences": q_pack_sequences,
         "top_tokens": q_top_tokens,
@@ -1172,6 +1197,32 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents "
             "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 100 < 20"
+        ),
+        # pretraining-mixture rate sampling: survive iff stable md5
+        # per-mille < the source's weight (deterministic, shuffle-free)
+        "mixture_sample": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 1000 < "
+            "CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 700 "
+            "WHEN 'src2' THEN 500 WHEN 'src3' THEN 250 ELSE 100 END"
+        ),
+        # crawl-over-crawl delta vs a deterministic synthetic second
+        # crawl (drop %7, edit %5, re-add %11 under +10M ids)
+        "snapshot_diff": (
+            "WITH v1 AS (SELECT doc_id, text FROM documents), "
+            "v2 AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [edited v2]' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 "
+            "  UNION ALL "
+            "  SELECT doc_id + 10000000 AS doc_id, text || ' (new)' AS text "
+            "FROM documents WHERE doc_id % 11 = 0"
+            ") "
+            "SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, "
+            "CASE WHEN v2.doc_id IS NULL THEN 'removed' "
+            "WHEN v1.doc_id IS NULL THEN 'added' "
+            "ELSE 'changed' END AS change "
+            "FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id "
+            "WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.text <> v2.text"
         ),
         # bottom-k-by-hash per group == row_number over md5 (uniform
         # fixed-size sample, deterministic and rerun-stable)

@@ -232,3 +232,41 @@ def sample_k_per_group(
         .groupby("g", num_partitions=shuffle_partitions(4))
         .map_groups(final, batch_format="pandas")
     )
+
+
+def mixture_sample(
+    docs: "ray.data.Dataset",
+    weights: dict[str, int],
+    default_per_mille: int = 0,
+) -> "ray.data.Dataset":
+    """Dataset mixing: keep ~weights[source]/1000 of each source's docs.
+
+    The standard pretraining-mixture knob (upsample wiki, downsample raw
+    web) as a DETERMINISTIC hash-rate filter: a doc survives iff its
+    stable md5 per-mille < its source's weight. No shuffle, no RNG state
+    — embarrassingly parallel, rerun-stable on any partitioning, and the
+    SQL predicate reproduces it row-for-row. The source->threshold probe
+    is one vectorized hashtable ``map`` per batch.
+    """
+    import pandas as pd
+
+    wseries = pd.Series(weights, dtype=np.int64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        pm = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 1000
+                for d in ids
+            ],
+            dtype=np.int64,
+        )
+        thr = (
+            pd.Series(batch.column("source").to_numpy(zero_copy_only=False))
+            .map(wseries)
+            .fillna(default_per_mille)
+            .to_numpy(dtype=np.int64)
+        )
+        return batch.filter(pa.array(pm < thr)).select(["doc_id", "source"])
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,48 @@
+"""snapshot_diff: crawl-over-crawl delta vs brute-force comparison."""
+
+import pyarrow as pa
+import ray.data
+
+from agentic_doc_ray.functions.delta import snapshot_diff, synth_second_crawl
+
+
+def _ds(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_snapshot_diff_basic():
+    v1 = _ds([(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    v2 = _ds([(2, "b"), (3, "c CHANGED"), (5, "e")])
+    got = sorted(
+        (r["doc_id"], r["change"]) for r in snapshot_diff(v1, v2).take_all()
+    )
+    assert got == [(1, "removed"), (3, "changed"), (4, "removed"), (5, "added")]
+
+
+def test_snapshot_diff_identical_and_empty_sides():
+    v1 = _ds([(1, "a"), (2, "b")])
+    assert snapshot_diff(v1, _ds([(1, "a"), (2, "b")])).count() == 0
+    # all-removed: v2 side contributes zero rows to the exchange — the
+    # sentinel guard keeps the schema race away
+    empty = _ds([]).filter(lambda r: True)
+    got = sorted(
+        (r["doc_id"], r["change"]) for r in snapshot_diff(v1, empty).take_all()
+    )
+    assert got == [(1, "removed"), (2, "removed")]
+
+
+def test_synth_second_crawl_rules():
+    rows = [(i, f"text {i}") for i in range(30)]
+    v2 = {r["doc_id"]: r["text"] for r in synth_second_crawl(_ds(rows)).take_all()}
+    assert 0 not in v2 and 7 not in v2 and 14 not in v2          # %7 dropped
+    assert v2[5] == "text 5 [edited v2]" and v2[10] == "text 10 [edited v2]"
+    assert v2[10_000_000] == "text 0 (new)"                       # %11 re-added
+    assert v2[10_000_011] == "text 11 (new)" and v2[10_000_022] == "text 22 (new)"
+    assert v2[1] == "text 1"                                      # untouched

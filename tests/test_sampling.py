@@ -101,3 +101,34 @@ def test_sample_k_per_group_bottom_k_hash(ray_session):
     ).df()
     for _, r in sizes.iterrows():
         assert (got.lang == r.lang).sum() == min(5, r.n)
+
+
+def test_mixture_sample_weights_and_boundaries():
+    t = pa.table(
+        {
+            "doc_id": pa.array([str(i) for i in range(200)], pa.string()),
+            "source": pa.array(
+                ["keep_all" if i % 4 == 0 else ("drop_all" if i % 4 == 1 else "other")
+                 for i in range(200)],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = S.mixture_sample(
+        ds, {"keep_all": 1000, "drop_all": 0}, default_per_mille=500
+    ).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src.get("keep_all", [])) == 50       # weight 1000 keeps all
+    assert "drop_all" not in by_src                    # weight 0 keeps none
+    n_other = len(by_src.get("other", []))
+    assert 20 < n_other < 80                           # default ~50% of 100
+    # deterministic across reruns
+    out2 = S.mixture_sample(
+        ds, {"keep_all": 1000, "drop_all": 0}, default_per_mille=500
+    ).take_all()
+    assert sorted((r["doc_id"], r["source"]) for r in out) == sorted(
+        (r["doc_id"], r["source"]) for r in out2
+    )
