@@ -177,6 +177,18 @@ def main() -> None:
         ray.shutdown()
         return
 
+    # --- size-aware router: same corpus through extract_corpus_adaptive
+    # (small docs -> fused path, mega docs -> two-phase exchange); times
+    # the router's overhead vs the plain fused headline
+    def adaptive() -> None:
+        from agentic_doc_ray.pipelines import extract_corpus_adaptive
+
+        extract_corpus_adaptive(
+            ray.data.read_parquet(corpus_path), cfg
+        ).count()
+
+    timed("extract_adaptive", adaptive)
+
     # --- secondary pipelines ----------------------------------------------
     docs = lambda: ray.data.read_parquet(  # noqa: E731
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
@@ -204,6 +216,18 @@ def main() -> None:
         ).count(),
     )
     timed("simhash", lambda: D.simhashes(docs()).count())
+    timed("token_commonness", lambda: T.token_commonness(docs()).count())
+
+    def snapshot_diff_q() -> None:
+        from agentic_doc_ray.functions.delta import (
+            snapshot_diff,
+            synth_second_crawl,
+        )
+
+        d = docs()
+        snapshot_diff(d, synth_second_crawl(d)).count()
+
+    timed("snapshot_diff", snapshot_diff_q)
 
     docs_str = lambda: docs().map_batches(  # noqa: E731
         lambda b: b.set_column(
