@@ -177,7 +177,7 @@ def extract_corpus_adaptive(
 
     from agentic_doc_ray.schema import PARSED_DOC_SCHEMA
     from agentic_doc_ray.stages.fused import fused_parse_batch
-    from agentic_doc_ray.stages.layout_parse_vec import VecLayoutParseActor
+    from agentic_doc_ray.stages.layout_parse_vec import vec_parse_batch
     from agentic_doc_ray.stages.reassemble import reassemble_two_phase
 
     thr = int(span_threshold if span_threshold is not None else config.mega_doc_spans)
@@ -216,15 +216,16 @@ def extract_corpus_adaptive(
     pages = pages.map_batches(
         strip_html_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+    # task-based parse with a per-worker warm cache (not an actor pool):
+    # the mega branch usually carries few documents, and an actor pool
+    # cold-starts (~2 s x pool size) on every dataset execution
     chunks = pages.map_batches(
-        VecLayoutParseActor,
-        fn_constructor_kwargs={"config": config},
+        vec_parse_batch,
+        fn_kwargs={"config": config},
         batch_format="pyarrow",
         batch_size=config.parse_batch_size,
-        concurrency=config.parse_concurrency,
         zero_copy_batch=True,
-        max_task_retries=config.max_retries,
-        max_restarts=config.max_retries,
+        max_retries=config.max_retries,
     )
     b = config.reassemble_num_partitions or 64
     guarded = chunks.union(_adaptive_sentinel_chunks(b))

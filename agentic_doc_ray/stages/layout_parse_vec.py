@@ -258,3 +258,17 @@ class VecLayoutParseActor:
             )
             chunk_tbl = pa.concat_tables([chunk_tbl, blank_tbl])
         return chunk_tbl
+
+
+# Per-worker-process cache for the TASK-based parse stage (same rationale
+# as stages/fused.py:_FUSED_CACHE): the default worker pool persists
+# across dataset executions, so parser state warms once per process while
+# an actor pool cold-starts on every run. Keyed by the frozen config.
+_VEC_PARSE_CACHE: dict = {}
+
+
+def vec_parse_batch(batch: pa.Table, config: "EngineConfig") -> pa.Table:
+    parser = _VEC_PARSE_CACHE.get(config)
+    if parser is None:
+        parser = _VEC_PARSE_CACHE.setdefault(config, VecLayoutParseActor(config))
+    return parser(batch)
