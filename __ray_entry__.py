@@ -544,6 +544,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return exact_quantiles(ds, "event_type", "value")
 
+    def q_curriculum_bins(sf_dir):
+        from agentic_doc_ray.functions.sketches import quantile_bins
+
+        return quantile_bins(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+            )
+        )
+
     def q_media_resize(sf_dir):
         _ensure_extraction_oracles(sf_dir)
         media = ray.data.from_arrow(
@@ -1006,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_prior_view": A.purchase_prior_view,
         "distinct_users": A.distinct_users,
         "value_quantiles": q_quantiles,
+        "curriculum_bins": q_curriculum_bins,
         "hll_distinct_users": q_hll,  # rows-only (approximate sketch)
         "sessionize": A.sessionize,
         "purchase_sessions": A.purchase_sessions,
@@ -1434,6 +1444,18 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        # curriculum binning: global decile of n_chars per doc; bin =
+        # number of quantile_disc boundaries strictly below the value
+        "curriculum_bins": (
+            "WITH b AS (SELECT "
+            + ", ".join(
+                f"quantile_disc(n_chars, {i / 10}) AS b{i}" for i in range(1, 10)
+            )
+            + " FROM documents) "
+            "SELECT doc_id, n_chars, CASE "
+            + " ".join(f"WHEN n_chars <= b{i} THEN {i - 1}" for i in range(1, 10))
+            + " ELSE 9 END AS bin FROM documents, b"
         ),
         "value_quantiles": (
             "SELECT event_type, "

@@ -210,3 +210,56 @@ def hll_distinct(
     return pa.Table.from_pydict(rows).rename_columns(
         [group_col, "approx_distinct"]
     )
+
+
+def quantile_bins(
+    ds: "ray.data.Dataset", value_col: str = "n_chars", n_bins: int = 10
+) -> "ray.data.Dataset":
+    """Curriculum binning: assign each row its global quantile bin.
+
+    The data-scheduling primitive (shortest-first curricula, length-
+    balanced batch mixes): bin k holds rows between the k-th and (k+1)-th
+    n-tile of ``value_col``. Same sketch-then-map composition as
+    ``filter_above_group_median`` — pass 1 compresses the dataset to a
+    (value, count) DISTRIBUTION (one row per distinct integer value per
+    batch; driver merge is bounded by value cardinality, never row
+    count), the n-1 exact ``quantile_disc`` boundaries broadcast in the
+    task closure (a few ints), and pass 2 assigns bins with one
+    vectorized ``searchsorted`` per batch. No shuffle touches the rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column(value_col).cast(pa.int64())], names=["v"]
+        )
+        g = t.group_by("v").aggregate([("v", "count")])
+        return g.rename_columns(["v", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    dist: dict[int, int] = {}
+    for r in parts:
+        dist[r["v"]] = dist.get(r["v"], 0) + r["n"]
+    vals = np.array(sorted(dist), dtype=np.int64)
+    cnts = np.array([dist[v] for v in vals], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    # boundary i = smallest value whose cumulative count reaches
+    # ceil(i/n_bins * n) — exact quantile_disc, same rule as exact_quantiles
+    bounds = np.array(
+        [
+            vals[int(np.searchsorted(cum, max(1, int(np.ceil(i / n_bins * n)))))]
+            for i in range(1, n_bins)
+        ],
+        dtype=np.int64,
+    ) if n else np.zeros(0, np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # bin = #{boundaries strictly below v} == CASE v<=b1 -> 0, ... ELSE n-1
+        b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column(value_col), pa.array(b, pa.int64())],
+            names=["doc_id", value_col, "bin"],
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -132,3 +132,24 @@ def test_mixture_sample_weights_and_boundaries():
     assert sorted((r["doc_id"], r["source"]) for r in out) == sorted(
         (r["doc_id"], r["source"]) for r in out2
     )
+
+
+def test_quantile_bins_edges_and_skew():
+    from agentic_doc_ray.functions.sketches import quantile_bins
+
+    # heavy ties: half the mass on one value — duplicate boundaries must
+    # collapse deterministically (CASE-first == searchsorted-left)
+    vals = [10] * 50 + list(range(100, 150))
+    t = pa.table(
+        {
+            "doc_id": pa.array([str(i) for i in range(len(vals))], pa.string()),
+            "n_chars": pa.array(vals, pa.int64()),
+        }
+    )
+    out = {r["doc_id"]: r["bin"] for r in quantile_bins(ray.data.from_arrow(t), n_bins=4).take_all()}
+    # ties on 10 all land in bin 0 (10 <= b1 since b1 == b2 == 10)
+    assert all(out[str(i)] == 0 for i in range(50))
+    assert max(out.values()) == 3 and min(out.values()) == 0
+    # 4-bin assignment is monotone in the value
+    bins = [out[str(i)] for i in range(50, 100)]
+    assert bins == sorted(bins)
