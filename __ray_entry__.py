@@ -780,6 +780,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return snapshot_diff(d, synth_second_crawl(d))
 
+    def q_incremental_counts(sf_dir):
+        # incremental recompute over the crawl delta; oracle = FULL
+        # recompute of token counts on the synthesized second crawl
+        from agentic_doc_ray.functions.delta import (
+            incremental_token_counts,
+            synth_second_crawl,
+        )
+
+        v1 = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return incremental_token_counts(v1, synth_second_crawl(v1))
+
     def q_sample_k_per_group(sf_dir):
         from agentic_doc_ray.functions.sampling import sample_k_per_group
 
@@ -981,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
         "snapshot_diff": q_snapshot_diff,
+        "incremental_token_counts": q_incremental_counts,
         "sample_k_per_group": q_sample_k_per_group,
         "pack_sequences": q_pack_sequences,
         "top_tokens": q_top_tokens,
@@ -1233,6 +1247,20 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'changed' END AS change "
             "FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id "
             "WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.text <> v2.text"
+        ),
+        # the incremental path must equal the FULL recompute over v2 —
+        # the strongest oracle an incremental pipeline can have
+        "incremental_token_counts": (
+            "WITH v2 AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [edited v2]' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 "
+            "  UNION ALL "
+            "  SELECT doc_id + 10000000 AS doc_id, text || ' (new)' AS text "
+            "FROM documents WHERE doc_id % 11 = 0"
+            ") "
+            "SELECT doc_id, CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens "
+            "FROM v2"
         ),
         # bottom-k-by-hash per group == row_number over md5 (uniform
         # fixed-size sample, deterministic and rerun-stable)

@@ -46,3 +46,38 @@ def test_synth_second_crawl_rules():
     assert v2[10_000_000] == "text 0 (new)"                       # %11 re-added
     assert v2[10_000_011] == "text 11 (new)" and v2[10_000_022] == "text 22 (new)"
     assert v2[1] == "text 1"                                      # untouched
+
+
+def test_semi_anti_join_ids():
+    from agentic_doc_ray.functions.delta import anti_join_ids, semi_join_ids
+
+    data = _ds([(i, f"t{i}") for i in range(20)])
+    ids = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([3, 5, 5, 7, 99], pa.int64())})
+    )
+    semi = sorted(r["doc_id"] for r in semi_join_ids(data, ids).take_all())
+    anti = sorted(r["doc_id"] for r in anti_join_ids(data, ids).take_all())
+    assert semi == [3, 5, 7]
+    assert anti == [i for i in range(20) if i not in (3, 5, 7)]
+    # full-row passthrough (values, not just keys)
+    row = next(r for r in semi_join_ids(data, ids).take_all() if r["doc_id"] == 3)
+    assert row["text"] == "t3"
+
+
+def test_incremental_equals_full_recompute():
+    from agentic_doc_ray.functions.delta import (
+        incremental_token_counts,
+        synth_second_crawl,
+    )
+    from agentic_doc_ray.functions.text import token_counts
+
+    v1 = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    v2 = synth_second_crawl(v1)
+    got = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in incremental_token_counts(v1, v2).take_all()
+    )
+    want = sorted((r["doc_id"], r["n_tokens"]) for r in token_counts(v2).take_all())
+    assert got == want
