@@ -201,6 +201,10 @@ def _keyed_exchange_filter(
     the per-bucket resolve is a vectorized ``is_in``. The scale-honest
     alternative to collecting ids on the driver (VERDICT r1 weak #1)."""
     data_schema = ds.schema()
+    if data_schema is None:
+        # empty mapped dataset: no blocks to infer a schema from, and
+        # nothing to filter — pass it through
+        return ds
     ex_schema = pa.schema(
         [("bucket", pa.int32()), ("side", pa.string())]
         + [(n, t) for n, t in zip(data_schema.names, data_schema.types)]

@@ -81,3 +81,17 @@ def test_incremental_equals_full_recompute():
     )
     want = sorted((r["doc_id"], r["n_tokens"]) for r in token_counts(v2).take_all())
     assert got == want
+
+
+def test_incremental_empty_sides():
+    from agentic_doc_ray.functions.delta import incremental_token_counts
+
+    empty = _ds([])
+    one = _ds([(1, "hello world")])
+    assert incremental_token_counts(empty, empty).count() == 0
+    assert incremental_token_counts(one, empty).count() == 0
+    got = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in incremental_token_counts(empty, one).take_all()
+    )
+    assert got == [(1, 2)]
