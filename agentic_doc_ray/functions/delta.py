@@ -92,36 +92,6 @@ def snapshot_diff(
     filtering transform (deletions), so empty first blocks are routine.
     """
 
-    def diff_bucket(group: pa.Table) -> pa.Table:
-        real = group.filter(pc.not_equal(group.column("side"), "sent"))
-        a = real.filter(pc.equal(real.column("side"), "a"))
-        b = real.filter(pc.equal(real.column("side"), "b"))
-        # nullable Int64 keeps the 64-bit fingerprints exact through the
-        # outer merge (plain int64 would coerce to float64 on the NaN
-        # fill and silently equate fingerprints beyond 2^53)
-        pda = a.select(["doc_id", "fp"]).to_pandas().astype({"fp": "Int64"})
-        pdb = b.select(["doc_id", "fp"]).to_pandas().astype({"fp": "Int64"})
-        m = pda.merge(
-            pdb, on="doc_id", how="outer", suffixes=("_a", "_b"), indicator=True
-        )
-        change = np.where(
-            m["_merge"] == "left_only",
-            "removed",
-            np.where(m["_merge"] == "right_only", "added", "changed"),
-        )
-        keep = (
-            ((m["_merge"] != "both") | (m["fp_a"] != m["fp_b"]))
-            .fillna(False)
-            .to_numpy(dtype=bool)
-        )
-        return pa.Table.from_arrays(
-            [
-                pa.array(m["doc_id"][keep].to_numpy(dtype=np.int64), pa.int64()),
-                pa.array(change[keep], pa.string()),
-            ],
-            names=["doc_id", "change"],
-        )
-
     unioned = (
         v1.map_batches(_tag("a", n_buckets), batch_format="pyarrow")
         .union(v2.map_batches(_tag("b", n_buckets), batch_format="pyarrow"))
@@ -129,7 +99,40 @@ def snapshot_diff(
     )
     return unioned.groupby(
         "bucket", num_partitions=shuffle_partitions(8)
-    ).map_groups(diff_bucket, batch_format="pyarrow")
+    ).map_groups(_diff_bucket, batch_format="pyarrow")
+
+
+def _diff_bucket(group: pa.Table) -> pa.Table:
+    """Per-bucket diff resolve (module-level so property tests can drive
+    it without a Ray session)."""
+    real = group.filter(pc.not_equal(group.column("side"), "sent"))
+    a = real.filter(pc.equal(real.column("side"), "a"))
+    b = real.filter(pc.equal(real.column("side"), "b"))
+    # nullable Int64 keeps the 64-bit fingerprints exact through the
+    # outer merge (plain int64 would coerce to float64 on the NaN
+    # fill and silently equate fingerprints beyond 2^53)
+    pda = a.select(["doc_id", "fp"]).to_pandas().astype({"fp": "Int64"})
+    pdb = b.select(["doc_id", "fp"]).to_pandas().astype({"fp": "Int64"})
+    m = pda.merge(
+        pdb, on="doc_id", how="outer", suffixes=("_a", "_b"), indicator=True
+    )
+    change = np.where(
+        m["_merge"] == "left_only",
+        "removed",
+        np.where(m["_merge"] == "right_only", "added", "changed"),
+    )
+    keep = (
+        ((m["_merge"] != "both") | (m["fp_a"] != m["fp_b"]))
+        .fillna(False)
+        .to_numpy(dtype=bool)
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(m["doc_id"][keep].to_numpy(dtype=np.int64), pa.int64()),
+            pa.array(change[keep], pa.string()),
+        ],
+        names=["doc_id", "change"],
+    )
 
 
 def synth_second_crawl(docs: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -212,6 +212,26 @@ def hll_distinct(
     )
 
 
+def _quantile_bounds(dist: dict[int, int], n_bins: int) -> np.ndarray:
+    """n_bins-1 bin boundaries from a (value -> count) distribution:
+    boundary i = smallest value whose cumulative count reaches
+    ceil(i/n_bins * n) — exact quantile_disc, same rule as
+    exact_quantiles. Module-level for property tests."""
+    vals = np.array(sorted(dist), dtype=np.int64)
+    cnts = np.array([dist[v] for v in vals], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    if not n:
+        return np.zeros(0, np.int64)
+    return np.array(
+        [
+            vals[int(np.searchsorted(cum, max(1, int(np.ceil(i / n_bins * n)))))]
+            for i in range(1, n_bins)
+        ],
+        dtype=np.int64,
+    )
+
+
 def quantile_bins(
     ds: "ray.data.Dataset", value_col: str = "n_chars", n_bins: int = 10
 ) -> "ray.data.Dataset":
@@ -239,19 +259,7 @@ def quantile_bins(
     dist: dict[int, int] = {}
     for r in parts:
         dist[r["v"]] = dist.get(r["v"], 0) + r["n"]
-    vals = np.array(sorted(dist), dtype=np.int64)
-    cnts = np.array([dist[v] for v in vals], dtype=np.int64)
-    cum = np.cumsum(cnts)
-    n = int(cum[-1]) if len(cum) else 0
-    # boundary i = smallest value whose cumulative count reaches
-    # ceil(i/n_bins * n) — exact quantile_disc, same rule as exact_quantiles
-    bounds = np.array(
-        [
-            vals[int(np.searchsorted(cum, max(1, int(np.ceil(i / n_bins * n)))))]
-            for i in range(1, n_bins)
-        ],
-        dtype=np.int64,
-    ) if n else np.zeros(0, np.int64)
+    bounds = _quantile_bounds(dist, n_bins)
 
     def assign(batch: pa.Table) -> pa.Table:
         v = batch.column(value_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
