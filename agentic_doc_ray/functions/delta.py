@@ -29,6 +29,7 @@ import ray.data
 
 from agentic_doc_ray.context import shuffle_partitions
 from agentic_doc_ray.functions._exchange import int_key_sentinels
+from agentic_doc_ray.functions.text import _fp_powers, _mod61, _mulmod61
 
 _EX_SCHEMA = pa.schema(
     [
@@ -41,24 +42,41 @@ _EX_SCHEMA = pa.schema(
 
 
 def _fingerprint64(text: pa.Array) -> pa.Array:
-    """64-bit content fingerprint: two decorrelated crc32 passes packed
-    into one int64 (vectorized via Arrow string concat + zlib on the
-    flattened buffer would need per-row Python; instead reuse the
-    engine's vectorized polynomial fingerprint over bytes)."""
-    import zlib
-
-    # Per-row crc32 is a C call on the row's buffer; the Python loop here
-    # touches row COUNT, not bytes — acceptable for a fingerprint stage
-    # (same budget class as MinHash's per-doc signature loop). A salted
-    # second pass kills crc32's birthday collisions at 10^9 docs.
-    vals = text.to_pylist()
-    lo = np.fromiter(
-        (zlib.crc32(v.encode()) for v in vals), np.uint64, count=len(vals)
-    )
-    hi = np.fromiter(
-        (zlib.crc32(b"\x01" + v.encode()) for v in vals), np.uint64, count=len(vals)
-    )
-    return pa.array(((hi << np.uint64(32)) | lo).view(np.int64), pa.int64())
+    """Byte-exact 61-bit content fingerprint, fully vectorized:
+    h = Σ (byte_j + 1)·B^(len-1-j) mod 2^61-1 over the document's utf-8
+    bytes. Equal text ⟺ equal bytes ⟹ equal h; distinct texts collide
+    with probability ~2^-61 — the change-detection contract needs only
+    equality. Works directly on the Arrow string array's flattened value
+    buffer (zero-copy), so cost is one numpy pass over total BYTES with
+    no per-row Python (the crc32-per-row loop this replaced touched row
+    count in Python)."""
+    arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.int64())
+    width = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=width)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    base = offsets[0]
+    ends = offsets[1:] - base
+    lens = np.diff(offsets)
+    coeffs = data[base : offsets[-1]].astype(np.uint64) + np.uint64(1)
+    parents = np.repeat(np.arange(n), lens)
+    exps = ends[parents] - 1 - np.arange(len(coeffs))
+    contrib = _mulmod61(coeffs, _fp_powers(int(lens.max()) if n else 1)[exps])
+    # segmented modular sum: 32-bit halves keep the prefix sums inside
+    # uint64, recombined mod M (same trick as text.fingerprint_batch)
+    hi, lo = contrib >> np.uint64(32), contrib & np.uint64((1 << 32) - 1)
+    cs_hi = np.concatenate(([0], np.cumsum(hi)))
+    cs_lo = np.concatenate(([0], np.cumsum(lo)))
+    starts = ends - lens
+    seg_hi = _mod61((cs_hi[ends] - cs_hi[starts]).astype(np.uint64))
+    seg_lo = _mod61((cs_lo[ends] - cs_lo[starts]).astype(np.uint64))
+    two32 = np.full(n, 1 << 32, dtype=np.uint64)
+    out = _mod61(_mulmod61(seg_hi, two32) + seg_lo)
+    return pa.array(out.astype(np.int64), pa.int64())
 
 
 def _tag(side: str, n_buckets: int):

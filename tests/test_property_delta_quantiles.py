@@ -13,8 +13,34 @@ import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from agentic_doc_ray.functions.delta import _EX_SCHEMA, _diff_bucket
+from agentic_doc_ray.functions.delta import _EX_SCHEMA, _diff_bucket, _fingerprint64
 from agentic_doc_ray.functions.sketches import _quantile_bounds
+from agentic_doc_ray.functions.text import _FP_BASE, _FP_MOD
+
+
+def _fp_ref(s: str) -> int:
+    """Pure-Python byte polynomial: h = Σ (b+1)·B^(len-1-j) mod 2^61-1."""
+    h = 0
+    for b in s.encode():
+        h = (h * _FP_BASE + b + 1) % _FP_MOD
+    return h
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80),
+        max_size=12,
+    ),
+    skip=st.integers(0, 3),
+)
+def test_fingerprint64_matches_reference_and_slices(texts, skip):
+    arr = pa.array(texts, pa.string())
+    got = _fingerprint64(arr).to_pylist()
+    assert got == [_fp_ref(t) for t in texts]
+    # sliced arrays carry a nonzero arr.offset — the buffer math must hold
+    sl = arr.slice(min(skip, len(arr)))
+    assert _fingerprint64(sl).to_pylist() == [_fp_ref(t) for t in texts[min(skip, len(texts)):]]
 
 _fp = st.integers(min_value=-(2**63), max_value=2**63 - 1)
 _side_map = st.dictionaries(st.integers(0, 40), _fp, max_size=25)
