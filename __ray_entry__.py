@@ -56,10 +56,11 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 6  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 7  # bump when any oracle-producing logic changes
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
-# pack_sequences/contamination/media_resized/audio_chunks oracles — the
-# bump invalidates any stale _DONE marker that predates them)
+# pack_sequences/contamination/media_resized/audio_chunks oracles;
+# v7: adds the product-quantization top-k replica oracle — the bump
+# invalidates any stale _DONE marker that predates them)
 
 
 def _oracle_dir(sf_dir: str) -> str:
@@ -208,6 +209,20 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             k=10,
         ),
         os.path.join(out_dir, "ivf_topk.parquet"),
+    )
+
+    # single-process product-quantization replica: per-vector ADC scores are
+    # batch-independent, so the distributed partial-top-k merge is bit-equal
+    from agentic_doc_ray.functions.similarity import pq_topk_oracle
+
+    _pq.write_table(
+        pq_topk_oracle(
+            emb_tbl,
+            _np.array(qt["embedding"].to_pylist(), dtype=_np.float64),
+            [int(x) for x in qt["vec_id"].to_pylist()],
+            k=10,
+        ),
+        os.path.join(out_dir, "pq_topk.parquet"),
     )
 
     # contamination oracle: same n-gram math single-process; benchmark =
@@ -844,6 +859,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res.select(["query_id", "rank", "vec_id"])
 
+    def q_similarity_pq(sf_dir):
+        """Product-quantization ADC top-k. Per-vector scores depend only on
+        the broadcast codebooks/LUTs, so the distributed partial-top-k merge
+        is bit-equal to the single-process replica oracle."""
+        import numpy as np
+
+        from agentic_doc_ray.functions.similarity import pq_topk
+
+        _ensure_extraction_oracles(sf_dir)
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        qt = t.filter(pc.less(t["vec_id"], 5))
+        res = pq_topk(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            np.array(qt["embedding"].to_pylist(), dtype=np.float64),
+            [int(x) for x in qt["vec_id"].to_pylist()],
+            k=10,
+        )
+        return res.select(["query_id", "rank", "vec_id"])
+
     def q_semantic_dedup(sf_dir):
         """SemDeDup-shaped near-dup: k-means co-location + within-cluster
         exact cosine. Same planted exact duplicates as embedding_dup_pairs
@@ -1010,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25,
         "index_postings": q_index_postings,
         "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
+        "similarity_topk_pq": q_similarity_pq,     # single-process replica oracle
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
@@ -1580,6 +1619,10 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_ivf": (
             "SELECT query_id, rank, vec_id "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/ivf_topk.parquet')"
+        ),
+        "similarity_topk_pq": (
+            "SELECT query_id, rank, vec_id "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/pq_topk.parquet')"
         ),
         "kmeans_clusters": (
             "SELECT vec_id, cluster "

@@ -344,6 +344,162 @@ def ivf_topk_oracle(
     return pa.Table.from_pydict(rows, schema=TOPK_SCHEMA)
 
 
+def _pq_train(
+    X_unit: np.ndarray, n_sub: int, n_codes: int, n_iter: int, seed: int
+) -> np.ndarray:
+    """Product-quantization codebooks (n_sub, n_codes, sub_dim): a small
+    Lloyd k-means per contiguous subspace over the (unit-normalized)
+    training sample. Driver-local and seeded — the sample is a few thousand
+    rows regardless of corpus size, so training costs nothing distributed
+    and the whole model broadcast is n_sub·n_codes·sub_dim floats."""
+    n, dim = X_unit.shape
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    n_codes = min(n_codes, n)
+    rng = np.random.RandomState(seed)
+    books = np.zeros((n_sub, n_codes, sub), dtype=np.float64)
+    for s in range(n_sub):
+        Xs = X_unit[:, s * sub : (s + 1) * sub]
+        C = Xs[rng.choice(n, size=n_codes, replace=False)].copy()
+        for _ in range(n_iter):
+            a = _km_assign(Xs, C)
+            for c in range(n_codes):
+                m = a == c
+                if m.any():
+                    C[c] = Xs[m].mean(axis=0)
+        books[s] = C
+    return books
+
+
+def _pq_encode(vecs_unit: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, n_sub) int64 codes — nearest codeword per subspace. Depends only
+    on the vector and the broadcast codebooks, so any batch split encodes
+    identically (the bit-reproducibility the replica oracle relies on)."""
+    n_sub, _, sub = books.shape
+    V = vecs_unit.reshape(len(vecs_unit), n_sub, sub)
+    codes = np.empty((len(vecs_unit), n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        codes[:, s] = _km_assign(V[:, s, :], books[s])
+    return codes
+
+
+def _pq_scores(codes: np.ndarray, lut_q: np.ndarray) -> np.ndarray:
+    """ADC scores for ONE query: Σ_s lut_q[s, codes[i,s]] — (n,) float64."""
+    n_sub = codes.shape[1]
+    return lut_q[np.arange(n_sub)[None, :], codes].sum(axis=1)
+
+
+def pq_topk_oracle(
+    embeddings: pa.Table,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    n_iter: int = 5,
+    seed: int = 7,
+) -> pa.Table:
+    """Single-process replica of ``pq_topk`` — same training sample (first
+    rows in table order), codebooks, encode and tie-break. Per-vector ADC
+    scores are batch-independent, so partial-top-k-then-merge equals this
+    one global pass bit-for-bit."""
+    sample_n = max(n_codes * 20, 256)
+    X = _unit(_as_matrix(embeddings.column("embedding").slice(0, sample_n)))
+    books = _pq_train(X, n_sub, n_codes, n_iter, seed)
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    sub = q_unit.shape[1] // n_sub
+    lut = np.einsum(
+        "qsd,scd->qsc", q_unit.reshape(len(q_unit), n_sub, sub), books
+    )
+    vecs = _unit(_as_matrix(embeddings.column("embedding")))
+    ids = np.asarray(embeddings.column("vec_id").to_pylist(), dtype=np.int64)
+    codes = _pq_encode(vecs, books)
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    for qi in range(q_unit.shape[0]):
+        s = _pq_scores(codes, lut[qi])
+        order = np.lexsort((ids, -s))[: min(k, len(ids))]
+        for rank, oi in enumerate(order, start=1):
+            rows["query_id"].append(query_ids[qi])
+            rows["rank"].append(rank)
+            rows["vec_id"].append(int(ids[oi]))
+            rows["cosine"].append(float(s[oi]))
+    return pa.Table.from_pydict(rows, schema=TOPK_SCHEMA)
+
+
+def pq_topk(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    n_iter: int = 5,
+    seed: int = 7,
+) -> pa.Table:
+    """Approximate cosine top-k via product quantization (Jégou et al.,
+    PAMI 2011) — the memory-scale path of the similarity family: each
+    vector is represented by n_sub codebook ids (n_sub bytes vs dim·4
+    float bytes, 32× smaller at dim=64/n_sub=8), and queries score vectors
+    through a per-query lookup table (ADC) instead of a matmul.
+
+    Distribution shape: codebooks train driver-local on a deterministic
+    sample, broadcast once with the query LUTs (ray.put); every batch
+    encodes its vectors and emits LOCAL top-k partials (k rows per query
+    per batch); the driver merges the tiny partial set. No shuffle, no
+    corpus materialization — at 100 TB the encode output could also be
+    persisted once and rescanned at 1/32 the bytes for later query sets.
+    Same output schema and (score desc, vec_id asc) tie-break as
+    brute_force_topk; recall < 1 by design (quantization error).
+    """
+    sample = embeddings.limit(max(n_codes * 20, 256)).take_all()
+    X = _unit(np.array([r["embedding"] for r in sample], dtype=np.float64))
+    books = _pq_train(X, n_sub, n_codes, n_iter, seed)
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    sub = q_unit.shape[1] // n_sub
+    lut = np.einsum(
+        "qsd,scd->qsc", q_unit.reshape(len(q_unit), n_sub, sub), books
+    )
+    ref = ray.put((books, lut))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        B, L = ray.get(ref)
+        vecs = _unit(_as_matrix(batch.column("embedding")))
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        codes = _pq_encode(vecs, B)
+        out = {"query_idx": [], "vec_id": [], "cosine": []}
+        kk = min(k, len(ids))
+        for qi in range(L.shape[0]):
+            s = _pq_scores(codes, L[qi])
+            order = np.lexsort((ids, -s))[:kk]
+            out["query_idx"].extend([qi] * len(order))
+            out["vec_id"].extend(ids[order].tolist())
+            out["cosine"].extend(s[order].tolist())
+        return pa.Table.from_pydict(
+            out,
+            schema=pa.schema(
+                [("query_idx", pa.int32()), ("vec_id", pa.int64()), ("cosine", pa.float64())]
+            ),
+        )
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(int(r["query_idx"]), []).append(
+            (float(r["cosine"]), int(r["vec_id"]))
+        )
+    for qi in range(len(query_ids)):
+        for rank, (cos, vid) in enumerate(
+            sorted(by_q.get(qi, []), key=lambda t: (-t[0], t[1]))[:k], start=1
+        ):
+            rows["query_id"].append(query_ids[qi])
+            rows["rank"].append(rank)
+            rows["vec_id"].append(vid)
+            rows["cosine"].append(cos)
+    return pa.Table.from_pydict(rows, schema=TOPK_SCHEMA)
+
+
 def ivf_topk(
     embeddings: "ray.data.Dataset",
     queries: np.ndarray,

@@ -63,6 +63,29 @@ def test_ivf_topk_is_subset_with_self_hit(emb):
         assert rows[0]["vec_id"] == qid and rows[0]["cosine"] > 0.999999
 
 
+def test_pq_topk_matches_replica_oracle(emb):
+    from agentic_doc_ray.functions.similarity import pq_topk, pq_topk_oracle
+
+    vecs = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(emb["vec_id"].to_pylist())
+    queries, qids = vecs[:5], [int(i) for i in ids[:5]]
+    want = pq_topk_oracle(emb, queries, qids, k=10).to_pylist()
+    # distributed == single-process replica, regardless of block layout
+    # (per-vector ADC scores are batch-independent; merge = global sort)
+    for parts in (1, 7):
+        got = pq_topk(
+            ray.data.from_arrow(emb).repartition(parts), queries, qids, k=10
+        ).to_pylist()
+        assert got == want
+    # quantized recall sanity: decent overlap with exact brute-force top-k
+    exact = _oracle_topk(vecs, ids, queries, 10)
+    overlap = 0
+    for qi, qid in enumerate(qids):
+        got_ids = {r["vec_id"] for r in want if r["query_id"] == qid}
+        overlap += len(got_ids & set(exact[qi]))
+    assert overlap >= 30  # >=60% mean recall@10 across the 5 queries
+
+
 def test_kmeans_separates_planted_clusters():
     import numpy as np
     import pyarrow as pa
