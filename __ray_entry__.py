@@ -839,6 +839,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.7)
 
+    def q_paragraph_dedup(sf_dir):
+        """Corpus-wide paragraph dedup over docs with a planted boilerplate
+        paragraph (doc_id % 7 variants): only the min-doc_id carrier of each
+        boilerplate keeps it. Exact SQL oracle via the same first-occurrence
+        window rule."""
+        import numpy as np
+
+        from agentic_doc_ray.functions.paragraphs import paragraph_dedup
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").combine_chunks()
+            mod = pa.array(
+                ids.to_numpy(zero_copy_only=False) % 7, pa.int64()
+            )
+            boiler = pc.binary_join_element_wise(
+                pa.array(["boilerplate notice"] * batch.num_rows),
+                pc.cast(mod, pa.string()),
+                " ",
+            )
+            text2 = pc.binary_join_element_wise(
+                batch.column("text").combine_chunks(), boiler, "\n\n"
+            )
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text", text2
+            )
+
+        return paragraph_dedup(d.map_batches(plant, batch_format="pyarrow"))
+
     def q_similarity_ivf(sf_dir):
         import numpy as np
 
@@ -1045,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,    # exact (verified pipeline)
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
+        "paragraph_dedup": q_paragraph_dedup,
         "bm25_topk": q_bm25,
         "index_postings": q_index_postings,
         "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
@@ -1610,6 +1643,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
             "WHERE CAST(doc_id AS VARCHAR) NOT IN "
             "(SELECT doc_id FROM comp WHERE doc_id <> component)"
+        ),
+        "paragraph_dedup": (
+            "WITH planted AS ("
+            "  SELECT doc_id, text || chr(10) || chr(10) ||"
+            "         'boilerplate notice ' || CAST(doc_id % 7 AS VARCHAR) AS text"
+            "  FROM documents"
+            "), paras AS ("
+            "  SELECT doc_id,"
+            "         unnest(str_split(text, chr(10)||chr(10))) AS para,"
+            "         generate_subscripts(str_split(text, chr(10)||chr(10)), 1) - 1 AS idx"
+            "  FROM planted"
+            "), kept AS ("
+            "  SELECT doc_id, idx, para FROM ("
+            "    SELECT doc_id, idx, para,"
+            "           ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn"
+            "    FROM paras) t WHERE rn = 1"
+            ") "
+            "SELECT d.doc_id,"
+            "       COALESCE(string_agg(k.para, chr(10)||chr(10) ORDER BY k.idx), '') AS text "
+            "FROM planted d LEFT JOIN kept k ON d.doc_id = k.doc_id "
+            "GROUP BY d.doc_id"
         ),
         "ngram_jaccard_pairs": (
             "SELECT doc_a, doc_b, jaccard "

@@ -260,6 +260,13 @@ def main() -> None:
 
     timed("bm25_topk", bm25_q)
     timed("dedup_keep", lambda: D.dedup_keep(docs()).count())
+
+    def paragraph_dedup_q() -> None:
+        from agentic_doc_ray.functions.paragraphs import paragraph_dedup
+
+        paragraph_dedup(docs()).count()
+
+    timed("paragraph_dedup", paragraph_dedup_q)
     timed("repetition_stats", lambda: T.repetition_stats(docs()).count())
 
     from agentic_doc_ray.functions import sampling as SA
@@ -306,6 +313,25 @@ def main() -> None:
         )
 
     timed("similarity_topk", similarity)
+
+    def similarity_pq() -> None:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from agentic_doc_ray.functions.similarity import pq_topk
+
+        t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        qs = np.array(t["embedding"].to_pylist()[:8], dtype=np.float64)
+        pq_topk(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            qs,
+            list(range(8)),
+            k=10,
+        )
+
+    timed("similarity_topk_pq", similarity_pq)
 
     from agentic_doc_ray.functions import joins as J
     from agentic_doc_ray.functions import ranking as R
