@@ -737,6 +737,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(plant, batch_format="pyarrow")
         return T.redact_pii(d)
 
+    def q_normalize_text(sf_dir):
+        """Unicode/whitespace canonicalization over a corpus planted with
+        case noise, a combining-accent prefix and whitespace runs — pure
+        Arrow kernel chain (NFC -> lower -> collapse -> trim); oracle =
+        the same chain in DuckDB (nfc_normalize/lower/regexp_replace)."""
+
+        def plant(batch: pa.Table) -> pa.Table:
+            up = pc.utf8_upper(batch.column("text").combine_chunks())
+            n = batch.num_rows
+            t2 = pc.binary_join_element_wise(
+                pa.array(["  CafÉ\t"] * n), up, pa.array(["   x  "] * n), ""
+            )
+            return pa.Table.from_arrays(
+                [batch.column("doc_id").combine_chunks(), t2],
+                names=["doc_id", "text"],
+            )
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(plant, batch_format="pyarrow")
+        return T.normalize_text(d)
+
     def q_contamination(sf_dir):
         """Benchmark decontamination: 13-gram overlap against a broadcast
         benchmark set (every 50th doc's text — those self-flag)."""
@@ -1059,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": lambda sf: T.repetition_stats(docs(sf)),
         "token_commonness": lambda sf: T.token_commonness(docs(sf)),
         "redact_pii": q_redact_pii,
+        "normalize_text": q_normalize_text,
         "contamination_flags": q_contamination,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
@@ -1266,6 +1289,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/contamination.parquet')"
         ),
         # same pattern chain + order as text.PII_PATTERNS (email first)
+        "normalize_text": (
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
+            "'  CafE' || chr(769) || chr(9) || upper(text) || '   x  '"
+            ")), '\\s+', ' ', 'g')) AS text FROM documents"
+        ),
         "redact_pii": (
             "WITH planted AS ("
             "  SELECT doc_id, CASE WHEN doc_id % 25 = 0 THEN text || "

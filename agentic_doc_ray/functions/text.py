@@ -267,6 +267,47 @@ def redact_pii(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(redact_pii_batch, batch_format="pyarrow")
 
 
+def normalize_text_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, text canonicalized): NFC -> lower ->
+    collapse ``\\s+`` to one space -> trim. The standard first stage
+    before hashing or exact dedup, so byte-level noise — composed vs
+    decomposed accents, case, runs of whitespace — cannot defeat
+    equality.
+
+    Lower/collapse/trim are Arrow kernels (RE2 whitespace class, same as
+    the DuckDB oracle's). True NFC needs composition, which this
+    pyarrow's ``utf8_normalize`` cannot do (its utf8proc build leaves
+    NFC == NFD — verified: composed input comes back decomposed), so NFC
+    runs through ``unicodedata`` on ONLY the non-ASCII subset: a
+    vectorized RE2 mask finds those rows (ASCII is NFC-invariant by
+    definition), and in a web corpus that subset is the minority, so the
+    per-row C call touches a sliver of the batch."""
+    import unicodedata
+
+    t = batch.column("text").combine_chunks()
+    mask = pc.match_substring_regex(t, "[^\\x00-\\x7f]")
+    if pc.any(mask).as_py():
+        idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        fixed = pa.array(
+            [
+                unicodedata.normalize("NFC", v)
+                for v in t.take(pa.array(idxs)).to_pylist()
+            ],
+            pa.string(),
+        )
+        t = pc.replace_with_mask(t, mask, fixed)
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), t], names=["doc_id", "text"]
+    )
+
+
+def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(normalize_text_batch, batch_format="pyarrow")
+
+
 def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     """Gopher-style repetition metrics per doc (integer, oracle-exact):
     n_lines (non-empty), n_dup_lines (lines whose text occurs more than

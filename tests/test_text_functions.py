@@ -221,3 +221,23 @@ def test_token_commonness_edge_cases_and_vocab_cap():
     }
     # only 'a' stays in vocab; b/rare -> OOV score 0, n_tokens unchanged
     assert capped == {1: (12, 4), 2: (0, 0), 3: (0, 0), 4: (4, 2)}
+
+
+def test_normalize_text_composes_lowers_and_collapses():
+    # composed and decomposed spellings of the same word converge to one
+    # byte sequence (NFC), case and whitespace runs are canonicalized
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["  Café  DELUXE\t", "Café deluxe", "plain   ascii "],
+                pa.string(),
+            ),
+        }
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in T.normalize_text(ray.data.from_arrow(t)).take_all()
+    }
+    assert got[1] == got[2] == "café deluxe"
+    assert got[3] == "plain ascii"
