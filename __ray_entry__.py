@@ -56,11 +56,12 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 7  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 8  # bump when any oracle-producing logic changes
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
 # pack_sequences/contamination/media_resized/audio_chunks oracles;
-# v7: adds the product-quantization top-k replica oracle — the bump
-# invalidates any stale _DONE marker that predates them)
+# v7: adds the product-quantization top-k replica oracle; v8: adds the
+# BPE merge-table replica oracle — the bump invalidates any stale _DONE
+# marker that predates them)
 
 
 def _oracle_dir(sf_dir: str) -> str:
@@ -164,6 +165,15 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     )
     _pq.write_table(
         LangIdActor()(docs_tbl), os.path.join(out_dir, "lang_id.parquet")
+    )
+
+    # BPE merge-table replica: exact integer word counts + deterministic
+    # tie-breaks make the distributed run bit-equal
+    from agentic_doc_ray.functions.bpe import bpe_train_oracle
+
+    _pq.write_table(
+        bpe_train_oracle(docs_tbl, n_merges=50),
+        os.path.join(out_dir, "bpe_merges.parquet"),
     )
 
     # grounding crop-file oracle: same save fn single-process, digesting
@@ -737,6 +747,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(plant, batch_format="pyarrow")
         return T.redact_pii(d)
 
+    def q_bpe_merges(sf_dir):
+        """BPE tokenizer training: one distributed word-count exchange,
+        then driver-local merge learning over the Heaps-bounded distinct
+        word table — bit-equal to the single-process replica."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.bpe import bpe_train
+
+        return bpe_train(docs(sf_dir), n_merges=50)
+
     def q_normalize_text(sf_dir):
         """Unicode/whitespace canonicalization over a corpus planted with
         case noise, a combining-accent prefix and whitespace runs — pure
@@ -1082,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_commonness": lambda sf: T.token_commonness(docs(sf)),
         "redact_pii": q_redact_pii,
         "normalize_text": q_normalize_text,
+        "bpe_merges": q_bpe_merges,
         "contamination_flags": q_contamination,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
@@ -1289,6 +1309,10 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/contamination.parquet')"
         ),
         # same pattern chain + order as text.PII_PATTERNS (email first)
+        "bpe_merges": (
+            'SELECT "rank", "left", "right", pair_count '
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/bpe_merges.parquet')"
+        ),
         "normalize_text": (
             "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
             "'  CafE' || chr(769) || chr(9) || upper(text) || '   x  '"

@@ -218,6 +218,13 @@ def main() -> None:
     timed("simhash", lambda: D.simhashes(docs()).count())
     timed("token_commonness", lambda: T.token_commonness(docs()).count())
 
+    def bpe_q() -> None:
+        from agentic_doc_ray.functions.bpe import bpe_train
+
+        bpe_train(docs(), n_merges=50)
+
+    timed("bpe_train", bpe_q)
+
     def snapshot_diff_q() -> None:
         from agentic_doc_ray.functions.delta import (
             snapshot_diff,
