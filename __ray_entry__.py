@@ -1140,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue_bucketed": _J().order_priority_revenue_bucketed,
         "nation_returned_revenue": _J().nation_returned_revenue,
         "events_hourly": A.events_hourly,
+        "cohort_retention": A.cohort_retention,
         "events_sliding": A.events_sliding,
         "purchase_prior_view": A.purchase_prior_view,
         "distinct_users": A.distinct_users,
@@ -1503,6 +1504,18 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment"
+        ),
+        "cohort_retention": (
+            "WITH weeks AS ("
+            "  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events"
+            "), firsts AS ("
+            "  SELECT user_id, min(w) AS cohort FROM weeks GROUP BY user_id"
+            ") "
+            "SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,"
+            "       date_diff('day', f.cohort, w.w) // 7 AS week_offset,"
+            "       COUNT(*) AS n_users "
+            "FROM weeks w JOIN firsts f USING (user_id) "
+            "GROUP BY 1, 2"
         ),
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

@@ -547,6 +547,107 @@ def funnel_counts(sf_dir: str) -> "ray.data.Dataset":
     ).aggregate(Sum("n_users", alias_name="n_users"))
 
 
+def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Weekly cohort retention matrix: (cohort_week, week_offset,
+    n_users) — of the users whose FIRST event fell in cohort_week (ISO
+    Monday), how many were active again week_offset weeks later. The
+    standard growth-analytics rollup; the reference has no counterpart —
+    engine capability for event-log corpora.
+
+    Shape: ONE exchange on a coarse user bucket (user_id % 64, the
+    sessionize/funnel pattern). Distinct-user counting distributes
+    exactly because the bucket key is a function of user_id — buckets
+    partition the user set, so per-bucket distinct counts are disjoint
+    partials and the final tiny groupby just sums them (no global
+    distinct pass, no second shuffle of event rows). Inside a bucket:
+    vectorized pandas — distinct (user, week), per-user min week, merge,
+    integer week offsets.
+    """
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    tag_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket.combine_chunks()
+                if isinstance(bucket, pa.ChunkedArray)
+                else bucket,
+                batch.column("user_id").combine_chunks(),
+                batch.column("ts").cast(pa.timestamp("us")).combine_chunks(),
+            ],
+            schema=tag_schema,
+        )
+
+    part_schema = pa.schema(
+        [
+            ("cohort_week", pa.string()),
+            ("week_offset", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+
+    def retention_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = group.filter(
+            pc.greater_equal(group.column("user_id"), 0)
+        ).to_pandas()
+        if not len(g):
+            return part_schema.empty_table()
+        # ISO-Monday week start == DuckDB date_trunc('week', ts)
+        g["w"] = g["ts"].dt.normalize() - pd.to_timedelta(
+            g["ts"].dt.weekday, unit="D"
+        )
+        weeks = g[["user_id", "w"]].drop_duplicates()
+        firsts = (
+            weeks.groupby("user_id", as_index=False)["w"]
+            .min()
+            .rename(columns={"w": "cohort"})
+        )
+        j = weeks.merge(firsts, on="user_id")
+        j["week_offset"] = ((j["w"] - j["cohort"]).dt.days // 7).astype(
+            "int64"
+        )
+        # one row per (user, week) -> size() IS the bucket-local distinct
+        part = j.groupby(["cohort", "week_offset"], as_index=False).size()
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    part["cohort"].dt.strftime("%Y-%m-%d").tolist(),
+                    pa.string(),
+                ),
+                pa.array(part["week_offset"].to_numpy(), pa.int64()),
+                pa.array(part["size"].to_numpy(), pa.int64()),
+            ],
+            schema=part_schema,
+        )
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .union(int_key_sentinels(tag_schema, "bucket", fill={"user_id": -1}))
+        .groupby("bucket", num_partitions=_cap(8))
+        .map_groups(retention_bucket, batch_format="pyarrow")
+    )
+    np_ = _cap(4)
+    return partials.repartition(np_).groupby(
+        ["cohort_week", "week_offset"], num_partitions=np_
+    ).aggregate(Sum("n_users", alias_name="n_users"))
+
+
 def user_event_paths(sf_dir: str) -> "ray.data.Dataset":
     """Per-user ordered event-path string (distributed ``string_agg(...
     ORDER BY ts, event_id)``): the ordered-collect operator behind

@@ -354,6 +354,7 @@ def main() -> None:
     timed("anti_join", lambda: J.customers_without_urgent(SF_DIR).count())
     timed("four_table_join", lambda: J.nation_returned_revenue(SF_DIR).count())
     timed("funnel", lambda: A.funnel_counts(SF_DIR).count())
+    timed("cohort_retention", lambda: A.cohort_retention(SF_DIR).count())
     timed("event_paths", lambda: A.user_event_paths(SF_DIR).count())
     timed("rollup", lambda: A.order_priority_status_rollup(SF_DIR).count())
     timed("pivot", lambda: A.user_event_pivot(SF_DIR).count())

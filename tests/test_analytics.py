@@ -426,3 +426,30 @@ def test_priority_revenue_share_sums_to_one():
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
     assert abs(got["share"].sum() - 1.0) < 1e-12
+
+
+def test_cohort_retention():
+    got = (
+        A.cohort_retention(SF)
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        WITH weeks AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+        ), firsts AS (
+          SELECT user_id, min(w) AS cohort FROM weeks GROUP BY user_id
+        )
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+               date_diff('day', f.cohort, w.w) // 7 AS week_offset,
+               COUNT(*) AS n_users
+        FROM weeks w JOIN firsts f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # offset 0 exists for every cohort (each user is active in their own
+    # first week by construction)
+    assert (got.groupby("cohort_week")["week_offset"].min() == 0).all()
