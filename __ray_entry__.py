@@ -56,12 +56,12 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 8  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 9  # bump when any oracle-producing logic changes
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
 # pack_sequences/contamination/media_resized/audio_chunks oracles;
 # v7: adds the product-quantization top-k replica oracle; v8: adds the
-# BPE merge-table replica oracle — the bump invalidates any stale _DONE
-# marker that predates them)
+# BPE merge-table replica oracle; v9: adds the PageRank replica oracle
+# — the bump invalidates any stale _DONE marker that predates them)
 
 
 def _oracle_dir(sf_dir: str) -> str:
@@ -174,6 +174,18 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         bpe_train_oracle(docs_tbl, n_merges=50),
         os.path.join(out_dir, "bpe_merges.parquet"),
+    )
+
+    # PageRank replica: exact integer-scaled arithmetic makes the
+    # distributed BSP run bit-equal; edges = the deterministic synthetic
+    # link graph over the corpus doc ids (same link_edges on both sides)
+    from agentic_doc_ray.functions.pagerank import link_edges, pagerank_oracle
+
+    _pq.write_table(
+        pagerank_oracle(
+            link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=5
+        ),
+        os.path.join(out_dir, "pagerank.parquet"),
     )
 
     # grounding crop-file oracle: same save fn single-process, digesting
@@ -685,6 +697,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         )
 
+    def q_chunk_windows(sf_dir):
+        """Context-window chunking for pretraining: overlapping fixed-size
+        token windows per doc (window=64, stride=48), chunk text included.
+        Batch-local, zero shuffle; oracle = the same windowing arithmetic
+        + array_to_string over the identical regexp split in DuckDB."""
+        from agentic_doc_ray.functions.text import chunk_windows
+
+        return chunk_windows(docs(sf_dir), window=64, stride=48)
+
+    def q_pagerank(sf_dir):
+        """PageRank over the deterministic synthetic link graph on the
+        corpus doc ids (link-quality weighting for a web corpus). Oracle:
+        bit-equal single-process replica — exact integer-scaled ranks."""
+        from agentic_doc_ray.functions.pagerank import link_edges, pagerank
+
+        _ensure_extraction_oracles(sf_dir)
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        n = d.count()
+        edges = d.map_batches(
+            lambda b: link_edges(b.column("doc_id"), n),
+            batch_format="pyarrow",
+        )
+        return pagerank(edges, n_iter=5)
+
     def q_bm25(sf_dir):
         """BM25 top-10 per keyword query (rank-only output; scores are
         engine-internal floats — same contract as similarity_topk)."""
@@ -1102,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "normalize_text": q_normalize_text,
         "bpe_merges": q_bpe_merges,
+        "chunk_windows": q_chunk_windows,
         "contamination_flags": q_contamination,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
@@ -1120,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,    # exact (verified pipeline)
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
+        "pagerank": q_pagerank,                    # single-process replica oracle
         "paragraph_dedup": q_paragraph_dedup,
         "bm25_topk": q_bm25,
         "index_postings": q_index_postings,
@@ -1313,6 +1353,28 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": (
             'SELECT "rank", "left", "right", pair_count '
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/bpe_merges.parquet')"
+        ),
+        "chunk_windows": (
+            "WITH tr AS ("
+            "  SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed"
+            "  FROM documents"
+            "), tok AS ("
+            "  SELECT doc_id, regexp_split_to_array(trimmed, '\\s+') AS toks"
+            "  FROM tr WHERE trimmed <> ''"
+            "), st AS ("
+            "  SELECT doc_id, toks, len(toks) AS n,"
+            "    CASE WHEN len(toks) <= 64 THEN 1"
+            "    ELSE 1 + (len(toks) - 64 + 47) // 48 END AS n_chunks"
+            "  FROM tok"
+            "), ch AS ("
+            "  SELECT doc_id, toks, n,"
+            "    unnest(generate_series(0, n_chunks - 1)) AS k FROM st"
+            ") "
+            "SELECT doc_id, k AS chunk_idx, k * 48 AS start_tok, "
+            "least(k * 48 + 64, n) AS end_tok, "
+            "least(k * 48 + 64, n) - k * 48 AS n_tokens, "
+            "array_to_string(toks[k * 48 + 1 : least(k * 48 + 64, n)], ' ') AS chunk_text "
+            "FROM ch"
         ),
         "normalize_text": (
             "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
@@ -1708,6 +1770,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
             "WHERE CAST(doc_id AS VARCHAR) NOT IN "
             "(SELECT doc_id FROM comp WHERE doc_id <> component)"
+        ),
+        "pagerank": (
+            "SELECT node, rank_scaled "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/pagerank.parquet')"
         ),
         "paragraph_dedup": (
             "WITH planted AS ("

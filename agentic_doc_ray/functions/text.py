@@ -662,3 +662,92 @@ def token_commonness(
         return _commonness_batch(batch, cache["vocab"])
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def chunk_windows_batch(
+    batch: pa.Table, window: int = 64, stride: int = 48
+) -> pa.Table:
+    """(doc_id, text) -> one row per token window: context-window chunking
+    for pretraining (fixed ``window`` tokens, overlapping by ``window -
+    stride``). Chunk k covers tokens [k*stride, min(k*stride+window, n));
+    a doc emits ``1 + ceil((n-window)/stride)`` chunks (1 if n <= window),
+    so the final chunk always ends at the last token and every token is
+    covered. chunk_text is the single-space join of the window's tokens
+    (canonical detokenization — the oracle reproduces it with
+    array_to_string over the same regexp split).
+
+    Fully vectorized and batch-local (zero shuffle): token slicing is one
+    pc.take over the flattened token values with numpy-computed indices,
+    join is one pc.binary_join.
+    """
+    doc_ids = batch.column("doc_id").combine_chunks()
+    trimmed = _regex_trim(batch.column("text").combine_chunks())
+    if isinstance(trimmed, pa.ChunkedArray):
+        trimmed = trimmed.combine_chunks()
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = (off[1:] - off[:-1]).astype(np.int64)
+    # empty-trimmed docs split to [""] — they emit no chunks
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    n = np.where(empty, 0, n)
+
+    n_chunks = np.where(
+        n <= window, 1, 1 + (n - window + stride - 1) // stride
+    )
+    n_chunks = np.where(n > 0, n_chunks, 0)
+    total_c = int(n_chunks.sum())
+    out_schema = pa.schema(
+        [
+            ("doc_id", doc_ids.type),
+            ("chunk_idx", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("end_tok", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("chunk_text", pa.string()),
+        ]
+    )
+    if total_c == 0:
+        return out_schema.empty_table()
+
+    parents = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    cbase = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+    k = np.arange(total_c, dtype=np.int64) - cbase[parents]
+    start = k * stride
+    end = np.minimum(start + window, n[parents])
+    lens = end - start
+
+    tok_base = off[parents] + start
+    tstart = np.concatenate(([0], np.cumsum(lens)))
+    idx = (
+        np.arange(int(tstart[-1]), dtype=np.int64)
+        - np.repeat(tstart[:-1], lens)
+        + np.repeat(tok_base, lens)
+    )
+    taken = pc.take(toks.values, pa.array(idx, pa.int64()))
+    chunk_lists = pa.ListArray.from_arrays(
+        pa.array(tstart, pa.int32()), taken
+    )
+    chunk_text = pc.binary_join(chunk_lists, pa.scalar(" "))
+    return pa.Table.from_arrays(
+        [
+            pc.take(doc_ids, pa.array(parents, pa.int64())),
+            pa.array(k, pa.int64()),
+            pa.array(start, pa.int64()),
+            pa.array(end, pa.int64()),
+            pa.array(lens, pa.int64()),
+            chunk_text,
+        ],
+        schema=out_schema,
+    )
+
+
+def chunk_windows(
+    docs: "ray.data.Dataset", window: int = 64, stride: int = 48
+) -> "ray.data.Dataset":
+    """Distributed context-window chunking (see chunk_windows_batch)."""
+    return docs.map_batches(
+        lambda b: chunk_windows_batch(b, window=window, stride=stride),
+        batch_format="pyarrow",
+    )

@@ -256,6 +256,23 @@ def main() -> None:
 
     timed("dedup_components", cc_q)
 
+    def pagerank_q() -> None:
+        from agentic_doc_ray.functions.pagerank import link_edges, pagerank
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        n = d.count()
+        pagerank(
+            d.map_batches(
+                lambda b: link_edges(b.column("doc_id"), n),
+                batch_format="pyarrow",
+            ),
+            n_iter=5,
+        ).count()
+
+    timed("pagerank", pagerank_q)
+
     def bm25_q() -> None:
         from agentic_doc_ray.functions.retrieval import bm25_topk
 

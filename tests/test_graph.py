@@ -1,6 +1,7 @@
 """Connected components vs a naive union-find on constructed graphs."""
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -119,6 +120,79 @@ def test_empty_pairs():
                               "doc_b": pa.array([], pa.string())})
     got = connected_components(ray.data.from_arrow(t)).to_pandas()
     assert len(got) == 0
+
+
+def _pr_run(edges, n_iter=5):
+    from agentic_doc_ray.functions.pagerank import pagerank
+
+    t = pa.Table.from_pydict(
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}
+    )
+    got = pagerank(ray.data.from_arrow(t), n_iter=n_iter).to_pandas()
+    return dict(zip(got["node"], got["rank_scaled"]))
+
+
+def _pr_oracle(edges, n_iter=5):
+    from agentic_doc_ray.functions.pagerank import pagerank_oracle
+
+    t = pa.Table.from_pydict(
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}
+    )
+    got = pagerank_oracle(t, n_iter=n_iter)
+    return dict(zip(got["node"].to_pylist(), got["rank_scaled"].to_pylist()))
+
+
+def test_pagerank_bit_equal_mixed_graph():
+    """Distributed BSP == single-process replica, bit for bit, on a graph
+    with a hub, a chain, a dangling node (d9: in-links only) and a
+    multi-edge (duplicate d1->d2 doubles the contribution)."""
+    edges = [
+        ("d1", "d2"), ("d1", "d2"), ("d1", "d3"),
+        ("d2", "d3"), ("d3", "d1"),
+        ("d4", "d1"), ("d5", "d1"), ("d6", "d1"),   # hub in-links
+        ("d7", "d8"), ("d8", "d9"),                  # chain into dangling d9
+    ]
+    got = _pr_run(edges)
+    want = _pr_oracle(edges)
+    assert got == want
+    # hub d1 must outrank the leaf-only sources
+    assert got["d1"] > got["d4"]
+
+
+def test_pagerank_uniform_cycle():
+    """On a pure cycle every node keeps exactly the same rank: update is
+    base + 85%*(r//1), bit-equal across nodes and to the replica."""
+    n = 6
+    edges = [(f"c{i}", f"c{(i+1) % n}") for i in range(n)]
+    got = _pr_run(edges, n_iter=7)
+    assert got == _pr_oracle(edges, n_iter=7)
+    assert len(set(got.values())) == 1
+
+
+def test_pagerank_empty_edges():
+    from agentic_doc_ray.functions.pagerank import pagerank
+
+    t = pa.Table.from_pydict(
+        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+    )
+    got = pagerank(ray.data.from_arrow(t)).to_pandas()
+    assert len(got) == 0
+
+
+def test_link_edges_deterministic_and_batch_local():
+    """link_edges over the whole column == concat of per-batch calls (the
+    oracle-side vs Ray-side construction), and no self-links."""
+    from agentic_doc_ray.functions.pagerank import link_edges
+
+    ids = pa.array(list(range(40)), pa.int64())
+    whole = link_edges(ids, 40)
+    parts = pa.concat_tables(
+        [link_edges(ids.slice(o, 10), 40) for o in range(0, 40, 10)]
+    )
+    assert whole.equals(parts)
+    assert pc.sum(
+        pc.cast(pc.equal(whole["src"], whole["dst"]), pa.int64())
+    ).as_py() == 0
 
 
 def test_adaptive_sentinel_partition_coverage():

@@ -241,3 +241,59 @@ def test_normalize_text_composes_lowers_and_collapses():
     }
     assert got[1] == got[2] == "café deluxe"
     assert got[3] == "plain ascii"
+
+
+def test_chunk_windows_matches_replica():
+    """Vectorized windowing == per-doc Python replica on edge-case docs:
+    empty, whitespace-only, single token, exactly-window, window+1, long,
+    and runs of mixed whitespace separators."""
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.text import chunk_windows_batch
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, ""),
+        (3, " \t \n "),
+        (4, "one"),
+        (5, "  x\t\ty  z\n w  "),
+        (6, " ".join(f"t{i}" for i in range(7))),
+        (7, " ".join(f"u{i}" for i in range(8))),
+        (8, " ".join(f"v{i}" for i in range(23))),
+    ]
+
+    def replica(window, stride):
+        out = []
+        for did, text in rows:
+            toks = text.split()
+            n = len(toks)
+            if n == 0:
+                continue
+            nc = 1 if n <= window else 1 + -(-(n - window) // stride)
+            for k in range(nc):
+                s, e = k * stride, min(k * stride + window, n)
+                out.append((did, k, s, e, e - s, " ".join(toks[s:e])))
+        return out
+
+    t = pa.table(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    )
+    for w, s in [(7, 5), (3, 3), (4, 2), (64, 48)]:
+        got = [
+            tuple(r.values())
+            for r in chunk_windows_batch(t, window=w, stride=s).to_pylist()
+        ]
+        assert got == replica(w, s), (w, s)
+
+
+def test_chunk_windows_all_empty_batch_keeps_schema():
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.text import chunk_windows_batch
+
+    t = pa.table({"doc_id": pa.array([9], pa.int64()), "text": [""]})
+    out = chunk_windows_batch(t)
+    assert out.num_rows == 0
+    assert out.schema.names == [
+        "doc_id", "chunk_idx", "start_tok", "end_tok", "n_tokens", "chunk_text",
+    ]
