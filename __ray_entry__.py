@@ -1199,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _Sc().late_events,
         "user_cumulative_spend": _Sc().user_cumulative_spend,
         "global_rank": _Sc().global_rank,
+        "shuffle_positions": _Sc().shuffle_positions,
         "on_time_hourly": _Sc().on_time_hourly,
         "docs_above_group_median": q_group_median,
         # ranking
@@ -1885,6 +1886,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars, "
             "CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_rank "
             "FROM documents"
+        ),
+        "shuffle_positions": (
+            # the same Fibonacci-hash permutation key, in exact HUGEINT
+            # arithmetic: ((doc_id + 42) * 2^64/phi) mod 2^64
+            "WITH h AS ("
+            "  SELECT doc_id, "
+            "  ((CAST(doc_id AS HUGEINT) + 42) * 11400714819323198485)"
+            "  % 18446744073709551616 AS hk FROM documents"
+            ") "
+            "SELECT doc_id, "
+            "CAST(row_number() OVER (ORDER BY hk, doc_id) - 1 AS BIGINT)"
+            " AS shuffle_pos FROM h"
         ),
         "docs_above_group_median": (
             "WITH m AS ("

@@ -346,6 +346,103 @@ def global_rank(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
     )
 
 
+# Fibonacci-hash multiplier (2^64/phi, the splitmix64 increment): one
+# wrap-mod-2^64 multiply gives a uniform, seedable permutation key. DuckDB
+# reproduces it exactly with HUGEINT arithmetic (% 2^64), so the shuffle
+# order is oracle-checkable bit for bit.
+_SHUF_MULT = 11400714819323198485
+
+
+def _shuffle_hash(doc_ids: pa.Array, seed: int) -> np.ndarray:
+    # seed is mixed BEFORE the multiply — an additive post-multiply seed
+    # would shift every key equally and leave the order unchanged
+    ids = doc_ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return (ids + np.uint64(seed)) * np.uint64(_SHUF_MULT)
+
+
+def shuffle_positions(
+    sf_dir: str, seed: int = 42, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Deterministic GLOBAL shuffle positions without a global shuffle:
+    assign every document its 0-based position in a seeded uniform random
+    permutation (what a pretraining run needs before packing/sharding, so
+    a re-run — or a resumed run — reads the corpus in the identical order).
+
+    Order key is ``h = (doc_id * 2^64/phi + seed) mod 2^64`` (ties broken
+    by doc_id); position = dense rank of (h, doc_id). Same machinery as
+    ``global_rank`` but the hash is uniform on [0, 2^64), so the range
+    partition is just the top 6 bits — no min/max pass at all:
+
+      1. bucket = h >> 58 (64 equal hash ranges — balanced by uniformity,
+         no sampling needed);
+      2. per-bucket counts, partial-aggregated per batch, merged on the
+         driver (<= n_buckets integers, independent of row count);
+      3. ONE groupby(bucket) exchange; each group sorts locally by
+         (h, doc_id) and emits offset + local index.
+
+    At 10^12 rows: driver state stays at one int per bucket (use
+    h >> 50 for ~16k buckets); rows move through exactly one exchange.
+    """
+    shift = 64 - int(np.log2(n_buckets))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shuffle_pos": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        h = _shuffle_hash(batch.column("doc_id").combine_chunks(), seed)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(h, pa.uint64()),
+                pa.array((h >> shift).astype(np.int32)),
+            ],
+            names=["doc_id", "h", "bucket"],
+        )
+
+    keyed = ds.map_batches(with_key, batch_format="pyarrow")
+
+    counts = keyed.map_batches(
+        lambda b: b.select(["bucket"]).group_by("bucket").aggregate(
+            [("bucket", "count")]
+        ).rename_columns(["bucket", "n"]),
+        batch_format="pyarrow",
+    ).take_all()
+    per_bucket: dict[int, int] = {}
+    for r in counts:
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["n"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b]
+    off_ref = ray.put(offsets)
+
+    def pos_bucket(group: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        order = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        base = offs[int(g.column("bucket")[0].as_py())]
+        pos = pa.array(np.arange(g.num_rows, dtype=np.int64) + base)
+        return pa.Table.from_arrays(
+            [g.column("doc_id"), pos], names=["doc_id", "shuffle_pos"]
+        )
+
+    return keyed.groupby("bucket", num_partitions=shuffle_partitions(8)).map_groups(
+        pos_bucket, batch_format="pyarrow"
+    )
+
+
 def user_cumulative_spend(sf_dir: str) -> "ray.data.Dataset":
     """Per-user running purchase totals: for every purchase event, the
     user's cumulative purchase count and spend up to and including it

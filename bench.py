@@ -386,6 +386,7 @@ def main() -> None:
     timed("bloom_semi_join", lambda: J.urgent_revenue_bloom(SF_DIR).count())
     timed("interval_join", lambda: A.purchase_sessions(SF_DIR).count())
     timed("global_rank", lambda: SC.global_rank(SF_DIR).count())
+    timed("shuffle_positions", lambda: SC.shuffle_positions(SF_DIR).count())
     timed("on_time_hourly", lambda: SC.on_time_hourly(SF_DIR).count())
 
     def substr_q() -> None:

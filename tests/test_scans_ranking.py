@@ -233,3 +233,29 @@ def test_purchase_sessions_interval_join():
     # every purchase falls in exactly one of its user's sessions
     assert len(got) == len(_duck("SELECT 1 FROM events WHERE event_type = 'purchase'"))
     _cmp(got, want, ["event_id"])
+
+
+def test_shuffle_positions_deterministic_permutation():
+    got = S.shuffle_positions(SF, seed=42).to_pandas()
+    want = _duck(
+        """
+        WITH h AS (
+          SELECT doc_id,
+            ((CAST(doc_id AS HUGEINT) + 42) * 11400714819323198485)
+            % 18446744073709551616 AS hk
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY hk, doc_id) - 1 AS BIGINT)
+          AS shuffle_pos FROM h
+        """
+    )
+    # a permutation: every position 0..n-1 exactly once
+    assert sorted(got["shuffle_pos"]) == list(range(len(got)))
+    _cmp(got, want, ["doc_id"])
+    # reruns reproduce the order; a different seed permutes differently
+    again = S.shuffle_positions(SF, seed=42).to_pandas()
+    _cmp(got, again, ["doc_id"])
+    other = S.shuffle_positions(SF, seed=7).to_pandas()
+    merged = got.merge(other, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["shuffle_pos_a"] != merged["shuffle_pos_b"]).any()
