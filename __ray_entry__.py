@@ -56,11 +56,12 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 9  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 10  # bump when any oracle-producing logic changes
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
 # pack_sequences/contamination/media_resized/audio_chunks oracles;
 # v7: adds the product-quantization top-k replica oracle; v8: adds the
-# BPE merge-table replica oracle; v9: adds the PageRank replica oracle
+# BPE merge-table replica oracle; v9: adds the PageRank replica oracle;
+# v10: adds the bigram-LM replica oracle
 # — the bump invalidates any stale _DONE marker that predates them)
 
 
@@ -186,6 +187,16 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=5
         ),
         os.path.join(out_dir, "pagerank.parquet"),
+    )
+
+    # bigram-LM replica: per-bigram log-likelihoods round to integer
+    # micro-bits before the per-doc sum, so the distributed two-exchange
+    # run is bit-equal to this single-process replica
+    from agentic_doc_ray.functions.text import bigram_lm_oracle
+
+    _pq.write_table(
+        bigram_lm_oracle(docs_tbl),
+        os.path.join(out_dir, "bigram_lm.parquet"),
     )
 
     # grounding crop-file oracle: same save fn single-process, digesting
@@ -723,6 +734,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pagerank(edges, n_iter=5)
 
+    def q_bigram_lm(sf_dir):
+        """Bigram-LM perplexity signal (CCNet-style): per-doc negative
+        log-likelihood in integer micro-bits under the corpus-MLE bigram
+        model. Oracle: bit-equal single-process replica."""
+        from agentic_doc_ray.functions.text import bigram_lm_score
+
+        _ensure_extraction_oracles(sf_dir)
+        return bigram_lm_score(docs(sf_dir))
+
     def q_bm25(sf_dir):
         """BM25 top-10 per keyword query (rank-only output; scores are
         engine-internal floats — same contract as similarity_topk)."""
@@ -1160,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
         "pagerank": q_pagerank,                    # single-process replica oracle
+        "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "paragraph_dedup": q_paragraph_dedup,
         "bm25_topk": q_bm25,
         "index_postings": q_index_postings,
@@ -1775,6 +1796,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": (
             "SELECT node, rank_scaled "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pagerank.parquet')"
+        ),
+        "bigram_lm_nll": (
+            "SELECT doc_id, n_bigrams, n_scored, nll_micro "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/bigram_lm.parquet')"
         ),
         "paragraph_dedup": (
             "WITH planted AS ("

@@ -751,3 +751,220 @@ def chunk_windows(
         lambda b: chunk_windows_batch(b, window=window, stride=stride),
         batch_format="pyarrow",
     )
+
+
+# --- bigram language-model scoring (CCNet-style perplexity signal) ------
+#
+# Per-bigram log-likelihoods are rounded to INTEGER micro-bits BEFORE the
+# per-doc sum: the elementwise float op (log2 of a count ratio) is
+# deterministic, and integer segment sums are batching-independent, so the
+# distributed run is bit-equal to the single-process replica oracle no
+# matter how blocks split. (A float per-doc sum would drift in the last
+# ulp with batch boundaries.)
+_LM_SCALE = 1_000_000
+
+
+def _bigram_partial(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> partial (bigram, n) counts for the batch."""
+    trimmed = _regex_trim(batch.column("text"))
+    nonempty = pc.not_equal(trimmed, "")
+    toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks_list, pa.ChunkedArray):
+        toks_list = toks_list.combine_chunks()
+    flat = toks_list.flatten()
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    n = len(flat)
+    if n < 2:
+        return pa.table(
+            {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    joined = pc.binary_join_element_wise(flat.slice(0, n - 1), flat.slice(1), " ")
+    bigrams = joined.filter(pa.array(parents[:-1] == parents[1:]))
+    g = pa.Table.from_arrays([bigrams], names=["bigram"]).group_by(
+        "bigram"
+    ).aggregate([("bigram", "count")])
+    return g.rename_columns(["bigram", "n"])
+
+
+def _first_partial(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> partial (token, n) counts of bigram-FIRST tokens
+    (every token occurrence except each document's last)."""
+    trimmed = _regex_trim(batch.column("text"))
+    nonempty = pc.not_equal(trimmed, "")
+    toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks_list, pa.ChunkedArray):
+        toks_list = toks_list.combine_chunks()
+    flat = toks_list.flatten()
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    n = len(flat)
+    if n < 2:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    firsts = flat.slice(0, n - 1).filter(pa.array(parents[:-1] == parents[1:]))
+    g = pa.Table.from_arrays([firsts], names=["token"]).group_by(
+        "token"
+    ).aggregate([("token", "count")])
+    return g.rename_columns(["token", "n"])
+
+
+def _cap_counts(t: pa.Table, key: str, max_vocab: int, label: str) -> pa.Table:
+    if t.num_rows > max_vocab:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bigram_lm: %s table %d > cap %d; keeping the %d most frequent "
+            "— out-of-cap entries score as OOV (counted, never silent)",
+            label, t.num_rows, max_vocab, max_vocab,
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), (key, "ascending")]
+        )
+        t = t.take(order.slice(0, max_vocab))
+    return t
+
+
+def _lm_score_batch(batch: pa.Table, bmap, fmap) -> pa.Table:
+    """Score one batch against broadcast count tables (pandas Series:
+    bigram->count, first-token->count). All outputs integer."""
+    import pandas as pd
+
+    trimmed = _regex_trim(batch.column("text"))
+    if isinstance(trimmed, pa.ChunkedArray):
+        trimmed = trimmed.combine_chunks()
+    nonempty = pc.not_equal(trimmed, "")
+    toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks_list, pa.ChunkedArray):
+        toks_list = toks_list.combine_chunks()
+    flat = toks_list.flatten()
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    n = len(flat)
+
+    n_docs = batch.num_rows
+    n_bigrams = np.zeros(n_docs, np.int64)
+    n_scored = np.zeros(n_docs, np.int64)
+    nll_micro = np.zeros(n_docs, np.int64)
+    idx = np.flatnonzero(nonempty.to_numpy(zero_copy_only=False))
+
+    if n >= 2:
+        same = parents[:-1] == parents[1:]
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1), " "
+        ).filter(pa.array(same))
+        firsts = flat.slice(0, n - 1).filter(pa.array(same))
+        seg = parents[:-1][same]  # nonempty-doc-local parent per bigram
+
+        nb = pd.Series(joined.to_numpy(zero_copy_only=False)).map(bmap).to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        nf = pd.Series(firsts.to_numpy(zero_copy_only=False)).map(fmap).to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        scored = ~(np.isnan(nb) | np.isnan(nf))
+        ll_micro = np.zeros(len(nb), np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ll = np.log2(nb[scored] / nf[scored])
+        ll_micro[scored] = np.round(ll * _LM_SCALE).astype(np.int64)
+
+        n_ne = int(parents[-1]) + 1 if n else 0
+        bc = np.bincount(seg, minlength=n_ne).astype(np.int64)
+        sc = np.bincount(seg, weights=scored.astype(np.float64), minlength=n_ne)
+        nl = np.bincount(seg, weights=ll_micro.astype(np.float64), minlength=n_ne)
+        # bincount weights are float64 — exact for the int64 magnitudes
+        # here (|sum| < 2^53: micro-bits per doc cap out far below that)
+        n_bigrams[idx[:n_ne]] = bc
+        n_scored[idx[:n_ne]] = np.round(sc).astype(np.int64)
+        nll_micro[idx[:n_ne]] = -np.round(nl).astype(np.int64)
+
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_bigrams, pa.int64()),
+            pa.array(n_scored, pa.int64()),
+            pa.array(nll_micro, pa.int64()),
+        ],
+        names=["doc_id", "n_bigrams", "n_scored", "nll_micro"],
+    )
+
+
+def _counts_to_series(t: pa.Table, key: str):
+    import pandas as pd
+
+    return pd.Series(
+        t.column("n").to_numpy(zero_copy_only=False),
+        index=t.column(key).to_numpy(zero_copy_only=False),
+    )
+
+
+def bigram_lm_score(
+    docs: "ray.data.Dataset", max_vocab: int = 1 << 22
+) -> "ray.data.Dataset":
+    """Per-document bigram-LM negative log-likelihood (micro-bits), the
+    CCNet-style perplexity quality signal, integer-exact end to end.
+
+    Model: corpus MLE ``p(w2|w1) = C(w1 w2) / C_first(w1)`` trained on the
+    full corpus (each doc scores against the corpus including itself —
+    deterministic, no train/test split needed for a quality SIGNAL).
+    ``nll_micro = -sum round(log2(p) * 1e6)`` over the doc's bigrams in
+    order; ``n_scored`` counts bigrams inside the (capped) tables.
+
+    Shape: two streaming count passes (partial per-batch group_by -> one
+    small exchange each — one row per DISTINCT bigram/token per batch
+    moves, never per occurrence), the count tables broadcast once via
+    ray.put, then one streaming scoring pass with vectorized hashtable
+    probes. Caps at ``max_vocab`` rows per table (logged, OOV counted).
+    """
+    import ray as _ray
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from ray.data.aggregate import Sum
+
+    np_ = shuffle_partitions(8)
+
+    def collect(ds, key):
+        blocks = [b for b in _ray.get(ds.to_arrow_refs()) if b.num_rows]
+        if not blocks:
+            return pa.table(
+                {key: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(blocks).combine_chunks()
+
+    btbl = collect(
+        docs.map_batches(_bigram_partial, batch_format="pyarrow")
+        .repartition(np_)
+        .groupby("bigram", num_partitions=np_)
+        .aggregate(Sum("n", alias_name="n")),
+        "bigram",
+    )
+    ftbl = collect(
+        docs.map_batches(_first_partial, batch_format="pyarrow")
+        .repartition(np_)
+        .groupby("token", num_partitions=np_)
+        .aggregate(Sum("n", alias_name="n")),
+        "token",
+    )
+    bmap = _counts_to_series(_cap_counts(btbl, "bigram", max_vocab, "bigram"), "bigram")
+    fmap = _counts_to_series(_cap_counts(ftbl, "token", max_vocab, "first-token"), "token")
+    bref, fref = _ray.put(bmap), _ray.put(fmap)
+
+    def score(batch: pa.Table, *, _b=bref, _f=fref) -> pa.Table:
+        cache = score.__dict__
+        if "b" not in cache:
+            cache["b"], cache["f"] = _ray.get(_b), _ray.get(_f)
+        return _lm_score_batch(batch, cache["b"], cache["f"])
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_lm_oracle(docs_tbl: pa.Table, max_vocab: int = 1 << 22) -> pa.Table:
+    """Single-process replica of ``bigram_lm_score``: the same partial
+    count fns applied to the whole corpus as ONE batch (a complete
+    group_by), the same cap rule, the same scoring batch fn — bit-equal
+    by construction."""
+    btbl = _cap_counts(_bigram_partial(docs_tbl), "bigram", max_vocab, "bigram")
+    ftbl = _cap_counts(_first_partial(docs_tbl), "token", max_vocab, "first-token")
+    return _lm_score_batch(
+        docs_tbl,
+        _counts_to_series(btbl, "bigram"),
+        _counts_to_series(ftbl, "token"),
+    )

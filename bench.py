@@ -217,6 +217,7 @@ def main() -> None:
     )
     timed("simhash", lambda: D.simhashes(docs()).count())
     timed("token_commonness", lambda: T.token_commonness(docs()).count())
+    timed("bigram_lm_nll", lambda: T.bigram_lm_score(docs()).count())
 
     def bpe_q() -> None:
         from agentic_doc_ray.functions.bpe import bpe_train

@@ -297,3 +297,66 @@ def test_chunk_windows_all_empty_batch_keeps_schema():
     assert out.schema.names == [
         "doc_id", "chunk_idx", "start_tok", "end_tok", "n_tokens", "chunk_text",
     ]
+
+
+def test_bigram_lm_distributed_matches_replica():
+    """Distributed two-exchange bigram LM == single-process replica, bit
+    for bit, on edge cases: empty doc, whitespace-only, single token,
+    repeated text (nll=0: every bigram deterministic given its first
+    token there), and the sum is batching-independent (2-row blocks)."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import bigram_lm_oracle, bigram_lm_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, ""),
+        (3, "   \t "),
+        (4, "one"),
+        (5, "a b a b a b"),
+        (6, "the cat sat on the hat"),
+        (7, "x y"),
+        (8, "x y"),
+    ]
+    t = pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    want = bigram_lm_oracle(t).to_pylist()
+
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = sorted(bigram_lm_score(ds).take_all(), key=lambda r: r["doc_id"])
+    assert got == sorted(want, key=lambda r: r["doc_id"])
+
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[2]["n_bigrams"] == 0 and by_id[2]["nll_micro"] == 0
+    assert by_id[4]["n_bigrams"] == 0
+    # docs 7/8 are identical 2-token docs: "x y" is the only x-bigram in
+    # the corpus, so p(y|x)=1 and nll is exactly 0
+    assert by_id[7]["nll_micro"] == 0 and by_id[8]["nll_micro"] == 0
+    # every bigram is in-vocab without a cap
+    assert all(r["n_scored"] == r["n_bigrams"] for r in got)
+    # "the"->{cat: 2/4? no: the cat x2, the mat, the hat} gives doc 1 a
+    # strictly positive nll
+    assert by_id[1]["nll_micro"] > 0
+
+
+def test_bigram_lm_vocab_cap_counts_oov():
+    """With max_vocab=1 the cap keeps only the most frequent bigram /
+    first-token; out-of-cap bigrams are counted as OOV, never scored —
+    and the replica applies the identical cap rule."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import bigram_lm_oracle, bigram_lm_score
+
+    t = pa.table(
+        {"doc_id": [1, 2], "text": ["a b a b a b", "c d"]}
+    )
+    want = bigram_lm_oracle(t, max_vocab=1).to_pylist()
+    got = sorted(
+        bigram_lm_score(ray.data.from_arrow(t), max_vocab=1).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert got == sorted(want, key=lambda r: r["doc_id"])
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[2]["n_bigrams"] == 1 and by_id[2]["n_scored"] == 0
+    assert by_id[1]["n_scored"] < by_id[1]["n_bigrams"]
