@@ -734,6 +734,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pagerank(edges, n_iter=5)
 
+    def q_domain_prior(sf_dir):
+        """Domain-level quality prior (doc count + distinct-content count
+        per source, annotated onto every row) — the domain-filter input.
+        Exact integers; oracle = the same counts via SQL md5 keys."""
+        from agentic_doc_ray.functions.text import domain_prior
+
+        return domain_prior(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        )
+
     def q_bigram_lm(sf_dir):
         """Bigram-LM perplexity signal (CCNet-style): per-doc negative
         log-likelihood in integer micro-bits under the corpus-MLE bigram
@@ -1181,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": q_near_dedup_keep,
         "pagerank": q_pagerank,                    # single-process replica oracle
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
+        "domain_prior": q_domain_prior,
         "paragraph_dedup": q_paragraph_dedup,
         "bm25_topk": q_bm25,
         "index_postings": q_index_postings,
@@ -1800,6 +1814,15 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_nll": (
             "SELECT doc_id, n_bigrams, n_scored, nll_micro "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/bigram_lm.parquet')"
+        ),
+        "domain_prior": (
+            "WITH s AS ("
+            "  SELECT source, count(*) AS src_n_docs, "
+            "  count(DISTINCT md5(text)) AS src_n_distinct "
+            "  FROM documents GROUP BY source"
+            ") "
+            "SELECT d.doc_id, d.source, s.src_n_docs, s.src_n_distinct "
+            "FROM documents d JOIN s ON d.source = s.source"
         ),
         "paragraph_dedup": (
             "WITH planted AS ("

@@ -968,3 +968,106 @@ def bigram_lm_oracle(docs_tbl: pa.Table, max_vocab: int = 1 << 22) -> pa.Table:
         _counts_to_series(btbl, "bigram"),
         _counts_to_series(ftbl, "token"),
     )
+
+
+def domain_prior(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Domain-level quality prior joined back onto every document (the
+    RefinedWeb/DCLM-style domain filter input): per ``source`` domain, its
+    total doc count and DISTINCT-content count (md5 keys, the exact_dedup
+    contract), annotated onto each row so a downstream filter can cut
+    whole low-quality / high-duplication domains.
+
+    Shape: per-batch partial group_by (source, md5) -> ONE exchange keyed
+    on the composite (one row per distinct pair per batch, never per doc)
+    -> per-batch projection to per-source partials -> a second exchange
+    whose key space is the DOMAIN count (tiny) -> the per-domain table is
+    broadcast once and probed with a vectorized hashtable map. Documents
+    themselves never shuffle.
+    """
+    import ray as _ray
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions.dedup import _md5_hex
+    from ray.data.aggregate import Sum
+
+    np_ = shuffle_partitions(8)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        h = pa.array(_md5_hex(batch.column("text").to_pylist()))
+        t = pa.Table.from_arrays(
+            [batch.column("source"), h], names=["source", "h"]
+        )
+        g = t.group_by(["source", "h"]).aggregate([("h", "count")])
+        return g.rename_columns(["source", "h", "n"])
+
+    pairs = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["source", "h"], num_partitions=np_)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "source" not in batch.schema.names:
+            # Ray's hash-aggregate finalizer emits SCHEMA-LESS blocks for
+            # empty partitions — keep the typed schema alive downstream
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "src_n_docs": pa.array([], pa.int64()),
+                    "src_n_distinct": pa.array([], pa.int64()),
+                }
+            )
+        g = batch.group_by("source").aggregate(
+            [("n", "sum"), ("n", "count")]
+        )
+        return g.rename_columns(["source", "src_n_docs", "src_n_distinct"])
+
+    per_src = (
+        pairs.map_batches(src_partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=shuffle_partitions(4))
+        .aggregate(
+            Sum("src_n_docs", alias_name="src_n_docs"),
+            Sum("src_n_distinct", alias_name="src_n_distinct"),
+        )
+    )
+    blocks = [b for b in _ray.get(per_src.to_arrow_refs()) if b.num_rows]
+    src_t = (
+        pa.concat_tables(blocks).combine_chunks()
+        if blocks
+        else pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "src_n_docs": pa.array([], pa.int64()),
+                "src_n_distinct": pa.array([], pa.int64()),
+            }
+        )
+    )
+    import pandas as pd
+
+    nd = pd.Series(
+        src_t.column("src_n_docs").to_numpy(zero_copy_only=False),
+        index=src_t.column("source").to_numpy(zero_copy_only=False),
+    )
+    nu = pd.Series(
+        src_t.column("src_n_distinct").to_numpy(zero_copy_only=False),
+        index=src_t.column("source").to_numpy(zero_copy_only=False),
+    )
+    ref = _ray.put((nd, nu))
+
+    def annotate(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        cache = annotate.__dict__
+        if "m" not in cache:
+            cache["m"] = _ray.get(_ref)
+        nd_, nu_ = cache["m"]
+        src = pd.Series(batch.column("source").to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("source"),
+                pa.array(src.map(nd_).to_numpy(dtype=np.int64)),
+                pa.array(src.map(nu_).to_numpy(dtype=np.int64)),
+            ],
+            names=["doc_id", "source", "src_n_docs", "src_n_distinct"],
+        )
+
+    return docs.map_batches(annotate, batch_format="pyarrow")

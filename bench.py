@@ -219,6 +219,16 @@ def main() -> None:
     timed("token_commonness", lambda: T.token_commonness(docs()).count())
     timed("bigram_lm_nll", lambda: T.bigram_lm_score(docs()).count())
 
+    def domain_q() -> None:
+        T.domain_prior(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        ).count()
+
+    timed("domain_prior", domain_q)
+
     def bpe_q() -> None:
         from agentic_doc_ray.functions.bpe import bpe_train
 

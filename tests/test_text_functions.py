@@ -360,3 +360,47 @@ def test_bigram_lm_vocab_cap_counts_oov():
     by_id = {r["doc_id"]: r for r in got}
     assert by_id[2]["n_bigrams"] == 1 and by_id[2]["n_scored"] == 0
     assert by_id[1]["n_scored"] < by_id[1]["n_bigrams"]
+
+
+def test_domain_prior_matches_duckdb():
+    """Distributed domain stats == SQL group/count-distinct, including a
+    domain whose docs are all copies (src_n_distinct=1) and a null-free
+    unique domain; annotation covers every row."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import domain_prior
+
+    t = pa.table(
+        {
+            "doc_id": list(range(1, 8)),
+            "text": ["dup", "dup", "dup", "u1", "u2", "", ""],
+            "source": ["spam.com", "spam.com", "spam.com",
+                       "good.org", "good.org", "empty.net", "empty.net"],
+        }
+    )
+    got = (
+        domain_prior(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        WITH s AS (
+          SELECT source, count(*) AS src_n_docs,
+                 count(DISTINCT md5(text)) AS src_n_distinct
+          FROM t GROUP BY source
+        )
+        SELECT d.doc_id, d.source, s.src_n_docs, s.src_n_distinct
+        FROM t d JOIN s USING (source) ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, check_exact=True,
+    )
+    assert got.loc[got["source"] == "spam.com", "src_n_distinct"].iloc[0] == 1
+    assert got.loc[got["source"] == "empty.net", "src_n_distinct"].iloc[0] == 1
