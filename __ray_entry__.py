@@ -56,12 +56,13 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 10  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 11  # bump when any oracle-producing logic changes
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
 # pack_sequences/contamination/media_resized/audio_chunks oracles;
 # v7: adds the product-quantization top-k replica oracle; v8: adds the
 # BPE merge-table replica oracle; v9: adds the PageRank replica oracle;
-# v10: adds the bigram-LM replica oracle
+# v10: adds the bigram-LM replica oracle; v11: adds the HLL replica
+# oracle (the last rows-only query goes full-oracle)
 # — the bump invalidates any stale _DONE marker that predates them)
 
 
@@ -187,6 +188,19 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=5
         ),
         os.path.join(out_dir, "pagerank.parquet"),
+    )
+
+    # HLL replica: the register max-merge is commutative, so the sketch
+    # estimate is batching-independent and the single-process replica on
+    # the whole events table is bit-equal
+    from agentic_doc_ray.functions.sketches import hll_distinct_oracle
+
+    ev_tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    _pq.write_table(
+        hll_distinct_oracle(ev_tbl, "event_type", "user_id"),
+        os.path.join(out_dir, "hll_distinct.parquet"),
     )
 
     # bigram-LM replica: per-bigram log-likelihoods round to integer
@@ -639,8 +653,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_hll(sf_dir):
+        """HLL approximate distinct users per event type. The register
+        max-merge is commutative, so the estimate is batching-independent
+        — the oracle is a bit-equal single-process replica."""
         from agentic_doc_ray.functions.sketches import hll_distinct
 
+        _ensure_extraction_oracles(sf_dir)
         ds = ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
         )
@@ -1221,7 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": A.distinct_users,
         "value_quantiles": q_quantiles,
         "curriculum_bins": q_curriculum_bins,
-        "hll_distinct_users": q_hll,  # rows-only (approximate sketch)
+        "hll_distinct_users": q_hll,  # single-process replica oracle
         "sessionize": A.sessionize,
         "purchase_sessions": A.purchase_sessions,
         "funnel_counts": A.funnel_counts,
@@ -2034,7 +2052,11 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "
             "GROUP BY l_returnflag"
         ),
-        # hll_distinct_users: intentionally omitted (approximate sketch;
-        # estimator semantics pinned in tests/; the exact path
-        # distinct_users is fully oracle-checked).
+        "hll_distinct_users": (
+            # approximate sketch, but DETERMINISTIC (commutative register
+            # max-merge): oracle = bit-equal single-process replica; the
+            # estimator's error vs exact is pinned in tests/
+            "SELECT event_type, approx_distinct "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/hll_distinct.parquet')"
+        ),
     }

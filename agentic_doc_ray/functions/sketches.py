@@ -163,17 +163,7 @@ def filter_above_group_median(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
-def hll_distinct(
-    ds: "ray.data.Dataset", group_col: str, value_col: str
-) -> pa.Table:
-    """Approximate distinct ``value_col`` per ``group_col``.
-
-    Per batch: one (group, registers) row per group present. Merge:
-    element-wise max of registers — done on the driver because the total
-    sketch volume is (n_groups x 4 KiB), independent of input size.
-    """
-
-    def partial(batch: pa.Table) -> pa.Table:
+def _hll_partial(batch: pa.Table, group_col: str, value_col: str) -> pa.Table:
         # Vectorized grouping: dictionary-encode the key, argsort-split the
         # value array at group boundaries (no per-row Python dict).
         enc = batch.column(group_col).combine_chunks().dictionary_encode()
@@ -197,9 +187,11 @@ def hll_distinct(
             schema=pa.schema([("g", pa.string()), ("regs", pa.binary())]),
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+def _hll_finalize(partial_rows: list[dict], group_col: str) -> pa.Table:
+    """Merge (group, registers) partials (element-wise max — commutative,
+    so batching-independent) and estimate once per group."""
     merged: dict[str, np.ndarray] = {}
-    for r in partials:
+    for r in partial_rows:
         regs = np.frombuffer(r["regs"], dtype=np.uint8)
         cur = merged.get(r["g"])
         merged[r["g"]] = regs if cur is None else np.maximum(cur, regs)
@@ -207,8 +199,38 @@ def hll_distinct(
         "g": sorted(merged),
         "approx_distinct": [int(round(estimate(merged[g]))) for g in sorted(merged)],
     }
-    return pa.Table.from_pydict(rows).rename_columns(
-        [group_col, "approx_distinct"]
+    return pa.Table.from_pydict(
+        rows,
+        schema=pa.schema([("g", pa.string()), ("approx_distinct", pa.int64())]),
+    ).rename_columns([group_col, "approx_distinct"])
+
+
+def hll_distinct(
+    ds: "ray.data.Dataset", group_col: str, value_col: str
+) -> pa.Table:
+    """Approximate distinct ``value_col`` per ``group_col``.
+
+    Per batch: one (group, registers) row per group present. Merge:
+    element-wise max of registers — done on the driver because the total
+    sketch volume is (n_groups x 4 KiB), independent of input size.
+
+    DETERMINISTIC: the register merge is a commutative max, so the result
+    is independent of batching/block order — ``hll_distinct_oracle`` (the
+    same partial on the whole table as one batch) is bit-equal.
+    """
+    partials = ds.map_batches(
+        lambda b: _hll_partial(b, group_col, value_col), batch_format="pyarrow"
+    ).take_all()
+    return _hll_finalize(partials, group_col)
+
+
+def hll_distinct_oracle(
+    tbl: pa.Table, group_col: str, value_col: str
+) -> pa.Table:
+    """Single-process replica of ``hll_distinct`` — bit-equal by the
+    commutativity of the register max-merge."""
+    return _hll_finalize(
+        _hll_partial(tbl, group_col, value_col).to_pylist(), group_col
     )
 
 

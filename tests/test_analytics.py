@@ -453,3 +453,25 @@ def test_cohort_retention():
     # offset 0 exists for every cohort (each user is active in their own
     # first week by construction)
     assert (got.groupby("cohort_week")["week_offset"].min() == 0).all()
+
+
+def test_hll_replica_oracle_bit_equal():
+    """Distributed HLL == single-process replica exactly (commutative
+    register max-merge makes the estimate batching-independent)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from agentic_doc_ray.functions.sketches import hll_distinct, hll_distinct_oracle
+
+    t = pa.table(
+        {
+            "event_type": [f"t{i % 3}" for i in range(5000)],
+            "user_id": [i % 700 for i in range(5000)],
+        }
+    )
+    got = hll_distinct(
+        ray.data.from_arrow(t).repartition(7), "event_type", "user_id"
+    ).to_pylist()
+    want = hll_distinct_oracle(t, "event_type", "user_id").to_pylist()
+    assert got == want
