@@ -56,13 +56,14 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 11  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 12  # bump when any oracle-producing logic changes
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
 # pack_sequences/contamination/media_resized/audio_chunks oracles;
 # v7: adds the product-quantization top-k replica oracle; v8: adds the
 # BPE merge-table replica oracle; v9: adds the PageRank replica oracle;
 # v10: adds the bigram-LM replica oracle; v11: adds the HLL replica
-# oracle (the last rows-only query goes full-oracle)
+# oracle (the last rows-only query goes full-oracle); v12: adds the
+# compression-ratio replica oracle
 # — the bump invalidates any stale _DONE marker that predates them)
 
 
@@ -188,6 +189,16 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=5
         ),
         os.path.join(out_dir, "pagerank.parquet"),
+    )
+
+    # compression-ratio replica: zlib at a fixed level is deterministic
+    # for the container's zlib, and the op is batch-local — the replica
+    # is the same batch fn over the whole table
+    from agentic_doc_ray.functions.text import compression_stats_batch
+
+    _pq.write_table(
+        compression_stats_batch(docs_tbl),
+        os.path.join(out_dir, "compression_stats.parquet"),
     )
 
     # HLL replica: the register max-merge is commutative, so the sketch
@@ -752,6 +763,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pagerank(edges, n_iter=5)
 
+    def q_compression_stats(sf_dir):
+        """Gopher-style compression-ratio quality signal (zlib level 6,
+        integer byte counts). Oracle: bit-equal single-process replica
+        (the op is batch-local and zlib is deterministic)."""
+        from agentic_doc_ray.functions.text import compression_stats
+
+        _ensure_extraction_oracles(sf_dir)
+        return compression_stats(docs(sf_dir))
+
     def q_domain_prior(sf_dir):
         """Domain-level quality prior (doc count + distinct-content count
         per source, annotated onto every row) — the domain-filter input.
@@ -1213,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,                    # single-process replica oracle
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "domain_prior": q_domain_prior,
+        "compression_stats": q_compression_stats,  # single-process replica oracle
         "paragraph_dedup": q_paragraph_dedup,
         "bm25_topk": q_bm25,
         "index_postings": q_index_postings,
@@ -1832,6 +1853,10 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_nll": (
             "SELECT doc_id, n_bigrams, n_scored, nll_micro "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/bigram_lm.parquet')"
+        ),
+        "compression_stats": (
+            "SELECT doc_id, n_bytes, n_compressed "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/compression_stats.parquet')"
         ),
         "domain_prior": (
             "WITH s AS ("

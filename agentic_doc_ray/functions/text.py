@@ -1071,3 +1071,35 @@ def domain_prior(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return docs.map_batches(annotate, batch_format="pyarrow")
+
+
+def compression_stats_batch(batch: pa.Table, level: int = 6) -> pa.Table:
+    """(doc_id, text) -> (doc_id, n_bytes, n_compressed): the
+    Gopher-style compression-ratio quality signal (boilerplate and
+    repetitive spam compress far better than natural prose; a consumer
+    filters on n_compressed/n_bytes). zlib at a fixed level is
+    deterministic for a fixed library, so the single-process replica
+    oracle is bit-equal. Per-doc zlib.compress is a C call per row (the
+    md5 pattern in exact_dedup); the Arrow column converts once per
+    batch, not per row."""
+    texts = batch.column("text").to_pylist()
+    n_bytes = np.zeros(len(texts), np.int64)
+    n_comp = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        raw = (t or "").encode()
+        n_bytes[i] = len(raw)
+        n_comp[i] = len(zlib.compress(raw, level))
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_bytes, pa.int64()),
+            pa.array(n_comp, pa.int64()),
+        ],
+        names=["doc_id", "n_bytes", "n_compressed"],
+    )
+
+
+def compression_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed compression-ratio signal (see compression_stats_batch).
+    Batch-local, zero shuffle."""
+    return docs.map_batches(compression_stats_batch, batch_format="pyarrow")

@@ -228,6 +228,7 @@ def main() -> None:
         ).count()
 
     timed("domain_prior", domain_q)
+    timed("compression_stats", lambda: T.compression_stats(docs()).count())
 
     def bpe_q() -> None:
         from agentic_doc_ray.functions.bpe import bpe_train

@@ -404,3 +404,38 @@ def test_domain_prior_matches_duckdb():
     )
     assert got.loc[got["source"] == "spam.com", "src_n_distinct"].iloc[0] == 1
     assert got.loc[got["source"] == "empty.net", "src_n_distinct"].iloc[0] == 1
+
+
+def test_compression_stats_signal_and_batching():
+    """Repetitive text compresses far better than high-entropy text (the
+    signal a Gopher-style filter cuts on); batch-local op is trivially
+    batching-independent; empty text handled."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import (
+        compression_stats,
+        compression_stats_batch,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    noisy = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(600))
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["spam spam spam " * 40, noisy, ""],
+        }
+    )
+    want = compression_stats_batch(t).to_pylist()
+    got = sorted(
+        compression_stats(ray.data.from_arrow(t).repartition(3)).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert got == want
+    by_id = {r["doc_id"]: r for r in got}
+    # same length, wildly different compressibility
+    assert by_id[1]["n_bytes"] == 600 and by_id[2]["n_bytes"] == 600
+    assert by_id[1]["n_compressed"] * 5 < by_id[2]["n_compressed"]
+    assert by_id[3]["n_bytes"] == 0
