@@ -763,6 +763,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pagerank(edges, n_iter=5)
 
+    def q_split_sentences(sf_dir):
+        """Sentence segmentation (the unit for sentence-level dedup /
+        contamination checks). RE2 split consumed identically by DuckDB;
+        batch-local, zero shuffle."""
+        from agentic_doc_ray.functions.text import split_sentences
+
+        return split_sentences(docs(sf_dir))
+
     def q_compression_stats(sf_dir):
         """Gopher-style compression-ratio quality signal (zlib level 6,
         integer byte counts). Oracle: bit-equal single-process replica
@@ -1234,6 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
+        "split_sentences": q_split_sentences,
         "paragraph_dedup": q_paragraph_dedup,
         "bm25_topk": q_bm25,
         "index_postings": q_index_postings,
@@ -1857,6 +1866,23 @@ def oracle_sql() -> dict[str, str]:
         "compression_stats": (
             "SELECT doc_id, n_bytes, n_compressed "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/compression_stats.parquet')"
+        ),
+        "split_sentences": (
+            "WITH segs AS ("
+            "  SELECT doc_id, "
+            "    unnest(regexp_split_to_array(text, '[.!?]+\\s+|[.!?]+$')) AS seg, "
+            "    unnest(generate_series(1, len(regexp_split_to_array("
+            "      text, '[.!?]+\\s+|[.!?]+$')))) AS i "
+            "  FROM documents"
+            "), kept AS ("
+            "  SELECT doc_id, "
+            "    regexp_replace(seg, '^\\s+|\\s+$', '', 'g') AS sentence, i "
+            "  FROM segs "
+            "  WHERE regexp_replace(seg, '^\\s+|\\s+$', '', 'g') <> ''"
+            ") "
+            "SELECT doc_id, CAST(row_number() OVER ("
+            "  PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS sent_idx, "
+            "sentence FROM kept"
         ),
         "domain_prior": (
             "WITH s AS ("

@@ -1103,3 +1103,59 @@ def compression_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Distributed compression-ratio signal (see compression_stats_batch).
     Batch-local, zero shuffle."""
     return docs.map_batches(compression_stats_batch, batch_format="pyarrow")
+
+
+# RE2-safe sentence boundary (no lookbehind — RE2 has none, and DuckDB
+# must split identically): the terminator run is CONSUMED by the split,
+# so sentences carry no trailing punctuation by definition.
+_SENT_PATTERN = r"[.!?]+\s+|[.!?]+$"
+
+
+def split_sentences_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> one row per sentence: (doc_id, sent_idx,
+    sentence). Sentences are the ASCII-trimmed non-empty segments after
+    splitting on terminator runs; sent_idx is the 0-based order within
+    the document. Fully vectorized and batch-local (zero shuffle):
+    one RE2 split kernel, one trim kernel, numpy run-length cumcounts."""
+    doc_ids = batch.column("doc_id").combine_chunks()
+    segs = pc.split_pattern_regex(
+        batch.column("text").combine_chunks(), _SENT_PATTERN
+    )
+    if isinstance(segs, pa.ChunkedArray):
+        segs = segs.combine_chunks()
+    flat = segs.flatten()
+    parents = pc.list_parent_indices(segs)
+    trimmed = _regex_trim(flat)
+    keep = pc.not_equal(trimmed, "")
+    sent = trimmed.filter(keep)
+    par = parents.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", doc_ids.type),
+            ("sent_idx", pa.int64()),
+            ("sentence", pa.string()),
+        ]
+    )
+    if len(par) == 0:
+        return out_schema.empty_table()
+    # 0-based cumcount within each parent run (parents are nondecreasing)
+    change = np.concatenate(([True], par[1:] != par[:-1]))
+    run_starts = np.flatnonzero(change)
+    run_lens = np.diff(np.concatenate((run_starts, [len(par)])))
+    sent_idx = np.arange(len(par), dtype=np.int64) - np.repeat(
+        run_starts, run_lens
+    )
+    return pa.Table.from_arrays(
+        [
+            pc.take(doc_ids, pa.array(par, pa.int64())),
+            pa.array(sent_idx, pa.int64()),
+            sent,
+        ],
+        schema=out_schema,
+    )
+
+
+def split_sentences(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed sentence segmentation (see split_sentences_batch)."""
+    return docs.map_batches(split_sentences_batch, batch_format="pyarrow")

@@ -229,6 +229,7 @@ def main() -> None:
 
     timed("domain_prior", domain_q)
     timed("compression_stats", lambda: T.compression_stats(docs()).count())
+    timed("split_sentences", lambda: T.split_sentences(docs()).count())
 
     def bpe_q() -> None:
         from agentic_doc_ray.functions.bpe import bpe_train

@@ -439,3 +439,60 @@ def test_compression_stats_signal_and_batching():
     assert by_id[1]["n_bytes"] == 600 and by_id[2]["n_bytes"] == 600
     assert by_id[1]["n_compressed"] * 5 < by_id[2]["n_compressed"]
     assert by_id[3]["n_bytes"] == 0
+
+
+def test_split_sentences_matches_duckdb():
+    """Vectorized sentence split == DuckDB zipped-unnest oracle on edge
+    cases: multi-terminator runs, abbreviation dots, trailing terminator,
+    empty/whitespace docs, no-terminator doc."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import split_sentences
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "Hello world. How are you?  Fine! Done",
+                "No punct here",
+                "",
+                "  \t ",
+                "A.B. test. x",
+                "Multi... dots?! yes.  End with bang!  ",
+            ],
+        }
+    )
+    got = (
+        split_sentences(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values(["doc_id", "sent_idx"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        r"""
+        WITH segs AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(text, '[.!?]+\s+|[.!?]+$')) AS seg,
+            unnest(generate_series(1, len(regexp_split_to_array(
+              text, '[.!?]+\s+|[.!?]+$')))) AS i
+          FROM t
+        ), kept AS (
+          SELECT doc_id,
+            regexp_replace(seg, '^\s+|\s+$', '', 'g') AS sentence, i
+          FROM segs
+          WHERE regexp_replace(seg, '^\s+|\s+$', '', 'g') <> ''
+        )
+        SELECT doc_id, CAST(row_number() OVER (
+          PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS sent_idx,
+        sentence FROM kept ORDER BY doc_id, sent_idx
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, check_exact=True,
+    )
+    assert list(got.loc[got["doc_id"] == 5, "sentence"]) == ["A.B", "test", "x"]
+    assert 3 not in set(got["doc_id"]) and 4 not in set(got["doc_id"])
