@@ -202,3 +202,66 @@ def test_repetition_stats_fuzz_matches_naive(texts):
         assert r["n_lines"] == n_lines
         assert r["n_dup_lines"] == n_dup
         assert r["dup_line_per_mille"] == n_dup * 1000 // max(n_lines, 1)
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    st.lists(
+        st.text(alphabet=" \tabAB.!?xy", max_size=40),
+        max_size=10,
+    ),
+    st.integers(1, 3),
+)
+def test_bigram_lm_scoring_batching_invariant(texts, n_slices):
+    """_lm_score_batch over the whole table == concat of arbitrary slice
+    scorings (given the same count tables): the integer micro-bit design
+    makes per-doc sums independent of block boundaries."""
+    from agentic_doc_ray.functions.text import (
+        _bigram_partial,
+        _counts_to_series,
+        _first_partial,
+        _lm_score_batch,
+    )
+
+    t = pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts}
+    )
+    bmap = _counts_to_series(_bigram_partial(t), "bigram")
+    fmap = _counts_to_series(_first_partial(t), "token")
+    whole = _lm_score_batch(t, bmap, fmap).to_pylist()
+    step = max(1, (len(texts) + n_slices - 1) // n_slices)
+    parts = []
+    for off in range(0, len(texts), step):
+        parts.extend(
+            _lm_score_batch(t.slice(off, step), bmap, fmap).to_pylist()
+        )
+    assert whole == parts
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    st.lists(st.text(alphabet=" \tabZ.!? \n", max_size=60), max_size=8)
+)
+def test_split_sentences_matches_python_replica(texts):
+    """Vectorized sentence split == a per-doc Python re replica (re and
+    RE2 agree on this lookbehind-free pattern)."""
+    import re
+
+    from agentic_doc_ray.functions.text import split_sentences_batch
+
+    t = pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts}
+    )
+    got = [
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in split_sentences_batch(t).to_pylist()
+    ]
+    want = []
+    for i, txt in enumerate(texts):
+        k = 0
+        for seg in re.split(r"[.!?]+\s+|[.!?]+$", txt):
+            s = re.sub(r"^\s+|\s+$", "", seg)
+            if s:
+                want.append((i, k, s))
+                k += 1
+    assert got == want
