@@ -224,7 +224,8 @@ def test_bigram_lm_scoring_batching_invariant(texts, n_slices):
     )
 
     t = pa.Table.from_pydict(
-        {"doc_id": list(range(len(texts))), "text": texts}
+        {"doc_id": list(range(len(texts))), "text": texts},
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
     )
     bmap = _counts_to_series(_bigram_partial(t), "bigram")
     fmap = _counts_to_series(_first_partial(t), "token")
@@ -250,7 +251,8 @@ def test_split_sentences_matches_python_replica(texts):
     from agentic_doc_ray.functions.text import split_sentences_batch
 
     t = pa.Table.from_pydict(
-        {"doc_id": list(range(len(texts))), "text": texts}
+        {"doc_id": list(range(len(texts))), "text": texts},
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
     )
     got = [
         (r["doc_id"], r["sent_idx"], r["sentence"])
