@@ -41,7 +41,11 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-SF_CORRECTNESS = "/root/testdata/sf0.01"
+# The driver compares queries() vs oracle_sql() at sf0.01; oracle_sql()
+# strings are static, so the replica-oracle parquet paths they embed are
+# resolved against THIS sf dir. Overridable so a manual verification run
+# at another scale (e.g. sf0.1) aligns the replica oracles with it.
+SF_CORRECTNESS = os.environ.get("GRAFT_SF_CORRECTNESS", "/root/testdata/sf0.01")
 
 
 # ---------------------------------------------------------------------------
