@@ -60,14 +60,15 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 12  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 13  # bump when any oracle-producing logic changes
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
 # pack_sequences/contamination/media_resized/audio_chunks oracles;
 # v7: adds the product-quantization top-k replica oracle; v8: adds the
 # BPE merge-table replica oracle; v9: adds the PageRank replica oracle;
 # v10: adds the bigram-LM replica oracle; v11: adds the HLL replica
 # oracle (the last rows-only query goes full-oracle); v12: adds the
-# compression-ratio replica oracle
+# compression-ratio replica oracle; v13: adds the BPE-encode and
+# quality-classifier replica oracles
 # — the bump invalidates any stale _DONE marker that predates them)
 
 
@@ -183,6 +184,29 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         os.path.join(out_dir, "bpe_merges.parquet"),
     )
 
+    # BPE-encode replica: merges from the merge-table replica above,
+    # applied per word (batching-independent) — bit-equal to the
+    # distributed encode
+    from agentic_doc_ray.functions.bpe import bpe_encode_oracle
+
+    _pq.write_table(
+        bpe_encode_oracle(docs_tbl, bpe_train_oracle(docs_tbl, n_merges=50)),
+        os.path.join(out_dir, "bpe_encode.parquet"),
+    )
+
+    # classifier replica: centroid training is exact integer sums
+    # (commutative), scoring is per-doc — bit-equal end to end
+    from agentic_doc_ray.functions.classifier import quality_classifier_oracle
+
+    docs_lang_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    _pq.write_table(
+        quality_classifier_oracle(docs_lang_tbl),
+        os.path.join(out_dir, "quality_classifier.parquet"),
+    )
+
     # PageRank replica: exact integer-scaled arithmetic makes the
     # distributed BSP run bit-equal; edges = the deterministic synthetic
     # link graph over the corpus doc ids (same link_edges on both sides)
@@ -229,15 +253,21 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     )
 
     # grounding crop-file oracle: same save fn single-process, digesting
-    # the written PPM bytes (paths excluded — tmp dirs differ per run)
+    # the written PPM bytes (paths excluded — tmp dirs differ per run).
+    # The crop files are transient evidence — digest then REMOVE them
+    # (raw PPM crops for a large corpus are tens of GB; an earlier build
+    # left 62 GB of them filling /tmp)
+    import shutil as _sh
+
     from agentic_doc_ray.functions.grounding import save_groundings_batch
 
-    g_out = save_groundings_batch(
-        parsed.select(["doc_id", "spans"]), "/tmp/gcrops_oracle"
-    )
+    crop_dir = os.path.join(out_dir, "gcrops_scratch")
+    _sh.rmtree("/tmp/gcrops_oracle", ignore_errors=True)  # legacy path
+    g_out = save_groundings_batch(parsed.select(["doc_id", "spans"]), crop_dir)
     _pq.write_table(
         _crop_digest(g_out), os.path.join(out_dir, "grounding_crops.parquet")
     )
+    _sh.rmtree(crop_dir, ignore_errors=True)
 
     # exact all-pairs Jaccard oracle for the verified near-dup queries
     from agentic_doc_ray.functions.dedup import bruteforce_jaccard_pairs
@@ -877,6 +907,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_train(docs(sf_dir), n_merges=50)
 
+    def q_bpe_encode(sf_dir):
+        """Tokenizer application: the trained merge table (broadcast once)
+        prices every document in BPE tokens — zero exchanges beyond
+        training's own word-count exchange."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.bpe import bpe_encode_counts, bpe_train
+
+        merges = bpe_train(docs(sf_dir), n_merges=50)
+        return bpe_encode_counts(docs(sf_dir), merges)
+
+    def q_quality_classifier(sf_dir):
+        """fastText-style hashed-n-gram centroid classifier: distributed
+        exact-integer training (one fixed-size count exchange), broadcast
+        weights, streaming integer scoring."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.classifier import quality_classifier
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return quality_classifier(d)
+
+    def q_ccnet_buckets(sf_dir):
+        """CCNet head/middle/tail: per-language bigram-LM perplexity
+        terciles (sketch-then-map over the scored table; the oracle is an
+        independent SQL window implementation over the LM replica)."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.text import ccnet_buckets
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return ccnet_buckets(d)
+
     def q_normalize_text(sf_dir):
         """Unicode/whitespace canonicalization over a corpus planted with
         case noise, a combining-accent prefix and whitespace runs — pure
@@ -1128,13 +1192,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_grounding_crops(sf_dir):
         """Real grounding media write: rasterize -> crop -> PPM -> file,
         verified by digesting the written bytes against the single-process
-        replica's files."""
+        replica's files. Each crop is re-read, digested, then deleted in
+        the same task (the write-read roundtrip is the thing proven; raw
+        PPM crops for a big corpus are tens of GB of transient bytes)."""
+        import shutil
+
         _ensure_extraction_oracles(sf_dir)
         from agentic_doc_ray.functions.grounding import save_groundings
 
+        shutil.rmtree("/tmp/gcrops_query", ignore_errors=True)
+
+        def digest_and_clean(batch: pa.Table) -> pa.Table:
+            out = _crop_digest(batch)
+            for p in batch.column("image_path").to_pylist():
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            return out
+
         parsed = extract_corpus(_corpus_ds(sf_dir))
         manifest = save_groundings(parsed, "/tmp/gcrops_query")
-        return manifest.map_batches(_crop_digest, batch_format="pyarrow")
+        return manifest.map_batches(digest_and_clean, batch_format="pyarrow")
 
     def q_extract_fields(sf_dir):
         _ensure_extraction_oracles(sf_dir)
@@ -1223,6 +1302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "normalize_text": q_normalize_text,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,                # single-process replica oracle
+        "quality_classifier": q_quality_classifier,  # single-process replica oracle
+        "ccnet_buckets": q_ccnet_buckets,          # SQL windows over the LM replica
         "chunk_windows": q_chunk_windows,
         "contamination_flags": q_contamination,
         "train_val_split": q_train_val_split,
@@ -1441,6 +1523,42 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": (
             'SELECT "rank", "left", "right", pair_count '
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/bpe_merges.parquet')"
+        ),
+        "bpe_encode": (
+            "SELECT doc_id, n_words, n_bpe_tokens "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/bpe_encode.parquet')"
+        ),
+        "quality_classifier": (
+            "SELECT doc_id, score, pred "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/quality_classifier.parquet')"
+        ),
+        # buckets computed IN SQL from the LM replica — an independent
+        # window-function implementation of the tercile rule, not a copy
+        # of the pipeline's searchsorted kernel
+        "ccnet_buckets": (
+            "WITH scored AS ("
+            "  SELECT s.doc_id, d.lang,"
+            "         CASE WHEN s.n_scored > 0"
+            "              THEN s.nll_micro // (s.n_scored * 10000)"
+            "              ELSE 0 END AS ppl_cb"
+            f"  FROM read_parquet('{_ORACLE_SQL_DIR}/bigram_lm.parquet') s"
+            "  JOIN documents d USING (doc_id)"
+            "), dist AS ("
+            "  SELECT lang, ppl_cb, count(*) AS n FROM scored GROUP BY lang, ppl_cb"
+            "), cum AS ("
+            "  SELECT lang, ppl_cb,"
+            "         sum(n) OVER (PARTITION BY lang ORDER BY ppl_cb) AS c,"
+            "         sum(n) OVER (PARTITION BY lang) AS tot FROM dist"
+            "), b AS ("
+            "  SELECT lang,"
+            "    min(CASE WHEN c >= greatest(1, (tot + 2) // 3) THEN ppl_cb END) AS b1,"
+            "    min(CASE WHEN c >= greatest(1, (2*tot + 2) // 3) THEN ppl_cb END) AS b2"
+            "  FROM cum GROUP BY lang)"
+            " SELECT s.doc_id, s.lang, s.ppl_cb,"
+            "        CASE (s.ppl_cb > b.b1)::int + (s.ppl_cb > b.b2)::int"
+            "             WHEN 0 THEN 'head' WHEN 1 THEN 'middle'"
+            "             ELSE 'tail' END AS bucket"
+            " FROM scored s JOIN b USING (lang)"
         ),
         "chunk_windows": (
             "WITH tr AS ("

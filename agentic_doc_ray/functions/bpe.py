@@ -157,6 +157,146 @@ def bpe_train(
     )
 
 
+_WORD_CACHE_CAP = 1_000_000  # per-worker encode-cache entries (logged on hit)
+
+
+def _encode_len(word: str, ranks: dict) -> int:
+    """Token count of one word under the merge table (GPT-2 ``bpe()``
+    order: repeatedly merge every occurrence of the lowest-rank pair).
+    Pure per-word — batching cannot change it."""
+    seq = list(word)
+    while len(seq) >= 2:
+        best = None
+        best_rank = None
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (seq[i], seq[i + 1])
+        if best is None:
+            break
+        left, right = best
+        acc = []
+        i = 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                acc.append(left + right)
+                i += 2
+            else:
+                acc.append(seq[i])
+                i += 1
+        seq = acc
+    return len(seq)
+
+
+def _encode_batch(batch: pa.Table, ranks: dict, cache: dict) -> pa.Table:
+    """(doc_id, text) -> (doc_id, n_words, n_bpe_tokens).
+
+    Vectorized word explode (same RE2 kernels as training, so the word
+    inventory matches the merge table exactly); the per-word merge loop
+    runs once per DISTINCT word (dictionary-encode + per-worker cache —
+    Heaps-bounded, capped at _WORD_CACHE_CAP with a log), then per-doc
+    sums are one ``np.bincount``.
+    """
+    import numpy as np
+
+    trimmed = _regex_trim(batch.column("text"))
+    if isinstance(trimmed, pa.ChunkedArray):
+        trimmed = trimmed.combine_chunks()
+    nonempty = pc.not_equal(trimmed, "")
+    toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks_list, pa.ChunkedArray):
+        toks_list = toks_list.combine_chunks()
+    flat = toks_list.flatten()
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+
+    n_docs = batch.num_rows
+    n_words = np.zeros(n_docs, np.int64)
+    n_tokens = np.zeros(n_docs, np.int64)
+    idx = np.flatnonzero(nonempty.to_numpy(zero_copy_only=False))
+
+    if len(flat):
+        d = flat.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        lens = np.empty(len(uniq), np.int64)
+        for u, w in enumerate(uniq):
+            got = cache.get(w)
+            if got is None:
+                got = _encode_len(w, ranks)
+                if len(cache) < _WORD_CACHE_CAP:
+                    cache[w] = got
+                elif len(cache) == _WORD_CACHE_CAP:
+                    cache[w] = got  # tip over once so the log fires once
+                    logger.warning(
+                        "bpe_encode: per-worker word cache reached %d "
+                        "entries; further distinct words encode uncached",
+                        _WORD_CACHE_CAP,
+                    )
+            lens[u] = got
+        n_ne = int(parents[-1]) + 1
+        n_words[idx[:n_ne]] = np.bincount(parents, minlength=n_ne)
+        n_tokens[idx[:n_ne]] = np.round(
+            np.bincount(
+                parents, weights=lens[codes].astype(np.float64), minlength=n_ne
+            )
+        ).astype(np.int64)
+        # float64 bincount weights are exact here: per-doc token sums stay
+        # far below 2^53
+
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_words, pa.int64()),
+            pa.array(n_tokens, pa.int64()),
+        ],
+        names=["doc_id", "n_words", "n_bpe_tokens"],
+    )
+
+
+def _ranks(merges: pa.Table) -> dict:
+    return {
+        (l, r): k
+        for k, (l, r) in enumerate(
+            zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+        )
+    }
+
+
+def bpe_encode_counts(
+    docs: "ray.data.Dataset", merges: pa.Table
+) -> "ray.data.Dataset":
+    """Apply a learned merge table to the corpus: per-doc word and
+    BPE-token counts — the tokenizer-application step that prices a
+    corpus in tokens under the trained vocabulary.
+
+    Shape: the merge table is tiny (n_merges rows) and broadcast once via
+    ``ray.put``; encoding is a stateless task stage (per-worker rank dict
+    + word cache rebuilt from the broadcast on first touch — cheap state,
+    so tasks beat an actor pool's per-execution cold start). Zero
+    exchanges; output streams.
+    """
+    import ray as _ray
+
+    mref = _ray.put((merges.column("left").to_pylist(), merges.column("right").to_pylist()))
+
+    def enc(batch: pa.Table, *, _m=mref) -> pa.Table:
+        cache = enc.__dict__
+        if "ranks" not in cache:
+            left, right = _ray.get(_m)
+            cache["ranks"] = {p: k for k, p in enumerate(zip(left, right))}
+            cache["words"] = {}
+        return _encode_batch(batch, cache["ranks"], cache["words"])
+
+    return docs.map_batches(enc, batch_format="pyarrow")
+
+
+def bpe_encode_oracle(docs_tbl: pa.Table, merges: pa.Table) -> pa.Table:
+    """Single-process replica of ``bpe_encode_counts`` — the same word
+    kernels and per-word merge loop on the whole corpus as one batch;
+    bit-equal because per-word encoding is batching-independent."""
+    return _encode_batch(docs_tbl, _ranks(merges), {})
+
+
 def bpe_train_oracle(
     docs: pa.Table,
     n_merges: int = 50,

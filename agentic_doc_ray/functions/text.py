@@ -897,7 +897,9 @@ def _counts_to_series(t: pa.Table, key: str):
 
 
 def bigram_lm_score(
-    docs: "ray.data.Dataset", max_vocab: int = 1 << 22
+    docs: "ray.data.Dataset",
+    max_vocab: int = 1 << 22,
+    keep_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """Per-document bigram-LM negative log-likelihood (micro-bits), the
     CCNet-style perplexity quality signal, integer-exact end to end.
@@ -951,7 +953,10 @@ def bigram_lm_score(
         cache = score.__dict__
         if "b" not in cache:
             cache["b"], cache["f"] = _ray.get(_b), _ray.get(_f)
-        return _lm_score_batch(batch, cache["b"], cache["f"])
+        out = _lm_score_batch(batch, cache["b"], cache["f"])
+        for c in keep_cols:  # row order is preserved 1:1 by the scorer
+            out = out.append_column(c, batch.column(c))
+        return out
 
     return docs.map_batches(score, batch_format="pyarrow")
 
@@ -968,6 +973,105 @@ def bigram_lm_oracle(docs_tbl: pa.Table, max_vocab: int = 1 << 22) -> pa.Table:
         _counts_to_series(btbl, "bigram"),
         _counts_to_series(ftbl, "token"),
     )
+
+
+_CCNET_UNIT = 10_000  # micro-bits -> centi-bits per scored bigram
+_CCNET_NAMES = np.array(["head", "middle", "tail"])
+
+
+def _ccnet_key(nll_micro: np.ndarray, n_scored: np.ndarray) -> np.ndarray:
+    """Length-normalized perplexity key: centi-bits per scored bigram
+    (integer floor division — SQL-expressible, and the /100 quantization
+    bounds the key's cardinality to a few thousand distinct values so the
+    boundary pass moves a DISTRIBUTION, not rows). Unscored docs key 0."""
+    v = np.zeros(len(nll_micro), np.int64)
+    pos = n_scored > 0
+    v[pos] = nll_micro[pos] // (n_scored[pos] * _CCNET_UNIT)
+    return v
+
+
+def _ccnet_partial(batch: pa.Table) -> pa.Table:
+    v = _ccnet_key(
+        batch.column("nll_micro").to_numpy(zero_copy_only=False),
+        batch.column("n_scored").to_numpy(zero_copy_only=False),
+    )
+    t = pa.Table.from_arrays(
+        [batch.column("lang"), pa.array(v, pa.int64())], names=["lang", "ppl_cb"]
+    )
+    g = t.group_by(["lang", "ppl_cb"]).aggregate([("ppl_cb", "count")])
+    return g.rename_columns(["lang", "ppl_cb", "n"])
+
+
+def _ccnet_assign(batch: pa.Table, bounds_by_lang: dict) -> pa.Table:
+    v = _ccnet_key(
+        batch.column("nll_micro").to_numpy(zero_copy_only=False),
+        batch.column("n_scored").to_numpy(zero_copy_only=False),
+    )
+    lang = batch.column("lang").to_numpy(zero_copy_only=False)
+    b = np.zeros(len(v), np.int64)
+    for lg in np.unique(lang):
+        m = lang == lg
+        b[m] = np.searchsorted(bounds_by_lang[lg], v[m], side="left")
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            batch.column("lang"),
+            pa.array(v, pa.int64()),
+            pa.array(_CCNET_NAMES[b]),
+        ],
+        names=["doc_id", "lang", "ppl_cb", "bucket"],
+    )
+
+
+def ccnet_buckets(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """CCNet-style per-language perplexity buckets (Wenzek et al. 2020):
+    each document lands in the head / middle / tail TERCILE of its
+    language's bigram-LM perplexity distribution — the canonical
+    quality-stratification step before pretraining-mixture sampling.
+
+    Shape: one LM scoring pass (``bigram_lm_score`` — two count
+    exchanges + broadcast probe), materialized ONCE so the boundary pass
+    and the assignment pass don't retrain the LM (the scored table is a
+    few int64 columns — ~1/1000 of corpus bytes); then the same
+    sketch-then-map composition as ``quantile_bins``: a (lang, key)
+    DISTRIBUTION streams to the driver (bounded by key cardinality —
+    the /100 quantization caps it at a few thousand per language, never
+    row count), per-language tercile bounds broadcast in the task
+    closure, and one vectorized searchsorted per batch. Zero row
+    shuffles beyond the LM's own count exchanges.
+
+    ``docs`` must carry (doc_id, text, lang).
+    """
+    from agentic_doc_ray.functions.sketches import _quantile_bounds
+
+    scored = bigram_lm_score(docs, keep_cols=("lang",)).materialize()
+    dist: dict[str, dict[int, int]] = {}
+    for r in scored.map_batches(_ccnet_partial, batch_format="pyarrow").take_all():
+        d = dist.setdefault(r["lang"], {})
+        d[r["ppl_cb"]] = d.get(r["ppl_cb"], 0) + r["n"]
+    bounds = {lg: _quantile_bounds(d, 3) for lg, d in dist.items()}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        return _ccnet_assign(batch, bounds)
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
+def ccnet_buckets_oracle(docs_tbl: pa.Table, max_vocab: int = 1 << 22) -> pa.Table:
+    """Single-process replica: the same LM oracle, the same distribution
+    rule and the same assignment kernel on the whole corpus as one
+    batch."""
+    from agentic_doc_ray.functions.sketches import _quantile_bounds
+
+    scored = bigram_lm_oracle(docs_tbl, max_vocab).append_column(
+        "lang", docs_tbl.column("lang")
+    )
+    dist: dict[str, dict[int, int]] = {}
+    for r in _ccnet_partial(scored).to_pylist():
+        d = dist.setdefault(r["lang"], {})
+        d[r["ppl_cb"]] = d.get(r["ppl_cb"], 0) + r["n"]
+    bounds = {lg: _quantile_bounds(d, 3) for lg, d in dist.items()}
+    return _ccnet_assign(scored, bounds)
 
 
 def domain_prior(docs: "ray.data.Dataset") -> "ray.data.Dataset":

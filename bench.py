@@ -238,6 +238,26 @@ def main() -> None:
 
     timed("bpe_train", bpe_q)
 
+    def bpe_encode_q() -> None:
+        from agentic_doc_ray.functions.bpe import bpe_encode_counts, bpe_train
+
+        merges = bpe_train(docs(), n_merges=50)
+        bpe_encode_counts(docs(), merges).count()
+
+    timed("bpe_encode", bpe_encode_q)
+
+    docs_lang = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def classifier_q() -> None:
+        from agentic_doc_ray.functions.classifier import quality_classifier
+
+        quality_classifier(docs_lang()).count()
+
+    timed("quality_classifier", classifier_q)
+    timed("ccnet_buckets", lambda: T.ccnet_buckets(docs_lang()).count())
+
     def snapshot_diff_q() -> None:
         from agentic_doc_ray.functions.delta import (
             snapshot_diff,
