@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 13  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 14  # bump when any oracle-producing logic changes
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
 # pack_sequences/contamination/media_resized/audio_chunks oracles;
 # v7: adds the product-quantization top-k replica oracle; v8: adds the
@@ -68,7 +68,8 @@ _ORACLE_VERSION = 13  # bump when any oracle-producing logic changes
 # v10: adds the bigram-LM replica oracle; v11: adds the HLL replica
 # oracle (the last rows-only query goes full-oracle); v12: adds the
 # compression-ratio replica oracle; v13: adds the BPE-encode and
-# quality-classifier replica oracles
+# quality-classifier replica oracles; v14: adds the dHash image-dup
+# brute-force oracle
 # — the bump invalidates any stale _DONE marker that predates them)
 
 
@@ -375,6 +376,23 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         AudioChunkActor()(media), os.path.join(out_dir, "audio_chunks.parquet")
     )
 
+    # dHash image near-dup: BRUTE-FORCE all-pairs oracle (independent of
+    # the pipeline's banding — equality is the LSH completeness proof for
+    # max_hamming <= 3, functions/phash.py)
+    from agentic_doc_ray.functions.phash import (
+        image_dup_pairs_oracle,
+        synth_ppm_dup_media_table,
+    )
+
+    _pq.write_table(
+        image_dup_pairs_oracle(
+            synth_ppm_dup_media_table(
+                os.path.join(sf_dir, "documents.parquet"), limit=64
+            )
+        ),
+        os.path.join(out_dir, "image_dup_pairs.parquet"),
+    )
+
     # REAL-decode oracles over PPM payloads (same single-process replica)
     ppm_media = synth_ppm_media_table(
         os.path.join(sf_dir, "documents.parquet"), limit=64
@@ -668,6 +686,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return M.resize_media(media, max_w=96, max_h=96).map_batches(
             _resize_digest, batch_format="pyarrow"
         )
+
+    def q_image_dup_pairs(sf_dir):
+        """Perceptual-hash image near-dup: REAL PPM decode in an actor
+        pool -> exact-integer dHash -> 16-bit-band exchange (pigeonhole:
+        recall 1.0 at max_hamming<=3) -> popcount verify. Oracle is an
+        independent brute-force all-pairs pass."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.phash import (
+            image_dup_pairs,
+            synth_ppm_dup_media_table,
+        )
+
+        media = ray.data.from_arrow(
+            synth_ppm_dup_media_table(f"{sf_dir}/documents.parquet", limit=64)
+        )
+        return image_dup_pairs(media)
 
     def q_audio_chunks(sf_dir):
         _ensure_extraction_oracles(sf_dir)
@@ -1387,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_chunks": q_audio_chunks,
         "ppm_media_features": q_ppm_features,
         "ppm_media_resize": q_ppm_resize,
+        "image_dup_pairs": q_image_dup_pairs,  # brute-force all-pairs oracle
     }
 
 
@@ -1928,6 +1963,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_chunks": (
             "SELECT media_id, chunk_idx, byte_lo, byte_hi, digest "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/audio_chunks.parquet')"
+        ),
+        "image_dup_pairs": (
+            "SELECT media_a, media_b, hamming "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/image_dup_pairs.parquet')"
         ),
         "ppm_media_features": (
             "SELECT media_id, media_type, feat_sum_milli "

@@ -258,6 +258,21 @@ def main() -> None:
     timed("quality_classifier", classifier_q)
     timed("ccnet_buckets", lambda: T.ccnet_buckets(docs_lang()).count())
 
+    def image_dup_q() -> None:
+        from agentic_doc_ray.functions.phash import (
+            image_dup_pairs,
+            synth_ppm_dup_media_table,
+        )
+
+        media = ray.data.from_arrow(
+            synth_ppm_dup_media_table(
+                f"{SF_DIR}/documents.parquet", limit=512
+            )
+        )
+        image_dup_pairs(media).count()
+
+    timed("image_dup_pairs", image_dup_q)
+
     def snapshot_diff_q() -> None:
         from agentic_doc_ray.functions.delta import (
             snapshot_diff,
