@@ -567,6 +567,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kind", num_partitions=shuffle_partitions(4)
         ).aggregate(Count(alias_name="n"))
 
+    def q_caption_pairs(sf_dir):
+        """MMC4-style caption harvesting: per extracted media span, the
+        nearest preceding/following text span in the same doc — zero
+        exchanges (doc-local prefix/suffix scan); oracle is an independent
+        DuckDB IGNORE-NULLS window implementation over the flat-spans
+        replica."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.captions import harvest_captions
+
+        return harvest_captions(extract_corpus(_corpus_ds(sf_dir)))
+
     # --- text analysis ----------------------------------------------------
     def q_similarity(sf_dir):
         import numpy as np
@@ -1319,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_adaptive_flat_spans": q_extract_adaptive,
         "extract_doc_stats": q_doc_stats,
         "extract_kind_counts": q_kind_counts,
+        "caption_pairs": q_caption_pairs,  # SQL windows over the flat-spans replica
         "grounding_manifest": q_grounding,
         "grounding_crops": q_grounding_crops,
         "extract_fields": q_extract_fields,
@@ -1444,6 +1456,24 @@ def oracle_sql() -> dict[str, str]:
         # the size-aware router must reproduce the SAME flat-span oracle
         "extract_adaptive_flat_spans": (
             f'SELECT doc_id, "offset", kind, text, media_ref, chunk_id, page FROM {flat}'
+        ),
+        # caption harvesting: an INDEPENDENT window-function implementation
+        # of the nearest-text-neighbor rule (the pipeline uses a vectorized
+        # prefix/suffix scan; this uses IGNORE NULLS frames)
+        "caption_pairs": (
+            f"WITH f AS (SELECT * FROM {flat}), w AS ("
+            '  SELECT doc_id, "offset", media_ref, chunk_id,'
+            "    last_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)"
+            '      OVER (PARTITION BY doc_id ORDER BY "offset"'
+            "            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb,"
+            "    first_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)"
+            '      OVER (PARTITION BY doc_id ORDER BY "offset"'
+            "            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ca,"
+            "    media_ref <> '' AS is_media FROM f)"
+            ' SELECT doc_id, "offset", media_ref, chunk_id,'
+            "        coalesce(cb, '') AS caption_before,"
+            "        coalesce(ca, '') AS caption_after"
+            " FROM w WHERE is_media"
         ),
         "extract_doc_stats": (
             "SELECT doc_id, n_spans, n_errors, markdown_chars, start_page_idx, "

@@ -273,6 +273,16 @@ def main() -> None:
 
     timed("image_dup_pairs", image_dup_q)
 
+    def captions_q() -> None:
+        from agentic_doc_ray.functions.captions import harvest_captions
+        from agentic_doc_ray.pipelines import extract_corpus
+
+        harvest_captions(
+            extract_corpus(ray.data.read_parquet(corpus_path), cfg)
+        ).count()
+
+    timed("caption_pairs", captions_q)
+
     def snapshot_diff_q() -> None:
         from agentic_doc_ray.functions.delta import (
             snapshot_diff,
