@@ -974,6 +974,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return quality_classifier(d)
 
+    def q_classifier_gated_sample(sf_dir):
+        """Score-then-sample quality loop: classifier pred gates a
+        deterministic md5 per-mille keep rate (900 for predicted-en,
+        250 for the rest). Oracle: the SAME hash predicate in SQL over
+        the classifier replica."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.classifier import classifier_gated_sample
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return classifier_gated_sample(d)
+
     def q_ccnet_buckets(sf_dir):
         """CCNet head/middle/tail: per-language bigram-LM perplexity
         terciles (sketch-then-map over the scored table; the oracle is an
@@ -1350,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,                # single-process replica oracle
         "quality_classifier": q_quality_classifier,  # single-process replica oracle
+        "classifier_gated_sample": q_classifier_gated_sample,  # SQL gate over the replica
         "ccnet_buckets": q_ccnet_buckets,          # SQL windows over the LM replica
         "chunk_windows": q_chunk_windows,
         "contamination_flags": q_contamination,
@@ -1596,6 +1610,14 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": (
             "SELECT doc_id, score, pred "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/quality_classifier.parquet')"
+        ),
+        # the gate re-derives the keep decision IN SQL from the replica's
+        # predictions — same md5 per-mille rule as mixture_sample
+        "classifier_gated_sample": (
+            "SELECT doc_id, score, pred "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/quality_classifier.parquet') "
+            "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 1000 < "
+            "CASE pred WHEN 'en' THEN 900 ELSE 250 END"
         ),
         # buckets computed IN SQL from the LM replica — an independent
         # window-function implementation of the tercile rule, not a copy

@@ -206,6 +206,56 @@ def quality_classifier(
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def classifier_gated_sample(
+    docs: "ray.data.Dataset",
+    rates: dict[str, int] | None = None,
+    label_col: str = "lang",
+    positive: str = "en",
+    negative: str = "other",
+) -> "ray.data.Dataset":
+    """Score-then-sample — the standard quality-filter loop (CCNet /
+    FineWeb shape): train the centroid classifier, score every document,
+    then keep ~rates[pred]/1000 of each PREDICTED class by the same
+    deterministic md5 per-mille rule as ``sampling.mixture_sample``
+    (upsample predicted-quality docs, heavily downsample the rest).
+
+    Shape: training's one fixed-size count exchange, then a single
+    streaming scan — scoring, hashing and the rate filter fuse into one
+    map_batches; no extra pass over the corpus and no shuffle. No RNG
+    state: rerun-stable on any partitioning, SQL-reproducible
+    row-for-row."""
+    import hashlib
+
+    import ray as _ray
+
+    rates = rates or {positive: 900, negative: 250}
+    w = train_classifier(docs, label_col, positive)
+    wref = _ray.put(w)
+
+    def score_and_gate(batch: pa.Table, *, _w=wref) -> pa.Table:
+        cache = score_and_gate.__dict__
+        if "w" not in cache:
+            cache["w"] = _ray.get(_w)
+        scored = _score_batch(batch, cache["w"], positive, negative)
+        pm = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 1000
+                for d in scored.column("doc_id").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        thr = np.where(
+            pc.equal(scored.column("pred"), positive).to_numpy(
+                zero_copy_only=False
+            ),
+            rates.get(positive, 0),
+            rates.get(negative, 0),
+        )
+        return scored.filter(pa.array(pm < thr))
+
+    return docs.map_batches(score_and_gate, batch_format="pyarrow")
+
+
 def quality_classifier_oracle(
     docs_tbl: pa.Table,
     label_col: str = "lang",

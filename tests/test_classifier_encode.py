@@ -14,6 +14,7 @@ from agentic_doc_ray.functions.bpe import (
     bpe_train_oracle,
 )
 from agentic_doc_ray.functions.classifier import (
+    classifier_gated_sample,
     quality_classifier,
     quality_classifier_oracle,
 )
@@ -97,6 +98,29 @@ def test_classifier_matches_oracle_and_separates():
             .to_dict("records")
         )
         assert got == want
+
+
+def test_gated_sample_is_the_hash_filtered_scoring():
+    import hashlib
+
+    t = _docs_tbl()
+    scored = {r["doc_id"]: r for r in quality_classifier_oracle(t).to_pylist()}
+    rates = {"en": 900, "other": 250}
+    want = sorted(
+        d
+        for d, r in scored.items()
+        if int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 1000
+        < rates[r["pred"]]
+    )
+    for parts in (1, 7):
+        got = classifier_gated_sample(
+            ray.data.from_arrow(t).repartition(parts)
+        ).to_pandas()
+        assert sorted(got.doc_id) == want
+        # surviving rows carry the replica's exact scores
+        assert all(
+            scored[d]["score"] == s for d, s in zip(got.doc_id, got.score)
+        )
 
 
 def test_ccnet_buckets_matches_oracle_and_terciles():
