@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 14  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 15  # bump when any oracle-producing logic changes
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
 # pack_sequences/contamination/media_resized/audio_chunks oracles;
 # v7: adds the product-quantization top-k replica oracle; v8: adds the
@@ -69,7 +69,9 @@ _ORACLE_VERSION = 14  # bump when any oracle-producing logic changes
 # oracle (the last rows-only query goes full-oracle); v12: adds the
 # compression-ratio replica oracle; v13: adds the BPE-encode and
 # quality-classifier replica oracles; v14: adds the dHash image-dup
-# brute-force oracle
+# brute-force oracle; v15: adds the image-media id universe (the
+# image_dedup_keep SQL does its own recursive-CTE clustering over the
+# brute-force pairs)
 # — the bump invalidates any stale _DONE marker that predates them)
 
 
@@ -384,13 +386,19 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         synth_ppm_dup_media_table,
     )
 
+    dup_media = synth_ppm_dup_media_table(
+        os.path.join(sf_dir, "documents.parquet"), limit=64
+    )
     _pq.write_table(
-        image_dup_pairs_oracle(
-            synth_ppm_dup_media_table(
-                os.path.join(sf_dir, "documents.parquet"), limit=64
-            )
-        ),
+        image_dup_pairs_oracle(dup_media),
         os.path.join(out_dir, "image_dup_pairs.parquet"),
+    )
+    # the media-id UNIVERSE (deterministic synth input, not a pipeline
+    # product): the image_dedup_keep oracle clusters the brute-force
+    # pairs itself with a recursive CTE over this id set
+    _pq.write_table(
+        dup_media.select(["media_id"]),
+        os.path.join(out_dir, "image_media_ids.parquet"),
     )
 
     # REAL-decode oracles over PPM payloads (same single-process replica)
@@ -713,6 +721,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             synth_ppm_dup_media_table(f"{sf_dir}/documents.parquet", limit=64)
         )
         return image_dup_pairs(media)
+
+    def q_image_dedup_keep(sf_dir):
+        """Multimodal dedup end stage: connected components over the
+        dHash pairs, one canonical (min) image per cluster, singletons
+        pass through — fully distributed (reuses the doc-side CC +
+        bucketed anti-join). Oracle: an independent recursive-CTE
+        clustering in SQL over the brute-force pairs."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.graph import near_dedup_keep
+        from agentic_doc_ray.functions.phash import (
+            image_dup_pairs,
+            synth_ppm_dup_media_table,
+        )
+
+        media = synth_ppm_dup_media_table(f"{sf_dir}/documents.parquet", limit=64)
+        ids = ray.data.from_arrow(
+            pa.table({"doc_id": media.column("media_id")})
+        )
+        pairs = image_dup_pairs(ray.data.from_arrow(media)).select_columns(
+            ["media_a", "media_b"]
+        )
+        keep = near_dedup_keep(ids, pairs, a_col="media_a", b_col="media_b")
+        return keep.map_batches(
+            lambda b: b.rename_columns(["media_id"]), batch_format="pyarrow"
+        )
 
     def q_audio_chunks(sf_dir):
         _ensure_extraction_oracles(sf_dir)
@@ -1448,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppm_media_features": q_ppm_features,
         "ppm_media_resize": q_ppm_resize,
         "image_dup_pairs": q_image_dup_pairs,  # brute-force all-pairs oracle
+        "image_dedup_keep": q_image_dedup_keep,  # recursive-CTE SQL clustering
     }
 
 
@@ -2019,6 +2053,24 @@ def oracle_sql() -> dict[str, str]:
         "image_dup_pairs": (
             "SELECT media_a, media_b, hamming "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/image_dup_pairs.parquet')"
+        ),
+        # clusters the BRUTE-FORCE pairs itself (recursive CTE), then keeps
+        # min-per-component + singletons over the id universe
+        "image_dedup_keep": (
+            "WITH RECURSIVE und AS ("
+            f"  SELECT media_a AS a, media_b AS b FROM read_parquet('{_ORACLE_SQL_DIR}/image_dup_pairs.parquet') "
+            "  UNION "
+            f"  SELECT media_b, media_a FROM read_parquet('{_ORACLE_SQL_DIR}/image_dup_pairs.parquet')"
+            "), reach(a, b) AS ("
+            "  SELECT a, b FROM und "
+            "  UNION "
+            "  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a"
+            "), comp AS ("
+            "  SELECT a AS media_id, least(a, min(b)) AS component FROM reach GROUP BY a"
+            ") "
+            f"SELECT media_id FROM read_parquet('{_ORACLE_SQL_DIR}/image_media_ids.parquet') "
+            "WHERE media_id NOT IN "
+            "(SELECT media_id FROM comp WHERE media_id <> component)"
         ),
         "ppm_media_features": (
             "SELECT media_id, media_type, feat_sum_milli "

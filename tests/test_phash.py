@@ -67,6 +67,44 @@ def test_pairs_match_bruteforce_any_partitioning():
         assert sorted(zip(got.media_a, got.media_b, got.hamming)) == want
 
 
+def test_image_dedup_keep_canonicalizes_clusters():
+    from agentic_doc_ray.functions.graph import near_dedup_keep
+
+    tbl = synth_ppm_dup_media_table(DOCS, limit=16, dup_every=4)
+    ids = ray.data.from_arrow(pa.table({"doc_id": tbl.column("media_id")}))
+    pairs = image_dup_pairs(ray.data.from_arrow(tbl)).select_columns(
+        ["media_a", "media_b"]
+    )
+    kept = set(
+        r["doc_id"]
+        for r in near_dedup_keep(
+            ids, pairs, a_col="media_a", b_col="media_b"
+        ).take_all()
+    )
+    all_ids = set(tbl.column("media_id").to_pylist())
+    # expected: local union-find over the INDEPENDENT brute-force pairs,
+    # keep the min member per component, singletons pass through
+    parent = {m: m for m in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in image_dup_pairs_oracle(tbl).to_pylist():
+        ra, rb = find(r["media_a"]), find(r["media_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for m in all_ids:
+        comp_min[find(m)] = min(comp_min.get(find(m), m), m)
+    want = {m for m in all_ids if comp_min[find(m)] == m}
+    assert kept == want
+    # -copy members are never canonical (base id sorts first)
+    assert not any(m.endswith("-copy") for m in kept)
+
+
 def test_fake_decoder_and_empty_stream():
     # fake decoder path: digest hashes, no PPM requirement
     tbl = pa.table(
