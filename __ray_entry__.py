@@ -575,6 +575,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kind", num_partitions=shuffle_partitions(4)
         ).aggregate(Count(alias_name="n"))
 
+    def q_interleave_stats(sf_dir):
+        """Interleave-structure metrics per document (media density,
+        longest text run in offset order) — the multimodal-mixture
+        filter signals; zero exchanges, vectorized lexsort + prefix-max
+        runs. Oracle: DuckDB recursive unnest + gaps-and-islands SQL."""
+        from agentic_doc_ray.functions.interleave import interleave_stats
+
+        return interleave_stats(_corpus_ds(sf_dir))
+
     def q_caption_pairs(sf_dir):
         """MMC4-style caption harvesting: per extracted media span, the
         nearest preceding/following text span in the same doc — zero
@@ -1377,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_doc_stats": q_doc_stats,
         "extract_kind_counts": q_kind_counts,
         "caption_pairs": q_caption_pairs,  # SQL windows over the flat-spans replica
+        "interleave_stats": q_interleave_stats,  # SQL unnest over the corpus parquet
         "grounding_manifest": q_grounding,
         "grounding_crops": q_grounding_crops,
         "extract_fields": q_extract_fields,
@@ -1494,6 +1504,9 @@ def oracle_sql() -> dict[str, str]:
         pass  # driver may run elsewhere; queries() also materialises
 
     flat = f"read_parquet('{_ORACLE_SQL_DIR}/flat_spans.parquet')"
+    from agentic_doc_ray.synth import corpus_path_for as _cpf
+
+    corpus = f"read_parquet('{_cpf(SF_CORRECTNESS)}/*.parquet')"
     stats = f"read_parquet('{_ORACLE_SQL_DIR}/doc_stats.parquet')"
 
     return {
@@ -1504,6 +1517,35 @@ def oracle_sql() -> dict[str, str]:
         # the size-aware router must reproduce the SAME flat-span oracle
         "extract_adaptive_flat_spans": (
             f'SELECT doc_id, "offset", kind, text, media_ref, chunk_id, page FROM {flat}'
+        ),
+        # interleave metrics: recursive unnest + gaps-and-islands windows —
+        # an independent implementation of the offset-order run rule over
+        # the SAME corpus parquet the pipeline reads
+        "interleave_stats": (
+            f"WITH f AS (SELECT doc_id, unnest(spans, recursive := true) FROM {corpus}), "
+            "m AS ("
+            '  SELECT doc_id, "offset", (media_ref <> \'\') AS is_media,'
+            '    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") AS rn,'
+            "    ROW_NUMBER() OVER (PARTITION BY doc_id, (media_ref <> '')"
+            '                       ORDER BY "offset") AS rnk FROM f), '
+            "runs AS ("
+            "  SELECT doc_id, count(*) AS run_len FROM m WHERE NOT is_media"
+            "  GROUP BY doc_id, rn - rnk), "
+            "agg AS ("
+            "  SELECT doc_id, count(*) AS n_spans,"
+            "         sum(CASE WHEN is_media THEN 1 ELSE 0 END) AS n_media"
+            "  FROM m GROUP BY doc_id) "
+            "SELECT c.doc_id,"
+            "  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,"
+            "  CAST(coalesce(a.n_media, 0) AS BIGINT) AS n_media,"
+            "  CAST(CASE WHEN coalesce(a.n_spans, 0) > 0"
+            "       THEN (1000 * coalesce(a.n_media, 0)) // a.n_spans"
+            "       ELSE 0 END AS BIGINT) AS media_per_mille,"
+            "  CAST(coalesce(r.mx, 0) AS BIGINT) AS max_text_run "
+            f"FROM (SELECT doc_id FROM {corpus}) c "
+            "LEFT JOIN agg a USING (doc_id) "
+            "LEFT JOIN (SELECT doc_id, max(run_len) AS mx FROM runs GROUP BY doc_id) r "
+            "USING (doc_id)"
         ),
         # caption harvesting: an INDEPENDENT window-function implementation
         # of the nearest-text-neighbor rule (the pipeline uses a vectorized

@@ -283,6 +283,13 @@ def main() -> None:
 
     timed("caption_pairs", captions_q)
 
+    def interleave_q() -> None:
+        from agentic_doc_ray.functions.interleave import interleave_stats
+
+        interleave_stats(ray.data.read_parquet(corpus_path)).count()
+
+    timed("interleave_stats", interleave_q)
+
     def snapshot_diff_q() -> None:
         from agentic_doc_ray.functions.delta import (
             snapshot_diff,
