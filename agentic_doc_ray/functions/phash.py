@@ -143,6 +143,8 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     """One row per (image, band); the exchange key folds (band_id,
     band_value) into a single int64 — bkey = band_id·2^16 + value — so
     the single-key sentinel guard applies."""
+    if batch.num_rows == 0:
+        return _BAND_SCHEMA.empty_table()
     h = batch.column("dhash").to_numpy(zero_copy_only=False).view(np.uint64)
     n = len(h)
     keys = np.empty(N_BANDS * n, dtype=np.int64)
