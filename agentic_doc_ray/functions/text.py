@@ -627,8 +627,12 @@ def token_commonness(
         .aggregate(Sum("n", alias_name="n"))
     )
     # Ray's hash-aggregate finalizer emits SCHEMA-LESS blocks for empty
-    # partitions (the "new schema: ." artifact) — drop them before concat
-    blocks = [b for b in ray.get(vocab_ds.to_arrow_refs()) if b.num_rows]
+    # partitions (the "new schema: ." artifact) — drop them before concat.
+    # materialize() first: to_arrow_refs() on a LAZY dataset re-executes
+    # the whole plan a second time for its schema fetch (limit=1 run)
+    blocks = [
+        b for b in ray.get(vocab_ds.materialize().to_arrow_refs()) if b.num_rows
+    ]
     vocab_t = (
         pa.concat_tables(blocks)
         if blocks
@@ -808,6 +812,26 @@ def _first_partial(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["token", "n"])
 
 
+def _firsts_from_bigrams(btbl: pa.Table) -> pa.Table:
+    """UNCAPPED bigram counts -> bigram-first token counts. Exactly equal
+    to aggregating ``_first_partial`` because every counted bigram "w1 w2"
+    contributes its occurrences to C_first(w1) and tokens cannot contain
+    the joining space."""
+    if btbl.num_rows == 0:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    first = pc.list_element(pc.split_pattern(btbl.column("bigram"), " "), 0)
+    g = (
+        pa.Table.from_arrays(
+            [first, btbl.column("n")], names=["token", "n"]
+        )
+        .group_by("token")
+        .aggregate([("n", "sum")])
+    )
+    return g.rename_columns(["token", "n"])
+
+
 def _cap_counts(t: pa.Table, key: str, max_vocab: int, label: str) -> pa.Table:
     if t.num_rows > max_vocab:
         import logging
@@ -924,7 +948,11 @@ def bigram_lm_score(
     np_ = shuffle_partitions(8)
 
     def collect(ds, key):
-        blocks = [b for b in _ray.get(ds.to_arrow_refs()) if b.num_rows]
+        # materialize first: to_arrow_refs on a lazy plan runs it TWICE
+        # (once for blocks, once limit=1 for schema)
+        blocks = [
+            b for b in _ray.get(ds.materialize().to_arrow_refs()) if b.num_rows
+        ]
         if not blocks:
             return pa.table(
                 {key: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
@@ -938,13 +966,11 @@ def bigram_lm_score(
         .aggregate(Sum("n", alias_name="n")),
         "bigram",
     )
-    ftbl = collect(
-        docs.map_batches(_first_partial, batch_format="pyarrow")
-        .repartition(np_)
-        .groupby("token", num_partitions=np_)
-        .aggregate(Sum("n", alias_name="n")),
-        "token",
-    )
+    # first-token counts DERIVE from the bigram table (C_first(w1) =
+    # sum_w2 C(w1 w2); tokens contain no whitespace, so w1 is the bigram
+    # up to its first space) — identical counts to a dedicated pass
+    # (pinned by test_property.py), one fewer corpus read + exchange
+    ftbl = _firsts_from_bigrams(btbl)
     bmap = _counts_to_series(_cap_counts(btbl, "bigram", max_vocab, "bigram"), "bigram")
     fmap = _counts_to_series(_cap_counts(ftbl, "token", max_vocab, "first-token"), "token")
     bref, fref = _ray.put(bmap), _ray.put(fmap)
@@ -1134,7 +1160,9 @@ def domain_prior(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             Sum("src_n_distinct", alias_name="src_n_distinct"),
         )
     )
-    blocks = [b for b in _ray.get(per_src.to_arrow_refs()) if b.num_rows]
+    blocks = [
+        b for b in _ray.get(per_src.materialize().to_arrow_refs()) if b.num_rows
+    ]  # materialize: lazy to_arrow_refs re-executes the plan for schema
     src_t = (
         pa.concat_tables(blocks).combine_chunks()
         if blocks

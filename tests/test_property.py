@@ -241,6 +241,38 @@ def test_bigram_lm_scoring_batching_invariant(texts, n_slices):
 
 @settings(deadline=None, max_examples=60)
 @given(
+    st.lists(
+        st.text(alphabet=" \tabAB.!?xy", max_size=40),
+        max_size=10,
+    )
+)
+def test_first_counts_derive_from_bigram_counts(texts):
+    """The C_first table derived from the bigram table (split on the
+    joining space, sum) must equal a dedicated first-token counting pass
+    — the identity bigram_lm_score relies on to skip its second corpus
+    read."""
+    from agentic_doc_ray.functions.text import (
+        _bigram_partial,
+        _first_partial,
+        _firsts_from_bigrams,
+    )
+
+    t = pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts},
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+    want = {
+        r["token"]: r["n"] for r in _first_partial(t).to_pylist()
+    }
+    got = {
+        r["token"]: r["n"]
+        for r in _firsts_from_bigrams(_bigram_partial(t)).to_pylist()
+    }
+    assert got == want
+
+
+@settings(deadline=None, max_examples=60)
+@given(
     st.lists(st.text(alphabet=" \tabZ.!? \n", max_size=60), max_size=8)
 )
 def test_split_sentences_matches_python_replica(texts):
