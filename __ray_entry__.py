@@ -584,6 +584,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return interleave_stats(_corpus_ds(sf_dir))
 
+    def q_customer_order_dist(sf_dir):
+        """TPC-H Q13 shape: LEFT-outer join + aggregate-of-aggregate —
+        customers by qualifying-order count including the zero bucket;
+        order rows never shuffle (per-batch custkey partials), buckets
+        emit partial histograms."""
+        from agentic_doc_ray.functions.joins import customer_order_distribution
+
+        return customer_order_distribution(sf_dir)
+
     def q_caption_pairs(sf_dir):
         """MMC4-style caption harvesting: per extracted media span, the
         nearest preceding/following text span in the same doc — zero
@@ -1481,7 +1490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "repeated_substring_spans": q_substr_spans,
         "substring_dup_stats": q_substr_stats,
-        # anti-join / bloom semi-join
+        # anti-join / bloom semi-join / outer-join distribution
+        "customer_order_dist": q_customer_order_dist,
         "customers_without_urgent": _J().customers_without_urgent,
         "urgent_revenue_bloom": _J().urgent_revenue_bloom,
         # multimodal plumbing (single-process replica oracles)
@@ -2397,6 +2407,16 @@ def oracle_sql() -> dict[str, str]:
             "length(d.text) AS n_chars, "
             "COALESCE(p.dup_chars, 0) * 1000 // greatest(length(d.text), 1) AS dup_per_mille "
             "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
+        ),
+        # TPC-H Q13 adapted (synth orders carry no comment column; the
+        # NOT LIKE predicate becomes a priority filter)
+        "customer_order_dist": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "  SELECT c.c_custkey, count(o.o_custkey) AS c_count"
+            "  FROM customer c LEFT OUTER JOIN"
+            "    (SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT') o"
+            "    ON c.c_custkey = o.o_custkey"
+            "  GROUP BY c.c_custkey) GROUP BY c_count"
         ),
         "customers_without_urgent": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("

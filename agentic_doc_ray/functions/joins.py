@@ -715,3 +715,135 @@ def nation_returned_revenue(sf_dir: str, n_buckets: int = 32) -> "ray.data.Datas
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: outer join + aggregate-of-aggregate
+
+
+def customer_order_distribution(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Q13 (customer distribution): how many customers placed exactly k
+    qualifying orders, INCLUDING k = 0 — the outer-join-then-double-
+    aggregate shape (TPC-H Q13; the comment NOT LIKE predicate becomes a
+    priority filter — the synth orders table has no comment column).
+
+    Shape: orders pre-aggregate per batch to (custkey, n) partials, so
+    the bucketed exchange moves one row per distinct custkey per batch —
+    never order rows; customers ship key-only. Each bucket resolves the
+    LEFT join (missing custkey => 0) and emits a PARTIAL histogram, so
+    the second exchange moves at most |distinct counts| rows per bucket.
+    Driver holds nothing.
+    """
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("custkey", pa.int64()),
+            ("side", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+    if customer.count() == 0:  # metadata-only; zero-row shuffle guard
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "c_count": pa.array([], pa.int64()),
+                    "custdist": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def _bucket(key: "pa.ChunkedArray") -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+
+    def tag_customer(batch: pa.Table) -> pa.Table:
+        key = batch.column("c_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["c"] * batch.num_rows, pa.string()),
+                pa.nulls(batch.num_rows, pa.int64()),
+            ],
+            schema=ex_schema,
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        qual = batch.filter(
+            pc.not_equal(batch.column("o_orderpriority"), "1-URGENT")
+        )
+        d = (
+            qual.select(["o_custkey"])
+            .group_by("o_custkey")
+            .aggregate([("o_custkey", "count")])
+        )  # batch-local partial counts
+        key = d.column("o_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * d.num_rows, pa.string()),
+                d.column("o_custkey_count").cast(pa.int64()),
+            ],
+            schema=ex_schema,
+        )
+
+    def hist_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_cust = pc.equal(g.column("side"), "c")
+        cust = g.filter(is_cust).select(["custkey"])
+        if cust.num_rows == 0:
+            return pa.table(
+                {
+                    "c_count": pa.array([], pa.int64()),
+                    "n_cust": pa.array([], pa.int64()),
+                }
+            )
+        sums = (
+            g.filter(pc.invert(is_cust))
+            .select(["custkey", "n"])
+            .group_by("custkey")
+            .aggregate([("n", "sum")])
+            .rename_columns(["custkey", "c_count"])
+        )
+        m = cust.join(sums, keys="custkey", join_type="left outer")
+        counts = m.column("c_count").combine_chunks().fill_null(0)  # LEFT: 0
+        h = (
+            pa.Table.from_arrays([counts], names=["c_count"])
+            .group_by("c_count")
+            .aggregate([("c_count", "count")])
+        )  # -> (c_count, c_count_count)
+        return pa.Table.from_arrays(
+            [
+                h.column("c_count").cast(pa.int64()),
+                h.column("c_count_count").cast(pa.int64()),
+            ],
+            names=["c_count", "n_cust"],
+        )
+
+    unioned = (
+        customer.map_batches(tag_customer, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
+    )
+    partial_hist = unioned.groupby(
+        "bucket", num_partitions=shuffle_partitions(8)
+    ).map_groups(hist_bucket, batch_format="pyarrow")
+    np_ = shuffle_partitions(4)
+    return (
+        partial_hist.repartition(np_)
+        .groupby("c_count", num_partitions=np_)
+        .aggregate(Sum("n_cust", alias_name="custdist"))
+    )

@@ -434,6 +434,10 @@ def main() -> None:
         lambda: R.heavy_hitter_tokens(docs(), per_mille=2).count(),
     )
     timed("anti_join", lambda: J.customers_without_urgent(SF_DIR).count())
+    timed(
+        "customer_order_dist",
+        lambda: J.customer_order_distribution(SF_DIR).count(),
+    )
     timed("four_table_join", lambda: J.nation_returned_revenue(SF_DIR).count())
     timed("funnel", lambda: A.funnel_counts(SF_DIR).count())
     timed("cohort_retention", lambda: A.cohort_retention(SF_DIR).count())

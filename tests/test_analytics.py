@@ -321,6 +321,36 @@ def test_nation_returned_revenue_four_table_join():
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
+def test_customer_order_distribution_q13():
+    """LEFT-outer + double aggregate: zero-order customers MUST appear in
+    the c_count=0 bucket (the whole point of the outer join)."""
+    from agentic_doc_ray.functions import joins as J
+
+    got = (
+        J.customer_order_distribution(SF)
+        .to_pandas()
+        .sort_values("c_count")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c.c_custkey, count(o.o_custkey) AS c_count
+          FROM read_parquet('{SF}/customer.parquet') c
+          LEFT OUTER JOIN (SELECT o_custkey FROM read_parquet('{SF}/orders.parquet')
+                           WHERE o_orderpriority <> '1-URGENT') o
+            ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) GROUP BY c_count ORDER BY c_count
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # the distribution must account for every customer exactly once
+    n_cust = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchone()[0]
+    assert got["custdist"].sum() == n_cust
+
+
 def test_user_event_paths_ordered_collect():
     got = (
         A.user_event_paths(SF)
