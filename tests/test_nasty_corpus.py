@@ -53,3 +53,49 @@ def test_nasty_corpus_ray_vs_oracle():
         ], g["doc_id"]
         assert g["markdown"] == w["markdown"], g["doc_id"]
         assert [dict(e) for e in g["errors"]] == w["errors"], g["doc_id"]
+
+
+def test_nasty_corpus_downstream_doc_local_ops():
+    """The doc-local downstream operators (caption harvesting, interleave
+    metrics) over the same adversarial corpus through full Ray: no
+    crashes, and their invariants hold on every edge case."""
+    from agentic_doc_ray.functions.captions import harvest_captions
+    from agentic_doc_ray.functions.interleave import interleave_stats
+
+    t = pa.Table.from_pydict(
+        {"doc_id": [n for n, _ in NASTY], "spans": [s for _, s in NASTY]},
+        schema=CORPUS_SCHEMA,
+    )
+    cfg = EngineConfig(split_size=4, parse_concurrency=(1, 2))
+    ds = ray.data.from_arrow(t).random_shuffle(seed=1).repartition(5)
+
+    parsed = extract_corpus(ds, cfg)
+    caps = harvest_captions(parsed).take_all()
+    want_spans = {
+        r["doc_id"]: r["spans"] for r in parse_corpus_oracle(t, cfg).to_pylist()
+    }
+    media_refs = {
+        (d, s["media_ref"])
+        for d, spans in want_spans.items()
+        for s in spans
+        if s["media_ref"]
+    }
+    # exactly one caption row per media span; captions come from the doc
+    assert {(r["doc_id"], r["media_ref"]) for r in caps} == media_refs
+    assert len(caps) == len(media_refs)
+    doc_texts = {
+        d: {s["text"] for s in spans if s["kind"] == "text"}
+        for d, spans in want_spans.items()
+    }
+    for r in caps:
+        for side in ("caption_before", "caption_after"):
+            assert r[side] == "" or r[side] in doc_texts[r["doc_id"]]
+
+    stats = {r["doc_id"]: r for r in interleave_stats(ds).take_all()}
+    assert set(stats) == {n for n, _ in NASTY}
+    assert stats["empty-doc"]["n_spans"] == 0
+    assert stats["empty-doc"]["max_text_run"] == 0
+    assert stats["image-empty-caption"]["n_media"] == 1
+    assert stats["image-empty-caption"]["media_per_mille"] == 1000
+    # offset gaps don't break the run rule (both spans are non-media)
+    assert stats["gap-offsets"]["max_text_run"] == 2
