@@ -593,6 +593,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return customer_order_distribution(sf_dir)
 
+    def q_large_qty_orders(sf_dir):
+        """TPC-H Q18 shape: aggregate -> HAVING -> join back. Qualifying
+        (orderkey, qty) rows are threshold-bounded, broadcast once;
+        orders stream against the map, the tiny match joins customer
+        names through one key-only exchange."""
+        from agentic_doc_ray.functions.joins import large_quantity_orders
+
+        return large_quantity_orders(sf_dir)
+
     def q_caption_pairs(sf_dir):
         """MMC4-style caption harvesting: per extracted media span, the
         nearest preceding/following text span in the same doc — zero
@@ -1492,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_stats": q_substr_stats,
         # anti-join / bloom semi-join / outer-join distribution
         "customer_order_dist": q_customer_order_dist,
+        "large_qty_orders": q_large_qty_orders,
         "customers_without_urgent": _J().customers_without_urgent,
         "urgent_revenue_bloom": _J().urgent_revenue_bloom,
         # multimodal plumbing (single-process replica oracles)
@@ -2417,6 +2427,18 @@ def oracle_sql() -> dict[str, str]:
             "    (SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT') o"
             "    ON c.c_custkey = o.o_custkey"
             "  GROUP BY c.c_custkey) GROUP BY c_count"
+        ),
+        # TPC-H Q18 adapted: HAVING sum(quantity) > 250 (quantities are
+        # integral; 300 keeps too few rows at sf0.01)
+        "large_qty_orders": (
+            "SELECT c.c_custkey, c.c_name, o.o_orderkey,"
+            "       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,"
+            "       q.qty "
+            "FROM (SELECT l_orderkey,"
+            "             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty"
+            "      FROM lineitem GROUP BY l_orderkey HAVING qty > 250) q "
+            "JOIN orders o ON o.o_orderkey = q.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey"
         ),
         "customers_without_urgent": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("

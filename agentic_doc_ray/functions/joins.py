@@ -847,3 +847,182 @@ def customer_order_distribution(sf_dir: str, n_buckets: int = 32) -> "ray.data.D
         .groupby("c_count", num_partitions=np_)
         .aggregate(Sum("n_cust", alias_name="custdist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: aggregate -> HAVING filter -> join back
+
+
+def large_quantity_orders(sf_dir: str, min_qty: int = 250) -> "ray.data.Dataset":
+    """Q18 (large-volume customers): orders whose total lineitem quantity
+    exceeds ``min_qty``, with customer name attached — the
+    aggregate-then-HAVING-then-join-back shape.
+
+    Shape: per-order quantity sums ride the same coarse-bucket exchange
+    as the revenue aggregate; the HAVING filter runs INSIDE each bucket,
+    so only qualifying (orderkey, qty) rows — bounded by the threshold's
+    selectivity, not by order count — reach the driver for a broadcast.
+    Orders then stream once against the broadcast map (no exchange), and
+    the tiny matched set joins customer names through one key-only
+    bucketed exchange. Money stays exact integer cents.
+    """
+    import logging
+
+    import ray as _ray
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    qty_ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        q = pc.round(batch.column("l_quantity")).cast(pa.int64())
+        t = (
+            pa.Table.from_arrays(
+                [batch.column("l_orderkey"), q], names=["o_orderkey", "qty"]
+            )
+            .group_by("o_orderkey")
+            .aggregate([("qty", "sum")])
+        )
+        key = t.column("o_orderkey")
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(31, pa.int64())), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [bucket, key, t.column("qty_sum").combine_chunks()],
+            names=["bucket", "o_orderkey", "qty"],
+        )
+
+    def having_bucket(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["o_orderkey", "qty"])
+            .group_by("o_orderkey")
+            .aggregate([("qty", "sum")])
+        )
+        keep = pc.greater(g.column("qty_sum"), pa.scalar(min_qty, pa.int64()))
+        out = g.filter(keep)
+        return out.rename_columns(["o_orderkey", "qty"])
+
+    hot_rows = (
+        qty_ds.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=shuffle_partitions(8))
+        .map_groups(having_bucket, batch_format="pyarrow")
+        .take_all()
+    )  # bounded by HAVING selectivity, never by order count
+    if len(hot_rows) > 1_000_000:
+        logging.getLogger(__name__).warning(
+            "large_quantity_orders: %d qualifying orders broadcast to every "
+            "worker — raise min_qty if this threshold stops being selective",
+            len(hot_rows),
+        )
+    hot = {r["o_orderkey"]: r["qty"] for r in hot_rows}
+    href = _ray.put(hot)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("custkey", pa.int64()),
+            ("side", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("total_cents", pa.int64()),
+            ("qty", pa.int64()),
+            ("c_name", pa.string()),
+        ]
+    )
+
+    def probe_orders(batch: pa.Table, *, _h=href) -> pa.Table:
+        cache = probe_orders.__dict__
+        if "hot" not in cache:
+            cache["hot"] = _ray.get(_h)
+            cache["keys"] = pa.array(list(cache["hot"]), pa.int64())
+        m = batch.filter(
+            pc.is_in(batch.column("o_orderkey"), value_set=cache["keys"])
+        )
+        qty = pa.array(
+            [cache["hot"][k] for k in m.column("o_orderkey").to_pylist()],
+            pa.int64(),
+        )  # tiny: only qualifying orders survive the filter
+        cents = pc.round(
+            pc.multiply(m.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        key = m.column("o_custkey")
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(31, pa.int64())), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                key,
+                pa.array(["o"] * m.num_rows, pa.string()),
+                m.column("o_orderkey"),
+                cents,
+                qty,
+                pa.nulls(m.num_rows, pa.string()),
+            ],
+            schema=ex_schema,
+        )
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def tag_customer(batch: pa.Table) -> pa.Table:
+        key = batch.column("c_custkey")
+        n = batch.num_rows
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(31, pa.int64())), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                key,
+                pa.array(["c"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                batch.column("c_name"),
+            ],
+            schema=ex_schema,
+        )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_o = pc.equal(g.column("side"), "o")
+        o = g.filter(is_o).select(
+            ["custkey", "o_orderkey", "total_cents", "qty"]
+        )
+        if o.num_rows == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "total_cents": pa.array([], pa.int64()),
+                    "qty": pa.array([], pa.int64()),
+                }
+            )
+        c = g.filter(pc.invert(is_o)).select(["custkey", "c_name"])
+        m = o.join(c, keys="custkey", join_type="inner")
+        return pa.Table.from_arrays(
+            [
+                m.column("custkey"),
+                m.column("c_name").combine_chunks(),
+                m.column("o_orderkey").combine_chunks(),
+                m.column("total_cents").combine_chunks(),
+                m.column("qty").combine_chunks(),
+            ],
+            names=["c_custkey", "c_name", "o_orderkey", "total_cents", "qty"],
+        )
+
+    return (
+        orders.map_batches(probe_orders, batch_format="pyarrow")
+        .union(customer.map_batches(tag_customer, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=shuffle_partitions(8))
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )

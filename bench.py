@@ -438,6 +438,10 @@ def main() -> None:
         "customer_order_dist",
         lambda: J.customer_order_distribution(SF_DIR).count(),
     )
+    timed(
+        "large_qty_orders",
+        lambda: J.large_quantity_orders(SF_DIR).count(),
+    )
     timed("four_table_join", lambda: J.nation_returned_revenue(SF_DIR).count())
     timed("funnel", lambda: A.funnel_counts(SF_DIR).count())
     timed("cohort_retention", lambda: A.cohort_retention(SF_DIR).count())

@@ -351,6 +351,35 @@ def test_customer_order_distribution_q13():
     assert got["custdist"].sum() == n_cust
 
 
+def test_large_quantity_orders_q18():
+    """HAVING-then-join-back: every row's qty must exceed the threshold,
+    and the result must match SQL exactly (inner joins, exact cents)."""
+    from agentic_doc_ray.functions import joins as J
+
+    got = (
+        J.large_quantity_orders(SF, min_qty=150)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents, q.qty
+        FROM (SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+              FROM read_parquet('{SF}/lineitem.parquet')
+              GROUP BY l_orderkey HAVING qty > 150) q
+        JOIN read_parquet('{SF}/orders.parquet') o ON o.o_orderkey = q.l_orderkey
+        JOIN read_parquet('{SF}/customer.parquet') c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_orderkey
+        """
+    ).df()
+    assert len(got) > 0, "threshold too high for the test scale"
+    assert (got["qty"] > 150).all()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_user_event_paths_ordered_collect():
     got = (
         A.user_event_paths(SF)
