@@ -148,6 +148,10 @@ def connected_components(
     """
     if isinstance(pairs, pa.Table):
         return ray.data.from_arrow(_local_cc(pairs, a_col, b_col))
+    # materialize BEFORE count: count() on a lazy dataset executes the
+    # whole upstream plan (here: the dup-pair pipeline), and the edge
+    # build below would execute it a second time
+    pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(
