@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 15  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 16  # bump when any oracle-producing logic changes
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
 # pack_sequences/contamination/media_resized/audio_chunks oracles;
 # v7: adds the product-quantization top-k replica oracle; v8: adds the
@@ -71,7 +71,7 @@ _ORACLE_VERSION = 15  # bump when any oracle-producing logic changes
 # quality-classifier replica oracles; v14: adds the dHash image-dup
 # brute-force oracle; v15: adds the image-media id universe (the
 # image_dedup_keep SQL does its own recursive-CTE clustering over the
-# brute-force pairs)
+# brute-force pairs); v16: adds the DSIR importance-weight replica
 # — the bump invalidates any stale _DONE marker that predates them)
 
 
@@ -208,6 +208,15 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         quality_classifier_oracle(docs_lang_tbl),
         os.path.join(out_dir, "quality_classifier.parquet"),
+    )
+
+    # DSIR replica: integer micro-nat per-feature rounding makes per-doc
+    # sums batching-independent — bit-equal end to end
+    from agentic_doc_ray.functions.dsir import dsir_weights_oracle
+
+    _pq.write_table(
+        dsir_weights_oracle(docs_lang_tbl),
+        os.path.join(out_dir, "dsir_weights.parquet"),
     )
 
     # PageRank replica: exact integer-scaled arithmetic makes the
@@ -1047,6 +1056,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return classifier_gated_sample(d)
 
+    def q_dsir_weights(sf_dir):
+        """DSIR importance weights (Xie et al. 2023): hashed-n-gram
+        unigram models of target vs raw, one fixed-size count exchange,
+        broadcast log-ratio vector, streaming integer scoring."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.dsir import dsir_weights
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return dsir_weights(d)
+
     def q_ccnet_buckets(sf_dir):
         """CCNet head/middle/tail: per-language bigram-LM perplexity
         terciles (sketch-then-map over the scored table; the oracle is an
@@ -1425,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": q_bpe_encode,                # single-process replica oracle
         "quality_classifier": q_quality_classifier,  # single-process replica oracle
         "classifier_gated_sample": q_classifier_gated_sample,  # SQL gate over the replica
+        "dsir_weights": q_dsir_weights,            # single-process replica oracle
         "ccnet_buckets": q_ccnet_buckets,          # SQL windows over the LM replica
         "chunk_windows": q_chunk_windows,
         "contamination_flags": q_contamination,
@@ -1706,6 +1728,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": (
             "SELECT doc_id, score, pred "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/quality_classifier.parquet')"
+        ),
+        "dsir_weights": (
+            "SELECT doc_id, n_feats, log_ratio_micro "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/dsir_weights.parquet')"
         ),
         # the gate re-derives the keep decision IN SQL from the replica's
         # predictions — same md5 per-mille rule as mixture_sample

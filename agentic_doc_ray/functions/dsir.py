@@ -1,0 +1,172 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023).
+
+Per-document importance weight for selecting pretraining data that looks
+like a TARGET domain: under hashed bag-of-n-gram unigram models of the
+target subset and the raw corpus, each document's log importance ratio is
+
+    log w(x) = sum_over_feature_occurrences ( log p_target[f] - log p_raw[f] )
+
+with add-one smoothing over the hashed feature space. Documents with a
+high ratio resemble the target; a downstream sampler (e.g.
+``sampling.mixture_sample``-style hash gating or Gumbel top-k) resamples
+by these weights — this operator produces the weights.
+
+Shape: the SAME two-pass plumbing as ``classifier.quality_classifier``
+(which this module reuses): per-batch hashed-count histograms per side
+move through one fixed-size exchange (<= 2·(dim+1) rows per batch,
+bounded by the feature space, never the corpus), the integer micro-nat
+log-ratio vector broadcasts once, and scoring is a vectorized int64
+scatter-add per batch. Per-feature log ratios round to integer
+MICRO-NATS before per-doc summation, so results are batching-independent
+and the single-process replica is bit-equal (same rule as the bigram
+LM's micro-bits).
+
+Reference analogue: none (public method; Xie et al., "Data Selection
+for Language Models via Importance Resampling", NeurIPS 2023).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from agentic_doc_ray.functions.classifier import (
+    _DIM,
+    _occurrences,
+    _train_partial,
+)
+
+_MICRO = 1_000_000  # nats -> integer micro-nats, rounded per FEATURE
+
+DSIR_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_feats", pa.int64()),
+        ("log_ratio_micro", pa.int64()),
+    ]
+)
+
+
+def _log_ratio_vector(sums: pa.Table) -> np.ndarray:
+    """(label, j, n) totals -> int64 micro-nat log-ratio vector.
+
+    label 1 = target side, label 0 = raw side (the raw side counts the
+    WHOLE corpus, so the target is never out-of-distribution of it).
+    Add-one smoothing keeps every feature finite."""
+    lab = sums.column("label").to_numpy(zero_copy_only=False)
+    j = sums.column("j").to_numpy(zero_copy_only=False)
+    n = sums.column("n").to_numpy(zero_copy_only=False)
+    C = np.zeros((2, _DIM), np.int64)
+    tot = np.zeros(2, np.int64)
+    feat_rows = j >= 0
+    for c in (0, 1):
+        sel = (lab == c) & feat_rows
+        C[c, j[sel]] = n[sel]
+        tot[c] = C[c].sum()
+    logp = lambda c: np.log(  # noqa: E731
+        (C[c] + 1).astype(np.float64)
+    ) - np.log(float(tot[c] + _DIM))
+    return np.round((logp(1) - logp(0)) * _MICRO).astype(np.int64)
+
+
+def _dsir_partial(batch: pa.Table, label_col: str, target: str) -> pa.Table:
+    """Target-side counts ride label 1; the raw side (label 0) counts
+    EVERY document — reuse the classifier partial for the target split,
+    then add an all-docs histogram under label 0."""
+    t_part = _train_partial(batch, label_col, target)
+    # keep target rows (label 1) only; rebuild the raw side over ALL docs
+    t_only = t_part.filter(
+        pc.equal(t_part.column("label"), pa.scalar(1, pa.int8()))
+    )
+    occ_doc, occ_feat, _ = _occurrences(batch)
+    hist = np.bincount(occ_feat, minlength=_DIM) if len(occ_feat) else np.zeros(_DIM, np.int64)
+    nz = np.flatnonzero(hist)
+    raw = pa.Table.from_arrays(
+        [
+            pa.array(np.zeros(len(nz) + 1, np.int8)),
+            pa.array(np.concatenate([nz, [-1]]).astype(np.int64)),
+            pa.array(
+                np.concatenate([hist[nz], [batch.num_rows]]).astype(np.int64)
+            ),
+        ],
+        names=["label", "j", "n"],
+    )
+    return pa.concat_tables([t_only, raw])
+
+
+def _dsir_score_batch(batch: pa.Table, w: np.ndarray) -> pa.Table:
+    occ_doc, occ_feat, _ = _occurrences(batch)
+    score = np.zeros(batch.num_rows, np.int64)
+    nf = np.zeros(batch.num_rows, np.int64)
+    if len(occ_doc):
+        np.add.at(score, occ_doc, w[occ_feat])
+        np.add.at(nf, occ_doc, 1)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id").cast(pa.int64()),
+            pa.array(nf),
+            pa.array(score),
+        ],
+        schema=DSIR_SCHEMA,
+    )
+
+
+def _dsir_sums(docs_or_tbl, label_col: str, target: str, distributed: bool):
+    if not distributed:
+        return _dsir_partial(docs_or_tbl, label_col, target)
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    np_ = shuffle_partitions(4)
+    rows = (
+        docs_or_tbl.map_batches(
+            lambda b: _dsir_partial(b, label_col, target),
+            batch_format="pyarrow",
+        )
+        .groupby(["label", "j"], num_partitions=np_)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # <= 2*(_DIM+1) rows, fixed by the feature space
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("label", pa.int8()), ("j", pa.int64()), ("n", pa.int64())]
+        ),
+    )
+
+
+def dsir_weights(
+    docs: "ray.data.Dataset", label_col: str = "lang", target: str = "en"
+) -> "ray.data.Dataset":
+    """(doc_id, n_feats, log_ratio_micro) for every document; the target
+    distribution is the ``label_col == target`` subset, the raw
+    distribution is the whole corpus."""
+    import ray as _ray
+
+    w = _log_ratio_vector(_dsir_sums(docs, label_col, target, True))
+    wref = _ray.put(w)
+
+    def score(batch: pa.Table, *, _w=wref) -> pa.Table:
+        cache = score.__dict__
+        if "w" not in cache:
+            cache["w"] = _ray.get(_w)
+        return _dsir_score_batch(batch, cache["w"])
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights_oracle(
+    docs_tbl: pa.Table, label_col: str = "lang", target: str = "en"
+) -> pa.Table:
+    """Single-process replica: the same partial/ratio/score functions on
+    the whole corpus as one batch — bit-equal because count sums are
+    exact integers and per-feature log ratios round BEFORE summation."""
+    sums = _dsir_sums(docs_tbl, label_col, target, False)
+    sums = (
+        sums.group_by(["label", "j"]).aggregate([("n", "sum")])
+    ).rename_columns(["label", "j", "n"])
+    return _dsir_score_batch(docs_tbl, _log_ratio_vector(sums))

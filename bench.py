@@ -258,6 +258,13 @@ def main() -> None:
     timed("quality_classifier", classifier_q)
     timed("ccnet_buckets", lambda: T.ccnet_buckets(docs_lang()).count())
 
+    def dsir_q() -> None:
+        from agentic_doc_ray.functions.dsir import dsir_weights
+
+        dsir_weights(docs_lang()).count()
+
+    timed("dsir_weights", dsir_q)
+
     def image_dup_q() -> None:
         from agentic_doc_ray.functions.phash import (
             image_dup_pairs,
