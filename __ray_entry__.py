@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 16  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 17  # bump when any oracle-producing logic changes
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
 # pack_sequences/contamination/media_resized/audio_chunks oracles;
 # v7: adds the product-quantization top-k replica oracle; v8: adds the
@@ -71,7 +71,8 @@ _ORACLE_VERSION = 16  # bump when any oracle-producing logic changes
 # quality-classifier replica oracles; v14: adds the dHash image-dup
 # brute-force oracle; v15: adds the image-media id universe (the
 # image_dedup_keep SQL does its own recursive-CTE clustering over the
-# brute-force pairs); v16: adds the DSIR importance-weight replica
+# brute-force pairs); v16: adds the DSIR importance-weight replica;
+# v17: adds the DSIR Gumbel-top-k selection replica
 # — the bump invalidates any stale _DONE marker that predates them)
 
 
@@ -212,11 +213,18 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
 
     # DSIR replica: integer micro-nat per-feature rounding makes per-doc
     # sums batching-independent — bit-equal end to end
-    from agentic_doc_ray.functions.dsir import dsir_weights_oracle
+    from agentic_doc_ray.functions.dsir import (
+        dsir_select_oracle,
+        dsir_weights_oracle,
+    )
 
     _pq.write_table(
         dsir_weights_oracle(docs_lang_tbl),
         os.path.join(out_dir, "dsir_weights.parquet"),
+    )
+    _pq.write_table(
+        dsir_select_oracle(docs_lang_tbl, k=100),
+        os.path.join(out_dir, "dsir_select.parquet"),
     )
 
     # PageRank replica: exact integer-scaled arithmetic makes the
@@ -1068,6 +1076,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dsir_weights(d)
 
+    def q_dsir_select(sf_dir):
+        """DSIR Gumbel top-k selection: sample k docs without replacement
+        proportionally to exp(importance weight) — deterministic Gumbel
+        keys, per-block top-k partials, one tiny merge."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.dsir import dsir_select
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return dsir_select(d, k=100)
+
     def q_ccnet_buckets(sf_dir):
         """CCNet head/middle/tail: per-language bigram-LM perplexity
         terciles (sketch-then-map over the scored table; the oracle is an
@@ -1447,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,  # single-process replica oracle
         "classifier_gated_sample": q_classifier_gated_sample,  # SQL gate over the replica
         "dsir_weights": q_dsir_weights,            # single-process replica oracle
+        "dsir_select": q_dsir_select,              # single-process replica oracle
         "ccnet_buckets": q_ccnet_buckets,          # SQL windows over the LM replica
         "chunk_windows": q_chunk_windows,
         "contamination_flags": q_contamination,
@@ -1732,6 +1753,10 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": (
             "SELECT doc_id, n_feats, log_ratio_micro "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/dsir_weights.parquet')"
+        ),
+        "dsir_select": (
+            "SELECT doc_id, gumbel_key_micro "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/dsir_select.parquet')"
         ),
         # the gate re-derives the keep decision IN SQL from the replica's
         # predictions — same md5 per-mille rule as mixture_sample

@@ -170,3 +170,85 @@ def dsir_weights_oracle(
         sums.group_by(["label", "j"]).aggregate([("n", "sum")])
     ).rename_columns(["label", "j", "n"])
     return _dsir_score_batch(docs_tbl, _log_ratio_vector(sums))
+
+
+SELECT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("gumbel_key_micro", pa.int64())]
+)
+
+
+def _gumbel_key_batch(scored: pa.Table, seed: int) -> pa.Table:
+    """Importance weights -> Gumbel top-k sampling keys (Xie et al. §2.2:
+    top-k of weight + Gumbel noise samples WITHOUT replacement
+    proportionally to exp(weight)).
+
+    Deterministic: u derives from md5(doc_id, seed) (52-bit mantissa in
+    (0,1)), key = log_ratio_micro + round(-1e6·ln(-ln u)). The float ln
+    is computed by the same numpy code in the replica, so bit-equality
+    holds; u is never 0 or 1 (mantissa+1 over 2^52+2)."""
+    import hashlib
+
+    ids = scored.column("doc_id").to_pylist()
+    m = np.array(
+        [
+            int.from_bytes(
+                hashlib.md5(f"{d}:{seed}".encode()).digest()[:8], "big"
+            )
+            >> 12
+            for d in ids
+        ],
+        dtype=np.int64,
+    )
+    u = (m.astype(np.float64) + 1.0) / float((1 << 52) + 2)
+    g = np.round(-np.log(-np.log(u)) * _MICRO).astype(np.int64)
+    key = scored.column("log_ratio_micro").to_numpy(zero_copy_only=False) + g
+    return pa.Table.from_arrays(
+        [scored.column("doc_id"), pa.array(key)], schema=SELECT_SCHEMA
+    )
+
+
+def _topk(t: pa.Table, k: int) -> pa.Table:
+    idx = pc.sort_indices(
+        t, sort_keys=[("gumbel_key_micro", "descending"), ("doc_id", "ascending")]
+    )
+    return t.take(idx.slice(0, k))
+
+
+def dsir_select(
+    docs: "ray.data.Dataset",
+    k: int = 100,
+    label_col: str = "lang",
+    target: str = "en",
+    seed: int = 17,
+) -> "ray.data.Dataset":
+    """DSIR selection: the k documents sampled without replacement
+    proportionally to exp(importance weight), via deterministic Gumbel
+    top-k. One count exchange (the weights), one streaming scoring pass
+    with per-batch local top-k partials (k rows per block move, never
+    the corpus), one tiny final merge."""
+    scored = dsir_weights(docs, label_col, target)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return _topk(_gumbel_key_batch(batch, seed), k)
+
+    return (
+        scored.map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(lambda t: _topk(t, k), batch_format="pyarrow")
+    )
+
+
+def dsir_select_oracle(
+    docs_tbl: pa.Table,
+    k: int = 100,
+    label_col: str = "lang",
+    target: str = "en",
+    seed: int = 17,
+) -> pa.Table:
+    """Single-process replica: same weights, same Gumbel keys, one
+    global top-k — bit-equal (local-top-k partials are a lossless
+    mergeable summary for a global top-k)."""
+    return _topk(
+        _gumbel_key_batch(dsir_weights_oracle(docs_tbl, label_col, target), seed),
+        k,
+    )

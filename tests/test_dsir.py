@@ -64,6 +64,23 @@ def test_target_docs_score_higher_and_empty_doc_zero():
             assert r["log_ratio_micro"] == 0
 
 
+def test_select_matches_replica_and_enriches_target():
+    from agentic_doc_ray.functions.dsir import dsir_select, dsir_select_oracle
+
+    t = _tbl()
+    want = dsir_select_oracle(t, k=10).to_pylist()
+    assert len(want) == 10
+    for parts in (1, 6):
+        got = dsir_select(ray.data.from_arrow(t).repartition(parts), k=10).take_all()
+        assert got == want
+    langs = dict(zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist()))
+    frac = sum(langs[r["doc_id"]] == "en" for r in want) / len(want)
+    base = sum(l == "en" for l in langs.values()) / t.num_rows
+    assert frac > base  # selection is target-enriched
+    # k larger than the corpus returns every doc, still deterministic
+    assert dsir_select_oracle(t, k=10_000).num_rows == t.num_rows
+
+
 def test_log_ratio_vector_smoothing():
     # no counts at all: every feature's ratio is log(1/D)-log(1/D) = 0
     empty = pa.table(
