@@ -123,6 +123,30 @@ def test_gated_sample_is_the_hash_filtered_scoring():
         )
 
 
+def test_classifier_degenerate_single_class():
+    # all-negative corpus: N_pos = 0 zeroes the cross-multiplied weight
+    # vector (w = N_neg*S_pos - N_pos*S_neg = 0), so every doc scores 0
+    # and falls to the negative class; still bit-equal to the replica
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(["der hund läuft"] * 5 + [""], pa.string()),
+            "lang": pa.array(["de"] * 6, pa.string()),
+        }
+    )
+    want = quality_classifier_oracle(t).to_pylist()
+    for r in want:
+        assert r["pred"] == "other"
+        assert r["score"] == 0
+    got = (
+        quality_classifier(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .to_dict("records")
+    )
+    assert got == want
+
+
 def test_ccnet_buckets_matches_oracle_and_terciles():
     t = _docs_tbl()
     want = ccnet_buckets_oracle(t).to_pylist()
