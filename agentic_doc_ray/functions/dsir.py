@@ -74,25 +74,22 @@ def _log_ratio_vector(sums: pa.Table) -> np.ndarray:
 
 def _dsir_partial(batch: pa.Table, label_col: str, target: str) -> pa.Table:
     """Target-side counts ride label 1; the raw side (label 0) counts
-    EVERY document — reuse the classifier partial for the target split,
-    then add an all-docs histogram under label 0."""
+    EVERY document. One tokenization pass: the classifier partial already
+    holds both per-class histograms, and raw = class0 + class1 summed per
+    feature — re-running ``_occurrences`` would double the dominant cost
+    of the training pass for identical numbers."""
     t_part = _train_partial(batch, label_col, target)
-    # keep target rows (label 1) only; rebuild the raw side over ALL docs
     t_only = t_part.filter(
         pc.equal(t_part.column("label"), pa.scalar(1, pa.int8()))
     )
-    occ_doc, occ_feat, _ = _occurrences(batch)
-    hist = np.bincount(occ_feat, minlength=_DIM) if len(occ_feat) else np.zeros(_DIM, np.int64)
-    nz = np.flatnonzero(hist)
-    raw = pa.Table.from_arrays(
-        [
-            pa.array(np.zeros(len(nz) + 1, np.int8)),
-            pa.array(np.concatenate([nz, [-1]]).astype(np.int64)),
-            pa.array(
-                np.concatenate([hist[nz], [batch.num_rows]]).astype(np.int64)
-            ),
-        ],
-        names=["label", "j", "n"],
+    raw = (
+        t_part.select(["j", "n"])
+        .group_by("j")
+        .aggregate([("n", "sum")])
+        .rename_columns(["j", "n"])
+    )  # sums the two class histograms; j=-1 rows sum to batch.num_rows
+    raw = raw.add_column(
+        0, "label", pa.array(np.zeros(raw.num_rows, np.int8))
     )
     return pa.concat_tables([t_only, raw])
 

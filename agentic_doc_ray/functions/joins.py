@@ -895,8 +895,11 @@ def large_quantity_orders(sf_dir: str, min_qty: int = 250) -> "ray.data.Dataset"
         )
 
     def having_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(  # drop the exchange-guard sentinel rows
+            pc.greater_equal(group.column("o_orderkey"), pa.scalar(0, pa.int64()))
+        )
         g = (
-            group.select(["o_orderkey", "qty"])
+            g.select(["o_orderkey", "qty"])
             .group_by("o_orderkey")
             .aggregate([("qty", "sum")])
         )
@@ -904,8 +907,20 @@ def large_quantity_orders(sf_dir: str, min_qty: int = 250) -> "ray.data.Dataset"
         out = g.filter(keep)
         return out.rename_columns(["o_orderkey", "qty"])
 
+    qty_schema = pa.schema(
+        [("bucket", pa.int32()), ("o_orderkey", pa.int64()), ("qty", pa.int64())]
+    )
     hot_rows = (
         qty_ds.map_batches(qty_partial, batch_format="pyarrow")
+        # empty-first-block guard: a zero-row input block makes qty_partial
+        # emit an empty table, and Ray's hash shuffle then skips the schema
+        # broadcast for that sequence (_exchange.py) — sentinel rows keep
+        # every partition non-empty; o_orderkey=-1 is dropped above
+        .union(
+            int_key_sentinels(
+                qty_schema, "bucket", fill={"o_orderkey": -1, "qty": 0}
+            )
+        )
         .groupby("bucket", num_partitions=shuffle_partitions(8))
         .map_groups(having_bucket, batch_format="pyarrow")
         .take_all()

@@ -217,7 +217,10 @@ def image_dup_pairs(
         raise ValueError(
             f"banded LSH is exact only for max_hamming <= {N_BANDS - 1}"
         )
-    np_ = _cap(16)
+    # cap at 8: the int-key sentinel guard's 128 keys are verified to
+    # cover every hash partition only for num_partitions <= 9
+    # (_exchange.py; at 11 partitions keys 0..127 provably miss five)
+    np_ = _cap(8)
     hashed = image_dhashes(media, decoder=decoder)
     # empty-first-block guard (_exchange.py); media_id="" rows are dropped
     # inside _bucket_pairs before pairing
@@ -257,7 +260,11 @@ def image_dup_pairs_oracle(media_tbl: pa.Table, max_hamming: int = 3) -> pa.Tabl
     return pa.Table.from_pydict(out, schema=PAIR_SCHEMA)
 
 
-def _pattern_img(text: str, cell_px: int = 12) -> np.ndarray:
+_CELL_PX = 12  # pattern-image cell size; the planted-dup recolor must
+# stay aligned to exactly one cell for the Hamming <= 2 envelope
+
+
+def _pattern_img(text: str, cell_px: int = _CELL_PX) -> np.ndarray:
     """Deterministic GRID_H x GRID_W cell-pattern image derived from the
     document's tokens (crc32 per cell) — horizontally structured, so
     distinct documents get near-uniformly-random dHashes (the rasterized
@@ -309,8 +316,9 @@ def synth_ppm_dup_media_table(
         if i % dup_every == 0:
             rows.append({**base, "media_id": base["media_id"] + "-copy"})
             near = img.copy()
-            # recolor one interior cell (row 3, col 4)
-            cp = 12
+            # recolor one interior cell (row 3, col 4) — _CELL_PX keeps
+            # the patch aligned to exactly one dHash grid cell
+            cp = _CELL_PX
             near[3 * cp : 4 * cp, 4 * cp : 5 * cp] = 255 - near[
                 3 * cp : 4 * cp, 4 * cp : 5 * cp
             ]
