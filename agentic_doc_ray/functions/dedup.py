@@ -253,16 +253,19 @@ def _explode_bands(batch: pa.Table) -> pa.Table:
                 pa.array(np.tile(sig.reshape(-1), N_BANDS), pa.int64()), N_HASHES
             ),
         },
-        schema=pa.schema(
-            [
-                ("shard", pa.int32()),
-                ("band_id", pa.int32()),
-                ("band_hash", pa.int64()),
-                ("doc_id", pa.string()),
-                ("sig", pa.list_(pa.int64(), N_HASHES)),
-            ]
-        ),
+        schema=_BAND_ROW_SCHEMA,
     )
+
+
+_BAND_ROW_SCHEMA = pa.schema(
+    [
+        ("shard", pa.int32()),
+        ("band_id", pa.int32()),
+        ("band_hash", pa.int64()),
+        ("doc_id", pa.string()),
+        ("sig", pa.list_(pa.int64(), N_HASHES)),
+    ]
+)
 
 
 _BUCKET_PAIR_CAP = 1000
@@ -282,6 +285,9 @@ def _shard_pairs(group: pa.Table, threshold: float = 0.0) -> pa.Table:
     estimate is a pure function of the pair, so filtering commutes with the
     dedup — and sub-threshold pairs vastly outnumber survivors (measured
     604k -> 245 at sf0.1, cutting the dedup shuffle from 25s to <1s)."""
+    group = group.filter(  # drop exchange-guard sentinel rows
+        pc.not_equal(group.column("doc_id"), "")
+    )
     out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
     n = group.num_rows
     if n >= 2:
@@ -336,7 +342,9 @@ def _shard_pairs(group: pa.Table, threshold: float = 0.0) -> pa.Table:
 
 
 def minhash_dedup_pairs(
-    docs: "ray.data.Dataset", threshold: float = 0.8, shuffle_partitions: int = 16
+    # partitions default 8: the sentinel guard's int keys cover every hash
+    # partition only for num_partitions <= 9 (_exchange.py)
+    docs: "ray.data.Dataset", threshold: float = 0.8, shuffle_partitions: int = 8
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
 
@@ -348,10 +356,14 @@ def minhash_dedup_pairs(
     sigs = docs.map_batches(MinHashActor(), batch_format="pyarrow")
     bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
     from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
 
     np_ = _cap(shuffle_partitions)
     pairs = (
-        bands.repartition(np_)
+        bands.union(  # empty-first-block guard (_exchange.py); doc_id=""
+            int_key_sentinels(_BAND_ROW_SCHEMA, "shard", fill={"doc_id": ""})
+        )
+        .repartition(np_)
         .groupby("shard", num_partitions=np_)
         .map_groups(
             lambda g: _shard_pairs(g, threshold), batch_format="pyarrow"
@@ -574,6 +586,14 @@ def simhashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 _N_PLANES = 8   # sign bits per band
 _N_LSH_BANDS = 12  # independent plane sets; recall ~= 1-(1-p^8)^12
 
+_EMB_BAND_SCHEMA = pa.schema(
+    [
+        ("bkey", pa.int64()),  # band·2^planes + bucket (single-key guard)
+        ("vec_id", pa.int64()),
+        ("unit", pa.list_(pa.float64())),
+    ]
+)
+
 
 def embedding_dup_pairs(
     embeddings: "ray.data.Dataset", dim: int, threshold: float = 0.95, seed: int = 11
@@ -597,7 +617,7 @@ def embedding_dup_pairs(
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
         signs = (vecs @ P) > 0  # (n, bands*planes)
-        out = {"band_id": [], "bucket": [], "vec_id": [], "unit": []}
+        out = {"bkey": [], "vec_id": [], "unit": []}
         ids = batch.column("vec_id").to_pylist()
         units = [u.tolist() for u in unit]
         for band in range(_N_LSH_BANDS):
@@ -605,23 +625,19 @@ def embedding_dup_pairs(
             bucket = (
                 s.astype(np.uint64) << np.arange(_N_PLANES, dtype=np.uint64)
             ).sum(axis=1)
-            out["band_id"].extend([band] * len(ids))
-            out["bucket"].extend(bucket.astype(np.int64).tolist())
+            # fold (band, bucket) into ONE int key so the single-key
+            # sentinel guard applies: bkey = band·2^planes + bucket
+            out["bkey"].extend(
+                (bucket.astype(np.int64) + (band << _N_PLANES)).tolist()
+            )
             out["vec_id"].extend(ids)
             out["unit"].extend(units)
-        return pa.Table.from_pydict(
-            out,
-            schema=pa.schema(
-                [
-                    ("band_id", pa.int32()),
-                    ("bucket", pa.int64()),
-                    ("vec_id", pa.int64()),
-                    ("unit", pa.list_(pa.float64())),
-                ]
-            ),
-        )
+        return pa.Table.from_pydict(out, schema=_EMB_BAND_SCHEMA)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        group = group.filter(  # drop exchange-guard sentinel rows
+            pc.greater_equal(group.column("vec_id"), pa.scalar(0, pa.int64()))
+        )
         ids = group.column("vec_id").to_pylist()
         out = {"vec_a": [], "vec_b": [], "cosine": []}
         if len(ids) >= 2:
@@ -660,12 +676,19 @@ def embedding_dup_pairs(
         )
 
     from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
 
-    np_ = _cap(16)
+    # cap 8: sentinel coverage is verified only for num_partitions <= 9
+    np_ = _cap(8)
     bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
-    pairs = bucketed.repartition(np_).groupby(
-        ["band_id", "bucket"], num_partitions=np_
-    ).map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = (
+        bucketed.union(  # empty-first-block guard; vec_id=-1 dropped above
+            int_key_sentinels(_EMB_BAND_SCHEMA, "bkey", fill={"vec_id": -1})
+        )
+        .repartition(np_)
+        .groupby("bkey", num_partitions=np_)
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
     return pairs.groupby(["vec_a", "vec_b"], num_partitions=max(2, np_ // 4)).aggregate(
         Min("cosine", alias_name="cosine")
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -216,6 +217,14 @@ def semantic_dedup_pairs(
     centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter)
     ref = ray.put(centroids)
 
+    tag_schema = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float64())),
+        ]
+    )
+
     def tag(batch: pa.Table) -> pa.Table:
         C = ray.get(ref)
         vecs = _as_matrix(batch.column("embedding"))
@@ -224,10 +233,14 @@ def semantic_dedup_pairs(
                 "cluster": _km_assign(vecs, C).astype(np.int64),
                 "vec_id": batch.column("vec_id"),
                 "embedding": batch.column("embedding"),
-            }
+            },
+            schema=tag_schema,
         )
 
     def cluster_pairs(group: pa.Table) -> pa.Table:
+        group = group.filter(  # drop exchange-guard sentinel rows
+            pc.greater_equal(group.column("vec_id"), pa.scalar(0, pa.int64()))
+        )
         ids = [int(x) for x in group.column("vec_id").to_pylist()]
         out = {"vec_a": [], "vec_b": [], "cosine": []}
         if len(ids) >= 2:
@@ -258,9 +271,13 @@ def semantic_dedup_pairs(
             ),
         )
 
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
     np_ = shuffle_partitions(8)
     return (
         embeddings.map_batches(tag, batch_format="pyarrow")
+        # empty-first-block guard (_exchange.py); vec_id=-1 dropped above
+        .union(int_key_sentinels(tag_schema, "cluster", fill={"vec_id": -1}))
         .groupby("cluster", num_partitions=np_)
         .map_groups(cluster_pairs, batch_format="pyarrow")
         .groupby(["vec_a", "vec_b"], num_partitions=max(2, np_ // 4))
