@@ -29,7 +29,13 @@ import ray.data
 
 from agentic_doc_ray.context import shuffle_partitions
 from agentic_doc_ray.functions._exchange import int_key_sentinels
-from agentic_doc_ray.functions.text import _fp_powers, _mod61, _mulmod61
+from agentic_doc_ray.functions.text import (
+    _fp_powers,
+    _mod61,
+    _mulmod61,
+    _prefix_halves,
+    _segment_modsum,
+)
 
 _EX_SCHEMA = pa.schema(
     [
@@ -66,16 +72,11 @@ def _fingerprint64(text: pa.Array) -> pa.Array:
     parents = np.repeat(np.arange(n), lens)
     exps = ends[parents] - 1 - np.arange(len(coeffs))
     contrib = _mulmod61(coeffs, _fp_powers(int(lens.max()) if n else 1)[exps])
-    # segmented modular sum: 32-bit halves keep the prefix sums inside
-    # uint64, recombined mod M (same trick as text.fingerprint_batch)
-    hi, lo = contrib >> np.uint64(32), contrib & np.uint64((1 << 32) - 1)
-    cs_hi = np.concatenate(([0], np.cumsum(hi)))
-    cs_lo = np.concatenate(([0], np.cumsum(lo)))
+    # segmented modular sum via the shared exact-uint64 prefix halves
+    # (text._prefix_halves; float64-promotion bug pinned there)
+    cs_hi, cs_lo = _prefix_halves(contrib)
     starts = ends - lens
-    seg_hi = _mod61((cs_hi[ends] - cs_hi[starts]).astype(np.uint64))
-    seg_lo = _mod61((cs_lo[ends] - cs_lo[starts]).astype(np.uint64))
-    two32 = np.full(n, 1 << 32, dtype=np.uint64)
-    out = _mod61(_mulmod61(seg_hi, two32) + seg_lo)
+    out = _segment_modsum(cs_hi, cs_lo, starts, ends)
     return pa.array(out.astype(np.int64), pa.int64())
 
 

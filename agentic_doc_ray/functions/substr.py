@@ -34,7 +34,14 @@ import ray
 import ray.data
 
 from agentic_doc_ray.context import shuffle_partitions
-from agentic_doc_ray.functions.text import _FP_BASE, _FP_MOD, _mod61, _mulmod61
+from agentic_doc_ray.functions.text import (
+    _FP_BASE,
+    _FP_MOD,
+    _mod61,
+    _mulmod61,
+    _prefix_halves,
+    _segment_modsum,
+)
 
 _TWO32 = np.uint64((1 << 32) % _FP_MOD)
 _N_BUCKETS = 32
@@ -82,13 +89,9 @@ def _gram_hashes(texts: pa.Array, L: int):
     ipow = _powers(binv, n + 1)
     # U[j] = c[j] * B^(n-1-j); split prefix sums carry exact uint64 math
     u = _mulmod61(buf.astype(np.uint64), bpow[n - 1 :: -1].copy())
-    hi, lo = u >> np.uint64(32), u & np.uint64(0xFFFFFFFF)
-    cs_hi = np.concatenate(([0], np.cumsum(hi))).astype(np.uint64)
-    cs_lo = np.concatenate(([0], np.cumsum(lo))).astype(np.uint64)
+    cs_hi, cs_lo = _prefix_halves(u)
     i = np.arange(0, n - L + 1, dtype=np.int64)
-    dhi = _mod61(cs_hi[i + L] - cs_hi[i])
-    dlo = _mod61(cs_lo[i + L] - cs_lo[i])
-    w_raw = _mod61(_mulmod61(dhi, _TWO32) + dlo)  # hash * B^(n-i-L)
+    w_raw = _segment_modsum(cs_hi, cs_lo, i, i + L)  # hash * B^(n-i-L)
     h = _mulmod61(w_raw, ipow[n - i - L])  # canonical, batch-independent
     # windows must not cross document boundaries
     doc_idx = np.searchsorted(offsets[1:], i, side="right")

@@ -168,6 +168,30 @@ def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _mod61(hi + midshift + lo)
 
 
+def _prefix_halves(contrib: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact uint64 prefix sums of ``contrib``'s 32-bit halves.
+
+    Splitting 61-bit terms into 32-bit halves keeps each running sum
+    inside uint64 for up to 2^35 terms. The zero seed MUST be uint64:
+    ``np.concatenate(([0], cumsum))`` mixes int64 with uint64 and numpy
+    promotes BOTH to float64, silently rounding away low bits once a
+    prefix sum passes 2**53 (pinned by tests/test_property.py)."""
+    hi, lo = contrib >> np.uint64(32), contrib & np.uint64(0xFFFFFFFF)
+    cs_hi = np.concatenate((np.zeros(1, np.uint64), np.cumsum(hi)))
+    cs_lo = np.concatenate((np.zeros(1, np.uint64), np.cumsum(lo)))
+    return cs_hi, cs_lo
+
+
+def _segment_modsum(
+    cs_hi: np.ndarray, cs_lo: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> np.ndarray:
+    """Σ contrib[starts:ends] mod 2^61-1 from ``_prefix_halves`` arrays."""
+    seg_hi = _mod61(cs_hi[ends] - cs_hi[starts])
+    seg_lo = _mod61(cs_lo[ends] - cs_lo[starts])
+    two32 = np.uint64((1 << 32) % _FP_MOD)
+    return _mod61(_mulmod61(seg_hi, np.broadcast_to(two32, seg_hi.shape)) + seg_lo)
+
+
 _FP_POWERS = np.array([], dtype=np.uint64)  # B^i mod M, grown on demand
 
 
@@ -222,15 +246,9 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         parents = np.repeat(np.arange(len(lens)), lens)
         exps = ends[parents] - 1 - np.arange(len(flat))
         contrib = _mulmod61(coeffs, _fp_powers(int(lens.max()))[exps])
-        # segmented modular sum: split 61-bit terms into 32-bit halves so
-        # prefix sums never overflow uint64, then recombine mod M
-        hi, lo = contrib >> np.uint64(32), contrib & np.uint64((1 << 32) - 1)
-        cs_hi = np.concatenate(([0], np.cumsum(hi)))
-        cs_lo = np.concatenate(([0], np.cumsum(lo)))
-        seg_hi = _mod61((cs_hi[ends] - cs_hi[starts]).astype(np.uint64))
-        seg_lo = _mod61((cs_lo[ends] - cs_lo[starts]).astype(np.uint64))
-        two32 = np.full(len(rows), 1 << 32, dtype=np.uint64)
-        out[rows] = _mod61(_mulmod61(seg_hi, two32) + seg_lo)
+        # segmented modular sum via the shared exact-uint64 prefix halves
+        cs_hi, cs_lo = _prefix_halves(contrib)
+        out[rows] = _segment_modsum(cs_hi, cs_lo, starts, ends)
     return pa.Table.from_arrays(
         [batch.column("doc_id"), pa.array(out.astype(np.int64), pa.int64())],
         names=["doc_id", "fingerprint"],

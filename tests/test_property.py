@@ -299,3 +299,35 @@ def test_split_sentences_matches_python_replica(texts):
                 want.append((i, k, s))
                 k += 1
     assert got == want
+
+
+def test_prefix_halves_exact_past_2_53():
+    """The segmented modular sum must stay exact when a prefix sum of the
+    32-bit halves crosses 2**53 — the threshold where the historical
+    ``np.concatenate(([0], uint64_cumsum))`` float64 promotion started
+    rounding low bits (silent batch-layout-dependent fingerprint drift in
+    delta.snapshot_diff / text.fingerprint_batch / substr._gram_hashes)."""
+    import numpy as np
+
+    from agentic_doc_ray.functions.text import (
+        _FP_MOD,
+        _prefix_halves,
+        _segment_modsum,
+    )
+
+    # 18M terms at the 61-bit max drive the hi-half cumsum to
+    # 18e6 * (2^29-1) ~ 2^53.1 — past the float64 integer-exact range.
+    n = 18_000_000
+    contrib = np.full(n, (1 << 61) - 1, dtype=np.uint64)
+    # sprinkle irregular values so neighbouring windows differ
+    idx = np.arange(0, n, 97)
+    contrib[idx] = (idx * np.uint64(2654435761)) % np.uint64(_FP_MOD)
+    cs_hi, cs_lo = _prefix_halves(contrib)
+    assert cs_hi.dtype == np.uint64 and cs_lo.dtype == np.uint64
+
+    starts = np.array([0, n - 5, n - 1_000_003, 12_345], dtype=np.int64)
+    ends = np.array([n, n, n - 3, 12_345 + 4_000_000], dtype=np.int64)
+    got = _segment_modsum(cs_hi, cs_lo, starts, ends)
+    for s, e, g in zip(starts, ends, got):
+        want = int(sum(int(v) for v in contrib[s:e])) % _FP_MOD
+        assert int(g) == want, (s, e)
