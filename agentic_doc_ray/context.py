@@ -27,14 +27,23 @@ def tune_context(quiet: bool = True) -> DataContext:
 
 
 def shuffle_partitions(requested: int | None = None) -> int:
-    """Cap a groupby's num_partitions to the cluster CPU count.
+    """Resolve a groupby's num_partitions: min(requested, cap), where the
+    cap is the cluster CPU count (override: $ADR_SHUFFLE_PARTITIONS).
 
     Each hash-shuffle partition is backed by an aggregator actor; asking for
     more aggregators than CPUs deadlocks a small cluster (measured: np=64 on
-    a 4-CPU session never schedules).
+    a 4-CPU session never schedules). With no ``requested``, exchanges run
+    at the full cap so shuffle width scales with the cluster — sentinel
+    coverage (functions/_exchange.py) adapts to whatever this returns.
     """
+    import os
+
     import ray
 
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    cap = max(2, cpus)
+    env = os.environ.get("ADR_SHUFFLE_PARTITIONS")
+    if env:
+        cap = max(2, int(env))
+    else:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        cap = max(2, cpus)
     return min(requested, cap) if requested else cap

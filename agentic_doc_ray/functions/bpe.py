@@ -68,7 +68,7 @@ def word_counts(
     (n desc, word asc). One small exchange; the tail drop is logged."""
     from ray.data.aggregate import Sum
 
-    np_ = shuffle_partitions(8)
+    np_ = shuffle_partitions()
     agg = (
         docs.map_batches(_count_batch, batch_format="pyarrow")
         .groupby("word", num_partitions=np_)

@@ -63,7 +63,7 @@ def _exact_merge_bucket(group: pa.Table) -> pa.Table:
 
 
 def exact_dedup(
-    docs: "ray.data.Dataset", shuffle_partitions: int = 8
+    docs: "ray.data.Dataset", shuffle_partitions: int | None = None
 ) -> "ray.data.Dataset":
     """content-hash dedup: (h, keeper_id=min doc_id, n_dups) per distinct text."""
     from agentic_doc_ray.context import shuffle_partitions as _cap
@@ -75,7 +75,7 @@ def exact_dedup(
 
 
 def dedup_keep(
-    docs: "ray.data.Dataset", shuffle_partitions: int = 8
+    docs: "ray.data.Dataset", shuffle_partitions: int | None = None
 ) -> "ray.data.Dataset":
     """Deduplicated corpus (the min-doc_id row per distinct text), fully
     distributed: one bucketed exchange of small (bucket, h, doc_id) keys and
@@ -342,9 +342,7 @@ def _shard_pairs(group: pa.Table, threshold: float = 0.0) -> pa.Table:
 
 
 def minhash_dedup_pairs(
-    # partitions default 8: the sentinel guard's int keys cover every hash
-    # partition only for num_partitions <= 9 (_exchange.py)
-    docs: "ray.data.Dataset", threshold: float = 0.8, shuffle_partitions: int = 8
+    docs: "ray.data.Dataset", threshold: float = 0.8, shuffle_partitions: int | None = None
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
 
@@ -678,8 +676,7 @@ def embedding_dup_pairs(
     from agentic_doc_ray.context import shuffle_partitions as _cap
     from agentic_doc_ray.functions._exchange import int_key_sentinels
 
-    # cap 8: sentinel coverage is verified only for num_partitions <= 9
-    np_ = _cap(8)
+    np_ = _cap()  # sentinel coverage adapts to the resolved width (_exchange.py)
     bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
     pairs = (
         bucketed.union(  # empty-first-block guard; vec_id=-1 dropped above

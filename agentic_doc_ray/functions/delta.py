@@ -117,7 +117,7 @@ def snapshot_diff(
         .union(int_key_sentinels(_EX_SCHEMA, "bucket", fill={"side": "sent"}))
     )
     return unioned.groupby(
-        "bucket", num_partitions=shuffle_partitions(8)
+        "bucket", num_partitions=shuffle_partitions()
     ).map_groups(_diff_bucket, batch_format="pyarrow")
 
 
@@ -272,7 +272,7 @@ def _keyed_exchange_filter(
         .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
     )
     return unioned.groupby(
-        "bucket", num_partitions=shuffle_partitions(8)
+        "bucket", num_partitions=shuffle_partitions()
     ).map_groups(resolve, batch_format="pyarrow")
 
 

@@ -169,7 +169,7 @@ def connected_components(
     # pays ~16 actor fleets per round for nothing (measured 30s -> ~10s at
     # sf0.1). 64k pair rows per partition; 10^9-pair graphs still spread
     # to the full shuffle_partitions cap.
-    np_ = max(2, min(shuffle_partitions(8), 1 + n_pairs // 65536))
+    np_ = max(2, min(shuffle_partitions(), 1 + n_pairs // 65536))
 
     def symmetric(batch: pa.Table) -> pa.Table:
         a = pc.cast(batch.column(a_col), pa.string()).combine_chunks()
@@ -328,7 +328,7 @@ def near_dedup_keep(
     exchange; only (bucket, doc_id, side) key rows move, never payloads,
     and nothing lands on the driver."""
     comp = connected_components(pairs, a_col, b_col)
-    np_ = shuffle_partitions(8)
+    np_ = shuffle_partitions()
 
     def drop_rows(batch: pa.Table) -> pa.Table:
         m = batch.filter(

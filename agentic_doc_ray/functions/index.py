@@ -108,7 +108,7 @@ def build_inverted_index(
             lambda b: _postings_batch(b, terms), batch_format="pyarrow"
         )
         .union(int_key_sentinels(_POSTING_SCHEMA, "bucket", fill={"term": "", "doc_id": -1, "tf": 0}))
-        .groupby("bucket", num_partitions=shuffle_partitions(8))
+        .groupby("bucket", num_partitions=shuffle_partitions())
         .map_groups(sort_bucket, batch_format="pyarrow")
     )
 

@@ -64,7 +64,7 @@ def _lineitem_revenue_per_order(sf_dir: str) -> "ray.data.Dataset":
 
     return (
         ds.map_batches(to_cents, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=shuffle_partitions(8))
+        .groupby("bucket", num_partitions=shuffle_partitions())
         .map_groups(agg_bucket, batch_format="pyarrow")
     )
 
@@ -111,7 +111,7 @@ def order_priority_revenue(sf_dir: str) -> "ray.data.Dataset":
     joined = orders.join(
         rev,
         join_type="inner",
-        num_partitions=shuffle_partitions(8),
+        num_partitions=shuffle_partitions(),
         on=("o_orderkey",),
     )
     return _finalize(joined)
@@ -180,7 +180,7 @@ def customers_without_urgent(sf_dir: str, n_buckets: int = 32) -> "ray.data.Data
         # hash-shuffle partition is a cold-spawned aggregator actor, and 8
         # partitions x 4 bucket keys each give the same parallelism with a
         # quarter of the actor spawns (aged-session latency, BASELINE.md)
-        "bucket", num_partitions=shuffle_partitions(8)
+        "bucket", num_partitions=shuffle_partitions()
     ).map_groups(anti_bucket, batch_format="pyarrow")
 
 
@@ -366,7 +366,7 @@ def urgent_revenue_bloom(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset"
         # hash-shuffle partition is a cold-spawned aggregator actor, and 8
         # partitions x 4 bucket keys each give the same parallelism with a
         # quarter of the actor spawns (aged-session latency, BASELINE.md)
-        "bucket", num_partitions=shuffle_partitions(8)
+        "bucket", num_partitions=shuffle_partitions()
     ).map_groups(verify_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
     agg = partials.repartition(np_).groupby(
@@ -477,7 +477,7 @@ def order_priority_revenue_bucketed(sf_dir: str, n_buckets: int = 32) -> "ray.da
         # hash-shuffle partition is a cold-spawned aggregator actor, and 8
         # partitions x 4 bucket keys each give the same parallelism with a
         # quarter of the actor spawns (aged-session latency, BASELINE.md)
-        "bucket", num_partitions=shuffle_partitions(8)
+        "bucket", num_partitions=shuffle_partitions()
     ).map_groups(join_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
     agg = partials.repartition(np_).groupby(
@@ -661,7 +661,7 @@ def nation_returned_revenue(sf_dir: str, n_buckets: int = 32) -> "ray.data.Datas
         )
 
     per_cust = (
-        ex1.groupby("bucket", num_partitions=shuffle_partitions(8))
+        ex1.groupby("bucket", num_partitions=shuffle_partitions())
         .map_groups(join_orderkey_bucket, batch_format="pyarrow")
         .union(customer.map_batches(tag_customer, batch_format="pyarrow"))
         .union(int_key_sentinels(ex2_schema, "bucket", fill={"side": "sent"}))
@@ -698,7 +698,7 @@ def nation_returned_revenue(sf_dir: str, n_buckets: int = 32) -> "ray.data.Datas
         )
 
     partials = per_cust.groupby(
-        "bucket", num_partitions=shuffle_partitions(8)
+        "bucket", num_partitions=shuffle_partitions()
     ).map_groups(join_custkey_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
     agg = partials.repartition(np_).groupby(
@@ -839,7 +839,7 @@ def customer_order_distribution(sf_dir: str, n_buckets: int = 32) -> "ray.data.D
         .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
     )
     partial_hist = unioned.groupby(
-        "bucket", num_partitions=shuffle_partitions(8)
+        "bucket", num_partitions=shuffle_partitions()
     ).map_groups(hist_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
     return (
@@ -921,7 +921,7 @@ def large_quantity_orders(sf_dir: str, min_qty: int = 250) -> "ray.data.Dataset"
                 qty_schema, "bucket", fill={"o_orderkey": -1, "qty": 0}
             )
         )
-        .groupby("bucket", num_partitions=shuffle_partitions(8))
+        .groupby("bucket", num_partitions=shuffle_partitions())
         .map_groups(having_bucket, batch_format="pyarrow")
         .take_all()
     )  # bounded by HAVING selectivity, never by order count
@@ -1038,6 +1038,6 @@ def large_quantity_orders(sf_dir: str, min_qty: int = 250) -> "ray.data.Dataset"
         orders.map_batches(probe_orders, batch_format="pyarrow")
         .union(customer.map_batches(tag_customer, batch_format="pyarrow"))
         .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
-        .groupby("bucket", num_partitions=shuffle_partitions(8))
+        .groupby("bucket", num_partitions=shuffle_partitions())
         .map_groups(join_bucket, batch_format="pyarrow")
     )

@@ -110,7 +110,7 @@ def pagerank(
     # partitions scale with the EDGE table, not the cluster (same rationale
     # as connected_components: each partition is a cold-spawned aggregator
     # fleet per execution, and pagerank runs 2 exchanges per iteration)
-    np_ = max(2, min(shuffle_partitions(8), 1 + n_edges // 65536))
+    np_ = max(2, min(shuffle_partitions(), 1 + n_edges // 65536))
 
     # initial state: distinct nodes with out-degree, built through one
     # exchange keyed by node (batch-local partial degrees, then sum)

@@ -198,7 +198,7 @@ def paragraph_dedup(
             schema=out_schema,
         )
 
-    np_ = shuffle_partitions(8)
+    np_ = shuffle_partitions()
     kept = (
         docs.map_batches(explode, batch_format="pyarrow")
         .union(int_key_sentinels(ex1_schema, "bucket"))

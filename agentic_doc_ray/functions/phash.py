@@ -217,10 +217,7 @@ def image_dup_pairs(
         raise ValueError(
             f"banded LSH is exact only for max_hamming <= {N_BANDS - 1}"
         )
-    # cap at 8: the int-key sentinel guard's 128 keys are verified to
-    # cover every hash partition only for num_partitions <= 9
-    # (_exchange.py; at 11 partitions keys 0..127 provably miss five)
-    np_ = _cap(8)
+    np_ = _cap()  # sentinel coverage adapts to the resolved width (_exchange.py)
     hashed = image_dhashes(media, decoder=decoder)
     # empty-first-block guard (_exchange.py); media_id="" rows are dropped
     # inside _bucket_pairs before pairing

@@ -167,7 +167,7 @@ def heavy_hitter_tokens(
             lambda b: b.filter(pc.is_valid(b.column("token"))),
             batch_format="pyarrow",
         )
-        .groupby("token", num_partitions=shuffle_partitions(8))
+        .groupby("token", num_partitions=shuffle_partitions())
         .aggregate(Sum("n", alias_name="n"))
     )
     cand_rows = merged.map_batches(

@@ -133,7 +133,7 @@ def pack_sequences(
             ),
         )
 
-    np_ = shuffle_partitions(8)
+    np_ = shuffle_partitions()
     return (
         docs.map_batches(keyed, batch_format="pyarrow")
         .groupby("bucket", num_partitions=np_)

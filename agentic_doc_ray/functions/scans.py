@@ -138,7 +138,7 @@ def late_events(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset":
             names=["event_id", "ts", "watermark_ts", "is_late"],
         )
 
-    return keyed.groupby("day", num_partitions=shuffle_partitions(8)).map_groups(
+    return keyed.groupby("day", num_partitions=shuffle_partitions()).map_groups(
         scan_day, batch_format="pyarrow"
     )
 
@@ -241,7 +241,7 @@ def on_time_hourly(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset"
     from ray.data.aggregate import Sum
 
     partials = keyed.groupby(
-        "day", num_partitions=shuffle_partitions(8)
+        "day", num_partitions=shuffle_partitions()
     ).map_groups(window_partial, batch_format="pyarrow")
     agg = partials.repartition(shuffle_partitions(4)).groupby(
         ["window_start", "event_type"], num_partitions=shuffle_partitions(4)
@@ -341,7 +341,7 @@ def global_rank(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
             names=["doc_id", "n_chars", "global_rank"],
         )
 
-    return keyed.groupby("bucket", num_partitions=shuffle_partitions(8)).map_groups(
+    return keyed.groupby("bucket", num_partitions=shuffle_partitions()).map_groups(
         rank_bucket, batch_format="pyarrow"
     )
 
@@ -438,7 +438,7 @@ def shuffle_positions(
             [g.column("doc_id"), pos], names=["doc_id", "shuffle_pos"]
         )
 
-    return keyed.groupby("bucket", num_partitions=shuffle_partitions(8)).map_groups(
+    return keyed.groupby("bucket", num_partitions=shuffle_partitions()).map_groups(
         pos_bucket, batch_format="pyarrow"
     )
 
@@ -511,6 +511,6 @@ def user_cumulative_spend(sf_dir: str) -> "ray.data.Dataset":
     return (
         ds.map_batches(purchases, batch_format="pyarrow")
         .union(sentinel)
-        .groupby("bucket", num_partitions=shuffle_partitions(8))
+        .groupby("bucket", num_partitions=shuffle_partitions())
         .map_groups(scan_bucket, batch_format="pandas")
     )

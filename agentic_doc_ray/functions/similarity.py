@@ -273,7 +273,7 @@ def semantic_dedup_pairs(
 
     from agentic_doc_ray.functions._exchange import int_key_sentinels
 
-    np_ = shuffle_partitions(8)
+    np_ = shuffle_partitions()
     return (
         embeddings.map_batches(tag, batch_format="pyarrow")
         # empty-first-block guard (_exchange.py); vec_id=-1 dropped above
@@ -347,7 +347,7 @@ def _merge_topk_partials(
 
     merged = (
         partials.union(int_key_sentinels(_PARTIAL_SCHEMA, "query_idx"))
-        .groupby("query_idx", num_partitions=shuffle_partitions(8))
+        .groupby("query_idx", num_partitions=shuffle_partitions())
         .map_groups(group_topk, batch_format="pyarrow")
         .take_all()
     )

@@ -138,7 +138,7 @@ def repeated_substring_spans(
     dup_rows = (
         docs.map_batches(hash_counts, batch_format="pyarrow")
         .union(sentinel)
-        .groupby("bucket", num_partitions=shuffle_partitions(8))
+        .groupby("bucket", num_partitions=shuffle_partitions())
         .map_groups(dups_in_bucket, batch_format="pyarrow")
         .take_all()
     )
@@ -201,7 +201,7 @@ def repeated_substring_spans(
     marks = (
         docs.map_batches(candidate_grams, batch_format="pyarrow")
         .union(str_key_sentinels(gram_schema, "gram", fill={"doc_id": -1, "pos": -1}))
-        .groupby("gram", num_partitions=shuffle_partitions(8))
+        .groupby("gram", num_partitions=shuffle_partitions())
         .map_groups(verify_gram, batch_format="pyarrow")
     )
 
@@ -246,7 +246,7 @@ def repeated_substring_spans(
     return (
         marks.map_batches(add_bucket, batch_format="pyarrow")
         .union(int_key_sentinels(marks_schema, "bucket", fill={"doc_id": -1, "pos": 1}))
-        .groupby("bucket", num_partitions=shuffle_partitions(8))
+        .groupby("bucket", num_partitions=shuffle_partitions())
         .map_groups(spans_bucket, batch_format="pandas")
     )
 

@@ -464,7 +464,7 @@ def top_bigrams(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
         return g.rename_columns(["bigram", "n"])
 
     partials = docs.map_batches(partial, batch_format="pyarrow")
-    np_ = shuffle_partitions(8)
+    np_ = shuffle_partitions()
     agg = partials.repartition(np_).groupby(
         "bigram", num_partitions=np_
     ).aggregate(Sum("n", alias_name="n"))
@@ -506,7 +506,7 @@ def top_tfidf_tokens(
         )
         return tf.join(df, keys="token")
 
-    np_ = shuffle_partitions(8)
+    np_ = shuffle_partitions()
     agg = (
         docs.map_batches(partial, batch_format="pyarrow")
         .repartition(np_)
@@ -550,8 +550,8 @@ def top_tokens(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
         return g.rename_columns(["token", "n"])
 
     partials = docs.map_batches(partial, batch_format="pyarrow")
-    agg = partials.repartition(shuffle_partitions(8)).groupby(
-        "token", num_partitions=shuffle_partitions(8)
+    agg = partials.repartition(shuffle_partitions()).groupby(
+        "token", num_partitions=shuffle_partitions()
     ).aggregate(Sum("n", alias_name="n"))
     # deterministic tie-break: count desc, token asc
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
@@ -637,7 +637,7 @@ def token_commonness(
         g = t.group_by("token").aggregate([("token", "count")])
         return g.rename_columns(["token", "n"])
 
-    np_ = shuffle_partitions(8)
+    np_ = shuffle_partitions()
     vocab_ds = (
         docs.map_batches(partial, batch_format="pyarrow")
         .repartition(np_)
@@ -963,7 +963,7 @@ def bigram_lm_score(
     from agentic_doc_ray.context import shuffle_partitions
     from ray.data.aggregate import Sum
 
-    np_ = shuffle_partitions(8)
+    np_ = shuffle_partitions()
 
     def collect(ds, key):
         # materialize first: to_arrow_refs on a lazy plan runs it TWICE
@@ -1138,7 +1138,7 @@ def domain_prior(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     from agentic_doc_ray.functions.dedup import _md5_hex
     from ray.data.aggregate import Sum
 
-    np_ = shuffle_partitions(8)
+    np_ = shuffle_partitions()
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         h = pa.array(_md5_hex(batch.column("text").to_pylist()))

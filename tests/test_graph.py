@@ -89,27 +89,30 @@ def test_local_table_path_matches_bsp():
 
 
 def test_sentinel_partition_coverage():
-    """The _exchange sentinel key sets must land >=1 row in EVERY hash
-    partition under Ray's own partitioner — the whole point of the guard
-    (see functions/_exchange.py docstring)."""
+    """The adaptive _exchange sentinel key sets must land >=1 row in EVERY
+    hash partition under Ray's own partitioner for EVERY num_partitions up
+    to the requested cap — the whole point of the guard (see
+    functions/_exchange.py docstring). Pinned for np in 2..64, well past
+    the 32-CPU sandbox cap, in all three key types used by the engine."""
     from ray.data._internal.arrow_ops.transform_pyarrow import hash_partition
 
     from agentic_doc_ray.functions import _exchange as X
 
-    import numpy as np
-
+    MAX_NP = 64
     # the partition hash is TYPE-sensitive — verify both int key widths
     for dt in (pa.int32(), pa.int64()):
-        ints = pa.table(
-            {"k": pa.array(np.arange(X.N_INT_SENTINELS, dtype=np.int64), dt)}
-        )
-        for np_ in range(2, 10):
+        keys = X.covering_int_keys(dt, MAX_NP)
+        assert all(isinstance(k, int) and k >= 0 for k in keys)
+        ints = pa.table({"k": pa.array(keys, dt)})
+        for np_ in range(2, MAX_NP + 1):
             parts = hash_partition(ints, hash_cols=["k"], num_partitions=np_)
             covered = {p for p, b in parts.items() if b.num_rows > 0}
             assert covered == set(range(np_)), f"{dt} keys miss at np={np_}"
 
-    strs = pa.table({"k": pa.array(X.STR_SENTINEL_KEYS, pa.string())})
-    for np_ in range(2, 18):
+    skeys = X.covering_str_keys(MAX_NP)
+    assert all(k.startswith("\x00") for k in skeys)
+    strs = pa.table({"k": pa.array(skeys, pa.string())})
+    for np_ in range(2, MAX_NP + 1):
         parts = hash_partition(strs, hash_cols=["k"], num_partitions=np_)
         covered = {p for p, b in parts.items() if b.num_rows > 0}
         assert covered == set(range(np_)), f"str keys miss partitions at np={np_}"
