@@ -531,6 +531,70 @@ def entry() -> Any:
     return extract_corpus(_corpus_ds("/root/testdata/sf0.001"))
 
 
+# Round-3 driver-window rotation (VERDICT r02 #3). The driver records
+# correctness for only the first ~50 registered queries, so list here, in
+# order: (1) the r02 hash-fail whose oracle was fixed this round, (2) the 38
+# queries never checked by any driver round, (3) r01-green queries whose
+# implementation was since refactored or is touched this round. Everything
+# not listed keeps its original (r02-green) position after these.
+_DRIVER_PRIORITY = [
+    # r02 FAIL — oracle HUGEINT->BIGINT cast added this round
+    "repetition_stats",
+    # never driver-checked (r01+r02)
+    "split_sentences",
+    "paragraph_dedup",
+    "bm25_topk",
+    "index_postings",
+    "similarity_topk_pq",
+    "kmeans_clusters",
+    "semantic_dedup_pairs",
+    "nation_returned_revenue",
+    "cohort_retention",
+    "value_quantiles",
+    "curriculum_bins",
+    "purchase_sessions",
+    "funnel_counts",
+    "user_event_paths",
+    "order_rollup",
+    "user_event_pivot",
+    "event_value_histogram",
+    "priority_revenue_share",
+    "late_events",
+    "user_cumulative_spend",
+    "global_rank",
+    "shuffle_positions",
+    "on_time_hourly",
+    "docs_above_group_median",
+    "top_orders_per_segment",
+    "heavy_hitter_tokens",
+    "repeated_substring_spans",
+    "substring_dup_stats",
+    "customer_order_dist",
+    "large_qty_orders",
+    "customers_without_urgent",
+    "urgent_revenue_bloom",
+    "media_resize",
+    "audio_chunks",
+    "ppm_media_features",
+    "ppm_media_resize",
+    "image_dup_pairs",
+    "image_dedup_keep",
+    # r01-green but refactored since (fingerprint prefix-sum fix, adaptive
+    # sentinel width, customer-side join distribution, LSH exchange slimming)
+    "doc_fingerprints",
+    "orders_by_segment",
+    "embedding_dup_pairs",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "simhash",
+    "lang_id",
+    "lineitem_pricing_summary",
+    "order_priority_revenue_bucketed",
+    "sessionize",
+    "media_features",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from agentic_doc_ray.context import tune_context
 
@@ -1438,7 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         finally:
             _sh.rmtree(out_dir, ignore_errors=True)
 
-    return {
+    q = {
         # extraction (python-oracle via read_parquet SQL)
         "extract_flat_spans": q_extract_flat,
         "extract_adaptive_flat_spans": q_extract_adaptive,
@@ -1556,6 +1620,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dup_pairs": q_image_dup_pairs,  # brute-force all-pairs oracle
         "image_dedup_keep": q_image_dedup_keep,  # recursive-CTE SQL clustering
     }
+    # The driver emits correctness entries for only the first ~50 queries in
+    # registration order; rotate the ones without a green driver entry yet
+    # (plus any whose oracle or implementation changed this round) to the
+    # front so every query accumulates a driver verdict across rounds
+    # (VERDICT r02 "Next round" #3).
+    rotated = {k: q[k] for k in _DRIVER_PRIORITY if k in q}
+    rotated.update(q)
+    return rotated
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1707,11 +1779,14 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT doc_id, line, count(*) AS c FROM lines "
             "  WHERE line <> '' GROUP BY doc_id, line"
             ") "
+            # CASTs: DuckDB sum() yields HUGEINT; without the cast back to
+            # BIGINT the driver's value-hash differs even when every value
+            # matches (same shape as token_commonness below; VERDICT r02 §2)
             "SELECT d.doc_id, "
-            "COALESCE(sum(c.c), 0) AS n_lines, "
-            "COALESCE(sum(CASE WHEN c.c > 1 THEN c.c ELSE 0 END), 0) AS n_dup_lines, "
-            "COALESCE(sum(CASE WHEN c.c > 1 THEN c.c ELSE 0 END), 0) * 1000 "
-            "// greatest(COALESCE(sum(c.c), 0), 1) AS dup_line_per_mille "
+            "CAST(COALESCE(sum(c.c), 0) AS BIGINT) AS n_lines, "
+            "CAST(COALESCE(sum(CASE WHEN c.c > 1 THEN c.c ELSE 0 END), 0) AS BIGINT) AS n_dup_lines, "
+            "CAST(COALESCE(sum(CASE WHEN c.c > 1 THEN c.c ELSE 0 END), 0) * 1000 "
+            "// greatest(COALESCE(sum(c.c), 0), 1) AS BIGINT) AS dup_line_per_mille "
             "FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id "
             "GROUP BY d.doc_id"
         ),
@@ -2081,7 +2156,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly-representable ints is bit-identical on both sides)
         "priority_revenue_share": (
             "WITH a AS (SELECT o_orderpriority AS priority, "
-            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
             "FROM orders GROUP BY 1) "
             "SELECT priority, cents, CAST(cents AS DOUBLE) / "
             "(SELECT CAST(sum(cents) AS DOUBLE) FROM a) AS share FROM a"
@@ -2090,7 +2165,7 @@ def oracle_sql() -> dict[str, str]:
         "order_rollup": (
             "SELECT coalesce(o_orderpriority, 'ALL') AS priority, "
             "coalesce(o_orderstatus, 'ALL') AS status, "
-            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents, "
             "count(*) AS n_orders FROM orders "
             "GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
         ),
