@@ -84,37 +84,114 @@ def lineitem_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def orders_by_segment(sf_dir: str) -> "ray.data.Dataset":
-    """Broadcast hash join: customer (small side) is ray.put once and looked
-    up per batch — no shuffle join for a dimension table."""
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .to_pandas()
-        .set_index("c_custkey")["c_mktsegment"]
-        .to_dict()
-    )
-    cust_ref = ray.put(cust)
+def orders_by_segment(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-segment order totals via a bucketed custkey exchange.
+
+    Customer is NOT a bounded dimension (it scales with SF — 15M rows at
+    sf100), so it is never collected on the driver (VERDICT r02 #4): both
+    sides ship keyed by ``c_custkey & (n_buckets-1)``, orders pre-aggregated
+    per (batch, custkey), and each bucket group joins custkey -> segment
+    with Arrow ``Table.join``, emitting per-segment partials. A final tiny
+    groupby on segment merges them. Inner-join semantics: orders whose
+    custkey has no customer row are dropped (matches the SQL oracle)."""
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def join_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("custkey", pa.int64()),
+            ("side", pa.string()),
+            ("segment", pa.string()),
+            ("cents", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+    if orders.count() == 0:  # metadata-only; zero-row shuffle guard
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "total_price": pa.array([], pa.float64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        )
 
-        lookup = ray.get(cust_ref)
-        # vectorized probe: pandas map runs the dict lookup in C
-        keys = batch.column("o_custkey").to_pandas()
-        seg = pa.array(keys.map(lookup).fillna("UNKNOWN"))
+    def _bucket(key) -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+
+    def tag_customer(batch: pa.Table) -> pa.Table:
+        key = batch.column("c_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["c"] * batch.num_rows, pa.string()),
+                batch.column("c_mktsegment"),
+                pa.nulls(batch.num_rows, pa.int64()),
+                pa.nulls(batch.num_rows, pa.int64()),
+            ],
+            schema=ex_schema,
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
         cents = pc.round(
             pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))
         ).cast(pa.int64())
-        t = pa.Table.from_arrays([seg, cents], names=["c_mktsegment", "cents"])
-        g = t.group_by("c_mktsegment").aggregate(
-            [("cents", "sum"), ("cents", "count")]
+        t = pa.Table.from_arrays(
+            [batch.column("o_custkey"), cents], names=["custkey", "cents"]
         )
-        return g.rename_columns(["c_mktsegment", "cents", "n_orders"])
+        g = t.group_by("custkey").aggregate([("cents", "sum"), ("cents", "count")])
+        key = g.column("custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * g.num_rows, pa.string()),
+                pa.nulls(g.num_rows, pa.string()),
+                g.column("cents_sum"),
+                g.column("cents_count").cast(pa.int64()),
+            ],
+            schema=ex_schema,
+        )
 
-    from agentic_doc_ray.context import shuffle_partitions as _cap
+    def seg_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_cust = pc.equal(g.column("side"), "c")
+        cust = (
+            g.filter(is_cust)
+            .select(["custkey", "segment"])
+            .rename_columns(["custkey", "c_mktsegment"])
+        )
+        ords = g.filter(pc.invert(is_cust)).select(["custkey", "cents", "n"])
+        if cust.num_rows == 0 or ords.num_rows == 0:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        m = ords.join(cust, keys="custkey", join_type="inner")
+        out = m.group_by("c_mktsegment").aggregate(
+            [("cents", "sum"), ("n", "sum")]
+        )
+        return out.rename_columns(["c_mktsegment", "cents", "n_orders"])
 
-    partials = orders.map_batches(join_partial, batch_format="pyarrow")
+    unioned = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(customer.map_batches(tag_customer, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
+    )
+    partials = unioned.groupby("bucket", num_partitions=_cap()).map_groups(
+        seg_bucket, batch_format="pyarrow"
+    )
     agg = partials.repartition(_cap(4)).groupby(
         "c_mktsegment", num_partitions=_cap(4)
     ).aggregate(
@@ -346,27 +423,49 @@ def purchase_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
             names=["bucket", "side", "user_id", "event_id", "ts", "session_start", "session_end"],
         )
 
-    unioned = events.map_batches(tag_points, batch_format="pyarrow").union(
-        sessions.map_batches(tag_intervals, batch_format="pyarrow")
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    _tag_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("side", pa.string()),
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("session_start", pa.timestamp("us")),
+            ("session_end", pa.timestamp("us")),
+        ]
+    )
+    # tag_points filters (a batch with no purchases emits a zero-row block)
+    # and sessionize's map_groups re-emits empty partitions — exactly the
+    # empty-first-block + empty-partition shape _exchange.py documents
+    unioned = (
+        events.map_batches(tag_points, batch_format="pyarrow")
+        .union(sessions.map_batches(tag_intervals, batch_format="pyarrow"))
+        .union(int_key_sentinels(_tag_schema, "bucket", fill={"side": "sent"}))
     )
 
     def join_bucket(group):
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "session_start": pd.Series([], dtype="datetime64[us]"),
+                "session_end": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+        if "side" not in group.columns:  # schema-less empty frame
+            return empty
+        group = group[group["side"] != "sent"]
         pts = group[group["side"] == "point"][["event_id", "user_id", "ts"]]
         ivl = group[group["side"] == "ivl"][
             ["user_id", "session_start", "session_end"]
         ]
         if pts.empty or ivl.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype="datetime64[us]"),
-                    "session_start": pd.Series([], dtype="datetime64[us]"),
-                    "session_end": pd.Series([], dtype="datetime64[us]"),
-                }
-            )
+            return empty
         m = pd.merge_asof(
             pts.sort_values("ts"),
             ivl.sort_values("session_start").rename(
@@ -383,7 +482,7 @@ def purchase_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
 
     from agentic_doc_ray.context import shuffle_partitions as _cap
 
-    return unioned.groupby("bucket", num_partitions=_cap(8)).map_groups(
+    return unioned.groupby("bucket", num_partitions=_cap()).map_groups(
         join_bucket, batch_format="pandas"
     )
 

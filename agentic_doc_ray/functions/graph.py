@@ -304,6 +304,14 @@ def connected_components(
         labels = resolved.drop_columns(["changed"])
         if not n_changed:
             break
+    else:  # pragma: no cover - needs a >max_iters-diameter chain
+        # no-silent-caps rule: min-label BSP needs O(diameter) rounds, so a
+        # chain longer than max_iters leaves labels unconverged (mislabeled)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters} ({n_changed} labels still changing); the graph's "
+            "component diameter exceeds the round budget — raise max_iters"
+        )
 
     return labels.map_batches(
         lambda b: b.select(["node", "label"]).rename_columns(

@@ -26,25 +26,40 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from agentic_doc_ray.context import shuffle_partitions
+from agentic_doc_ray.functions._exchange import str_key_sentinels
 from agentic_doc_ray.functions.text import _regex_trim
 
 
-def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+def top_orders_per_segment(
+    sf_dir: str, k: int = 3, n_buckets: int = 64
+) -> "ray.data.Dataset":
     """Top-k orders by o_totalprice per market segment (deterministic
-    tie-break: price desc, orderkey asc). Broadcast dimension join +
-    per-batch partial top-k; the final per-segment selection sees only
-    (segments x k x n_batches) rows."""
-    cust = (
-        ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-        )
-        .to_pandas()
-        .set_index("c_custkey")["c_mktsegment"]
-        .to_dict()
+    tie-break: price desc, orderkey asc).
+
+    Customer scales with SF, so it is never collected on the driver
+    (VERDICT r02 #4). Exchange 1 buckets BOTH sides by
+    ``custkey & (n_buckets-1)``; orders are pre-reduced per batch to the
+    top-k per custkey (valid partial: all of a custkey's orders share one
+    segment, so a segment winner is a winner among its own custkey's
+    orders). Each bucket joins custkey -> segment with Arrow Table.join
+    and emits its per-segment top-k — so exchange 2 sees at most
+    ``segments x k x n_buckets`` rows before the final selection.
+    Inner-join semantics: orders without a customer row are dropped
+    (matches the SQL oracle)."""
+    from agentic_doc_ray.functions._exchange import int_key_sentinels, str_key_sentinels
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    cust_ref = ray.put(cust)
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out_schema = pa.schema(
+        [
+            ("c_mktsegment", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+        ]
     )
     if orders.count() == 0:  # metadata-only; zero-row shuffle guard
         return ray.data.from_arrow(
@@ -58,31 +73,119 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
             )
         )
 
-    def partial(batch: pa.Table) -> "object":
-        lookup = ray.get(cust_ref)
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("custkey", pa.int64()),
+            ("side", pa.string()),
+            ("segment", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+
+    def _bucket(key) -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+
+    def tag_customer(batch: pa.Table) -> pa.Table:
+        key = batch.column("c_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["c"] * batch.num_rows, pa.string()),
+                batch.column("c_mktsegment"),
+                pa.nulls(batch.num_rows, pa.int64()),
+                pa.nulls(batch.num_rows, pa.float64()),
+            ],
+            schema=ex_schema,
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        # per-(batch, custkey) top-k partial — pandas groupby.head runs in C
         df = batch.select(["o_orderkey", "o_custkey", "o_totalprice"]).to_pandas()
-        df["c_mktsegment"] = df["o_custkey"].map(lookup).fillna("UNKNOWN")
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        df = df.groupby("o_custkey", sort=False).head(k)
+        key = pa.array(df["o_custkey"].to_numpy(), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * len(df), pa.string()),
+                pa.nulls(len(df), pa.string()),
+                pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+                pa.array(df["o_totalprice"].to_numpy(), pa.float64()),
+            ],
+            schema=ex_schema,
+        )
+
+    def topk_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_cust = pc.equal(g.column("side"), "c")
+        cust = (
+            g.filter(is_cust)
+            .select(["custkey", "segment"])
+            .rename_columns(["custkey", "c_mktsegment"])
+        )
+        ords = g.filter(pc.invert(is_cust)).select(
+            ["custkey", "o_orderkey", "o_totalprice"]
+        )
+        if cust.num_rows == 0 or ords.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            ords.join(cust, keys="custkey", join_type="inner")
+            .select(["c_mktsegment", "o_orderkey", "o_totalprice"])
+            .to_pandas()
+        )
         df = df.sort_values(
             ["c_mktsegment", "o_totalprice", "o_orderkey"],
             ascending=[True, False, True],
         )
-        return pa.Table.from_pandas(
-            df.groupby("c_mktsegment", sort=False).head(k)[
-                ["c_mktsegment", "o_orderkey", "o_totalprice"]
-            ],
-            preserve_index=False,
-        )
+        df = df.groupby("c_mktsegment", sort=False).head(k)
+        return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False)
 
     def final(group):
-        g = group.sort_values(
+        # drop the NUL-prefixed string sentinels guarding exchange 2
+        g = group[~group["c_mktsegment"].str.startswith("\x00")]
+        if g.empty:
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series([], dtype=object),
+                    "rank": pd.Series([], dtype="int64"),
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "o_totalprice": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values(
             ["o_totalprice", "o_orderkey"], ascending=[False, True]
         ).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = g.index + 1
         return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
 
+    unioned = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(customer.map_batches(tag_customer, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
+    )
+    per_bucket = unioned.groupby(
+        "bucket", num_partitions=shuffle_partitions()
+    ).map_groups(topk_bucket, batch_format="pyarrow")
     return (
-        orders.map_batches(partial, batch_format="pyarrow")
+        # topk_bucket emits zero-row blocks for sentinel-only buckets, the
+        # exact empty-first-block shape _exchange.py documents — guard it
+        per_bucket.union(
+            str_key_sentinels(
+                out_schema, "c_mktsegment", fill={"o_orderkey": -1, "o_totalprice": 0.0}
+            )
+        )
         .groupby("c_mktsegment", num_partitions=shuffle_partitions(4))
         .map_groups(final, batch_format="pandas")
     )
@@ -162,11 +265,16 @@ def heavy_hitter_tokens(
     threshold = max(1, -(-n_total * per_mille // 1000))  # ceil
     slack = n_total // (capacity + 1)
     cutoff = max(1, threshold - slack)
+    _sum_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
     merged = (
         partials.map_batches(
             lambda b: b.filter(pc.is_valid(b.column("token"))),
             batch_format="pyarrow",
         )
+        # filtering map_batches can emit zero-row blocks (a batch of only
+        # total rows) — the empty-first-block shape _exchange.py documents.
+        # Sentinels are inert: Sum leaves them at n=0 < cutoff (>= 1).
+        .union(str_key_sentinels(_sum_schema, "token", fill={"n": 0}))
         .groupby("token", num_partitions=shuffle_partitions())
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -208,6 +316,9 @@ def heavy_hitter_tokens(
 
     agg = (
         docs.map_batches(recount, batch_format="pyarrow")
+        # a batch with no candidate hits emits a zero-row block; guard the
+        # merge like pass 1 (sentinels die on the threshold filter, >= 1)
+        .union(str_key_sentinels(_sum_schema, "token", fill={"n": 0}))
         .repartition(shuffle_partitions(4))
         .groupby("token", num_partitions=shuffle_partitions(4))
         .aggregate(Sum("n", alias_name="n"))

@@ -105,6 +105,10 @@ def repeated_substring_spans(
 ) -> "ray.data.Dataset":
     """(doc_id, span_start, span_end): maximal 1-based inclusive spans of
     text covered by L-grams occurring >= 2 times corpus-wide. Exact."""
+    from agentic_doc_ray.functions._exchange import (
+        int_key_sentinels,
+        str_key_sentinels,
+    )
 
     # --- pass A: candidate hashes (count >= 2 globally) -------------------
     def hash_counts(batch: pa.Table) -> pa.Table:
@@ -123,21 +127,16 @@ def repeated_substring_spans(
         g = group.select(["h", "n"]).group_by("h").aggregate([("n", "sum")])
         return g.filter(pc.greater_equal(g.column("n_sum"), 2)).select(["h"])
 
-    # sentinel row: a corpus where every doc is shorter than L emits zero
-    # hash rows and Ray's hash shuffle crashes on zero input; the n=0
-    # sentinel never survives the count>=2 filter
-    sentinel = ray.data.from_arrow(
-        pa.Table.from_pydict(
-            {
-                "bucket": pa.array([-1], pa.int32()),
-                "h": pa.array([0], pa.int64()),
-                "n": pa.array([0], pa.int64()),
-            }
-        )
+    # standard covering sentinels (_exchange.py): a corpus where every doc
+    # is shorter than L emits zero hash rows, and a single bucket=-1 row
+    # would keep only ONE partition non-empty — any other empty partition
+    # still crashes. The n=0 fill never survives the count>=2 filter.
+    _cnt_schema = pa.schema(
+        [("bucket", pa.int32()), ("h", pa.int64()), ("n", pa.int64())]
     )
     dup_rows = (
         docs.map_batches(hash_counts, batch_format="pyarrow")
-        .union(sentinel)
+        .union(int_key_sentinels(_cnt_schema, "bucket", fill={"h": 0, "n": 0}))
         .groupby("bucket", num_partitions=shuffle_partitions())
         .map_groups(dups_in_bucket, batch_format="pyarrow")
         .take_all()
@@ -189,11 +188,6 @@ def repeated_substring_spans(
                 {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
             )
         return group.select(["doc_id", "pos"])
-
-    from agentic_doc_ray.functions._exchange import (
-        int_key_sentinels,
-        str_key_sentinels,
-    )
 
     # candidate_grams emits EMPTY blocks for batches with no candidate
     # positions; sentinels keep every gram partition non-empty (the
