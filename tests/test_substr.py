@@ -116,6 +116,25 @@ def test_substring_dup_stats():
     )
 
 
+def test_distributed_route_bit_equal():
+    """broadcast_limit=0 forces the hash-range semi-join route (the 100-TB
+    path that never collects the candidate set on the driver); it must be
+    bit-equal to the broadcast route AND the SQL oracle."""
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = _norm(
+        repeated_substring_spans(docs, broadcast_limit=0).to_pandas()
+    )
+    want = _norm(
+        duckdb.sql(
+            ORACLE.format(
+                L=50, Lm1=49, tbl=f"read_parquet('{SF}/documents.parquet')"
+            )
+        ).df()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_no_duplication_is_empty():
     rows = {
         "doc_id": [1, 2],
