@@ -6,8 +6,12 @@ Two implementations of the same query, both exercised by tests:
     hash-partitioned on the key) — the default;
   - ``order_priority_revenue_bucketed``: the explicit partitioned hash
     join from the playbook (tag sides -> union -> groupby(bucket) ->
-    pandas merge per bucket) — the portable pattern that also handles
-    salting hot keys, kept as the documented fallback.
+    Arrow ``Table.join`` per bucket) — the portable pattern that also
+    handles salting hot keys, kept as the documented fallback.
+
+Bucket fan-outs are sized by data volume (``auto_buckets``: a
+rows-per-bucket target) so the one map_groups task that joins a bucket
+has flat peak memory as SF grows (VERDICT r02 #6).
 
 Both shrink the fact side FIRST: lineitem revenue is pre-aggregated to one
 row per orderkey (exact integer cents) before any shuffle, so the join
@@ -22,7 +26,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
-from agentic_doc_ray.context import shuffle_partitions
+from agentic_doc_ray.context import auto_buckets, shuffle_partitions
 
 
 def _lineitem_revenue_per_order(sf_dir: str) -> "ray.data.Dataset":
@@ -40,6 +44,7 @@ def _lineitem_revenue_per_order(sf_dir: str) -> "ray.data.Dataset":
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
+    n_buckets = auto_buckets(ds.count())
 
     def to_cents(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -48,7 +53,9 @@ def _lineitem_revenue_per_order(sf_dir: str) -> "ray.data.Dataset":
         )
         cents = pc.round(pc.multiply(rev, pa.scalar(10000.0))).cast(pa.int64())
         bucket = pc.cast(
-            pc.bit_wise_and(batch.column("l_orderkey"), pa.scalar(31, pa.int64())),
+            pc.bit_wise_and(
+                batch.column("l_orderkey"), pa.scalar(n_buckets - 1, pa.int64())
+            ),
             pa.int32(),
         )
         return pa.Table.from_arrays(
@@ -117,7 +124,9 @@ def order_priority_revenue(sf_dir: str) -> "ray.data.Dataset":
     return _finalize(joined)
 
 
-def customers_without_urgent(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+def customers_without_urgent(
+    sf_dir: str, n_buckets: int | None = None
+) -> "ray.data.Dataset":
     """ANTI-join: customers with no '1-URGENT' order. Same one-exchange
     bucketed pattern as the hash join (tag sides -> union -> groupby
     bucket), with the probe side pre-deduplicated per batch (distinct
@@ -129,6 +138,8 @@ def customers_without_urgent(sf_dir: str, n_buckets: int = 32) -> "ray.data.Data
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
     )
+    # rows-per-bucket target keeps per-bucket group memory flat as SF grows
+    n_buckets = n_buckets or auto_buckets(orders.count())
     if customer.count() == 0:  # metadata-only; zero-row shuffle guard
         return ray.data.from_arrow(
             pa.Table.from_pydict(
@@ -210,7 +221,9 @@ def _bloom_positions(keys: "pa.Array") -> "tuple":
         )
 
 
-def urgent_revenue_bloom(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+def urgent_revenue_bloom(
+    sf_dir: str, n_buckets: int | None = None
+) -> "ray.data.Dataset":
     """Revenue of '1-URGENT' orders' lineitems per returnflag, probed
     through a broadcast Bloom filter.
 
@@ -226,6 +239,11 @@ def urgent_revenue_bloom(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset"
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    # the bloom-positive lineitem stream dominates the exchange: size the
+    # bucket fan-out by it, not by a constant
+    n_buckets = n_buckets or auto_buckets(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]).count()
     )
     urgent = orders.map_batches(
         lambda b: b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT")).select(
@@ -385,7 +403,9 @@ def urgent_revenue_bloom(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset"
     )
 
 
-def order_priority_revenue_bucketed(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+def order_priority_revenue_bucketed(
+    sf_dir: str, n_buckets: int | None = None
+) -> "ray.data.Dataset":
     """Same query via ONE explicit bucketed exchange: both sides tag
     bucket = orderkey % n_buckets, union, and a single groupby(bucket)
     does aggregate + join + priority partial-agg per bucket (the per-order
@@ -400,6 +420,7 @@ def order_priority_revenue_bucketed(sf_dir: str, n_buckets: int = 32) -> "ray.da
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
+    n_buckets = n_buckets or auto_buckets(lineitem.count())
 
     def tag_lineitem(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -463,10 +484,11 @@ def order_priority_revenue_bucketed(sf_dir: str, n_buckets: int = 32) -> "ray.da
         left = group.filter(pc.invert(is_rev)).select(
             ["o_orderkey", "o_orderpriority"]
         )
-        m = left.to_pandas().merge(rev.to_pandas(), on="o_orderkey", how="inner")
+        # Arrow-native join: no pandas round-trip in the per-bucket task
+        m = left.join(rev, keys="o_orderkey", join_type="inner")
         # priority partial-agg inside the bucket: 5 rows leave, not 150k
         g = (
-            pa.Table.from_pandas(m[["o_orderpriority", "cents"]], preserve_index=False)
+            m.select(["o_orderpriority", "cents"])
             .group_by("o_orderpriority")
             .aggregate([("cents", "sum"), ("cents", "count")])
         )
@@ -498,7 +520,9 @@ def order_priority_revenue_bucketed(sf_dir: str, n_buckets: int = 32) -> "ray.da
     )
 
 
-def nation_returned_revenue(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+def nation_returned_revenue(
+    sf_dir: str, n_buckets: int | None = None
+) -> "ray.data.Dataset":
     """TPC-H Q10-shaped 4-table pipeline: revenue of RETURNED lineitems per
     nation — lineitem JOIN orders JOIN customer JOIN nation, two different
     join keys, exact integer cents.
@@ -533,6 +557,7 @@ def nation_returned_revenue(sf_dir: str, n_buckets: int = 32) -> "ray.data.Datas
     customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
+    n_buckets = n_buckets or auto_buckets(lineitem.count())
 
     ex1_schema = pa.schema(
         [
@@ -618,26 +643,28 @@ def nation_returned_revenue(sf_dir: str, n_buckets: int = 32) -> "ray.data.Datas
         ords = group.filter(pc.equal(side, "ord")).select(
             ["o_orderkey", "o_custkey"]
         )
-        m = rev.to_pandas().merge(ords.to_pandas(), on="o_orderkey", how="inner")
+        # Arrow-native join: no pandas round-trip in the per-bucket task
+        m = rev.join(ords, keys="o_orderkey", join_type="inner")
         # key switch: partial-agg per custkey inside the bucket; each rev
         # row here is one distinct order, so count == n distinct orders
         g = (
-            m.groupby("o_custkey", as_index=False)
-            .agg(cents=("cents", "sum"), n_orders=("o_orderkey", "count"))
+            m.select(["o_custkey", "cents"])
+            .group_by("o_custkey")
+            .aggregate([("cents", "sum"), ("cents", "count")])
         )
-        key = pa.array(g["o_custkey"].to_numpy(dtype=np.int64), pa.int64())
+        key = g.column("o_custkey").combine_chunks()
         bucket = pc.cast(
             pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
         )
-        n = len(g)
+        n = g.num_rows
         return pa.Table.from_arrays(
             [
                 bucket,
                 pa.array(["rev"] * n, pa.string()),
                 key,
                 pa.nulls(n, pa.int32()),
-                pa.array(g["cents"].to_numpy(dtype=np.int64), pa.int64()),
-                pa.array(g["n_orders"].to_numpy(dtype=np.int64), pa.int64()),
+                g.column("cents_sum").combine_chunks(),
+                g.column("cents_count").cast(pa.int64()).combine_chunks(),
             ],
             schema=ex2_schema,
         )
@@ -684,16 +711,20 @@ def nation_returned_revenue(sf_dir: str, n_buckets: int = 32) -> "ray.data.Datas
         cust = group.filter(pc.equal(side, "cust")).select(
             ["c_custkey", "c_nationkey"]
         )
-        m = rev.to_pandas().merge(cust.to_pandas(), on="c_custkey", how="inner")
-        g = m.groupby("c_nationkey", as_index=False).agg(
-            cents=("cents", "sum"), n_orders=("n_orders", "sum")
+        # Arrow-native join: no pandas round-trip in the per-bucket task
+        m = rev.join(cust, keys="c_custkey", join_type="inner")
+        g = (
+            m.select(["c_nationkey", "cents", "n_orders"])
+            .group_by("c_nationkey")
+            .aggregate([("cents", "sum"), ("n_orders", "sum")])
         )
-        names = names_by_key[g["c_nationkey"].to_numpy(dtype=np.int64)]
+        nk = np.asarray(g.column("c_nationkey").combine_chunks()).astype(np.int64)
+        names = names_by_key[nk]
         return pa.Table.from_pydict(
             {
                 "n_name": pa.array(list(names), pa.string()),
-                "cents": pa.array(g["cents"].to_numpy(dtype=np.int64), pa.int64()),
-                "n_orders": pa.array(g["n_orders"].to_numpy(dtype=np.int64), pa.int64()),
+                "cents": g.column("cents_sum").combine_chunks(),
+                "n_orders": g.column("n_orders_sum").combine_chunks(),
             }
         )
 
@@ -721,7 +752,9 @@ def nation_returned_revenue(sf_dir: str, n_buckets: int = 32) -> "ray.data.Datas
 # TPC-H Q13 shape: outer join + aggregate-of-aggregate
 
 
-def customer_order_distribution(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+def customer_order_distribution(
+    sf_dir: str, n_buckets: int | None = None
+) -> "ray.data.Dataset":
     """Q13 (customer distribution): how many customers placed exactly k
     qualifying orders, INCLUDING k = 0 — the outer-join-then-double-
     aggregate shape (TPC-H Q13; the comment NOT LIKE predicate becomes a
@@ -744,6 +777,7 @@ def customer_order_distribution(sf_dir: str, n_buckets: int = 32) -> "ray.data.D
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
     )
+    n_buckets = n_buckets or auto_buckets(orders.count())
     ex_schema = pa.schema(
         [
             ("bucket", pa.int32()),
@@ -853,7 +887,9 @@ def customer_order_distribution(sf_dir: str, n_buckets: int = 32) -> "ray.data.D
 # TPC-H Q18 shape: aggregate -> HAVING filter -> join back
 
 
-def large_quantity_orders(sf_dir: str, min_qty: int = 250) -> "ray.data.Dataset":
+def large_quantity_orders(
+    sf_dir: str, min_qty: int = 250, n_buckets: int | None = None
+) -> "ray.data.Dataset":
     """Q18 (large-volume customers): orders whose total lineitem quantity
     exceeds ``min_qty``, with customer name attached — the
     aggregate-then-HAVING-then-join-back shape.
@@ -875,6 +911,7 @@ def large_quantity_orders(sf_dir: str, min_qty: int = 250) -> "ray.data.Dataset"
     qty_ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
     )
+    n_buckets = n_buckets or auto_buckets(qty_ds.count())
 
     def qty_partial(batch: pa.Table) -> pa.Table:
         q = pc.round(batch.column("l_quantity")).cast(pa.int64())
@@ -887,7 +924,7 @@ def large_quantity_orders(sf_dir: str, min_qty: int = 250) -> "ray.data.Dataset"
         )
         key = t.column("o_orderkey")
         bucket = pc.cast(
-            pc.bit_wise_and(key, pa.scalar(31, pa.int64())), pa.int32()
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
         )
         return pa.Table.from_arrays(
             [bucket, key, t.column("qty_sum").combine_chunks()],
@@ -967,7 +1004,7 @@ def large_quantity_orders(sf_dir: str, min_qty: int = 250) -> "ray.data.Dataset"
         ).cast(pa.int64())
         key = m.column("o_custkey")
         bucket = pc.cast(
-            pc.bit_wise_and(key, pa.scalar(31, pa.int64())), pa.int32()
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
         )
         return pa.Table.from_arrays(
             [
@@ -990,7 +1027,7 @@ def large_quantity_orders(sf_dir: str, min_qty: int = 250) -> "ray.data.Dataset"
         key = batch.column("c_custkey")
         n = batch.num_rows
         bucket = pc.cast(
-            pc.bit_wise_and(key, pa.scalar(31, pa.int64())), pa.int32()
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
         )
         return pa.Table.from_arrays(
             [
