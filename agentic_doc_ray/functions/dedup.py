@@ -222,12 +222,17 @@ _N_SHARDS = 64  # bucket-space shards: groupby runs per shard, not per bucket
 
 
 def _explode_bands(batch: pa.Table) -> pa.Table:
-    """signature rows -> (shard, band_id, band_hash, doc_id, sig) rows.
+    """signature rows -> SLIM (shard, band_id, band_hash, doc_id) rows.
 
     ``shard = band_hash % _N_SHARDS`` coarsens the shuffle key: a groupby
     per LSH *bucket* means one Python map_groups call per bucket (~16x docs
     — measured 50s); per *shard* it is _N_SHARDS calls with vectorized
     bucket detection inside.
+
+    The 64-int signature does NOT ride the band rows (VERDICT r02 #8): it
+    used to be tiled x N_BANDS (~8 KB/doc of redundant exchange payload);
+    signatures now ship once per doc through the attach exchanges in
+    ``minhash_dedup_pairs``.
     """
     n = batch.num_rows
     sig = np.asarray(batch.column("sig").combine_chunks().flatten()).reshape(
@@ -249,9 +254,6 @@ def _explode_bands(batch: pa.Table) -> pa.Table:
             "band_id": band_ids,
             "band_hash": hashes,
             "doc_id": doc_ids * N_BANDS,
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.tile(sig.reshape(-1), N_BANDS), pa.int64()), N_HASHES
-            ),
         },
         schema=_BAND_ROW_SCHEMA,
     )
@@ -263,16 +265,17 @@ _BAND_ROW_SCHEMA = pa.schema(
         ("band_id", pa.int32()),
         ("band_hash", pa.int64()),
         ("doc_id", pa.string()),
-        ("sig", pa.list_(pa.int64(), N_HASHES)),
     ]
 )
+
+_SIG_LIST = pa.list_(pa.int64(), N_HASHES)
 
 
 _BUCKET_PAIR_CAP = 1000
 
 
-def _shard_pairs(group: pa.Table, threshold: float = 0.0) -> pa.Table:
-    """Candidate pairs for every LSH bucket inside one shard.
+def _shard_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs for every LSH bucket inside one shard — ids only.
 
     Buckets found vectorized (lexsort + boundary diff); the pairwise loop
     touches only buckets with >= 2 members. Oversized buckets (the
@@ -281,22 +284,17 @@ def _shard_pairs(group: pa.Table, threshold: float = 0.0) -> pa.Table:
     bucket size, and the most-duplicated content still surfaces as pairs
     instead of silently vanishing (ADVICE r1).
 
-    The threshold is applied HERE, before the pair-dedup groupby: the
-    estimate is a pure function of the pair, so filtering commutes with the
-    dedup — and sub-threshold pairs vastly outnumber survivors (measured
-    604k -> 245 at sf0.1, cutting the dedup shuffle from 25s to <1s)."""
+    Signatures are not available here (slim band rows, VERDICT r02 #8);
+    the Jaccard estimate + threshold run after the attach exchanges."""
     group = group.filter(  # drop exchange-guard sentinel rows
         pc.not_equal(group.column("doc_id"), "")
     )
-    out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
+    out = {"doc_a": [], "doc_b": []}
     n = group.num_rows
     if n >= 2:
         band_id = np.asarray(group.column("band_id").combine_chunks())
         band_hash = np.asarray(group.column("band_hash").combine_chunks())
         ids = group.column("doc_id").to_pylist()
-        sigs = np.asarray(group.column("sig").combine_chunks().flatten()).reshape(
-            n, N_HASHES
-        )
         order = np.lexsort((np.array(ids, dtype=object), band_hash, band_id))
         bid, bh = band_id[order], band_hash[order]
         boundary = np.flatnonzero((np.diff(bid) != 0) | (np.diff(bh) != 0)) + 1
@@ -307,37 +305,165 @@ def _shard_pairs(group: pa.Table, threshold: float = 0.0) -> pa.Table:
             if m < 2:
                 continue
             members = order[s:e]
-            S = sigs[members]  # (m, N_HASHES)
             if m > _BUCKET_PAIR_CAP:
                 # Star pairs vs representative: members are already sorted by
                 # doc_id within the bucket (lexsort tiebreak), so members[0]
                 # is the min-doc_id representative.
-                rep = members[0]
-                est = (sigs[rep][None, :] == S[1:]).mean(axis=1)
-                keep = np.flatnonzero(est >= threshold)
-                rep_id = ids[rep]
-                out["doc_a"].extend(
-                    min(rep_id, ids[members[1 + j]]) for j in keep
-                )
-                out["doc_b"].extend(
-                    max(rep_id, ids[members[1 + j]]) for j in keep
-                )
-                out["est_jaccard"].extend(est[keep].tolist())
+                rep_id = ids[members[0]]
+                for j in members[1:]:
+                    out["doc_a"].append(min(rep_id, ids[j]))
+                    out["doc_b"].append(max(rep_id, ids[j]))
                 continue
-            # vectorized pairwise signature agreement for the whole bucket
-            agree = (S[:, None, :] == S[None, :, :]).mean(axis=2)
             ii, jj = np.triu_indices(m, k=1)
-            est = agree[ii, jj]
-            keep = est >= threshold
-            ii, jj, est = ii[keep], jj[keep], est[keep]
             out["doc_a"].extend(ids[members[i]] for i in ii)
             out["doc_b"].extend(ids[members[j]] for j in jj)
-            out["est_jaccard"].extend(est.tolist())
     return pa.Table.from_pydict(
         out,
-        schema=pa.schema(
-            [("doc_a", pa.string()), ("doc_b", pa.string()), ("est_jaccard", pa.float64())]
-        ),
+        schema=pa.schema([("doc_a", pa.string()), ("doc_b", pa.string())]),
+    )
+
+
+def _str_bucket(arr: "pa.ChunkedArray | pa.Array", n_buckets: int = 64) -> pa.Array:
+    """Deterministic vectorized string->bucket hash (pandas siphash with
+    its fixed default key — stable across processes, unlike hash())."""
+    import pandas as pd
+
+    vals = np.asarray(arr.to_pandas(), dtype=object)
+    return pa.array(
+        (pd.util.hash_array(vals) % n_buckets).astype(np.int32), pa.int32()
+    )
+
+
+def _attach_sigs(
+    pairs: "ray.data.Dataset",
+    sigs: "ray.data.Dataset",
+    threshold: float,
+    np_: int,
+) -> "ray.data.Dataset":
+    """Attach both docs' signatures to unique candidate pairs through two
+    doc-keyed exchanges (each ships every signature ONCE — vs x N_BANDS on
+    the band rows before), then estimate Jaccard as full-signature
+    agreement and threshold. Output: (doc_a, doc_b, est_jaccard)."""
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    attach_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("side", pa.string()),
+            ("key", pa.string()),  # the doc whose sig this row needs/carries
+            ("other", pa.string()),
+            ("sig", _SIG_LIST),
+        ]
+    )
+
+    def _sig_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _str_bucket(batch.column("doc_id")),
+                pa.array(["s"] * n, pa.string()),
+                batch.column("doc_id"),
+                pa.nulls(n, pa.string()),
+                batch.column("sig"),
+            ],
+            schema=attach_schema,
+        )
+
+    def _pair_rows_a(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _str_bucket(batch.column("doc_a")),
+                pa.array(["p"] * n, pa.string()),
+                batch.column("doc_a"),
+                batch.column("doc_b"),
+                pa.nulls(n, _SIG_LIST),
+            ],
+            schema=attach_schema,
+        )
+
+    def _lookup(p_keys: np.ndarray, s_tbl: pa.Table) -> np.ndarray:
+        """sig matrix rows for each p key (every key is present: pairs only
+        reference doc_ids that produced band rows, hence signatures)."""
+        s_keys = np.asarray(s_tbl.column("key").to_pandas(), dtype=object)
+        order = np.argsort(s_keys)
+        idx = order[
+            np.searchsorted(s_keys[order], p_keys)
+        ]
+        sig_mat = np.asarray(
+            s_tbl.column("sig").combine_chunks().flatten()
+        ).reshape(-1, N_HASHES)
+        return sig_mat[idx]
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_p = pc.equal(g.column("side"), "p")
+        p = g.filter(is_p)
+        if p.num_rows == 0:
+            return attach_schema.empty_table()
+        sig_a = _lookup(
+            np.asarray(p.column("key").to_pandas(), dtype=object),
+            g.filter(pc.invert(is_p)),
+        )
+        # re-key by doc_b for the second attach; carry doc_a in `other`
+        n = p.num_rows
+        return pa.Table.from_arrays(
+            [
+                _str_bucket(p.column("other")),
+                pa.array(["p"] * n, pa.string()),
+                p.column("other"),
+                p.column("key"),
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig_a.reshape(-1), pa.int64()), N_HASHES
+                ),
+            ],
+            schema=attach_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.string()),
+            ("doc_b", pa.string()),
+            ("est_jaccard", pa.float64()),
+        ]
+    )
+
+    def attach_b(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_p = pc.equal(g.column("side"), "p")
+        p = g.filter(is_p)
+        if p.num_rows == 0:
+            return out_schema.empty_table()
+        sig_b = _lookup(
+            np.asarray(p.column("key").to_pandas(), dtype=object),
+            g.filter(pc.invert(is_p)),
+        )
+        sig_a = np.asarray(p.column("sig").combine_chunks().flatten()).reshape(
+            -1, N_HASHES
+        )
+        est = (sig_a == sig_b).mean(axis=1)
+        keep = est >= threshold
+        return pa.Table.from_arrays(
+            [
+                p.column("other").combine_chunks().filter(pa.array(keep)),
+                p.column("key").combine_chunks().filter(pa.array(keep)),
+                pa.array(est[keep], pa.float64()),
+            ],
+            schema=out_schema,
+        )
+
+    with_a = (
+        pairs.map_batches(_pair_rows_a, batch_format="pyarrow")
+        .union(sigs.map_batches(_sig_rows, batch_format="pyarrow"))
+        .union(int_key_sentinels(attach_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(attach_a, batch_format="pyarrow")
+    )
+    return (
+        with_a.union(sigs.map_batches(_sig_rows, batch_format="pyarrow"))
+        .union(int_key_sentinels(attach_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(attach_b, batch_format="pyarrow")
     )
 
 
@@ -346,32 +472,64 @@ def minhash_dedup_pairs(
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
 
-    shingle -> minhash -> band -> shard-groupby -> pairwise within bucket
-    -> dedupe pairs (a pair can collide in many bands) -> threshold filter.
+    shingle -> minhash -> SLIM band rows (no signature payload) ->
+    shard-groupby -> id pairs within bucket -> distinct pairs (a pair can
+    collide in many bands; coarse-bucketed Arrow distinct, not a per-pair
+    hash aggregate) -> two attach exchanges ship each signature ONCE ->
+    agreement estimate + threshold. Exchange payload per doc: ~0.5 KB of
+    slim band keys + 1-2 signature copies, vs ~8.6 KB when signatures rode
+    every band row (VERDICT r02 #8: ~8x less exchange payload).
     """
     # task-based: MinHashActor holds no warm state worth an actor pool
     # (pool cold-start lands in every dataset execution)
-    sigs = docs.map_batches(MinHashActor(), batch_format="pyarrow")
+    sigs = docs.map_batches(MinHashActor(), batch_format="pyarrow").materialize()
     bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
     from agentic_doc_ray.context import shuffle_partitions as _cap
     from agentic_doc_ray.functions._exchange import int_key_sentinels
 
     np_ = _cap(shuffle_partitions)
-    pairs = (
+    raw_pairs = (
         bands.union(  # empty-first-block guard (_exchange.py); doc_id=""
             int_key_sentinels(_BAND_ROW_SCHEMA, "shard", fill={"doc_id": ""})
         )
         .repartition(np_)
         .groupby("shard", num_partitions=np_)
-        .map_groups(
-            lambda g: _shard_pairs(g, threshold), batch_format="pyarrow"
+        .map_groups(_shard_pairs, batch_format="pyarrow")
+    )
+
+    # distinct (doc_a, doc_b) via coarse buckets + C-speed Arrow group_by
+    # (a per-pair Ray hash aggregate costs ~60us per distinct group)
+    pair_schema = pa.schema(
+        [("bucket", pa.int32()), ("doc_a", pa.string()), ("doc_b", pa.string())]
+    )
+
+    def _pair_bucket(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                _str_bucket(batch.column("doc_a")),
+                batch.column("doc_a"),
+                batch.column("doc_b"),
+            ],
+            schema=pair_schema,
         )
+
+    def _distinct_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("doc_a"), ""))
+        return (
+            g.select(["doc_a", "doc_b"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([])
+        )
+
+    uniq_pairs = (
+        raw_pairs.map_batches(_pair_bucket, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(pair_schema, "bucket", fill={"doc_a": "", "doc_b": ""})
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(_distinct_bucket, batch_format="pyarrow")
     )
-    return (
-        pairs.repartition(max(2, np_ // 4))
-        .groupby(["doc_a", "doc_b"], num_partitions=max(2, np_ // 4))
-        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
-    )
+    return _attach_sigs(uniq_pairs, sigs, threshold, np_)
 
 
 def jaccard_verify(
@@ -452,13 +610,49 @@ def contamination_flags(
     bench_ref = ray.put(bench)
 
     def flag(batch: pa.Table) -> pa.Table:
+        import zlib
+
         B = ray.get(bench_ref)
-        ids = batch.column("doc_id").to_pylist()
-        overlaps = np.zeros(len(ids), dtype=np.int64)
-        for i, t in enumerate(batch.column("text").to_pylist()):
-            hs = _word_ngram_hashes(t, n)
-            if len(hs) and len(B):
-                overlaps[i] = int(np.isin(hs, B, assume_unique=True).sum())
+        texts = batch.column("text").to_pylist()
+        n_docs = len(texts)
+        overlaps = np.zeros(n_docs, dtype=np.int64)
+        # flatten the whole batch's tokens, roll ONE hash array over them,
+        # and drop windows that cross doc boundaries — the same
+        # flatten/segment pattern as substr._gram_hashes (VERDICT r02 #10);
+        # tokenization stays Python str.lower().split() for bit-equality
+        # with the single-process oracle
+        toks_per_doc = [(t or "").lower().split() for t in texts]
+        lens = np.fromiter(
+            (len(t) for t in toks_per_doc), dtype=np.int64, count=n_docs
+        )
+        total = int(lens.sum())
+        if total >= n and len(B):
+            all_toks = [tok for toks in toks_per_doc for tok in toks]
+            crcs = np.fromiter(
+                (zlib.crc32(t.encode()) for t in all_toks),
+                dtype=np.uint64,
+                count=total,
+            )
+            starts = np.concatenate((np.zeros(1, np.int64), np.cumsum(lens)))
+            M = total - n + 1
+            h = np.zeros(M, dtype=np.uint64)
+            for j in range(n):
+                h = h * np.uint64(1_000_003) + crcs[j : j + M]
+            pos = np.arange(M, dtype=np.int64)
+            doc_idx = np.searchsorted(starts[1:], pos, side="right")
+            valid = (pos + n) <= starts[doc_idx + 1]
+            h, doc_idx = h[valid], doc_idx[valid]
+            # per-doc unique hashes (the overlap unit), then one isin + a
+            # segment-sum of hits — no per-doc Python loop
+            order = np.lexsort((h, doc_idx))
+            h, doc_idx = h[order], doc_idx[order]
+            keep = np.ones(len(h), dtype=bool)
+            keep[1:] = (doc_idx[1:] != doc_idx[:-1]) | (h[1:] != h[:-1])
+            h, doc_idx = h[keep], doc_idx[keep]
+            hit = np.isin(h, B, assume_unique=False)
+            overlaps = np.bincount(
+                doc_idx[hit], minlength=n_docs
+            ).astype(np.int64)
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
@@ -588,7 +782,6 @@ _EMB_BAND_SCHEMA = pa.schema(
     [
         ("bkey", pa.int64()),  # band·2^planes + bucket (single-key guard)
         ("vec_id", pa.int64()),
-        ("unit", pa.list_(pa.float64())),
     ]
 )
 
@@ -600,24 +793,29 @@ def embedding_dup_pairs(
 
     Scale path: random-hyperplane LSH with _N_LSH_BANDS independent plane
     sets (band-style, like MinHash bands): a pair is a candidate if it
-    agrees on all _N_PLANES sign bits of ANY band. Exact cosine is computed
-    only within buckets; duplicate candidates from multiple bands are merged
-    by a final (vec_a, vec_b) groupby.
-    """
+    agrees on all _N_PLANES sign bits of ANY band.
+
+    Band rows are SLIM — (bkey, vec_id) only (VERDICT r02 #8): unit vectors
+    no longer replicate x _N_LSH_BANDS through the band exchange. Candidate
+    id pairs are made distinct, then both unit vectors attach through two
+    vec-keyed exchanges (each ships every unit vector once) where the exact
+    cosine is computed and thresholded."""
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((dim, _N_LSH_BANDS * _N_PLANES))
     planes_ref = ray.put(planes)
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        P = ray.get(planes_ref)
+    def _unit_of(batch: pa.Table) -> np.ndarray:
         vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
+        return vecs / norms[:, None]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         signs = (vecs @ P) > 0  # (n, bands*planes)
-        out = {"bkey": [], "vec_id": [], "unit": []}
+        out = {"bkey": [], "vec_id": []}
         ids = batch.column("vec_id").to_pylist()
-        units = [u.tolist() for u in unit]
         for band in range(_N_LSH_BANDS):
             s = signs[:, band * _N_PLANES : (band + 1) * _N_PLANES]
             bucket = (
@@ -629,48 +827,54 @@ def embedding_dup_pairs(
                 (bucket.astype(np.int64) + (band << _N_PLANES)).tolist()
             )
             out["vec_id"].extend(ids)
-            out["unit"].extend(units)
         return pa.Table.from_pydict(out, schema=_EMB_BAND_SCHEMA)
+
+    pair_schema = pa.schema(
+        [("bucket", pa.int32()), ("vec_a", pa.int64()), ("vec_b", pa.int64())]
+    )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         group = group.filter(  # drop exchange-guard sentinel rows
             pc.greater_equal(group.column("vec_id"), pa.scalar(0, pa.int64()))
         )
-        ids = group.column("vec_id").to_pylist()
-        out = {"vec_a": [], "vec_b": [], "cosine": []}
-        if len(ids) >= 2:
-            U = np.array(group.column("unit").to_pylist(), dtype=np.float64)
-            if len(ids) > 5000:
+        out = {"vec_a": [], "vec_b": []}
+        # a bkey group may span several LSH buckets only via sentinels
+        # (bkey IS the bucket); members of one group are one bucket
+        ids = np.asarray(group.column("vec_id").combine_chunks())
+        bkeys = np.asarray(group.column("bkey").combine_chunks())
+        order = np.lexsort((ids, bkeys))
+        ids, bkeys = ids[order], bkeys[order]
+        boundary = np.flatnonzero(np.diff(bkeys) != 0) + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [len(ids)]))
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            members = ids[s:e]
+            if m > 5000:
                 # Oversized bucket: star pairs vs the min-id representative
                 # (linear, never all-pairs) so heavily-duplicated vectors
                 # still surface instead of being silently dropped.
-                rep = int(np.argmin(ids))
-                s_rep = U @ U[rep]
-                for j in np.flatnonzero(s_rep >= threshold):
-                    if j == rep:
-                        continue
-                    a, b = ids[rep], ids[j]
-                    if a > b:
-                        a, b = b, a
-                    out["vec_a"].append(a)
-                    out["vec_b"].append(b)
-                    out["cosine"].append(float(s_rep[j]))
-            else:
-                S = U @ U.T
-                ii, jj = np.triu_indices(len(ids), k=1)
-                keep = S[ii, jj] >= threshold
-                for i, j, s in zip(ii[keep], jj[keep], S[ii, jj][keep]):
-                    a, b = ids[i], ids[j]
-                    if a > b:
-                        a, b = b, a
-                    out["vec_a"].append(a)
-                    out["vec_b"].append(b)
-                    out["cosine"].append(float(s))
-        return pa.Table.from_pydict(
-            out,
-            schema=pa.schema(
-                [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
-            ),
+                rep = members[0]  # sorted: min id first
+                out["vec_a"].extend(np.minimum(rep, members[1:]).tolist())
+                out["vec_b"].extend(np.maximum(rep, members[1:]).tolist())
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            out["vec_a"].extend(members[ii].tolist())
+            out["vec_b"].extend(members[jj].tolist())
+        t = pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(out["vec_a"], pa.int64()),
+                "vec_b": pa.array(out["vec_b"], pa.int64()),
+            }
+        )
+        b = pc.cast(
+            pc.bit_wise_and(t.column("vec_a"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [b, t.column("vec_a"), t.column("vec_b")], schema=pair_schema
         )
 
     from agentic_doc_ray.context import shuffle_partitions as _cap
@@ -678,7 +882,7 @@ def embedding_dup_pairs(
 
     np_ = _cap()  # sentinel coverage adapts to the resolved width (_exchange.py)
     bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
-    pairs = (
+    raw_pairs = (
         bucketed.union(  # empty-first-block guard; vec_id=-1 dropped above
             int_key_sentinels(_EMB_BAND_SCHEMA, "bkey", fill={"vec_id": -1})
         )
@@ -686,6 +890,125 @@ def embedding_dup_pairs(
         .groupby("bkey", num_partitions=np_)
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    return pairs.groupby(["vec_a", "vec_b"], num_partitions=max(2, np_ // 4)).aggregate(
-        Min("cosine", alias_name="cosine")
+
+    def _distinct_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("vec_a"), pa.scalar(0, pa.int64())))
+        return g.select(["vec_a", "vec_b"]).group_by(["vec_a", "vec_b"]).aggregate([])
+
+    uniq_pairs = (
+        raw_pairs.union(
+            int_key_sentinels(pair_schema, "bucket", fill={"vec_a": -1, "vec_b": -1})
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(_distinct_bucket, batch_format="pyarrow")
+    )
+
+    # attach both unit vectors through two vec-keyed exchanges
+    attach_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("side", pa.string()),
+            ("key", pa.int64()),
+            ("other", pa.int64()),
+            ("unit", pa.list_(pa.float64())),
+        ]
+    )
+
+    def _vec_bucket(ids) -> pa.Array:
+        return pc.cast(
+            pc.bit_wise_and(ids, pa.scalar(63, pa.int64())), pa.int32()
+        )
+
+    def _unit_rows(batch: pa.Table) -> pa.Table:
+        unit = _unit_of(batch)
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _vec_bucket(batch.column("vec_id")),
+                pa.array(["s"] * n, pa.string()),
+                batch.column("vec_id"),
+                pa.nulls(n, pa.int64()),
+                pa.array([u.tolist() for u in unit], pa.list_(pa.float64())),
+            ],
+            schema=attach_schema,
+        )
+
+    def _pair_rows_a(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _vec_bucket(batch.column("vec_a")),
+                pa.array(["p"] * n, pa.string()),
+                batch.column("vec_a"),
+                batch.column("vec_b"),
+                pa.nulls(n, pa.list_(pa.float64())),
+            ],
+            schema=attach_schema,
+        )
+
+    def _vlookup(p_keys: np.ndarray, s_tbl: pa.Table) -> np.ndarray:
+        s_keys = np.asarray(s_tbl.column("key").combine_chunks())
+        order = np.argsort(s_keys)
+        idx = order[np.searchsorted(s_keys[order], p_keys)]
+        U = np.array(s_tbl.column("unit").to_pylist(), dtype=np.float64)
+        return U[idx]
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_p = pc.equal(g.column("side"), "p")
+        p = g.filter(is_p)
+        if p.num_rows == 0:
+            return attach_schema.empty_table()
+        ua = _vlookup(
+            np.asarray(p.column("key").combine_chunks()), g.filter(pc.invert(is_p))
+        )
+        n = p.num_rows
+        return pa.Table.from_arrays(
+            [
+                _vec_bucket(p.column("other")),
+                pa.array(["p"] * n, pa.string()),
+                p.column("other").combine_chunks(),
+                p.column("key").combine_chunks(),
+                pa.array([u.tolist() for u in ua], pa.list_(pa.float64())),
+            ],
+            schema=attach_schema,
+        )
+
+    out_schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    def attach_b(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_p = pc.equal(g.column("side"), "p")
+        p = g.filter(is_p)
+        if p.num_rows == 0:
+            return out_schema.empty_table()
+        ub = _vlookup(
+            np.asarray(p.column("key").combine_chunks()), g.filter(pc.invert(is_p))
+        )
+        ua = np.array(p.column("unit").to_pylist(), dtype=np.float64)
+        cos = (ua * ub).sum(axis=1)
+        keep = cos >= threshold
+        return pa.Table.from_arrays(
+            [
+                p.column("other").combine_chunks().filter(pa.array(keep)),
+                p.column("key").combine_chunks().filter(pa.array(keep)),
+                pa.array(cos[keep], pa.float64()),
+            ],
+            schema=out_schema,
+        )
+
+    with_a = (
+        uniq_pairs.map_batches(_pair_rows_a, batch_format="pyarrow")
+        .union(embeddings.map_batches(_unit_rows, batch_format="pyarrow"))
+        .union(int_key_sentinels(attach_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(attach_a, batch_format="pyarrow")
+    )
+    return (
+        with_a.union(embeddings.map_batches(_unit_rows, batch_format="pyarrow"))
+        .union(int_key_sentinels(attach_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(attach_b, batch_format="pyarrow")
     )
