@@ -60,7 +60,18 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 17  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 18  # bump when any oracle-producing logic changes
+
+_VIZ_DIGEST_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("page", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_marks", pa.int32()),
+        ("ppm_digest", pa.string()),
+    ]
+)
 # (v6: adds extraction_model/chunk_lookup/jaccard_pairs/ivf/kmeans/
 # pack_sequences/contamination/media_resized/audio_chunks oracles;
 # v7: adds the product-quantization top-k replica oracle; v8: adds the
@@ -196,6 +207,42 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         bpe_encode_oracle(docs_tbl, bpe_train_oracle(docs_tbl, n_merges=50)),
         os.path.join(out_dir, "bpe_encode.parquet"),
+    )
+
+    # rendered viz-overlay replica: the same pure per-page renderer
+    # (raster + outlines + label-strip blend) single-process; the compare
+    # pins the PPM payloads byte-exact via md5
+    import hashlib as _hl
+
+    from agentic_doc_ray.functions.grounding import encode_ppm
+    from agentic_doc_ray.functions.viz import DEFAULT_VIZ_CONFIG, render_page_overlay
+
+    v_rows = []
+    for d, spans in zip(parsed["doc_id"].to_pylist(), parsed["spans"].to_pylist()):
+        by_page: dict[int, list] = {}
+        for idx, s in enumerate(spans or []):
+            by_page.setdefault(s["page"], []).append((idx, s))
+        for p, marks in sorted(by_page.items()):
+            img = render_page_overlay(
+                [s for _, s in marks],
+                [(i, s["kind"]) for i, s in marks],
+                816,
+                1056,
+                DEFAULT_VIZ_CONFIG,
+            )
+            v_rows.append(
+                {
+                    "doc_id": d,
+                    "page": p,
+                    "width": 816,
+                    "height": 1056,
+                    "n_marks": len(marks),
+                    "ppm_digest": _hl.md5(encode_ppm(img)).hexdigest(),
+                }
+            )
+    _pq.write_table(
+        pa.Table.from_pylist(v_rows, schema=_VIZ_DIGEST_SCHEMA),
+        os.path.join(out_dir, "viz_overlays.parquet"),
     )
 
     # classifier replica: centroid training is exact integer sums
@@ -540,6 +587,8 @@ def entry() -> Any:
 _DRIVER_PRIORITY = [
     # r02 FAIL — oracle HUGEINT->BIGINT cast added this round
     "repetition_stats",
+    # new this round (rendered overlays; byte-exact PPM digest oracle)
+    "viz_overlays",
     # never driver-checked (r01+r02)
     "split_sentences",
     "paragraph_dedup",
@@ -591,7 +640,6 @@ _DRIVER_PRIORITY = [
     "lineitem_pricing_summary",
     "order_priority_revenue_bucketed",
     "sessionize",
-    "media_features",
 ]
 
 
@@ -1412,6 +1460,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return grounding_manifest(extract_corpus(_corpus_ds(sf_dir)), "/tmp/gm")
 
+    def q_viz_overlays(sf_dir):
+        """Rendered page overlays (bbox outlines + label strips over the
+        PPM raster path); PPM payloads pinned byte-exact via md5 against
+        the single-process renderer replica."""
+        import hashlib
+
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.viz import render_overlays
+
+        ov = render_overlays(extract_corpus(_corpus_ds(sf_dir)))
+
+        def digest(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("page"),
+                    batch.column("width"),
+                    batch.column("height"),
+                    batch.column("n_marks"),
+                    pa.array(
+                        [
+                            hashlib.md5(x).hexdigest()
+                            for x in batch.column("image_ppm").to_pylist()
+                        ],
+                        pa.string(),
+                    ),
+                ],
+                schema=_VIZ_DIGEST_SCHEMA,
+            )
+
+        return ov.map_batches(digest, batch_format="pyarrow")
+
     def q_grounding_crops(sf_dir):
         """Real grounding media write: rasterize -> crop -> PPM -> file,
         verified by digesting the written bytes against the single-process
@@ -1512,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_stats": q_interleave_stats,  # SQL unnest over the corpus parquet
         "grounding_manifest": q_grounding,
         "grounding_crops": q_grounding_crops,
+        "viz_overlays": q_viz_overlays,
         "extract_fields": q_extract_fields,
         "extract_fields_model": q_extract_fields_model,
         "chunk_reference_lookup": q_chunk_lookup,
@@ -1714,6 +1795,10 @@ def oracle_sql() -> dict[str, str]:
         "grounding_crops": (
             "SELECT doc_id, chunk_id, page, crop_w, crop_h, crop_digest "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/grounding_crops.parquet')"
+        ),
+        "viz_overlays": (
+            "SELECT doc_id, page, width, height, n_marks, ppm_digest "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/viz_overlays.parquet')"
         ),
         "extract_fields": (
             "SELECT doc_id, extraction, extraction_metadata, extraction_error "

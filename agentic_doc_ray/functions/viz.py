@@ -2,9 +2,19 @@
 
 The reference draws per-page bboxes + ``{idx} {chunk_type}`` labels with a
 per-ChunkType color map (``/root/reference/agentic_doc/utils.py:294-414``,
-colors ``config.py:14-19``). No image libraries exist in this container, so
-the Ray-native stage emits the *draw-command table* — one row per chunk
-with pixel rect, BGR color, and label — which any renderer can replay.
+colors ``config.py:14-19``). Two surfaces here:
+
+  - ``viz_commands``: the draw-command table — one row per chunk with
+    pixel rect, BGR color, and label — which any renderer can replay;
+  - ``render_overlays``: REAL rendered page overlays through the engine's
+    PPM raster path (grounding.rasterize_page + encode_ppm): bbox
+    outlines in the per-type color and a blended label-background strip
+    per mark, matching the reference's rectangle/label-box semantics.
+    Glyph rendering needs a font library this container lacks, so the
+    label strip is the documented stand-in for cv2.putText; everything
+    else (rect geometry, color map, opacity blend, placement fallback)
+    is real and pixel-tested.
+
 Not on the hot path (debug only).
 """
 
@@ -12,6 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -115,3 +126,135 @@ def viz_commands(
         )
 
     return parsed.map_batches(to_commands, batch_format="pyarrow")
+
+
+OVERLAY_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("page", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_marks", pa.int32()),
+        ("image_ppm", pa.binary()),
+    ]
+)
+
+
+def _draw_rect_outline(
+    img: np.ndarray, x0: int, y0: int, x1: int, y1: int, color, thickness: int
+) -> None:
+    """cv2.rectangle(thickness>0) analogue: a ``thickness``-px frame just
+    inside the rect (clamped; degenerate rects are skipped)."""
+    if x1 <= x0 or y1 <= y0:
+        return
+    t = max(1, thickness)
+    img[y0 : min(y0 + t, y1), x0:x1] = color
+    img[max(y1 - t, y0) : y1, x0:x1] = color
+    img[y0:y1, x0 : min(x0 + t, x1)] = color
+    img[y0:y1, max(x1 - t, x0) : x1] = color
+
+
+def _blend_region(
+    img: np.ndarray, x0: int, y0: int, x1: int, y1: int, bg, opacity: float
+) -> None:
+    """cv2.addWeighted analogue over one region (the label's background
+    box, ref utils.py:330-340): out = bg*opacity + img*(1-opacity)."""
+    if x1 <= x0 or y1 <= y0:
+        return
+    region = img[y0:y1, x0:x1].astype(np.float64)
+    blended = np.asarray(bg, dtype=np.float64) * opacity + region * (1.0 - opacity)
+    img[y0:y1, x0:x1] = np.round(blended).astype(np.uint8)
+
+
+def render_page_overlay(
+    page_spans: list[dict],
+    doc_marks: list[tuple[int, str]],
+    page_width: int,
+    page_height: int,
+    viz_config: VisualizationConfig,
+) -> np.ndarray:
+    """Rasterize one page and replay its draw commands onto it.
+
+    ``doc_marks`` carries (span_idx_within_doc, kind) per page span so the
+    ``{idx} {kind}`` label numbering matches the reference's enumerate over
+    the whole document's chunks (utils.py:309-316)."""
+    from agentic_doc_ray.functions.grounding import crop_rect, rasterize_page
+
+    cmap = {**COLOR_MAP, **(viz_config.color_map or {})}
+    img = rasterize_page(page_spans, page_width, page_height)
+    pad = viz_config.padding
+    for s, (idx, kind) in zip(page_spans, doc_marks):
+        x0, y0, x1, y1, _ = crop_rect(tuple(s["bbox"]), page_width, page_height)
+        bgr = cmap.get(kind, (255, 0, 0))
+        rgb = (bgr[2], bgr[1], bgr[0])  # PPM pages are RGB; the map is BGR
+        _draw_rect_outline(img, x0, y0, x1, y1, rgb, viz_config.thickness)
+        # label background strip (the cv2.getTextSize box): height/width
+        # scale with font_scale and label length; placed above the bbox,
+        # falling inside it when clipped at the page top (ref
+        # _place_mark's in-image fallback)
+        label = f"{idx} {kind}"
+        lh = max(8, int(round(16 * viz_config.font_scale))) + 2 * pad
+        lw = min(
+            page_width - x0,
+            max(4, int(round(8 * viz_config.font_scale))) * len(label) + 2 * pad,
+        )
+        ly0 = y0 - lh - pad
+        if ly0 < 0:
+            ly0 = y0 + pad
+        _blend_region(
+            img,
+            x0,
+            ly0,
+            x0 + lw,
+            min(ly0 + lh, page_height),
+            viz_config.text_bg_color,
+            viz_config.text_bg_opacity,
+        )
+    return img
+
+
+def render_overlays(
+    parsed: "ray.data.Dataset",
+    page_width: int = 816,
+    page_height: int = 1056,
+    viz_config: VisualizationConfig = DEFAULT_VIZ_CONFIG,
+) -> "ray.data.Dataset":
+    """Parsed docs -> one rendered PPM overlay row per (doc, page).
+
+    The rendered-output counterpart of ``viz_commands`` (reference
+    utils.py:294-414 semantics over the engine's PPM raster path). Pages
+    render independently inside each batch task; a doc's rows are atomic
+    per batch, so the per-doc mark numbering is exact."""
+    from agentic_doc_ray.functions.grounding import encode_ppm
+
+    def to_overlays(batch: pa.Table) -> pa.Table:
+        out = {
+            "doc_id": [],
+            "page": [],
+            "width": [],
+            "height": [],
+            "n_marks": [],
+            "image_ppm": [],
+        }
+        for row in batch.to_pylist():
+            spans = row["spans"] or []
+            by_page: dict[int, list] = {}
+            for idx, s in enumerate(spans):
+                by_page.setdefault(s["page"], []).append((idx, s))
+            for p, marks in sorted(by_page.items()):
+                img = render_page_overlay(
+                    [s for _, s in marks],
+                    [(idx, s["kind"]) for idx, s in marks],
+                    page_width,
+                    page_height,
+                    viz_config,
+                )
+                out["doc_id"].append(row["doc_id"])
+                out["page"].append(p)
+                out["width"].append(page_width)
+                out["height"].append(page_height)
+                out["n_marks"].append(len(marks))
+                out["image_ppm"].append(encode_ppm(img))
+        return pa.Table.from_pydict(out, schema=OVERLAY_SCHEMA)
+
+    return parsed.map_batches(to_overlays, batch_format="pyarrow")

@@ -347,3 +347,67 @@ def test_grounding_save_and_read_roundtrip(tmp_path, sf_smoke_corpus):
         assert np.array_equal(got, page_img[y0:y1, x0:x1])
         checked += 1
     assert checked
+
+
+def test_render_overlays_pixels(sf_smoke_corpus):
+    """Rendered PPM overlays (utils.py:294-414 semantics): bbox outline
+    rows carry the chunk-type color (BGR map -> RGB pixels), the label
+    strip is blended above the box, and untouched page stays background.
+    Pixel assertions use a controlled single-span page (marks can overlap
+    on real pages); the real corpus gets a decode + mark-count pass."""
+    import numpy as np
+
+    from agentic_doc_ray.functions.grounding import crop_rect, read_img_rgb
+    from agentic_doc_ray.functions.viz import COLOR_MAP, render_overlays
+    from agentic_doc_ray.schema import PARSED_DOC_SCHEMA
+
+    # --- controlled page: one well-interior span, nothing overlaps -------
+    span = {
+        "kind": "table",
+        "text": "cells",
+        "media_ref": "",
+        "offset": 0,
+        "chunk_id": "c0",
+        "page": 0,
+        "bbox": [0.25, 0.25, 0.75, 0.75],
+    }
+    one = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "d0",
+                "doc_type": "pdf",
+                "markdown": "cells",
+                "spans": [span],
+                "errors": [],
+                "start_page_idx": 0,
+                "end_page_idx": 0,
+            }
+        ],
+        schema=PARSED_DOC_SCHEMA,
+    )
+    [r] = render_overlays(ray.data.from_arrow(one)).take_all()
+    img = read_img_rgb(r["image_ppm"])
+    assert img.shape == (r["height"], r["width"], 3) and r["n_marks"] == 1
+    x0, y0, x1, y1, _ = crop_rect(tuple(span["bbox"]), r["width"], r["height"])
+    bgr = COLOR_MAP["table"]
+    rgb = np.array([bgr[2], bgr[1], bgr[0]], np.uint8)
+    # all four outline edges carry the chunk-type color end to end
+    assert (img[y0, x0:x1] == rgb).all()
+    assert (img[y1 - 1, x0:x1] == rgb).all()
+    assert (img[y0:y1, x0] == rgb).all()
+    assert (img[y0:y1, x1 - 1] == rgb).all()
+    # label strip above the box is blended (not pure white background)
+    assert not (img[y0 - 2, x0 + 2] == 255).all()
+    # far corner untouched: background white
+    assert (img[5, r["width"] - 5] == 255).all()
+
+    # --- real corpus: every page decodes, mark counts match spans --------
+    parsed = extract_corpus(ray.data.from_arrow(sf_smoke_corpus.slice(0, 8)), CFG)
+    doc_rows = {dr["doc_id"]: dr for dr in parsed.take_all()}
+    rows = render_overlays(parsed).take_all()
+    assert rows
+    for r in rows:
+        img = read_img_rgb(r["image_ppm"])
+        assert img.shape == (r["height"], r["width"], 3)
+        n = sum(1 for s in doc_rows[r["doc_id"]]["spans"] if s["page"] == r["page"])
+        assert r["n_marks"] == n
