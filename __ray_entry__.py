@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 18  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 19  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -128,21 +128,24 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     g_rows = []
     for d, spans in zip(parsed["doc_id"].to_pylist(), parsed["spans"].to_pylist()):
         for s in spans:
-            x0, y0, x1, y1, oob = crop_rect(tuple(s["bbox"]), 816, 1056)
-            g_rows.append(
-                {
-                    "doc_id": d,
-                    "chunk_id": s["chunk_id"],
-                    "kind": s["kind"],
-                    "page": s["page"],
-                    "xmin": x0,
-                    "ymin": y0,
-                    "xmax": x1,
-                    "ymax": y1,
-                    "out_of_bounds": oob,
-                    "image_path": f"/tmp/gm/page_{s['page']}/{s['kind']}_{s['chunk_id']}_0.png",
-                }
-            )
+            # one manifest row per GROUNDING (multi-page chunks have several)
+            for gi, gr in enumerate(s["groundings"]):
+                x0, y0, x1, y1, oob = crop_rect(tuple(gr["bbox"]), 816, 1056)
+                g_rows.append(
+                    {
+                        "doc_id": d,
+                        "chunk_id": s["chunk_id"],
+                        "g_idx": gi,
+                        "kind": s["kind"],
+                        "page": gr["page"],
+                        "xmin": x0,
+                        "ymin": y0,
+                        "xmax": x1,
+                        "ymax": y1,
+                        "out_of_bounds": oob,
+                        "image_path": f"/tmp/gm/page_{gr['page']}/{s['kind']}_{s['chunk_id']}_{gi}.png",
+                    }
+                )
     _pq.write_table(
         pa.Table.from_pylist(g_rows, schema=GROUNDING_SCHEMA),
         os.path.join(out_dir, "grounding.parquet"),
@@ -221,11 +224,12 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     for d, spans in zip(parsed["doc_id"].to_pylist(), parsed["spans"].to_pylist()):
         by_page: dict[int, list] = {}
         for idx, s in enumerate(spans or []):
-            by_page.setdefault(s["page"], []).append((idx, s))
+            for gr in s["groundings"]:  # one mark per grounding
+                by_page.setdefault(gr["page"], []).append((idx, s, gr["bbox"]))
         for p, marks in sorted(by_page.items()):
             img = render_page_overlay(
-                [s for _, s in marks],
-                [(i, s["kind"]) for i, s in marks],
+                [{"text": s["text"], "bbox": bb} for _, s, bb in marks],
+                [(i, s["kind"]) for i, s, _ in marks],
                 816,
                 1056,
                 DEFAULT_VIZ_CONFIG,
@@ -1789,7 +1793,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT kind, count(*) AS n FROM {flat} GROUP BY kind"
         ),
         "grounding_manifest": (
-            "SELECT doc_id, chunk_id, kind, page, xmin, ymin, xmax, ymax, "
+            "SELECT doc_id, chunk_id, g_idx, kind, page, xmin, ymin, xmax, ymax, "
             f"out_of_bounds, image_path FROM read_parquet('{_ORACLE_SQL_DIR}/grounding.parquet')"
         ),
         "grounding_crops": (

@@ -33,6 +33,7 @@ GROUNDING_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
         ("chunk_id", pa.string()),
+        ("g_idx", pa.int32()),  # grounding index within its chunk
         ("kind", pa.string()),
         ("page", pa.int32()),
         ("xmin", pa.int32()),
@@ -70,15 +71,33 @@ def grounding_manifest_batch(
 ) -> pa.Table:
     """Parsed-doc rows -> grounding manifest rows (vectorized).
 
-    Default page size = US Letter at the reference's 96 dpi
-    (``pdf_to_image_dpi``, config.py:118-122).
+    One row per GROUNDING, not per chunk: a multi-page chunk contributes
+    one row per (page, bbox) pair with ``g_idx`` giving its position in
+    the chunk's grounding list — matching the reference's per-grounding
+    crop loop + ``_{i}`` path suffix (utils.py:127-162). Default page size
+    = US Letter at the reference's 96 dpi (config.py:118-122).
     """
     spans = batch.column("spans").combine_chunks()
-    parents = pc.list_parent_indices(spans)
+    span_parents = pc.list_parent_indices(spans)
     flat = spans.flatten()
-    doc_ids = pc.take(batch.column("doc_id").combine_chunks(), parents)
+    span_doc_ids = pc.take(batch.column("doc_id").combine_chunks(), span_parents)
 
-    bbox = np.asarray(flat.field("bbox").flatten(), dtype=np.float64).reshape(-1, 4)
+    grounds = flat.field("groundings")
+    g_parents = pc.list_parent_indices(grounds).to_numpy(zero_copy_only=False)
+    gflat = grounds.flatten()
+    g_lens = pc.list_value_length(grounds).to_numpy(zero_copy_only=False)
+    g_starts = np.concatenate(([0], np.cumsum(g_lens)))
+    g_idx = (
+        np.arange(len(gflat), dtype=np.int64) - g_starts[g_parents]
+    ).astype(np.int32)
+
+    take = pa.array(g_parents, pa.int64())
+    doc_ids = pc.take(span_doc_ids, take)
+    chunk_ids_arr = pc.take(flat.field("chunk_id"), take)
+    kinds_arr = pc.take(flat.field("kind"), take)
+    pages_arr = gflat.field("page")
+
+    bbox = np.asarray(gflat.field("bbox").flatten(), dtype=np.float64).reshape(-1, 4)
     l, t, r, b = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
     oob = (l < 0) | (t < 0) | (r > 1) | (b > 1) | (l > r) | (t > b)
     lc = np.clip(l, 0, 1)
@@ -90,19 +109,20 @@ def grounding_manifest_batch(
     ymin = np.maximum(0, np.floor(tc * page_height)).astype(np.int32)
     ymax = np.minimum(page_height, np.ceil(bc * page_height)).astype(np.int32)
 
-    kinds = flat.field("kind").to_pylist()
-    chunk_ids = flat.field("chunk_id").to_pylist()
-    pages = flat.field("page").to_pylist()
+    kinds = kinds_arr.to_pylist()
+    chunk_ids = chunk_ids_arr.to_pylist()
+    pages = pages_arr.to_pylist()
     paths = [
-        f"{save_dir}/page_{p}/{k}_{cid}_0.png"
-        for p, k, cid in zip(pages, kinds, chunk_ids)
+        f"{save_dir}/page_{p}/{k}_{cid}_{gi}.png"
+        for p, k, cid, gi in zip(pages, kinds, chunk_ids, g_idx.tolist())
     ]
     return pa.Table.from_arrays(
         [
             doc_ids,
-            flat.field("chunk_id"),
-            flat.field("kind"),
-            flat.field("page"),
+            chunk_ids_arr,
+            pa.array(g_idx),
+            kinds_arr,
+            pages_arr,
             pa.array(xmin),
             pa.array(ymin),
             pa.array(xmax),
@@ -212,19 +232,28 @@ def save_groundings_batch(
         "crop_h": [],
     }
     for row in batch.to_pylist():
-        by_page: dict[int, list[dict]] = {}
+        # one paint + one crop per GROUNDING: a multi-page chunk paints and
+        # crops on every page it grounds on, path-suffixed by its grounding
+        # index (ref utils.py:127-162 `_crop_groundings` loop)
+        by_page: dict[int, list[tuple]] = {}
         for s in row["spans"] or []:
-            by_page.setdefault(s["page"], []).append(s)
-        for p, spans in sorted(by_page.items()):
-            img = rasterize_page(spans, page_width, page_height)
+            gs = s.get("groundings") or [{"page": s["page"], "bbox": s["bbox"]}]
+            for gi, gr in enumerate(gs):
+                by_page.setdefault(gr["page"], []).append((s, gi, gr["bbox"]))
+        for p, marks in sorted(by_page.items()):
+            img = rasterize_page(
+                [{"text": s["text"], "bbox": bb} for s, _, bb in marks],
+                page_width,
+                page_height,
+            )
             page_dir = os.path.join(save_dir, f"page_{p}")
             os.makedirs(page_dir, exist_ok=True)
-            for s in spans:
-                x0, y0, x1, y1, _ = crop_rect(
-                    tuple(s["bbox"]), page_width, page_height
-                )
+            for s, gi, bb in marks:
+                x0, y0, x1, y1, _ = crop_rect(tuple(bb), page_width, page_height)
                 crop = img[y0:y1, x0:x1]
-                path = os.path.join(page_dir, f"{s['kind']}_{s['chunk_id']}_0.ppm")
+                path = os.path.join(
+                    page_dir, f"{s['kind']}_{s['chunk_id']}_{gi}.ppm"
+                )
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as fh:
                     fh.write(encode_ppm(crop))

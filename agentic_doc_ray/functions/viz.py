@@ -101,12 +101,20 @@ def viz_commands(
         m = grounding_manifest_batch(batch, "", page_width, page_height)
         kinds = m.column("kind").to_pylist()
         colors = [cmap.get(k, (255, 0, 0)) for k in kinds]
+        # manifest rows are per GROUNDING: the chunk index advances only on
+        # a chunk's first grounding (g_idx == 0); its other groundings
+        # repeat the same label (ref draws one label per grounding box)
         idx_by_doc: dict[str, int] = {}
         labels = []
-        for d, k in zip(m.column("doc_id").to_pylist(), kinds):
+        for d, k, gi in zip(
+            m.column("doc_id").to_pylist(), kinds, m.column("g_idx").to_pylist()
+        ):
             i = idx_by_doc.get(d, 0)
+            if gi == 0:
+                idx_by_doc[d] = i + 1
+            else:
+                i -= 1  # same chunk as the previous row
             labels.append(f"{i} {k}")
-            idx_by_doc[d] = i + 1
         return pa.Table.from_arrays(
             [
                 m.column("doc_id"),
@@ -175,7 +183,9 @@ def render_page_overlay(
 ) -> np.ndarray:
     """Rasterize one page and replay its draw commands onto it.
 
-    ``doc_marks`` carries (span_idx_within_doc, kind) per page span so the
+    ``page_spans`` holds one {text, bbox} dict per MARK on this page (a
+    multi-page chunk contributes one mark per grounding it has here);
+    ``doc_marks`` carries (span_idx_within_doc, kind) per mark so the
     ``{idx} {kind}`` label numbering matches the reference's enumerate over
     the whole document's chunks (utils.py:309-316)."""
     from agentic_doc_ray.functions.grounding import crop_rect, rasterize_page
@@ -240,11 +250,13 @@ def render_overlays(
             spans = row["spans"] or []
             by_page: dict[int, list] = {}
             for idx, s in enumerate(spans):
-                by_page.setdefault(s["page"], []).append((idx, s))
+                gs = s.get("groundings") or [{"page": s["page"], "bbox": s["bbox"]}]
+                for gr in gs:  # one mark per grounding, per its own page
+                    by_page.setdefault(gr["page"], []).append((idx, s, gr["bbox"]))
             for p, marks in sorted(by_page.items()):
                 img = render_page_overlay(
-                    [s for _, s in marks],
-                    [(idx, s["kind"]) for idx, s in marks],
+                    [{"text": s["text"], "bbox": bb} for _, s, bb in marks],
+                    [(idx, s["kind"]) for idx, s, _ in marks],
                     page_width,
                     page_height,
                     viz_config,

@@ -43,40 +43,67 @@ def parse_doc_oracle(
     out_spans: list[dict] = []
     errors: list[dict] = []
     part_mds: list[str] = []
-    offset_out = 0
     # parts = [0..split), [split..2*split), ... (utils.py:244-263 semantics)
     for part_start in range(0, n, split):
         part = spans[part_start : part_start + split]
-        chunk_texts: list[str] = []
+        part_spans: list[dict] = []
         for s in part:
             page_abs = s["offset"]  # rebase: page_rel + part.start_page_idx
-            for c in parse_page(
+            chunks = parse_page(
                 doc_id,
                 s["offset"],
                 s["kind"],
                 s["text"],
                 s["media_ref"],
                 include_marginalia=config.include_marginalia,
-            ):
-                out_spans.append(
-                    {
-                        "kind": c.kind,
-                        "text": c.text,
-                        "media_ref": c.media_ref,
-                        "offset": offset_out,
-                        "chunk_id": c.chunk_id,
-                        "page": page_abs,
-                        "bbox": list(c.bbox),
-                    }
-                )
-                offset_out += 1
+            )
+            for ci, c in enumerate(chunks):
                 if c.is_error:
                     errors.append(
                         {"page_num": page_abs, "error": c.error, "error_code": -1}
                     )
-                else:
-                    chunk_texts.append(c.text)
-        part_mds.append(part_markdown(chunk_texts))
+                # table-continuation merge (multi-page groundings, reference
+                # Chunk.grounding is a LIST — common.py:49-53): the FIRST
+                # chunk of a page extends the previous page's LAST chunk
+                # when both are tables on adjacent pages of the same part
+                prev = part_spans[-1] if part_spans else None
+                if (
+                    ci == 0
+                    and c.kind == "table"
+                    and prev is not None
+                    and prev["kind"] == "table"
+                    and prev["groundings"][-1]["page"] == page_abs - 1
+                    and prev["_last_of_page"]
+                ):
+                    prev["text"] += "\n" + c.text
+                    prev["groundings"].append(
+                        {"page": page_abs, "bbox": list(c.bbox)}
+                    )
+                    prev["_last_of_page"] = ci == len(chunks) - 1
+                    continue
+                part_spans.append(
+                    {
+                        "kind": c.kind,
+                        "text": c.text,
+                        "media_ref": c.media_ref,
+                        "offset": -1,  # assigned dense below
+                        "chunk_id": c.chunk_id,
+                        "page": page_abs,
+                        "bbox": list(c.bbox),
+                        "groundings": [{"page": page_abs, "bbox": list(c.bbox)}],
+                        "_last_of_page": ci == len(chunks) - 1,
+                    }
+                )
+        for ps in part_spans:
+            del ps["_last_of_page"]
+        out_spans.extend(part_spans)
+        part_mds.append(
+            part_markdown(
+                [ps["text"] for ps in part_spans if ps["kind"] != "error"]
+            )
+        )
+    for i, ps in enumerate(out_spans):
+        ps["offset"] = i
     return {
         "doc_id": doc_id,
         "markdown": merge_markdown(part_mds),

@@ -74,7 +74,18 @@ CHUNK_SCHEMA = pa.schema(
 
 # ---------------------------------------------------------------------------
 # Output: one row per document (the ParsedDocument analogue, FIXTURES.md §2).
+# A chunk can ground on SEVERAL pages (reference Chunk.grounding is a LIST,
+# common.py:49-53, pinned by ref tests/unit/test_common.py:95-103): the
+# ``groundings`` list carries every (page, bbox) pair; the scalar
+# page/bbox columns mirror the FIRST grounding (ordering + compat).
 # ---------------------------------------------------------------------------
+GROUNDING_STRUCT = pa.struct(
+    [
+        pa.field("page", pa.int32()),                 # absolute page
+        pa.field("bbox", pa.list_(pa.float32(), 4)),  # l,t,r,b normalized
+    ]
+)
+
 OUTPUT_SPAN_STRUCT = pa.struct(
     [
         pa.field("kind", pa.string()),
@@ -82,8 +93,9 @@ OUTPUT_SPAN_STRUCT = pa.struct(
         pa.field("media_ref", pa.string()),
         pa.field("offset", pa.int32()),      # rebased, dense 0..n-1 per doc
         pa.field("chunk_id", pa.string()),
-        pa.field("page", pa.int32()),        # absolute page, non-decreasing in offset
-        pa.field("bbox", pa.list_(pa.float32(), 4)),
+        pa.field("page", pa.int32()),        # first grounding's page
+        pa.field("bbox", pa.list_(pa.float32(), 4)),  # first grounding's box
+        pa.field("groundings", pa.list_(GROUNDING_STRUCT)),
     ]
 )
 

@@ -89,26 +89,87 @@ def merge_bucket_group(
     def seg_sum(mask: np.ndarray) -> np.ndarray:
         return np.add.reduceat(mask.astype(np.int64), starts)
 
-    real_counts = seg_sum(is_real)
     err_counts = seg_sum(is_err)
 
     # --- spans list<struct> built from the sorted chunk columns -----------
+    # Table-continuation merge (multi-page chunk groundings, reference
+    # Chunk.grounding is a LIST — common.py:49-53): a table chunk that is
+    # the FIRST chunk of its page continues the previous page's LAST chunk
+    # when that is also a table on the immediately preceding page of the
+    # SAME part. Members collapse into one span: text "\n"-joined,
+    # kind/chunk_id/media_ref from the first member, one grounding per
+    # member; chains compose page-by-page. The pure-Python oracle
+    # implements the identical rule independently (oracle.py).
     real_idx = np.flatnonzero(is_real)
     sv = g.take(pa.array(real_idx, pa.int64()))
-    real_starts = np.concatenate(([0], np.cumsum(real_counts)))
+    m = len(real_idx)
+    doc_of_row = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    r_doc = doc_of_row[real_idx]
+    r_part = part_np[real_idx]
+    r_page = page_abs[real_idx]
+    r_kind = kind_np[real_idx]
+    r_block = sv.column("block_idx").combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    cont = np.zeros(m, dtype=bool)
+    if m > 1:
+        cont[1:] = (
+            (r_kind[1:] == "table")
+            & (r_kind[:-1] == "table")
+            & (r_doc[1:] == r_doc[:-1])
+            & (r_part[1:] == r_part[:-1])
+            & (r_page[1:] == r_page[:-1] + 1)
+            & (r_block[1:] == 0)
+        )  # prev is last chunk of its page by sort adjacency
+    heads = ~cont
+    head_pos = np.flatnonzero(heads)
+    n_heads = len(head_pos)
+
+    # per-doc span counts over MERGED spans
+    head_all = np.zeros(n, dtype=bool)
+    head_all[real_idx[head_pos]] = True
+    merged_counts = seg_sum(head_all)
+    real_starts = np.concatenate(([0], np.cumsum(merged_counts)))
     offset_in_doc = (
-        np.arange(len(real_idx), dtype=np.int64)
-        - np.repeat(real_starts[:-1], real_counts)
+        np.arange(n_heads, dtype=np.int64)
+        - np.repeat(real_starts[:-1], merged_counts)
     ).astype(np.int32)
+
+    head_take = pa.array(head_pos, pa.int64())
+    if cont.any():
+        texts_real = sv.column("text").to_pylist()
+        bounds = np.append(head_pos, m)
+        text_col = pa.array(
+            [
+                "\n".join(texts_real[s:e]) if e - s > 1 else texts_real[s]
+                for s, e in zip(bounds[:-1], bounds[1:])
+            ],
+            pa.string(),
+        )
+    else:
+        text_col = sv.column("text").combine_chunks()
+
+    # one grounding per MEMBER row, grouped per merged span
+    from agentic_doc_ray.schema import GROUNDING_STRUCT
+
+    g_struct = pa.StructArray.from_arrays(
+        [pa.array(r_page, pa.int32()), sv.column("bbox").combine_chunks()],
+        fields=list(GROUNDING_STRUCT),
+    )
+    groundings_arr = pa.ListArray.from_arrays(
+        pa.array(np.append(head_pos, m), pa.int32()), g_struct
+    )
+
     span_struct = pa.StructArray.from_arrays(
         [
-            sv.column("kind").combine_chunks(),
-            sv.column("text").combine_chunks(),
-            sv.column("media_ref").combine_chunks(),
+            pa.compute.take(sv.column("kind").combine_chunks(), head_take),
+            text_col,
+            pa.compute.take(sv.column("media_ref").combine_chunks(), head_take),
             pa.array(offset_in_doc, pa.int32()),
-            sv.column("chunk_id").combine_chunks(),
-            pa.array(page_abs[real_idx], pa.int32()),
-            sv.column("bbox").combine_chunks(),
+            pa.compute.take(sv.column("chunk_id").combine_chunks(), head_take),
+            pa.array(r_page[head_pos], pa.int32()),
+            pa.compute.take(sv.column("bbox").combine_chunks(), head_take),
+            groundings_arr,
         ],
         fields=list(OUTPUT_SPAN_STRUCT),
     )
@@ -133,7 +194,12 @@ def merge_bucket_group(
     )
 
     # --- markdown: the one inherently sequential piece --------------------
-    texts = g.column("text").to_pylist()
+    # markdown joins the MERGED span texts (a continued table contributes
+    # once, "\n"-joined) so "markdown == '\n\n'-join of span texts per
+    # part" stays invariant under multi-page grounding merges
+    merged_texts = text_col.to_pylist()
+    head_order_of_row = np.full(n, -1, dtype=np.int64)
+    head_order_of_row[real_idx[head_pos]] = np.arange(n_heads)
     markdowns = []
     page_counts = seg_sum(is_page)
     for di in range(n_docs):
@@ -149,8 +215,8 @@ def merge_bucket_group(
                 if cur_part is not None:
                     part_mds.append(part_markdown(cur_texts))
                 cur_part, cur_texts = part_np[i], []
-            if not is_err[i] and is_real[i]:
-                cur_texts.append(texts[i])
+            if not is_err[i] and is_real[i] and head_order_of_row[i] >= 0:
+                cur_texts.append(merged_texts[head_order_of_row[i]])
         part_mds.append(part_markdown(cur_texts))
         markdowns.append(merge_markdown(part_mds))
 
@@ -241,6 +307,9 @@ def _combine_partial_docs(group: pa.Table) -> pa.Table:
             flat_spans.field("chunk_id"),
             flat_spans.field("page"),
             flat_spans.field("bbox"),
+            # multi-page groundings pass through untouched: a continuation
+            # chain never crosses a part_range (merge is part-local)
+            flat_spans.field("groundings"),
         ],
         fields=list(OUTPUT_SPAN_STRUCT),
     )

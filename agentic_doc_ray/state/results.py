@@ -48,17 +48,25 @@ _STEM_SAFE_RE = re.compile(r"[^A-Za-z0-9._-]")
 
 def doc_row_to_parsed_document(row: dict) -> ParsedDocument:
     """One PARSED_DOC_SCHEMA row -> the reference's ParsedDocument."""
+    def _groundings(s: dict) -> list[ChunkGrounding]:
+        # multi-page groundings map 1:1 onto the reference's grounding
+        # LIST (common.py:49-53); pre-groundings rows fall back to the
+        # scalar page/bbox pair
+        gs = s.get("groundings") or [{"page": s["page"], "bbox": s["bbox"]}]
+        return [
+            ChunkGrounding(
+                page=g["page"],
+                box=ChunkGroundingBox(
+                    l=g["bbox"][0], t=g["bbox"][1], r=g["bbox"][2], b=g["bbox"][3]
+                ),
+            )
+            for g in gs
+        ]
+
     chunks = [
         Chunk(
             text=s["text"],
-            grounding=[
-                ChunkGrounding(
-                    page=s["page"],
-                    box=ChunkGroundingBox(
-                        l=s["bbox"][0], t=s["bbox"][1], r=s["bbox"][2], b=s["bbox"][3]
-                    ),
-                )
-            ],
+            grounding=_groundings(s),
             chunk_type=s["kind"],
             chunk_id=s["chunk_id"],
         )
@@ -95,6 +103,13 @@ def parsed_document_to_doc_row(
                 "chunk_id": c.chunk_id,
                 "page": g.page,
                 "bbox": [g.box.l, g.box.t, g.box.r, g.box.b],
+                "groundings": [
+                    {
+                        "page": gg.page,
+                        "bbox": [gg.box.l, gg.box.t, gg.box.r, gg.box.b],
+                    }
+                    for gg in c.grounding
+                ],
             }
         )
     return {

@@ -107,6 +107,41 @@ def _pdf_pages(
     return spans
 
 
+def _pdf_pages_continued(
+    doc_id: str, n_pages: int, w: _Words, rng: random.Random
+) -> list[dict]:
+    """Continued-table fixture (multi-page chunk groundings): page 1 ENDS
+    with a table (no marginalia on that page) and page 2 STARTS with one,
+    so the parser's table-continuation rule merges them into one chunk
+    grounded on both pages. When the doc is long enough, pages 3-5 form a
+    3-page chain (page 4 is a lone table block: both first and last)."""
+    spans = []
+    for p in range(n_pages):
+        if p == 0:
+            blocks = [_title(w, rng), _para(w, rng)]
+        elif p == 1:
+            blocks = [_para(w, rng), _table(w, rng)]  # ends with a table
+        elif p == 2:
+            blocks = [_table(w, rng), _para(w, rng), f"Page {p + 1} of {n_pages}"]
+        elif n_pages >= 7 and p == 3:
+            blocks = [_para(w, rng), _table(w, rng)]  # chain start
+        elif n_pages >= 7 and p == 4:
+            blocks = [_table(w, rng)]  # lone table: first AND last
+        elif n_pages >= 7 and p == 5:
+            blocks = [_table(w, rng), _para(w, rng), f"Page {p + 1} of {n_pages}"]
+        else:
+            blocks = [_para(w, rng), f"Page {p + 1} of {n_pages}"]
+        spans.append(
+            {
+                "kind": "pdf_page",
+                "text": _page_text(blocks),
+                "media_ref": "",
+                "offset": p,
+            }
+        )
+    return spans
+
+
 def _html_span(doc_id: str, w: _Words, rng: random.Random, offset: int) -> dict:
     paras = []
     for _ in range(rng.randint(2, 4)):
@@ -150,7 +185,11 @@ def synth_doc(
                 {"kind": "text", "text": _page_text(blocks), "media_ref": "", "offset": i}
             )
     elif fam in (3, 4):  # multi_page pdf
-        spans = _pdf_pages(doc_id, rng.randint(5, 12), w, rng, tables=True)
+        if doc_id_int % 36 == 3:  # continued-table sub-fixture (multi-page
+            # groundings): every 3rd fam-3 doc gets cross-page table chains
+            spans = _pdf_pages_continued(doc_id, rng.randint(5, 12), w, rng)
+        else:
+            spans = _pdf_pages(doc_id, rng.randint(5, 12), w, rng, tables=True)
     elif fam == 5:  # complex_doc: title+text+table+figure+marginalia over 2 pages
         p0 = _page_text(
             [_title(w, rng), _para(w, rng), _table(w, rng), "Page 1 of 2"]
@@ -247,7 +286,7 @@ def corpus_path_for(
     the resumable manifest (state/manifest.py).
     """
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/agentic_corpus/{tag}-seed{config.seed}"
+    out_dir = f"/tmp/agentic_corpus/v2/{tag}-seed{config.seed}"
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
         tmp_dir = out_dir + ".tmp"
@@ -286,7 +325,7 @@ def replicated_corpus_path_for(
         return corpus_path_for(sf_dir, config)
     base = corpus_path_for(sf_dir, config)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/agentic_corpus/{tag}-seed{config.seed}-x{repl}"
+    out_dir = f"/tmp/agentic_corpus/v2/{tag}-seed{config.seed}-x{repl}"
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
         import shutil

@@ -54,9 +54,12 @@ def test_grounding_manifest_paths(sf_smoke_corpus):
     rows = grounding_manifest(parsed, "/tmp/gm").take_all()
     assert rows
     for r in rows:
+        # one row per grounding; path carries the grounding index
+        # (ref _crop_groundings `_{i}` suffix, utils.py:158-162)
         assert r["image_path"] == (
-            f"/tmp/gm/page_{r['page']}/{r['kind']}_{r['chunk_id']}_0.png"
+            f"/tmp/gm/page_{r['page']}/{r['kind']}_{r['chunk_id']}_{r['g_idx']}.png"
         )
+        assert r["g_idx"] >= 0
         assert 0 <= r["xmin"] <= r["xmax"] <= 816
         assert 0 <= r["ymin"] <= r["ymax"] <= 1056
         assert not r["out_of_bounds"]
@@ -331,16 +334,24 @@ def test_grounding_save_and_read_roundtrip(tmp_path, sf_smoke_corpus):
     doc_rows = {r["doc_id"]: r for r in parsed.take_all()}
     import collections
 
+    # one mark per GROUNDING per page (multi-page chunks paint and crop on
+    # every page they ground on) — mirrors save_groundings_batch
     by_doc_page = collections.defaultdict(list)
     for d, r in doc_rows.items():
         for s in r["spans"]:
-            by_doc_page[(d, s["page"])].append(s)
+            for gi, gr in enumerate(s["groundings"]):
+                by_doc_page[(d, gr["page"])].append((s, gi, gr["bbox"]))
     checked = 0
     for m in rows[:40]:
-        spans = by_doc_page[(m["doc_id"], m["page"])]
-        page_img = rasterize_page(spans)
-        s = next(x for x in spans if x["chunk_id"] == m["chunk_id"])
-        x0, y0, x1, y1, _ = crop_rect(tuple(s["bbox"]), 816, 1056)
+        marks = by_doc_page[(m["doc_id"], m["page"])]
+        page_img = rasterize_page(
+            [{"text": s["text"], "bbox": bb} for s, _, bb in marks]
+        )
+        gi_of = int(m["image_path"].rsplit("_", 1)[1].split(".")[0])
+        _, _, bb = next(
+            x for x in marks if x[0]["chunk_id"] == m["chunk_id"] and x[1] == gi_of
+        )
+        x0, y0, x1, y1, _ = crop_rect(tuple(bb), 816, 1056)
         with open(m["image_path"], "rb") as fh:
             got = read_img_rgb(fh.read())
         assert got.shape == (m["crop_h"], m["crop_w"], 3)
@@ -409,5 +420,10 @@ def test_render_overlays_pixels(sf_smoke_corpus):
     for r in rows:
         img = read_img_rgb(r["image_ppm"])
         assert img.shape == (r["height"], r["width"], 3)
-        n = sum(1 for s in doc_rows[r["doc_id"]]["spans"] if s["page"] == r["page"])
+        n = sum(
+            1
+            for s in doc_rows[r["doc_id"]]["spans"]
+            for g in s["groundings"]
+            if g["page"] == r["page"]
+        )
         assert r["n_marks"] == n
