@@ -30,6 +30,11 @@ class EngineConfig:
     # never-throw contract); these retries cover worker/actor death only,
     # which is safe because every UDF is a pure function of its batch.
     max_retries: int = 3
+    # Transient-download retry ladder (connector/URL fetch — the engine's
+    # only remote I/O): reference tenacity params (parse.py:743-750) and
+    # per-attempt logging style (utils.py:267-291, config.py:104-118).
+    max_retry_wait_time: int = 60
+    retry_logging_style: str = "log_msg"  # log_msg | inline_block | none
     # "vectorized": Arrow-kernel parser (2.3x at production batch sizes);
     # "reference": the per-page spec implementation (textparse) — identical
     # output, enforced by parity tests.
@@ -70,6 +75,12 @@ class EngineConfig:
     def __post_init__(self) -> None:
         if not (0 < self.split_size <= 100):
             raise ValueError("split_size must be in (0, 100]")
+        from agentic_doc_ray.retry import RETRY_LOGGING_STYLES
+
+        if self.retry_logging_style not in RETRY_LOGGING_STYLES:
+            raise ValueError(
+                f"Invalid retry logging style: {self.retry_logging_style}"
+            )
 
 
 DEFAULT_CONFIG = EngineConfig()
@@ -79,6 +90,8 @@ DEFAULT_CONFIG = EngineConfig()
 _ENV_MAP = {
     "SPLIT_SIZE": ("split_size", int),
     "MAX_RETRIES": ("max_retries", int),
+    "MAX_RETRY_WAIT_TIME": ("max_retry_wait_time", int),
+    "RETRY_LOGGING_STYLE": ("retry_logging_style", str),
     "BATCH_SIZE": ("parse_batch_size", int),
     "INCLUDE_MARGINALIA": ("include_marginalia", lambda v: v.lower() in ("1", "true", "yes")),
     "INCLUDE_METADATA_IN_MARKDOWN": (

@@ -550,15 +550,22 @@ def read_connector_corpus(
     connector,
     path: str | None = None,
     pattern: str | None = None,
+    config=None,
 ) -> "ray.data.Dataset":
     """List on the driver, download + sniff + corpus-convert in tasks.
 
-    Failed downloads are dropped with a log (ref parse.py:166-190); an
-    empty listing yields an empty corpus, not an error."""
+    A fetch that raises ``RetryableError`` gets the reference's retry
+    ladder (exponential-jitter wait, ``max_retries`` attempts, per-attempt
+    ``retry_logging_style`` logging — parse.py:743-750); exhausted or
+    non-retryable failures are dropped with a log (ref parse.py:166-190).
+    An empty listing yields an empty corpus, not an error."""
     import logging
 
+    from agentic_doc_ray.config import DEFAULT_CONFIG
+    from agentic_doc_ray.retry import call_with_retries
     from agentic_doc_ray.schema import CORPUS_SCHEMA
 
+    cfg = config or DEFAULT_CONFIG
     file_ids = connector.list_files(path, pattern)
     if not file_ids:
         return ray.data.from_arrow(CORPUS_SCHEMA.empty_table())
@@ -570,7 +577,15 @@ def read_connector_corpus(
         blobs: list[bytes] = []
         for fid in batch.column("file_id").to_pylist():
             try:
-                blobs.append(connector.fetch(fid))
+                blobs.append(
+                    call_with_retries(
+                        connector.fetch,
+                        fid,
+                        max_retries=cfg.max_retries,
+                        max_retry_wait_time=cfg.max_retry_wait_time,
+                        retry_logging_style=cfg.retry_logging_style,
+                    )
+                )
                 paths.append(fid)
             except Exception as exc:
                 log.error("Failed to download file %s: %s", fid, exc)

@@ -135,17 +135,24 @@ def default_fetcher(url: str) -> bytes:
 
 
 def read_url_corpus(
-    urls: list[str], fetcher=None
+    urls: list[str], fetcher=None, config=None
 ) -> "ray.data.Dataset":
     """URL list -> corpus table (the URLConnector surface,
     ref connectors.py:454-517).
 
     Semantics of ref parse.py:182-190: an invalid URL or failed download is
-    DROPPED with a log — it never fails the job. Downloads run inside
-    map_batches tasks, so a large URL list fans out across the cluster and
-    streams straight into the corpus schema (no temp-file staging)."""
+    DROPPED with a log — it never fails the job. A fetcher raising
+    ``RetryableError`` first gets the reference's retry ladder
+    (retry.py: exponential-jitter wait, per-attempt logging style).
+    Downloads run inside map_batches tasks, so a large URL list fans out
+    across the cluster and streams straight into the corpus schema (no
+    temp-file staging)."""
     import logging
 
+    from agentic_doc_ray.config import DEFAULT_CONFIG
+    from agentic_doc_ray.retry import call_with_retries
+
+    cfg = config or DEFAULT_CONFIG
     fetcher = fetcher or default_fetcher
     log = logging.getLogger(__name__)
     ds = ray.data.from_items([{"url": u} for u in urls])
@@ -158,7 +165,15 @@ def read_url_corpus(
                 log.error("Invalid URL, skipping: %s", u)
                 continue
             try:
-                blobs.append(fetcher(u))
+                blobs.append(
+                    call_with_retries(
+                        fetcher,
+                        u,
+                        max_retries=cfg.max_retries,
+                        max_retry_wait_time=cfg.max_retry_wait_time,
+                        retry_logging_style=cfg.retry_logging_style,
+                    )
+                )
                 paths.append(u)
             except Exception as exc:
                 log.error("Failed to download file %s: %s", u, exc)
