@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 19  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 20  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -444,6 +444,39 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     )
     _pq.write_table(
         AudioChunkActor()(media), os.path.join(out_dir, "audio_chunks.parquet")
+    )
+
+    # frame-sampling oracle: independent pure-Python loop (NOT the actor) —
+    # one frame per 1024-byte slice, sha256-prefix digest per frame
+    import hashlib as _hl
+
+    fr_rows = []
+    for mid, payload in zip(
+        media.column("media_id").to_pylist(), media.column("payload").to_pylist()
+    ):
+        p = payload or b""
+        for f in range(max(1, len(p) // 1024)):
+            fr_rows.append(
+                {
+                    "media_id": mid,
+                    "frame_idx": f,
+                    "frame_digest": _hl.sha256(
+                        p[f * 1024 : (f + 1) * 1024]
+                    ).hexdigest()[:16],
+                }
+            )
+    _pq.write_table(
+        pa.Table.from_pylist(
+            fr_rows,
+            schema=pa.schema(
+                [
+                    ("media_id", pa.string()),
+                    ("frame_idx", pa.int32()),
+                    ("frame_digest", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(out_dir, "frame_samples.parquet"),
     )
 
     # dHash image near-dup: BRUTE-FORCE all-pairs oracle (independent of
@@ -832,6 +865,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return M.media_features(media).map_batches(
             _media_digest, batch_format="pyarrow"
         )
+
+    def q_frame_samples(sf_dir):
+        """Video-style frame sampling (actor-pool stage over opaque binary
+        payloads): one row per 1024-byte 'frame' with a content digest.
+        Oracle = independent pure-Python loop in the oracle builder."""
+        _ensure_extraction_oracles(sf_dir)
+        media = ray.data.from_arrow(
+            M.synth_media_table(f"{sf_dir}/documents.parquet", limit=96)
+        )
+        return M.frame_samples(media)
 
     def q_tfidf(sf_dir):
         d = docs(sf_dir)
@@ -1698,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_revenue_bloom": _J().urgent_revenue_bloom,
         # multimodal plumbing (single-process replica oracles)
         "media_features": q_media_features,
+        "frame_samples": q_frame_samples,
         "media_resize": q_media_resize,
         "audio_chunks": q_audio_chunks,
         "ppm_media_features": q_ppm_features,
@@ -2317,6 +2361,10 @@ def oracle_sql() -> dict[str, str]:
         "media_features": (
             "SELECT media_id, media_type, feat_sum_milli "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/media_features.parquet')"
+        ),
+        "frame_samples": (
+            "SELECT media_id, frame_idx, frame_digest "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/frame_samples.parquet')"
         ),
         "media_resize": (
             "SELECT media_id, media_type, width, height, orig_width, "

@@ -142,3 +142,40 @@ def test_ppm_decoder_real_features_and_resize():
     assert out.shape == (10, 20, 3)
     # halves preserved under nearest-neighbor
     assert (out[:, :10] == 0).all() and (out[:, 10:] == 255).all()
+
+
+def test_frame_samples_digest_parity():
+    """Engine actor output == independent slice+sha256 loop (the same rule
+    the __ray_entry__ oracle builder implements)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.multimodal import FrameSampleActor
+
+    payloads = {
+        "m1": b"a" * 3000,   # 2 frames (3000 // 1024)
+        "m2": b"xy",          # short -> still 1 frame
+        "m3": b"",            # empty -> 1 frame of the empty slice
+    }
+    table = pa.table(
+        {
+            "media_id": list(payloads),
+            "media_type": ["video"] * 3,
+            "payload": list(payloads.values()),
+        }
+    )
+    got = FrameSampleActor()(table).to_pylist()
+    want = []
+    for mid, p in payloads.items():
+        for f in range(max(1, len(p) // 1024)):
+            want.append(
+                {
+                    "media_id": mid,
+                    "frame_idx": f,
+                    "frame_digest": hashlib.sha256(
+                        p[f * 1024 : (f + 1) * 1024]
+                    ).hexdigest()[:16],
+                }
+            )
+    assert got == want
