@@ -785,9 +785,10 @@ def embedding_dup_pairs(
 
     Band rows are SLIM — (bkey, vec_id) only (VERDICT r02 #8): unit vectors
     no longer replicate x _N_LSH_BANDS through the band exchange. Candidate
-    id pairs are made distinct, then both unit vectors attach through two
-    vec-keyed exchanges (each ships every unit vector once) where the exact
-    cosine is computed and thresholded."""
+    id pairs attach both unit vectors through two vec-keyed exchanges (each
+    ships every unit vector once; pair dedupe is fused into the first —
+    all copies of a pair share bucket(vec_a)) where the exact cosine is
+    computed and thresholded."""
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((dim, _N_LSH_BANDS * _N_PLANES))
     planes_ref = ray.put(planes)
@@ -870,25 +871,16 @@ def embedding_dup_pairs(
 
     np_ = _cap()  # sentinel coverage adapts to the resolved width (_exchange.py)
     bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    # THREE exchanges total (same discipline as minhash_dedup_pairs: each
+    # exchange pays a fleet cold start, so exchange count is the latency
+    # floor): bkey pair-gen, then two attach exchanges with pair dedupe
+    # fused into the first (all copies of a pair share bucket(vec_a)).
     raw_pairs = (
         bucketed.union(  # empty-first-block guard; vec_id=-1 dropped above
             int_key_sentinels(_EMB_BAND_SCHEMA, "bkey", fill={"vec_id": -1})
         )
-        .repartition(np_)
         .groupby("bkey", num_partitions=np_)
         .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
-
-    def _distinct_bucket(group: pa.Table) -> pa.Table:
-        g = group.filter(pc.greater_equal(group.column("vec_a"), pa.scalar(0, pa.int64())))
-        return g.select(["vec_a", "vec_b"]).group_by(["vec_a", "vec_b"]).aggregate([])
-
-    uniq_pairs = (
-        raw_pairs.union(
-            int_key_sentinels(pair_schema, "bucket", fill={"vec_a": -1, "vec_b": -1})
-        )
-        .groupby("bucket", num_partitions=np_)
-        .map_groups(_distinct_bucket, batch_format="pyarrow")
     )
 
     # attach both unit vectors through two vec-keyed exchanges
@@ -947,6 +939,9 @@ def embedding_dup_pairs(
         p = g.filter(is_p)
         if p.num_rows == 0:
             return attach_schema.empty_table()
+        # dedupe fused in: a pair that collided in several LSH bands sends
+        # every copy to this same bucket(vec_a) group
+        p = p.select(["key", "other"]).group_by(["key", "other"]).aggregate([])
         ua = _vlookup(
             np.asarray(p.column("key").combine_chunks()), g.filter(pc.invert(is_p))
         )
@@ -988,7 +983,7 @@ def embedding_dup_pairs(
         )
 
     with_a = (
-        uniq_pairs.map_batches(_pair_rows_a, batch_format="pyarrow")
+        raw_pairs.map_batches(_pair_rows_a, batch_format="pyarrow")
         .union(embeddings.map_batches(_unit_rows, batch_format="pyarrow"))
         .union(int_key_sentinels(attach_schema, "bucket", fill={"side": "sent"}))
         .groupby("bucket", num_partitions=np_)
