@@ -60,7 +60,7 @@ def lineitem_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     from agentic_doc_ray.context import shuffle_partitions as _cap
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.repartition(_cap(4)).groupby(
+    agg = partials.groupby(
         ["l_returnflag", "l_linestatus"], num_partitions=_cap(4)
     ).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
@@ -192,7 +192,7 @@ def orders_by_segment(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
     partials = unioned.groupby("bucket", num_partitions=_cap()).map_groups(
         seg_bucket, batch_format="pyarrow"
     )
-    agg = partials.repartition(_cap(4)).groupby(
+    agg = partials.groupby(
         "c_mktsegment", num_partitions=_cap(4)
     ).aggregate(
         Sum("cents", alias_name="cents"),
@@ -239,7 +239,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     from agentic_doc_ray.context import shuffle_partitions as _cap
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.repartition(_cap(8)).groupby(
+    agg = partials.groupby(
         ["window_start", "event_type"], num_partitions=_cap(8)
     ).aggregate(
         Sum("cents", alias_name="cents"),
@@ -304,7 +304,7 @@ def events_sliding(sf_dir: str) -> "ray.data.Dataset":
     from agentic_doc_ray.context import shuffle_partitions as _cap
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.repartition(_cap(8)).groupby(
+    agg = partials.groupby(
         ["window_start", "event_type"], num_partitions=_cap(8)
     ).aggregate(
         Sum("cents", alias_name="cents"),
@@ -516,7 +516,7 @@ def distinct_users(sf_dir: str) -> "ray.data.Dataset":
     counts = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "bucket", num_partitions=_cap(8)
     ).map_groups(count_bucket, batch_format="pyarrow")
-    return counts.repartition(_cap(2)).groupby(
+    return counts.groupby(
         "event_type", num_partitions=_cap(2)
     ).aggregate(Sum("n_users", alias_name="n_users"))
 
@@ -641,7 +641,7 @@ def funnel_counts(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(funnel_bucket, batch_format="pyarrow")
     )
     np_ = _cap(4)
-    return partials.repartition(np_).groupby(
+    return partials.groupby(
         "stage", num_partitions=np_
     ).aggregate(Sum("n_users", alias_name="n_users"))
 
@@ -742,7 +742,7 @@ def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(retention_bucket, batch_format="pyarrow")
     )
     np_ = _cap(4)
-    return partials.repartition(np_).groupby(
+    return partials.groupby(
         ["cohort_week", "week_offset"], num_partitions=np_
     ).aggregate(Sum("n_users", alias_name="n_users"))
 

@@ -88,7 +88,6 @@ def _finalize(per_order_joined: "ray.data.Dataset") -> "ray.data.Dataset":
 
     agg = (
         per_order_joined.map_batches(partial, batch_format="pyarrow")
-        .repartition(np_)
         .groupby("o_orderpriority", num_partitions=np_)
         .aggregate(Sum("cents", alias_name="cents"), Sum("n_orders", alias_name="n_orders"))
     )
@@ -387,7 +386,7 @@ def urgent_revenue_bloom(
         "bucket", num_partitions=shuffle_partitions()
     ).map_groups(verify_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
-    agg = partials.repartition(np_).groupby(
+    agg = partials.groupby(
         "l_returnflag", num_partitions=np_
     ).aggregate(Sum("cents", alias_name="cents"), Sum("n_items", alias_name="n_items"))
     return agg.map_batches(
@@ -502,7 +501,7 @@ def order_priority_revenue_bucketed(
         "bucket", num_partitions=shuffle_partitions()
     ).map_groups(join_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
-    agg = partials.repartition(np_).groupby(
+    agg = partials.groupby(
         "o_orderpriority", num_partitions=np_
     ).aggregate(
         Sum("cents", alias_name="cents"), Sum("n_orders", alias_name="n_orders")
@@ -732,7 +731,7 @@ def nation_returned_revenue(
         "bucket", num_partitions=shuffle_partitions()
     ).map_groups(join_custkey_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
-    agg = partials.repartition(np_).groupby(
+    agg = partials.groupby(
         "n_name", num_partitions=np_
     ).aggregate(Sum("cents", alias_name="cents"), Sum("n_orders", alias_name="n_orders"))
     return agg.map_batches(
@@ -877,8 +876,7 @@ def customer_order_distribution(
     ).map_groups(hist_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
     return (
-        partial_hist.repartition(np_)
-        .groupby("c_count", num_partitions=np_)
+        partial_hist.groupby("c_count", num_partitions=np_)
         .aggregate(Sum("n_cust", alias_name="custdist"))
     )
 

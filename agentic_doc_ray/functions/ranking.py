@@ -319,7 +319,6 @@ def heavy_hitter_tokens(
         # a batch with no candidate hits emits a zero-row block; guard the
         # merge like pass 1 (sentinels die on the threshold filter, >= 1)
         .union(str_key_sentinels(_sum_schema, "token", fill={"n": 0}))
-        .repartition(shuffle_partitions(4))
         .groupby("token", num_partitions=shuffle_partitions(4))
         .aggregate(Sum("n", alias_name="n"))
     )

@@ -243,7 +243,7 @@ def on_time_hourly(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset"
     partials = keyed.groupby(
         "day", num_partitions=shuffle_partitions()
     ).map_groups(window_partial, batch_format="pyarrow")
-    agg = partials.repartition(shuffle_partitions(4)).groupby(
+    agg = partials.groupby(
         ["window_start", "event_type"], num_partitions=shuffle_partitions(4)
     ).aggregate(
         Sum("cents", alias_name="cents"), Sum("n_events", alias_name="n_events")

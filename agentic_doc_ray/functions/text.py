@@ -465,7 +465,7 @@ def top_bigrams(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
 
     partials = docs.map_batches(partial, batch_format="pyarrow")
     np_ = shuffle_partitions()
-    agg = partials.repartition(np_).groupby(
+    agg = partials.groupby(
         "bigram", num_partitions=np_
     ).aggregate(Sum("n", alias_name="n"))
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
@@ -509,7 +509,6 @@ def top_tfidf_tokens(
     np_ = shuffle_partitions()
     agg = (
         docs.map_batches(partial, batch_format="pyarrow")
-        .repartition(np_)
         .groupby("token", num_partitions=np_)
         .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
     )
@@ -550,7 +549,7 @@ def top_tokens(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
         return g.rename_columns(["token", "n"])
 
     partials = docs.map_batches(partial, batch_format="pyarrow")
-    agg = partials.repartition(shuffle_partitions()).groupby(
+    agg = partials.groupby(
         "token", num_partitions=shuffle_partitions()
     ).aggregate(Sum("n", alias_name="n"))
     # deterministic tie-break: count desc, token asc
@@ -640,7 +639,6 @@ def token_commonness(
     np_ = shuffle_partitions()
     vocab_ds = (
         docs.map_batches(partial, batch_format="pyarrow")
-        .repartition(np_)
         .groupby("token", num_partitions=np_)
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -979,7 +977,6 @@ def bigram_lm_score(
 
     btbl = collect(
         docs.map_batches(_bigram_partial, batch_format="pyarrow")
-        .repartition(np_)
         .groupby("bigram", num_partitions=np_)
         .aggregate(Sum("n", alias_name="n")),
         "bigram",
