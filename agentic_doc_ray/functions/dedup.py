@@ -323,6 +323,90 @@ def _shard_pairs(group: pa.Table) -> pa.Table:
     )
 
 
+_SCORED_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.string()),
+        ("doc_b", pa.string()),
+        ("est_jaccard", pa.float64()),
+    ]
+)
+
+
+def _make_scored_shard_pairs(ref, threshold: float):
+    """Group fn for the BROADCAST route: identical pair generation to
+    ``_shard_pairs`` (same buckets, same star fallback), but the Jaccard
+    estimate + threshold run RIGHT HERE against the broadcast signature
+    matrix — candidate pairs below threshold never leave the task, so the
+    attach exchanges disappear entirely. Within-group duplicate pairs are
+    collapsed; cross-group duplicates (a pair colliding in bands that hash
+    to different shards) survive until the caller's final tiny distinct."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        group = group.filter(pc.not_equal(group.column("doc_id"), ""))
+        pa_idx: list[int] = []
+        pb_idx: list[int] = []
+        n = group.num_rows
+        ids: list[str] = []
+        if n >= 2:
+            band_id = np.asarray(group.column("band_id").combine_chunks())
+            band_hash = np.asarray(group.column("band_hash").combine_chunks())
+            ids = group.column("doc_id").to_pylist()
+            order = np.lexsort((np.array(ids, dtype=object), band_hash, band_id))
+            bid, bh = band_id[order], band_hash[order]
+            boundary = np.flatnonzero((np.diff(bid) != 0) | (np.diff(bh) != 0)) + 1
+            starts = np.concatenate(([0], boundary))
+            ends = np.concatenate((boundary, [n]))
+            for s, e in zip(starts, ends):
+                m = e - s
+                if m < 2:
+                    continue
+                members = order[s:e]
+                if m > _BUCKET_PAIR_CAP:
+                    rep = members[0]  # min-doc_id representative (sorted)
+                    pa_idx.extend([rep] * (m - 1))
+                    pb_idx.extend(members[1:].tolist())
+                    continue
+                ii, jj = np.triu_indices(m, k=1)
+                pa_idx.extend(members[ii].tolist())
+                pb_idx.extend(members[jj].tolist())
+        if not pa_idx:
+            return _SCORED_PAIR_SCHEMA.empty_table()
+        skeys, smat = ray.get(ref)
+        ids_arr = np.array(ids, dtype=object)
+        a_ids = ids_arr[pa_idx]
+        b_ids = ids_arr[pb_idx]
+        # canonical (min, max) ordering, matching _shard_pairs semantics
+        swap = a_ids > b_ids
+        a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+        sa = smat[np.searchsorted(skeys, a_ids)]
+        sb = smat[np.searchsorted(skeys, b_ids)]
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        t = pa.Table.from_arrays(
+            [
+                pa.array(a_ids[keep], pa.string()),
+                pa.array(b_ids[keep], pa.string()),
+                pa.array(est[keep], pa.float64()),
+            ],
+            schema=_SCORED_PAIR_SCHEMA,
+        )
+        # in-group dedupe (several bands of one pair can land in one shard)
+        return (
+            t.group_by(["doc_a", "doc_b"])
+            .aggregate([("est_jaccard", "min")])
+            .rename_columns(["doc_a", "doc_b", "est_jaccard"])
+        )
+
+    return fn
+
+
+# Above this many docs the signature matrix (~520 B/doc) stops being a
+# sane broadcast (~52 MB at the bound; same dual-route pattern as
+# substr.repeated_substring_spans' broadcast_limit) and the two-exchange
+# attach route runs instead.
+_SIG_BROADCAST_DOCS = 100_000
+
+
 def _str_bucket(arr: "pa.ChunkedArray | pa.Array", n_buckets: int = 64) -> pa.Array:
     """Deterministic vectorized string->bucket hash (pandas siphash with
     its fixed default key — stable across processes, unlike hash())."""
@@ -492,15 +576,24 @@ def minhash_dedup_pairs(
     """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
 
     shingle -> minhash -> SLIM band rows (no signature payload) ->
-    shard-groupby -> id pairs within bucket -> attach exchange A (pair
-    dedupe fused in: all copies of a pair share bucket(doc_a)) -> attach
-    exchange B -> agreement estimate + threshold. THREE exchanges total —
-    every exchange in this sandbox pays a ~1.5 s aggregator-fleet cold
-    start regardless of payload, so exchange COUNT is the latency floor
-    (measured: the former 5-exchange plan idled 4x longer than its useful
-    work). Exchange payload per doc: ~0.5 KB of slim band keys + 1-2
-    signature copies, vs ~8.6 KB when signatures rode every band row
-    (VERDICT r02 #8: ~8x less exchange payload).
+    shard-groupby pair-gen, then one of two bit-equal scoring routes
+    chosen by corpus size (the substr broadcast_limit pattern):
+
+      * ``<= _SIG_BROADCAST_DOCS`` docs (~52 MB of signatures): the sig
+        matrix broadcasts once via ``ray.put``; estimates + threshold run
+        INSIDE the pair-gen groups, so sub-threshold candidates never
+        leave their task, and one tiny distinct exchange collapses pairs
+        that collided in bands on different shards. TWO exchanges total.
+      * larger: never collected anywhere. Two doc-keyed attach exchanges
+        ship each signature once (pair dedupe fused into the first).
+        THREE exchanges total.
+
+    Exchange COUNT is the sandbox latency floor (~1.5 s aggregator-fleet
+    cold start per exchange per execution, regardless of payload —
+    measured: the former 5-exchange plan idled 4x longer than its useful
+    work). Exchange payload per doc: ~0.5 KB of slim band keys (+ 1-2
+    signature copies on the big route), vs ~8.6 KB when signatures rode
+    every band row (VERDICT r02 #8: ~8x less exchange payload).
     """
     # task-based: MinHashActor holds no warm state worth an actor pool
     # (pool cold-start lands in every dataset execution)
@@ -510,13 +603,60 @@ def minhash_dedup_pairs(
     from agentic_doc_ray.functions._exchange import int_key_sentinels
 
     np_ = _cap(shuffle_partitions)
-    raw_pairs = (
-        bands.union(  # empty-first-block guard (_exchange.py); doc_id=""
-            int_key_sentinels(_BAND_ROW_SCHEMA, "shard", fill={"doc_id": ""})
-        )
-        .groupby("shard", num_partitions=np_)
-        .map_groups(_shard_pairs, batch_format="pyarrow")
+    guarded_bands = bands.union(  # empty-first-block guard; doc_id=""
+        int_key_sentinels(_BAND_ROW_SCHEMA, "shard", fill={"doc_id": ""})
     )
+
+    if sigs.count() <= _SIG_BROADCAST_DOCS:
+        # sigs is MATERIALIZED (to_arrow_refs on a lazy dataset would run
+        # the plan twice) and bounded by the explicit doc limit
+        sig_tbl = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
+        keys = np.asarray(sig_tbl.column("doc_id").to_pandas(), dtype=object)
+        order = np.argsort(keys)
+        smat = np.asarray(
+            sig_tbl.column("sig").combine_chunks().flatten()
+        ).reshape(-1, N_HASHES)[order]
+        ref = ray.put((keys[order], smat))
+        scored = guarded_bands.groupby(
+            "shard", num_partitions=np_
+        ).map_groups(
+            _make_scored_shard_pairs(ref, threshold), batch_format="pyarrow"
+        )
+
+        keyed_schema = pa.schema(
+            [("bucket", pa.int32())] + list(_SCORED_PAIR_SCHEMA)
+        )
+
+        def _key(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [_str_bucket(batch.column("doc_a"))]
+                + [batch.column(c) for c in _SCORED_PAIR_SCHEMA.names],
+                schema=keyed_schema,
+            )
+
+        def _dedupe(group: pa.Table) -> pa.Table:
+            g = group.filter(pc.not_equal(group.column("doc_a"), ""))
+            return (
+                g.select(_SCORED_PAIR_SCHEMA.names)
+                .group_by(["doc_a", "doc_b"])
+                .aggregate([("est_jaccard", "min")])
+                .rename_columns(_SCORED_PAIR_SCHEMA.names)
+            )
+
+        return (
+            scored.map_batches(_key, batch_format="pyarrow")
+            .union(
+                int_key_sentinels(
+                    keyed_schema, "bucket", fill={"doc_a": "", "doc_b": ""}
+                )
+            )
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(_dedupe, batch_format="pyarrow")
+        )
+
+    raw_pairs = guarded_bands.groupby(
+        "shard", num_partitions=np_
+    ).map_groups(_shard_pairs, batch_format="pyarrow")
     return _attach_sigs(raw_pairs, sigs, threshold, np_)
 
 

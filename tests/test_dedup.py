@@ -160,3 +160,20 @@ def test_contamination_flags_planted():
     assert out["contam"]["contaminated"] and out["contam"]["n_overlaps"] > 0
     assert not out["clean"]["contaminated"]
     assert not out["short"]["contaminated"]  # < n tokens -> no n-grams
+
+
+def test_minhash_routes_bit_equal(monkeypatch):
+    """The broadcast route (sig matrix via ray.put, scoring in the pair-gen
+    group) and the exchange route (two doc-keyed attach exchanges) must
+    produce identical (doc_a, doc_b, est_jaccard) sets."""
+    docs = ray.data.from_arrow(_planted_docs())
+    via_broadcast = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in D.minhash_dedup_pairs(docs, threshold=0.5).take_all()
+    )
+    monkeypatch.setattr(D, "_SIG_BROADCAST_DOCS", 0)
+    via_exchange = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in D.minhash_dedup_pairs(docs, threshold=0.5).take_all()
+    )
+    assert via_broadcast == via_exchange and via_broadcast
