@@ -924,11 +924,15 @@ def embedding_dup_pairs(
     agrees on all _N_PLANES sign bits of ANY band.
 
     Band rows are SLIM — (bkey, vec_id) only (VERDICT r02 #8): unit vectors
-    no longer replicate x _N_LSH_BANDS through the band exchange. Candidate
-    id pairs attach both unit vectors through two vec-keyed exchanges (each
-    ships every unit vector once; pair dedupe is fused into the first —
-    all copies of a pair share bucket(vec_a)) where the exact cosine is
-    computed and thresholded."""
+    no longer replicate x _N_LSH_BANDS through the band exchange. Cosine
+    scoring takes one of two bit-equal routes by corpus size (the
+    minhash/substr bounded-broadcast pattern): at or under
+    ``_SIG_BROADCAST_DOCS`` vectors the unit matrix broadcasts once via
+    ``ray.put`` and cosine + threshold run INSIDE the pair-gen groups
+    (two exchanges total: pair-gen + tiny distinct); larger corpora
+    attach both unit vectors through two vec-keyed exchanges (each ships
+    every unit vector once; pair dedupe fused into the first — all copies
+    of a pair share bucket(vec_a))."""
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((dim, _N_LSH_BANDS * _N_PLANES))
     planes_ref = ray.put(planes)
@@ -1010,15 +1014,94 @@ def embedding_dup_pairs(
     from agentic_doc_ray.functions._exchange import int_key_sentinels
 
     np_ = _cap()  # sentinel coverage adapts to the resolved width (_exchange.py)
+    # materialize: the plan below reads `embeddings` 2-3 times (bucketize +
+    # unit-vector sides); an unmaterialized dataset re-executes its whole
+    # upstream each time
+    embeddings = embeddings.materialize()
     bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    guarded = bucketed.union(  # empty-first-block guard; vec_id=-1 dropped
+        int_key_sentinels(_EMB_BAND_SCHEMA, "bkey", fill={"vec_id": -1})
+    )
+
+    scored_schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    def _vec_bucket_col(ids) -> pa.Array:
+        return pc.cast(
+            pc.bit_wise_and(ids, pa.scalar(63, pa.int64())), pa.int32()
+        )
+
+    if embeddings.count() <= _SIG_BROADCAST_DOCS:
+        emb_tbl = pa.concat_tables(ray.get(embeddings.to_arrow_refs()))
+        vids = np.asarray(emb_tbl.column("vec_id").combine_chunks())
+        order = np.argsort(vids)
+        U = _unit_of(emb_tbl)[order]
+        uref = ray.put((vids[order], U))
+
+        def scored_bucket_pairs(group: pa.Table) -> pa.Table:
+            t = bucket_pairs(group)
+            if t.num_rows == 0:
+                return scored_schema.empty_table()
+            keys, mat = ray.get(uref)
+            a = np.asarray(t.column("vec_a").combine_chunks())
+            b = np.asarray(t.column("vec_b").combine_chunks())
+            cos = (mat[np.searchsorted(keys, a)] * mat[np.searchsorted(keys, b)]).sum(axis=1)
+            keep = cos >= threshold
+            out = pa.Table.from_arrays(
+                [
+                    pa.array(a[keep], pa.int64()),
+                    pa.array(b[keep], pa.int64()),
+                    pa.array(cos[keep], pa.float64()),
+                ],
+                schema=scored_schema,
+            )
+            return (
+                out.group_by(["vec_a", "vec_b"])
+                .aggregate([("cosine", "min")])
+                .rename_columns(["vec_a", "vec_b", "cosine"])
+            )
+
+        scored = guarded.groupby("bkey", num_partitions=np_).map_groups(
+            scored_bucket_pairs, batch_format="pyarrow"
+        )
+        keyed_schema = pa.schema([("bucket", pa.int32())] + list(scored_schema))
+
+        def _key(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [_vec_bucket_col(batch.column("vec_a"))]
+                + [batch.column(c) for c in scored_schema.names],
+                schema=keyed_schema,
+            )
+
+        def _dedupe(group: pa.Table) -> pa.Table:
+            g = group.filter(
+                pc.greater_equal(group.column("vec_a"), pa.scalar(0, pa.int64()))
+            )
+            return (
+                g.select(scored_schema.names)
+                .group_by(["vec_a", "vec_b"])
+                .aggregate([("cosine", "min")])
+                .rename_columns(scored_schema.names)
+            )
+
+        return (
+            scored.map_batches(_key, batch_format="pyarrow")
+            .union(
+                int_key_sentinels(
+                    keyed_schema, "bucket", fill={"vec_a": -1, "vec_b": -1}
+                )
+            )
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(_dedupe, batch_format="pyarrow")
+        )
+
     # THREE exchanges total (same discipline as minhash_dedup_pairs: each
     # exchange pays a fleet cold start, so exchange count is the latency
     # floor): bkey pair-gen, then two attach exchanges with pair dedupe
     # fused into the first (all copies of a pair share bucket(vec_a)).
     raw_pairs = (
-        bucketed.union(  # empty-first-block guard; vec_id=-1 dropped above
-            int_key_sentinels(_EMB_BAND_SCHEMA, "bkey", fill={"vec_id": -1})
-        )
+        guarded
         .groupby("bkey", num_partitions=np_)
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )

@@ -177,3 +177,29 @@ def test_minhash_routes_bit_equal(monkeypatch):
         for r in D.minhash_dedup_pairs(docs, threshold=0.5).take_all()
     )
     assert via_broadcast == via_exchange and via_broadcast
+
+
+def test_embedding_routes_bit_equal(monkeypatch):
+    """Broadcast (unit matrix via ray.put, cosine in the pair-gen group)
+    and exchange (two vec-keyed attaches) routes must agree exactly."""
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((40, 16))
+    dups = base[:5] + rng.standard_normal((5, 16)) * 0.02
+    vecs = np.vstack([base, dups])
+    t = pa.Table.from_pydict(
+        {"vec_id": list(range(len(vecs))), "embedding": [v.tolist() for v in vecs]}
+    )
+    via_broadcast = sorted(
+        (r["vec_a"], r["vec_b"], round(r["cosine"], 12))
+        for r in D.embedding_dup_pairs(
+            ray.data.from_arrow(t), dim=16, threshold=0.95
+        ).take_all()
+    )
+    monkeypatch.setattr(D, "_SIG_BROADCAST_DOCS", 0)
+    via_exchange = sorted(
+        (r["vec_a"], r["vec_b"], round(r["cosine"], 12))
+        for r in D.embedding_dup_pairs(
+            ray.data.from_arrow(t), dim=16, threshold=0.95
+        ).take_all()
+    )
+    assert via_broadcast == via_exchange and via_broadcast
