@@ -53,21 +53,42 @@ def shuffle_partitions(requested: int | None = None) -> int:
     """Resolve a groupby's num_partitions: min(requested, cap), where the
     cap is the cluster CPU count (override: $ADR_SHUFFLE_PARTITIONS).
 
-    Each hash-shuffle partition is backed by an aggregator actor; asking for
-    more aggregators than CPUs deadlocks a small cluster (measured: np=64 on
-    a 4-CPU session never schedules). With no ``requested``, exchanges run
-    at the full cap so shuffle width scales with the cluster — sentinel
-    coverage (functions/_exchange.py) adapts to whatever this returns.
+    The hard ceiling of 4x CPUs exists because Ray's hash-shuffle
+    aggregator fleet reserves ``num_partitions x 0.0625`` CPUs in TOTAL
+    per exchange, no matter how small ``max_hash_shuffle_aggregators``
+    makes the fleet — Ray multiplies each actor's ``num_cpus`` by the
+    partitions-per-aggregator ratio (ray hash_shuffle.py:982-990). Two
+    concurrent np=64 exchanges therefore reserve 8 full CPUs; on an
+    8-CPU session that is EVERY core, the map stages feeding the
+    exchanges can never schedule, and the plan hangs silently (measured:
+    minhash at ADR_SHUFFLE_PARTITIONS=64 under the 8-CPU driver gate).
+    np <= 4x CPUs keeps two in-flight exchanges' reservations <= half the
+    cluster. With no ``requested``, exchanges run at the full cap so
+    shuffle width scales with the cluster — sentinel coverage
+    (functions/_exchange.py) adapts to whatever this returns.
     """
     import os
 
     import ray
 
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     env = os.environ.get("ADR_SHUFFLE_PARTITIONS")
     if env:
+        ceiling = 4 * cpus
         cap = max(2, int(env))
+        if cap > ceiling:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ADR_SHUFFLE_PARTITIONS=%s exceeds the deadlock-safe ceiling "
+                "%d (4x %d CPUs): each exchange's aggregator fleet reserves "
+                "np/16 CPUs regardless of fleet size; clamping.",
+                env,
+                ceiling,
+                cpus,
+            )
+            cap = ceiling
     else:
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         cap = max(2, cpus)
     return min(requested, cap) if requested else cap
 
