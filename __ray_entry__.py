@@ -626,6 +626,8 @@ _DRIVER_PRIORITY = [
     "repetition_stats",
     # new this round (rendered overlays; byte-exact PPM digest oracle)
     "viz_overlays",
+    # new this round: full Gopher rule set (integer cross-multiplied flags)
+    "gopher_quality_flags",
     # never driver-checked (r01+r02)
     "split_sentences",
     "paragraph_dedup",
@@ -1651,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_stats": q_lang_stats,
         "quality_filter": q_quality_filter,
         "repetition_stats": lambda sf: T.repetition_stats(docs(sf)),
+        "gopher_quality_flags": lambda sf: T.gopher_quality_flags(docs(sf)),
         "token_commonness": lambda sf: T.token_commonness(docs(sf)),
         "redact_pii": q_redact_pii,
         "normalize_text": q_normalize_text,
@@ -1922,6 +1925,62 @@ def oracle_sql() -> dict[str, str]:
             "// greatest(COALESCE(sum(c.c), 0), 1) AS BIGINT) AS dup_line_per_mille "
             "FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id "
             "GROUP BY d.doc_id"
+        ),
+        "gopher_quality_flags": (
+            # Gopher rule set (Rae et al. 2021 A1.1); every threshold is an
+            # integer cross-multiplication, so no float ratio can drift
+            "WITH base AS ("
+            "  SELECT doc_id, text, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed FROM documents"
+            "), words AS ("
+            "  SELECT doc_id, unnest(regexp_split_to_array(trimmed, '\\s+')) AS w FROM base WHERE trimmed <> ''"
+            "), wstats AS ("
+            "  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+            "    CAST(sum(length(w)) AS BIGINT) AS word_len_sum, "
+            "    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words, "
+            "    CAST(count(DISTINCT CASE WHEN lower(w) IN "
+            "('the','be','to','of','and','that','have','with') THEN lower(w) END) AS BIGINT) AS n_stopwords "
+            "  FROM words GROUP BY doc_id"
+            "), lines AS ("
+            "  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base"
+            "), lstats AS ("
+            "  SELECT doc_id, "
+            "    CAST(sum(CASE WHEN line <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines, "
+            "    CAST(sum(CASE WHEN line <> '' AND (line LIKE '-%' OR line LIKE '•%') THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines, "
+            "    CAST(sum(CASE WHEN line <> '' AND line LIKE '%...' THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines "
+            "  FROM lines GROUP BY doc_id"
+            "), syms AS ("
+            "  SELECT doc_id, CAST((length(text) - length(replace(text, '#', ''))) + "
+            "(length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym FROM base"
+            ") "
+            "SELECT b.doc_id, "
+            "coalesce(w.n_words, 0) AS n_words, "
+            "coalesce(w.word_len_sum, 0) AS word_len_sum, "
+            "coalesce(w.n_alpha_words, 0) AS n_alpha_words, "
+            "coalesce(w.n_stopwords, 0) AS n_stopwords, "
+            "s.n_sym, "
+            "coalesce(l.n_lines, 0) AS n_lines, "
+            "coalesce(l.n_bullet_lines, 0) AS n_bullet_lines, "
+            "coalesce(l.n_ellipsis_lines, 0) AS n_ellipsis_lines, "
+            "CAST(coalesce(w.n_words,0) BETWEEN 50 AND 100000 AS BIGINT) AS flag_word_count, "
+            "CAST(coalesce(w.n_words,0) > 0 AND 3*coalesce(w.n_words,0) <= coalesce(w.word_len_sum,0) "
+            "AND coalesce(w.word_len_sum,0) <= 10*coalesce(w.n_words,0) AS BIGINT) AS flag_mean_word_len, "
+            "CAST(10*s.n_sym <= coalesce(w.n_words,0) AS BIGINT) AS flag_symbol_ratio, "
+            "CAST(10*coalesce(l.n_bullet_lines,0) <= 9*coalesce(l.n_lines,0) AS BIGINT) AS flag_bullet_lines, "
+            "CAST(10*coalesce(l.n_ellipsis_lines,0) <= 3*coalesce(l.n_lines,0) AS BIGINT) AS flag_ellipsis_lines, "
+            "CAST(coalesce(w.n_words,0) > 0 AND 5*coalesce(w.n_alpha_words,0) >= 4*coalesce(w.n_words,0) AS BIGINT) AS flag_alpha_words, "
+            "CAST(coalesce(w.n_stopwords,0) >= 2 AS BIGINT) AS flag_stopwords, "
+            "CAST(coalesce(w.n_words,0) BETWEEN 50 AND 100000 "
+            "AND coalesce(w.n_words,0) > 0 AND 3*coalesce(w.n_words,0) <= coalesce(w.word_len_sum,0) "
+            "AND coalesce(w.word_len_sum,0) <= 10*coalesce(w.n_words,0) "
+            "AND 10*s.n_sym <= coalesce(w.n_words,0) "
+            "AND 10*coalesce(l.n_bullet_lines,0) <= 9*coalesce(l.n_lines,0) "
+            "AND 10*coalesce(l.n_ellipsis_lines,0) <= 3*coalesce(l.n_lines,0) "
+            "AND 5*coalesce(w.n_alpha_words,0) >= 4*coalesce(w.n_words,0) "
+            "AND coalesce(w.n_stopwords,0) >= 2 AS BIGINT) AS keep "
+            "FROM base b "
+            "LEFT JOIN wstats w USING (doc_id) "
+            "LEFT JOIN lstats l USING (doc_id) "
+            "JOIN syms s USING (doc_id)"
         ),
         "token_commonness": (
             # CCNet-style unigram signal: per doc, sum of the GLOBAL corpus

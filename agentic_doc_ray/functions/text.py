@@ -326,6 +326,138 @@ def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(normalize_text_batch, batch_format="pyarrow")
 
 
+# Rae et al. 2021 (Gopher), appendix A1.1: a document must contain at
+# least two of these words to pass the stop-word rule.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags_batch(batch: pa.Table) -> pa.Table:
+    """The full Gopher document-quality rule set (Rae et al. 2021 A1.1)
+    as per-doc integer counts + 0/1 flags + the conjunctive keep bit.
+
+    Rules (thresholds evaluated by exact integer cross-multiplication so
+    the DuckDB oracle agrees bit-for-bit — no float ratios anywhere):
+
+      word_count      50 <= n_words <= 100_000
+      mean_word_len   3 <= word_len_sum / n_words <= 10
+      symbol_ratio    (#'#' + #'...') / n_words <= 0.1
+      bullet_lines    lines starting with '-' or '•' <= 90% of lines
+      ellipsis_lines  lines ending with '...' <= 30% of lines
+      alpha_words     words containing an alphabetic char >= 80%
+      stopwords       >= 2 DISTINCT words from the 8-word Gopher list
+
+    Words = RE2 whitespace split of the trimmed text (the repo-wide
+    tokenization convention, `_token_count`); lines = '\\n' split,
+    empty lines excluded from the line-rule denominators. Doc-local and
+    fully vectorized (Arrow kernels + numpy segment sums): 0 exchanges.
+    """
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = batch.num_rows
+
+    trimmed = _regex_trim(text)
+    nonempty_doc = pc.not_equal(trimmed, "")
+    toks = pc.split_pattern_regex(trimmed.filter(nonempty_doc), r"\s+")
+    flat = toks.flatten()
+    # map token parents back to batch row indices (empty docs have no rows)
+    doc_idx = np.flatnonzero(nonempty_doc.to_numpy(zero_copy_only=False))
+    parents = doc_idx[pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)]
+
+    n_words = np.zeros(n, dtype=np.int64)
+    np.add.at(n_words, parents, 1)
+    word_len_sum = np.zeros(n, dtype=np.int64)
+    np.add.at(
+        word_len_sum, parents, pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    )
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(zero_copy_only=False)
+    n_alpha_words = np.zeros(n, dtype=np.int64)
+    np.add.at(n_alpha_words, parents[alpha], 1)
+
+    low = pc.utf8_lower(flat)
+    sw_mask = pc.is_in(low, value_set=pa.array(list(_GOPHER_STOPWORDS)))
+    swt = pa.Table.from_arrays(
+        [pa.array(parents[sw_mask.to_numpy(zero_copy_only=False)]), low.filter(sw_mask)],
+        names=["d", "w"],
+    )
+    distinct_sw = swt.group_by(["d", "w"]).aggregate([])
+    n_stopwords = np.zeros(n, dtype=np.int64)
+    np.add.at(n_stopwords, distinct_sw.column("d").to_numpy(zero_copy_only=False), 1)
+
+    n_sym = (
+        pc.count_substring(text, "#").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        + pc.count_substring(text, "...")
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+
+    lines = pc.split_pattern(text, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat_lines = lines.flatten()
+    lparents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    lmask = pc.not_equal(flat_lines, "").to_numpy(zero_copy_only=False)
+    n_lines = np.zeros(n, dtype=np.int64)
+    np.add.at(n_lines, lparents[lmask], 1)
+    bullet = pc.or_(
+        pc.starts_with(flat_lines, "-"), pc.starts_with(flat_lines, "•")
+    ).to_numpy(zero_copy_only=False)
+    n_bullet = np.zeros(n, dtype=np.int64)
+    np.add.at(n_bullet, lparents[lmask & bullet], 1)
+    ell_end = pc.ends_with(flat_lines, "...").to_numpy(zero_copy_only=False)
+    n_ell_end = np.zeros(n, dtype=np.int64)
+    np.add.at(n_ell_end, lparents[lmask & ell_end], 1)
+
+    f_word_count = ((n_words >= 50) & (n_words <= 100_000)).astype(np.int64)
+    f_mean_word_len = (
+        (n_words > 0)
+        & (3 * n_words <= word_len_sum)
+        & (word_len_sum <= 10 * n_words)
+    ).astype(np.int64)
+    f_symbol_ratio = (10 * n_sym <= n_words).astype(np.int64)
+    f_bullet_lines = (10 * n_bullet <= 9 * n_lines).astype(np.int64)
+    f_ellipsis_lines = (10 * n_ell_end <= 3 * n_lines).astype(np.int64)
+    f_alpha_words = ((n_words > 0) & (5 * n_alpha_words >= 4 * n_words)).astype(
+        np.int64
+    )
+    f_stopwords = (n_stopwords >= 2).astype(np.int64)
+    keep = (
+        f_word_count
+        & f_mean_word_len
+        & f_symbol_ratio
+        & f_bullet_lines
+        & f_ellipsis_lines
+        & f_alpha_words
+        & f_stopwords
+    )
+
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": n_words,
+            "word_len_sum": word_len_sum,
+            "n_alpha_words": n_alpha_words,
+            "n_stopwords": n_stopwords,
+            "n_sym": n_sym,
+            "n_lines": n_lines,
+            "n_bullet_lines": n_bullet,
+            "n_ellipsis_lines": n_ell_end,
+            "flag_word_count": f_word_count,
+            "flag_mean_word_len": f_mean_word_len,
+            "flag_symbol_ratio": f_symbol_ratio,
+            "flag_bullet_lines": f_bullet_lines,
+            "flag_ellipsis_lines": f_ellipsis_lines,
+            "flag_alpha_words": f_alpha_words,
+            "flag_stopwords": f_stopwords,
+            "keep": keep,
+        }
+    )
+
+
+def gopher_quality_flags(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(gopher_quality_flags_batch, batch_format="pyarrow")
+
+
 def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     """Gopher-style repetition metrics per doc (integer, oracle-exact):
     n_lines (non-empty), n_dup_lines (lines whose text occurs more than

@@ -496,3 +496,130 @@ def test_split_sentences_matches_duckdb():
     )
     assert list(got.loc[got["doc_id"] == 5, "sentence"]) == ["A.B", "test", "x"]
     assert 3 not in set(got["doc_id"]) and 4 not in set(got["doc_id"])
+
+
+_GOPHER_ORACLE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text, regexp_replace(text, '^\s+|\s+$', '', 'g') AS trimmed FROM documents
+), words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trimmed, '\s+')) AS w FROM base WHERE trimmed <> ''
+), wstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(length(w)) AS BIGINT) AS word_len_sum,
+         CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+         CAST(count(DISTINCT CASE WHEN lower(w) IN ('the','be','to','of','and','that','have','with') THEN lower(w) END) AS BIGINT) AS n_stopwords
+  FROM words GROUP BY doc_id
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base
+), lstats AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN line <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN line <> '' AND (line LIKE '-%' OR line LIKE '•%') THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines,
+         CAST(sum(CASE WHEN line <> '' AND line LIKE '%...' THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines
+  FROM lines GROUP BY doc_id
+), syms AS (
+  SELECT doc_id,
+         CAST((length(text) - length(replace(text, '#', ''))) +
+              (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym
+  FROM base
+)
+SELECT b.doc_id,
+  coalesce(w.n_words, 0) AS n_words,
+  coalesce(w.word_len_sum, 0) AS word_len_sum,
+  coalesce(w.n_alpha_words, 0) AS n_alpha_words,
+  coalesce(w.n_stopwords, 0) AS n_stopwords,
+  s.n_sym,
+  coalesce(l.n_lines, 0) AS n_lines,
+  coalesce(l.n_bullet_lines, 0) AS n_bullet_lines,
+  coalesce(l.n_ellipsis_lines, 0) AS n_ellipsis_lines,
+  CAST(coalesce(w.n_words,0) BETWEEN 50 AND 100000 AS BIGINT) AS flag_word_count,
+  CAST(coalesce(w.n_words,0) > 0 AND 3*coalesce(w.n_words,0) <= coalesce(w.word_len_sum,0) AND coalesce(w.word_len_sum,0) <= 10*coalesce(w.n_words,0) AS BIGINT) AS flag_mean_word_len,
+  CAST(10*s.n_sym <= coalesce(w.n_words,0) AS BIGINT) AS flag_symbol_ratio,
+  CAST(10*coalesce(l.n_bullet_lines,0) <= 9*coalesce(l.n_lines,0) AS BIGINT) AS flag_bullet_lines,
+  CAST(10*coalesce(l.n_ellipsis_lines,0) <= 3*coalesce(l.n_lines,0) AS BIGINT) AS flag_ellipsis_lines,
+  CAST(coalesce(w.n_words,0) > 0 AND 5*coalesce(w.n_alpha_words,0) >= 4*coalesce(w.n_words,0) AS BIGINT) AS flag_alpha_words,
+  CAST(coalesce(w.n_stopwords,0) >= 2 AS BIGINT) AS flag_stopwords,
+  CAST(coalesce(w.n_words,0) BETWEEN 50 AND 100000
+   AND coalesce(w.n_words,0) > 0 AND 3*coalesce(w.n_words,0) <= coalesce(w.word_len_sum,0) AND coalesce(w.word_len_sum,0) <= 10*coalesce(w.n_words,0)
+   AND 10*s.n_sym <= coalesce(w.n_words,0)
+   AND 10*coalesce(l.n_bullet_lines,0) <= 9*coalesce(l.n_lines,0)
+   AND 10*coalesce(l.n_ellipsis_lines,0) <= 3*coalesce(l.n_lines,0)
+   AND 5*coalesce(w.n_alpha_words,0) >= 4*coalesce(w.n_words,0)
+   AND coalesce(w.n_stopwords,0) >= 2 AS BIGINT) AS keep
+FROM base b
+LEFT JOIN wstats w USING (doc_id)
+LEFT JOIN lstats l USING (doc_id)
+JOIN syms s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _gopher_adversarial_table():
+    """One doc per rule, each engineered to FAIL exactly that rule (plus a
+    passing doc and degenerate empties), so every flag is exercised in
+    both polarities — the synth corpus is single-line and symbol-free."""
+    good_words = ("the quick brown fox jumps over the lazy dog and that "
+                  "one has to be of sound mind with every word here ") * 3
+    docs = [
+        good_words,  # passes everything
+        "the be to of",  # < 50 words
+        " ".join(["ab"] * 60),  # mean word len < 3 (and no stopwords)
+        ("the be " + "# " * 20 + "word " * 50),  # symbol ratio > 0.1
+        "\n".join(["- bullet %d the be" % i for i in range(10)]),  # 100% bullets
+        "\n".join(["trailing the be %d..." % i for i in range(10)]),  # 100% ellipsis
+        ("the be " + "1234 " * 60),  # alpha fraction < 0.8
+        " ".join(["word%d" % i for i in range(60)]),  # 0 stopwords
+        "",  # empty doc
+        "   \n  ",  # whitespace-only
+        "•the be\nplain line the of and that have with " + "pad " * 50,
+    ]
+    return pa.table({"doc_id": list(range(len(docs))), "text": docs})
+
+
+def test_gopher_flags_adversarial_vs_duckdb():
+    t = _gopher_adversarial_table()
+    got = (
+        T.gopher_quality_flags_batch(t)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(_GOPHER_ORACLE_SQL).df()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    # each engineered failure hits its intended rule
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "keep"] == 1
+    assert by_id.loc[1, "flag_word_count"] == 0
+    assert by_id.loc[2, "flag_mean_word_len"] == 0
+    assert by_id.loc[3, "flag_symbol_ratio"] == 0
+    assert by_id.loc[4, "flag_bullet_lines"] == 0
+    assert by_id.loc[5, "flag_ellipsis_lines"] == 0
+    assert by_id.loc[6, "flag_alpha_words"] == 0
+    assert by_id.loc[7, "flag_stopwords"] == 0
+    assert (by_id.loc[[1, 2, 3, 4, 5, 6, 7, 8, 9], "keep"] == 0).all()
+    # unicode bullet counts toward the bullet-line tally (1 of 2 lines,
+    # under the 90% threshold so the flag itself still passes)
+    assert by_id.loc[10, "n_bullet_lines"] == 1
+    assert by_id.loc[10, "flag_bullet_lines"] == 1
+
+
+def test_gopher_flags_batching_independent():
+    t = _gopher_adversarial_table()
+    whole = T.gopher_quality_flags_batch(t).sort_by("doc_id")
+    parts = pa.concat_tables(
+        [T.gopher_quality_flags_batch(t.slice(i, 3)) for i in range(0, t.num_rows, 3)]
+    ).sort_by("doc_id")
+    assert whole.equals(parts)
+
+
+def test_gopher_flags_real_docs_vs_duckdb(docs_ds):
+    got = (
+        T.gopher_quality_flags(docs_ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _duck(_GOPHER_ORACLE_SQL)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
