@@ -628,6 +628,8 @@ _DRIVER_PRIORITY = [
     "viz_overlays",
     # new this round: full Gopher rule set (integer cross-multiplied flags)
     "gopher_quality_flags",
+    # new this round: CCNet-style per-domain boilerplate line removal
+    "domain_boilerplate_strip",
     # never driver-checked (r01+r02)
     "split_sentences",
     "paragraph_dedup",
@@ -1417,6 +1419,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return paragraph_dedup(d.map_batches(plant, batch_format="pyarrow"))
 
+    def q_domain_boilerplate(sf_dir):
+        """Per-source boilerplate strip over docs with deterministically
+        planted lines (identical planting in the SQL oracle): a universal
+        per-source footer (df=100%) and a doc_id%5 line (df=20%, exactly
+        at the 200-per-mille threshold) strip; a doc_id%12 line (df=2..3,
+        under threshold) and the unique bodies survive."""
+        import numpy as np
+
+        from agentic_doc_ray.functions.paragraphs import domain_boilerplate_strip
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+
+        def plant(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            ids = batch.column("doc_id").combine_chunks()
+            src = batch.column("source").combine_chunks()
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            empty = pa.array([""] * n)
+            footer = pc.binary_join_element_wise(
+                pa.array(["\nfooter-"] * n), src, ""
+            )
+            common = pc.if_else(
+                pa.array(ids_np % 5 == 0),
+                pc.binary_join_element_wise(
+                    pa.array(["\ncommon-"] * n), src, ""
+                ),
+                empty,
+            )
+            rare = pc.if_else(
+                pa.array(ids_np % 12 == 0),
+                pc.binary_join_element_wise(pa.array(["\nrare-"] * n), src, ""),
+                empty,
+            )
+            text2 = pc.binary_join_element_wise(
+                batch.column("text").combine_chunks(), footer, common, rare, ""
+            )
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text", text2
+            )
+
+        return domain_boilerplate_strip(d.map_batches(plant, batch_format="pyarrow"))
+
     def q_similarity_ivf(sf_dir):
         import numpy as np
 
@@ -1689,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
         "paragraph_dedup": q_paragraph_dedup,
+        "domain_boilerplate_strip": q_domain_boilerplate,
         "bm25_topk": q_bm25,
         "index_postings": q_index_postings,
         "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
@@ -2541,6 +2588,40 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT d.doc_id, d.source, s.src_n_docs, s.src_n_distinct "
             "FROM documents d JOIN s ON d.source = s.source"
+        ),
+        "domain_boilerplate_strip": (
+            # same deterministic planting as the Ray query; frequent-line
+            # rule: df >= 2, df*1000 >= 200*n_docs(source), n_docs >= 10
+            "WITH planted AS ("
+            "  SELECT doc_id, source, text || chr(10) || 'footer-' || source"
+            "    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'common-' || source ELSE '' END"
+            "    || CASE WHEN doc_id % 12 = 0 THEN chr(10) || 'rare-' || source ELSE '' END AS text"
+            "  FROM documents"
+            "), lines AS ("
+            "  SELECT doc_id, source,"
+            "         unnest(str_split(text, chr(10))) AS line,"
+            "         generate_subscripts(str_split(text, chr(10)), 1) - 1 AS idx"
+            "  FROM planted"
+            "), ndocs AS ("
+            "  SELECT source, count(*) AS n_docs FROM planted GROUP BY source"
+            "), freq AS ("
+            "  SELECT c.source, c.line FROM ("
+            "    SELECT source, line, count(DISTINCT doc_id) AS df"
+            "    FROM lines WHERE line <> '' GROUP BY source, line) c"
+            "  JOIN ndocs n USING (source)"
+            "  WHERE c.df >= 2 AND c.df * 1000 >= 200 * n.n_docs AND n.n_docs >= 10"
+            "), kept AS ("
+            "  SELECT k.doc_id, k.idx, k.line"
+            "  FROM lines k LEFT JOIN freq f ON k.source = f.source AND k.line = f.line"
+            "  WHERE k.line = '' OR f.line IS NULL"
+            "), kept_agg AS ("
+            "  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,"
+            "         count(*) AS n_kept"
+            "  FROM kept GROUP BY doc_id"
+            ") "
+            "SELECT p.doc_id, COALESCE(ka.text, '') AS text, "
+            "CAST(len(str_split(p.text, chr(10))) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed "
+            "FROM planted p LEFT JOIN kept_agg ka USING (doc_id)"
         ),
         "paragraph_dedup": (
             "WITH planted AS ("
