@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 20  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 21  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -424,6 +424,14 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         os.path.join(out_dir, "pack_sequences.parquet"),
     )
 
+    # interleaved multimodal packing oracle: independent naive per-span loop
+    from agentic_doc_ray.functions.interleave import interleave_pack_oracle
+
+    _pq.write_table(
+        interleave_pack_oracle(corpus),
+        os.path.join(out_dir, "interleave_pack.parquet"),
+    )
+
     from agentic_doc_ray.functions.multimodal import MediaFeatureActor, synth_media_table
 
     media = synth_media_table(os.path.join(sf_dir, "documents.parquet"), limit=96)
@@ -630,6 +638,8 @@ _DRIVER_PRIORITY = [
     "gopher_quality_flags",
     # new this round: CCNet-style per-domain boilerplate line removal
     "domain_boilerplate_strip",
+    # new this round: interleaved multimodal sequence packing
+    "interleave_pack",
     # never driver-checked (r01+r02)
     "split_sentences",
     "paragraph_dedup",
@@ -744,6 +754,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return flat.repartition(shuffle_partitions(4)).groupby(
             "kind", num_partitions=shuffle_partitions(4)
         ).aggregate(Count(alias_name="n"))
+
+    def q_interleave_pack(sf_dir):
+        """Interleaved text+media sequence packing over the corpus; the
+        oracle is an independent naive per-span replica (materialized)."""
+        from agentic_doc_ray.functions.interleave import interleave_pack
+
+        return interleave_pack(_corpus_ds(sf_dir))
 
     def q_interleave_stats(sf_dir):
         """Interleave-structure metrics per document (media density,
@@ -1685,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_counts": q_kind_counts,
         "caption_pairs": q_caption_pairs,  # SQL windows over the flat-spans replica
         "interleave_stats": q_interleave_stats,  # SQL unnest over the corpus parquet
+        "interleave_pack": q_interleave_pack,  # independent naive replica oracle
         "grounding_manifest": q_grounding,
         "grounding_crops": q_grounding_crops,
         "viz_overlays": q_viz_overlays,
@@ -2216,6 +2234,10 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": (
             "SELECT pack_id, doc_id, position, n_tokens "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pack_sequences.parquet')"
+        ),
+        "interleave_pack": (
+            "SELECT doc_id, \"offset\", is_media, cost, seq_idx, seq_pos "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/interleave_pack.parquet')"
         ),
         "top_tokens": (
             "SELECT token, count(*) AS n FROM ("

@@ -93,3 +93,153 @@ def interleave_stats(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
     return corpus.map_batches(
         interleave_stats_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved multimodal sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("offset", pa.int64()),
+        ("is_media", pa.int64()),
+        ("cost", pa.int64()),
+        ("seq_idx", pa.int64()),
+        ("seq_pos", pa.int64()),
+    ]
+)
+
+
+def interleave_pack_batch(
+    batch: pa.Table, *, token_budget: int = 96, media_cost: int = 32
+) -> pa.Table:
+    """Segment each document's interleaved span stream (offset order) into
+    training sequences of <= token_budget cost: text spans cost their
+    whitespace token count (the repo-wide ``_token_count`` convention),
+    media spans cost the fixed ``media_cost`` placeholder budget
+    (MMC4/OBELICS-style image-token accounting). A sequence break falls
+    before the span that would overflow the budget; a single span larger
+    than the budget gets a sequence of its own (spans are never split).
+
+    Output: one row per span — (doc_id, offset, is_media, cost, seq_idx,
+    seq_pos), seq_idx counted within the document. Doc-local (a corpus
+    row carries its whole document): zero exchanges. Costs and ordering
+    are fully vectorized; the greedy boundary scan is one
+    ``np.searchsorted`` per produced SEQUENCE on the doc's cost cumsum
+    (sequential by nature, like ``sampling.pack_sequences``), never a
+    per-span Python loop.
+    """
+    from agentic_doc_ray.functions.text import _token_count
+
+    spans = batch.column("spans").combine_chunks()
+    n_docs = batch.num_rows
+    lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    flat = spans.flatten()
+    n = len(flat)
+    if n == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], f.type) for f in PACK_SCHEMA], schema=PACK_SCHEMA
+        )
+
+    media_ref = pc.fill_null(flat.field("media_ref"), "")
+    is_media = pc.not_equal(media_ref, "").to_numpy(zero_copy_only=False)
+    text_cost = _token_count(pc.fill_null(flat.field("text"), "")).to_numpy(
+        zero_copy_only=False
+    )
+    cost = np.where(is_media, np.int64(media_cost), text_cost).astype(np.int64)
+    offs = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    order = np.lexsort((offs, parents))
+    p = order_p = parents[order]
+    c = cost[order]
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    cum = np.cumsum(c)
+
+    seq_idx = np.zeros(n, np.int64)
+    seq_pos = np.zeros(n, np.int64)
+    for d in range(n_docs):
+        lo, hi = int(starts[d]), int(starts[d + 1])
+        if lo == hi:
+            continue
+        base = cum[lo - 1] if lo else 0
+        start = lo
+        seq = 0
+        while start < hi:
+            # furthest span such that the sequence cost stays <= budget
+            end = int(
+                np.searchsorted(cum[start:hi], base + token_budget, side="right")
+            ) + start
+            if end == start:  # oversize single span: own sequence
+                end = start + 1
+            seq_idx[start:end] = seq
+            seq_pos[start:end] = np.arange(end - start)
+            base = cum[end - 1]
+            start = end
+            seq += 1
+
+    ids = pc.take(batch.column("doc_id").combine_chunks(), pa.array(order_p))
+    return pa.Table.from_arrays(
+        [
+            pc.cast(ids, pa.string()),
+            pa.array(offs[order]),
+            pa.array(is_media[order].astype(np.int64)),
+            pa.array(c),
+            pa.array(seq_idx),
+            pa.array(seq_pos),
+        ],
+        schema=PACK_SCHEMA,
+    )
+
+
+def interleave_pack(
+    corpus: "ray.data.Dataset", *, token_budget: int = 96, media_cost: int = 32
+) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        return interleave_pack_batch(
+            batch, token_budget=token_budget, media_cost=media_cost
+        )
+
+    return corpus.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interleave_pack_oracle(
+    corpus: pa.Table, *, token_budget: int = 96, media_cost: int = 32
+) -> pa.Table:
+    """Independent naive replica: plain per-span Python loop, no shared
+    cumsum/searchsorted machinery with the operator."""
+    from agentic_doc_ray.functions.text import _token_count
+
+    rows = []
+    ids = corpus.column("doc_id").to_pylist()
+    spans_col = corpus.column("spans").to_pylist()
+    for d, spans in zip(ids, spans_col):
+        ordered = sorted(spans or [], key=lambda s: s["offset"])
+        seq = used = pos = 0
+        for s in ordered:
+            m = bool(s.get("media_ref") or "")
+            c = (
+                media_cost
+                if m
+                else int(
+                    _token_count(pa.array([s.get("text") or ""]))[0].as_py()
+                )
+            )
+            if pos > 0 and used + c > token_budget:
+                seq += 1
+                used = 0
+                pos = 0
+            rows.append(
+                {
+                    "doc_id": str(d),
+                    "offset": int(s["offset"]),
+                    "is_media": int(m),
+                    "cost": c,
+                    "seq_idx": seq,
+                    "seq_pos": pos,
+                }
+            )
+            used += c
+            pos += 1
+    return pa.Table.from_pylist(rows, schema=PACK_SCHEMA)

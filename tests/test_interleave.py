@@ -66,3 +66,107 @@ def test_batching_invariance():
         ds = ray.data.from_arrow(_tbl(docs)).repartition(parts)
         got = sorted(interleave_stats(ds).take_all(), key=lambda r: r["doc_id"])
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# interleave_pack
+# ---------------------------------------------------------------------------
+
+from agentic_doc_ray.functions.interleave import (  # noqa: E402
+    interleave_pack,
+    interleave_pack_batch,
+    interleave_pack_oracle,
+)
+
+_SPAN_T = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+
+def _span(text="", media="", offset=0):
+    return {"kind": "text", "text": text, "media_ref": media, "offset": offset}
+
+
+def _pack_corpus():
+    w = lambda k: " ".join(["w"] * k)  # noqa: E731
+    docs = {
+        # text runs split at the budget (96): 40+40 fits, +40 overflows
+        "a": [_span(w(40), offset=0), _span(w(40), offset=10), _span(w(40), offset=20)],
+        # media placeholder cost (32) interleaved with text
+        "b": [
+            _span(w(70), offset=0),
+            _span("", media="m1", offset=5),   # 70+32 > 96 -> new seq
+            _span(w(60), offset=9),            # 32+60 <= 96 -> same seq
+            _span("", media="m2", offset=12),  # +32 > 96 -> new seq
+        ],
+        # single oversize span gets its own sequence, never split
+        "c": [_span(w(200), offset=0), _span(w(10), offset=1)],
+        # exact boundary: 96 fits in one
+        "d": [_span(w(96), offset=0), _span(w(1), offset=3)],
+        # offsets out of list order: packing follows OFFSET order
+        "e": [_span(w(90), offset=7), _span(w(90), offset=2)],
+        # empty doc and zero-cost spans
+        "f": [],
+        "g": [_span("", offset=0), _span("", offset=1), _span(w(5), offset=2)],
+    }
+    return pa.table(
+        {
+            "doc_id": list(docs.keys()),
+            "spans": pa.array(list(docs.values()), pa.list_(_SPAN_T)),
+        }
+    )
+
+
+def _key(t: pa.Table):
+    return sorted(map(tuple, t.to_pandas().values.tolist()))
+
+
+def test_pack_rules_pinned():
+    got = {
+        (r["doc_id"], r["offset"]): (r["seq_idx"], r["seq_pos"], r["cost"])
+        for r in interleave_pack_oracle(_pack_corpus()).to_pylist()
+    }
+    assert got[("a", 0)] == (0, 0, 40) and got[("a", 10)] == (0, 1, 40)
+    assert got[("a", 20)] == (1, 0, 40)
+    assert got[("b", 5)] == (1, 0, 32) and got[("b", 9)] == (1, 1, 60)
+    assert got[("b", 12)] == (2, 0, 32)
+    assert got[("c", 0)] == (0, 0, 200) and got[("c", 1)] == (1, 0, 10)
+    assert got[("d", 0)] == (0, 0, 96) and got[("d", 3)] == (1, 0, 1)
+    # offset order, not list order: offset 2 packs first
+    assert got[("e", 2)] == (0, 0, 90) and got[("e", 7)] == (1, 0, 90)
+    assert got[("g", 2)] == (0, 2, 5)
+
+
+def test_pack_batch_matches_oracle():
+    t = _pack_corpus()
+    assert _key(interleave_pack_batch(t)) == _key(interleave_pack_oracle(t))
+    # batching independence
+    parts = pa.concat_tables(
+        [interleave_pack_batch(t.slice(i, 2)) for i in range(0, t.num_rows, 2)]
+    )
+    assert _key(parts) == _key(interleave_pack_oracle(t))
+
+
+def test_pack_through_ray_matches_oracle():
+    t = _pack_corpus()
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = interleave_pack(ds).take_all()
+    want = interleave_pack_oracle(t).to_pylist()
+    skey = lambda r: (r["doc_id"], r["offset"])  # noqa: E731
+    assert sorted(got, key=skey) == sorted(want, key=skey)
+
+
+def test_pack_real_corpus_matches_oracle():
+    from agentic_doc_ray.synth import build_corpus_table
+
+    tbl = build_corpus_table("/root/testdata/sf0.001/documents.parquet")
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = interleave_pack(ds).take_all()
+    want = interleave_pack_oracle(tbl).to_pylist()
+    skey = lambda r: (r["doc_id"], r["offset"])  # noqa: E731
+    assert sorted(got, key=skey) == sorted(want, key=skey)
