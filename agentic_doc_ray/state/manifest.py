@@ -49,6 +49,21 @@ def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
+def _input_fingerprint(files: list[str]) -> str:
+    """Cheap lineage fingerprint of a partition's input shard files:
+    (basename, size) pairs hashed. Metadata-only — no data read — so it is
+    free at 100 TB, yet catches replaced/regrown shards: a "done" partition
+    whose inputs changed since the commit re-runs instead of being skipped.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size};".encode())
+    return h.hexdigest()[:16]
+
+
 def load_manifest(out_dir: str) -> dict[int, dict]:
     """partition_id -> committed manifest row (lineage + metrics)."""
     mdir = _manifest_dir(out_dir)
@@ -91,7 +106,11 @@ def run_resumable(
     done = load_manifest(out_dir)
     n_run = 0
     for p, files in enumerate(parts):
-        if done.get(p, {}).get("status") == "done":
+        fp = _input_fingerprint(files)
+        prev = done.get(p, {})
+        # skip only if committed AND the inputs are the ones it committed
+        # against (missing fingerprint = pre-upgrade manifest row: honor it)
+        if prev.get("status") == "done" and prev.get("input_fingerprint", fp) == fp:
             continue
         if fail_after is not None and n_run >= fail_after:
             break
@@ -109,20 +128,28 @@ def run_resumable(
             os.replace(tmp_out, part_out)  # atomic publish
             back = ray.data.read_parquet(part_out)
             n_docs = back.count()
-            n_spans = int(
-                back.map_batches(
-                    lambda b: pa.Table.from_pydict(
-                        {"n": [pa.compute.sum(pa.compute.list_value_length(b["spans"])).as_py() or 0]}
-                    ),
-                    batch_format="pyarrow",
-                ).sum("n")
-                or 0
-            )
+
+            def _counts(b: pa.Table) -> pa.Table:
+                cols = {
+                    "n": [pa.compute.sum(pa.compute.list_value_length(b["spans"])).as_py() or 0]
+                }
+                cols["n_err"] = (
+                    [pa.compute.sum(pa.compute.list_value_length(b["errors"])).as_py() or 0]
+                    if "errors" in b.column_names
+                    else [0]
+                )
+                return pa.Table.from_pydict(cols)
+
+            counted = back.map_batches(_counts, batch_format="pyarrow").materialize()
+            n_spans = int(counted.sum("n") or 0)
+            n_page_errors = int(counted.sum("n_err") or 0)
             row = {
                 "partition_id": p,
                 "input_files": files,
+                "input_fingerprint": fp,
                 "n_docs": n_docs,
                 "n_spans": n_spans,
+                "n_page_errors": n_page_errors,
                 "status": "done",
                 "attempt": attempt,
                 "wall_s": round(time.perf_counter() - t0, 3),
@@ -132,8 +159,10 @@ def run_resumable(
             row = {
                 "partition_id": p,
                 "input_files": files,
+                "input_fingerprint": fp,
                 "n_docs": 0,
                 "n_spans": 0,
+                "n_page_errors": 0,
                 "status": "failed",
                 "attempt": attempt,
                 "wall_s": round(time.perf_counter() - t0, 3),

@@ -5,6 +5,7 @@ import os
 import shutil
 
 import pyarrow as pa
+import pyarrow.parquet  # noqa: F401  (pa.parquet access below)
 import pytest
 import ray.data
 
@@ -81,6 +82,35 @@ def test_resume_skips_done_partitions_no_rewrite(corpus_dir, tmp_path):
     mtime = os.path.getmtime(marker)
     run_resumable(corpus_dir, out, CFG, n_partitions=3)
     assert os.path.getmtime(marker) == mtime  # untouched on resume
+
+
+def test_changed_input_invalidates_done_partition(corpus_dir, tmp_path):
+    """Lineage fingerprint: a 'done' partition whose input shard changed
+    since the commit re-runs; untouched partitions still skip."""
+    src = str(tmp_path / "corpus_copy")
+    shutil.copytree(corpus_dir, src)
+    out = str(tmp_path / "out")
+    m1 = run_resumable(src, out, CFG, n_partitions=3)
+    assert all(r["status"] == "done" and r["attempt"] == 1 for r in m1.values())
+    assert all(r["input_fingerprint"] for r in m1.values())
+
+    # grow one shard of partition 0: append a copy with FRESH doc_ids
+    # (same-id rows would merge in per-doc reassembly, hiding the change)
+    victim = m1[0]["input_files"][0]
+    tbl = pa.parquet.read_table(victim)
+    extra = tbl.set_column(
+        tbl.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array([f"{d}_copy" for d in tbl.column("doc_id").to_pylist()]),
+    )
+    pa.parquet.write_table(pa.concat_tables([tbl, extra]), victim)
+
+    m2 = run_resumable(src, out, CFG, n_partitions=3)
+    assert m2[0]["attempt"] == 2  # re-ran against the changed input
+    assert m2[0]["n_docs"] > m1[0]["n_docs"]  # saw the appended rows
+    assert all(m2[p]["attempt"] == 1 for p in m2 if p != 0)  # others skipped
+    assert m2[0]["input_fingerprint"] != m1[0]["input_fingerprint"]
+    assert "n_page_errors" in m2[0]
 
 
 def test_save_reload_roundtrip(tmp_path):
