@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 21  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 22  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -432,6 +432,31 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         os.path.join(out_dir, "interleave_pack.parquet"),
     )
 
+    # cross-snapshot dedup oracle: naive exact-dict + all-pairs-Jaccard
+    # replica over (documents, synthetic second crawl). The v2 derivation
+    # here is duckdb SQL — independent of delta.synth_second_crawl, which
+    # builds the operator's input.
+    import duckdb as _duck
+
+    from agentic_doc_ray.functions.dedup import cross_snapshot_dedup_oracle
+
+    _doc_pq = os.path.join(sf_dir, "documents.parquet")
+    _old_tbl = _duck.sql(
+        f"SELECT CAST(doc_id AS VARCHAR) doc_id, text FROM read_parquet('{_doc_pq}')"
+    ).arrow()
+    _new_tbl = _duck.sql(
+        "SELECT CAST(doc_id AS VARCHAR) doc_id, text FROM ("
+        "  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [edited v2]' "
+        f"ELSE text END AS text FROM read_parquet('{_doc_pq}') WHERE doc_id % 7 <> 0 "
+        "  UNION ALL "
+        "  SELECT doc_id + 10000000 AS doc_id, text || ' (new)' AS text "
+        f"FROM read_parquet('{_doc_pq}') WHERE doc_id % 11 = 0)"
+    ).arrow()
+    _pq.write_table(
+        cross_snapshot_dedup_oracle(_old_tbl, _new_tbl),
+        os.path.join(out_dir, "cross_snapshot_dedup.parquet"),
+    )
+
     from agentic_doc_ray.functions.multimodal import MediaFeatureActor, synth_media_table
 
     media = synth_media_table(os.path.join(sf_dir, "documents.parquet"), limit=96)
@@ -686,8 +711,12 @@ _DRIVER_PRIORITY = [
     "embedding_dup_pairs",
     "similarity_topk",
     "similarity_topk_ivf",
-    "simhash",
+    # new this round (position would otherwise fall outside the ~50-entry
+    # driver window); displaces simhash, whose implementation is untouched
+    # since its r01-green check and which is exchange-free (per-doc)
+    "frame_samples",
     "lang_id",
+    "simhash",
     "lineitem_pricing_summary",
     "order_priority_revenue_bucketed",
     "sessionize",
@@ -1072,6 +1101,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ["doc_a", "doc_b"]
             ),
         )
+
+    def q_cross_snapshot_dedup(sf_dir):
+        """Incremental crawl ingestion dedup: every doc of the synthetic
+        second crawl classified exact/near/unique against the previous
+        snapshot (two-phase: key-only exact exchange, then LSH over the
+        unmatched tail). Oracle: independent naive replica (exact dict +
+        all-pairs shingle Jaccard), materialized."""
+        _ensure_extraction_oracles(sf_dir)
+        from agentic_doc_ray.functions.delta import synth_second_crawl
+
+        new = synth_second_crawl(docs(sf_dir)).map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b["doc_id"].cast(pa.string()), b["text"]],
+                names=["doc_id", "text"],
+            ),
+            batch_format="pyarrow",
+        )
+        return D.cross_snapshot_dedup(_docs_str(sf_dir), new)
 
     def q_chunk_windows(sf_dir):
         """Context-window chunking for pretraining: overlapping fixed-size
@@ -1747,6 +1794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,    # exact (verified pipeline)
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
+        "cross_snapshot_dedup": q_cross_snapshot_dedup,  # naive replica oracle
         "pagerank": q_pagerank,                    # single-process replica oracle
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "domain_prior": q_domain_prior,
@@ -2572,6 +2620,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
             "WHERE CAST(doc_id AS VARCHAR) NOT IN "
             "(SELECT doc_id FROM comp WHERE doc_id <> component)"
+        ),
+        "cross_snapshot_dedup": (
+            "SELECT new_doc_id, status, matched_old_id, jaccard "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/cross_snapshot_dedup.parquet')"
         ),
         "pagerank": (
             "SELECT node, rank_scaled "

@@ -203,3 +203,109 @@ def test_embedding_routes_bit_equal(monkeypatch):
         ).take_all()
     )
     assert via_broadcast == via_exchange and via_broadcast
+
+
+# ---------------------------------------------------------------------------
+# cross_snapshot_dedup
+# ---------------------------------------------------------------------------
+
+
+def _two_snapshots():
+    base = (
+        "the quick brown fox jumps over the lazy dog while reading documents "
+        "about distributed data processing engines and arrow tables " * 3
+    )
+    pasta = (
+        "completely different content about cooking pasta recipes and "
+        "italian food culture traditions " * 3
+    )
+    hike = (
+        "yet another unrelated document describing mountain hiking trails "
+        "and weather conditions in the alps " * 3
+    )
+    old = pa.Table.from_pydict(
+        {
+            "doc_id": ["o1", "o2", "o3", "o9"],
+            "text": [base, pasta, hike, base],  # o1/o9: identical text
+        }
+    )
+    new = pa.Table.from_pydict(
+        {
+            "doc_id": ["n1", "n2", "n3", "n4"],
+            "text": [
+                base,                      # exact match (min old id = o1)
+                pasta + " tiny edit",      # near match of o2
+                "short",                   # unique (shingle set tiny)
+                "totally fresh content never seen before in any crawl "
+                "about submarine cables and oceanography " * 3,  # unique
+            ],
+        }
+    )
+    return old, new
+
+
+def test_cross_snapshot_dedup_pinned():
+    old, new = _two_snapshots()
+    got = {
+        r["new_doc_id"]: (r["status"], r["matched_old_id"], r["jaccard"])
+        for r in D.cross_snapshot_dedup(
+            ray.data.from_arrow(old), ray.data.from_arrow(new)
+        ).take_all()
+    }
+    assert got["n1"] == ("exact", "o1", 1.0)
+    assert got["n2"][0] == "near" and got["n2"][1] == "o2" and got["n2"][2] >= 0.8
+    assert got["n3"] == ("unique", "", 0.0)
+    assert got["n4"] == ("unique", "", 0.0)
+
+
+def test_cross_snapshot_dedup_matches_oracle():
+    old, new = _two_snapshots()
+    want = sorted(
+        D.cross_snapshot_dedup_oracle(old, new).to_pylist(),
+        key=lambda r: r["new_doc_id"],
+    )
+    got = sorted(
+        D.cross_snapshot_dedup(
+            ray.data.from_arrow(old).repartition(3),
+            ray.data.from_arrow(new).repartition(2),
+        ).take_all(),
+        key=lambda r: r["new_doc_id"],
+    )
+    assert got == want
+
+
+def test_cross_snapshot_dedup_real_corpus():
+    """documents table vs its synthetic second crawl, oracle parity."""
+    import duckdb as _dd
+
+    from agentic_doc_ray.functions.delta import synth_second_crawl
+
+    old_tbl = _dd.sql(
+        f"SELECT CAST(doc_id AS VARCHAR) doc_id, text "
+        f"FROM read_parquet('{SF}/documents.parquet')"
+    ).arrow()
+    old_ds = ray.data.from_arrow(old_tbl).repartition(4)
+    new_ds = synth_second_crawl(
+        ray.data.read_parquet(f"{SF}/documents.parquet")
+    ).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b["doc_id"].cast(pa.string()), b["text"]], names=["doc_id", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+    new_tbl = pa.concat_tables(
+        [pa.Table.from_pylist(
+            [{"doc_id": r["doc_id"], "text": r["text"]}
+             for r in new_ds.take_all()],
+            schema=pa.schema([("doc_id", pa.string()), ("text", pa.string())]),
+        )]
+    )
+    want = sorted(
+        D.cross_snapshot_dedup_oracle(old_tbl, new_tbl).to_pylist(),
+        key=lambda r: r["new_doc_id"],
+    )
+    got = sorted(
+        D.cross_snapshot_dedup(old_ds, new_ds).take_all(),
+        key=lambda r: r["new_doc_id"],
+    )
+    assert got == want
