@@ -665,6 +665,14 @@ _DRIVER_PRIORITY = [
     "domain_boilerplate_strip",
     # new this round: interleaved multimodal sequence packing
     "interleave_pack",
+    # new this round: quality-based cluster-representative keep, token-budget
+    # prefix selection, and the composed gopher->dedup->pricing pipeline
+    "near_dedup_keep_best",
+    "token_budget_select",
+    "curation_keep",
+    # new in r03 and never driver-checked — outranks the refactor
+    # re-checks at the window tail
+    "frame_samples",
     # never driver-checked (r01+r02)
     "split_sentences",
     "paragraph_dedup",
@@ -1101,6 +1109,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ["doc_a", "doc_b"]
             ),
         )
+
+    def q_near_dedup_keep_best(sf_dir):
+        """FineWeb-style representative selection: every verified
+        near-dup component keeps its HIGHEST-quality member (max n_chars,
+        tie min doc_id) instead of the canonical min; unpaired docs pass
+        through. Two key-only exchanges beyond CC; nothing on driver."""
+        from agentic_doc_ray.functions.graph import near_dedup_keep_best
+
+        _ensure_extraction_oracles(sf_dir)
+        scored = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return near_dedup_keep_best(
+            scored,
+            D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8).select(
+                ["doc_a", "doc_b"]
+            ),
+            score_col="n_chars",
+        )
+
+    def q_token_budget_select(sf_dir):
+        """Best-first corpus selection under a token budget (the 'take the
+        top N tokens' mixture step): global (n_chars DESC, doc_id) order,
+        keep while the running whitespace-token total stays <= 12k.
+        Distributed prefix scan — one range-partitioned exchange, driver
+        state one integer per partition."""
+        from agentic_doc_ray.functions.scans import token_budget_select
+
+        return token_budget_select(sf_dir, budget_tokens=12_000)
+
+    def q_curation_keep(sf_dir):
+        """Composed curation pipeline: Gopher quality gate -> exact-dedup
+        first-occurrence keep -> token pricing, fused into one streaming
+        plan with a single key-only exchange (see functions/curation.py).
+        Stopword inventory adapted to the synthetic corpus vocabulary (the
+        paper's English list never fires on it; the rule machinery is
+        identical)."""
+        from agentic_doc_ray.functions.curation import curation_keep
+
+        return curation_keep(docs(sf_dir), stopwords=_CURATION_STOPWORDS)
 
     def q_cross_snapshot_dedup(sf_dir):
         """Incremental crawl ingestion dedup: every doc of the synthetic
@@ -1794,6 +1842,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,    # exact (verified pipeline)
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
+        "near_dedup_keep_best": q_near_dedup_keep_best,
+        "token_budget_select": q_token_budget_select,
+        "curation_keep": q_curation_keep,
         "cross_snapshot_dedup": q_cross_snapshot_dedup,  # naive replica oracle
         "pagerank": q_pagerank,                    # single-process replica oracle
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
@@ -1873,6 +1924,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
     rotated = {k: q[k] for k in _DRIVER_PRIORITY if k in q}
     rotated.update(q)
     return rotated
+
+
+# Gopher rule set (Rae et al. 2021 A1.1); every threshold is an integer
+# cross-multiplication, so no float ratio can drift. Shared by the
+# gopher_quality_flags oracle and the curation_keep composition.
+_GOPHER_FLAGS_SQL = (
+            "WITH base AS ("
+            "  SELECT doc_id, text, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed FROM documents"
+            "), words AS ("
+            "  SELECT doc_id, unnest(regexp_split_to_array(trimmed, '\\s+')) AS w FROM base WHERE trimmed <> ''"
+            "), wstats AS ("
+            "  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+            "    CAST(sum(length(w)) AS BIGINT) AS word_len_sum, "
+            "    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words, "
+            "    CAST(count(DISTINCT CASE WHEN lower(w) IN "
+            "('the','be','to','of','and','that','have','with') THEN lower(w) END) AS BIGINT) AS n_stopwords "
+            "  FROM words GROUP BY doc_id"
+            "), lines AS ("
+            "  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base"
+            "), lstats AS ("
+            "  SELECT doc_id, "
+            "    CAST(sum(CASE WHEN line <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines, "
+            "    CAST(sum(CASE WHEN line <> '' AND (line LIKE '-%' OR line LIKE '•%') THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines, "
+            "    CAST(sum(CASE WHEN line <> '' AND line LIKE '%...' THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines "
+            "  FROM lines GROUP BY doc_id"
+            "), syms AS ("
+            "  SELECT doc_id, CAST((length(text) - length(replace(text, '#', ''))) + "
+            "(length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym FROM base"
+            ") "
+            "SELECT b.doc_id, "
+            "coalesce(w.n_words, 0) AS n_words, "
+            "coalesce(w.word_len_sum, 0) AS word_len_sum, "
+            "coalesce(w.n_alpha_words, 0) AS n_alpha_words, "
+            "coalesce(w.n_stopwords, 0) AS n_stopwords, "
+            "s.n_sym, "
+            "coalesce(l.n_lines, 0) AS n_lines, "
+            "coalesce(l.n_bullet_lines, 0) AS n_bullet_lines, "
+            "coalesce(l.n_ellipsis_lines, 0) AS n_ellipsis_lines, "
+            "CAST(coalesce(w.n_words,0) BETWEEN 50 AND 100000 AS BIGINT) AS flag_word_count, "
+            "CAST(coalesce(w.n_words,0) > 0 AND 3*coalesce(w.n_words,0) <= coalesce(w.word_len_sum,0) "
+            "AND coalesce(w.word_len_sum,0) <= 10*coalesce(w.n_words,0) AS BIGINT) AS flag_mean_word_len, "
+            "CAST(10*s.n_sym <= coalesce(w.n_words,0) AS BIGINT) AS flag_symbol_ratio, "
+            "CAST(10*coalesce(l.n_bullet_lines,0) <= 9*coalesce(l.n_lines,0) AS BIGINT) AS flag_bullet_lines, "
+            "CAST(10*coalesce(l.n_ellipsis_lines,0) <= 3*coalesce(l.n_lines,0) AS BIGINT) AS flag_ellipsis_lines, "
+            "CAST(coalesce(w.n_words,0) > 0 AND 5*coalesce(w.n_alpha_words,0) >= 4*coalesce(w.n_words,0) AS BIGINT) AS flag_alpha_words, "
+            "CAST(coalesce(w.n_stopwords,0) >= 2 AS BIGINT) AS flag_stopwords, "
+            "CAST(coalesce(w.n_words,0) BETWEEN 50 AND 100000 "
+            "AND coalesce(w.n_words,0) > 0 AND 3*coalesce(w.n_words,0) <= coalesce(w.word_len_sum,0) "
+            "AND coalesce(w.word_len_sum,0) <= 10*coalesce(w.n_words,0) "
+            "AND 10*s.n_sym <= coalesce(w.n_words,0) "
+            "AND 10*coalesce(l.n_bullet_lines,0) <= 9*coalesce(l.n_lines,0) "
+            "AND 10*coalesce(l.n_ellipsis_lines,0) <= 3*coalesce(l.n_lines,0) "
+            "AND 5*coalesce(w.n_alpha_words,0) >= 4*coalesce(w.n_words,0) "
+            "AND coalesce(w.n_stopwords,0) >= 2 AS BIGINT) AS keep "
+            "FROM base b "
+            "LEFT JOIN wstats w USING (doc_id) "
+            "LEFT JOIN lstats l USING (doc_id) "
+            "JOIN syms s USING (doc_id)"
+        )
+
+
+_CURATION_STOPWORDS = ("the", "a", "data", "value")
+# same rule set, stopword inventory adapted to the synthetic corpus
+# vocabulary (the English list matches at most 1 distinct word there)
+_CURATION_FLAGS_SQL = _GOPHER_FLAGS_SQL.replace(
+    "('the','be','to','of','and','that','have','with')",
+    "('the','a','data','value')",
+)
+assert _CURATION_FLAGS_SQL != _GOPHER_FLAGS_SQL
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2039,61 +2159,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id "
             "GROUP BY d.doc_id"
         ),
-        "gopher_quality_flags": (
-            # Gopher rule set (Rae et al. 2021 A1.1); every threshold is an
-            # integer cross-multiplication, so no float ratio can drift
-            "WITH base AS ("
-            "  SELECT doc_id, text, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed FROM documents"
-            "), words AS ("
-            "  SELECT doc_id, unnest(regexp_split_to_array(trimmed, '\\s+')) AS w FROM base WHERE trimmed <> ''"
-            "), wstats AS ("
-            "  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
-            "    CAST(sum(length(w)) AS BIGINT) AS word_len_sum, "
-            "    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words, "
-            "    CAST(count(DISTINCT CASE WHEN lower(w) IN "
-            "('the','be','to','of','and','that','have','with') THEN lower(w) END) AS BIGINT) AS n_stopwords "
-            "  FROM words GROUP BY doc_id"
-            "), lines AS ("
-            "  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base"
-            "), lstats AS ("
-            "  SELECT doc_id, "
-            "    CAST(sum(CASE WHEN line <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines, "
-            "    CAST(sum(CASE WHEN line <> '' AND (line LIKE '-%' OR line LIKE '•%') THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines, "
-            "    CAST(sum(CASE WHEN line <> '' AND line LIKE '%...' THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines "
-            "  FROM lines GROUP BY doc_id"
-            "), syms AS ("
-            "  SELECT doc_id, CAST((length(text) - length(replace(text, '#', ''))) + "
-            "(length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym FROM base"
+        "gopher_quality_flags": _GOPHER_FLAGS_SQL,
+        "curation_keep": (
+            # composed pipeline oracle: the FULL gopher flag query as a CTE,
+            # survivors joined back to text, first-occurrence keep per exact
+            # content (md5 grouping == text grouping absent collisions),
+            # priced in n_words (the repo-wide whitespace token count)
+            f"WITH flags AS ({_CURATION_FLAGS_SQL}), "
+            "surv AS ("
+            "  SELECT d.doc_id, d.text, f.n_words FROM documents d "
+            "  JOIN flags f USING (doc_id) WHERE f.keep = 1"
             ") "
-            "SELECT b.doc_id, "
-            "coalesce(w.n_words, 0) AS n_words, "
-            "coalesce(w.word_len_sum, 0) AS word_len_sum, "
-            "coalesce(w.n_alpha_words, 0) AS n_alpha_words, "
-            "coalesce(w.n_stopwords, 0) AS n_stopwords, "
-            "s.n_sym, "
-            "coalesce(l.n_lines, 0) AS n_lines, "
-            "coalesce(l.n_bullet_lines, 0) AS n_bullet_lines, "
-            "coalesce(l.n_ellipsis_lines, 0) AS n_ellipsis_lines, "
-            "CAST(coalesce(w.n_words,0) BETWEEN 50 AND 100000 AS BIGINT) AS flag_word_count, "
-            "CAST(coalesce(w.n_words,0) > 0 AND 3*coalesce(w.n_words,0) <= coalesce(w.word_len_sum,0) "
-            "AND coalesce(w.word_len_sum,0) <= 10*coalesce(w.n_words,0) AS BIGINT) AS flag_mean_word_len, "
-            "CAST(10*s.n_sym <= coalesce(w.n_words,0) AS BIGINT) AS flag_symbol_ratio, "
-            "CAST(10*coalesce(l.n_bullet_lines,0) <= 9*coalesce(l.n_lines,0) AS BIGINT) AS flag_bullet_lines, "
-            "CAST(10*coalesce(l.n_ellipsis_lines,0) <= 3*coalesce(l.n_lines,0) AS BIGINT) AS flag_ellipsis_lines, "
-            "CAST(coalesce(w.n_words,0) > 0 AND 5*coalesce(w.n_alpha_words,0) >= 4*coalesce(w.n_words,0) AS BIGINT) AS flag_alpha_words, "
-            "CAST(coalesce(w.n_stopwords,0) >= 2 AS BIGINT) AS flag_stopwords, "
-            "CAST(coalesce(w.n_words,0) BETWEEN 50 AND 100000 "
-            "AND coalesce(w.n_words,0) > 0 AND 3*coalesce(w.n_words,0) <= coalesce(w.word_len_sum,0) "
-            "AND coalesce(w.word_len_sum,0) <= 10*coalesce(w.n_words,0) "
-            "AND 10*s.n_sym <= coalesce(w.n_words,0) "
-            "AND 10*coalesce(l.n_bullet_lines,0) <= 9*coalesce(l.n_lines,0) "
-            "AND 10*coalesce(l.n_ellipsis_lines,0) <= 3*coalesce(l.n_lines,0) "
-            "AND 5*coalesce(w.n_alpha_words,0) >= 4*coalesce(w.n_words,0) "
-            "AND coalesce(w.n_stopwords,0) >= 2 AS BIGINT) AS keep "
-            "FROM base b "
-            "LEFT JOIN wstats w USING (doc_id) "
-            "LEFT JOIN lstats l USING (doc_id) "
-            "JOIN syms s USING (doc_id)"
+            "SELECT doc_id, n_words AS n_tokens FROM surv "
+            "WHERE doc_id IN (SELECT min(doc_id) FROM surv GROUP BY text)"
+        ),
+        "token_budget_select": (
+            # global quality-order prefix under a token budget; ROWS frame
+            # (not the default RANGE) so ties accumulate one row at a time,
+            # matching the distributed scan's (n_chars DESC, doc_id) order
+            "WITH t AS ("
+            "  SELECT doc_id, n_chars, "
+            "  CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+            "  ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens "
+            "  FROM documents"
+            "), c AS ("
+            "  SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "  CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens "
+            "  FROM t"
+            ") "
+            "SELECT doc_id, n_chars, n_tokens, cum_tokens FROM c "
+            "WHERE cum_tokens <= 12000"
         ),
         "token_commonness": (
             # CCNet-style unigram signal: per doc, sum of the GLOBAL corpus
@@ -2620,6 +2716,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
             "WHERE CAST(doc_id AS VARCHAR) NOT IN "
             "(SELECT doc_id FROM comp WHERE doc_id <> component)"
+        ),
+        # keep set = unpaired docs + the argmax-(n_chars, min doc_id)
+        # representative of each transitive-closure component
+        "near_dedup_keep_best": (
+            "WITH RECURSIVE und AS ("
+            f"  SELECT doc_a AS a, doc_b AS b FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') WHERE jaccard >= 0.8 "
+            "  UNION "
+            f"  SELECT doc_b, doc_a FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') WHERE jaccard >= 0.8"
+            "), reach(a, b) AS ("
+            "  SELECT a, b FROM und "
+            "  UNION "
+            "  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a"
+            "), comp AS ("
+            "  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a"
+            "), scored AS ("
+            "  SELECT c.doc_id, c.component, d.n_chars FROM comp c "
+            "  JOIN documents d ON CAST(d.doc_id AS VARCHAR) = c.doc_id"
+            "), rep AS ("
+            "  SELECT doc_id FROM ("
+            "    SELECT doc_id, row_number() OVER ("
+            "      PARTITION BY component ORDER BY n_chars DESC, doc_id ASC"
+            "    ) AS rn FROM scored"
+            "  ) WHERE rn = 1"
+            ") "
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
+            "WHERE CAST(doc_id AS VARCHAR) NOT IN (SELECT doc_id FROM scored) "
+            "UNION ALL "
+            "SELECT doc_id FROM rep"
         ),
         "cross_snapshot_dedup": (
             "SELECT new_doc_id, status, matched_old_id, jaccard "

@@ -373,3 +373,143 @@ def near_dedup_keep(
         .groupby("bucket", num_partitions=np_)
         .map_groups(anti, batch_format="pyarrow")
     )
+
+
+# union schema for the keep_best join/argmax exchanges. Exchange 1 keys on
+# doc_id (attach each clustered doc's score); exchange 2 keys on component
+# for members ("m") and on doc_id for already-decided keeps ("k") — kept
+# rows just pass through to the final output.
+_BEST_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("doc_id", pa.string()),
+        ("component", pa.string()),
+        ("score", pa.int64()),
+        ("side", pa.string()),
+    ]
+)
+
+
+def near_dedup_keep_best(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    score_col: str = "n_chars",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> "ray.data.Dataset":
+    """Doc ids surviving near-dup clustering when each duplicate component
+    keeps its HIGHEST-QUALITY member (max ``score_col``, ties broken by min
+    doc_id) — the FineWeb/RefinedWeb-style representative selection, vs
+    ``near_dedup_keep``'s canonical-min rule. Docs in no pair pass through.
+
+    Fully distributed, two key-only exchanges beyond the CC rounds:
+
+      1. bucket(doc_id): every doc ships one (doc_id, score) row, clustered
+         docs additionally a (doc_id, component) row; the per-bucket join
+         attaches scores to members and emits unpaired docs as decided
+         keeps ("k") in the same pass — no separate anti-join needed.
+      2. bucket(component): per-component vectorized argmax picks the
+         representative; "k" rows pass through untouched.
+
+    Only (id, component, int64 score) keys ever shuffle — never document
+    payloads — and nothing lands on the driver."""
+    comp = connected_components(pairs, a_col, b_col)
+    np_ = shuffle_partitions()
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string()).combine_chunks()
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(ids),
+                ids,
+                pa.nulls(n, pa.string()),
+                pc.cast(batch.column(score_col), pa.int64()).combine_chunks(),
+                pa.array(["d"] * n, pa.string()),
+            ],
+            schema=_BEST_SCHEMA,
+        )
+
+    def comp_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks()
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(ids),
+                ids,
+                batch.column("component").combine_chunks(),
+                pa.nulls(n, pa.int64()),
+                pa.array(["c"] * n, pa.string()),
+            ],
+            schema=_BEST_SCHEMA,
+        )
+
+    def attach_scores(group: pa.Table) -> pa.Table:
+        group = _drop_sentinels(group)
+        is_c = pc.equal(group.column("side"), "c")
+        c = group.filter(is_c).select(["doc_id", "component"])
+        d = group.filter(pc.invert(is_c)).select(["doc_id", "score"])
+        in_comp = pc.is_in(
+            d.column("doc_id"), value_set=c.column("doc_id").combine_chunks()
+        )
+        # unpaired docs: decided keeps, re-keyed by doc_id for exchange 2
+        k = d.filter(pc.invert(in_comp))
+        kids = k.column("doc_id").combine_chunks()
+        kept = pa.Table.from_arrays(
+            [
+                _bucket_of(kids),
+                kids,
+                pa.nulls(len(kids), pa.string()),
+                k.column("score").combine_chunks(),
+                pa.array(["k"] * len(kids), pa.string()),
+            ],
+            schema=_BEST_SCHEMA,
+        )
+        # clustered docs: score attached, re-keyed by component
+        m = c.join(d, keys="doc_id", join_type="inner")
+        comps = m.column("component").combine_chunks()
+        members = pa.Table.from_arrays(
+            [
+                _bucket_of(comps),
+                m.column("doc_id").combine_chunks(),
+                comps,
+                m.column("score").combine_chunks(),
+                pa.array(["m"] * len(comps), pa.string()),
+            ],
+            schema=_BEST_SCHEMA,
+        )
+        return pa.concat_tables([kept, members])
+
+    def pick_best(group: pa.Table) -> pa.Table:
+        group = _drop_sentinels(group)
+        is_k = pc.equal(group.column("side"), "k")
+        out = [group.filter(is_k).select(["doc_id"])]
+        m = group.filter(pc.invert(is_k))
+        if m.num_rows:
+            order = pc.sort_indices(
+                m,
+                sort_keys=[
+                    ("component", "ascending"),
+                    ("score", "descending"),
+                    ("doc_id", "ascending"),
+                ],
+            )
+            s = m.take(order)
+            comps = s.column("component").to_numpy(zero_copy_only=False)
+            first = np.ones(len(comps), dtype=bool)
+            first[1:] = comps[1:] != comps[:-1]
+            out.append(s.filter(pa.array(first)).select(["doc_id"]))
+        return pa.concat_tables(out)
+
+    scored = (
+        docs.map_batches(score_rows, batch_format="pyarrow")
+        .union(comp.map_batches(comp_rows, batch_format="pyarrow"))
+        .union(_sentinels(_BEST_SCHEMA))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(attach_scores, batch_format="pyarrow")
+    )
+    return (
+        scored.union(_sentinels(_BEST_SCHEMA))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(pick_best, batch_format="pyarrow")
+    )

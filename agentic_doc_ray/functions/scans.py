@@ -514,3 +514,117 @@ def user_cumulative_spend(sf_dir: str) -> "ray.data.Dataset":
         .groupby("bucket", num_partitions=shuffle_partitions())
         .map_groups(scan_bucket, batch_format="pandas")
     )
+
+
+def token_budget_select(
+    sf_dir: str, budget_tokens: int = 12_000, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Select documents best-first until a token budget is exhausted — the
+    "take the top N tokens of the corpus" step of a curated-pretraining
+    mix (DoReMi/FineWeb-style budget selection). Docs are consumed in
+    global quality order (n_chars DESC, doc_id ASC); a doc is kept iff the
+    running whitespace-token total INCLUDING it stays <= budget_tokens.
+
+    Same distributed-prefix-scan shape as ``global_rank`` — no global
+    sort: value-range partition the quality key (descending buckets),
+    per-bucket token sums are a tiny driver summary, exclusive prefix over
+    bucket summaries seeds one vectorized sorted cumsum per bucket. ONE
+    range-partitioned exchange; driver state is one integer per partition.
+    Buckets whose seed already exceeds the budget emit nothing without
+    touching their rows."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    empty = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_tokens": pa.array([], pa.int64()),
+        }
+    )
+    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+        return ray.data.from_arrow(empty)
+
+    from agentic_doc_ray.functions.text import _token_count
+
+    # quality-key range: one tiny metadata pass (parquet column stats
+    # would serve at scale; min/max here)
+    mm = ds.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"lo": [pc.min(b.column("n_chars")).as_py()],
+             "hi": [pc.max(b.column("n_chars")).as_py()]}
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        # bucket ascending == quality descending, so bucket order IS scan
+        # order; token counts computed once here, carried as a column
+        b = pc.cast(
+            pc.divide(
+                pc.subtract(pa.scalar(hi, pa.int64()), batch.column("n_chars")),
+                pa.scalar(width, pa.int64()),
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("n_chars"),
+                _token_count(batch.column("text")),
+                b,
+            ],
+            names=["doc_id", "n_chars", "n_tokens", "bucket"],
+        )
+
+    keyed = ds.map_batches(with_key, batch_format="pyarrow").materialize()
+
+    # per-bucket token totals -> driver (n_buckets integers), exclusive
+    # prefix in scan order
+    sums = keyed.map_batches(
+        lambda b: b.select(["bucket", "n_tokens"])
+        .group_by("bucket")
+        .aggregate([("n_tokens", "sum")])
+        .rename_columns(["bucket", "t"]),
+        batch_format="pyarrow",
+    ).take_all()
+    per_bucket: dict[int, int] = {}
+    for r in sums:
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["t"]
+    seeds: dict[int, int] = {}
+    acc = 0
+    for b in sorted(per_bucket):
+        seeds[b] = acc  # tokens consumed by all better buckets
+        acc += per_bucket[b]
+    seeds_ref = ray.put(seeds)
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        seed = ray.get(seeds_ref)[int(group.column("bucket")[0].as_py())]
+        if seed >= budget_tokens:  # budget already gone before this bucket
+            return empty
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")],
+        )
+        g = group.take(order)
+        cum = seed + np.cumsum(
+            g.column("n_tokens").to_numpy(zero_copy_only=False)
+        )
+        kept = g.filter(pa.array(cum <= budget_tokens))
+        return pa.Table.from_arrays(
+            [
+                kept.column("doc_id"),
+                kept.column("n_chars"),
+                kept.column("n_tokens"),
+                pa.array(cum[cum <= budget_tokens], pa.int64()),
+            ],
+            names=["doc_id", "n_chars", "n_tokens", "cum_tokens"],
+        )
+
+    return keyed.groupby("bucket", num_partitions=shuffle_partitions()).map_groups(
+        scan_bucket, batch_format="pyarrow"
+    )

@@ -331,9 +331,14 @@ def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality_flags_batch(batch: pa.Table) -> pa.Table:
+def gopher_quality_flags_batch(
+    batch: pa.Table, stopwords: tuple[str, ...] = _GOPHER_STOPWORDS
+) -> pa.Table:
     """The full Gopher document-quality rule set (Rae et al. 2021 A1.1)
     as per-doc integer counts + 0/1 flags + the conjunctive keep bit.
+    The stopword inventory is corpus-dependent configuration (the paper's
+    8-word English list is the default); the >=2-distinct threshold is
+    fixed.
 
     Rules (thresholds evaluated by exact integer cross-multiplication so
     the DuckDB oracle agrees bit-for-bit — no float ratios anywhere):
@@ -375,7 +380,7 @@ def gopher_quality_flags_batch(batch: pa.Table) -> pa.Table:
     np.add.at(n_alpha_words, parents[alpha], 1)
 
     low = pc.utf8_lower(flat)
-    sw_mask = pc.is_in(low, value_set=pa.array(list(_GOPHER_STOPWORDS)))
+    sw_mask = pc.is_in(low, value_set=pa.array(list(stopwords)))
     swt = pa.Table.from_arrays(
         [pa.array(parents[sw_mask.to_numpy(zero_copy_only=False)]), low.filter(sw_mask)],
         names=["d", "w"],

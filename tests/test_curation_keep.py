@@ -1,0 +1,177 @@
+"""The three round-3 curation operators vs brute-force python oracles:
+quality-based cluster-representative keep, token-budget prefix selection,
+and the composed gopher->dedup->pricing pipeline."""
+
+import pyarrow as pa
+
+import ray.data
+
+from agentic_doc_ray.functions.curation import curation_keep
+from agentic_doc_ray.functions.graph import near_dedup_keep_best
+
+
+def _naive_keep_best(ids, scores, pairs):
+    """Union-find clusters, keep argmax-(score, min id) per cluster plus
+    every unpaired id."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    clusters = {}
+    for n in parent:
+        clusters.setdefault(find(n), []).append(n)
+    score = dict(zip(ids, scores))
+    kept = {i for i in ids if i not in parent}
+    for members in clusters.values():
+        kept.add(min(members, key=lambda m: (-score[m], m)))
+    return kept
+
+
+def test_keep_best_mixed_clusters():
+    ids = [f"d{i}" for i in range(12)]
+    scores = [5, 9, 9, 1, 7, 3, 8, 2, 4, 6, 0, 10]
+    pairs = [
+        ("d0", "d1"), ("d1", "d2"),          # chain; d1/d2 tie at 9 -> d1
+        ("d3", "d4"),                          # pair -> d4 (7 > 1)
+        ("d5", "d6"), ("d6", "d7"), ("d5", "d7"),  # triangle -> d6
+    ]
+    docs = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": ids, "n_chars": pa.array(scores, pa.int64())}
+        )
+    )
+    prs = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_a": [a for a, _ in pairs], "doc_b": [b for _, b in pairs]}
+        )
+    )
+    got = set(
+        near_dedup_keep_best(docs, prs).to_pandas()["doc_id"]
+    )
+    assert got == _naive_keep_best(ids, scores, pairs)
+    assert "d1" in got and "d2" not in got  # tie broken by min doc_id
+    assert "d4" in got and "d3" not in got  # higher score wins
+
+
+def test_keep_best_no_pairs_passthrough():
+    docs = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": ["a", "b"], "n_chars": pa.array([1, 2], pa.int64())}
+        )
+    )
+    prs = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_a": pa.array([], pa.string()),
+                "doc_b": pa.array([], pa.string()),
+            }
+        )
+    )
+    got = set(near_dedup_keep_best(docs, prs).to_pandas()["doc_id"])
+    assert got == {"a", "b"}
+
+
+def _gate(text, stopwords):
+    """Pure-python Gopher keep bit (same rules as the batch fn)."""
+    words = text.strip().split()
+    n = len(words)
+    if not (50 <= n <= 100_000):
+        return False
+    wl = sum(len(w) for w in words)
+    if not (3 * n <= wl <= 10 * n):
+        return False
+    sym = text.count("#") + text.count("...")
+    if 10 * sym > n:
+        return False
+    lines = [l for l in text.split("\n") if l != ""]
+    bullets = sum(1 for l in lines if l.startswith(("-", "•")))
+    ell = sum(1 for l in lines if l.endswith("..."))
+    if 10 * bullets > 9 * len(lines) or 10 * ell > 3 * len(lines):
+        return False
+    alpha = sum(1 for w in words if any(c.isalpha() for c in w))
+    if 5 * alpha < 4 * n:
+        return False
+    distinct = {w.lower() for w in words if w.lower() in stopwords}
+    return len(distinct) >= 2
+
+
+def test_curation_keep_gate_dedup_pricing():
+    sw = ("the", "a")
+    good = "the word a " + "token " * 60  # passes every rule
+    nostop = "word tok " * 40           # fails stopwords only
+    short = "the a tiny"                # fails word count
+    rows = [
+        (1, good),
+        (2, good),       # exact dup of 1 -> dropped (min id keeps)
+        (3, nostop),
+        (4, short),
+        (5, good + "x"), # distinct content, passes
+    ]
+    docs = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        )
+    )
+    got = curation_keep(docs, stopwords=sw).to_pandas()
+    expected_pass = {i for i, t in rows if _gate(t, sw)}
+    assert expected_pass == {1, 2, 5}
+    assert set(got["doc_id"]) == {1, 5}
+    priced = dict(zip(got["doc_id"], got["n_tokens"]))
+    assert priced[1] == len(good.strip().split())
+    assert priced[5] == len((good + "x").strip().split())
+
+
+def test_token_budget_select_prefix(tmp_path):
+    # synthesize a tiny documents.parquet so the sf_dir-shaped operator
+    # runs end to end, then check against the naive sorted prefix
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions.scans import token_budget_select
+
+    texts = [
+        "alpha beta gamma delta",          # 4 tokens
+        "one two three",                   # 3
+        "a b c d e f",                     # 6
+        "x " * 10,                         # 10
+        "solo",                            # 1
+    ]
+    ids = list(range(5))
+    n_chars = [len(t) for t in texts]
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": texts,
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    budget = 14
+    got = token_budget_select(str(tmp_path), budget_tokens=budget).to_pandas()
+
+    toks = [len(t.strip().split()) for t in texts]
+    order = sorted(ids, key=lambda i: (-n_chars[i], i))
+    cum, naive = 0, {}
+    for i in order:
+        cum += toks[i]
+        if cum <= budget:
+            naive[i] = cum
+        else:
+            break
+    assert dict(zip(got["doc_id"], got["cum_tokens"])) == naive
+    assert dict(zip(got["doc_id"], got["n_tokens"])) == {
+        i: toks[i] for i in naive
+    }
