@@ -670,6 +670,8 @@ _DRIVER_PRIORITY = [
     "near_dedup_keep_best",
     "token_budget_select",
     "curation_keep",
+    "source_capped_select",
+    "shard_manifest",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1138,6 +1140,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from agentic_doc_ray.functions.scans import token_budget_select
 
         return token_budget_select(sf_dir, budget_tokens=12_000)
+
+    def q_source_capped_select(sf_dir):
+        """Domain-balanced selection: per-source best-first prefix under a
+        token cap (cap the over-represented domains). One hash(source)
+        exchange of key rows; vectorized segmented cumsum per bucket."""
+        from agentic_doc_ray.functions.scans import source_capped_select
+
+        return source_capped_select(sf_dir, cap_tokens=800)
+
+    def q_shard_manifest(sf_dir):
+        """Per-shard export manifest over the seeded shuffle order
+        (shard_id, n_docs, n_tokens): the record a resumable shard writer
+        emits. shuffle_positions machinery + per-batch shard partials +
+        one tiny shard_id merge."""
+        from agentic_doc_ray.functions.scans import shard_manifest
+
+        return shard_manifest(sf_dir, shard_size=64)
 
     def q_curation_keep(sf_dir):
         """Composed curation pipeline: Gopher quality gate -> exact-dedup
@@ -1845,6 +1864,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep_best": q_near_dedup_keep_best,
         "token_budget_select": q_token_budget_select,
         "curation_keep": q_curation_keep,
+        "source_capped_select": q_source_capped_select,
+        "shard_manifest": q_shard_manifest,
         "cross_snapshot_dedup": q_cross_snapshot_dedup,  # naive replica oracle
         "pagerank": q_pagerank,                    # single-process replica oracle
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
@@ -2172,6 +2193,42 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT doc_id, n_words AS n_tokens FROM surv "
             "WHERE doc_id IN (SELECT min(doc_id) FROM surv GROUP BY text)"
+        ),
+        "source_capped_select": (
+            # per-source quality-order prefix under a token cap; ROWS frame
+            # so ties accumulate one row at a time like the segmented scan
+            "WITH t AS ("
+            "  SELECT doc_id, source, n_chars, "
+            "  CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+            "  ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens "
+            "  FROM documents"
+            "), c AS ("
+            "  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "  CAST(SUM(n_tokens) OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_source_tokens "
+            "  FROM t"
+            ") "
+            "SELECT doc_id, source, n_tokens, cum_source_tokens FROM c "
+            "WHERE cum_source_tokens <= 800"
+        ),
+        "shard_manifest": (
+            # the shuffle_positions HUGEINT permutation key + shard rollup
+            "WITH h AS ("
+            "  SELECT doc_id, "
+            "  ((CAST(doc_id AS HUGEINT) + 42) * 11400714819323198485)"
+            "  % 18446744073709551616 AS hk, "
+            "  CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+            "  ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens "
+            "  FROM documents"
+            "), p AS ("
+            "  SELECT n_tokens, "
+            "  row_number() OVER (ORDER BY hk, doc_id) - 1 AS pos FROM h"
+            ") "
+            "SELECT CAST(pos // 64 AS BIGINT) AS shard_id, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS n_tokens "
+            "FROM p GROUP BY 1"
         ),
         "token_budget_select": (
             # global quality-order prefix under a token budget; ROWS frame

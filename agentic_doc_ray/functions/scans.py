@@ -628,3 +628,201 @@ def token_budget_select(
     return keyed.groupby("bucket", num_partitions=shuffle_partitions()).map_groups(
         scan_bucket, batch_format="pyarrow"
     )
+
+
+def source_capped_select(
+    sf_dir: str, cap_tokens: int = 800, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Domain-balanced corpus selection: within EVERY source, keep docs
+    best-first (n_chars DESC, doc_id ASC) while the source's running
+    whitespace-token total stays <= cap_tokens — the standard "cap the
+    over-represented domains" step of a crawl mixture (CCNet/RefinedWeb
+    practice), combining domain balancing with quality ordering.
+
+    ONE exchange keyed on hash(source): each bucket runs a vectorized
+    segmented cumsum over its sources (sort by (source, n_chars DESC,
+    doc_id), cumulative sums reset at source boundaries). Only
+    (doc_id, source, 2 ints) rows shuffle, never text. Partitioning
+    assumption: one SOURCE's selected-prefix candidates fit one task —
+    true when cap_tokens bounds the interesting prefix; a pathological
+    mega-source still ships all its key rows, in which case pre-truncate
+    per batch to the per-batch cap prefix first (not needed here)."""
+    import zlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "n_chars"],
+    )
+    empty = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_source_tokens": pa.array([], pa.int64()),
+        }
+    )
+    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+        return ray.data.from_arrow(empty)
+
+    from agentic_doc_ray.functions.text import _token_count
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        # hash only the batch's UNIQUE sources (dictionary-encode), then
+        # scatter — no per-row Python
+        enc = batch.column("source").combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        ub = np.array(
+            [zlib.crc32(u.encode()) % n_buckets for u in uniq], np.int32
+        )
+        bucket = pa.array(
+            ub[enc.indices.to_numpy(zero_copy_only=False)], pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("source"),
+                batch.column("n_chars"),
+                _token_count(batch.column("text")),
+                bucket,
+            ],
+            names=["doc_id", "source", "n_chars", "n_tokens", "bucket"],
+        )
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("source", "ascending"),
+                ("n_chars", "descending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        g = group.take(order)
+        toks = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        src = g.column("source").to_numpy(zero_copy_only=False)
+        cs = np.cumsum(toks)
+        starts = np.ones(len(src), dtype=bool)
+        starts[1:] = src[1:] != src[:-1]
+        seg = np.cumsum(starts) - 1
+        base = (cs[starts] - toks[starts])[seg]  # cumsum before each segment
+        cum = cs - base
+        keep = cum <= cap_tokens
+        kept = g.filter(pa.array(keep))
+        return pa.Table.from_arrays(
+            [
+                kept.column("doc_id"),
+                kept.column("source"),
+                kept.column("n_tokens"),
+                pa.array(cum[keep], pa.int64()),
+            ],
+            names=["doc_id", "source", "n_tokens", "cum_source_tokens"],
+        )
+
+    return (
+        ds.map_batches(with_key, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=shuffle_partitions())
+        .map_groups(scan_bucket, batch_format="pyarrow")
+    )
+
+
+def shard_manifest(
+    sf_dir: str,
+    shard_size: int = 64,
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-shard export manifest for a seeded-shuffle training-data write:
+    docs take their ``shuffle_positions`` order, consecutive runs of
+    ``shard_size`` positions form a shard, and each shard's row reports
+    (shard_id, n_docs, n_tokens) — what a resumable shard writer records
+    before emitting files, and what a loader checks against.
+
+    Same single-exchange machinery as ``shuffle_positions`` (uniform
+    Fibonacci-hash key, bucket = top bits, driver prefix over <=n_buckets
+    counts) with token counts carried through the exchange; the per-shard
+    rollup is per-batch partial sums + one tiny groupby(shard_id) — shard
+    rows, never docs, hit the second exchange."""
+    shift = 64 - int(np.log2(n_buckets))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "shard_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.functions.text import _token_count
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        h = _shuffle_hash(batch.column("doc_id").combine_chunks(), seed)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                _token_count(batch.column("text")),
+                pa.array(h, pa.uint64()),
+                pa.array((h >> shift).astype(np.int32)),
+            ],
+            names=["doc_id", "n_tokens", "h", "bucket"],
+        )
+
+    keyed = ds.map_batches(with_key, batch_format="pyarrow").materialize()
+
+    counts = keyed.map_batches(
+        lambda b: b.select(["bucket"]).group_by("bucket").aggregate(
+            [("bucket", "count")]
+        ).rename_columns(["bucket", "n"]),
+        batch_format="pyarrow",
+    ).take_all()
+    per_bucket: dict[int, int] = {}
+    for r in counts:
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["n"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b]
+    off_ref = ray.put(offsets)
+
+    def shard_partials(group: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        order = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        base = offs[int(g.column("bucket")[0].as_py())]
+        pos = np.arange(g.num_rows, dtype=np.int64) + base
+        shard = pos // shard_size
+        t = pa.Table.from_arrays(
+            [
+                pa.array(shard),
+                pa.array(np.ones(g.num_rows, np.int64)),
+                g.column("n_tokens"),
+            ],
+            names=["shard_id", "n_docs", "n_tokens"],
+        )
+        # partial rollup before the exchange: a bucket spans whole shards
+        # except at its two edges, so this emits ~n_rows/shard_size rows
+        return (
+            t.group_by("shard_id")
+            .aggregate([("n_docs", "sum"), ("n_tokens", "sum")])
+            .rename_columns(["shard_id", "n_docs", "n_tokens"])
+        )
+
+    partials = keyed.groupby(
+        "bucket", num_partitions=shuffle_partitions()
+    ).map_groups(shard_partials, batch_format="pyarrow")
+    merged = partials.groupby(
+        "shard_id", num_partitions=shuffle_partitions(4)
+    ).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+    )
+    return merged

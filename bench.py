@@ -476,6 +476,57 @@ def main() -> None:
 
     timed("substr_spans", substr_q)
 
+    def keep_best_q() -> None:
+        import pyarrow as pa
+
+        from agentic_doc_ray.functions.graph import near_dedup_keep_best
+
+        scored = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        pairs = D.verified_dedup_pairs(
+            docs().map_batches(
+                lambda b: b.set_column(
+                    b.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    b["doc_id"].cast(pa.string()),
+                ),
+                batch_format="pyarrow",
+            ),
+            exact_threshold=0.8,
+        ).select(["doc_a", "doc_b"])
+        near_dedup_keep_best(scored, pairs).count()
+
+    timed("near_dedup_keep_best", keep_best_q)
+
+    def budget_q() -> None:
+        from agentic_doc_ray.functions.scans import token_budget_select
+
+        token_budget_select(SF_DIR, budget_tokens=120_000).count()
+
+    timed("token_budget_select", budget_q)
+
+    def curation_q() -> None:
+        from agentic_doc_ray.functions.curation import curation_keep
+
+        curation_keep(docs(), stopwords=("the", "a", "data", "value")).count()
+
+    timed("curation_keep", curation_q)
+
+    def source_cap_q() -> None:
+        from agentic_doc_ray.functions.scans import source_capped_select
+
+        source_capped_select(SF_DIR, cap_tokens=8_000).count()
+
+    timed("source_capped_select", source_cap_q)
+
+    def shard_manifest_q() -> None:
+        from agentic_doc_ray.functions.scans import shard_manifest
+
+        shard_manifest(SF_DIR, shard_size=64).count()
+
+    timed("shard_manifest", shard_manifest_q)
+
     headline_sec = timings["extract"]
     print(
         json.dumps(

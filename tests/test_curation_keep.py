@@ -175,3 +175,79 @@ def test_token_budget_select_prefix(tmp_path):
     assert dict(zip(got["doc_id"], got["n_tokens"])) == {
         i: toks[i] for i in naive
     }
+
+
+def test_source_capped_select(tmp_path):
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions.scans import source_capped_select
+
+    rows = [
+        (0, "s1", "w " * 5),   # 5 tokens
+        (1, "s1", "ww " * 8),  # 8 tokens, longer -> first in s1
+        (2, "s1", "w w w"),    # 3 tokens
+        (3, "s2", "x " * 4),
+        (4, "s2", "xx " * 9),
+    ]
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "source": [r[1] for r in rows],
+                "text": [r[2] for r in rows],
+                "n_chars": pa.array(
+                    [len(r[2]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    cap = 10
+    got = source_capped_select(str(tmp_path), cap_tokens=cap).to_pandas()
+
+    naive = {}
+    by_src = {}
+    for i, s, t in rows:
+        by_src.setdefault(s, []).append((len(t), -i, i, len(t.split())))
+    for s, docs_ in by_src.items():
+        cum = 0
+        for _, _, i, tok in sorted(docs_, key=lambda x: (-x[0], x[2])):
+            cum += tok
+            if cum <= cap:
+                naive[i] = cum
+            else:
+                break
+    assert dict(zip(got["doc_id"], got["cum_source_tokens"])) == naive
+
+
+def test_shard_manifest(tmp_path):
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions.scans import shard_manifest
+
+    n = 37
+    texts = [("tok " * (i % 5 + 1)).strip() for i in range(n)]
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": texts,
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    size = 8
+    got = shard_manifest(str(tmp_path), shard_size=size).to_pandas()
+
+    MULT, MOD = 11400714819323198485, 1 << 64
+    order = sorted(range(n), key=lambda i: (((i + 42) * MULT) % MOD, i))
+    naive = {}
+    for pos, i in enumerate(order):
+        s = pos // size
+        d, t = naive.get(s, (0, 0))
+        naive[s] = (d + 1, t + len(texts[i].split()))
+    assert {
+        int(r.shard_id): (int(r.n_docs), int(r.n_tokens))
+        for r in got.itertuples()
+    } == naive
+    assert got["n_docs"].sum() == n
