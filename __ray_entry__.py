@@ -672,6 +672,7 @@ _DRIVER_PRIORITY = [
     "curation_keep",
     "source_capped_select",
     "shard_manifest",
+    "curation_pipeline",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1168,6 +1169,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from agentic_doc_ray.functions.curation import curation_keep
 
         return curation_keep(docs(sf_dir), stopwords=_CURATION_STOPWORDS)
+
+    def q_curation_pipeline(sf_dir):
+        """The WHOLE curation DAG end-to-end in one plan: gopher gate ->
+        exact-dedup keep -> per-source token cap -> seeded shard
+        assignment; output (doc_id, source, n_tokens, shard_id). Three
+        key-only exchanges; oracle is ONE composed SQL statement."""
+        from agentic_doc_ray.functions.curation import curation_pipeline
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source", "n_chars"],
+        )
+        return curation_pipeline(
+            d, stopwords=_CURATION_STOPWORDS, cap_tokens=800, shard_size=32
+        )
 
     def q_cross_snapshot_dedup(sf_dir):
         """Incremental crawl ingestion dedup: every doc of the synthetic
@@ -1866,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_keep": q_curation_keep,
         "source_capped_select": q_source_capped_select,
         "shard_manifest": q_shard_manifest,
+        "curation_pipeline": q_curation_pipeline,
         "cross_snapshot_dedup": q_cross_snapshot_dedup,  # naive replica oracle
         "pagerank": q_pagerank,                    # single-process replica oracle
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
@@ -2193,6 +2210,32 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT doc_id, n_words AS n_tokens FROM surv "
             "WHERE doc_id IN (SELECT min(doc_id) FROM surv GROUP BY text)"
+        ),
+        "curation_pipeline": (
+            # the full DAG as ONE statement: gate -> first-occurrence keep
+            # -> per-source capped prefix -> seeded-permutation shard ids
+            f"WITH flags AS ({_CURATION_FLAGS_SQL}), "
+            "surv AS ("
+            "  SELECT d.doc_id, d.source, d.n_chars, d.text, f.n_words "
+            "  FROM documents d JOIN flags f USING (doc_id) WHERE f.keep = 1"
+            "), ded AS ("
+            "  SELECT doc_id, source, n_chars, n_words FROM surv "
+            "  WHERE doc_id IN (SELECT min(doc_id) FROM surv GROUP BY text)"
+            "), capped AS ("
+            "  SELECT doc_id, source, n_words, "
+            "  CAST(SUM(n_words) OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+            "  FROM ded"
+            "), pos AS ("
+            "  SELECT doc_id, source, n_words, "
+            "  row_number() OVER (ORDER BY "
+            "((CAST(doc_id AS HUGEINT) + 42) * 11400714819323198485) "
+            "% 18446744073709551616, doc_id) - 1 AS p "
+            "  FROM capped WHERE cum <= 800"
+            ") "
+            "SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_tokens, "
+            "CAST(p // 32 AS BIGINT) AS shard_id FROM pos"
         ),
         "source_capped_select": (
             # per-source quality-order prefix under a token cap; ROWS frame

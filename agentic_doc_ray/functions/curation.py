@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -114,4 +115,264 @@ def curation_keep(
         keyed.union(sentinels)
         .groupby("bucket", num_partitions=shuffle_partitions())
         .map_groups(_keep_first, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The full curation DAG as one composed, oracle-checked plan
+# ---------------------------------------------------------------------------
+
+_DAG_KEY_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("h", pa.string()),
+        ("doc_id", pa.int64()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+        ("n_tokens", pa.int64()),
+    ]
+)
+_DAG_SRC_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+        ("n_tokens", pa.int64()),
+    ]
+)
+_DAG_POS_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("hk", pa.uint64()),
+        ("doc_id", pa.int64()),
+        ("source", pa.string()),
+        ("n_tokens", pa.int64()),
+    ]
+)
+
+
+def curation_pipeline(
+    docs: "ray.data.Dataset",
+    stopwords: tuple[str, ...] = _GOPHER_STOPWORDS,
+    cap_tokens: int = 800,
+    shard_size: int = 32,
+    seed: int = 42,
+    n_shard_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """The WHOLE curation DAG, one streaming plan: Gopher quality gate ->
+    exact-dedup first-occurrence keep -> per-source token cap (best-first)
+    -> seeded-shuffle shard assignment. Output: one row per surviving doc
+    (doc_id, source, n_tokens, shard_id) — exactly what a pretraining
+    export writes, end-to-end oracle-checkable as a single SQL statement.
+
+    Three key-only exchanges; document text never leaves stage 1:
+
+      1. bucket(md5(text)): gate + first-occurrence keep (per-bucket
+         group-min), carrying (source, n_chars, n_tokens) key columns;
+      2. bucket(hash(source)): vectorized segmented per-source cumsum,
+         keep while the source's running total <= cap_tokens;
+      3. bucket(fib_hash(doc_id) >> 58): global shuffle positions via the
+         shuffle_positions machinery (per-bucket counts -> driver prefix,
+         <= n_shard_buckets integers), shard_id = position // shard_size.
+
+    Stages 2 and 3 consume map_groups output (which re-emits empty
+    partitions), so both exchanges union covering sentinels against
+    Ray's empty-first-block schema race (functions/_exchange.py)."""
+    import zlib
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.scans import _shuffle_hash
+
+    # --- stage 1: gate + content hash + first-occurrence keep -------------
+    def gate_key(batch: pa.Table) -> pa.Table:
+        flags = gopher_quality_flags_batch(batch, stopwords=stopwords)
+        mask = pc.cast(pc.equal(flags.column("keep"), 1), pa.bool_())
+        surv = batch.filter(mask)
+        toks = flags.filter(mask).column("n_words")
+        h = [
+            hashlib.md5((t or "").encode()).hexdigest()
+            for t in surv.column("text").to_pylist()
+        ]
+        bucket = pa.array(
+            [int(x[:4], 16) % _N_DEDUP_BUCKETS for x in h], pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                pa.array(h, pa.string()),
+                surv.column("doc_id"),
+                surv.column("source"),
+                surv.column("n_chars"),
+                toks,
+            ],
+            schema=_DAG_KEY_SCHEMA,
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        group = group.filter(pc.greater_equal(group.column("doc_id"), 0))
+        if group.num_rows == 0:
+            out_schema = pa.schema(
+                [f for f in _DAG_SRC_SCHEMA if f.name != "bucket"]
+            )
+            return pa.Table.from_pydict(
+                {f.name: pa.array([], f.type) for f in out_schema},
+                schema=out_schema,
+            )
+        keepers = (
+            group.select(["h", "doc_id"])
+            .group_by("h")
+            .aggregate([("doc_id", "min")])
+            .rename_columns(["h", "keeper"])
+        )
+        j = group.join(keepers, keys="h", join_type="inner")
+        kept = j.filter(pc.equal(j.column("doc_id"), j.column("keeper")))
+        return kept.select(["doc_id", "source", "n_chars", "n_tokens"])
+
+    deduped = (
+        docs.map_batches(gate_key, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                _DAG_KEY_SCHEMA,
+                "bucket",
+                fill={"h": "", "doc_id": -1, "source": "",
+                      "n_chars": 0, "n_tokens": 0},
+            )
+        )
+        .groupby("bucket", num_partitions=shuffle_partitions())
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+    # --- stage 2: per-source token cap, best-first ------------------------
+    def src_key(batch: pa.Table) -> pa.Table:
+        enc = batch.column("source").combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        ub = np.array(
+            [zlib.crc32(u.encode()) % 64 for u in uniq], np.int32
+        ) if uniq else np.zeros(0, np.int32)
+        bucket = pa.array(
+            ub[enc.indices.to_numpy(zero_copy_only=False)], pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                batch.column("doc_id"),
+                batch.column("source"),
+                batch.column("n_chars"),
+                batch.column("n_tokens"),
+            ],
+            schema=_DAG_SRC_SCHEMA,
+        )
+
+    def cap_scan(group: pa.Table) -> pa.Table:
+        group = group.filter(pc.greater_equal(group.column("doc_id"), 0))
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string()),
+             ("n_tokens", pa.int64())]
+        )
+        if group.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": [], "source": [], "n_tokens": []}, schema=out_schema
+            )
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("source", "ascending"), ("n_chars", "descending"),
+                       ("doc_id", "ascending")],
+        )
+        g = group.take(order)
+        toks = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        src = g.column("source").to_numpy(zero_copy_only=False)
+        cs = np.cumsum(toks)
+        starts = np.ones(len(src), dtype=bool)
+        starts[1:] = src[1:] != src[:-1]
+        seg = np.cumsum(starts) - 1
+        base = (cs[starts] - toks[starts])[seg]
+        kept = g.filter(pa.array((cs - base) <= cap_tokens))
+        return kept.select(["doc_id", "source", "n_tokens"]).cast(out_schema)
+
+    capped = (
+        deduped.map_batches(src_key, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                _DAG_SRC_SCHEMA,
+                "bucket",
+                fill={"doc_id": -1, "source": "", "n_chars": 0, "n_tokens": 0},
+            )
+        )
+        .groupby("bucket", num_partitions=shuffle_partitions())
+        .map_groups(cap_scan, batch_format="pyarrow")
+        .materialize()  # consumed twice below (counts pass + shard exchange)
+    )
+
+    # --- stage 3: seeded shuffle order -> shard ids -----------------------
+    shift = 64 - int(np.log2(n_shard_buckets))
+
+    def pos_key(batch: pa.Table) -> pa.Table:
+        hk = _shuffle_hash(batch.column("doc_id").combine_chunks(), seed)
+        return pa.Table.from_arrays(
+            [
+                pa.array((hk >> shift).astype(np.int32)),
+                pa.array(hk, pa.uint64()),
+                batch.column("doc_id"),
+                batch.column("source"),
+                batch.column("n_tokens"),
+            ],
+            schema=_DAG_POS_SCHEMA,
+        )
+
+    keyed = capped.map_batches(pos_key, batch_format="pyarrow").materialize()
+    counts = keyed.map_batches(
+        lambda b: b.select(["bucket"]).group_by("bucket").aggregate(
+            [("bucket", "count")]
+        ).rename_columns(["bucket", "n"]),
+        batch_format="pyarrow",
+    ).take_all()
+    per_bucket: dict[int, int] = {}
+    for r in counts:
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["n"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b]
+    off_ref = ray.put(offsets)
+
+    def shard_bucket(group: pa.Table) -> pa.Table:
+        group = group.filter(pc.greater_equal(group.column("doc_id"), 0))
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string()),
+             ("n_tokens", pa.int64()), ("shard_id", pa.int64())]
+        )
+        if group.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": [], "source": [], "n_tokens": [], "shard_id": []},
+                schema=out_schema,
+            )
+        offs = ray.get(off_ref)
+        order = pc.sort_indices(
+            group, sort_keys=[("hk", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        base = offs[int(g.column("bucket")[0].as_py())]
+        pos = np.arange(g.num_rows, dtype=np.int64) + base
+        return pa.Table.from_arrays(
+            [
+                g.column("doc_id"),
+                g.column("source"),
+                g.column("n_tokens"),
+                pa.array(pos // shard_size),
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        keyed.union(
+            int_key_sentinels(
+                _DAG_POS_SCHEMA,
+                "bucket",
+                fill={"hk": 0, "doc_id": -1, "source": "", "n_tokens": 0},
+            )
+        )
+        .groupby("bucket", num_partitions=shuffle_partitions())
+        .map_groups(shard_bucket, batch_format="pyarrow")
     )

@@ -527,6 +527,22 @@ def main() -> None:
 
     timed("shard_manifest", shard_manifest_q)
 
+    def curation_dag_q() -> None:
+        from agentic_doc_ray.functions.curation import curation_pipeline
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "text", "source", "n_chars"],
+        )
+        curation_pipeline(
+            d,
+            stopwords=("the", "a", "data", "value"),
+            cap_tokens=8_000,
+            shard_size=64,
+        ).count()
+
+    timed("curation_pipeline", curation_dag_q)
+
     headline_sec = timings["extract"]
     print(
         json.dumps(

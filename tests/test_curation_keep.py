@@ -251,3 +251,66 @@ def test_shard_manifest(tmp_path):
         for r in got.itertuples()
     } == naive
     assert got["n_docs"].sum() == n
+
+
+def test_curation_pipeline_end_to_end():
+    """Full DAG (gate -> dedup -> per-source cap -> shard) vs a naive
+    chained python oracle on a planted corpus."""
+    from agentic_doc_ray.functions.curation import curation_pipeline
+
+    sw = ("the", "a")
+    def mk(i, extra=""):
+        return "the word a " + "token " * (52 + i) + extra
+
+    rows = [
+        (1, "s1", mk(0)),
+        (2, "s1", mk(0)),      # exact dup of 1
+        (3, "s1", mk(5)),
+        (4, "s2", mk(2)),
+        (5, "s2", mk(9)),
+        (6, "s2", "no stopwords here " * 20),  # fails gate
+        (7, "s1", mk(1)),
+    ]
+    docs = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[2] for r in rows],
+                "source": [r[1] for r in rows],
+                "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+            }
+        )
+    )
+    cap, size, seed = 150, 2, 42
+    got = curation_pipeline(
+        docs, stopwords=sw, cap_tokens=cap, shard_size=size, seed=seed
+    ).to_pandas()
+
+    # naive chain
+    surv = [(i, s, t) for i, s, t in rows if _gate(t, sw)]
+    seen, ded = {}, []
+    for i, s, t in surv:
+        if t not in seen:
+            seen[t] = i
+            ded.append((i, s, t))
+    kept = []
+    by_src = {}
+    for i, s, t in ded:
+        by_src.setdefault(s, []).append((i, len(t), len(t.split())))
+    for s, ds_ in by_src.items():
+        cum = 0
+        for i, _, tok in sorted(ds_, key=lambda x: (-x[1], x[0])):
+            cum += tok
+            if cum <= cap:
+                kept.append((i, s, tok))
+    MULT, MOD = 11400714819323198485, 1 << 64
+    order = sorted(kept, key=lambda x: (((x[0] + seed) * MULT) % MOD, x[0]))
+    naive = {
+        i: (s, tok, pos // size) for pos, (i, s, tok) in enumerate(order)
+    }
+    assert {
+        int(r.doc_id): (r.source, int(r.n_tokens), int(r.shard_id))
+        for r in got.itertuples()
+    } == naive
+    assert 2 not in naive and 6 not in naive  # dup + gate-fail dropped
+    assert len(naive) >= 4  # the cap keeps a real subset
