@@ -1168,7 +1168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         identical)."""
         from agentic_doc_ray.functions.curation import curation_keep
 
-        return curation_keep(docs(sf_dir), stopwords=_CURATION_STOPWORDS)
+        d = docs(sf_dir)
+        return curation_keep(
+            d, stopwords=_CURATION_STOPWORDS, n_rows_hint=d.count()
+        )
 
     def q_curation_pipeline(sf_dir):
         """The WHOLE curation DAG end-to-end in one plan: gopher gate ->
@@ -1182,7 +1185,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["doc_id", "text", "source", "n_chars"],
         )
         return curation_pipeline(
-            d, stopwords=_CURATION_STOPWORDS, cap_tokens=800, shard_size=32
+            d,
+            stopwords=_CURATION_STOPWORDS,
+            cap_tokens=800,
+            shard_size=32,
+            n_rows_hint=d.count(),
         )
 
     def q_cross_snapshot_dedup(sf_dir):

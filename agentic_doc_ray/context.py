@@ -109,3 +109,20 @@ def auto_buckets(
     """
     want = max(min_buckets, -(-max(n_rows, 1) // target_rows))
     return 1 << (want - 1).bit_length()
+
+
+def partitions_for(n_rows: int, target_rows: int = 1 << 16) -> int:
+    """Exchange width sized by DATA volume, capped by the cluster.
+
+    Complements ``auto_buckets`` (which sizes the KEY SPACE so per-group
+    memory stays flat): this sizes the PARTITION COUNT of one exchange so
+    small inputs do not pay the per-partition finalize latency of the full
+    cluster-wide cap. Measured on the 32-CPU sandbox (joins at sf0.1,
+    ~600k rows): np=8 -> 4.5-5.0 s, np=16 -> 5.8 s, np=32 -> 8.5-9.0 s —
+    each extra hash partition costs real latency per exchange, flat fleet
+    or not. ceil(rows / 64k) partitions recovers the np=8-class time at
+    this scale and still saturates ``shuffle_partitions()``'s cap (and
+    therefore scales with the cluster) once the input exceeds
+    ~64k x CPUs rows — at 10^12 rows every exchange runs at full width.
+    """
+    return shuffle_partitions(max(2, -(-max(n_rows, 1) // target_rows)))

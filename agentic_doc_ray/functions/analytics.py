@@ -110,7 +110,8 @@ def orders_by_segment(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
             ("n", pa.int64()),
         ]
     )
-    if orders.count() == 0:  # metadata-only; zero-row shuffle guard
+    n_rows = orders.count()  # metadata-only
+    if n_rows == 0:  # zero-row shuffle guard
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {
@@ -189,7 +190,9 @@ def orders_by_segment(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
         .union(customer.map_batches(tag_customer, batch_format="pyarrow"))
         .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
     )
-    partials = unioned.groupby("bucket", num_partitions=_cap()).map_groups(
+    from agentic_doc_ray.context import partitions_for as _pfor
+
+    partials = unioned.groupby("bucket", num_partitions=_pfor(n_rows)).map_groups(
         seg_bucket, batch_format="pyarrow"
     )
     agg = partials.groupby(
@@ -383,6 +386,7 @@ def purchase_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """
     sessions = sessionize(sf_dir, gap_minutes=gap_minutes)
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_rows = events.count()  # metadata-only; sizes the exchange width
 
     def tag_points(batch: pa.Table) -> pa.Table:
         f = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
@@ -480,9 +484,9 @@ def purchase_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         m = m[m["ts"] <= m["session_end"]].rename(columns={"_start": "session_start"})
         return m[["event_id", "user_id", "ts", "session_start", "session_end"]]
 
-    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.context import partitions_for as _pfor
 
-    return unioned.groupby("bucket", num_partitions=_cap()).map_groups(
+    return unioned.groupby("bucket", num_partitions=_pfor(n_rows)).map_groups(
         join_bucket, batch_format="pandas"
     )
 

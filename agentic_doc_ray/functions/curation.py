@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from agentic_doc_ray.context import shuffle_partitions
+from agentic_doc_ray.context import partitions_for, shuffle_partitions
 from agentic_doc_ray.functions.dedup import _N_DEDUP_BUCKETS
 from agentic_doc_ray.functions.text import (
     _GOPHER_STOPWORDS,
@@ -96,10 +96,15 @@ def _keep_first(group: pa.Table) -> pa.Table:
 def curation_keep(
     docs: "ray.data.Dataset",
     stopwords: tuple[str, ...] = _GOPHER_STOPWORDS,
+    n_rows_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """(doc_id, n_tokens) for every document that passes the full Gopher
     rule set (with the given stopword inventory) AND is the first
-    occurrence (min doc_id) of its exact content among the survivors."""
+    occurrence (min doc_id) of its exact content among the survivors.
+
+    ``n_rows_hint`` (an upper bound on input rows, e.g. the parquet
+    metadata count) sizes the exchange width by data volume instead of
+    the cluster-wide cap — see ``context.partitions_for``."""
     import functools
 
     from agentic_doc_ray.functions._exchange import int_key_sentinels
@@ -111,9 +116,12 @@ def curation_keep(
     sentinels = int_key_sentinels(
         _KEY_SCHEMA, "bucket", fill={"h": "", "doc_id": -1, "n_tokens": 0}
     )
+    np_ = (
+        partitions_for(n_rows_hint) if n_rows_hint else shuffle_partitions()
+    )
     return (
         keyed.union(sentinels)
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=np_)
         .map_groups(_keep_first, batch_format="pyarrow")
     )
 
@@ -159,6 +167,7 @@ def curation_pipeline(
     shard_size: int = 32,
     seed: int = 42,
     n_shard_buckets: int = 64,
+    n_rows_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """The WHOLE curation DAG, one streaming plan: Gopher quality gate ->
     exact-dedup first-occurrence keep -> per-source token cap (best-first)
@@ -229,6 +238,9 @@ def curation_pipeline(
         kept = j.filter(pc.equal(j.column("doc_id"), j.column("keeper")))
         return kept.select(["doc_id", "source", "n_chars", "n_tokens"])
 
+    np_ = (
+        partitions_for(n_rows_hint) if n_rows_hint else shuffle_partitions()
+    )
     deduped = (
         docs.map_batches(gate_key, batch_format="pyarrow")
         .union(
@@ -239,7 +251,7 @@ def curation_pipeline(
                       "n_chars": 0, "n_tokens": 0},
             )
         )
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=np_)
         .map_groups(keep_first, batch_format="pyarrow")
     )
 
@@ -299,7 +311,7 @@ def curation_pipeline(
                 fill={"doc_id": -1, "source": "", "n_chars": 0, "n_tokens": 0},
             )
         )
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=np_)
         .map_groups(cap_scan, batch_format="pyarrow")
         .materialize()  # consumed twice below (counts pass + shard exchange)
     )
@@ -373,6 +385,7 @@ def curation_pipeline(
                 fill={"hk": 0, "doc_id": -1, "source": "", "n_tokens": 0},
             )
         )
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        # survivor count is exact here (the offsets pass summed it)
+        .groupby("bucket", num_partitions=partitions_for(acc))
         .map_groups(shard_bucket, batch_format="pyarrow")
     )

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
-from agentic_doc_ray.context import auto_buckets, shuffle_partitions
+from agentic_doc_ray.context import auto_buckets, partitions_for, shuffle_partitions
 
 
 def _lineitem_revenue_per_order(sf_dir: str) -> "ray.data.Dataset":
@@ -44,7 +44,8 @@ def _lineitem_revenue_per_order(sf_dir: str) -> "ray.data.Dataset":
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    n_buckets = auto_buckets(ds.count())
+    n_rows = ds.count()
+    n_buckets = auto_buckets(n_rows)
 
     def to_cents(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -71,7 +72,7 @@ def _lineitem_revenue_per_order(sf_dir: str) -> "ray.data.Dataset":
 
     return (
         ds.map_batches(to_cents, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
         .map_groups(agg_bucket, batch_format="pyarrow")
     )
 
@@ -117,7 +118,7 @@ def order_priority_revenue(sf_dir: str) -> "ray.data.Dataset":
     joined = orders.join(
         rev,
         join_type="inner",
-        num_partitions=shuffle_partitions(),
+        num_partitions=partitions_for(orders.count()),
         on=("o_orderkey",),
     )
     return _finalize(joined)
@@ -138,7 +139,8 @@ def customers_without_urgent(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
     )
     # rows-per-bucket target keeps per-bucket group memory flat as SF grows
-    n_buckets = n_buckets or auto_buckets(orders.count())
+    n_rows = orders.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
     if customer.count() == 0:  # metadata-only; zero-row shuffle guard
         return ray.data.from_arrow(
             pa.Table.from_pydict(
@@ -190,7 +192,7 @@ def customers_without_urgent(
         # hash-shuffle partition is a cold-spawned aggregator actor, and 8
         # partitions x 4 bucket keys each give the same parallelism with a
         # quarter of the actor spawns (aged-session latency, BASELINE.md)
-        "bucket", num_partitions=shuffle_partitions()
+        "bucket", num_partitions=partitions_for(n_rows)
     ).map_groups(anti_bucket, batch_format="pyarrow")
 
 
@@ -241,9 +243,10 @@ def urgent_revenue_bloom(
     )
     # the bloom-positive lineitem stream dominates the exchange: size the
     # bucket fan-out by it, not by a constant
-    n_buckets = n_buckets or auto_buckets(
-        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]).count()
-    )
+    n_rows = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    ).count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
     urgent = orders.map_batches(
         lambda b: b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT")).select(
             ["o_orderkey"]
@@ -383,7 +386,7 @@ def urgent_revenue_bloom(
         # hash-shuffle partition is a cold-spawned aggregator actor, and 8
         # partitions x 4 bucket keys each give the same parallelism with a
         # quarter of the actor spawns (aged-session latency, BASELINE.md)
-        "bucket", num_partitions=shuffle_partitions()
+        "bucket", num_partitions=partitions_for(n_rows)
     ).map_groups(verify_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
     agg = partials.groupby(
@@ -419,7 +422,8 @@ def order_priority_revenue_bucketed(
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    n_buckets = n_buckets or auto_buckets(lineitem.count())
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
 
     def tag_lineitem(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -498,7 +502,7 @@ def order_priority_revenue_bucketed(
         # hash-shuffle partition is a cold-spawned aggregator actor, and 8
         # partitions x 4 bucket keys each give the same parallelism with a
         # quarter of the actor spawns (aged-session latency, BASELINE.md)
-        "bucket", num_partitions=shuffle_partitions()
+        "bucket", num_partitions=partitions_for(n_rows)
     ).map_groups(join_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
     agg = partials.groupby(
@@ -556,7 +560,8 @@ def nation_returned_revenue(
     customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    n_buckets = n_buckets or auto_buckets(lineitem.count())
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
 
     ex1_schema = pa.schema(
         [
@@ -687,7 +692,7 @@ def nation_returned_revenue(
         )
 
     per_cust = (
-        ex1.groupby("bucket", num_partitions=shuffle_partitions())
+        ex1.groupby("bucket", num_partitions=partitions_for(n_rows))
         .map_groups(join_orderkey_bucket, batch_format="pyarrow")
         .union(customer.map_batches(tag_customer, batch_format="pyarrow"))
         .union(int_key_sentinels(ex2_schema, "bucket", fill={"side": "sent"}))
@@ -728,7 +733,7 @@ def nation_returned_revenue(
         )
 
     partials = per_cust.groupby(
-        "bucket", num_partitions=shuffle_partitions()
+        "bucket", num_partitions=partitions_for(n_rows)
     ).map_groups(join_custkey_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
     agg = partials.groupby(
@@ -776,7 +781,8 @@ def customer_order_distribution(
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
     )
-    n_buckets = n_buckets or auto_buckets(orders.count())
+    n_rows = orders.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
     ex_schema = pa.schema(
         [
             ("bucket", pa.int32()),
@@ -872,7 +878,7 @@ def customer_order_distribution(
         .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
     )
     partial_hist = unioned.groupby(
-        "bucket", num_partitions=shuffle_partitions()
+        "bucket", num_partitions=partitions_for(n_rows)
     ).map_groups(hist_bucket, batch_format="pyarrow")
     np_ = shuffle_partitions(4)
     return (
@@ -909,7 +915,8 @@ def large_quantity_orders(
     qty_ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
     )
-    n_buckets = n_buckets or auto_buckets(qty_ds.count())
+    n_rows = qty_ds.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
 
     def qty_partial(batch: pa.Table) -> pa.Table:
         q = pc.round(batch.column("l_quantity")).cast(pa.int64())
@@ -956,7 +963,7 @@ def large_quantity_orders(
                 qty_schema, "bucket", fill={"o_orderkey": -1, "qty": 0}
             )
         )
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
         .map_groups(having_bucket, batch_format="pyarrow")
         .take_all()
     )  # bounded by HAVING selectivity, never by order count
@@ -1073,6 +1080,6 @@ def large_quantity_orders(
         orders.map_batches(probe_orders, batch_format="pyarrow")
         .union(customer.map_batches(tag_customer, batch_format="pyarrow"))
         .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
         .map_groups(join_bucket, batch_format="pyarrow")
     )

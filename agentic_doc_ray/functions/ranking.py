@@ -25,7 +25,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from agentic_doc_ray.context import shuffle_partitions
+from agentic_doc_ray.context import partitions_for, shuffle_partitions
 from agentic_doc_ray.functions._exchange import str_key_sentinels
 from agentic_doc_ray.functions.text import _regex_trim
 
@@ -54,6 +54,7 @@ def top_orders_per_segment(
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
+    n_rows = orders.count()  # metadata-only; sizes the exchange width
     out_schema = pa.schema(
         [
             ("c_mktsegment", pa.string()),
@@ -176,7 +177,7 @@ def top_orders_per_segment(
         .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
     )
     per_bucket = unioned.groupby(
-        "bucket", num_partitions=shuffle_partitions()
+        "bucket", num_partitions=partitions_for(n_rows)
     ).map_groups(topk_bucket, batch_format="pyarrow")
     return (
         # topk_bucket emits zero-row blocks for sentinel-only buckets, the
@@ -275,7 +276,9 @@ def heavy_hitter_tokens(
         # total rows) — the empty-first-block shape _exchange.py documents.
         # Sentinels are inert: Sum leaves them at n=0 < cutoff (>= 1).
         .union(str_key_sentinels(_sum_schema, "token", fill={"n": 0}))
-        .groupby("token", num_partitions=shuffle_partitions())
+        # candidate rows are bounded by capacity x blocks (kB-scale), so a
+        # narrow exchange: width follows the summary size, not the corpus
+        .groupby("token", num_partitions=shuffle_partitions(8))
         .aggregate(Sum("n", alias_name="n"))
     )
     cand_rows = merged.map_batches(

@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from agentic_doc_ray.context import shuffle_partitions
+from agentic_doc_ray.context import partitions_for, shuffle_partitions
 
 # Deterministic out-of-order arrival simulation: the synthetic event log is
 # perfectly time-ordered by event_id, so a watermark operator would never
@@ -62,7 +62,8 @@ def late_events(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
     )
-    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+    n_rows = ds.count()  # metadata-only
+    if n_rows == 0:  # zero-row shuffle guard
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {
@@ -138,7 +139,7 @@ def late_events(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset":
             names=["event_id", "ts", "watermark_ts", "is_late"],
         )
 
-    return keyed.groupby("day", num_partitions=shuffle_partitions()).map_groups(
+    return keyed.groupby("day", num_partitions=partitions_for(n_rows)).map_groups(
         scan_day, batch_format="pyarrow"
     )
 
@@ -157,7 +158,9 @@ def on_time_hourly(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset"
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
     )
-    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+    n_rows = ds.count()  # metadata-only
+    n_rows = ds.count()  # metadata-only
+    if n_rows == 0:  # zero-row shuffle guard
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {
@@ -241,7 +244,7 @@ def on_time_hourly(sf_dir: str, lateness_minutes: int = 5) -> "ray.data.Dataset"
     from ray.data.aggregate import Sum
 
     partials = keyed.groupby(
-        "day", num_partitions=shuffle_partitions()
+        "day", num_partitions=partitions_for(n_rows)
     ).map_groups(window_partial, batch_format="pyarrow")
     agg = partials.groupby(
         ["window_start", "event_type"], num_partitions=shuffle_partitions(4)
@@ -276,7 +279,8 @@ def global_rank(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
-    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+    n_rows = ds.count()  # metadata-only
+    if n_rows == 0:  # zero-row shuffle guard
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {
@@ -341,7 +345,7 @@ def global_rank(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
             names=["doc_id", "n_chars", "global_rank"],
         )
 
-    return keyed.groupby("bucket", num_partitions=shuffle_partitions()).map_groups(
+    return keyed.groupby("bucket", num_partitions=partitions_for(n_rows)).map_groups(
         rank_bucket, batch_format="pyarrow"
     )
 
@@ -387,7 +391,8 @@ def shuffle_positions(
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
-    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+    n_rows = ds.count()  # metadata-only
+    if n_rows == 0:  # zero-row shuffle guard
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {
@@ -438,7 +443,7 @@ def shuffle_positions(
             [g.column("doc_id"), pos], names=["doc_id", "shuffle_pos"]
         )
 
-    return keyed.groupby("bucket", num_partitions=shuffle_partitions()).map_groups(
+    return keyed.groupby("bucket", num_partitions=partitions_for(n_rows)).map_groups(
         pos_bucket, batch_format="pyarrow"
     )
 
@@ -511,7 +516,7 @@ def user_cumulative_spend(sf_dir: str) -> "ray.data.Dataset":
     return (
         ds.map_batches(purchases, batch_format="pyarrow")
         .union(sentinel)
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=partitions_for(ds.count()))
         .map_groups(scan_bucket, batch_format="pandas")
     )
 
@@ -543,7 +548,8 @@ def token_budget_select(
             "cum_tokens": pa.array([], pa.int64()),
         }
     )
-    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+    n_rows = ds.count()  # metadata-only
+    if n_rows == 0:  # zero-row shuffle guard
         return ray.data.from_arrow(empty)
 
     from agentic_doc_ray.functions.text import _token_count
@@ -625,7 +631,7 @@ def token_budget_select(
             names=["doc_id", "n_chars", "n_tokens", "cum_tokens"],
         )
 
-    return keyed.groupby("bucket", num_partitions=shuffle_partitions()).map_groups(
+    return keyed.groupby("bucket", num_partitions=partitions_for(n_rows)).map_groups(
         scan_bucket, batch_format="pyarrow"
     )
 
@@ -661,7 +667,8 @@ def source_capped_select(
             "cum_source_tokens": pa.array([], pa.int64()),
         }
     )
-    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+    n_rows = ds.count()  # metadata-only
+    if n_rows == 0:  # zero-row shuffle guard
         return ray.data.from_arrow(empty)
 
     from agentic_doc_ray.functions.text import _token_count
@@ -720,7 +727,7 @@ def source_capped_select(
 
     return (
         ds.map_batches(with_key, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
         .map_groups(scan_bucket, batch_format="pyarrow")
     )
 
@@ -746,7 +753,8 @@ def shard_manifest(
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    if ds.count() == 0:  # metadata-only; zero-row shuffle guard
+    n_rows = ds.count()  # metadata-only
+    if n_rows == 0:  # zero-row shuffle guard
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {
@@ -817,7 +825,7 @@ def shard_manifest(
         )
 
     partials = keyed.groupby(
-        "bucket", num_partitions=shuffle_partitions()
+        "bucket", num_partitions=partitions_for(n_rows)
     ).map_groups(shard_partials, batch_format="pyarrow")
     merged = partials.groupby(
         "shard_id", num_partitions=shuffle_partitions(4)

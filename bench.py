@@ -509,7 +509,10 @@ def main() -> None:
     def curation_q() -> None:
         from agentic_doc_ray.functions.curation import curation_keep
 
-        curation_keep(docs(), stopwords=("the", "a", "data", "value")).count()
+        d = docs()
+        curation_keep(
+            d, stopwords=("the", "a", "data", "value"), n_rows_hint=d.count()
+        ).count()
 
     timed("curation_keep", curation_q)
 
@@ -539,6 +542,7 @@ def main() -> None:
             stopwords=("the", "a", "data", "value"),
             cap_tokens=8_000,
             shard_size=64,
+            n_rows_hint=d.count(),
         ).count()
 
     timed("curation_pipeline", curation_dag_q)
