@@ -735,6 +735,7 @@ _DRIVER_PRIORITY = [
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from agentic_doc_ray.context import partitions_for as _pfor
     from agentic_doc_ray.context import tune_context
 
     tune_context(quiet=False)
@@ -906,7 +907,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select(["doc_a", "doc_b"])
 
     def q_exact_dedup(sf_dir):
-        return D.exact_dedup(docs(sf_dir))
+        d = docs(sf_dir)
+        return D.exact_dedup(d, shuffle_partitions=_pfor(d.count()))
 
     def q_lang_stats(sf_dir):
         from ray.data.aggregate import Count, Sum
@@ -1291,7 +1293,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         index exchange: exact (term, doc_id, tf) rows for a term set."""
         from agentic_doc_ray.functions.index import index_postings
 
-        return index_postings(docs(sf_dir), ["hash", "join", "vector", "window"])
+        d = docs(sf_dir)
+        # postings rows ~ matched tokens; the 4-term filter keeps it narrow
+        return index_postings(
+            d, ["hash", "join", "vector", "window"],
+            num_partitions=_pfor(d.count()),
+        )
 
     def q_simhash(sf_dir):
         _ensure_extraction_oracles(sf_dir)
@@ -1308,7 +1315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_dedup_keep(sf_dir):
         """Deduplicated corpus via a distributed bucketed semi-join — no
         driver-side collection of per-doc state (see D.dedup_keep)."""
-        return D.dedup_keep(docs(sf_dir))
+        d = docs(sf_dir)
+        return D.dedup_keep(d, shuffle_partitions=_pfor(d.count()))
 
     def q_quality_filter(sf_dir):
         return T.quality_filter(docs(sf_dir), 20, 100).select_columns(["doc_id"])
@@ -1495,7 +1503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         d = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-        return snapshot_diff(d, synth_second_crawl(d))
+        return snapshot_diff(
+            d, synth_second_crawl(d), num_partitions=_pfor(2 * d.count())
+        )
 
     def q_incremental_counts(sf_dir):
         # incremental recompute over the crawl delta; oracle = FULL
@@ -1571,7 +1581,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 batch.schema.get_field_index("text"), "text", text2
             )
 
-        return paragraph_dedup(d.map_batches(plant, batch_format="pyarrow"))
+        # paragraph rows ~ 8x docs through the exchange
+        return paragraph_dedup(
+            d.map_batches(plant, batch_format="pyarrow"),
+            num_partitions=_pfor(8 * d.count()),
+        )
 
     def q_domain_boilerplate(sf_dir):
         """Per-source boilerplate strip over docs with deterministically
@@ -1615,7 +1629,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 batch.schema.get_field_index("text"), "text", text2
             )
 
-        return domain_boilerplate_strip(d.map_batches(plant, batch_format="pyarrow"))
+        # line rows ~ 10x docs through the widest exchange
+        return domain_boilerplate_strip(
+            d.map_batches(plant, batch_format="pyarrow"),
+            num_partitions=_pfor(10 * d.count()),
+        )
 
     def q_similarity_ivf(sf_dir):
         import numpy as np

@@ -100,7 +100,10 @@ def _tag(side: str, n_buckets: int):
 
 
 def snapshot_diff(
-    v1: "ray.data.Dataset", v2: "ray.data.Dataset", n_buckets: int = 32
+    v1: "ray.data.Dataset",
+    v2: "ray.data.Dataset",
+    n_buckets: int = 32,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """(doc_id, change) rows, change in {'added','removed','changed'}.
 
@@ -117,7 +120,7 @@ def snapshot_diff(
         .union(int_key_sentinels(_EX_SCHEMA, "bucket", fill={"side": "sent"}))
     )
     return unioned.groupby(
-        "bucket", num_partitions=shuffle_partitions()
+        "bucket", num_partitions=shuffle_partitions(num_partitions)
     ).map_groups(_diff_bucket, batch_format="pyarrow")
 
 
@@ -216,6 +219,7 @@ def _keyed_exchange_filter(
     ids: "ray.data.Dataset",
     keep_matches: bool,
     n_buckets: int = 32,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Bucketed semi- (keep_matches) / anti-join of ``ds`` against an id
     set, on int64 ``doc_id``. One sentinel-guarded exchange; the id side
@@ -272,7 +276,7 @@ def _keyed_exchange_filter(
         .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
     )
     return unioned.groupby(
-        "bucket", num_partitions=shuffle_partitions()
+        "bucket", num_partitions=shuffle_partitions(num_partitions)
     ).map_groups(resolve, batch_format="pyarrow")
 
 

@@ -87,7 +87,9 @@ def _postings_batch(batch: pa.Table, terms: list[str] | None) -> pa.Table:
 
 
 def build_inverted_index(
-    docs: "ray.data.Dataset", terms: list[str] | None = None
+    docs: "ray.data.Dataset",
+    terms: list[str] | None = None,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """(bucket, term, doc_id, tf) with each bucket's rows sorted by
     (term, doc_id) — the postings layout. ``terms`` prunes at the map."""
@@ -108,17 +110,21 @@ def build_inverted_index(
             lambda b: _postings_batch(b, terms), batch_format="pyarrow"
         )
         .union(int_key_sentinels(_POSTING_SCHEMA, "bucket", fill={"term": "", "doc_id": -1, "tf": 0}))
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=shuffle_partitions(num_partitions))
         .map_groups(sort_bucket, batch_format="pyarrow")
     )
 
 
 def index_postings(
-    docs: "ray.data.Dataset", terms: list[str]
+    docs: "ray.data.Dataset",
+    terms: list[str],
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """(term, doc_id, tf) for the requested terms — targeted postings
     extraction through the full index exchange."""
-    return build_inverted_index(docs, terms=terms).drop_columns(["bucket"])
+    return build_inverted_index(
+        docs, terms=terms, num_partitions=num_partitions
+    ).drop_columns(["bucket"])
 
 
 def write_index(

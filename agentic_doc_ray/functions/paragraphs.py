@@ -54,7 +54,9 @@ def _id_bucket(ids, n_buckets: int) -> pa.Array:
 
 
 def paragraph_dedup(
-    docs: "ray.data.Dataset", n_buckets: int = 32
+    docs: "ray.data.Dataset",
+    n_buckets: int = 32,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """(doc_id, text) with every corpus-wide duplicate paragraph removed.
 
@@ -198,7 +200,7 @@ def paragraph_dedup(
             schema=out_schema,
         )
 
-    np_ = shuffle_partitions()
+    np_ = shuffle_partitions(num_partitions)
     kept = (
         docs.map_batches(explode, batch_format="pyarrow")
         .union(int_key_sentinels(ex1_schema, "bucket"))
@@ -254,6 +256,7 @@ def domain_boilerplate_strip(
     min_source_docs: int = 10,
     min_df: int = 2,
     n_buckets: int = 32,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Strip per-domain boilerplate lines (CCNet's line-level filter /
     RefinedWeb's "lines repeated across a site" rule).
@@ -585,7 +588,7 @@ def domain_boilerplate_strip(
             schema=out_schema,
         )
 
-    np_ = shuffle_partitions()
+    np_ = shuffle_partitions(num_partitions)
     candidates = (
         docs.map_batches(count_partial, batch_format="pyarrow")
         .union(int_key_sentinels(cnt_schema, "bucket"))

@@ -200,7 +200,15 @@ def main() -> None:
 
     timed("token_counts", lambda: T.token_counts(docs()).count())
     timed("lang_id", lambda: T.lang_id(docs()).count())
-    timed("exact_dedup", lambda: D.exact_dedup(docs()).count())
+    from agentic_doc_ray.context import partitions_for as _pfor
+
+    n_doc_rows = docs().count()  # metadata-only; sizes exchange widths
+    timed(
+        "exact_dedup",
+        lambda: D.exact_dedup(
+            docs(), shuffle_partitions=_pfor(n_doc_rows)
+        ).count(),
+    )
     timed(
         "minhash_dedup",
         lambda: D.minhash_dedup_pairs(
@@ -304,7 +312,9 @@ def main() -> None:
         )
 
         d = docs()
-        snapshot_diff(d, synth_second_crawl(d)).count()
+        snapshot_diff(
+            d, synth_second_crawl(d), num_partitions=_pfor(2 * n_doc_rows)
+        ).count()
 
     timed("snapshot_diff", snapshot_diff_q)
 
@@ -355,12 +365,17 @@ def main() -> None:
         ).count()
 
     timed("bm25_topk", bm25_q)
-    timed("dedup_keep", lambda: D.dedup_keep(docs()).count())
+    timed(
+        "dedup_keep",
+        lambda: D.dedup_keep(
+            docs(), shuffle_partitions=_pfor(n_doc_rows)
+        ).count(),
+    )
 
     def paragraph_dedup_q() -> None:
         from agentic_doc_ray.functions.paragraphs import paragraph_dedup
 
-        paragraph_dedup(docs()).count()
+        paragraph_dedup(docs(), num_partitions=_pfor(8 * n_doc_rows)).count()
 
     timed("paragraph_dedup", paragraph_dedup_q)
     timed("repetition_stats", lambda: T.repetition_stats(docs()).count())
@@ -460,7 +475,7 @@ def main() -> None:
     def index_q() -> None:
         from agentic_doc_ray.functions.index import build_inverted_index
 
-        build_inverted_index(docs()).count()
+        build_inverted_index(docs(), num_partitions=_pfor(50 * n_doc_rows)).count()
 
     timed("inverted_index", index_q)
     timed("bloom_semi_join", lambda: J.urgent_revenue_bloom(SF_DIR).count())
