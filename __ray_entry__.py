@@ -1076,12 +1076,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_substr_spans(sf_dir):
         from agentic_doc_ray.functions.substr import repeated_substring_spans
 
-        return repeated_substring_spans(docs(sf_dir))
+        d = docs(sf_dir)
+        # exchange rows ~ candidate grams; 100x docs is the working proxy
+        # (A/B at sf0.1: np=8 8.7 s vs np=32 11.3 s)
+        return repeated_substring_spans(d, num_partitions=_pfor(100 * d.count()))
 
     def q_substr_stats(sf_dir):
         from agentic_doc_ray.functions.substr import substring_dup_stats
 
-        return substring_dup_stats(docs(sf_dir))
+        d = docs(sf_dir)
+        return substring_dup_stats(d, num_partitions=_pfor(100 * d.count()))
 
     def q_dedup_components(sf_dir):
         """Connected components over the VERIFIED near-dup pairs: every

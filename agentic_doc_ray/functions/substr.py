@@ -106,6 +106,7 @@ def _candidate_grams_distributed(
     L: int,
     gram_schema: pa.Schema,
     grams_at,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Scale route of pass B: candidate membership WITHOUT a driver
     broadcast (VERDICT r02 #5). Each doc's unique gram hashes route to the
@@ -186,7 +187,7 @@ def _candidate_grams_distributed(
         docs.map_batches(doc_hash_keys, batch_format="pyarrow")
         .union(cands.map_batches(tag_cands, batch_format="pyarrow"))
         .union(int_key_sentinels(b1_schema, "bucket", fill={"side": "sent"}))
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=shuffle_partitions(num_partitions))
         .map_groups(semi_bucket, batch_format="pyarrow")
     )
 
@@ -268,13 +269,16 @@ def _candidate_grams_distributed(
         matched.map_batches(tag_matched, batch_format="pyarrow")
         .union(docs.map_batches(tag_texts, batch_format="pyarrow"))
         .union(int_key_sentinels(b2_schema, "dbucket", fill={"side": "sent"}))
-        .groupby("dbucket", num_partitions=shuffle_partitions())
+        .groupby("dbucket", num_partitions=shuffle_partitions(num_partitions))
         .map_groups(extract_bucket, batch_format="pyarrow")
     )
 
 
 def repeated_substring_spans(
-    docs: "ray.data.Dataset", L: int = 50, broadcast_limit: int = 1 << 22
+    docs: "ray.data.Dataset",
+    L: int = 50,
+    broadcast_limit: int = 1 << 22,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """(doc_id, span_start, span_end): maximal 1-based inclusive spans of
     text covered by L-grams occurring >= 2 times corpus-wide. Exact.
@@ -332,7 +336,7 @@ def repeated_substring_spans(
     cands = (
         docs.map_batches(hash_counts, batch_format="pyarrow")
         .union(int_key_sentinels(_cnt_schema, "bucket", fill={"h": 0, "n": 0}))
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=shuffle_partitions(num_partitions))
         .map_groups(dups_in_bucket, batch_format="pyarrow")
         .materialize()
     )
@@ -386,7 +390,8 @@ def repeated_substring_spans(
         raw_marks = docs.map_batches(candidate_grams, batch_format="pyarrow")
     else:
         raw_marks = _candidate_grams_distributed(
-            docs, cands, L, gram_schema, _grams_at
+            docs, cands, L, gram_schema, _grams_at,
+            num_partitions=num_partitions,
         )
 
     def verify_gram(group: pa.Table) -> pa.Table:
@@ -404,7 +409,7 @@ def repeated_substring_spans(
     marks = (
         raw_marks
         .union(str_key_sentinels(gram_schema, "gram", fill={"doc_id": -1, "pos": -1}))
-        .groupby("gram", num_partitions=shuffle_partitions())
+        .groupby("gram", num_partitions=shuffle_partitions(num_partitions))
         .map_groups(verify_gram, batch_format="pyarrow")
     )
 
@@ -449,13 +454,15 @@ def repeated_substring_spans(
     return (
         marks.map_batches(add_bucket, batch_format="pyarrow")
         .union(int_key_sentinels(marks_schema, "bucket", fill={"doc_id": -1, "pos": 1}))
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=shuffle_partitions(num_partitions))
         .map_groups(spans_bucket, batch_format="pandas")
     )
 
 
 def substring_dup_stats(
-    docs: "ray.data.Dataset", L: int = 50
+    docs: "ray.data.Dataset",
+    L: int = 50,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-document duplicated-character totals — the dedup FILTER stage
     that consumes ``repeated_substring_spans``: (doc_id, dup_chars,
@@ -468,7 +475,7 @@ def substring_dup_stats(
     """
     from agentic_doc_ray.functions._exchange import int_key_sentinels
 
-    spans = repeated_substring_spans(docs, L)
+    spans = repeated_substring_spans(docs, L, num_partitions=num_partitions)
 
     ex_schema = pa.schema(
         [
@@ -556,6 +563,6 @@ def substring_dup_stats(
         docs.map_batches(tag_docs, batch_format="pyarrow")
         .union(spans.map_batches(tag_spans, batch_format="pyarrow"))
         .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
-        .groupby("bucket", num_partitions=shuffle_partitions())
+        .groupby("bucket", num_partitions=shuffle_partitions(num_partitions))
         .map_groups(stats_bucket, batch_format="pyarrow")
     )

@@ -487,7 +487,9 @@ def main() -> None:
     def substr_q() -> None:
         from agentic_doc_ray.functions.substr import repeated_substring_spans
 
-        repeated_substring_spans(docs()).count()
+        repeated_substring_spans(
+            docs(), num_partitions=_pfor(100 * n_doc_rows)
+        ).count()
 
     timed("substr_spans", substr_q)
 
