@@ -673,6 +673,11 @@ _DRIVER_PRIORITY = [
     "source_capped_select",
     "shard_manifest",
     "curation_pipeline",
+    # new this round: incremental crawl-over-crawl dedup
+    "cross_snapshot_dedup",
+    # new this round: intra-doc line dedup + temperature mixture sampling
+    "dedup_lines",
+    "temperature_mixture",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1498,6 +1503,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             default_per_mille=100,
         )
 
+    def q_temperature_mixture(sf_dir):
+        """Temperature-scaled (tau=0.5) mixture sampling over a planted
+        skewed domain ('dom' || (doc_id^2 % 10): quadratic residues mod 10
+        give a deterministic 1:2 count skew, so the rate map is
+        non-trivial). IEEE sqrt is correctly rounded on both engines, so
+        the floor'd per-mille thresholds — and the kept set — match
+        bit-for-bit."""
+        import numpy as np
+
+        from agentic_doc_ray.functions.sampling import temperature_mixture_sample
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").combine_chunks()
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            dom = pc.cast(pa.array((ids_np * ids_np) % 10), pa.string())
+            source = pc.binary_join_element_wise(
+                pa.array(["dom"] * batch.num_rows), dom, ""
+            )
+            return pa.Table.from_arrays([ids, source], names=["doc_id", "source"])
+
+        return temperature_mixture_sample(
+            d.map_batches(plant, batch_format="pyarrow"), tau=0.5
+        )
+
+    def q_dedup_lines(sf_dir):
+        """Intra-doc exact line dedup over docs with a planted repeated
+        line pair (identical planting in the SQL oracle) — the RefinedWeb
+        within-document rule. Batch-local, zero exchanges."""
+        from agentic_doc_ray.functions.text import dedup_lines
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids_np = (
+                batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            rep = pc.binary_join_element_wise(
+                pa.array(["\nrepeat-"] * batch.num_rows),
+                pc.cast(pa.array(ids_np % 7), pa.string()),
+                "",
+            )
+            text2 = pc.binary_join_element_wise(
+                batch.column("text").combine_chunks(), rep, rep, ""
+            )
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text", text2
+            )
+
+        return dedup_lines(d.map_batches(plant, batch_format="pyarrow"))
+
     def q_snapshot_diff(sf_dir):
         from agentic_doc_ray.functions.delta import (
             snapshot_diff,
@@ -1892,6 +1953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
+        "temperature_mixture": q_temperature_mixture,
+        "dedup_lines": q_dedup_lines,
         "snapshot_diff": q_snapshot_diff,
         "incremental_token_counts": q_incremental_counts,
         "sample_k_per_group": q_sample_k_per_group,
@@ -2461,6 +2524,49 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 1000 < "
             "CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 700 "
             "WHEN 'src2' THEN 500 WHEN 'src3' THEN 250 ELSE 100 END"
+        ),
+        # temperature (tau=0.5) mixture: rate = floor(1000*sqrt(min_n/n_s));
+        # sqrt is IEEE correctly rounded, so both engines floor the same
+        # double. Domain planted as doc_id^2 % 10 (1:2 skew).
+        "temperature_mixture": (
+            "WITH d AS ("
+            "  SELECT doc_id,"
+            "         'dom' || CAST((doc_id * doc_id) % 10 AS VARCHAR) AS source"
+            "  FROM documents"
+            "), n AS ("
+            "  SELECT source, count(*) AS c FROM d GROUP BY source"
+            "), r AS ("
+            "  SELECT source, CAST(floor(1000 * sqrt("
+            "      CAST((SELECT min(c) FROM n) AS DOUBLE) / CAST(c AS DOUBLE)"
+            "  )) AS BIGINT) AS pm FROM n"
+            ") "
+            "SELECT d.doc_id, d.source FROM d JOIN r USING (source) "
+            "WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),1,4)) AS INTEGER) % 1000 < r.pm"
+        ),
+        # intra-doc line dedup: first occurrence of each non-empty line
+        # survives; empty lines always survive. Planted repeat pair.
+        "dedup_lines": (
+            "WITH planted AS ("
+            "  SELECT doc_id, text"
+            "    || chr(10) || 'repeat-' || CAST(doc_id % 7 AS VARCHAR)"
+            "    || chr(10) || 'repeat-' || CAST(doc_id % 7 AS VARCHAR) AS text"
+            "  FROM documents"
+            "), ln AS ("
+            "  SELECT doc_id,"
+            "         unnest(str_split(text, chr(10))) AS line,"
+            "         generate_subscripts(str_split(text, chr(10)), 1) - 1 AS idx"
+            "  FROM planted"
+            "), marked AS ("
+            "  SELECT doc_id, line, idx,"
+            "         (line <> '' AND ROW_NUMBER() OVER ("
+            "             PARTITION BY doc_id, line ORDER BY idx) > 1) AS dup"
+            "  FROM ln"
+            ") "
+            "SELECT doc_id,"
+            "       COALESCE(string_agg(line, chr(10) ORDER BY idx)"
+            "                FILTER (WHERE NOT dup), '') AS text,"
+            "       CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_removed "
+            "FROM marked GROUP BY doc_id"
         ),
         # crawl-over-crawl delta vs a deterministic synthetic second
         # crawl (drop %7, edit %5, re-add %11 under +10M ids)

@@ -270,3 +270,81 @@ def mixture_sample(
         return batch.filter(pa.array(pm < thr)).select(["doc_id", "source"])
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+def temperature_mixture_sample(
+    docs: "ray.data.Dataset", tau: float = 0.5
+) -> "ray.data.Dataset":
+    """Temperature-scaled mixture sampling (the multilingual/pretraining
+    rebalance of Lample & Conneau 2019 §3.1 / XLM-R: sample source s with
+    probability ∝ n_s^tau). Rewritten as a deterministic per-doc
+    acceptance rate so no RNG state exists: a doc of source s survives iff
+    its stable md5 per-mille < floor(1000 * (min_n / n_s)^(1-tau)) — the
+    smallest source keeps everything, bigger sources are flattened toward
+    it. Only tau=0.5 is offered because (x)^0.5 is IEEE-754 sqrt, the one
+    power that is CORRECTLY ROUNDED on every platform — numpy here and
+    DuckDB in the oracle produce the identical double, so the floor'd
+    per-mille threshold (and therefore the kept set) is bit-reproducible.
+
+    Shape: per-batch partial source counts -> one tiny exchange keyed by
+    source -> the per-source table is collected (bounded by DOMAIN
+    cardinality, not rows) and broadcast once -> vectorized hash-gate
+    filter. Documents themselves never shuffle.
+    """
+    if tau != 0.5:
+        raise NotImplementedError(
+            "only tau=0.5 (IEEE-sqrt, bit-reproducible) is supported"
+        )
+    import pandas as pd
+    import ray as _ray
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from ray.data.aggregate import Sum
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["source"]).group_by("source").aggregate(
+            [("source", "count")]
+        )
+        return g.rename_columns(["source", "n"])
+
+    per_src = (
+        docs.map_batches(src_partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=shuffle_partitions(4))
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    blocks = [
+        b for b in _ray.get(per_src.materialize().to_arrow_refs()) if b.num_rows
+    ]  # materialize: lazy to_arrow_refs re-executes the plan for schema
+    if not blocks:
+        return docs.map_batches(
+            lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+        )
+    src_t = pa.concat_tables(blocks).combine_chunks()
+    n = src_t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    min_n = float(n.min())
+    pm = np.floor(1000.0 * np.sqrt(min_n / n)).astype(np.int64)
+    rates = pd.Series(
+        pm, index=src_t.column("source").to_numpy(zero_copy_only=False)
+    )
+    ref = _ray.put(rates)
+
+    def keep(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        cache = keep.__dict__
+        if "r" not in cache:
+            cache["r"] = _ray.get(_ref)
+        ids = batch.column("doc_id").to_pylist()
+        h = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 1000
+                for d in ids
+            ],
+            dtype=np.int64,
+        )
+        thr = (
+            pd.Series(batch.column("source").to_numpy(zero_copy_only=False))
+            .map(cache["r"])
+            .fillna(0)
+            .to_numpy(dtype=np.int64)
+        )
+        return batch.filter(pa.array(h < thr)).select(["doc_id", "source"])
+
+    return docs.map_batches(keep, batch_format="pyarrow")

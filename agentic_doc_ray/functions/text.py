@@ -1443,3 +1443,59 @@ def split_sentences_batch(batch: pa.Table) -> pa.Table:
 def split_sentences(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Distributed sentence segmentation (see split_sentences_batch)."""
     return docs.map_batches(split_sentences_batch, batch_format="pyarrow")
+
+
+def dedup_lines_batch(batch: pa.Table) -> pa.Table:
+    """Intra-document exact duplicate-line removal (RefinedWeb rule 'exact
+    line-level dedup within a document'; Penedo et al. 2023 §4.2 apply it
+    before the cross-document filters). Within each document, every repeat
+    of an earlier non-empty line is dropped; empty lines are never removed
+    (they carry paragraph structure). Output: (doc_id, text, n_removed)
+    with surviving lines rejoined by "\\n" in original order.
+
+    Batch-local and exchange-free: a document is one row, so the rule
+    never needs cross-block state — this runs at input-scan speed at any
+    corpus size. Line identity is the 61-bit content fingerprint
+    (``delta._fingerprint64``), the same convention as ``paragraph_dedup``
+    and ``domain_boilerplate_strip``.
+    """
+    from agentic_doc_ray.functions.delta import _fingerprint64
+
+    doc_ids = batch.column("doc_id").combine_chunks()
+    parts = pc.split_pattern(batch.column("text").combine_chunks(), "\n")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    lines = pc.list_flatten(parts)
+    fp = _fingerprint64(lines).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(lines, "").to_numpy(zero_copy_only=False)
+
+    # First occurrence per (doc, fingerprint): lines stream in document
+    # order, so pandas' hashtable 'first stays' rule IS the textual rule.
+    import pandas as pd
+
+    dup = pd.DataFrame({"p": parents, "fp": fp}).duplicated().to_numpy()
+    keep = ~(dup & nonempty)
+
+    n = batch.num_rows
+    total = np.bincount(parents, minlength=n)
+    kept_cnt = np.bincount(parents[keep], minlength=n)
+    offsets = np.concatenate(([0], np.cumsum(kept_cnt))).astype(np.int32)
+    kept_lines = lines.filter(pa.array(keep))
+    rebuilt = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_lines),
+        "\n",
+    )
+    return pa.Table.from_arrays(
+        [
+            doc_ids,
+            rebuilt,
+            pa.array((total - kept_cnt).astype(np.int64), pa.int64()),
+        ],
+        names=["doc_id", "text", "n_removed"],
+    )
+
+
+def dedup_lines(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed intra-doc line dedup (see ``dedup_lines_batch``)."""
+    return docs.map_batches(dedup_lines_batch, batch_format="pyarrow")

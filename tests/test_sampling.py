@@ -153,3 +153,45 @@ def test_quantile_bins_edges_and_skew():
     # 4-bin assignment is monotone in the value
     bins = [out[str(i)] for i in range(50, 100)]
     assert bins == sorted(bins)
+
+
+def test_temperature_mixture_rates_and_determinism():
+    import hashlib
+    import math
+
+    # 3 sources with counts 40 / 160 / 640: rates 1000 / 500 / 250
+    srcs = ["a"] * 40 + ["b"] * 160 + ["c"] * 640
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(srcs))), pa.int64()),
+            "source": pa.array(srcs, pa.string()),
+        }
+    )
+    out = S.temperature_mixture_sample(ray.data.from_arrow(t)).take_all()
+    # replica: rate_pm = floor(1000*sqrt(min_n/n)), keep iff md5 pm < rate
+    rates = {
+        s: math.floor(1000.0 * math.sqrt(40.0 / n))
+        for s, n in (("a", 40), ("b", 160), ("c", 640))
+    }
+    assert rates == {"a": 1000, "b": 500, "c": 250}
+    expect = sorted(
+        (i, s)
+        for i, s in enumerate(srcs)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 1000
+        < rates[s]
+    )
+    assert sorted((r["doc_id"], r["source"]) for r in out) == expect
+    # the smallest source survives intact; the 16x source is flattened
+    kept = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    assert kept["a"] == 40
+    assert kept["c"] < kept["b"] * 4  # flattened well below the 4x raw ratio
+
+
+def test_temperature_mixture_rejects_other_tau():
+    import pytest
+
+    t = pa.table({"doc_id": [1], "source": ["a"]})
+    with pytest.raises(NotImplementedError):
+        S.temperature_mixture_sample(ray.data.from_arrow(t), tau=0.9)

@@ -623,3 +623,38 @@ def test_gopher_flags_real_docs_vs_duckdb(docs_ds):
     )
     want = _duck(_GOPHER_ORACLE_SQL)
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_dedup_lines_rule_and_block_independence():
+    """Intra-doc line dedup: first occurrence of each non-empty line
+    survives, empty lines always survive, docs rebuilt in order — and the
+    result is identical under any batch layout (the op is doc-local)."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import dedup_lines
+
+    texts = [
+        "a\nb\na\n\nb\n\nc",   # dups of a and b removed, empties kept
+        "",                      # single empty line -> unchanged
+        "x\nx\nx",              # two repeats removed
+        "only",                 # no newline -> unchanged
+        "\n\n",                  # all-empty lines -> unchanged
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    expect = {
+        0: ("a\nb\n\n\nc", 2),
+        1: ("", 0),
+        2: ("x", 2),
+        3: ("only", 0),
+        4: ("\n\n", 0),
+    }
+    for parallelism in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(parallelism)
+        got = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in dedup_lines(ds).take_all()
+        }
+        assert got == expect
