@@ -678,6 +678,8 @@ _DRIVER_PRIORITY = [
     # new this round: intra-doc line dedup + temperature mixture sampling
     "dedup_lines",
     "temperature_mixture",
+    # new this round: TPC-H Q3 shape (semi-join + revenue join + top-k)
+    "shipping_priority",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -2001,6 +2003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": _J().order_priority_revenue,
         "order_priority_revenue_bucketed": _J().order_priority_revenue_bucketed,
         "nation_returned_revenue": _J().nation_returned_revenue,
+        "shipping_priority": _J().shipping_priority,
         "events_hourly": A.events_hourly,
         "cohort_retention": A.cohort_retention,
         "events_sliding": A.events_sliding,
@@ -2740,6 +2743,24 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "min(value) AS min_value, max(value) AS max_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        # Q3 shape: deterministic total order (revenue DESC, date, key)
+        "shipping_priority": (
+            "WITH rev AS ("
+            "  SELECT l_orderkey,"
+            "         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS cents"
+            "  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'"
+            "  GROUP BY l_orderkey"
+            ") "
+            "SELECT o.o_orderkey AS l_orderkey,"
+            "       CAST(r.cents AS BIGINT) / 10000.0 AS revenue,"
+            "       o.o_orderdate "
+            "FROM orders o "
+            "JOIN rev r ON r.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING'"
+            "  AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "ORDER BY revenue DESC, o.o_orderdate, l_orderkey LIMIT 10"
         ),
         "order_priority_revenue": _ORDER_PRIORITY_SQL,
         "order_priority_revenue_bucketed": _ORDER_PRIORITY_SQL,

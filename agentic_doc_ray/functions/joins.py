@@ -1083,3 +1083,225 @@ def large_quantity_orders(
         .groupby("bucket", num_partitions=partitions_for(n_rows))
         .map_groups(join_bucket, batch_format="pyarrow")
     )
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q3 shape (shipping priority): top-k unshipped orders of one
+    market segment by outstanding revenue — customer ⋈ orders ⋈ lineitem
+    with filters on all three tables and a global top-k.
+
+    Scale shape — two bucketed exchanges plus a tiny top-k merge:
+
+    1. orders ⋉ customer semi-join keyed by custkey: the customer side
+       ships KEYS ONLY (custkey of the segment's customers — customer
+       scales with SF, so no broadcast), the orders side is date-filtered
+       first; per-bucket resolve is a vectorized ``is_in``.
+    2. revenue join keyed by orderkey: lineitem is shipdate-filtered and
+       pre-aggregated per batch to exact integer cents per orderkey
+       before the exchange; the per-bucket task joins Arrow-native and
+       emits only its LOCAL top-k — so the final global merge sees
+       ≤ k×buckets rows regardless of SF.
+    3. the k×buckets partials go through Ray's sort + limit(k) (tiny).
+
+    Ordering is fully deterministic: (revenue DESC, o_orderdate ASC,
+    l_orderkey ASC) — no tie can diverge from the SQL oracle. Both
+    exchanges feed ``map_groups`` from filtering stages, so they union
+    sentinel rows against Ray's empty-first-block schema race
+    (functions/_exchange.py).
+    """
+    import numpy as np
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+
+    ex1_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+        ]
+    )
+
+    def _bucket(key: "pa.Array") -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch.column("c_mktsegment"), segment))
+        key = f.column("c_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["c"] * f.num_rows, pa.string()),
+                pa.nulls(f.num_rows, pa.int64()),
+                pa.nulls(f.num_rows, pa.timestamp("us")),
+            ],
+            schema=ex1_schema,
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.less(batch.column("o_orderdate"), cut))
+        key = f.column("o_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * f.num_rows, pa.string()),
+                f.column("o_orderkey"),
+                f.column("o_orderdate").cast(pa.timestamp("us")),
+            ],
+            schema=ex1_schema,
+        )
+
+    def semi_bucket(group: pa.Table) -> pa.Table:
+        group = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_c = pc.equal(group.column("side"), "c")
+        ckeys = group.filter(is_c).column("key").combine_chunks()
+        o = group.filter(pc.invert(is_c))
+        hit = o.filter(pc.is_in(o.column("key"), value_set=ckeys))
+        return hit.select(["o_orderkey", "o_orderdate"])
+
+    surviving = (
+        customer.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(semi_bucket, batch_format="pyarrow")
+    )
+
+    ex2_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("cents", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+        ]
+    )
+
+    def tag_rev(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.greater(batch.column("l_shipdate"), cut))
+        cents = pc.round(
+            pc.multiply(
+                pc.multiply(
+                    f.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+                ),
+                pa.scalar(10000.0),
+            )
+        ).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [f.column("l_orderkey"), cents], names=["key", "cents"]
+        )
+        g = (
+            t.group_by("key").aggregate([("cents", "sum")])
+            .rename_columns(["key", "cents"])
+        )
+        key = g.column("key")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["r"] * g.num_rows, pa.string()),
+                g.column("cents"),
+                pa.nulls(g.num_rows, pa.timestamp("us")),
+            ],
+            schema=ex2_schema,
+        )
+
+    def tag_surviving(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * batch.num_rows, pa.string()),
+                pa.nulls(batch.num_rows, pa.int64()),
+                batch.column("o_orderdate"),
+            ],
+            schema=ex2_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("cents", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+        ]
+    )
+
+    def join_topk(group: pa.Table) -> pa.Table:
+        group = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_r = pc.equal(group.column("side"), "r")
+        rev = (
+            group.filter(is_r)
+            .select(["key", "cents"])
+            .group_by("key")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["key", "cents"])
+        )
+        o = group.filter(pc.invert(is_r)).select(["key", "o_orderdate"])
+        m = o.join(rev, keys="key", join_type="inner")
+        # bucket-local top-k: only k rows per bucket reach the global merge
+        order = pc.sort_indices(
+            m,
+            sort_keys=[
+                ("cents", "descending"),
+                ("o_orderdate", "ascending"),
+                ("key", "ascending"),
+            ],
+        )
+        m = m.take(order.slice(0, k))
+        return pa.Table.from_arrays(
+            [m.column("key"), m.column("cents"), m.column("o_orderdate")],
+            schema=out_schema,
+        )
+
+    partials = (
+        surviving.map_batches(tag_surviving, batch_format="pyarrow")
+        .union(lineitem.map_batches(tag_rev, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex2_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(join_topk, batch_format="pyarrow")
+    )
+
+    top = partials.sort(
+        key=["cents", "o_orderdate", "l_orderkey"],
+        descending=[True, False, False],
+    ).limit(k)
+    return top.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("l_orderkey"),
+                pc.divide(b.column("cents").cast(pa.float64()), 10000.0),
+                b.column("o_orderdate"),
+            ],
+            names=["l_orderkey", "revenue", "o_orderdate"],
+        ),
+        batch_format="pyarrow",
+    )

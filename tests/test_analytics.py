@@ -534,3 +534,33 @@ def test_hll_replica_oracle_bit_equal():
     ).to_pylist()
     want = hll_distinct_oracle(t, "event_type", "user_id").to_pylist()
     assert got == want
+
+
+def test_shipping_priority_q3_topk():
+    """Q3 shape: top-k building-segment orders by outstanding revenue must
+    equal the SQL plan row-for-row IN ORDER (the tie-break is total)."""
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    got = J.shipping_priority(SF, k=10).to_pandas().reset_index(drop=True)
+    sql = """
+        WITH rev AS (
+          SELECT l_orderkey,
+                 sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS cents
+          FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY l_orderkey)
+        SELECT o.o_orderkey AS l_orderkey,
+               CAST(r.cents AS BIGINT) / 10000.0 AS revenue,
+               o.o_orderdate
+        FROM orders o
+        JOIN rev r ON r.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        ORDER BY revenue DESC, o.o_orderdate, l_orderkey LIMIT 10
+    """
+    for t in ["lineitem", "orders", "customer"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
