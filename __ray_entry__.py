@@ -680,6 +680,8 @@ _DRIVER_PRIORITY = [
     "temperature_mixture",
     # new this round: TPC-H Q3 shape (semi-join + revenue join + top-k)
     "shipping_priority",
+    # new this round: corpus n-gram novelty fingerprint
+    "ngram_novelty",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1087,6 +1089,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange rows ~ candidate grams; 100x docs is the working proxy
         # (A/B at sf0.1: np=8 8.7 s vs np=32 11.3 s)
         return repeated_substring_spans(d, num_partitions=_pfor(100 * d.count()))
+
+    def q_ngram_novelty(sf_dir):
+        from agentic_doc_ray.functions.substr import ngram_novelty
+
+        return ngram_novelty(docs(sf_dir))
 
     def q_substr_stats(sf_dir):
         from agentic_doc_ray.functions.substr import substring_dup_stats
@@ -2034,6 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "repeated_substring_spans": q_substr_spans,
         "substring_dup_stats": q_substr_stats,
+        "ngram_novelty": q_ngram_novelty,
         # anti-join / bloom semi-join / outer-join distribution
         "customer_order_dist": q_customer_order_dist,
         "large_qty_orders": q_large_qty_orders,
@@ -3227,6 +3235,26 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(*) * 1000 >= 2 * (SELECT count(*) FROM toks)"
         ),
         # L=50 grams; positions are 1-based chars, matching substr()
+        # novelty: gram identity = canonical rolling hash on the Ray side,
+        # literal substrings here (collision-free by the 61-bit convention)
+        "ngram_novelty": (
+            "WITH pos AS ("
+            "  SELECT doc_id, text,"
+            "         unnest(range(1, greatest(length(text)-7, 0) + 1, 4)) AS i"
+            "  FROM documents"
+            "), g AS ("
+            "  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS gram"
+            "  FROM pos"
+            "), df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram) "
+            "SELECT d.doc_id,"
+            "       COALESCE(CAST(s.u AS BIGINT), 0) AS n_unique,"
+            "       COALESCE(CAST(s.t AS BIGINT), 0) AS n_grams "
+            "FROM documents d LEFT JOIN ("
+            "  SELECT doc_id, count(*) FILTER (WHERE df = 1) AS u,"
+            "         count(*) AS t"
+            "  FROM g JOIN df USING (gram) GROUP BY doc_id"
+            ") s ON d.doc_id = s.doc_id"
+        ),
         "repeated_substring_spans": (
             "WITH pos AS ("
             "  SELECT doc_id, i AS pos, substr(text, i, 50) AS gram "

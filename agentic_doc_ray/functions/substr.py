@@ -566,3 +566,115 @@ def substring_dup_stats(
         .groupby("bucket", num_partitions=shuffle_partitions(num_partitions))
         .map_groups(stats_bucket, batch_format="pyarrow")
     )
+
+
+def ngram_novelty(
+    docs: "ray.data.Dataset",
+    L: int = 8,
+    stride: int = 4,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-document n-gram novelty vs the whole corpus: of a document's
+    DISTINCT position-sampled L-grams, how many occur in no other document
+    (``n_unique``) out of how many total (``n_grams``). The integer pair is
+    the corpus-uniqueness fingerprint signal (high novelty = fresh content,
+    low = templated/near-duplicate) used to rank crawl snapshots before
+    the expensive dedup passes.
+
+    ``stride`` samples every k-th gram start position (the standard
+    winnowing-style payload bound): the frequency exchange carries
+    ~chars/stride counter rows per doc instead of ~chars. Gram identity is
+    the canonical 61-bit rolling hash (``_gram_hashes`` — batch-layout
+    independent), mirrored in the SQL oracle by the literal substrings.
+
+    Shape: one gram-bucket exchange (all copies of a gram land in one
+    bucket, so per-bucket df IS global df; per-doc partials are reduced
+    inside the bucket before anything re-shuffles) + one per-doc
+    ``groupby().aggregate()`` over (docs x touched-partitions) partial
+    rows. Zero rows are planted per doc so short documents (< L chars)
+    still report (0, 0).
+    """
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    n_docs = docs.count()
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("h", pa.int64()),
+            ("doc_id", pa.int64()),
+        ]
+    )
+    np_ = shuffle_partitions(
+        num_partitions if num_partitions is not None else partitions_for(100 * n_docs)
+    )
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        h, doc_idx, pos, _buf, _offs = _gram_hashes(
+            batch.column("text").combine_chunks(), L
+        )
+        sampled = (pos % stride) == 0
+        h, doc_idx = h[sampled], doc_idx[sampled]
+        ids = (
+            batch.column("doc_id")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[doc_idx]
+        )
+        # per-doc distinct sampled grams (docs are whole within a batch)
+        pair = np.stack([ids, h.astype(np.int64)], axis=1)
+        pair = np.unique(pair, axis=0)
+        hh = pair[:, 1]
+        return pa.Table.from_arrays(
+            [
+                pa.array((hh & (np_ * 8 - 1)).astype(np.int32), pa.int32()),
+                pa.array(hh, pa.int64()),
+                pa.array(pair[:, 0], pa.int64()),
+            ],
+            schema=ex_schema,
+        )
+
+    def df_bucket(group: pa.Table) -> pa.Table:
+        group = group.filter(pc.not_equal(group.column("doc_id"), -1))
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "u": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                }
+            )
+        df = group.group_by("h").aggregate([("h", "count")])
+        uniq_h = df.filter(pc.equal(df.column("h_count"), 1)).column("h")
+        is_u = pc.cast(
+            pc.is_in(group.column("h"), value_set=uniq_h.combine_chunks()),
+            pa.int64(),
+        )
+        t = group.append_column("u", is_u)
+        g = t.group_by("doc_id").aggregate([("u", "sum"), ("u", "count")])
+        return g.rename_columns(["doc_id", "u", "t"])
+
+    partials = (
+        docs.map_batches(gram_rows, batch_format="pyarrow")
+        .union(int_key_sentinels(ex_schema, "bucket", fill={"h": 0, "doc_id": -1}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(df_bucket, batch_format="pyarrow")
+    )
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "u": pa.nulls(n, pa.int64()).fill_null(0),
+                "t": pa.nulls(n, pa.int64()).fill_null(0),
+            }
+        )
+
+    out = (
+        partials.union(docs.map_batches(zero_rows, batch_format="pyarrow"))
+        .groupby("doc_id", num_partitions=shuffle_partitions(partitions_for(2 * n_docs)))
+        .aggregate(Sum("u", alias_name="n_unique"), Sum("t", alias_name="n_grams"))
+    )
+    return out

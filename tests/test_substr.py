@@ -143,3 +143,50 @@ def test_no_duplication_is_empty():
     docs = ray.data.from_arrow(pa.Table.from_pydict(rows))
     got = repeated_substring_spans(docs, L=30).to_pandas()
     assert len(got) == 0
+
+
+def test_ngram_novelty_rule_and_short_docs(ray_session):
+    """Novelty counts per-doc DISTINCT sampled grams and corpus-unique
+    ones; docs shorter than L report (0, 0); batch layout can't matter
+    (gram hashes are canonical)."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.substr import ngram_novelty
+
+    shared = "SHARED-GRAM-BLOCK-" * 3            # appears in docs 1 and 2
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                shared + "alpha-unique-tail-one",
+                shared + "beta-unique-tail-two!",
+                "tiny",                            # < L=8 chars -> (0, 0)
+                "completely-different-content-x",
+            ],
+        }
+    )
+    # replica of the rule with literal substrings
+    L, stride = 8, 4
+    grams = {
+        d: {
+            t.column("text")[i].as_py()[p : p + L]
+            for p in range(0, max(len(t.column("text")[i].as_py()) - L + 1, 0), stride)
+        }
+        for i, d in enumerate([1, 2, 3, 4])
+    }
+    from collections import Counter
+
+    df = Counter(g for gs in grams.values() for g in gs)
+    expect = {
+        d: (sum(1 for g in gs if df[g] == 1), len(gs)) for d, gs in grams.items()
+    }
+    for parallelism in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(parallelism)
+        got = {
+            r["doc_id"]: (r["n_unique"], r["n_grams"])
+            for r in ngram_novelty(ds).take_all()
+        }
+        assert got == expect
+    assert expect[3] == (0, 0)
+    assert expect[4][0] == expect[4][1] > 0       # fully novel doc
