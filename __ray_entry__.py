@@ -682,6 +682,8 @@ _DRIVER_PRIORITY = [
     "shipping_priority",
     # new this round: corpus n-gram novelty fingerprint
     "ngram_novelty",
+    # new this round: per-domain Gopher-pass scorecard
+    "domain_scorecard",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1192,6 +1194,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return curation_keep(
             d, stopwords=_CURATION_STOPWORDS, n_rows_hint=d.count()
         )
+
+    def q_domain_scorecard(sf_dir):
+        """Per-source Gopher-pass scorecard (domain triage table): one
+        batch-local flags pass + one domain-cardinality exchange."""
+        from agentic_doc_ray.functions.curation import domain_scorecard
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text"],
+        )
+        return domain_scorecard(d, stopwords=_CURATION_STOPWORDS)
 
     def q_curation_pipeline(sf_dir):
         """The WHOLE curation DAG end-to-end in one plan: gopher gate ->
@@ -1981,6 +1994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep_best": q_near_dedup_keep_best,
         "token_budget_select": q_token_budget_select,
         "curation_keep": q_curation_keep,
+        "domain_scorecard": q_domain_scorecard,
         "source_capped_select": q_source_capped_select,
         "shard_manifest": q_shard_manifest,
         "curation_pipeline": q_curation_pipeline,
@@ -2313,6 +2327,16 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT doc_id, n_words AS n_tokens FROM surv "
             "WHERE doc_id IN (SELECT min(doc_id) FROM surv GROUP BY text)"
+        ),
+        "domain_scorecard": (
+            f"WITH flags AS ({_CURATION_FLAGS_SQL}) "
+            "SELECT d.source,"
+            "       CAST(count(*) AS BIGINT) AS n_docs,"
+            "       CAST(sum(f.keep) AS BIGINT) AS n_keep,"
+            "       CAST(sum(f.n_words) AS BIGINT) AS n_words,"
+            "       CAST(sum(f.n_alpha_words) AS BIGINT) AS n_alpha_words "
+            "FROM documents d JOIN flags f USING (doc_id) "
+            "GROUP BY d.source"
         ),
         "curation_pipeline": (
             # the full DAG as ONE statement: gate -> first-occurrence keep

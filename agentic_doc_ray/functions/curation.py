@@ -389,3 +389,55 @@ def curation_pipeline(
         .groupby("bucket", num_partitions=partitions_for(acc))
         .map_groups(shard_bucket, batch_format="pyarrow")
     )
+
+
+def domain_scorecard(
+    docs: "ray.data.Dataset",
+    stopwords: tuple[str, ...] = _GOPHER_STOPWORDS,
+) -> "ray.data.Dataset":
+    """Per-domain quality scorecard: for every ``source``, how many docs,
+    how many pass the full Gopher gate, and total/alpha word volume — the
+    decision table a curation run consults before cutting whole domains
+    (the RefinedWeb/DCLM per-domain triage step).
+
+    Shape: the Gopher rules run batch-locally (integer cross-multiplied
+    flags, zero shuffle), each batch reduces to one partial row per source
+    it touches, and ONE tiny exchange (key space = domain cardinality)
+    sums the partials. Document text never shuffles; the exchange carries
+    four int64 counters per (batch, source).
+    """
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = gopher_quality_flags_batch(
+            batch.select(["doc_id", "text"]), stopwords=stopwords
+        )
+        t = pa.Table.from_arrays(
+            [
+                batch.column("source"),
+                pc.cast(flags.column("keep"), pa.int64()),
+                pc.cast(flags.column("n_words"), pa.int64()),
+                pc.cast(flags.column("n_alpha_words"), pa.int64()),
+            ],
+            names=["source", "keep", "n_words", "n_alpha_words"],
+        )
+        g = t.group_by("source").aggregate(
+            [("keep", "count"), ("keep", "sum"), ("n_words", "sum"),
+             ("n_alpha_words", "sum")]
+        )
+        return g.rename_columns(
+            ["source", "n_docs", "n_keep", "n_words", "n_alpha_words"]
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=shuffle_partitions(4))
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_keep", alias_name="n_keep"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_alpha_words", alias_name="n_alpha_words"),
+        )
+    )

@@ -516,6 +516,41 @@ def main() -> None:
 
     timed("near_dedup_keep_best", keep_best_q)
 
+    def novelty_q() -> None:
+        from agentic_doc_ray.functions.substr import ngram_novelty
+
+        ngram_novelty(docs()).count()
+
+    timed("ngram_novelty", novelty_q)
+
+    def dedup_lines_q() -> None:
+        from agentic_doc_ray.functions.text import dedup_lines
+
+        dedup_lines(docs()).count()
+
+    timed("dedup_lines", dedup_lines_q)
+
+    def temp_mix_q() -> None:
+        from agentic_doc_ray.functions.sampling import temperature_mixture_sample
+
+        src = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+        )
+        temperature_mixture_sample(src).count()
+
+    timed("temperature_mixture", temp_mix_q)
+    timed("shipping_priority", lambda: J.shipping_priority(SF_DIR).count())
+
+    def scorecard_q() -> None:
+        from agentic_doc_ray.functions.curation import domain_scorecard
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+        domain_scorecard(d).count()
+
+    timed("domain_scorecard", scorecard_q)
+
     def budget_q() -> None:
         from agentic_doc_ray.functions.scans import token_budget_select
 

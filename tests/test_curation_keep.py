@@ -314,3 +314,53 @@ def test_curation_pipeline_end_to_end():
     } == naive
     assert 2 not in naive and 6 not in naive  # dup + gate-fail dropped
     assert len(naive) >= 4  # the cap keeps a real subset
+
+
+def test_domain_scorecard_vs_replica(ray_session):
+    """Scorecard sums must equal a direct per-source reduction of the
+    flags table, regardless of batch layout."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.curation import domain_scorecard
+    from agentic_doc_ray.functions.text import gopher_quality_flags_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "source": ["a", "b", "a", "b", "a", "c", "c", "a"],
+            "text": [
+                "the a data value " * 20,     # passes (stopwords present)
+                "x",                           # too short
+                "the a data value " * 20,
+                "# # # " * 50,                 # symbol-heavy
+                "word " * 60,                  # no stopwords -> fails
+                "the a data value " * 20,
+                "",                            # empty
+                "the a data value " * 9999,   # too long? 4*9999 words pass cap
+            ],
+        }
+    )
+    flags = gopher_quality_flags_batch(
+        t.select(["doc_id", "text"]), stopwords=("the", "a", "data", "value")
+    )
+    import collections
+
+    expect = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for src, keep, nw, na in zip(
+        t.column("source").to_pylist(),
+        flags.column("keep").to_pylist(),
+        flags.column("n_words").to_pylist(),
+        flags.column("n_alpha_words").to_pylist(),
+    ):
+        e = expect[src]
+        e[0] += 1; e[1] += keep; e[2] += nw; e[3] += na
+    for parallelism in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(parallelism)
+        got = {
+            r["source"]: [r["n_docs"], r["n_keep"], r["n_words"], r["n_alpha_words"]]
+            for r in domain_scorecard(
+                ds, stopwords=("the", "a", "data", "value")
+            ).take_all()
+        }
+        assert got == dict(expect)
