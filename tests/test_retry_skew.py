@@ -146,8 +146,9 @@ def test_adaptive_router_mixed_corpus_matches_oracle():
 
 
 def test_adaptive_router_all_small_corpus():
-    """No doc exceeds the threshold: the mega branch runs on sentinel rows
-    only and the output still equals extract_corpus."""
+    """No doc exceeds the threshold: the max-span pre-scan skips the mega
+    branch entirely (no exchange fleets) and the output still equals
+    extract_corpus."""
     from agentic_doc_ray.pipelines import extract_corpus_adaptive
 
     t = _mixed_corpus(n_small=12, mega_spans=3)  # "megas" under threshold too
