@@ -684,6 +684,8 @@ _DRIVER_PRIORITY = [
     "ngram_novelty",
     # new this round: per-domain Gopher-pass scorecard
     "domain_scorecard",
+    # new this round: substring-dedup removal end stage
+    "strip_repeated_substrings",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1091,6 +1093,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange rows ~ candidate grams; 100x docs is the working proxy
         # (A/B at sf0.1: np=8 8.7 s vs np=32 11.3 s)
         return repeated_substring_spans(d, num_partitions=_pfor(100 * d.count()))
+
+    def q_substr_strip(sf_dir):
+        from agentic_doc_ray.functions.substr import strip_repeated_substrings
+
+        d = docs(sf_dir)
+        return strip_repeated_substrings(
+            d, num_partitions=_pfor(100 * d.count())
+        )
 
     def q_ngram_novelty(sf_dir):
         from agentic_doc_ray.functions.substr import ngram_novelty
@@ -2055,6 +2065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "repeated_substring_spans": q_substr_spans,
         "substring_dup_stats": q_substr_stats,
+        "strip_repeated_substrings": q_substr_strip,
         "ngram_novelty": q_ngram_novelty,
         # anti-join / bloom semi-join / outer-join distribution
         "customer_order_dist": q_customer_order_dist,
@@ -3298,6 +3309,54 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT doc_id, min(pos) AS span_start, max(pos) + 49 AS span_end "
             "FROM island GROUP BY doc_id, g"
+        ),
+        # removal end stage: spans CTE -> inter-span kept segments
+        # (lag window) -> ordered string_agg splice; clean docs untouched
+        "strip_repeated_substrings": (
+            "WITH pos AS ("
+            "  SELECT doc_id, i AS pos, substr(text, i, 50) AS gram "
+            "  FROM documents, UNNEST(generate_series(1, length(text) - 49)) AS t(i) "
+            "  WHERE length(text) >= 50"
+            "), dup AS ("
+            "  SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1"
+            "), marked AS ("
+            "  SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (gram)"
+            "), grp AS ("
+            "  SELECT doc_id, pos, "
+            "    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 49 "
+            "    THEN 1 ELSE 0 END AS brk FROM marked"
+            "), island AS ("
+            "  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos "
+            "    ROWS UNBOUNDED PRECEDING) AS g FROM grp"
+            "), spans AS ("
+            "  SELECT doc_id, min(pos) AS s, max(pos) + 49 AS e "
+            "  FROM island GROUP BY doc_id, g"
+            "), segs AS ("
+            "  SELECT doc_id,"
+            "         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,"
+            "         s - 1 AS ke"
+            "  FROM spans"
+            "  UNION ALL"
+            "  SELECT sp.doc_id, max(sp.e) + 1 AS ks, max(length(d.text)) AS ke"
+            "  FROM spans sp JOIN documents d USING (doc_id) GROUP BY sp.doc_id"
+            "), stripped AS ("
+            "  SELECT sg.doc_id,"
+            "         string_agg(substr(d.text, CAST(sg.ks AS INTEGER),"
+            "                    CAST(sg.ke - sg.ks + 1 AS INTEGER)), '' ORDER BY sg.ks)"
+            "           FILTER (WHERE sg.ke >= sg.ks) AS text"
+            "  FROM documents d JOIN segs sg USING (doc_id)"
+            "  GROUP BY sg.doc_id"
+            "), rem AS ("
+            "  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_removed"
+            "  FROM spans GROUP BY doc_id"
+            ") "
+            "SELECT d.doc_id,"
+            "       CASE WHEN r.n_removed IS NULL THEN d.text"
+            "            ELSE COALESCE(st.text, '') END AS text,"
+            "       COALESCE(r.n_removed, 0) AS n_removed "
+            "FROM documents d "
+            "LEFT JOIN stripped st USING (doc_id) "
+            "LEFT JOIN rem r USING (doc_id)"
         ),
         "substring_dup_stats": (
             "WITH pos AS ("

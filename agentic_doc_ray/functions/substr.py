@@ -678,3 +678,131 @@ def ngram_novelty(
         .aggregate(Sum("u", alias_name="n_unique"), Sum("t", alias_name="n_grams"))
     )
     return out
+
+
+def strip_repeated_substrings(
+    docs: "ray.data.Dataset",
+    L: int = 50,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """The substring-dedup END STAGE (Lee et al. 2022 apply REMOVAL, not
+    just measurement): every character covered by a corpus-wide repeated
+    L-gram span is cut from the text. Output: (doc_id, text, n_removed)
+    for EVERY input document — clean docs pass through unchanged.
+
+    Consumes ``repeated_substring_spans`` (exact, verified spans) and adds
+    ONE doc-bucketed exchange carrying the document text once (~1x corpus
+    bytes, the flagship-merge budget class) plus the span rows. Spans are
+    disjoint per doc by construction, so the per-doc strip is a single
+    byte-mask pass (numpy, no per-char Python).
+    """
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    spans = repeated_substring_spans(docs, L, num_partitions=num_partitions)
+
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("side", pa.string()),
+            ("doc_id", pa.int64()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("text", pa.string()),
+        ]
+    )
+
+    def _bucket(ids) -> "pa.Array":
+        return pc.cast(pc.bit_wise_and(ids, pa.scalar(63, pa.int64())), pa.int32())
+
+    def tag_spans(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(batch.column("doc_id")),
+                pa.array(["s"] * n, pa.string()),
+                batch.column("doc_id"),
+                batch.column("span_start").cast(pa.int64()),
+                batch.column("span_end").cast(pa.int64()),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=ex_schema,
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        zero = pa.nulls(n, pa.int64()).fill_null(0)
+        return pa.Table.from_arrays(
+            [
+                _bucket(batch.column("doc_id")),
+                pa.array(["d"] * n, pa.string()),
+                batch.column("doc_id"),
+                zero,
+                zero,
+                batch.column("text"),
+            ],
+            schema=ex_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+
+    def strip_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_doc = pc.equal(g.column("side"), "d")
+        d = g.filter(is_doc)
+        s = g.filter(pc.invert(is_doc))
+        span_by_doc: dict = {}
+        for did, a, b in zip(
+            s.column("doc_id").to_pylist(),
+            s.column("a").to_pylist(),
+            s.column("b").to_pylist(),
+        ):
+            span_by_doc.setdefault(did, []).append((a, b))
+        ids = d.column("doc_id").to_pylist()
+        texts = d.column("text").to_pylist()
+        out_t, out_n = [], []
+        for did, t in zip(ids, texts):
+            sp = span_by_doc.get(did)
+            if not sp:
+                out_t.append(t)
+                out_n.append(0)
+                continue
+            raw = np.frombuffer((t or "").encode(), dtype=np.uint8)
+            mask = np.ones(len(raw), dtype=bool)
+            removed = 0
+            for a, b in sp:  # 1-based inclusive, disjoint
+                mask[a - 1 : b] = False
+                removed += b - a + 1
+            out_t.append(raw[mask].tobytes().decode())
+            out_n.append(removed)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(out_t, pa.string()),
+                pa.array(out_n, pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    from agentic_doc_ray.context import partitions_for
+
+    n_docs = docs.count()
+    return (
+        docs.map_batches(tag_docs, batch_format="pyarrow")
+        .union(spans.map_batches(tag_spans, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
+        .groupby(
+            "bucket",
+            num_partitions=shuffle_partitions(
+                num_partitions
+                if num_partitions is not None
+                else partitions_for(2 * n_docs)
+            ),
+        )
+        .map_groups(strip_bucket, batch_format="pyarrow")
+    )

@@ -551,6 +551,15 @@ def main() -> None:
 
     timed("domain_scorecard", scorecard_q)
 
+    def substr_strip_q() -> None:
+        from agentic_doc_ray.functions.substr import strip_repeated_substrings
+
+        strip_repeated_substrings(
+            docs(), num_partitions=_pfor(100 * n_doc_rows)
+        ).count()
+
+    timed("substr_strip", substr_strip_q)
+
     def budget_q() -> None:
         from agentic_doc_ray.functions.scans import token_budget_select
 

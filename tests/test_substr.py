@@ -190,3 +190,49 @@ def test_ngram_novelty_rule_and_short_docs(ray_session):
         assert got == expect
     assert expect[3] == (0, 0)
     assert expect[4][0] == expect[4][1] > 0       # fully novel doc
+
+
+def test_strip_repeated_substrings_rule(ray_session):
+    """Every char covered by a corpus-repeated L-gram span is removed;
+    clean docs pass through; layout can't matter."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.substr import (
+        repeated_substring_spans,
+        strip_repeated_substrings,
+    )
+
+    block = "Z" * 60                       # repeated 60-char block (L=50)
+    texts = [
+        "head-" + block + "-tail-one-" + "x" * 40,
+        "other-" + block + "-tail-two-" + "y" * 40,
+        "completely clean document " + "q" * 40,
+        "short",
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+
+    # replica: strip the exact spans the span op reports
+    spans = {}
+    for r in repeated_substring_spans(ray.data.from_arrow(t)).take_all():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    expect = {}
+    for i, txt in enumerate(texts):
+        keep = bytearray()
+        cut = {p for a, b in spans.get(i, []) for p in range(a - 1, b)}
+        for p, ch in enumerate(txt.encode()):
+            if p not in cut:
+                keep.append(ch)
+        expect[i] = (keep.decode(), sum(b - a + 1 for a, b in spans.get(i, [])))
+    assert expect[0][1] > 0 and expect[1][1] > 0    # the block was cut
+    assert expect[2][1] == 0 and expect[3][1] == 0
+    assert block not in expect[0][0]
+    for parallelism in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parallelism)
+        got = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in strip_repeated_substrings(ds).take_all()
+        }
+        assert got == expect
