@@ -331,3 +331,38 @@ def test_prefix_halves_exact_past_2_53():
     for s, e, g in zip(starts, ends, got):
         want = int(sum(int(v) for v in contrib[s:e])) % _FP_MOD
         assert int(g) == want, (s, e)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab\nc ")), max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_dedup_lines_batch_matches_pure_spec(texts):
+    """dedup_lines_batch == the obvious per-doc Python rule for arbitrary
+    newline-dense texts (first occurrence of each non-empty line stays,
+    empty lines always stay)."""
+    from agentic_doc_ray.functions.text import dedup_lines_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = dedup_lines_batch(t).to_pydict()
+    for i, txt in enumerate(texts):
+        seen, kept, removed = set(), [], 0
+        for line in txt.split("\n"):
+            if line == "" or line not in seen:
+                kept.append(line)
+                seen.add(line)
+            else:
+                removed += 1
+        assert got["text"][i] == "\n".join(kept)
+        assert got["n_removed"][i] == removed
