@@ -686,6 +686,8 @@ _DRIVER_PRIORITY = [
     "domain_scorecard",
     # new this round: substring-dedup removal end stage
     "strip_repeated_substrings",
+    # new this round: O(delta) incremental curation across snapshots
+    "incremental_curation",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1215,6 +1217,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["doc_id", "source", "text"],
         )
         return domain_scorecard(d, stopwords=_CURATION_STOPWORDS)
+
+    def q_incremental_curation(sf_dir):
+        """curation_keep(v2) computed O(delta): Gopher gate + md5 only on
+        added/changed docs of the synthetic second crawl; the prior keep
+        index is maintained with key-only id joins. Oracle = the FULL
+        recompute over v2 (composed curation SQL) — the strongest check
+        an incremental pipeline can have."""
+        from agentic_doc_ray.functions.curation import incremental_curation_keep
+        from agentic_doc_ray.functions.delta import synth_second_crawl
+
+        d = docs(sf_dir)
+        return incremental_curation_keep(
+            d,
+            synth_second_crawl(d),
+            stopwords=_CURATION_STOPWORDS,
+            n_rows_hint=d.count(),
+        )
 
     def q_curation_pipeline(sf_dir):
         """The WHOLE curation DAG end-to-end in one plan: gopher gate ->
@@ -2005,6 +2024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_select": q_token_budget_select,
         "curation_keep": q_curation_keep,
         "domain_scorecard": q_domain_scorecard,
+        "incremental_curation": q_incremental_curation,
         "source_capped_select": q_source_capped_select,
         "shard_manifest": q_shard_manifest,
         "curation_pipeline": q_curation_pipeline,
@@ -2348,6 +2368,23 @@ def oracle_sql() -> dict[str, str]:
             "       CAST(sum(f.n_alpha_words) AS BIGINT) AS n_alpha_words "
             "FROM documents d JOIN flags f USING (doc_id) "
             "GROUP BY d.source"
+        ),
+        # incremental path must equal the FULL recompute over v2
+        "incremental_curation": (
+            "WITH v2 AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [edited v2]' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 "
+            "  UNION ALL "
+            "  SELECT doc_id + 10000000 AS doc_id, text || ' (new)' AS text "
+            "FROM documents WHERE doc_id % 11 = 0"
+            "), flags AS ("
+            + _CURATION_FLAGS_SQL.replace("FROM documents", "FROM v2")
+            + "), surv AS ("
+            "  SELECT d.doc_id, d.text, f.n_words FROM v2 d "
+            "  JOIN flags f USING (doc_id) WHERE f.keep = 1"
+            ") "
+            "SELECT doc_id, n_words AS n_tokens FROM surv "
+            "WHERE doc_id IN (SELECT min(doc_id) FROM surv GROUP BY text)"
         ),
         "curation_pipeline": (
             # the full DAG as ONE statement: gate -> first-occurrence keep

@@ -560,6 +560,17 @@ def main() -> None:
 
     timed("substr_strip", substr_strip_q)
 
+    def incr_curation_q() -> None:
+        from agentic_doc_ray.functions.curation import incremental_curation_keep
+        from agentic_doc_ray.functions.delta import synth_second_crawl
+
+        d = docs()
+        incremental_curation_keep(
+            d, synth_second_crawl(d), n_rows_hint=n_doc_rows
+        ).count()
+
+    timed("incremental_curation", incr_curation_q)
+
     def budget_q() -> None:
         from agentic_doc_ray.functions.scans import token_budget_select
 

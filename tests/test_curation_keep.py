@@ -364,3 +364,62 @@ def test_domain_scorecard_vs_replica(ray_session):
             ).take_all()
         }
         assert got == dict(expect)
+
+
+def test_incremental_curation_equals_full_recompute(ray_session):
+    """The O(delta) path must equal curation_keep(v2) exactly through the
+    subtle transitions: an edit INTO a kept doc's content dethrones it
+    (smaller id wins), an edit AWAY restores the former loser, and a
+    removed keeper hands its content to the surviving duplicate."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.curation import (
+        curation_keep,
+        incremental_curation_keep,
+    )
+
+    SW = ("the", "a", "data", "value")
+    filler = "the a data value " * 20
+    X, Y, Z, W = (filler + t for t in ("X", "Y", "Z", "W"))
+    v1_rows = {
+        0: filler + "zero",  # will edit INTO Z (dethrones doc 3)
+        1: X,                # keeper of X; will edit AWAY to Y
+        2: X,                # loser of X; should be restored in v2
+        3: Z,                # kept in v1; dethroned in v2 by doc 0
+        4: W,                # keeper of W; REMOVED in v2
+        5: W,                # loser of W; restored in v2
+        6: "too short",      # gate-fails in both
+    }
+    v2_rows = dict(v1_rows)
+    v2_rows[0] = Z
+    v2_rows[1] = Y
+    del v2_rows[4]
+    v2_rows[7] = filler + "brand new"   # added doc
+
+    def ds(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(rows), pa.int64()),
+                    "text": pa.array(list(rows.values()), pa.string()),
+                }
+            )
+        ).repartition(3)
+
+    got = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in incremental_curation_keep(
+            ds(v1_rows), ds(v2_rows), stopwords=SW
+        ).take_all()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in curation_keep(ds(v2_rows), stopwords=SW).take_all()
+    )
+    assert got == want
+    kept_ids = {d for d, _ in got}
+    assert 0 in kept_ids and 3 not in kept_ids   # dethroned by the edit-in
+    assert 2 in kept_ids                          # restored by the edit-away
+    assert 5 in kept_ids and 4 not in kept_ids    # keeper removal hand-off
+    assert 6 not in kept_ids and 7 in kept_ids
