@@ -480,9 +480,14 @@ def incremental_curation_keep(
     The 100-TB motivation: a daily crawl changes ~1% of documents. Here
     the full-corpus touches are (a) the fingerprint pass inside
     ``snapshot_diff`` (16-byte counter rows per doc, never text through
-    an exchange) and (b) the prior index maintenance (key rows only) —
-    in production the prior index is the checkpoint written by the last
-    run (``state/manifest``), modeled here by gating v1 in place.
+    an exchange), (b) the delta semi-join, which moves v2's rows once
+    through a bucketed exchange to select the delta (the flagship-merge
+    ~1x-bytes budget class; a production crawler hands the delta over as
+    its own feed and skips this hop) and (c) the prior index maintenance
+    (key rows only) — in production the prior index is the checkpoint
+    written by the last run (``state/manifest``), modeled here by gating
+    v1 in place (that modeling cost is absent when the checkpoint is
+    read back).
 
     Correctness of the winner rule under edits: alive-prior rows are
     exactly v2's unchanged docs (identical content, so their v1 gate
@@ -501,7 +506,10 @@ def incremental_curation_keep(
         snapshot_diff,
     )
 
-    diff = snapshot_diff(v1, v2)  # (doc_id, change)
+    np_delta = partitions_for(2 * n_rows_hint) if n_rows_hint else None
+    # materialize: the diff is O(delta) rows and feeds BOTH id sets — a
+    # lazy dataset would re-execute the fingerprint exchange per consumer
+    diff = snapshot_diff(v1, v2, num_partitions=np_delta).materialize()
 
     def _ids(*changes):
         vs = pa.array(list(changes), pa.string())
@@ -516,18 +524,18 @@ def incremental_curation_keep(
     dead_ids = _ids("removed", "changed")
 
     gate = functools.partial(_gate_and_key, stopwords=stopwords)
-    delta_keyed = semi_join_ids(v2, gate_ids).map_batches(
-        gate, batch_format="pyarrow"
-    )
+    delta_keyed = semi_join_ids(
+        v2, gate_ids, num_partitions=np_delta
+    ).map_batches(gate, batch_format="pyarrow")
     # prior state: in production, read back from the previous run's
     # checkpoint; modeled by gating v1 (same rows bit-for-bit)
     prior_keyed = v1.map_batches(gate, batch_format="pyarrow").map_batches(
         lambda b: b.select(["h", "doc_id", "n_tokens"]),
         batch_format="pyarrow",
     )
-    alive_prior = anti_join_ids(prior_keyed, dead_ids).map_batches(
-        _rekey_index_rows, batch_format="pyarrow"
-    )
+    alive_prior = anti_join_ids(
+        prior_keyed, dead_ids, num_partitions=np_delta
+    ).map_batches(_rekey_index_rows, batch_format="pyarrow")
 
     sentinels = int_key_sentinels(
         _KEY_SCHEMA, "bucket", fill={"h": "", "doc_id": -1, "n_tokens": 0}

@@ -280,14 +280,20 @@ def _keyed_exchange_filter(
     ).map_groups(resolve, batch_format="pyarrow")
 
 
-def semi_join_ids(ds, ids, n_buckets: int = 32):
+def semi_join_ids(ds, ids, n_buckets: int = 32, num_partitions: int | None = None):
     """Rows of ``ds`` whose doc_id appears in ``ids`` (bucketed, distributed)."""
-    return _keyed_exchange_filter(ds, ids, keep_matches=True, n_buckets=n_buckets)
+    return _keyed_exchange_filter(
+        ds, ids, keep_matches=True, n_buckets=n_buckets,
+        num_partitions=num_partitions,
+    )
 
 
-def anti_join_ids(ds, ids, n_buckets: int = 32):
+def anti_join_ids(ds, ids, n_buckets: int = 32, num_partitions: int | None = None):
     """Rows of ``ds`` whose doc_id does NOT appear in ``ids``."""
-    return _keyed_exchange_filter(ds, ids, keep_matches=False, n_buckets=n_buckets)
+    return _keyed_exchange_filter(
+        ds, ids, keep_matches=False, n_buckets=n_buckets,
+        num_partitions=num_partitions,
+    )
 
 
 def incremental_token_counts(

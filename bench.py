@@ -566,7 +566,10 @@ def main() -> None:
 
         d = docs()
         incremental_curation_keep(
-            d, synth_second_crawl(d), n_rows_hint=n_doc_rows
+            d,
+            synth_second_crawl(d),
+            stopwords=("the", "a", "data", "value"),
+            n_rows_hint=n_doc_rows,
         ).count()
 
     timed("incremental_curation", incr_curation_q)
