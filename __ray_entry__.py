@@ -688,6 +688,9 @@ _DRIVER_PRIORITY = [
     "strip_repeated_substrings",
     # new this round: O(delta) incremental curation across snapshots
     "incremental_curation",
+    # new this round: Q12/Q14 join shapes
+    "late_shipment_priority",
+    "promo_revenue_share",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -2055,6 +2058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue_bucketed": _J().order_priority_revenue_bucketed,
         "nation_returned_revenue": _J().nation_returned_revenue,
         "shipping_priority": _J().shipping_priority,
+        "late_shipment_priority": _J().late_shipment_priority,
+        "promo_revenue_share": _J().promo_revenue_share,
         "events_hourly": A.events_hourly,
         "cohort_retention": A.cohort_retention,
         "events_sliding": A.events_sliding,
@@ -2823,6 +2828,34 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "min(value) AS min_value, max(value) AS max_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        # Q12 shape: the late predicate needs the join (shipdate vs
+        # orderdate + 90 days); counts are lineitem-level
+        "late_shipment_priority": (
+            "SELECT l.l_returnflag,"
+            "  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')"
+            "           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+            "  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')"
+            "           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY "
+            "GROUP BY l.l_returnflag"
+        ),
+        # Q14 shape: exact integer cents; per-mille by integer division
+        "promo_revenue_share": (
+            "WITH rev AS ("
+            "  SELECT l_partkey,"
+            "         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS cents"
+            "  FROM lineitem GROUP BY l_partkey"
+            "), j AS ("
+            "  SELECT CASE WHEN p.p_type = 'PROMO' THEN r.cents ELSE 0 END AS pcents,"
+            "         r.cents"
+            "  FROM rev r JOIN part p ON p.p_partkey = r.l_partkey"
+            ") "
+            "SELECT CAST(sum(pcents) AS BIGINT) AS promo_cents,"
+            "       CAST(sum(cents) AS BIGINT) AS total_cents,"
+            "       CAST((1000 * CAST(sum(pcents) AS BIGINT)) // CAST(sum(cents) AS BIGINT) AS BIGINT) AS promo_per_mille "
+            "FROM j"
         ),
         # Q3 shape: deterministic total order (revenue DESC, date, key)
         "shipping_priority": (

@@ -1305,3 +1305,263 @@ def shipping_priority(
         ),
         batch_format="pyarrow",
     )
+
+
+def late_shipment_priority(
+    sf_dir: str, late_days: int = 90, n_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """TPC-H Q12 shape: per returnflag class, how many LATE lineitems
+    (shipped more than ``late_days`` after the order date — a derived
+    condition that requires the join) belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs the rest.
+
+    One bucketed exchange keyed by orderkey: orders ship
+    (key, orderdate, a precomputed high/low bit), lineitem ships
+    (key, returnflag, shipdate); the per-bucket task joins Arrow-native,
+    applies the interval predicate vectorized, and emits ≤ |returnflag|
+    partial rows — a tiny groupby finishes. Sentinel-guarded (both
+    feeders can emit zero-row blocks).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+    late_us = np.timedelta64(late_days, "D").astype("timedelta64[us]")
+
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("high", pa.int8()),
+            ("ts", pa.timestamp("us")),
+            ("l_returnflag", pa.string()),
+        ]
+    )
+
+    def _bucket(key):
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey")
+        high = pc.cast(
+            pc.is_in(
+                batch.column("o_orderpriority"),
+                value_set=pa.array(["1-URGENT", "2-HIGH"]),
+            ),
+            pa.int8(),
+        )
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * batch.num_rows, pa.string()),
+                high,
+                batch.column("o_orderdate").cast(pa.timestamp("us")),
+                pa.nulls(batch.num_rows, pa.string()),
+            ],
+            schema=ex_schema,
+        )
+
+    def tag_lines(batch: pa.Table) -> pa.Table:
+        key = batch.column("l_orderkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["l"] * batch.num_rows, pa.string()),
+                pa.nulls(batch.num_rows, pa.int8()),
+                batch.column("l_shipdate").cast(pa.timestamp("us")),
+                batch.column("l_returnflag"),
+            ],
+            schema=ex_schema,
+        )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        group = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_o = pc.equal(group.column("side"), "o")
+        o = (
+            group.filter(is_o)
+            .select(["key", "high", "ts"])
+            .rename_columns(["key", "high", "odate"])
+        )
+        l = group.filter(pc.invert(is_o)).select(["key", "ts", "l_returnflag"])
+        m = l.join(o, keys="key", join_type="inner")
+        odate = m.column("odate").to_numpy(zero_copy_only=False)
+        sdate = m.column("ts").to_numpy(zero_copy_only=False)
+        late = pa.array(sdate > odate + late_us)
+        m = m.filter(late)
+        hi = pc.cast(m.column("high"), pa.int64())
+        t = pa.Table.from_arrays(
+            [
+                m.column("l_returnflag"),
+                hi,
+                pc.subtract(pa.scalar(1, pa.int64()), hi),
+            ],
+            names=["l_returnflag", "high_line_count", "low_line_count"],
+        )
+        g = t.group_by("l_returnflag").aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "high_line_count", "low_line_count"]
+        )
+
+    partials = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(lineitem.map_batches(tag_lines, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+    return partials.groupby(
+        "l_returnflag", num_partitions=shuffle_partitions(4)
+    ).aggregate(
+        Sum("high_line_count", alias_name="high_line_count"),
+        Sum("low_line_count", alias_name="low_line_count"),
+    )
+
+
+def promo_revenue_share(
+    sf_dir: str, n_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """TPC-H Q14 shape: what share of revenue comes from PROMO parts —
+    lineitem ⋈ part on partkey (both sides scale, so a bucketed
+    exchange), exact integer cents all the way, one summary row
+    (promo_cents, total_cents, promo_per_mille via integer division).
+
+    The lineitem side pre-aggregates per batch to one cents row per
+    partkey; the part side ships (partkey, is_promo 0/1). Each bucket
+    emits ONE partial row, so the final merge is a ≤buckets-row
+    aggregate."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("v", pa.int64()),
+        ]
+    )
+
+    def _bucket(key):
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+
+    def tag_part(batch: pa.Table) -> pa.Table:
+        key = batch.column("p_partkey")
+        promo = pc.cast(
+            pc.equal(batch.column("p_type"), "PROMO"), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["p"] * batch.num_rows, pa.string()),
+                promo,
+            ],
+            schema=ex_schema,
+        )
+
+    def tag_rev(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(
+                pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                ),
+                pa.scalar(10000.0),
+            )
+        ).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("l_partkey"), cents], names=["key", "v"]
+        )
+        g = t.group_by("key").aggregate([("v", "sum")]).rename_columns(["key", "v"])
+        return pa.Table.from_arrays(
+            [
+                _bucket(g.column("key")),
+                g.column("key"),
+                pa.array(["r"] * g.num_rows, pa.string()),
+                g.column("v"),
+            ],
+            schema=ex_schema,
+        )
+
+    def bucket_partial(group: pa.Table) -> pa.Table:
+        group = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_p = pc.equal(group.column("side"), "p")
+        p = (
+            group.filter(is_p)
+            .select(["key", "v"])
+            .rename_columns(["key", "promo"])
+        )
+        r = (
+            group.filter(pc.invert(is_p))
+            .select(["key", "v"])
+            .group_by("key")
+            .aggregate([("v", "sum")])
+            .rename_columns(["key", "cents"])
+        )
+        m = r.join(p, keys="key", join_type="inner")
+        cents = m.column("cents")
+        promo = pc.sum(pc.multiply(cents, m.column("promo"))).as_py() or 0
+        total = pc.sum(cents).as_py() or 0
+        return pa.table(
+            {
+                "promo_cents": pa.array([promo], pa.int64()),
+                "total_cents": pa.array([total], pa.int64()),
+            }
+        )
+
+    partials = (
+        part.map_batches(tag_part, batch_format="pyarrow")
+        .union(lineitem.map_batches(tag_rev, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(bucket_partial, batch_format="pyarrow")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        promo = pc.sum(batch.column("promo_cents")).as_py() or 0
+        total = pc.sum(batch.column("total_cents")).as_py() or 0
+        pm = (1000 * promo) // total if total else 0
+        return pa.table(
+            {
+                "promo_cents": pa.array([promo], pa.int64()),
+                "total_cents": pa.array([total], pa.int64()),
+                "promo_per_mille": pa.array([pm], pa.int64()),
+            }
+        )
+
+    # bucket partials are ≤ n_buckets rows: fold them in one tiny task
+    return partials.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -573,6 +573,8 @@ def main() -> None:
         ).count()
 
     timed("incremental_curation", incr_curation_q)
+    timed("late_shipment_priority", lambda: J.late_shipment_priority(SF_DIR).count())
+    timed("promo_revenue_share", lambda: J.promo_revenue_share(SF_DIR).count())
 
     def budget_q() -> None:
         from agentic_doc_ray.functions.scans import token_budget_select

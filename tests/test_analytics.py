@@ -564,3 +564,58 @@ def test_shipping_priority_q3_topk():
         sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
     want = duckdb.sql(sql).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_late_shipment_priority_q12():
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    got = (
+        J.late_shipment_priority(SF)
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    sql = """
+        SELECT l.l_returnflag,
+          CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """
+    for t in ["lineitem", "orders"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_promo_revenue_share_q14():
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    got = J.promo_revenue_share(SF).to_pandas()
+    sql = """
+        WITH rev AS (
+          SELECT l_partkey,
+                 sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS cents
+          FROM lineitem GROUP BY l_partkey
+        ), j AS (
+          SELECT CASE WHEN p.p_type = 'PROMO' THEN r.cents ELSE 0 END AS pcents,
+                 r.cents
+          FROM rev r JOIN part p ON p.p_partkey = r.l_partkey
+        )
+        SELECT CAST(sum(pcents) AS BIGINT) AS promo_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST((1000 * CAST(sum(pcents) AS BIGINT)) // CAST(sum(cents) AS BIGINT) AS BIGINT) AS promo_per_mille
+        FROM j
+    """
+    for t in ["lineitem", "part"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    assert got.iloc[0]["total_cents"] > got.iloc[0]["promo_cents"] > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
