@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 22  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 23  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -372,6 +372,14 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             k=10,
         ),
         os.path.join(out_dir, "ivf_topk.parquet"),
+    )
+
+    # single-process kNN-JOIN replica (all-vector top-k neighbor graph)
+    from agentic_doc_ray.functions.similarity import knn_join_oracle
+
+    _pq.write_table(
+        knn_join_oracle(emb_tbl, k=5),
+        os.path.join(out_dir, "knn_join.parquet"),
     )
 
     # single-process product-quantization replica: per-vector ADC scores are
@@ -691,6 +699,8 @@ _DRIVER_PRIORITY = [
     # new this round: Q12/Q14 join shapes
     "late_shipment_priority",
     "promo_revenue_share",
+    # new this round: all-vector kNN join (neighbor graph)
+    "knn_join",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1774,6 +1784,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res.select(["query_id", "rank", "vec_id"])
 
+    def q_knn_join(sf_dir):
+        """All-vector kNN join (neighbor graph): IVF-partitioned, one
+        vector exchange + one key-only merge; rank-only output so the
+        single-process replica is bit-equal."""
+        from agentic_doc_ray.functions.similarity import knn_join
+
+        _ensure_extraction_oracles(sf_dir)
+        return knn_join(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            k=5,
+        )
+
     def q_similarity_pq(sf_dir):
         """Product-quantization ADC top-k. Per-vector scores depend only on
         the broadcast codebooks/LUTs, so the distributed partial-top-k merge
@@ -2042,6 +2066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25,
         "index_postings": q_index_postings,
         "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
+        "knn_join": q_knn_join,                    # single-process replica oracle
         "similarity_topk_pq": q_similarity_pq,     # single-process replica oracle
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
@@ -3215,6 +3240,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, jaccard "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') "
             "WHERE jaccard >= 0.7"
+        ),
+        "knn_join": (
+            "SELECT vec_id, rank, neighbor_id "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/knn_join.parquet')"
         ),
         "similarity_topk_ivf": (
             "SELECT query_id, rank, vec_id "

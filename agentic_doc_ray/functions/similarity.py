@@ -600,3 +600,198 @@ def ivf_topk(
     return _merge_topk_partials(
         embeddings.map_batches(partial, batch_format="pyarrow"), query_ids, k
     )
+
+
+KNN_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("rank", pa.int64()), ("neighbor_id", pa.int64())]
+)
+
+
+def _knn_probe(C: np.ndarray, vecs: np.ndarray, n_probe: int) -> np.ndarray:
+    """(n, n_probe) nearest-centroid indices per vector (probe[0] is the
+    home centroid)."""
+    return np.argsort(-(vecs @ C.T), kind="stable", axis=1)[:, :n_probe]
+
+
+def knn_join(
+    embeddings: "ray.data.Dataset",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 5,
+) -> "ray.data.Dataset":
+    """k-NN JOIN: the top-k cosine neighbors of EVERY vector (not a fixed
+    query set) — the kNN-graph primitive behind SemDeDup-style clustering
+    and embedding near-dup graphs. Approximate via IVF partitioning
+    (recall bounded by n_probe, pinned by tests); output
+    (vec_id, rank, neighbor_id), ties broken by neighbor_id so the
+    single-process replica oracle is bit-equal (rank-only, no floats in
+    the compared output; dot products are pairwise so row order can't
+    change them).
+
+    Scale shape — no all-pairs anywhere: every vector ships once as a
+    MEMBER to its home-centroid bucket and ``n_probe`` times as a QUERIER
+    (1 + n_probe copies of the vector bytes through one exchange); each
+    bucket computes its queriers x members block product and emits k rows
+    per querier; a second key-only exchange merges each vector's
+    ≤ k*n_probe candidate rows to the global top-k. Bucket sizes are
+    ~N/n_centroids — size n_centroids so a bucket's member matrix fits a
+    worker (at 10^12 vectors that means ~10^7 centroids, built by the
+    distributed k-means in this module instead of the seeded sample)."""
+    import pyarrow.compute as pc
+
+    from agentic_doc_ray.context import partitions_for, shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    sample = embeddings.limit(max(n_centroids * 20, 256)).take_all()
+    C = _unit(np.array([r["embedding"] for r in sample], dtype=np.float64))
+    C = _sample_centroids(C, n_centroids, seed)
+    ref = ray.put(C)
+
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("side", pa.string()),
+            ("vec_id", pa.int64()),
+            ("vec", pa.list_(pa.float64())),
+        ]
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(ref)
+        vecs = _unit(_as_matrix(batch.column("embedding")))
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        probe = _knn_probe(Cc, vecs, n_probe)
+        home = probe[:, 0]
+        n = len(ids)
+        vec_list = pa.array(list(vecs), pa.list_(pa.float64()))
+        member = pa.Table.from_arrays(
+            [
+                pa.array(home.astype(np.int32), pa.int32()),
+                pa.array(["m"] * n, pa.string()),
+                pa.array(ids, pa.int64()),
+                vec_list,
+            ],
+            schema=ex_schema,
+        )
+        q_bucket = probe.reshape(-1).astype(np.int32)
+        rep = np.repeat(np.arange(n), n_probe)
+        querier = pa.Table.from_arrays(
+            [
+                pa.array(q_bucket, pa.int32()),
+                pa.array(["q"] * len(rep), pa.string()),
+                pa.array(ids[rep], pa.int64()),
+                vec_list.take(pa.array(rep, pa.int64())),
+            ],
+            schema=ex_schema,
+        )
+        return pa.concat_tables([member, querier])
+
+    cand_schema = pa.schema(
+        [
+            ("vbucket", pa.int32()),
+            ("vec_id", pa.int64()),
+            ("neighbor_id", pa.int64()),
+            ("cosine", pa.float64()),
+        ]
+    )
+
+    def bucket_knn(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_m = pc.equal(g.column("side"), "m")
+        m = g.filter(is_m)
+        q = g.filter(pc.invert(is_m))
+        if m.num_rows == 0 or q.num_rows == 0:
+            return cand_schema.empty_table()
+        M = np.array(m.column("vec").to_pylist(), dtype=np.float64)
+        Q = np.array(q.column("vec").to_pylist(), dtype=np.float64)
+        mids = np.asarray(m.column("vec_id").to_pylist(), dtype=np.int64)
+        qids = np.asarray(q.column("vec_id").to_pylist(), dtype=np.int64)
+        S = Q @ M.T  # (q, m) pairwise dots — row order can't change values
+        out = {"vbucket": [], "vec_id": [], "neighbor_id": [], "cosine": []}
+        for qi in range(len(qids)):
+            s = S[qi]
+            keep = mids != qids[qi]  # exclude self
+            sub_ids, sub_s = mids[keep], s[keep]
+            order = np.lexsort((sub_ids, -sub_s))[: min(k, len(sub_ids))]
+            out["vec_id"].extend([int(qids[qi])] * len(order))
+            out["neighbor_id"].extend(sub_ids[order].tolist())
+            out["cosine"].extend(sub_s[order].tolist())
+        out["vbucket"] = [int(v) & 63 for v in out["vec_id"]]
+        return pa.Table.from_pydict(out, schema=cand_schema)
+
+    n_vecs = embeddings.count()
+    cands = (
+        embeddings.map_batches(route, batch_format="pyarrow")
+        .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=shuffle_partitions(min(
+            n_centroids, partitions_for((1 + n_probe) * n_vecs)
+        )))
+        .map_groups(bucket_knn, batch_format="pyarrow")
+    )
+
+    def merge_vec(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("vec_id"), 0))
+        if g.num_rows == 0:
+            return KNN_SCHEMA.empty_table()
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        nids = g.column("neighbor_id").to_numpy(zero_copy_only=False)
+        s = g.column("cosine").to_numpy(zero_copy_only=False)
+        out = {"vec_id": [], "rank": [], "neighbor_id": []}
+        import pandas as pd
+
+        df = pd.DataFrame({"v": ids, "n": nids, "s": s})
+        # candidates may repeat across probed buckets: drop exact dups
+        df = df.drop_duplicates(["v", "n"])
+        df = df.sort_values(["v", "s", "n"], ascending=[True, False, True])
+        top = df.groupby("v", sort=True).head(k)
+        ranks = top.groupby("v").cumcount() + 1
+        return pa.Table.from_arrays(
+            [
+                pa.array(top["v"].to_numpy(), pa.int64()),
+                pa.array(ranks.to_numpy(), pa.int64()),
+                pa.array(top["n"].to_numpy(), pa.int64()),
+            ],
+            schema=KNN_SCHEMA,
+        )
+
+    return (
+        cands.union(
+            int_key_sentinels(
+                cand_schema, "vbucket", fill={"vec_id": -1, "neighbor_id": -1}
+            )
+        )
+        .groupby("vbucket", num_partitions=partitions_for(n_probe * k * n_vecs))
+        .map_groups(merge_vec, batch_format="pyarrow")
+    )
+
+
+def knn_join_oracle(
+    embeddings: pa.Table,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 5,
+) -> pa.Table:
+    """Single-process replica of ``knn_join`` (same centroid sample, same
+    probe/exclude/tie rules) — validates the distributed execution; the
+    approximation quality itself is pinned by tests."""
+    ids = np.asarray(embeddings.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = _unit(
+        np.array(embeddings.column("embedding").to_pylist(), dtype=np.float64)
+    )
+    head = vecs[: max(n_centroids * 20, 256)]
+    C = _sample_centroids(head, n_centroids, seed)
+    probe = _knn_probe(C, vecs, n_probe)
+    home = probe[:, 0]
+    out = {"vec_id": [], "rank": [], "neighbor_id": []}
+    for i in range(len(ids)):
+        mask = np.isin(home, probe[i])
+        mask &= ids != ids[i]
+        sub_ids = ids[mask]
+        s = vecs[mask] @ vecs[i]
+        order = np.lexsort((sub_ids, -s))[: min(k, len(sub_ids))]
+        out["vec_id"].extend([int(ids[i])] * len(order))
+        out["rank"].extend(range(1, len(order) + 1))
+        out["neighbor_id"].extend(sub_ids[order].tolist())
+    return pa.Table.from_pydict(out, schema=KNN_SCHEMA)

@@ -444,6 +444,18 @@ def main() -> None:
 
     timed("similarity_topk_pq", similarity_pq)
 
+    def knn_join_q() -> None:
+        from agentic_doc_ray.functions.similarity import knn_join
+
+        knn_join(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            k=5,
+        ).count()
+
+    timed("knn_join", knn_join_q)
+
     from agentic_doc_ray.functions import joins as J
     from agentic_doc_ray.functions import ranking as R
     from agentic_doc_ray.functions import scans as SC

@@ -118,3 +118,67 @@ def test_kmeans_separates_planted_clusters():
         for r in kmeans(ray.data.from_arrow(t).repartition(7), k=3, n_iter=5).take_all()
     }
     assert got7 == want
+
+
+def test_knn_join_matches_replica_and_recall(ray_session):
+    """Distributed kNN join == the single-process replica bit-for-bit,
+    and with n_probe == n_centroids (exhaustive probing) it equals the
+    exact brute-force neighbor graph."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import (
+        _unit,
+        knn_join,
+        knn_join_oracle,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = (
+        knn_join(ds, k=4)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        knn_join_oracle(t, k=4)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    # exhaustive probing == exact brute force
+    n_c = 4
+    exact_dist = (
+        knn_join(ds, k=3, n_centroids=n_c, n_probe=n_c)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    V = _unit(np.array(t.column("embedding").to_pylist(), dtype=np.float64))
+    S = V @ V.T
+    rows = []
+    for i in range(len(ids)):
+        s = S[i].copy()
+        keep = ids != ids[i]
+        sub_ids, sub_s = ids[keep], s[keep]
+        order = np.lexsort((sub_ids, -sub_s))[:3]
+        rows += [
+            (int(ids[i]), r + 1, int(sub_ids[o])) for r, o in enumerate(order)
+        ]
+    brute = (
+        pd.DataFrame(rows, columns=["vec_id", "rank", "neighbor_id"])
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        exact_dist, brute, check_dtype=False, check_exact=True
+    )
