@@ -701,6 +701,8 @@ _DRIVER_PRIORITY = [
     "promo_revenue_share",
     # new this round: all-vector kNN join (neighbor graph)
     "knn_join",
+    # new this round: corpus-wide sentence dedup
+    "sentence_dedup",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1116,6 +1118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return strip_repeated_substrings(
             d, num_partitions=_pfor(100 * d.count())
         )
+
+    def q_sentence_dedup(sf_dir):
+        from agentic_doc_ray.functions.paragraphs import sentence_dedup
+
+        return sentence_dedup(docs(sf_dir))
 
     def q_ngram_novelty(sf_dir):
         from agentic_doc_ray.functions.substr import ngram_novelty
@@ -2062,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
         "paragraph_dedup": q_paragraph_dedup,
+        "sentence_dedup": q_sentence_dedup,
         "domain_boilerplate_strip": q_domain_boilerplate,
         "bm25_topk": q_bm25,
         "index_postings": q_index_postings,
@@ -3154,6 +3162,30 @@ def oracle_sql() -> dict[str, str]:
         "compression_stats": (
             "SELECT doc_id, n_bytes, n_compressed "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/compression_stats.parquet')"
+        ),
+        # sentence-level first-occurrence dedup over the identical split
+        "sentence_dedup": (
+            "WITH segs AS ("
+            "  SELECT doc_id, "
+            "    unnest(regexp_split_to_array(text, '[.!?]+\\s+|[.!?]+$')) AS seg, "
+            "    unnest(generate_series(1, len(regexp_split_to_array("
+            "      text, '[.!?]+\\s+|[.!?]+$')))) AS i "
+            "  FROM documents"
+            "), kept AS ("
+            "  SELECT doc_id, "
+            "    regexp_replace(seg, '^\\s+|\\s+$', '', 'g') AS sentence, i "
+            "  FROM segs "
+            "  WHERE regexp_replace(seg, '^\\s+|\\s+$', '', 'g') <> ''"
+            "), sent AS ("
+            "  SELECT doc_id, CAST(row_number() OVER ("
+            "    PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS sent_idx, "
+            "  sentence FROM kept"
+            ") "
+            "SELECT doc_id, sent_idx, sentence FROM ("
+            "  SELECT doc_id, sent_idx, sentence,"
+            "         row_number() OVER (PARTITION BY sentence"
+            "             ORDER BY doc_id, sent_idx) AS rn"
+            "  FROM sent) t WHERE rn = 1"
         ),
         "split_sentences": (
             "WITH segs AS ("

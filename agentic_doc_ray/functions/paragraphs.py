@@ -667,3 +667,99 @@ def domain_boilerplate_oracle(
             ]
         ),
     )
+
+
+def sentence_dedup(
+    docs: "ray.data.Dataset",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Corpus-wide exact SENTENCE dedup (the sentence-level variant of
+    ``paragraph_dedup``, as applied by C4's three-sentence span rule's
+    exact cousin): of every distinct sentence in the corpus, only the
+    first occurrence — min ``(doc_id, sent_idx)`` — survives. Output:
+    the surviving ``(doc_id, sent_idx, sentence)`` rows (the deduped
+    sentence stream; ``sent_idx`` keeps the original position so a
+    consumer can rebuild or window).
+
+    One sentinel-guarded exchange keyed by the sentence's 61-bit content
+    fingerprint — equal sentences always meet in one bucket, so the
+    per-bucket winner rule IS the global rule; the exchange moves each
+    sentence's bytes once.
+    """
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.text import split_sentences_batch
+
+    data_schema = docs.schema()
+    if data_schema is None:
+        return docs
+    id_type = dict(zip(data_schema.names, data_schema.types))["doc_id"]
+
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("fp", pa.int64()),
+            ("doc_id", id_type),
+            ("sent_idx", pa.int64()),
+            ("sentence", pa.string()),
+        ]
+    )
+    out_schema = pa.schema(
+        [("doc_id", id_type), ("sent_idx", pa.int64()), ("sentence", pa.string())]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        s = split_sentences_batch(batch)
+        fp = _fingerprint64(s.column("sentence").combine_chunks())
+        n_b = 1 << 6
+        bucket = pc.cast(
+            pc.bit_wise_and(fp, pa.scalar(n_b - 1, pa.int64())), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                fp,
+                s.column("doc_id"),
+                s.column("sent_idx"),
+                s.column("sentence"),
+            ],
+            schema=ex_schema,
+        )
+
+    def winners(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("sent_idx"), -1))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        # min (doc_id, sent_idx) per fingerprint, vectorized: sort once,
+        # then keep the first row of each fp run
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("fp", "ascending"),
+                ("doc_id", "ascending"),
+                ("sent_idx", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        fp = g.column("fp").to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], fp[1:] != fp[:-1]))
+        return g.filter(pa.array(first)).select(
+            ["doc_id", "sent_idx", "sentence"]
+        )
+
+    n_docs = docs.count()
+    np_ = shuffle_partitions(
+        num_partitions
+        if num_partitions is not None
+        else partitions_for(10 * n_docs)
+    )
+    return (
+        docs.map_batches(keyed, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                ex_schema, "bucket", fill={"fp": 0, "sent_idx": -1}
+            )
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(winners, batch_format="pyarrow")
+    )

@@ -378,6 +378,13 @@ def main() -> None:
         paragraph_dedup(docs(), num_partitions=_pfor(8 * n_doc_rows)).count()
 
     timed("paragraph_dedup", paragraph_dedup_q)
+
+    def sentence_dedup_q() -> None:
+        from agentic_doc_ray.functions.paragraphs import sentence_dedup
+
+        sentence_dedup(docs(), num_partitions=_pfor(10 * n_doc_rows)).count()
+
+    timed("sentence_dedup", sentence_dedup_q)
     timed("repetition_stats", lambda: T.repetition_stats(docs()).count())
 
     from agentic_doc_ray.functions import sampling as SA

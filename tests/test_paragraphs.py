@@ -153,3 +153,37 @@ def test_boilerplate_noop_when_nothing_frequent():
     )
     got = _bp_run(tbl, 3)
     assert got == {i: ("unique-%d" % i, 0) for i in range(12)}
+
+
+def test_sentence_dedup_first_occurrence(ray_session):
+    """Corpus-wide sentence dedup: min (doc_id, sent_idx) survives per
+    distinct sentence; layout-independent."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.paragraphs import sentence_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "Alpha one. Shared sentence. Beta two.",
+                "Shared sentence. Gamma three. Shared sentence.",
+                "Delta four. Gamma three.",
+            ],
+        }
+    )
+    expect = {
+        (1, 0, "Alpha one"),
+        (1, 1, "Shared sentence"),   # first occurrence wins
+        (1, 2, "Beta two"),
+        (2, 1, "Gamma three"),
+        (3, 0, "Delta four"),
+    }
+    for parallelism in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parallelism)
+        got = {
+            (r["doc_id"], r["sent_idx"], r["sentence"])
+            for r in sentence_dedup(ds).take_all()
+        }
+        assert got == expect
