@@ -692,8 +692,11 @@ _DRIVER_PRIORITY = [
     "ngram_novelty",
     # new this round: per-domain Gopher-pass scorecard
     "domain_scorecard",
-    # new this round: substring-dedup removal end stage
+    # new this round: substring-dedup removal end stage, plus its two
+    # never-driver-checked inputs (widths re-threaded this round)
     "strip_repeated_substrings",
+    "repeated_substring_spans",
+    "substring_dup_stats",
     # new this round: O(delta) incremental curation across snapshots
     "incremental_curation",
     # new this round: Q12/Q14 join shapes
@@ -733,8 +736,6 @@ _DRIVER_PRIORITY = [
     "docs_above_group_median",
     "top_orders_per_segment",
     "heavy_hitter_tokens",
-    "repeated_substring_spans",
-    "substring_dup_stats",
     "customer_order_dist",
     "large_qty_orders",
     "customers_without_urgent",
