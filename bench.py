@@ -643,6 +643,14 @@ def main() -> None:
 
     timed("curation_pipeline", curation_dag_q)
 
+    # end-of-suite probe: the SAME zero-exchange query as the early
+    # "interleave_stats" entry. The ratio probe_late/interleave_stats is
+    # the session-AGING factor (Ray 2.49 cold-spawns aggregator/actor
+    # state per execution and slows as the session accumulates them) —
+    # it lets a reader separate operator cost from harness aging when
+    # comparing late-suite entries against standalone runs (BASELINE.md).
+    timed("probe_late", interleave_q)
+
     headline_sec = timings["extract"]
     print(
         json.dumps(
