@@ -2094,6 +2094,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _J().shipping_priority,
         "late_shipment_priority": _J().late_shipment_priority,
         "promo_revenue_share": _J().promo_revenue_share,
+        "regional_supplier_volume": _J().regional_supplier_volume,
+        "large_volume_customer": _J().large_volume_customer,
         "events_hourly": A.events_hourly,
         "cohort_retention": A.cohort_retention,
         "events_sliding": A.events_sliding,
@@ -2911,6 +2913,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "order_priority_revenue": _ORDER_PRIORITY_SQL,
         "order_priority_revenue_bucketed": _ORDER_PRIORITY_SQL,
+        # Q5 shape: 6-table join with the customer==supplier nation
+        # co-location predicate; exact integer cents
+        "regional_supplier_volume": (
+            "SELECT n.n_name, "
+            "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue "
+            "FROM customer c "
+            "JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey "
+            "WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA' "
+            "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"
+        ),
+        # Q18 shape: aggregate-HAVING semi-join; quantities are integral
+        # doubles so BIGINT sums are exact
+        "large_volume_customer": (
+            "WITH q AS ("
+            "  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty"
+            "  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150"
+            "), top AS ("
+            "  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice, q.total_qty"
+            "  FROM orders o JOIN q ON q.l_orderkey = o.o_orderkey"
+            "  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100"
+            ") "
+            "SELECT c.c_name, t.o_orderkey, t.o_orderdate, t.o_totalprice, t.total_qty "
+            "FROM top t JOIN customer c ON c.c_custkey = t.o_custkey "
+            "ORDER BY t.o_totalprice DESC, t.o_orderkey"
+        ),
         # TPC-H Q10-shaped 4-table join (returned-item revenue per nation)
         "nation_returned_revenue": (
             "SELECT n.n_name, "

@@ -1565,3 +1565,581 @@ def promo_revenue_share(
 
     # bucket partials are ≤ n_buckets rows: fold them in one tiny task
     return partials.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def regional_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q5 shape (local supplier volume): revenue per nation from
+    lineitems where the SUPPLIER and the ordering CUSTOMER sit in the same
+    nation of one region — the classic 6-table join
+    (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier).
+
+    Scale shape — dimension broadcast + three bucketed exchanges, each
+    moving only keys/partials, never full fact rows:
+
+    1. region ⋈ nation collapses DRIVER-SIDE to a nationkey set + name
+       dict (25 nations total; a true bounded dimension — the same
+       broadcast rule as ``nation_returned_revenue``).
+    2. exchange 1 (custkey): region-filtered customers ship
+       (custkey, nationkey); date-filtered orders ship
+       (custkey, orderkey). Per-bucket vectorized hash join emits
+       (orderkey, cust_nationkey) — one row per surviving order.
+    3. exchange 2 (suppkey): region-filtered suppliers ship
+       (suppkey, nationkey); lineitem ships revenue PARTIALS
+       pre-aggregated per (batch, orderkey, suppkey) in exact integer
+       cents. Per-bucket join emits (orderkey, supp_nationkey, cents)
+       re-aggregated per (orderkey, nationkey) — the suppkey dimension is
+       gone before the wide fact exchange.
+    4. exchange 3 (orderkey): the two survivor streams meet; the bucket
+       task joins on orderkey, keeps rows with cust_nationkey ==
+       supp_nationkey (the Q5 co-location predicate — it CANNOT be
+       evaluated earlier because the two nationkeys arrive via different
+       join paths), and emits per-nation cents partials — ≤ 25 rows per
+       bucket reach the final fold.
+
+    All three exchanges feed ``map_groups`` from filtering stages, so
+    each unions sentinel rows against Ray's empty-first-block schema race
+    (functions/_exchange.py). Output: (n_name, revenue) sorted by
+    revenue DESC — deterministic because revenue is an exact integer-cents
+    sum (ties broken by n_name).
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    # --- bounded dimension broadcast: region ⋈ nation (≤25 rows) --------
+    nation_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region_tbl = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkeys = region_tbl.filter(pc.equal(region_tbl.column("r_name"), region)).column(
+        "r_regionkey"
+    )
+    nat = nation_tbl.filter(pc.is_in(nation_tbl.column("n_regionkey"), value_set=rkeys))
+    nation_keys = nat.column("n_nationkey").combine_chunks().cast(pa.int32())
+    nation_names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+
+    def _bucket(key: "pa.Array") -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+
+    # --- exchange 1: orders ⋈ customer on custkey -----------------------
+    ex1_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("nationkey", pa.int32()),
+            ("o_orderkey", pa.int64()),
+        ]
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.is_in(batch.column("c_nationkey"), value_set=nation_keys))
+        key = f.column("c_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["c"] * f.num_rows, pa.string()),
+                f.column("c_nationkey"),
+                pa.nulls(f.num_rows, pa.int64()),
+            ],
+            schema=ex1_schema,
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        f = batch.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        key = f.column("o_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * f.num_rows, pa.string()),
+                pa.nulls(f.num_rows, pa.int32()),
+                f.column("o_orderkey"),
+            ],
+            schema=ex1_schema,
+        )
+
+    def cust_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_c = pc.equal(g.column("side"), "c")
+        cust = g.filter(is_c).select(["key", "nationkey"])
+        o = g.filter(pc.invert(is_c)).select(["key", "o_orderkey"])
+        if cust.num_rows == 0 or o.num_rows == 0:
+            return pa.schema(
+                [("o_orderkey", pa.int64()), ("cust_nationkey", pa.int32())]
+            ).empty_table()
+        m = o.join(cust, keys="key", join_type="inner")
+        return pa.Table.from_arrays(
+            [m.column("o_orderkey"), m.column("nationkey")],
+            names=["o_orderkey", "cust_nationkey"],
+        )
+
+    surviving_orders = (
+        customer.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(cust_bucket, batch_format="pyarrow")
+    )
+
+    # --- exchange 2: lineitem ⋈ supplier on suppkey ---------------------
+    ex2_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("nationkey", pa.int32()),
+            ("orderkey", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def tag_supp(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.is_in(batch.column("s_nationkey"), value_set=nation_keys))
+        key = f.column("s_suppkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["s"] * f.num_rows, pa.string()),
+                f.column("s_nationkey"),
+                pa.nulls(f.num_rows, pa.int64()),
+                pa.nulls(f.num_rows, pa.int64()),
+            ],
+            schema=ex2_schema,
+        )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(
+                pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                ),
+                pa.scalar(10000.0),
+            )
+        ).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("l_suppkey"), batch.column("l_orderkey"), cents],
+            names=["key", "orderkey", "cents"],
+        )
+        g = (
+            t.group_by(["key", "orderkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["key", "orderkey", "cents"])
+        )
+        key = g.column("key")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["l"] * g.num_rows, pa.string()),
+                pa.nulls(g.num_rows, pa.int32()),
+                g.column("orderkey"),
+                g.column("cents"),
+            ],
+            schema=ex2_schema,
+        )
+
+    def supp_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_s = pc.equal(g.column("side"), "s")
+        supp = g.filter(is_s).select(["key", "nationkey"])
+        li = g.filter(pc.invert(is_s)).select(["key", "orderkey", "cents"])
+        out_schema = pa.schema(
+            [
+                ("orderkey", pa.int64()),
+                ("supp_nationkey", pa.int32()),
+                ("cents", pa.int64()),
+            ]
+        )
+        if supp.num_rows == 0 or li.num_rows == 0:
+            return out_schema.empty_table()
+        m = li.join(supp, keys="key", join_type="inner")
+        # collapse the suppkey dimension before the orderkey exchange
+        g2 = (
+            m.select(["orderkey", "nationkey", "cents"])
+            .group_by(["orderkey", "nationkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["orderkey", "supp_nationkey", "cents"])
+        )
+        return g2.cast(out_schema)
+
+    supplier_revenue = (
+        supplier.map_batches(tag_supp, batch_format="pyarrow")
+        .union(lineitem.map_batches(tag_line, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex2_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(supp_bucket, batch_format="pyarrow")
+    )
+
+    # --- exchange 3: co-location join on orderkey -----------------------
+    ex3_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("nationkey", pa.int32()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def tag_surviving(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * batch.num_rows, pa.string()),
+                batch.column("cust_nationkey"),
+                pa.nulls(batch.num_rows, pa.int64()),
+            ],
+            schema=ex3_schema,
+        )
+
+    def tag_revenue(batch: pa.Table) -> pa.Table:
+        key = batch.column("orderkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["l"] * batch.num_rows, pa.string()),
+                batch.column("supp_nationkey"),
+                batch.column("cents"),
+            ],
+            schema=ex3_schema,
+        )
+
+    def colocate_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_o = pc.equal(g.column("side"), "o")
+        o = (
+            g.filter(is_o)
+            .select(["key", "nationkey"])
+            .rename_columns(["key", "cust_nationkey"])
+        )
+        li = g.filter(pc.invert(is_o)).select(["key", "nationkey", "cents"])
+        out_schema = pa.schema([("nationkey", pa.int32()), ("cents", pa.int64())])
+        if o.num_rows == 0 or li.num_rows == 0:
+            return out_schema.empty_table()
+        m = li.join(o, keys="key", join_type="inner")
+        m = m.filter(pc.equal(m.column("nationkey"), m.column("cust_nationkey")))
+        g2 = (
+            m.select(["nationkey", "cents"])
+            .group_by("nationkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["nationkey", "cents"])
+        )
+        return g2.cast(out_schema)
+
+    partials = (
+        surviving_orders.map_batches(tag_surviving, batch_format="pyarrow")
+        .union(supplier_revenue.map_batches(tag_revenue, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex3_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(colocate_bucket, batch_format="pyarrow")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.group_by("nationkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["nationkey", "cents"])
+        )
+        names = pa.array(
+            [nation_names[k] for k in g.column("nationkey").to_pylist()],
+            pa.string(),
+        )
+        t = pa.Table.from_arrays(
+            [
+                names,
+                pc.divide(g.column("cents").cast(pa.float64()), 10000.0),
+            ],
+            names=["n_name", "revenue"],
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("revenue", "descending"), ("n_name", "ascending")]
+        )
+        return t.take(order)
+
+    # ≤ 25 rows per bucket reach this single-task fold
+    return partials.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def large_volume_customer(
+    sf_dir: str,
+    qty_threshold: int = 150,
+    k: int = 100,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q18 shape (large-volume customer): orders whose total lineitem
+    quantity exceeds a threshold — the aggregate-HAVING semi-join — joined
+    back to orders and customer, top-k by order value.
+
+    Scale shape — two bucketed exchanges plus a tiny top-k merge:
+
+    1. exchange 1 (orderkey): lineitem ships per-batch quantity PARTIALS
+       per orderkey (quantities are integral, so int64 sums are exact);
+       orders ships (orderkey, custkey, totalprice, orderdate). The
+       bucket task finishes the quantity aggregate, applies the HAVING
+       filter — the filter CANNOT move before the exchange because the
+       total is only known after the cross-batch sum — joins the
+       surviving orderkeys to their order rows, and emits only its LOCAL
+       top-k by (totalprice DESC, orderkey), so the global merge sees
+       ≤ k×buckets rows.
+    2. the global sort + limit(k) runs on that bounded set (tiny).
+    3. exchange 2 (custkey): resolves c_name for the k winners — the
+       customer side ships (custkey, name) KEYS ONLY (customer scales
+       with SF, so no broadcast; same rule as ``orders_by_segment``).
+
+    Both exchanges feed ``map_groups`` from filtering stages, so each
+    unions sentinel rows (functions/_exchange.py). Output deterministic:
+    (o_totalprice DESC, o_orderkey ASC) total order.
+    """
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+
+    def _bucket(key: "pa.Array") -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+
+    ex1_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("qty", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+        ]
+    )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("l_orderkey"), qty], names=["key", "qty"]
+        )
+        g = (
+            t.group_by("key").aggregate([("qty", "sum")])
+            .rename_columns(["key", "qty"])
+        )
+        key = g.column("key")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["l"] * g.num_rows, pa.string()),
+                g.column("qty"),
+                pa.nulls(g.num_rows, pa.int64()),
+                pa.nulls(g.num_rows, pa.float64()),
+                pa.nulls(g.num_rows, pa.timestamp("us")),
+            ],
+            schema=ex1_schema,
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * batch.num_rows, pa.string()),
+                pa.nulls(batch.num_rows, pa.int64()),
+                batch.column("o_custkey"),
+                batch.column("o_totalprice"),
+                batch.column("o_orderdate").cast(pa.timestamp("us")),
+            ],
+            schema=ex1_schema,
+        )
+
+    o1_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("total_qty", pa.int64()),
+        ]
+    )
+
+    def having_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_l = pc.equal(g.column("side"), "l")
+        qty = (
+            g.filter(is_l)
+            .select(["key", "qty"])
+            .group_by("key")
+            .aggregate([("qty", "sum")])
+            .rename_columns(["key", "total_qty"])
+        )
+        qty = qty.filter(
+            pc.greater(qty.column("total_qty"), pa.scalar(qty_threshold, pa.int64()))
+        )
+        o = g.filter(pc.invert(is_l)).select(
+            ["key", "o_custkey", "o_totalprice", "o_orderdate"]
+        )
+        if qty.num_rows == 0 or o.num_rows == 0:
+            return o1_schema.empty_table()
+        m = o.join(qty, keys="key", join_type="inner")
+        order = pc.sort_indices(
+            m,
+            sort_keys=[("o_totalprice", "descending"), ("key", "ascending")],
+        )
+        m = m.take(order.slice(0, k))
+        return pa.Table.from_arrays(
+            [
+                m.column("key"),
+                m.column("o_custkey"),
+                m.column("o_totalprice"),
+                m.column("o_orderdate"),
+                m.column("total_qty"),
+            ],
+            schema=o1_schema,
+        )
+
+    winners = (
+        lineitem.map_batches(tag_line, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(having_bucket, batch_format="pyarrow")
+        .sort(key=["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+    ex2_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("c_name", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("total_qty", pa.int64()),
+        ]
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        key = batch.column("c_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["c"] * batch.num_rows, pa.string()),
+                batch.column("c_name"),
+                pa.nulls(batch.num_rows, pa.int64()),
+                pa.nulls(batch.num_rows, pa.float64()),
+                pa.nulls(batch.num_rows, pa.timestamp("us")),
+                pa.nulls(batch.num_rows, pa.int64()),
+            ],
+            schema=ex2_schema,
+        )
+
+    def tag_winner(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["w"] * batch.num_rows, pa.string()),
+                pa.nulls(batch.num_rows, pa.string()),
+                batch.column("o_orderkey"),
+                batch.column("o_totalprice"),
+                batch.column("o_orderdate"),
+                batch.column("total_qty"),
+            ],
+            schema=ex2_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("c_name", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_totalprice", pa.float64()),
+            ("total_qty", pa.int64()),
+        ]
+    )
+
+    def name_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_c = pc.equal(g.column("side"), "c")
+        cust = g.filter(is_c).select(["key", "c_name"])
+        w = g.filter(pc.invert(is_c)).select(
+            ["key", "o_orderkey", "o_totalprice", "o_orderdate", "total_qty"]
+        )
+        if cust.num_rows == 0 or w.num_rows == 0:
+            return out_schema.empty_table()
+        m = w.join(cust, keys="key", join_type="inner")
+        return pa.Table.from_arrays(
+            [
+                m.column("c_name"),
+                m.column("o_orderkey"),
+                m.column("o_orderdate"),
+                m.column("o_totalprice"),
+                m.column("total_qty"),
+            ],
+            schema=out_schema,
+        )
+
+    named = (
+        customer.map_batches(tag_cust, batch_format="pyarrow")
+        .union(winners.map_batches(tag_winner, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex2_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(customer.count()))
+        .map_groups(name_bucket, batch_format="pyarrow")
+    )
+    return named.sort(
+        key=["o_totalprice", "o_orderkey"], descending=[True, False]
+    )

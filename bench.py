@@ -484,6 +484,14 @@ def main() -> None:
         lambda: J.large_quantity_orders(SF_DIR).count(),
     )
     timed("four_table_join", lambda: J.nation_returned_revenue(SF_DIR).count())
+    timed(
+        "regional_supplier_volume",
+        lambda: J.regional_supplier_volume(SF_DIR).count(),
+    )
+    timed(
+        "large_volume_customer",
+        lambda: J.large_volume_customer(SF_DIR).count(),
+    )
     timed("funnel", lambda: A.funnel_counts(SF_DIR).count())
     timed("cohort_retention", lambda: A.cohort_retention(SF_DIR).count())
     timed("event_paths", lambda: A.user_event_paths(SF_DIR).count())

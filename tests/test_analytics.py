@@ -619,3 +619,60 @@ def test_promo_revenue_share_q14():
     want = duckdb.sql(sql).df()
     assert got.iloc[0]["total_cents"] > got.iloc[0]["promo_cents"] > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_regional_supplier_volume_q5():
+    """Q5 shape: 6-table join with the customer==supplier nation
+    co-location predicate; revenue is an exact integer-cents sum."""
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    got = J.regional_supplier_volume(SF).to_pandas().reset_index(drop=True)
+    sql = """
+        SELECT n.n_name,
+        CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
+    """
+    for t in ["customer", "orders", "lineitem", "supplier", "nation", "region"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_large_volume_customer_q18():
+    """Q18 shape: aggregate-HAVING semi-join + top-k; total order pinned
+    by (o_totalprice DESC, o_orderkey)."""
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    got = J.large_volume_customer(SF).to_pandas().reset_index(drop=True)
+    sql = """
+        WITH q AS (
+          SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+        ), top AS (
+          SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice, q.total_qty
+          FROM orders o JOIN q ON q.l_orderkey = o.o_orderkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+        )
+        SELECT c.c_name, t.o_orderkey, t.o_orderdate, t.o_totalprice, t.total_qty
+        FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+        ORDER BY t.o_totalprice DESC, t.o_orderkey
+    """
+    for t in ["lineitem", "orders", "customer"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
