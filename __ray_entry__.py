@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 23  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 24  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -321,6 +321,20 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         bigram_lm_oracle(docs_tbl),
         os.path.join(out_dir, "bigram_lm.parquet"),
+    )
+
+    # source-KL replica: per-(source, token) micro-bit terms are rounded
+    # before the count-weighted integer sum, so the distributed run is
+    # bit-equal to this single-process replica (shared term helpers)
+    from agentic_doc_ray.functions.text import source_divergence_oracle
+
+    src_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    _pq.write_table(
+        source_divergence_oracle(src_tbl),
+        os.path.join(out_dir, "source_divergence.parquet"),
     )
 
     # grounding crop-file oracle: same save fn single-process, digesting
@@ -1358,6 +1372,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return bigram_lm_score(docs(sf_dir))
 
+    def q_source_divergence(sf_dir):
+        """Per-source unigram KL from the corpus distribution in integer
+        micro-bits (mixture-balancing signal). Oracle: bit-equal
+        single-process replica (shared term helpers)."""
+        from agentic_doc_ray.functions.text import source_divergence
+
+        _ensure_extraction_oracles(sf_dir)
+        return source_divergence(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        )
+
     def q_bm25(sf_dir):
         """BM25 top-10 per keyword query (rank-only output; scores are
         engine-internal floats — same contract as similarity_topk)."""
@@ -2066,6 +2094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_snapshot_dedup": q_cross_snapshot_dedup,  # naive replica oracle
         "pagerank": q_pagerank,                    # single-process replica oracle
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
+        "source_divergence": q_source_divergence,  # single-process replica oracle
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3192,6 +3221,10 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_nll": (
             "SELECT doc_id, n_bigrams, n_scored, nll_micro "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/bigram_lm.parquet')"
+        ),
+        "source_divergence": (
+            "SELECT source, n_tokens, kl_micro "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/source_divergence.parquet')"
         ),
         "compression_stats": (
             "SELECT doc_id, n_bytes, n_compressed "

@@ -1499,3 +1499,228 @@ def dedup_lines_batch(batch: pa.Table) -> pa.Table:
 def dedup_lines(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Distributed intra-doc line dedup (see ``dedup_lines_batch``)."""
     return docs.map_batches(dedup_lines_batch, batch_format="pyarrow")
+
+
+# --- per-source unigram KL divergence (mixture-balancing signal) --------
+#
+# KL(P_source || P_corpus) over a capped shared vocabulary tells a data
+# mixer which sources are distributionally far from the corpus mean — the
+# standard signal for re-weighting pretraining mixtures (and the unigram
+# special case of the DSIR importance-weight family in functions/dsir.py).
+# Per-term values are rounded to INTEGER micro-bits and weighted by exact
+# integer counts BEFORE summing, so the distributed run is bit-equal to
+# the single-process replica regardless of batching: the only float ops
+# (one division, one log2, one round per DISTINCT (source, token)) see
+# identical operands in an identical order on both sides.
+
+_KL_SCALE = 1_000_000  # micro-bits
+
+
+def _kl_micro_terms(
+    c_st: "np.ndarray", c_t: "np.ndarray", n_source: int, n_corpus: int
+) -> "np.ndarray":
+    """Integer micro-bit KL terms: c_st * round(1e6 * log2((c_st * N) /
+    (N_s * c_t))) — shared verbatim by the distributed per-source group
+    task and the replica oracle (operand-order identical => bit-equal)."""
+    ratio = (c_st.astype(np.float64) * np.float64(n_corpus)) / (
+        np.float64(n_source) * c_t.astype(np.float64)
+    )
+    term = np.round(np.log2(ratio) * _KL_SCALE).astype(np.int64)
+    return c_st.astype(np.int64) * term
+
+
+def _source_token_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch partial counts per (source, token) — one row per distinct
+    pair moves through the exchange, never one per occurrence."""
+    trimmed = _regex_trim(batch.column("text"))
+    nonempty = pc.not_equal(trimmed, "")
+    src = batch.column("source").filter(nonempty)
+    toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    src_rep = pc.take(
+        src, pa.array(np.repeat(np.arange(len(lens)), lens), pa.int64())
+    )
+    t = pa.Table.from_arrays([src_rep, toks.flatten()], names=["source", "token"])
+    g = t.group_by(["source", "token"]).aggregate([("token", "count")])
+    return g.rename_columns(["source", "token", "n"])
+
+
+def _kl_vocab_table(counts: pa.Table, max_vocab: int) -> tuple:
+    """(capped global (token, c_t) table, corpus total N) from a
+    (token, n) count table; cap order (n DESC, token ASC) is total."""
+    import logging
+
+    if counts.num_rows > max_vocab:
+        logging.getLogger(__name__).warning(
+            "source_divergence: vocabulary %d > cap %d; KL restricted to "
+            "the %d most frequent tokens",
+            counts.num_rows, max_vocab, max_vocab,
+        )
+        order = pc.sort_indices(
+            counts, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )
+        counts = counts.take(order.slice(0, max_vocab))
+    n_corpus = int(pc.sum(counts.column("n")).as_py() or 0)
+    return counts, n_corpus
+
+
+def _kl_for_source(
+    source: str, grp: pa.Table, vocab: "pd.Series", n_corpus: int
+) -> pa.Table:
+    """One output row for one source: restrict its (token, n) counts to
+    the capped vocab, then integer-exact KL micro-bits."""
+    import pandas as pd
+
+    agg = (
+        grp.select(["token", "n"])
+        .group_by("token")
+        .aggregate([("n", "sum")])
+        .rename_columns(["token", "n"])
+    )
+    c_t = vocab.reindex(
+        agg.column("token").to_numpy(zero_copy_only=False)
+    ).to_numpy()
+    in_vocab = ~pd.isna(c_t)
+    c_st = agg.column("n").to_numpy(zero_copy_only=False)[in_vocab]
+    c_t = c_t[in_vocab].astype(np.int64)
+    n_source = int(c_st.sum())
+    kl = (
+        int(_kl_micro_terms(c_st, c_t, n_source, n_corpus).sum())
+        if n_source
+        else 0
+    )
+    return pa.table(
+        {
+            "source": pa.array([source], pa.string()),
+            "n_tokens": pa.array([n_source], pa.int64()),
+            "kl_micro": pa.array([kl], pa.int64()),
+        }
+    )
+
+
+def source_divergence(
+    docs: "ray.data.Dataset", max_vocab: int = 1 << 20
+) -> "ray.data.Dataset":
+    """Per-source unigram KL divergence from the corpus distribution, in
+    exact integer micro-bits (count-weighted).
+
+    Shape — two streaming passes over the corpus, both exchanges moving
+    (source, token, count) PARTIALS only (one row per distinct pair per
+    batch), never token occurrences:
+
+    1. global vocabulary: the same partial-count -> small-groupby
+       exchange as ``token_commonness``, capped at ``max_vocab`` with a
+       logged drop; the capped (token, c_t) table broadcasts once via
+       ``ray.put`` (tens of MB at the 2^20 cap).
+    2. per-source counts: partials hash-partition by SOURCE, so each
+       group task sees all of one source's distinct tokens (bounded by
+       the vocab cap — occurrences were collapsed before the exchange)
+       and finishes N_s, the vocab restriction, and the KL sum locally.
+
+    Output: (source, n_tokens, kl_micro) — one row per source that
+    contributed at least one token. Sources whose tokens all fall
+    outside the capped vocab emit n_tokens=0, kl_micro=0; sources with
+    no tokens at all (empty/whitespace docs only) emit no row.
+    """
+    import pandas as pd
+
+    import ray
+
+    from agentic_doc_ray.context import partitions_for, shuffle_partitions
+    from agentic_doc_ray.functions._exchange import str_key_sentinels
+    from ray.data.aggregate import Sum
+
+    def token_partial(batch: pa.Table) -> pa.Table:
+        g = _source_token_counts(batch)
+        t = (
+            g.select(["token", "n"])
+            .group_by("token")
+            .aggregate([("n", "sum")])
+            .rename_columns(["token", "n"])
+        )
+        return t
+
+    vocab_ds = (
+        docs.map_batches(token_partial, batch_format="pyarrow")
+        .groupby("token", num_partitions=shuffle_partitions())
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    blocks = [
+        b for b in ray.get(vocab_ds.materialize().to_arrow_refs()) if b.num_rows
+    ]
+    counts = (
+        pa.concat_tables(blocks)
+        if blocks
+        else pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    )
+    vocab_t, n_corpus = _kl_vocab_table(counts, max_vocab)
+    vocab = pd.Series(
+        vocab_t.column("n").to_numpy(zero_copy_only=False),
+        index=vocab_t.column("token").to_numpy(zero_copy_only=False),
+    )
+    vocab_ref = ray.put(vocab)
+
+    ex_schema = pa.schema(
+        [("source", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+    )
+
+    def kl_group(grp: pa.Table, *, _ref=vocab_ref, _n=n_corpus) -> pa.Table:
+        source = grp.column("source")[0].as_py()
+        if source.startswith("\x00"):  # exchange sentinel group
+            return pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_tokens", pa.int64()),
+                    ("kl_micro", pa.int64()),
+                ]
+            ).empty_table()
+        cache = kl_group.__dict__
+        if "vocab" not in cache:
+            cache["vocab"] = ray.get(_ref)
+        return _kl_for_source(source, grp, cache["vocab"], _n)
+
+    n_hint = docs.count()
+    return (
+        docs.map_batches(_source_token_counts, batch_format="pyarrow")
+        .union(str_key_sentinels(ex_schema, "source", fill={"token": "", "n": 0}))
+        .groupby("source", num_partitions=partitions_for(n_hint))
+        .map_groups(kl_group, batch_format="pyarrow")
+    )
+
+
+def source_divergence_oracle(tbl: pa.Table, max_vocab: int = 1 << 20) -> pa.Table:
+    """Single-process replica of ``source_divergence`` sharing its batch
+    helpers (`_source_token_counts`, `_kl_vocab_table`, `_kl_micro_terms`)
+    — the per-term float ops see identical operands, so the distributed
+    run is bit-equal."""
+    import pandas as pd
+
+    g = _source_token_counts(tbl)
+    counts = (
+        g.select(["token", "n"])
+        .group_by("token")
+        .aggregate([("n", "sum")])
+        .rename_columns(["token", "n"])
+    )
+    vocab_t, n_corpus = _kl_vocab_table(counts, max_vocab)
+    vocab = pd.Series(
+        vocab_t.column("n").to_numpy(zero_copy_only=False),
+        index=vocab_t.column("token").to_numpy(zero_copy_only=False),
+    )
+    out = []
+    for source in sorted(set(g.column("source").to_pylist())):
+        grp = g.filter(pc.equal(g.column("source"), source))
+        out.append(_kl_for_source(source, grp, vocab, n_corpus))
+    if not out:
+        return pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_tokens", pa.int64()),
+                ("kl_micro", pa.int64()),
+            ]
+        ).empty_table()
+    return pa.concat_tables(out)

@@ -226,6 +226,15 @@ def main() -> None:
     timed("simhash", lambda: D.simhashes(docs()).count())
     timed("token_commonness", lambda: T.token_commonness(docs()).count())
     timed("bigram_lm_nll", lambda: T.bigram_lm_score(docs()).count())
+    timed(
+        "source_divergence",
+        lambda: T.source_divergence(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        ).count(),
+    )
 
     def domain_q() -> None:
         T.domain_prior(

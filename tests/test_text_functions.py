@@ -658,3 +658,75 @@ def test_dedup_lines_rule_and_block_independence():
             for r in dedup_lines(ds).take_all()
         }
         assert got == expect
+
+
+def test_source_divergence_distributed_matches_replica():
+    """Distributed per-source KL == single-process replica bit for bit,
+    including edge cases (empty doc, whitespace-only source, one-token
+    source, a source identical to the corpus mix scoring near zero on
+    shared tokens), batching-independent (repartition 5)."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import (
+        source_divergence,
+        source_divergence_oracle,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "a"),
+        (2, "", "a"),
+        (3, "dogs chase cats daily", "b"),
+        (4, "the cat sat on the hat", "b"),
+        (5, "   \t ", "c"),
+        (6, "one", "d"),
+        (7, "the the the the", "e"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "source": [r[2] for r in rows],
+        }
+    )
+    want = sorted(source_divergence_oracle(t).to_pylist(), key=lambda r: r["source"])
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = sorted(source_divergence(ds).take_all(), key=lambda r: r["source"])
+    assert got == want
+    by = {r["source"]: r for r in got}
+    # whitespace-only source contributes no tokens: NO row (both sides)
+    assert "c" not in by
+    # single-token source diverges hard from the corpus distribution
+    assert by["d"]["n_tokens"] == 1 and by["d"]["kl_micro"] > 0
+
+
+def test_source_divergence_vocab_cap_logged():
+    """Out-of-cap tokens are EXCLUDED from both sides (not silently
+    zeroed): with max_vocab=2 only the 2 most frequent tokens count."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import (
+        source_divergence,
+        source_divergence_oracle,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["a a a b b rare1 rare2", "a b b"],
+            "source": ["s1", "s2"],
+        }
+    )
+    want = sorted(
+        source_divergence_oracle(t, max_vocab=2).to_pylist(),
+        key=lambda r: r["source"],
+    )
+    got = sorted(
+        source_divergence(ray.data.from_arrow(t).repartition(2), max_vocab=2)
+        .take_all(),
+        key=lambda r: r["source"],
+    )
+    assert got == want
+    by = {r["source"]: r for r in got}
+    assert by["s1"]["n_tokens"] == 5  # rare1/rare2 excluded by the cap
