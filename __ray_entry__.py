@@ -2153,6 +2153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": lambda sf: _Rk().heavy_hitter_tokens(
             docs(sf), per_mille=2
         ),
+        "heavy_hitter_ngrams": lambda sf: _Rk().heavy_hitter_ngrams(
+            docs(sf), n=3, per_million=200
+        ),
         "repeated_substring_spans": q_substr_spans,
         "substring_dup_stats": q_substr_stats,
         "strip_repeated_substrings": q_substr_strip,
@@ -3466,6 +3469,24 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT token, count(*) AS n FROM toks GROUP BY token "
             "HAVING count(*) * 1000 >= 2 * (SELECT count(*) FROM toks)"
+        ),
+        # wimbd-style most-common trigrams: exact (MG superset + recount);
+        # windows never cross doc boundaries (lead() partitioned by doc)
+        "heavy_hitter_ngrams": (
+            "WITH toks AS ("
+            "  SELECT doc_id, w, i FROM ("
+            "    SELECT doc_id,"
+            "      unnest(regexp_split_to_array(regexp_replace(text,'^\\s+|\\s+$','','g'), '\\s+')) AS w,"
+            "      unnest(generate_series(1, len(regexp_split_to_array(regexp_replace(text,'^\\s+|\\s+$','','g'), '\\s+')))) AS i"
+            "    FROM documents WHERE regexp_replace(text,'^\\s+|\\s+$','','g') <> ''"
+            "  )"
+            "), g AS ("
+            "  SELECT w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS ngram,"
+            "         (lead(w,2) OVER win IS NOT NULL) AS fullwin"
+            "  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)"
+            "), wins AS (SELECT ngram FROM g WHERE fullwin) "
+            "SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM wins GROUP BY ngram "
+            "HAVING count(*) * 1000000 >= 200 * (SELECT count(*) FROM wins)"
         ),
         # L=50 grams; positions are 1-based chars, matching substr()
         # novelty: gram identity = canonical rolling hash on the Ray side,

@@ -191,40 +191,79 @@ def top_orders_per_segment(
         .map_groups(final, batch_format="pandas")
     )
 
+def _token_units(batch: pa.Table) -> "pa.Array":
+    """Whitespace tokens of a batch, flattened (tokenization parity with
+    the heavy-hitter SQL oracles: trim then split on \\s+)."""
+    trimmed = _regex_trim(batch.column("text"))
+    nonempty = pc.not_equal(trimmed, "")
+    toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    return (
+        toks.combine_chunks().flatten()
+        if isinstance(toks, pa.ChunkedArray)
+        else toks.flatten()
+    )
 
-def heavy_hitter_tokens(
-    docs: "ray.data.Dataset", per_mille: int = 1, capacity: int = 4000
+
+def _word_ngram_units(batch: pa.Table, n: int) -> "pa.Array":
+    """Space-joined word n-grams of a batch, flattened; windows never
+    cross a document boundary. Vectorized: one take per window offset
+    over the flat token array + one binary_join_element_wise."""
+    trimmed = _regex_trim(batch.column("text"))
+    nonempty = pc.not_equal(trimmed, "")
+    toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    if len(lens) == 0:
+        return pa.array([], pa.string())
+    offs = np.concatenate((np.zeros(1, np.int64), np.cumsum(lens)))
+    n_wins = np.maximum(lens - n + 1, 0)
+    total = int(n_wins.sum())
+    if total == 0:
+        return pa.array([], pa.string())
+    win_offs = np.concatenate((np.zeros(1, np.int64), np.cumsum(n_wins)))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(win_offs[:-1], n_wins)
+    starts = np.repeat(offs[:-1], n_wins) + pos
+    cols = [pc.take(flat, pa.array(starts + j, pa.int64())) for j in range(n)]
+    return pc.binary_join_element_wise(*cols, " ")
+
+
+def _heavy_hitter_units(
+    docs: "ray.data.Dataset",
+    extract,
+    unit_col: str,
+    num: int,
+    den: int,
+    capacity: int,
 ) -> "ray.data.Dataset":
-    """EXACT tokens occurring in >= per_mille/1000 of all token positions.
+    """EXACT units occurring in >= num/den of all unit positions — the
+    shared Misra-Gries + exact-recount core behind
+    ``heavy_hitter_tokens`` (num/1000) and ``heavy_hitter_ngrams``
+    (num/1e6; n-gram frequencies sit orders of magnitude below token
+    frequencies, so they need the finer unit).
 
-    Guarantee: the pass-1 merged summary undercounts any token by at most
+    Guarantee: the pass-1 merged summary undercounts any unit by at most
     n_total/(capacity+1); candidates are kept down to
     threshold - n_total/(capacity+1), so the candidate set is a superset
-    of the true answer whenever capacity+1 > 1000/per_mille. Pass 2
-    recounts candidates exactly, so the output has no approximation.
+    of the true answer whenever capacity+1 > den/num. Pass 2 recounts
+    candidates exactly, so the output has no approximation.
 
     Merge topology: per-batch summaries materialize once (summary-sized),
-    merge through a distributed groupby, and only the CANDIDATE tokens
+    merge through a distributed groupby, and only the CANDIDATE units
     ever reach the driver — O(heavy hitters), not O(batches x capacity).
     """
-    if capacity + 1 <= 1000 // max(per_mille, 1):
-        raise ValueError("capacity must exceed 1000/per_mille for exactness")
+    if capacity + 1 <= den // max(num, 1):
+        raise ValueError("capacity must exceed den/num for exactness")
 
     def summarize(batch: pa.Table) -> pa.Table:
-        trimmed = _regex_trim(batch.column("text"))
-        nonempty = pc.not_equal(trimmed, "")
-        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
-        flat = (
-            toks.combine_chunks().flatten()
-            if isinstance(toks, pa.ChunkedArray)
-            else toks.flatten()
-        )
+        flat = extract(batch)
         n_batch = len(flat)
         g = (
-            pa.Table.from_arrays([flat], names=["token"])
-            .group_by("token")
-            .aggregate([("token", "count")])
-            .rename_columns(["token", "n"])
+            pa.Table.from_arrays([flat], names=[unit_col])
+            .group_by(unit_col)
+            .aggregate([(unit_col, "count")])
+            .rename_columns([unit_col, "n"])
         )
         counts = np.asarray(g.column("n").combine_chunks())
         if len(counts) > capacity:
@@ -236,84 +275,74 @@ def heavy_hitter_tokens(
             adj = counts - cut
             keep = adj > 0
             g = pa.Table.from_arrays(
-                [g.column("token").combine_chunks().filter(pa.array(keep)),
+                [g.column(unit_col).combine_chunks().filter(pa.array(keep)),
                  pa.array(adj[keep])],
-                names=["token", "n"],
+                names=[unit_col, "n"],
             )
         total_row = pa.Table.from_pydict(
-            {"token": pa.array([None], pa.string()),
+            {unit_col: pa.array([None], pa.string()),
              "n": pa.array([n_batch], pa.int64())}
         )
-        return pa.concat_tables([g.set_column(1, "n", g.column("n").cast(pa.int64())), total_row])
+        return pa.concat_tables(
+            [g.set_column(1, "n", g.column("n").cast(pa.int64())), total_row]
+        )
 
     # summaries are materialized once (capacity rows per batch — summary-
-    # sized, never token occurrences) and merged DISTRIBUTED: the driver
+    # sized, never unit occurrences) and merged DISTRIBUTED: the driver
     # only ever sees the candidate set, not per-batch counters
     partials = docs.map_batches(summarize, batch_format="pyarrow").materialize()
     n_total = sum(
         r["n"]
         for r in partials.map_batches(
-            lambda b: b.filter(pc.is_null(b.column("token"))).select(["n"]),
+            lambda b: b.filter(pc.is_null(b.column(unit_col))).select(["n"]),
             batch_format="pyarrow",
         ).take_all()
     )
-    if n_total == 0:  # no tokens anywhere: empty answer, skip the shuffle
-        return ray.data.from_arrow(
-            pa.Table.from_pydict(
-                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-            )
-        )
-    threshold = max(1, -(-n_total * per_mille // 1000))  # ceil
+    empty = pa.Table.from_pydict(
+        {unit_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    if n_total == 0:  # no units anywhere: empty answer, skip the shuffle
+        return ray.data.from_arrow(empty)
+    threshold = max(1, -(-n_total * num // den))  # ceil
     slack = n_total // (capacity + 1)
     cutoff = max(1, threshold - slack)
-    _sum_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+    _sum_schema = pa.schema([(unit_col, pa.string()), ("n", pa.int64())])
     merged = (
         partials.map_batches(
-            lambda b: b.filter(pc.is_valid(b.column("token"))),
+            lambda b: b.filter(pc.is_valid(b.column(unit_col))),
             batch_format="pyarrow",
         )
         # filtering map_batches can emit zero-row blocks (a batch of only
         # total rows) — the empty-first-block shape _exchange.py documents.
         # Sentinels are inert: Sum leaves them at n=0 < cutoff (>= 1).
-        .union(str_key_sentinels(_sum_schema, "token", fill={"n": 0}))
+        .union(str_key_sentinels(_sum_schema, unit_col, fill={"n": 0}))
         # candidate rows are bounded by capacity x blocks (kB-scale), so a
         # narrow exchange: width follows the summary size, not the corpus
-        .groupby("token", num_partitions=shuffle_partitions(8))
+        .groupby(unit_col, num_partitions=shuffle_partitions(8))
         .aggregate(Sum("n", alias_name="n"))
     )
     cand_rows = merged.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("n"), pa.scalar(cutoff))).select(
-            ["token"]
-        ),
+        lambda b: b.filter(
+            pc.greater_equal(b.column("n"), pa.scalar(cutoff))
+        ).select([unit_col]),
         batch_format="pyarrow",
     ).take_all()
-    candidates = pa.array([r["token"] for r in cand_rows], pa.string())
+    candidates = pa.array([r[unit_col] for r in cand_rows], pa.string())
     if len(candidates) == 0:
         # empty candidate set would feed a zero-row shuffle (Ray crashes);
         # the exact answer is definitionally empty
-        return ray.data.from_arrow(
-            pa.Table.from_pydict(
-                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-            )
-        )
+        return ray.data.from_arrow(empty)
     cand_ref = ray.put(candidates)
 
     def recount(batch: pa.Table) -> pa.Table:
         cand = ray.get(cand_ref)
-        trimmed = _regex_trim(batch.column("text"))
-        nonempty = pc.not_equal(trimmed, "")
-        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
-        flat = (
-            toks.combine_chunks().flatten()
-            if isinstance(toks, pa.ChunkedArray)
-            else toks.flatten()
-        )
+        flat = extract(batch)
         hits = flat.filter(pc.is_in(flat, value_set=cand))
         g = (
-            pa.Table.from_arrays([hits], names=["token"])
-            .group_by("token")
-            .aggregate([("token", "count")])
-            .rename_columns(["token", "n"])
+            pa.Table.from_arrays([hits], names=[unit_col])
+            .group_by(unit_col)
+            .aggregate([(unit_col, "count")])
+            .rename_columns([unit_col, "n"])
         )
         return g.set_column(1, "n", g.column("n").cast(pa.int64()))
 
@@ -321,11 +350,44 @@ def heavy_hitter_tokens(
         docs.map_batches(recount, batch_format="pyarrow")
         # a batch with no candidate hits emits a zero-row block; guard the
         # merge like pass 1 (sentinels die on the threshold filter, >= 1)
-        .union(str_key_sentinels(_sum_schema, "token", fill={"n": 0}))
-        .groupby("token", num_partitions=shuffle_partitions(4))
+        .union(str_key_sentinels(_sum_schema, unit_col, fill={"n": 0}))
+        .groupby(unit_col, num_partitions=shuffle_partitions(4))
         .aggregate(Sum("n", alias_name="n"))
     )
     return agg.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("n"), pa.scalar(threshold))),
         batch_format="pyarrow",
+    )
+
+
+def heavy_hitter_tokens(
+    docs: "ray.data.Dataset", per_mille: int = 1, capacity: int = 4000
+) -> "ray.data.Dataset":
+    """EXACT tokens occurring in >= per_mille/1000 of all token positions
+    (Misra-Gries summaries + exact recount; see ``_heavy_hitter_units``)."""
+    return _heavy_hitter_units(
+        docs, _token_units, "token", per_mille, 1000, capacity
+    )
+
+
+def heavy_hitter_ngrams(
+    docs: "ray.data.Dataset",
+    n: int = 3,
+    per_million: int = 200,
+    capacity: int = 8192,
+) -> "ray.data.Dataset":
+    """EXACT word n-grams occurring in >= per_million/1e6 of all n-gram
+    windows — the wimbd-style most-common-n-grams corpus probe, with the
+    same no-approximation guarantee as ``heavy_hitter_tokens`` (the MG
+    candidate superset is recounted exactly). Windows never cross
+    document boundaries; gram identity is the literal space-joined text."""
+    import functools
+
+    return _heavy_hitter_units(
+        docs,
+        functools.partial(_word_ngram_units, n=n),
+        "ngram",
+        per_million,
+        1_000_000,
+        capacity,
     )

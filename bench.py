@@ -483,6 +483,10 @@ def main() -> None:
         "heavy_hitters",
         lambda: R.heavy_hitter_tokens(docs(), per_mille=2).count(),
     )
+    timed(
+        "heavy_hitter_ngrams",
+        lambda: R.heavy_hitter_ngrams(docs(), n=3, per_million=200).count(),
+    )
     timed("anti_join", lambda: J.customers_without_urgent(SF_DIR).count())
     timed(
         "customer_order_dist",

@@ -259,3 +259,53 @@ def test_shuffle_positions_deterministic_permutation():
     other = S.shuffle_positions(SF, seed=7).to_pandas()
     merged = got.merge(other, on="doc_id", suffixes=("_a", "_b"))
     assert (merged["shuffle_pos_a"] != merged["shuffle_pos_b"]).any()
+
+
+def test_heavy_hitter_ngrams_exact():
+    """wimbd-style most-common trigrams == the SQL window plan; windows
+    never cross doc boundaries (lead() is doc-partitioned on both
+    sides), and a tight MG capacity must not change the exact answer."""
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = R.heavy_hitter_ngrams(docs, n=3, per_million=200).to_pandas()
+    want = _duck(
+        """
+        WITH toks AS (
+          SELECT doc_id, w, i FROM (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(regexp_replace(text,'^\\s+|\\s+$','','g'), '\\s+')) AS w,
+              unnest(generate_series(1, len(regexp_split_to_array(regexp_replace(text,'^\\s+|\\s+$','','g'), '\\s+')))) AS i
+            FROM documents WHERE regexp_replace(text,'^\\s+|\\s+$','','g') <> ''
+          )
+        ), g AS (
+          SELECT w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS ngram,
+                 (lead(w,2) OVER win IS NOT NULL) AS fullwin
+          FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        ), wins AS (SELECT ngram FROM g WHERE fullwin)
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM wins GROUP BY ngram
+        HAVING count(*) * 1000000 >= 200 * (SELECT count(*) FROM wins)
+        """
+    )
+    assert len(got) > 0
+    _cmp(got, want, ["ngram"])
+    tight = R.heavy_hitter_ngrams(
+        docs, n=3, per_million=200, capacity=5001
+    ).to_pandas()
+    _cmp(tight, got, ["ngram"])
+
+
+def test_word_ngram_units_doc_boundaries():
+    """n-gram windows stop at document edges; short docs emit none."""
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.ranking import _word_ngram_units
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c d", "x y", "", "  p  q r  "],
+        }
+    )
+    grams = _word_ngram_units(t, 3).to_pylist()
+    assert grams == ["a b c", "b c d", "p q r"]
