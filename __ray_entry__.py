@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 24  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 25  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -321,6 +321,16 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         bigram_lm_oracle(docs_tbl),
         os.path.join(out_dir, "bigram_lm.parquet"),
+    )
+
+    # CDC chunk replica: chunking is per-doc deterministic (batch-local),
+    # so the single-process batch fn over the whole table is bit-equal;
+    # the dedup-stats oracle is plain SQL over this chunk table
+    from agentic_doc_ray.functions.cdc import cdc_chunk_batch
+
+    _pq.write_table(
+        cdc_chunk_batch(docs_tbl),
+        os.path.join(out_dir, "cdc_chunks.parquet"),
     )
 
     # source-KL replica: per-(source, token) micro-bit terms are rounded
@@ -1372,6 +1382,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return bigram_lm_score(docs(sf_dir))
 
+    def q_cdc_chunks(sf_dir):
+        """Content-defined chunking (FastCDC-style, stateless variant):
+        one row per chunk; batch-local, zero exchanges. Oracle: bit-equal
+        single-process replica (per-doc deterministic)."""
+        from agentic_doc_ray.functions.cdc import cdc_chunks
+
+        _ensure_extraction_oracles(sf_dir)
+        return cdc_chunks(docs(sf_dir))
+
+    def q_cdc_dedup_stats(sf_dir):
+        """Per-doc CDC chunk-dedup stats (shared-content fraction at
+        storage-chunk granularity); two key-only exchanges. Oracle: SQL
+        over the materialized chunk replica."""
+        from agentic_doc_ray.functions.cdc import cdc_dedup_stats
+
+        _ensure_extraction_oracles(sf_dir)
+        return cdc_dedup_stats(docs(sf_dir))
+
     def q_source_divergence(sf_dir):
         """Per-source unigram KL from the corpus distribution in integer
         micro-bits (mixture-balancing signal). Oracle: bit-equal
@@ -2095,6 +2123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,                    # single-process replica oracle
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "source_divergence": q_source_divergence,  # single-process replica oracle
+        "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
+        "cdc_dedup_stats": q_cdc_dedup_stats,      # SQL over the chunk replica
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3228,6 +3258,21 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": (
             "SELECT source, n_tokens, kl_micro "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/source_divergence.parquet')"
+        ),
+        "cdc_chunks": (
+            "SELECT doc_id, chunk_idx, start, length, chunk_hash "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/cdc_chunks.parquet')"
+        ),
+        # dup = chunk hash occurring >= 2 times corpus-wide (any doc)
+        "cdc_dedup_stats": (
+            "WITH c AS ("
+            f"  SELECT * FROM read_parquet('{_ORACLE_SQL_DIR}/cdc_chunks.parquet')"
+            "), d AS (SELECT chunk_hash, count(*) AS cnt FROM c GROUP BY 1) "
+            "SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(sum(CASE WHEN d.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks, "
+            "CAST(sum(CASE WHEN d.cnt >= 2 THEN c.length ELSE 0 END) AS BIGINT) AS dup_bytes, "
+            "CAST(sum(c.length) AS BIGINT) AS n_bytes "
+            "FROM c JOIN d USING (chunk_hash) GROUP BY c.doc_id"
         ),
         "compression_stats": (
             "SELECT doc_id, n_bytes, n_compressed "

@@ -226,6 +226,9 @@ def main() -> None:
     timed("simhash", lambda: D.simhashes(docs()).count())
     timed("token_commonness", lambda: T.token_commonness(docs()).count())
     timed("bigram_lm_nll", lambda: T.bigram_lm_score(docs()).count())
+    from agentic_doc_ray.functions.cdc import cdc_dedup_stats as _cdc
+
+    timed("cdc_dedup_stats", lambda: _cdc(docs()).count())
     timed(
         "source_divergence",
         lambda: T.source_divergence(
