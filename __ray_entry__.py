@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 25  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 26  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -331,6 +331,13 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         cdc_chunk_batch(docs_tbl),
         os.path.join(out_dir, "cdc_chunks.parquet"),
+    )
+    # v2 (next-crawl) chunk replica for the cross-snapshot transfer stats
+    from agentic_doc_ray.functions.delta import second_crawl_batch
+
+    _pq.write_table(
+        cdc_chunk_batch(second_crawl_batch(docs_tbl)),
+        os.path.join(out_dir, "cdc_chunks_v2.parquet"),
     )
 
     # source-KL replica: per-(source, token) micro-bit terms are rounded
@@ -1400,6 +1407,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return cdc_dedup_stats(docs(sf_dir))
 
+    def q_cdc_transfer(sf_dir):
+        """Cross-snapshot CDC storage transfer: per new-crawl doc, chunks
+        and bytes already present in the previous crawl's chunk store
+        (the incremental-ingest signal). Old side ships distinct hashes
+        only. Oracle: SQL over the two materialized chunk replicas."""
+        from agentic_doc_ray.functions.cdc import cdc_transfer_stats
+        from agentic_doc_ray.functions.delta import synth_second_crawl
+
+        _ensure_extraction_oracles(sf_dir)
+        d = docs(sf_dir)
+        return cdc_transfer_stats(d, synth_second_crawl(d))
+
     def q_source_divergence(sf_dir):
         """Per-source unigram KL from the corpus distribution in integer
         micro-bits (mixture-balancing signal). Oracle: bit-equal
@@ -2125,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": q_source_divergence,  # single-process replica oracle
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
         "cdc_dedup_stats": q_cdc_dedup_stats,      # SQL over the chunk replica
+        "cdc_transfer_stats": q_cdc_transfer,      # SQL over both chunk replicas
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3262,6 +3282,19 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": (
             "SELECT doc_id, chunk_idx, start, length, chunk_hash "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/cdc_chunks.parquet')"
+        ),
+        # reused = new-crawl chunk whose hash exists anywhere in v1
+        "cdc_transfer_stats": (
+            "WITH c2 AS ("
+            f"  SELECT * FROM read_parquet('{_ORACLE_SQL_DIR}/cdc_chunks_v2.parquet')"
+            "), old AS ("
+            f"  SELECT DISTINCT chunk_hash FROM read_parquet('{_ORACLE_SQL_DIR}/cdc_chunks.parquet')"
+            ") "
+            "SELECT c2.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(sum(c2.length) AS BIGINT) AS n_bytes, "
+            "CAST(sum(CASE WHEN o.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reused_chunks, "
+            "CAST(sum(CASE WHEN o.chunk_hash IS NOT NULL THEN c2.length ELSE 0 END) AS BIGINT) AS reused_bytes "
+            "FROM c2 LEFT JOIN old o USING (chunk_hash) GROUP BY c2.doc_id"
         ),
         # dup = chunk hash occurring >= 2 times corpus-wide (any doc)
         "cdc_dedup_stats": (

@@ -313,3 +313,138 @@ def cdc_dedup_stats(
             Sum("n_bytes", alias_name="n_bytes"),
         )
     )
+
+
+def cdc_transfer_stats(
+    old_docs: "ray.data.Dataset",
+    new_docs: "ray.data.Dataset",
+    window: int = 16,
+    divisor: int = 64,
+    max_len: int = 256,
+    n_buckets: int = 64,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Cross-snapshot storage transfer: for each NEW-crawl document, how
+    many of its CDC chunks (and bytes) already exist in the OLD crawl's
+    chunk store — the incremental-ingest signal CDC exists for (only
+    ``new_bytes`` need storing/shipping; shift-invariance makes edited
+    documents mostly reuse).
+
+    Output: (doc_id, n_chunks, n_bytes, reused_chunks, reused_bytes),
+    one row per new-crawl doc with text.
+
+    Scale shape: one hash-bucket exchange + one per-doc sum. The OLD
+    side ships each distinct chunk hash once per batch (key-only rows,
+    in-batch deduped, no length/doc payload); the NEW side ships
+    (hash, doc_id, length) key rows. Chunk text never moves. The
+    in-bucket membership test is one vectorized ``is_in``.
+    """
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    chunker = functools.partial(
+        cdc_chunk_batch, window=window, divisor=divisor, max_len=max_len
+    )
+
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("chunk_hash", pa.int64()),
+            ("doc_id", pa.int64()),  # -1 = old-side (key-only) row
+            ("length", pa.int64()),
+        ]
+    )
+
+    def _bucket(h) -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(h, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+
+    def tag_old(batch: pa.Table) -> pa.Table:
+        c = chunker(batch)
+        h = pc.unique(c.column("chunk_hash").combine_chunks())
+        return pa.Table.from_arrays(
+            [
+                _bucket(h),
+                h,
+                pa.nulls(len(h), pa.int64()).fill_null(-1),
+                pa.nulls(len(h), pa.int64()).fill_null(0),
+            ],
+            schema=ex_schema,
+        )
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        c = chunker(batch)
+        h = c.column("chunk_hash")
+        return pa.Table.from_arrays(
+            [_bucket(h), h, c.column("doc_id"), c.column("length")],
+            schema=ex_schema,
+        )
+
+    part_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chunks", pa.int64()),
+            ("n_bytes", pa.int64()),
+            ("reused_chunks", pa.int64()),
+            ("reused_bytes", pa.int64()),
+        ]
+    )
+
+    def transfer_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("doc_id"), pa.scalar(-2)))
+        is_old = pc.equal(g.column("doc_id"), pa.scalar(-1))
+        old_h = g.filter(is_old).column("chunk_hash").combine_chunks()
+        new = g.filter(pc.invert(is_old))
+        if new.num_rows == 0:
+            return part_schema.empty_table()
+        reused = pc.is_in(new.column("chunk_hash"), value_set=old_h)
+        t = pa.Table.from_arrays(
+            [
+                new.column("doc_id"),
+                pa.array(np.ones(new.num_rows, np.int64)),
+                new.column("length"),
+                reused.cast(pa.int64()),
+                pc.if_else(reused, new.column("length"), pa.scalar(0, pa.int64())),
+            ],
+            schema=part_schema,
+        )
+        out = (
+            t.group_by("doc_id")
+            .aggregate(
+                [
+                    ("n_chunks", "sum"),
+                    ("n_bytes", "sum"),
+                    ("reused_chunks", "sum"),
+                    ("reused_bytes", "sum"),
+                ]
+            )
+            .rename_columns(
+                ["doc_id", "n_chunks", "n_bytes", "reused_chunks", "reused_bytes"]
+            )
+        )
+        return out.cast(part_schema)
+
+    n_hint = n_rows_hint if n_rows_hint is not None else new_docs.count()
+    partials = (
+        old_docs.map_batches(tag_old, batch_format="pyarrow")
+        .union(new_docs.map_batches(tag_new, batch_format="pyarrow"))
+        .union(
+            int_key_sentinels(
+                ex_schema,
+                "bucket",
+                fill={"doc_id": -2, "chunk_hash": 0, "length": 0},
+            )
+        )
+        .groupby("bucket", num_partitions=partitions_for(n_hint))
+        .map_groups(transfer_bucket, batch_format="pyarrow")
+    )
+    return partials.groupby("doc_id", num_partitions=partitions_for(n_hint)).aggregate(
+        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_bytes", alias_name="n_bytes"),
+        Sum("reused_chunks", alias_name="reused_chunks"),
+        Sum("reused_bytes", alias_name="reused_bytes"),
+    )

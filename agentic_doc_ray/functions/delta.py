@@ -157,54 +157,57 @@ def _diff_bucket(group: pa.Table) -> pa.Table:
     )
 
 
+def second_crawl_batch(batch: pa.Table) -> pa.Table:
+    """Batch rule of the deterministic 'next crawl': doc_id % 7 == 0
+    disappears, doc_id % 5 == 0 is edited, doc_id % 11 == 0 re-appears
+    under doc_id + 10_000_000. Module-level so replica oracles can apply
+    it single-process to a whole table; mirrored exactly by the SQL
+    oracles."""
+    did = batch.column("doc_id")
+    text = batch.column("text")
+    kept = batch.filter(
+        pc.not_equal(_mod(did, 7), pa.scalar(0, pa.int64()))
+    )
+    ktext = pc.if_else(
+        pc.equal(_mod(kept.column("doc_id"), 5), pa.scalar(0, pa.int64())),
+        pc.binary_join_element_wise(
+            kept.column("text"), pa.scalar(" [edited v2]"), ""
+        ),
+        kept.column("text"),
+    )
+    added = batch.filter(pc.equal(_mod(did, 11), pa.scalar(0, pa.int64())))
+    atext = pc.binary_join_element_wise(
+        added.column("text"), pa.scalar(" (new)"), ""
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.concat_arrays(
+                [
+                    kept.column("doc_id").combine_chunks().cast(pa.int64()),
+                    pc.add(
+                        added.column("doc_id"), pa.scalar(10_000_000, pa.int64())
+                    ).combine_chunks(),
+                ]
+            ),
+            pa.concat_arrays(
+                [
+                    ktext.combine_chunks()
+                    if isinstance(ktext, pa.ChunkedArray)
+                    else ktext,
+                    atext.combine_chunks()
+                    if isinstance(atext, pa.ChunkedArray)
+                    else atext,
+                ]
+            ),
+        ],
+        names=["doc_id", "text"],
+    )
+
+
 def synth_second_crawl(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Deterministic 'next crawl' of the documents table (no external
-    data): doc_id % 7 == 0 disappears, doc_id % 5 == 0 is edited, and
-    doc_id % 11 == 0 re-appears under doc_id + 10_000_000. Mirrored
-    exactly by the SQL oracle."""
-
-    def v2(batch: pa.Table) -> pa.Table:
-        did = batch.column("doc_id")
-        text = batch.column("text")
-        kept = batch.filter(
-            pc.not_equal(_mod(did, 7), pa.scalar(0, pa.int64()))
-        )
-        ktext = pc.if_else(
-            pc.equal(_mod(kept.column("doc_id"), 5), pa.scalar(0, pa.int64())),
-            pc.binary_join_element_wise(
-                kept.column("text"), pa.scalar(" [edited v2]"), ""
-            ),
-            kept.column("text"),
-        )
-        added = batch.filter(pc.equal(_mod(did, 11), pa.scalar(0, pa.int64())))
-        atext = pc.binary_join_element_wise(
-            added.column("text"), pa.scalar(" (new)"), ""
-        )
-        return pa.Table.from_arrays(
-            [
-                pa.concat_arrays(
-                    [
-                        kept.column("doc_id").combine_chunks().cast(pa.int64()),
-                        pc.add(
-                            added.column("doc_id"), pa.scalar(10_000_000, pa.int64())
-                        ).combine_chunks(),
-                    ]
-                ),
-                pa.concat_arrays(
-                    [
-                        ktext.combine_chunks()
-                        if isinstance(ktext, pa.ChunkedArray)
-                        else ktext,
-                        atext.combine_chunks()
-                        if isinstance(atext, pa.ChunkedArray)
-                        else atext,
-                    ]
-                ),
-            ],
-            names=["doc_id", "text"],
-        )
-
-    return docs.map_batches(v2, batch_format="pyarrow")
+    data) — see ``second_crawl_batch``."""
+    return docs.map_batches(second_crawl_batch, batch_format="pyarrow")
 
 
 def _mod(arr, k: int):

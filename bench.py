@@ -229,6 +229,15 @@ def main() -> None:
     from agentic_doc_ray.functions.cdc import cdc_dedup_stats as _cdc
 
     timed("cdc_dedup_stats", lambda: _cdc(docs()).count())
+
+    def _cdc_transfer() -> None:
+        from agentic_doc_ray.functions.cdc import cdc_transfer_stats
+        from agentic_doc_ray.functions.delta import synth_second_crawl
+
+        d = docs()
+        cdc_transfer_stats(d, synth_second_crawl(docs())).count()
+
+    timed("cdc_transfer_stats", _cdc_transfer)
     timed(
         "source_divergence",
         lambda: T.source_divergence(

@@ -129,3 +129,44 @@ def test_distributed_stats_match_sql(tmp_path):
     )
     rc = rep.to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(gc, rc)
+
+
+def test_transfer_stats_match_sql(tmp_path):
+    """Cross-snapshot transfer: per new-doc reused chunks/bytes == the
+    SQL left-join over the two single-process chunk replicas; edited
+    docs must still reuse most bytes (the shift-invariance payoff)."""
+    import ray.data
+
+    from agentic_doc_ray.functions.cdc import cdc_transfer_stats
+    from agentic_doc_ray.functions.delta import (
+        second_crawl_batch,
+        synth_second_crawl,
+    )
+
+    d = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = (
+        cdc_transfer_stats(d, synth_second_crawl(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    p1, p2 = str(tmp_path / "v1.parquet"), str(tmp_path / "v2.parquet")
+    pq.write_table(cdc_chunk_batch(tbl), p1)
+    pq.write_table(cdc_chunk_batch(second_crawl_batch(tbl)), p2)
+    want = duckdb.sql(
+        f"""
+        WITH c2 AS (SELECT * FROM read_parquet('{p2}')),
+        old AS (SELECT DISTINCT chunk_hash FROM read_parquet('{p1}'))
+        SELECT c2.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(c2.length) AS BIGINT) AS n_bytes,
+         CAST(sum(CASE WHEN o.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reused_chunks,
+         CAST(sum(CASE WHEN o.chunk_hash IS NOT NULL THEN c2.length ELSE 0 END) AS BIGINT) AS reused_bytes
+        FROM c2 LEFT JOIN old o USING (chunk_hash) GROUP BY c2.doc_id ORDER BY c2.doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # edited docs (doc_id % 5 == 0, suffix appended) keep most content
+    edited = got[(got.doc_id % 5 == 0) & (got.doc_id < 10_000_000)]
+    assert len(edited) > 0
+    assert edited.reused_bytes.sum() > 0.5 * edited.n_bytes.sum()
