@@ -1407,6 +1407,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return cdc_dedup_stats(docs(sf_dir))
 
+    def q_substring_counts(sf_dir):
+        """wimbd-style exact occurrence counts (overlapping included) of
+        literal query phrases; byte-verified so 61-bit collisions cannot
+        inflate a count. Pure SQL oracle."""
+        from agentic_doc_ray.functions.substr import substring_counts
+
+        return substring_counts(
+            docs(sf_dir), ["data", "order scan", "join", "a"]
+        )
+
     def q_cdc_transfer(sf_dir):
         """Cross-snapshot CDC storage transfer: per new-crawl doc, chunks
         and bytes already present in the previous crawl's chunk store
@@ -2145,6 +2155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
         "cdc_dedup_stats": q_cdc_dedup_stats,      # SQL over the chunk replica
         "cdc_transfer_stats": q_cdc_transfer,      # SQL over both chunk replicas
+        "substring_counts": q_substring_counts,
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3282,6 +3293,22 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": (
             "SELECT doc_id, chunk_idx, start, length, chunk_hash "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/cdc_chunks.parquet')"
+        ),
+        # overlapping occurrences: every window position is checked
+        "substring_counts": (
+            "WITH q(query) AS (VALUES ('data'), ('order scan'), ('join'), ('a')),"
+            "pos AS ("
+            "  SELECT d.doc_id, q.query,"
+            "         unnest(range(1, greatest(length(d.text) - length(q.query) + 1, 0) + 1)) AS i"
+            "  FROM documents d CROSS JOIN q"
+            "), hit AS ("
+            "  SELECT p.doc_id, p.query FROM pos p"
+            "  JOIN documents d USING (doc_id)"
+            "  WHERE substr(d.text, CAST(p.i AS INTEGER), length(p.query)) = p.query"
+            ") "
+            "SELECT query, CAST(count(*) AS BIGINT) AS n_occurrences,"
+            "       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM hit GROUP BY query"
         ),
         # reused = new-crawl chunk whose hash exists anywhere in v1
         "cdc_transfer_stats": (

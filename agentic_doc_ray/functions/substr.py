@@ -806,3 +806,108 @@ def strip_repeated_substrings(
         )
         .map_groups(strip_bucket, batch_format="pyarrow")
     )
+
+
+def _canonical_gram_hash(q: str) -> int:
+    """Canonical 61-bit content hash of a query string — the same value
+    ``_gram_hashes`` assigns any window with identical bytes."""
+    h = 0
+    for ch in q.encode("ascii"):
+        h = (h * _FP_BASE + ch) % _FP_MOD
+    return h
+
+
+def substring_counts(
+    docs: "ray.data.Dataset", queries: list[str]
+) -> "ray.data.Dataset":
+    """Exact corpus-wide occurrence counts of literal query strings — the
+    wimbd-style "count" probe (How many times does this phrase appear in
+    the corpus? In how many documents?). Occurrences are ALL sliding
+    window matches, overlapping included.
+
+    Per batch, each distinct query length L costs ONE vectorized rolling
+    hash pass (shared ``_gram_hashes`` machinery); candidate positions
+    (hash == query hash) are then byte-verified with a 2-D numpy gather,
+    so 61-bit collisions cannot inflate a count — the result is exact,
+    not hash-trusting. One tiny groupby merges per-batch partials (one
+    row per (batch, query) moves; corpus rows are atomic under batch
+    slicing, so per-batch distinct-doc counts sum to the global one).
+
+    Output: (query, n_occurrences, n_docs) — one row per query that
+    appears at least once.
+    """
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.functions._exchange import str_key_sentinels
+
+    qs = sorted(set(queries))
+    by_len: dict[int, list[str]] = {}
+    for q in qs:
+        if not q:
+            raise ValueError("empty query string")
+        by_len.setdefault(len(q), []).append(q)
+    targets = {
+        L: (
+            np.array([_canonical_gram_hash(q) for q in lst], dtype=np.uint64),
+            np.array([np.frombuffer(q.encode("ascii"), np.uint8) for q in lst]),
+            lst,
+        )
+        for L, lst in by_len.items()
+    }
+
+    part_schema = pa.schema(
+        [("query", pa.string()), ("n_occurrences", pa.int64()), ("n_docs", pa.int64())]
+    )
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        out_q, out_n, out_d = [], [], []
+        texts = batch.column("text")
+        total_chars = pc.sum(pc.utf8_length(texts)).as_py() or 0
+        if batch.num_rows and total_chars:
+            for L, (th, tb, lst) in targets.items():
+                h, doc_idx, pos, buf, offsets = _gram_hashes(texts, L)
+                if not len(h):
+                    continue
+                for k, q in enumerate(lst):
+                    cand = np.flatnonzero(h == th[k])
+                    if not len(cand):
+                        continue
+                    starts = offsets[doc_idx[cand]] + pos[cand]
+                    win = buf[starts[:, None] + np.arange(L)]
+                    ok = (win == tb[k]).all(axis=1)
+                    n = int(ok.sum())
+                    if n:
+                        out_q.append(q)
+                        out_n.append(n)
+                        out_d.append(len(np.unique(doc_idx[cand[ok]])))
+        return pa.Table.from_pydict(
+            {
+                "query": pa.array(out_q, pa.string()),
+                "n_occurrences": pa.array(out_n, pa.int64()),
+                "n_docs": pa.array(out_d, pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    return (
+        docs.map_batches(count_batch, batch_format="pyarrow")
+        # partial batches with no hits are zero-row blocks: sentinel-guard
+        # the merge; sentinels are NUL-prefixed, cannot match a query, and
+        # sum to n=0 rows that the final filter drops
+        .union(
+            str_key_sentinels(
+                part_schema, "query", fill={"n_occurrences": 0, "n_docs": 0}
+            )
+        )
+        .groupby("query", num_partitions=shuffle_partitions(4))
+        .aggregate(
+            Sum("n_occurrences", alias_name="n_occurrences"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater(b.column("n_occurrences"), pa.scalar(0, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -545,6 +545,13 @@ def main() -> None:
 
     timed("substr_spans", substr_q)
 
+    def substr_count_q() -> None:
+        from agentic_doc_ray.functions.substr import substring_counts
+
+        substring_counts(docs(), ["data", "order scan", "join", "a"]).count()
+
+    timed("substring_counts", substr_count_q)
+
     def keep_best_q() -> None:
         import pyarrow as pa
 

@@ -236,3 +236,56 @@ def test_strip_repeated_substrings_rule(ray_session):
             for r in strip_repeated_substrings(ds).take_all()
         }
         assert got == expect
+
+
+def test_substring_counts_exact_overlapping():
+    """wimbd count probe: overlapping occurrences, per-doc distinct
+    counts, absent queries omitted — against the brute-force SQL plan."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from agentic_doc_ray.functions.substr import substring_counts
+
+    sf = "/root/testdata/sf0.001"
+    qs = ["data", "order scan", "aaa-not-present", "a"]
+    ds = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(6)
+    got = (
+        substring_counts(ds, qs).to_pandas().sort_values("query").reset_index(drop=True)
+    )
+    qvals = ", ".join(f"('{q}')" for q in qs)
+    want = duckdb.sql(
+        f"""
+        WITH q(query) AS (VALUES {qvals}),
+        pos AS (
+          SELECT d.doc_id, q.query,
+                 unnest(range(1, greatest(length(d.text) - length(q.query) + 1, 0) + 1)) AS i
+          FROM read_parquet('{sf}/documents.parquet') d CROSS JOIN q
+        ), hit AS (
+          SELECT p.doc_id, p.query FROM pos p
+          JOIN read_parquet('{sf}/documents.parquet') d USING (doc_id)
+          WHERE substr(d.text, CAST(p.i AS INTEGER), length(p.query)) = p.query
+        )
+        SELECT query, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM hit GROUP BY query ORDER BY query
+        """
+    ).df()
+    assert "aaa-not-present" not in set(got.query_ if hasattr(got, 'query_') else got["query"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_substring_counts_overlap_semantics():
+    """'aa' in 'aaaa' counts 3 (all window positions)."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.substr import substring_counts
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["aaaa", "xaax"]})
+    )
+    got = {r["query"]: r for r in substring_counts(ds, ["aa"]).take_all()}
+    assert got["aa"]["n_occurrences"] == 4 and got["aa"]["n_docs"] == 2
