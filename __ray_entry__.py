@@ -2186,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _J().promo_revenue_share,
         "regional_supplier_volume": _J().regional_supplier_volume,
         "large_volume_customer": _J().large_volume_customer,
+        "nation_trade_volume": _J().nation_trade_volume,
         "events_hourly": A.events_hourly,
         "cohort_retention": A.cohort_retention,
         "events_sliding": A.events_sliding,
@@ -3021,6 +3022,22 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"
+        ),
+        # Q7 shape: cross-nation trade flows per ordered pair
+        "nation_trade_volume": (
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+            "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue "
+            "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation ns ON ns.n_nationkey = s.s_nationkey "
+            "JOIN nation nc ON nc.n_nationkey = c.c_nationkey "
+            "WHERE ns.n_name IN ('NATION_3','NATION_12') "
+            "AND nc.n_name IN ('NATION_3','NATION_12') "
+            "AND ns.n_name <> nc.n_name "
+            "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2 ORDER BY revenue DESC, supp_nation, cust_nation"
         ),
         # Q18 shape: aggregate-HAVING semi-join; quantities are integral
         # doubles so BIGINT sums are exact

@@ -1567,67 +1567,19 @@ def promo_revenue_share(
     return partials.repartition(1).map_batches(finish, batch_format="pyarrow")
 
 
-def regional_supplier_volume(
+def _order_supplier_streams(
     sf_dir: str,
-    region: str = "ASIA",
-    date_from: str = "1996-01-01",
-    date_to: str = "1998-01-01",
-    n_buckets: int | None = None,
-) -> "ray.data.Dataset":
-    """TPC-H Q5 shape (local supplier volume): revenue per nation from
-    lineitems where the SUPPLIER and the ordering CUSTOMER sit in the same
-    nation of one region — the classic 6-table join
-    (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier).
-
-    Scale shape — dimension broadcast + three bucketed exchanges, each
-    moving only keys/partials, never full fact rows:
-
-    1. region ⋈ nation collapses DRIVER-SIDE to a nationkey set + name
-       dict (25 nations total; a true bounded dimension — the same
-       broadcast rule as ``nation_returned_revenue``).
-    2. exchange 1 (custkey): region-filtered customers ship
-       (custkey, nationkey); date-filtered orders ship
-       (custkey, orderkey). Per-bucket vectorized hash join emits
-       (orderkey, cust_nationkey) — one row per surviving order.
-    3. exchange 2 (suppkey): region-filtered suppliers ship
-       (suppkey, nationkey); lineitem ships revenue PARTIALS
-       pre-aggregated per (batch, orderkey, suppkey) in exact integer
-       cents. Per-bucket join emits (orderkey, supp_nationkey, cents)
-       re-aggregated per (orderkey, nationkey) — the suppkey dimension is
-       gone before the wide fact exchange.
-    4. exchange 3 (orderkey): the two survivor streams meet; the bucket
-       task joins on orderkey, keeps rows with cust_nationkey ==
-       supp_nationkey (the Q5 co-location predicate — it CANNOT be
-       evaluated earlier because the two nationkeys arrive via different
-       join paths), and emits per-nation cents partials — ≤ 25 rows per
-       bucket reach the final fold.
-
-    All three exchanges feed ``map_groups`` from filtering stages, so
-    each unions sentinel rows against Ray's empty-first-block schema race
-    (functions/_exchange.py). Output: (n_name, revenue) sorted by
-    revenue DESC — deterministic because revenue is an exact integer-cents
-    sum (ties broken by n_name).
-    """
-    import numpy as np
-    import pyarrow.parquet as pq
-
+    nation_keys: "pa.Array",
+    lo,
+    hi,
+    n_buckets: int | None,
+):
+    """Shared exchanges 1-2 of the Q5/Q7 family: survivor orders
+    (o_orderkey, cust_nationkey) via the custkey exchange and
+    supplier-attributed revenue partials (orderkey, supp_nationkey,
+    cents) via the suppkey exchange, both restricted to ``nation_keys``.
+    Returns (surviving_orders, supplier_revenue, n_buckets, n_rows)."""
     from agentic_doc_ray.functions._exchange import int_key_sentinels
-
-    # --- bounded dimension broadcast: region ⋈ nation (≤25 rows) --------
-    nation_tbl = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
-    )
-    region_tbl = pq.read_table(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    )
-    rkeys = region_tbl.filter(pc.equal(region_tbl.column("r_name"), region)).column(
-        "r_regionkey"
-    )
-    nat = nation_tbl.filter(pc.is_in(nation_tbl.column("n_regionkey"), value_set=rkeys))
-    nation_keys = nat.column("n_nationkey").combine_chunks().cast(pa.int32())
-    nation_names = dict(
-        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
-    )
 
     customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
@@ -1645,8 +1597,6 @@ def regional_supplier_volume(
     )
     n_rows = lineitem.count()
     n_buckets = n_buckets or auto_buckets(n_rows)
-    lo = pa.scalar(np.datetime64(date_from, "us"))
-    hi = pa.scalar(np.datetime64(date_to, "us"))
 
     def _bucket(key: "pa.Array") -> "pa.Array":
         return pc.cast(
@@ -1807,6 +1757,83 @@ def regional_supplier_volume(
         .groupby("bucket", num_partitions=partitions_for(n_rows))
         .map_groups(supp_bucket, batch_format="pyarrow")
     )
+
+    return surviving_orders, supplier_revenue, n_buckets, n_rows
+
+
+def regional_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q5 shape (local supplier volume): revenue per nation from
+    lineitems where the SUPPLIER and the ordering CUSTOMER sit in the same
+    nation of one region — the classic 6-table join
+    (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier).
+
+    Scale shape — dimension broadcast + three bucketed exchanges, each
+    moving only keys/partials, never full fact rows:
+
+    1. region ⋈ nation collapses DRIVER-SIDE to a nationkey set + name
+       dict (25 nations total; a true bounded dimension — the same
+       broadcast rule as ``nation_returned_revenue``).
+    2. exchange 1 (custkey): region-filtered customers ship
+       (custkey, nationkey); date-filtered orders ship
+       (custkey, orderkey). Per-bucket vectorized hash join emits
+       (orderkey, cust_nationkey) — one row per surviving order.
+    3. exchange 2 (suppkey): region-filtered suppliers ship
+       (suppkey, nationkey); lineitem ships revenue PARTIALS
+       pre-aggregated per (batch, orderkey, suppkey) in exact integer
+       cents. Per-bucket join emits (orderkey, supp_nationkey, cents)
+       re-aggregated per (orderkey, nationkey) — the suppkey dimension is
+       gone before the wide fact exchange.
+    4. exchange 3 (orderkey): the two survivor streams meet; the bucket
+       task joins on orderkey, keeps rows with cust_nationkey ==
+       supp_nationkey (the Q5 co-location predicate — it CANNOT be
+       evaluated earlier because the two nationkeys arrive via different
+       join paths), and emits per-nation cents partials — ≤ 25 rows per
+       bucket reach the final fold.
+
+    All three exchanges feed ``map_groups`` from filtering stages, so
+    each unions sentinel rows against Ray's empty-first-block schema race
+    (functions/_exchange.py). Output: (n_name, revenue) sorted by
+    revenue DESC — deterministic because revenue is an exact integer-cents
+    sum (ties broken by n_name).
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    # --- bounded dimension broadcast: region ⋈ nation (≤25 rows) --------
+    nation_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region_tbl = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkeys = region_tbl.filter(pc.equal(region_tbl.column("r_name"), region)).column(
+        "r_regionkey"
+    )
+    nat = nation_tbl.filter(pc.is_in(nation_tbl.column("n_regionkey"), value_set=rkeys))
+    nation_keys = nat.column("n_nationkey").combine_chunks().cast(pa.int32())
+    nation_names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+    surviving_orders, supplier_revenue, n_buckets, n_rows = (
+        _order_supplier_streams(sf_dir, nation_keys, lo, hi, n_buckets)
+    )
+
+    def _bucket(key: "pa.Array") -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
 
     # --- exchange 3: co-location join on orderkey -----------------------
     ex3_schema = pa.schema(
@@ -2143,3 +2170,166 @@ def large_volume_customer(
     return named.sort(
         key=["o_totalprice", "o_orderkey"], descending=[True, False]
     )
+
+
+def nation_trade_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_12",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q7 shape (volume shipping): revenue flowing BETWEEN two
+    nations — supplier in one, ordering customer in the other — grouped
+    by the ordered (supp_nation, cust_nation) pair.
+
+    Reuses the Q5 family's shared exchanges
+    (``_order_supplier_streams``): the nation-key set is the two-nation
+    pair, so the custkey/suppkey exchanges prune both fact sides to the
+    two nations before any wide shuffle. Exchange 3 (orderkey) then
+    keeps CROSS-nation rows (supp != cust — the opposite predicate of
+    Q5's co-location) and emits per-pair cents partials; ≤ 2 pair rows
+    per bucket reach the fold. Output: (supp_nation, cust_nation,
+    revenue), revenue DESC then names — fully deterministic.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    nation_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat = nation_tbl.filter(
+        pc.is_in(
+            nation_tbl.column("n_name"),
+            value_set=pa.array([nation_a, nation_b], pa.string()),
+        )
+    )
+    if nat.num_rows != 2:
+        raise ValueError(f"nations not found: {nation_a}, {nation_b}")
+    nation_keys = nat.column("n_nationkey").combine_chunks().cast(pa.int32())
+    nation_names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+    surviving_orders, supplier_revenue, n_buckets, n_rows = (
+        _order_supplier_streams(sf_dir, nation_keys, lo, hi, n_buckets)
+    )
+
+    def _bucket(key: "pa.Array") -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+
+    ex3_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("nationkey", pa.int32()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def tag_surviving(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * batch.num_rows, pa.string()),
+                batch.column("cust_nationkey"),
+                pa.nulls(batch.num_rows, pa.int64()),
+            ],
+            schema=ex3_schema,
+        )
+
+    def tag_revenue(batch: pa.Table) -> pa.Table:
+        key = batch.column("orderkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["l"] * batch.num_rows, pa.string()),
+                batch.column("supp_nationkey"),
+                batch.column("cents"),
+            ],
+            schema=ex3_schema,
+        )
+
+    pair_schema = pa.schema(
+        [
+            ("supp_nationkey", pa.int32()),
+            ("cust_nationkey", pa.int32()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def cross_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_o = pc.equal(g.column("side"), "o")
+        o = (
+            g.filter(is_o)
+            .select(["key", "nationkey"])
+            .rename_columns(["key", "cust_nationkey"])
+        )
+        li = g.filter(pc.invert(is_o)).select(["key", "nationkey", "cents"])
+        if o.num_rows == 0 or li.num_rows == 0:
+            return pair_schema.empty_table()
+        m = li.join(o, keys="key", join_type="inner")
+        # Q7: CROSS-nation flows only (the co-location rows are Q5's)
+        m = m.filter(
+            pc.not_equal(m.column("nationkey"), m.column("cust_nationkey"))
+        )
+        g2 = (
+            m.select(["nationkey", "cust_nationkey", "cents"])
+            .group_by(["nationkey", "cust_nationkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["supp_nationkey", "cust_nationkey", "cents"])
+        )
+        return g2.cast(pair_schema)
+
+    partials = (
+        surviving_orders.map_batches(tag_surviving, batch_format="pyarrow")
+        .union(supplier_revenue.map_batches(tag_revenue, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex3_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(cross_bucket, batch_format="pyarrow")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.group_by(["supp_nationkey", "cust_nationkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["supp_nationkey", "cust_nationkey", "cents"])
+        )
+        t = pa.Table.from_arrays(
+            [
+                pa.array(
+                    [nation_names[k] for k in g.column("supp_nationkey").to_pylist()],
+                    pa.string(),
+                ),
+                pa.array(
+                    [nation_names[k] for k in g.column("cust_nationkey").to_pylist()],
+                    pa.string(),
+                ),
+                pc.divide(g.column("cents").cast(pa.float64()), 10000.0),
+            ],
+            names=["supp_nation", "cust_nation", "revenue"],
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("revenue", "descending"),
+                ("supp_nation", "ascending"),
+                ("cust_nation", "ascending"),
+            ],
+        )
+        return t.take(order)
+
+    return partials.repartition(1).map_batches(finish, batch_format="pyarrow")

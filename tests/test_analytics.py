@@ -676,3 +676,33 @@ def test_large_volume_customer_q18():
     want = duckdb.sql(sql).df()
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_nation_trade_volume_q7():
+    """Q7 shape: cross-nation trade flows (supp != cust nation) per
+    ordered pair, via the shared Q5-family exchange streams."""
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    got = J.nation_trade_volume(SF).to_pandas().reset_index(drop=True)
+    sql = """
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_name IN ('NATION_3','NATION_12')
+        AND nc.n_name IN ('NATION_3','NATION_12')
+        AND ns.n_name <> nc.n_name
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1,2 ORDER BY revenue DESC, supp_nation, cust_nation
+    """
+    for t in ["customer", "orders", "lineitem", "supplier", "nation"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    assert len(got) == 2  # both directions of the pair
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
