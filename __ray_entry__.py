@@ -1407,6 +1407,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return cdc_dedup_stats(docs(sf_dir))
 
+    def q_table_cells(sf_dir):
+        """Structured table extraction: the flagship's table chunks parsed
+        into addressable (row, col, cell) rows — batch-local over the
+        flat-span stream. Oracle: SQL over the flat-spans replica."""
+        from agentic_doc_ray.functions.tables import table_cells
+
+        _ensure_extraction_oracles(sf_dir)
+        return table_cells(extract_flat_spans(_corpus_ds(sf_dir)))
+
     def q_substring_counts(sf_dir):
         """wimbd-style exact occurrence counts (overlapping included) of
         literal query phrases; byte-verified so 61-bit collisions cannot
@@ -2156,6 +2165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_stats": q_cdc_dedup_stats,      # SQL over the chunk replica
         "cdc_transfer_stats": q_cdc_transfer,      # SQL over both chunk replicas
         "substring_counts": q_substring_counts,
+        "table_cells": q_table_cells,              # SQL over flat-spans replica
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3310,6 +3320,26 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": (
             "SELECT doc_id, chunk_idx, start, length, chunk_hash "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/cdc_chunks.parquet')"
+        ),
+        # table chunks parsed to cells; " | " grammar, truncation-tolerant
+        "table_cells": (
+            "WITH t AS ("
+            '  SELECT doc_id, "offset", text '
+            f"  FROM read_parquet('{_ORACLE_SQL_DIR}/flat_spans.parquet') "
+            "  WHERE kind = 'table'"
+            "), r AS ("
+            '  SELECT doc_id, "offset",'
+            "    unnest(string_split(text, chr(10))) AS line,"
+            "    unnest(generate_series(1, len(string_split(text, chr(10))))) AS rn"
+            "  FROM t"
+            "), c AS ("
+            '  SELECT doc_id, "offset", CAST(rn - 1 AS BIGINT) AS row_idx,'
+            "    unnest(string_split(regexp_replace(line, '^\\| | \\|$', '', 'g'), ' | ')) AS cell,"
+            "    unnest(generate_series(1, len(string_split(regexp_replace(line, '^\\| | \\|$', '', 'g'), ' | ')))) AS cn"
+            "  FROM r"
+            ") "
+            'SELECT doc_id, "offset", row_idx, CAST(cn - 1 AS BIGINT) AS col_idx, cell '
+            "FROM c"
         ),
         # overlapping occurrences: every window position is checked
         "substring_counts": (

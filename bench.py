@@ -189,6 +189,17 @@ def main() -> None:
 
     timed("extract_adaptive", adaptive)
 
+    # --- structured table extraction over the flagship span stream
+    def table_cells_q() -> None:
+        from agentic_doc_ray.functions.tables import table_cells
+        from agentic_doc_ray.pipelines import extract_flat_spans
+
+        table_cells(
+            extract_flat_spans(ray.data.read_parquet(corpus_path), cfg)
+        ).count()
+
+    timed("table_cells", table_cells_q)
+
     # --- secondary pipelines ----------------------------------------------
     docs = lambda: ray.data.read_parquet(  # noqa: E731
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
