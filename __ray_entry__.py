@@ -1407,6 +1407,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return cdc_dedup_stats(docs(sf_dir))
 
+    def q_triangle_counts(sf_dir):
+        """Per-node triangle counts over the deterministic link graph
+        (clustering-coefficient numerator); node-iterator shape, three
+        bucketed exchanges. Pure SQL oracle (self-join closure)."""
+        from agentic_doc_ray.functions.graph import triangle_counts
+
+        d = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        return triangle_counts(d, d.count())
+
     def q_table_cells(sf_dir):
         """Structured table extraction: the flagship's table chunks parsed
         into addressable (row, col, cell) rows — batch-local over the
@@ -2166,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_transfer_stats": q_cdc_transfer,      # SQL over both chunk replicas
         "substring_counts": q_substring_counts,
         "table_cells": q_table_cells,              # SQL over flat-spans replica
+        "triangle_counts": q_triangle_counts,
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3320,6 +3330,24 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": (
             "SELECT doc_id, chunk_idx, start, length, chunk_hash "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/cdc_chunks.parquet')"
+        ),
+        # same LCG link-graph derivation as pagerank's link_edges; the
+        # closure is the classic 3-way self-join
+        "triangle_counts": (
+            "WITH ids AS (SELECT doc_id AS i FROM documents),"
+            "nn AS (SELECT count(*) AS n FROM ids),"
+            "e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst"
+            "       FROM ids, nn, generate_series(1,3) AS t(k)),"
+            "e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),"
+            "canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e1 WHERE src <> dst),"
+            "tri AS ("
+            "  SELECT w1.a AS u, w1.b AS v, w2.b AS w"
+            "  FROM canon w1 JOIN canon w2 ON w2.a = w1.a AND w2.b > w1.b"
+            "  JOIN canon e ON e.a = w1.b AND e.b = w2.b"
+            ") "
+            "SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM ("
+            "  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri"
+            ") GROUP BY node"
         ),
         # table chunks parsed to cells; " | " grammar, truncation-tolerant
         "table_cells": (

@@ -513,3 +513,204 @@ def near_dedup_keep_best(
         .groupby("bucket", num_partitions=np_)
         .map_groups(pick_best, batch_format="pyarrow")
     )
+
+
+def triangle_counts(
+    docs: "ray.data.Dataset",
+    n_docs: int,
+    n_buckets: int = 64,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-node triangle counts over the synthetic link graph (the
+    clustering-coefficient numerator — the standard local-density signal
+    for link-graph quality filtering).
+
+    Classic distributed node-iterator shape, three data exchanges:
+
+    1. canonical edges: per batch, derive the deterministic link edges
+       (``pagerank.link_edges`` formula, int64), canonicalize to
+       a < b, in-batch dedupe, then a pair-bucket exchange finishes the
+       global DISTINCT (undirected edge set E).
+    2. wedges: E re-keyed by the LOW endpoint; each apex group emits its
+       higher-neighbor pairs (b_i, b_j) — wedge rows are (x, y, apex),
+       O(d^2) per apex. By-id orientation is deterministic; at
+       crawl-graph skew the standard fix is degree ordering (orient
+       edges toward the higher-degree endpoint), which drops the bound
+       to O(m^1.5) — same exchanges, one extra degree-attach pass;
+       by-id suffices for the bounded-degree synthetic graph (3/node).
+    3. closure: wedge rows + E meet in a second pair-bucket exchange;
+       a wedge whose (x, y) is present in E closes a triangle — each
+       emits +1 partials for ALL THREE corners, pre-summed per bucket.
+    4. a tiny groupby(node) folds the partials.
+
+    Every map_groups exchange is sentinel-guarded (_exchange.py).
+    Output: (node, n_triangles), nodes with >= 1 triangle.
+    """
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+
+    n_hint = n_rows_hint if n_rows_hint is not None else n_docs * N_LINKS
+    np_ = partitions_for(n_hint)
+
+    edge_schema = pa.schema(
+        [("bucket", pa.int32()), ("a", pa.int64()), ("b", pa.int64())]
+    )
+
+    def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return (
+            (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, N_LINKS)
+        k = np.tile(np.arange(1, N_LINKS + 1, dtype=np.int64), len(ids))
+        dst = (src * _LCG_A + k * _LCG_C) % n_docs
+        dst = np.where(dst == src, (dst + 1) % n_docs, dst)
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        keep = a != b
+        pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+        a, b = pairs[:, 0], pairs[:, 1]
+        return pa.Table.from_arrays(
+            [pa.array(_pair_bucket(a, b)), pa.array(a), pa.array(b)],
+            schema=edge_schema,
+        )
+
+    def distinct_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("a"), pa.scalar(-1)))
+        if g.num_rows == 0:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        d = (
+            g.select(["a", "b"])
+            .group_by(["a", "b"])
+            .aggregate([("a", "count")])
+            .select(["a", "b"])
+        )
+        return d
+
+    edges = (
+        docs.map_batches(tag_edges, batch_format="pyarrow")
+        .union(int_key_sentinels(edge_schema, "bucket", fill={"a": -1, "b": -1}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(distinct_bucket, batch_format="pyarrow")
+        # consumed by TWO branches (apex re-key + edge-set rows): pin the
+        # distinct edge set once instead of re-running the exchange per
+        # branch (object-store spill covers it at scale)
+        .materialize()
+    )
+
+    apex_schema = pa.schema(
+        [("bucket", pa.int32()), ("a", pa.int64()), ("b", pa.int64())]
+    )
+
+    def tag_by_apex(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array((a % n_buckets).astype(np.int32)),
+                batch.column("a"),
+                batch.column("b"),
+            ],
+            schema=apex_schema,
+        )
+
+    match_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("x", pa.int64()),
+            ("y", pa.int64()),
+            ("apex", pa.int64()),  # -1 = edge-set row, -2 = sentinel
+        ]
+    )
+
+    def wedges_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("a"), pa.scalar(-1)))
+        if g.num_rows == 0:
+            return match_schema.empty_table()
+        df = g.select(["a", "b"]).to_pandas().sort_values(["a", "b"])
+        apexes, xs, ys = [], [], []
+        for apex, nb in df.groupby("a", sort=False)["b"]:
+            arr = nb.to_numpy()
+            if len(arr) < 2:
+                continue
+            iu, ju = np.triu_indices(len(arr), k=1)
+            xs.append(arr[iu])
+            ys.append(arr[ju])
+            apexes.append(np.full(len(iu), apex, np.int64))
+        if not xs:
+            return match_schema.empty_table()
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        ap = np.concatenate(apexes)
+        return pa.Table.from_arrays(
+            [pa.array(_pair_bucket(x, y)), pa.array(x), pa.array(y), pa.array(ap)],
+            schema=match_schema,
+        )
+
+    def tag_edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_pair_bucket(a, b)),
+                batch.column("a"),
+                batch.column("b"),
+                pa.array(np.full(len(a), -1, np.int64)),
+            ],
+            schema=match_schema,
+        )
+
+    part_schema = pa.schema([("node", pa.int64()), ("n", pa.int64())])
+
+    def close_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("apex"), pa.scalar(-2)))
+        is_e = pc.equal(g.column("apex"), pa.scalar(-1))
+        e = g.filter(is_e)
+        w = g.filter(pc.invert(is_e))
+        if e.num_rows == 0 or w.num_rows == 0:
+            return part_schema.empty_table()
+        # membership: canonical pair key x*n_docs + y fits int64 for any
+        # realistic id space (x, y < n_docs <= ~3e9 on a 10^12-doc corpus
+        # would overflow — there, switch the key to the (x, y) struct)
+        ekey = (
+            e.column("x").to_numpy(zero_copy_only=False) * n_docs
+            + e.column("y").to_numpy(zero_copy_only=False)
+        )
+        wkey = (
+            w.column("x").to_numpy(zero_copy_only=False) * n_docs
+            + w.column("y").to_numpy(zero_copy_only=False)
+        )
+        hit = np.isin(wkey, ekey)
+        if not hit.any():
+            return part_schema.empty_table()
+        wx = w.column("x").to_numpy(zero_copy_only=False)[hit]
+        wy = w.column("y").to_numpy(zero_copy_only=False)[hit]
+        wa = w.column("apex").to_numpy(zero_copy_only=False)[hit]
+        nodes = np.concatenate([wx, wy, wa])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(cnt.astype(np.int64))], schema=part_schema
+        )
+
+    wedge_and_edges = (
+        edges.map_batches(tag_by_apex, batch_format="pyarrow")
+        .union(int_key_sentinels(apex_schema, "bucket", fill={"a": -1, "b": -1}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(wedges_bucket, batch_format="pyarrow")
+        .union(edges.map_batches(tag_edge_rows, batch_format="pyarrow"))
+        .union(
+            int_key_sentinels(
+                match_schema, "bucket", fill={"x": -1, "y": -1, "apex": -2}
+            )
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(close_bucket, batch_format="pyarrow")
+    )
+    return wedge_and_edges.groupby("node", num_partitions=np_).aggregate(
+        Sum("n", alias_name="n_triangles")
+    )

@@ -387,6 +387,16 @@ def main() -> None:
 
     timed("pagerank", pagerank_q)
 
+    def triangle_q() -> None:
+        from agentic_doc_ray.functions.graph import triangle_counts
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        triangle_counts(d, d.count()).count()
+
+    timed("triangle_counts", triangle_q)
+
     def bm25_q() -> None:
         from agentic_doc_ray.functions.retrieval import bm25_topk
 
