@@ -1407,6 +1407,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return cdc_dedup_stats(docs(sf_dir))
 
+    def q_doc_outline(sf_dir):
+        """Document outline (TOC) extraction: title-anchored sections
+        with span counts, zero exchanges (parsed rows are atomic).
+        Oracle: window-SQL over the flat-spans replica."""
+        from agentic_doc_ray.functions.tables import doc_outline
+
+        _ensure_extraction_oracles(sf_dir)
+        return doc_outline(extract_corpus(_corpus_ds(sf_dir)))
+
     def q_triangle_counts(sf_dir):
         """Per-node triangle counts over the deterministic link graph
         (clustering-coefficient numerator); node-iterator shape, three
@@ -2176,6 +2185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_counts": q_substring_counts,
         "table_cells": q_table_cells,              # SQL over flat-spans replica
         "triangle_counts": q_triangle_counts,
+        "doc_outline": q_doc_outline,              # SQL over flat-spans replica
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3330,6 +3340,20 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": (
             "SELECT doc_id, chunk_idx, start, length, chunk_hash "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/cdc_chunks.parquet')"
+        ),
+        # title-anchored sections; preamble (-1) only when non-empty
+        "doc_outline": (
+            "WITH s AS ("
+            '  SELECT doc_id, "offset", kind, text,'
+            "    CAST(sum(CASE WHEN kind='title' THEN 1 ELSE 0 END) OVER ("
+            '      PARTITION BY doc_id ORDER BY "offset" ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS title_idx'
+            f"  FROM read_parquet('{_ORACLE_SQL_DIR}/flat_spans.parquet')"
+            ") "
+            "SELECT doc_id, title_idx, "
+            "  max(CASE WHEN kind='title' THEN text END) AS title_text, "
+            "  CAST(sum(CASE WHEN kind <> 'title' THEN 1 ELSE 0 END) AS BIGINT) AS n_spans "
+            "FROM s GROUP BY doc_id, title_idx "
+            "HAVING title_idx >= 0 OR sum(CASE WHEN kind <> 'title' THEN 1 ELSE 0 END) > 0"
         ),
         # same LCG link-graph derivation as pagerank's link_edges; the
         # closure is the classic 3-way self-join

@@ -200,6 +200,16 @@ def main() -> None:
 
     timed("table_cells", table_cells_q)
 
+    def outline_q() -> None:
+        from agentic_doc_ray.functions.tables import doc_outline
+        from agentic_doc_ray.pipelines import extract_corpus
+
+        doc_outline(
+            extract_corpus(ray.data.read_parquet(corpus_path), cfg)
+        ).count()
+
+    timed("doc_outline", outline_q)
+
     # --- secondary pipelines ----------------------------------------------
     docs = lambda: ray.data.read_parquet(  # noqa: E731
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
