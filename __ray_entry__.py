@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 26  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 27  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -338,6 +338,27 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         cdc_chunk_batch(second_crawl_batch(docs_tbl)),
         os.path.join(out_dir, "cdc_chunks_v2.parquet"),
+    )
+
+    # scene-cut replica: per-frame dHash is deterministic (real PPM
+    # decode), so the shared hash->consecutive-distance helper applied
+    # single-process to the whole fixture is bit-equal
+    from agentic_doc_ray.functions.video import (
+        _frame_hashes_batch,
+        scene_cuts_from_hashes,
+        synth_ppm_video_table,
+    )
+
+    _pq.write_table(
+        scene_cuts_from_hashes(
+            _frame_hashes_batch(
+                synth_ppm_video_table(
+                    os.path.join(sf_dir, "documents.parquet"), limit=12
+                )
+            ),
+            8,
+        ),
+        os.path.join(out_dir, "scene_cuts.parquet"),
     )
 
     # source-KL replica: per-(source, token) micro-bit terms are rounded
@@ -1407,6 +1428,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return cdc_dedup_stats(docs(sf_dir))
 
+    def q_video_scene_cuts(sf_dir):
+        """Perceptual scene-cut detection over REAL PPM frame sequences
+        (dHash + consecutive Hamming, one key-only exchange). Oracle:
+        bit-equal single-process replica."""
+        from agentic_doc_ray.functions.video import (
+            synth_ppm_video_table,
+            video_scene_cuts,
+        )
+
+        _ensure_extraction_oracles(sf_dir)
+        frames = ray.data.from_arrow(
+            synth_ppm_video_table(f"{sf_dir}/documents.parquet", limit=12)
+        )
+        return video_scene_cuts(frames, threshold=8)
+
     def q_doc_outline(sf_dir):
         """Document outline (TOC) extraction: title-anchored sections
         with span counts, zero exchanges (parsed rows are atomic).
@@ -2186,6 +2222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_cells": q_table_cells,              # SQL over flat-spans replica
         "triangle_counts": q_triangle_counts,
         "doc_outline": q_doc_outline,              # SQL over flat-spans replica
+        "video_scene_cuts": q_video_scene_cuts,    # single-process replica oracle
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3340,6 +3377,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": (
             "SELECT doc_id, chunk_idx, start, length, chunk_hash "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/cdc_chunks.parquet')"
+        ),
+        "video_scene_cuts": (
+            "SELECT video_id, frame_idx, hamming, is_cut "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/scene_cuts.parquet')"
         ),
         # title-anchored sections; preamble (-1) only when non-empty
         "doc_outline": (

@@ -330,6 +330,19 @@ def main() -> None:
 
     timed("image_dup_pairs", image_dup_q)
 
+    def scene_cuts_q() -> None:
+        from agentic_doc_ray.functions.video import (
+            synth_ppm_video_table,
+            video_scene_cuts,
+        )
+
+        frames = ray.data.from_arrow(
+            synth_ppm_video_table(f"{SF_DIR}/documents.parquet", limit=48)
+        )
+        video_scene_cuts(frames, threshold=8).count()
+
+    timed("video_scene_cuts", scene_cuts_q)
+
     def captions_q() -> None:
         from agentic_doc_ray.functions.captions import harvest_captions
         from agentic_doc_ray.pipelines import extract_corpus

@@ -179,3 +179,41 @@ def test_frame_samples_digest_parity():
                 }
             )
     assert got == want
+
+
+def test_video_scene_cuts_planted_and_replica():
+    """Scene-cut detector on REAL PPM frames: distributed run ==
+    bit-equal replica; planted structure separates cleanly (in-scene
+    drift <= 2 bits, scene boundaries >= 11 at threshold 8); every
+    video cuts exactly at frame 6 and 12."""
+    import pandas as pd
+    import ray.data
+
+    from agentic_doc_ray.functions.video import (
+        _frame_hashes_batch,
+        scene_cuts_from_hashes,
+        synth_ppm_video_table,
+        video_scene_cuts,
+    )
+
+    frames = synth_ppm_video_table(
+        "/root/testdata/sf0.001/documents.parquet", limit=12
+    )
+    got = (
+        video_scene_cuts(ray.data.from_arrow(frames).repartition(5), threshold=8)
+        .to_pandas()
+        .sort_values(["video_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    rep = (
+        scene_cuts_from_hashes(_frame_hashes_batch(frames), 8)
+        .to_pandas()
+        .sort_values(["video_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, rep)
+    cuts = got[got.is_cut == 1]
+    assert set(cuts.frame_idx) == {6, 12} and len(cuts) == 24
+    noncuts = got[got.is_cut == 0]
+    assert (noncuts.frame_idx % 6 != 0).all()
+    assert noncuts.hamming.max() <= 2 and cuts.hamming.min() >= 11
