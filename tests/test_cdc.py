@@ -170,3 +170,90 @@ def test_transfer_stats_match_sql(tmp_path):
     edited = got[(got.doc_id % 5 == 0) & (got.doc_id < 10_000_000)]
     assert len(edited) > 0
     assert edited.reused_bytes.sum() > 0.5 * edited.n_bytes.sum()
+
+
+# --- hypothesis: fuzz against brute-force per-doc references ------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=400
+)
+
+
+def _brute_chunks(text: str, window: int, divisor: int, max_len: int):
+    """Naive per-doc reference: O(n * window) python rolling hash, no
+    prefix-sum tricks — independent of the vectorized implementation."""
+    from agentic_doc_ray.functions.substr import _canonical_gram_hash
+
+    n = len(text)
+    if n == 0:
+        return []
+    cuts = [0]
+    for i in range(0, n - window + 1):
+        b = i + window
+        if b < n and _canonical_gram_hash(text[i : i + window]) % divisor == 0:
+            cuts.append(b)
+    cuts.append(n)
+    out = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        while b - a > max_len:
+            out.append((a, a + max_len))
+            a += max_len
+        out.append((a, b))
+    # adjacent content cuts can coincide only via the duplicate-boundary
+    # guard above; drop zero-length artifacts from duplicated cut points
+    return [(s, e) for s, e in out if e > s]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(_ascii_text, min_size=1, max_size=5),
+    window=st.integers(4, 12),
+    max_len=st.integers(8, 64),
+)
+def test_cdc_chunks_match_bruteforce(texts, window, max_len):
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = cdc_chunk_batch(t, window=window, divisor=16, max_len=max_len)
+    by_doc = {}
+    for r in got.to_pylist():
+        by_doc.setdefault(r["doc_id"], []).append((r["start"], r["start"] + r["length"]))
+    for i, txt in enumerate(texts):
+        want = _brute_chunks(txt, window, 16, max_len)
+        assert by_doc.get(i, []) == want, (i, txt)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(_ascii_text, min_size=1, max_size=4),
+    query=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_substring_counts_match_bruteforce(texts, query):
+    """Overlapping-occurrence semantics == a manual position scan."""
+    import ray.data
+
+    from agentic_doc_ray.functions.substr import substring_counts
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = {r["query"]: r for r in substring_counts(ds, [query]).take_all()}
+    want_n = sum(
+        sum(1 for i in range(len(t) - len(query) + 1) if t[i : i + len(query)] == query)
+        for t in texts
+    )
+    want_docs = sum(
+        1
+        for t in texts
+        if any(t[i : i + len(query)] == query for i in range(len(t) - len(query) + 1))
+    )
+    if want_n == 0:
+        assert query not in got
+    else:
+        assert got[query]["n_occurrences"] == want_n
+        assert got[query]["n_docs"] == want_docs
