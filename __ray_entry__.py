@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 27  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 28  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -338,6 +338,20 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         cdc_chunk_batch(second_crawl_batch(docs_tbl)),
         os.path.join(out_dir, "cdc_chunks_v2.parquet"),
+    )
+
+    # audio-segment replica: per-track deterministic (batch-local), so
+    # the same batch fn over the whole PCM fixture is bit-equal
+    from agentic_doc_ray.functions.multimodal import (
+        audio_segments_batch,
+        synth_pcm_table,
+    )
+
+    _pq.write_table(
+        audio_segments_batch(
+            synth_pcm_table(os.path.join(sf_dir, "documents.parquet"), limit=32)
+        ),
+        os.path.join(out_dir, "audio_segments.parquet"),
     )
 
     # scene-cut replica: per-frame dHash is deterministic (real PPM
@@ -1428,6 +1442,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return cdc_dedup_stats(docs(sf_dir))
 
+    def q_audio_segments(sf_dir):
+        """VAD-style energy segmentation of 8-bit-PCM tracks (exact
+        integer energies, batch-local). Oracle: bit-equal replica."""
+        from agentic_doc_ray.functions.multimodal import (
+            audio_segments,
+            synth_pcm_table,
+        )
+
+        _ensure_extraction_oracles(sf_dir)
+        media = ray.data.from_arrow(
+            synth_pcm_table(f"{sf_dir}/documents.parquet", limit=32)
+        )
+        return audio_segments(media)
+
     def q_video_scene_cuts(sf_dir):
         """Perceptual scene-cut detection over REAL PPM frame sequences
         (dHash + consecutive Hamming, one key-only exchange). Oracle:
@@ -2223,6 +2251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": q_triangle_counts,
         "doc_outline": q_doc_outline,              # SQL over flat-spans replica
         "video_scene_cuts": q_video_scene_cuts,    # single-process replica oracle
+        "audio_segments": q_audio_segments,        # single-process replica oracle
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3381,6 +3410,10 @@ def oracle_sql() -> dict[str, str]:
         "video_scene_cuts": (
             "SELECT video_id, frame_idx, hamming, is_cut "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/scene_cuts.parquet')"
+        ),
+        "audio_segments": (
+            "SELECT media_id, seg_idx, start_frame, n_frames, energy_sum "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/audio_segments.parquet')"
         ),
         # title-anchored sections; preamble (-1) only when non-empty
         "doc_outline": (

@@ -341,3 +341,108 @@ def synth_media_table(documents_parquet: str, limit: int = 64) -> pa.Table:
         rows["width"].append(64 + (i % 8) * 16)
         rows["height"].append(64 + (i % 5) * 16)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("seg_idx", pa.int64()),
+        ("start_frame", pa.int64()),
+        ("n_frames", pa.int64()),
+        ("energy_sum", pa.int64()),
+    ]
+)
+
+
+def audio_segments_batch(
+    batch: pa.Table, frame_samples: int = 256, energy_threshold: int = 4096
+) -> pa.Table:
+    """VAD-style energy segmentation over opaque 8-bit-PCM payloads: the
+    ASR-data prep step that turns raw tracks into speech utterances.
+
+    Per track: frames of ``frame_samples`` bytes (tail truncated); frame
+    energy = sum((s - 128)^2) in EXACT int64; a segment is a maximal run
+    of frames with energy > threshold. One output row per segment with
+    its exact total energy. Batch-local (track rows are atomic) and
+    per-track deterministic => batching-independent; the numpy work is
+    vectorized within each track (frame reshape + square-sum + island
+    scan), with only the track loop in Python — same shape as the other
+    actor-pool media stages."""
+    out = {k: [] for k in ("media_id", "seg_idx", "start_frame", "n_frames", "energy_sum")}
+    for mid, payload in zip(
+        batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+    ):
+        buf = np.frombuffer(payload or b"", dtype=np.uint8)
+        n_frames = len(buf) // frame_samples
+        if n_frames == 0:
+            continue
+        x = buf[: n_frames * frame_samples].astype(np.int64) - 128
+        energy = (x * x).reshape(n_frames, frame_samples).sum(axis=1)
+        speech = energy > energy_threshold
+        if not speech.any():
+            continue
+        brk = np.flatnonzero(np.diff(speech.astype(np.int8)) != 0) + 1
+        bounds = np.concatenate(([0], brk, [n_frames]))
+        seg_idx = 0
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if speech[s]:
+                out["media_id"].append(mid)
+                out["seg_idx"].append(seg_idx)
+                out["start_frame"].append(int(s))
+                out["n_frames"].append(int(e - s))
+                out["energy_sum"].append(int(energy[s:e].sum()))
+                seg_idx += 1
+    return pa.Table.from_pydict(out, schema=SEGMENT_SCHEMA)
+
+
+def audio_segments(
+    media: "ray.data.Dataset",
+    frame_samples: int = 256,
+    energy_threshold: int = 4096,
+) -> "ray.data.Dataset":
+    """Distributed VAD-style segmentation: batch-local, zero exchanges
+    (wide binary rows -> small batches, as for the other media stages)."""
+    import functools
+
+    return media.map_batches(
+        functools.partial(
+            audio_segments_batch,
+            frame_samples=frame_samples,
+            energy_threshold=energy_threshold,
+        ),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+
+
+def synth_pcm_table(documents_parquet: str, limit: int = 32) -> pa.Table:
+    """Deterministic 8-bit-PCM audio fixture with PLANTED speech/silence
+    structure: per document, 6 alternating regions (speech first) whose
+    frame lengths derive from crc32 of the doc id; speech samples are
+    +-40-amplitude pseudo-noise (LCG over the sample index), silence
+    stays within +-1 of the midpoint — so frame energies separate by
+    ~3 orders of magnitude and the expected segments are exactly the
+    3 speech regions."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(documents_parquet, columns=["doc_id"]).slice(0, limit)
+    frame = 256
+    rows = {"media_id": [], "media_type": [], "payload": [], "width": [], "height": []}
+    for d in t["doc_id"].to_pylist():
+        parts = []
+        for k in range(6):
+            n = (zlib.crc32(f"{d}:{k}".encode()) % 4 + 2) * frame  # 2-5 frames
+            i = np.arange(n, dtype=np.int64)
+            if k % 2 == 0:  # speech: +-40 pseudo-noise
+                v = 128 + ((i * 2654435761 + int(d) * 97 + k) >> 7) % 81 - 40
+            else:  # silence: +-1 around the midpoint
+                v = 128 + (i % 3) - 1
+            parts.append(v.astype(np.uint8))
+        rows["media_id"].append(f"pcm-{int(d):08d}")
+        rows["media_type"].append("audio")
+        rows["payload"].append(np.concatenate(parts).tobytes())
+        rows["width"].append(0)
+        rows["height"].append(0)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)

@@ -343,6 +343,19 @@ def main() -> None:
 
     timed("video_scene_cuts", scene_cuts_q)
 
+    def audio_segments_q() -> None:
+        from agentic_doc_ray.functions.multimodal import (
+            audio_segments,
+            synth_pcm_table,
+        )
+
+        media = ray.data.from_arrow(
+            synth_pcm_table(f"{SF_DIR}/documents.parquet", limit=96)
+        )
+        audio_segments(media).count()
+
+    timed("audio_segments", audio_segments_q)
+
     def captions_q() -> None:
         from agentic_doc_ray.functions.captions import harvest_captions
         from agentic_doc_ray.pipelines import extract_corpus

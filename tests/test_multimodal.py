@@ -217,3 +217,52 @@ def test_video_scene_cuts_planted_and_replica():
     noncuts = got[got.is_cut == 0]
     assert (noncuts.frame_idx % 6 != 0).all()
     assert noncuts.hamming.max() <= 2 and cuts.hamming.min() >= 11
+
+
+def test_audio_segments_planted_and_replica():
+    """Energy-VAD segmentation: distributed == bit-equal replica; the
+    planted PCM fixture (3 speech bursts per track, ~3 orders of
+    magnitude energy separation) segments to exactly 3 utterances; tail
+    bytes short of a frame are truncated; silent tracks emit nothing."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_segments,
+        audio_segments_batch,
+        synth_pcm_table,
+    )
+
+    t = synth_pcm_table("/root/testdata/sf0.001/documents.parquet", limit=16)
+    got = (
+        audio_segments(ray.data.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values(["media_id", "seg_idx"])
+        .reset_index(drop=True)
+    )
+    rep = (
+        audio_segments_batch(t)
+        .to_pandas()
+        .sort_values(["media_id", "seg_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, rep)
+    assert (got.groupby("media_id").seg_idx.count() == 3).all()
+
+    silent = pa.Table.from_pylist(
+        [
+            {
+                "media_id": "quiet", "media_type": "audio",
+                "payload": bytes([128] * 1024), "width": 0, "height": 0,
+            },
+            {
+                "media_id": "tiny", "media_type": "audio",
+                "payload": bytes([0] * 100), "width": 0, "height": 0,
+            },
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    assert audio_segments_batch(silent).num_rows == 0
