@@ -2283,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_supplier_volume": _J().regional_supplier_volume,
         "large_volume_customer": _J().large_volume_customer,
         "nation_trade_volume": _J().nation_trade_volume,
+        "pruned_revenue_scan": A.pruned_revenue_scan,
         "events_hourly": A.events_hourly,
         "cohort_retention": A.cohort_retention,
         "events_sliding": A.events_sliding,
@@ -3118,6 +3119,15 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"
+        ),
+        # predicate pushed into the parquet read (row-group pruning)
+        "pruned_revenue_scan": (
+            "SELECT l_returnflag, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-07-01' "
+            "GROUP BY l_returnflag"
         ),
         # Q7 shape: cross-nation trade flows per ordered pair
         "nation_trade_volume": (

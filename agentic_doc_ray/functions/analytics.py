@@ -1035,3 +1035,68 @@ def priority_revenue_share(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def pruned_revenue_scan(
+    sf_dir: str,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-07-01",
+) -> "ray.data.Dataset":
+    """Revenue per returnflag for one shipdate window, with the predicate
+    pushed INTO the parquet read (``read_parquet(filter=...)``): PyArrow
+    prunes row groups by their min/max statistics, so on a date-sorted
+    100-TB lineitem only the window's row groups leave storage — the
+    "prune at the read" rule as an explicit, oracle-checked operator
+    (every other query here pushes ``columns=``; this one also pushes
+    the row filter). Downstream: per-batch integer-cents partials and a
+    3-row groupby — exchange payload is O(flags), not O(rows).
+    """
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    lo = pads.field("l_shipdate") >= pa.scalar(np.datetime64(date_from, "us"))
+    hi = pads.field("l_shipdate") < pa.scalar(np.datetime64(date_to, "us"))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_discount"],
+        filter=lo & hi,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(
+                pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                ),
+                pa.scalar(10000.0),
+            )
+        ).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("l_returnflag"), cents], names=["l_returnflag", "cents"]
+        )
+        return (
+            t.group_by("l_returnflag")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["l_returnflag", "cents"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag", num_partitions=shuffle_partitions(2))
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("l_returnflag"),
+                pc.divide(b.column("cents").cast(pa.float64()), 10000.0),
+            ],
+            names=["l_returnflag", "revenue"],
+        ),
+        batch_format="pyarrow",
+    )

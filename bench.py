@@ -482,6 +482,9 @@ def main() -> None:
 
     timed("kmeans", kmeans_q)
     timed("lineitem_q1", lambda: A.lineitem_pricing_summary(SF_DIR).count())
+    timed(
+        "pruned_revenue_scan", lambda: A.pruned_revenue_scan(SF_DIR).count()
+    )
     timed("events_hourly", lambda: A.events_hourly(SF_DIR).count())
     timed("events_sliding", lambda: A.events_sliding(SF_DIR).count())
     timed("sessionize", lambda: A.sessionize(SF_DIR).count())

