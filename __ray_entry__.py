@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 28  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 29  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -363,16 +363,19 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         synth_ppm_video_table,
     )
 
+    _video_frames = synth_ppm_video_table(
+        os.path.join(sf_dir, "documents.parquet"), limit=12
+    )
+    _video_hashes = _frame_hashes_batch(_video_frames)
     _pq.write_table(
-        scene_cuts_from_hashes(
-            _frame_hashes_batch(
-                synth_ppm_video_table(
-                    os.path.join(sf_dir, "documents.parquet"), limit=12
-                )
-            ),
-            8,
-        ),
+        scene_cuts_from_hashes(_video_hashes, 8),
         os.path.join(out_dir, "scene_cuts.parquet"),
+    )
+    from agentic_doc_ray.functions.video import scenes_from_hashes
+
+    _pq.write_table(
+        scenes_from_hashes(_video_hashes, 8),
+        os.path.join(out_dir, "video_scenes.parquet"),
     )
 
     # source-KL replica: per-(source, token) micro-bit terms are rounded
@@ -1471,6 +1474,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return video_scene_cuts(frames, threshold=8)
 
+    def q_video_scenes(sf_dir):
+        """Scene SPANS (the clip-sampling unit) from the same one-
+        exchange dHash shape as video_scene_cuts. Oracle: bit-equal
+        single-process replica."""
+        from agentic_doc_ray.functions.video import (
+            synth_ppm_video_table,
+            video_scenes,
+        )
+
+        _ensure_extraction_oracles(sf_dir)
+        frames = ray.data.from_arrow(
+            synth_ppm_video_table(f"{sf_dir}/documents.parquet", limit=12)
+        )
+        return video_scenes(frames, threshold=8)
+
     def q_doc_outline(sf_dir):
         """Document outline (TOC) extraction: title-anchored sections
         with span counts, zero exchanges (parsed rows are atomic).
@@ -2252,6 +2270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_outline": q_doc_outline,              # SQL over flat-spans replica
         "video_scene_cuts": q_video_scene_cuts,    # single-process replica oracle
         "audio_segments": q_audio_segments,        # single-process replica oracle
+        "video_scenes": q_video_scenes,            # single-process replica oracle
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3424,6 +3443,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_segments": (
             "SELECT media_id, seg_idx, start_frame, n_frames, energy_sum "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/audio_segments.parquet')"
+        ),
+        "video_scenes": (
+            "SELECT video_id, scene_idx, start_frame, n_frames "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/video_scenes.parquet')"
         ),
         # title-anchored sections; preamble (-1) only when non-empty
         "doc_outline": (

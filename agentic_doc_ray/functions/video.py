@@ -147,11 +147,11 @@ def synth_ppm_video_table(
 ) -> pa.Table:
     """Deterministic video fixture with REAL PPM frames and PLANTED
     scene structure: scene s of a video is a fresh token-derived cell
-    pattern (`phash._pattern_img` of ``text::scene{s}``); within a
-    scene, each frame inverts ONE more grid-aligned cell than the last,
-    so consecutive same-scene frames differ by <= 2 dHash bits while
-    scene boundaries jump by many — the ground truth for the cut
-    detector's planted test (cuts at frame_idx % scene_len == 0)."""
+    pattern (``_scene_img`` below — scene id hashed into EVERY cell);
+    within a scene, each frame inverts ONE more grid-aligned cell than
+    the last, so consecutive same-scene frames differ by <= 2 dHash
+    bits while scene boundaries jump by many — the ground truth for the
+    cut detector's planted test (cuts at frame_idx % scene_len == 0)."""
     import zlib
 
     import pyarrow.parquet as pq
@@ -202,3 +202,87 @@ def synth_ppm_video_table(
                 }
             )
     return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)
+
+
+SCENE_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.string()),
+        ("scene_idx", pa.int64()),
+        ("start_frame", pa.int64()),
+        ("n_frames", pa.int64()),
+    ]
+)
+
+
+def scenes_from_hashes(tbl: pa.Table, threshold: int) -> pa.Table:
+    """(video_id, frame_idx, dhash) rows of whole videos -> scene SPANS
+    (the clip-sampling unit): consecutive frames stay in one scene until
+    a transition's Hamming distance exceeds ``threshold``. Shared by the
+    distributed group task and the replica oracle."""
+    order = pc.sort_indices(
+        tbl, sort_keys=[("video_id", "ascending"), ("frame_idx", "ascending")]
+    )
+    t = tbl.take(order)
+    vid = t.column("video_id").to_numpy(zero_copy_only=False)
+    fidx = t.column("frame_idx").to_numpy(zero_copy_only=False)
+    h = t.column("dhash").to_numpy(zero_copy_only=False)
+    if len(vid) == 0:
+        return SCENE_SCHEMA.empty_table()
+    new_video = np.concatenate(([True], vid[1:] != vid[:-1]))
+    ham = np.concatenate(
+        ([0], _popcount64(np.bitwise_xor(h[1:], h[:-1])))
+    )
+    starts = new_video | ((ham > threshold) & ~new_video)
+    scene_of_row = np.cumsum(starts.astype(np.int64)) - 1
+    start_rows = np.flatnonzero(starts)
+    n_frames = np.diff(np.concatenate((start_rows, [len(vid)])))
+    # scene_idx resets per video: subtract each video's first scene id
+    vstart_rows = np.flatnonzero(new_video)
+    first_scene_of_video = scene_of_row[vstart_rows]
+    scene_idx = np.arange(len(start_rows), dtype=np.int64) - np.repeat(
+        first_scene_of_video,
+        np.diff(np.concatenate((np.searchsorted(start_rows, vstart_rows), [len(start_rows)]))),
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(vid[start_rows]),
+            pa.array(scene_idx),
+            pa.array(fidx[start_rows]),
+            pa.array(n_frames),
+        ],
+        schema=SCENE_SCHEMA,
+    )
+
+
+def video_scenes(
+    frames: "ray.data.Dataset",
+    threshold: int = 8,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed scene-span extraction: same one-exchange shape as
+    ``video_scene_cuts`` (16 B/frame key rows; pixels never shuffle),
+    emitting (video_id, scene_idx, start_frame, n_frames) spans."""
+    from agentic_doc_ray.functions._exchange import str_key_sentinels
+
+    hash_schema = pa.schema(
+        [
+            ("video_id", pa.string()),
+            ("frame_idx", pa.int64()),
+            ("dhash", pa.int64()),
+        ]
+    )
+
+    def scenes_group(grp: pa.Table) -> pa.Table:
+        if grp.column("video_id")[0].as_py().startswith("\x00"):
+            return SCENE_SCHEMA.empty_table()
+        return scenes_from_hashes(grp, threshold)
+
+    n_hint = n_rows_hint if n_rows_hint is not None else frames.count()
+    return (
+        frames.map_batches(_frame_hashes_batch, batch_format="pyarrow")
+        .union(
+            str_key_sentinels(hash_schema, "video_id", fill={"frame_idx": 0, "dhash": 0})
+        )
+        .groupby("video_id", num_partitions=partitions_for(n_hint))
+        .map_groups(scenes_group, batch_format="pyarrow")
+    )

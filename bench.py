@@ -356,6 +356,19 @@ def main() -> None:
 
     timed("audio_segments", audio_segments_q)
 
+    def video_scenes_q() -> None:
+        from agentic_doc_ray.functions.video import (
+            synth_ppm_video_table,
+            video_scenes,
+        )
+
+        frames = ray.data.from_arrow(
+            synth_ppm_video_table(f"{SF_DIR}/documents.parquet", limit=48)
+        )
+        video_scenes(frames, threshold=8).count()
+
+    timed("video_scenes", video_scenes_q)
+
     def captions_q() -> None:
         from agentic_doc_ray.functions.captions import harvest_captions
         from agentic_doc_ray.pipelines import extract_corpus

@@ -266,3 +266,41 @@ def test_audio_segments_planted_and_replica():
         schema=MEDIA_SCHEMA,
     )
     assert audio_segments_batch(silent).num_rows == 0
+
+
+def test_video_scenes_spans():
+    """Scene spans: distributed == replica; per video exactly 3 scenes
+    of scene_len frames tiling [0, n_frames); scene_idx resets per
+    video."""
+    import pandas as pd
+    import ray.data
+
+    from agentic_doc_ray.functions.video import (
+        _frame_hashes_batch,
+        scenes_from_hashes,
+        synth_ppm_video_table,
+        video_scenes,
+    )
+
+    frames = synth_ppm_video_table(
+        "/root/testdata/sf0.001/documents.parquet", limit=12
+    )
+    got = (
+        video_scenes(ray.data.from_arrow(frames).repartition(5), threshold=8)
+        .to_pandas()
+        .sort_values(["video_id", "scene_idx"])
+        .reset_index(drop=True)
+    )
+    rep = (
+        scenes_from_hashes(_frame_hashes_batch(frames), 8)
+        .to_pandas()
+        .sort_values(["video_id", "scene_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, rep)
+    per = got.groupby("video_id")
+    assert (per.scene_idx.count() == 3).all()
+    assert (per.n_frames.sum() == 16).all()
+    for _, g in per:
+        assert list(g.scene_idx) == [0, 1, 2]
+        assert list(g.start_frame) == [0, 6, 12]
