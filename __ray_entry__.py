@@ -2302,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_supplier_volume": _J().regional_supplier_volume,
         "large_volume_customer": _J().large_volume_customer,
         "nation_trade_volume": _J().nation_trade_volume,
+        "order_priority_check": _J().order_priority_check,
         "pruned_revenue_scan": A.pruned_revenue_scan,
         "events_hourly": A.events_hourly,
         "cohort_retention": A.cohort_retention,
@@ -3163,6 +3164,16 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, supp_nation, cust_nation"
+        ),
+        # Q4 shape: EXISTS semi-join that dedupes inside the join
+        "order_priority_check": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders o "
+            "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+            "            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         # Q18 shape: aggregate-HAVING semi-join; quantities are integral
         # doubles so BIGINT sums are exact

@@ -2333,3 +2333,146 @@ def nation_trade_volume(
         return t.take(order)
 
     return partials.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def order_priority_check(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    late_days: int = 60,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q4 shape (order priority checking): how many orders of each
+    priority, placed in one window, have AT LEAST ONE late lineitem —
+    the EXISTS semi-join that must DEDUPE inside the join (an order with
+    three late lines counts once; Q12 by contrast counts lines).
+
+    Scale shape — one bucketed exchange plus a tiny priority merge:
+    orders ship (orderkey, priority) for the date window; lineitem ships
+    per-batch DISTINCT (orderkey, max shipdate) partials — the EXISTS
+    test only needs each order's LATEST shipdate, so the fact side
+    collapses to one row per (batch, orderkey) before the shuffle. The
+    bucket task finishes the max-shipdate aggregate, evaluates the late
+    predicate against o_orderdate (it needs both sides, so it cannot
+    move earlier), and emits per-priority COUNTS — ≤ 5 rows per bucket
+    reach the final fold. Sentinel-guarded (functions/_exchange.py).
+    Output: (o_orderpriority, n_orders) sorted by priority.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+            ("max_shipdate", pa.timestamp("us")),
+        ]
+    )
+
+    def _bucket(key: "pa.Array") -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        f = batch.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        key = f.column("o_orderkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * f.num_rows, pa.string()),
+                f.column("o_orderdate").cast(pa.timestamp("us")),
+                f.column("o_orderpriority"),
+                pa.nulls(f.num_rows, pa.timestamp("us")),
+            ],
+            schema=ex_schema,
+        )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.group_by("l_orderkey")
+            .aggregate([("l_shipdate", "max")])
+            .rename_columns(["key", "max_shipdate"])
+        )
+        key = g.column("key")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["l"] * g.num_rows, pa.string()),
+                pa.nulls(g.num_rows, pa.timestamp("us")),
+                pa.nulls(g.num_rows, pa.string()),
+                g.column("max_shipdate").cast(pa.timestamp("us")),
+            ],
+            schema=ex_schema,
+        )
+
+    part_schema = pa.schema(
+        [("o_orderpriority", pa.string()), ("n_orders", pa.int64())]
+    )
+
+    def check_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_o = pc.equal(g.column("side"), "o")
+        o = g.filter(is_o).select(["key", "o_orderdate", "o_orderpriority"])
+        li = (
+            g.filter(pc.invert(is_o))
+            .select(["key", "max_shipdate"])
+            .group_by("key")
+            .aggregate([("max_shipdate", "max")])
+            .rename_columns(["key", "max_shipdate"])
+        )
+        if o.num_rows == 0 or li.num_rows == 0:
+            return part_schema.empty_table()
+        m = o.join(li, keys="key", join_type="inner")
+        import datetime
+
+        late = pc.greater(
+            m.column("max_shipdate"),
+            pc.add(
+                m.column("o_orderdate"),
+                pa.scalar(datetime.timedelta(days=late_days)),
+            ),
+        )
+        hit = m.filter(late)
+        out = (
+            hit.select(["o_orderpriority"])
+            .group_by("o_orderpriority")
+            .aggregate([("o_orderpriority", "count")])
+            .rename_columns(["o_orderpriority", "n_orders"])
+        )
+        return out.cast(part_schema)
+
+    partials = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(lineitem.map_batches(tag_line, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(check_bucket, batch_format="pyarrow")
+    )
+    return (
+        partials.groupby("o_orderpriority", num_partitions=partitions_for(8))
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .sort("o_orderpriority")
+    )

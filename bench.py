@@ -594,6 +594,10 @@ def main() -> None:
         "nation_trade_volume",
         lambda: J.nation_trade_volume(SF_DIR).count(),
     )
+    timed(
+        "order_priority_check",
+        lambda: J.order_priority_check(SF_DIR).count(),
+    )
     timed("funnel", lambda: A.funnel_counts(SF_DIR).count())
     timed("cohort_retention", lambda: A.cohort_retention(SF_DIR).count())
     timed("event_paths", lambda: A.user_event_paths(SF_DIR).count())

@@ -727,3 +727,27 @@ def test_pruned_revenue_scan_pushdown():
     want = duckdb.sql(sql).df()
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_order_priority_check_q4():
+    """Q4 shape: EXISTS must count each order once no matter how many of
+    its lineitems are late (the in-join dedupe)."""
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    got = J.order_priority_check(SF).to_pandas().reset_index(drop=True)
+    sql = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    for t in ["orders", "lineitem"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    assert len(got) == 5
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
