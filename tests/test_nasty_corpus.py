@@ -99,3 +99,60 @@ def test_nasty_corpus_downstream_doc_local_ops():
     assert stats["image-empty-caption"]["media_per_mille"] == 1000
     # offset gaps don't break the run rule (both spans are non-media)
     assert stats["gap-offsets"]["max_text_run"] == 2
+
+
+def test_nasty_corpus_table_cells_and_outline():
+    """The adversarial corpus through the downstream structured
+    extractors: table_cells and doc_outline must process whatever the
+    parser emits (corrupt pages become error chunks, '| a |' classifies
+    however the heuristics decide) without crashing, and must equal the
+    same batch fns applied to the pure-Python oracle's flat spans."""
+    import pandas as pd
+
+    from agentic_doc_ray.functions.tables import (
+        doc_outline_batch,
+        table_cells_batch,
+    )
+    from agentic_doc_ray.oracle import explode_parsed
+    from agentic_doc_ray.pipelines import extract_flat_spans
+
+    t = pa.Table.from_pydict(
+        {"doc_id": [n for n, _ in NASTY], "spans": [s for _, s in NASTY]},
+        schema=CORPUS_SCHEMA,
+    )
+    cfg = EngineConfig(split_size=4, parse_concurrency=(1, 2))
+    ds = ray.data.from_arrow(t).random_shuffle(seed=1).repartition(5)
+    flat = extract_flat_spans(ds, cfg)
+
+    from agentic_doc_ray.functions.tables import doc_outline, table_cells
+
+    got_cells = (
+        table_cells(flat)
+        .to_pandas()
+        .sort_values(["doc_id", "offset", "row_idx", "col_idx"])
+        .reset_index(drop=True)
+    )
+    oracle_flat = explode_parsed(parse_corpus_oracle(t, cfg))
+    want_cells = (
+        table_cells_batch(oracle_flat)
+        .to_pandas()
+        .sort_values(["doc_id", "offset", "row_idx", "col_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_cells, want_cells)
+
+    from agentic_doc_ray.pipelines import extract_corpus as _ec
+
+    got_outline = (
+        doc_outline(_ec(ds, cfg))
+        .to_pandas()
+        .sort_values(["doc_id", "title_idx"])
+        .reset_index(drop=True)
+    )
+    want_outline = (
+        doc_outline_batch(oracle_flat)
+        .to_pandas()
+        .sort_values(["doc_id", "title_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_outline, want_outline)
