@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 29  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 30  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -338,6 +338,16 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         cdc_chunk_batch(second_crawl_batch(docs_tbl)),
         os.path.join(out_dir, "cdc_chunks_v2.parquet"),
+    )
+
+    # unigram-LM tokenizer replica: usage counts are exact integers and
+    # scores come from one shared micro-bit helper, so the distributed
+    # EM rounds are bit-equal to the single-process loop
+    from agentic_doc_ray.functions.unigram import unigram_train_oracle
+
+    _pq.write_table(
+        unigram_train_oracle(docs_tbl, vocab_size=256, n_iters=3),
+        os.path.join(out_dir, "unigram_vocab.parquet"),
     )
 
     # audio-segment replica: per-track deterministic (batch-local), so
@@ -1445,6 +1455,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return cdc_dedup_stats(docs(sf_dir))
 
+    def q_unigram_vocab(sf_dir):
+        """SentencePiece-style unigram-LM tokenizer training (EM over the
+        Heaps-bounded word table, scores broadcast per round). Oracle:
+        bit-equal single-process replica."""
+        from agentic_doc_ray.functions.unigram import unigram_train
+
+        _ensure_extraction_oracles(sf_dir)
+        return unigram_train(docs(sf_dir), vocab_size=256, n_iters=3)
+
     def q_audio_segments(sf_dir):
         """VAD-style energy segmentation of 8-bit-PCM tracks (exact
         integer energies, batch-local). Oracle: bit-equal replica."""
@@ -2271,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_scene_cuts": q_video_scene_cuts,    # single-process replica oracle
         "audio_segments": q_audio_segments,        # single-process replica oracle
         "video_scenes": q_video_scenes,            # single-process replica oracle
+        "unigram_vocab": q_unigram_vocab,          # single-process replica oracle
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3458,6 +3478,10 @@ def oracle_sql() -> dict[str, str]:
         "video_scenes": (
             "SELECT video_id, scene_idx, start_frame, n_frames "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/video_scenes.parquet')"
+        ),
+        "unigram_vocab": (
+            "SELECT piece, count, score_micro "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/unigram_vocab.parquet')"
         ),
         # title-anchored sections; preamble (-1) only when non-empty
         "doc_outline": (

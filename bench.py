@@ -288,6 +288,13 @@ def main() -> None:
 
     timed("bpe_train", bpe_q)
 
+    def unigram_q() -> None:
+        from agentic_doc_ray.functions.unigram import unigram_train
+
+        unigram_train(docs(), vocab_size=256, n_iters=3).count()
+
+    timed("unigram_train", unigram_q)
+
     def bpe_encode_q() -> None:
         from agentic_doc_ray.functions.bpe import bpe_encode_counts, bpe_train
 
