@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 30  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 31  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -345,9 +345,15 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     # EM rounds are bit-equal to the single-process loop
     from agentic_doc_ray.functions.unigram import unigram_train_oracle
 
+    _unigram_vocab = unigram_train_oracle(docs_tbl, vocab_size=256, n_iters=3)
     _pq.write_table(
-        unigram_train_oracle(docs_tbl, vocab_size=256, n_iters=3),
-        os.path.join(out_dir, "unigram_vocab.parquet"),
+        _unigram_vocab, os.path.join(out_dir, "unigram_vocab.parquet")
+    )
+    from agentic_doc_ray.functions.unigram import unigram_encode_oracle
+
+    _pq.write_table(
+        unigram_encode_oracle(docs_tbl, _unigram_vocab),
+        os.path.join(out_dir, "unigram_encode.parquet"),
     )
 
     # audio-segment replica: per-track deterministic (batch-local), so
@@ -1464,6 +1470,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return unigram_train(docs(sf_dir), vocab_size=256, n_iters=3)
 
+    def q_unigram_token_counts(sf_dir):
+        """Composed tokenizer pipeline: TRAIN the unigram vocab on the
+        corpus, then ENCODE every doc with it (Viterbi token counts +
+        fertility signal). Oracle: replica encode over the replica
+        vocab (both bit-equal)."""
+        from agentic_doc_ray.functions.unigram import (
+            unigram_encode_counts,
+            unigram_train,
+        )
+
+        _ensure_extraction_oracles(sf_dir)
+        vocab_tbl = pa.concat_tables(
+            [
+                b
+                for b in ray.get(
+                    unigram_train(docs(sf_dir), vocab_size=256, n_iters=3)
+                    .materialize()
+                    .to_arrow_refs()
+                )
+                if b.num_rows
+            ]
+        )
+        return unigram_encode_counts(docs(sf_dir), vocab_tbl)
+
     def q_audio_segments(sf_dir):
         """VAD-style energy segmentation of 8-bit-PCM tracks (exact
         integer energies, batch-local). Oracle: bit-equal replica."""
@@ -2291,6 +2321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_segments": q_audio_segments,        # single-process replica oracle
         "video_scenes": q_video_scenes,            # single-process replica oracle
         "unigram_vocab": q_unigram_vocab,          # single-process replica oracle
+        "unigram_token_counts": q_unigram_token_counts,  # replica oracle
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3482,6 +3513,10 @@ def oracle_sql() -> dict[str, str]:
         "unigram_vocab": (
             "SELECT piece, count, score_micro "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/unigram_vocab.parquet')"
+        ),
+        "unigram_token_counts": (
+            "SELECT doc_id, n_chars, n_tokens "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/unigram_encode.parquet')"
         ),
         # title-anchored sections; preamble (-1) only when non-empty
         "doc_outline": (

@@ -274,3 +274,92 @@ def unigram_train_oracle(
         },
         schema=VOCAB_SCHEMA,
     )
+
+
+def unigram_encode_counts(
+    docs: "ray.data.Dataset",
+    vocab: pa.Table,
+    max_piece_len: int = 6,
+) -> "ray.data.Dataset":
+    """Apply a trained unigram vocabulary: per document, the Viterbi
+    token count and character coverage — the tokenizer-fertility signal
+    (chars per token) a data pipeline tracks per corpus slice.
+
+    The vocabulary broadcasts once via ``ray.put`` (vocab-sized); each
+    batch segments its distinct words through a per-worker word cache
+    (Heaps-bounded, same pattern as ``bpe_encode_counts``) and sums
+    occurrence-weighted token counts per doc — batch-local, zero
+    exchanges. Output: (doc_id, n_chars, n_tokens).
+    """
+    import pyarrow.compute as pc
+
+    from agentic_doc_ray.functions.text import _regex_trim
+
+    scores = dict(
+        zip(vocab.column("piece").to_pylist(), vocab.column("score_micro").to_pylist())
+    )
+    sref = ray.put(scores)
+
+    def enc(batch: pa.Table, *, _ref=sref, _mpl=max_piece_len) -> pa.Table:
+        cache = enc.__dict__
+        if "scores" not in cache:
+            cache["scores"] = ray.get(_ref)
+            cache["words"] = {}
+        sc, wcache = cache["scores"], cache["words"]
+        trimmed = _regex_trim(batch.column("text"))
+        out_tok, out_chars = [], []
+        for txt in trimmed.to_pylist():
+            toks = (txt or "").split()
+            n_tok = 0
+            for w in toks:
+                n = wcache.get(w)
+                if n is None:
+                    n = len(_viterbi(w, sc, _mpl))
+                    if len(wcache) < 1 << 20:
+                        wcache[w] = n
+                n_tok += n
+            out_tok.append(n_tok)
+            out_chars.append(sum(len(w) for w in toks))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").to_pylist(),
+                "n_chars": out_chars,
+                "n_tokens": out_tok,
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_chars", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                ]
+            ),
+        )
+
+    return docs.map_batches(enc, batch_format="pyarrow")
+
+
+def unigram_encode_oracle(
+    docs_tbl: pa.Table, vocab: pa.Table, max_piece_len: int = 6
+) -> pa.Table:
+    """Single-process replica of ``unigram_encode_counts`` (same Viterbi
+    + same whitespace split; per-doc deterministic => bit-equal)."""
+    from agentic_doc_ray.functions.text import _regex_trim
+
+    scores = dict(
+        zip(vocab.column("piece").to_pylist(), vocab.column("score_micro").to_pylist())
+    )
+    trimmed = _regex_trim(docs_tbl.column("text"))
+    rows = {"doc_id": [], "n_chars": [], "n_tokens": []}
+    for d, txt in zip(docs_tbl.column("doc_id").to_pylist(), trimmed.to_pylist()):
+        toks = (txt or "").split()
+        rows["doc_id"].append(d)
+        rows["n_chars"].append(sum(len(w) for w in toks))
+        rows["n_tokens"].append(
+            sum(len(_viterbi(w, scores, max_piece_len)) for w in toks)
+        )
+    return pa.Table.from_pydict(
+        rows,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_chars", pa.int64()), ("n_tokens", pa.int64())]
+        ),
+    )

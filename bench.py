@@ -295,6 +295,31 @@ def main() -> None:
 
     timed("unigram_train", unigram_q)
 
+    def unigram_encode_q() -> None:
+        import pyarrow as _pa
+
+        import ray as _ray
+
+        from agentic_doc_ray.functions.unigram import (
+            unigram_encode_counts,
+            unigram_train,
+        )
+
+        vocab = _pa.concat_tables(
+            [
+                b
+                for b in _ray.get(
+                    unigram_train(docs(), vocab_size=256, n_iters=2)
+                    .materialize()
+                    .to_arrow_refs()
+                )
+                if b.num_rows
+            ]
+        )
+        unigram_encode_counts(docs(), vocab).count()
+
+    timed("unigram_encode", unigram_encode_q)
+
     def bpe_encode_q() -> None:
         from agentic_doc_ray.functions.bpe import bpe_encode_counts, bpe_train
 

@@ -63,3 +63,36 @@ def test_distributed_matches_replica():
     want = unigram_train_oracle(tbl, vocab_size=128, n_iters=2).to_pandas().reset_index(drop=True)
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_encode_distributed_matches_replica():
+    """Tokenizer application: distributed Viterbi encode == replica;
+    fertility (chars/token) is finite and > 1 on the synthetic corpus."""
+    import pandas as pd
+    import ray.data
+
+    from agentic_doc_ray.functions.unigram import (
+        unigram_encode_counts,
+        unigram_encode_oracle,
+    )
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    vocab = unigram_train_oracle(tbl, vocab_size=128, n_iters=2)
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(6)
+    got = (
+        unigram_encode_counts(ds, vocab)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        unigram_encode_oracle(tbl, vocab)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got.n_tokens.sum() > 0
+    assert got.n_chars.sum() > got.n_tokens.sum()  # multi-char pieces won
