@@ -1461,6 +1461,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return cdc_dedup_stats(docs(sf_dir))
 
+    def q_streaming_dedup(sf_dir):
+        """Online dedup ingestion on raw hash-range-sharded actors (the
+        documented last-resort tier: a shared mutable index in arrival
+        order); doc_id-sorted feed makes admission == the batch
+        first-occurrence rule, so the SQL oracle is exact."""
+        from agentic_doc_ray.functions.streaming import streaming_dedup_keep
+
+        return streaming_dedup_keep(docs(sf_dir))
+
     def q_unigram_vocab(sf_dir):
         """SentencePiece-style unigram-LM tokenizer training (EM over the
         Heaps-bounded word table, scores broadcast per round). Oracle:
@@ -2322,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_scenes": q_video_scenes,            # single-process replica oracle
         "unigram_vocab": q_unigram_vocab,          # single-process replica oracle
         "unigram_token_counts": q_unigram_token_counts,  # replica oracle
+        "streaming_dedup_keep": q_streaming_dedup,
         "domain_prior": q_domain_prior,
         "compression_stats": q_compression_stats,  # single-process replica oracle
         "split_sentences": q_split_sentences,
@@ -3517,6 +3527,14 @@ def oracle_sql() -> dict[str, str]:
         "unigram_token_counts": (
             "SELECT doc_id, n_chars, n_tokens "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/unigram_encode.parquet')"
+        ),
+        # online ingestion gate == batch first-occurrence (sorted feed)
+        "streaming_dedup_keep": (
+            "SELECT doc_id, text FROM ("
+            "  SELECT doc_id, text,"
+            "    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn"
+            "  FROM documents"
+            ") WHERE rn = 1"
         ),
         # title-anchored sections; preamble (-1) only when non-empty
         "doc_outline": (

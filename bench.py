@@ -251,6 +251,13 @@ def main() -> None:
 
     timed("cdc_dedup_stats", lambda: _cdc(docs()).count())
 
+    def streaming_dedup_q() -> None:
+        from agentic_doc_ray.functions.streaming import streaming_dedup_keep
+
+        streaming_dedup_keep(docs()).count()
+
+    timed("streaming_dedup", streaming_dedup_q)
+
     def _cdc_transfer() -> None:
         from agentic_doc_ray.functions.cdc import cdc_transfer_stats
         from agentic_doc_ray.functions.delta import synth_second_crawl
