@@ -96,3 +96,42 @@ def test_encode_distributed_matches_replica():
     pd.testing.assert_frame_equal(got, want)
     assert got.n_tokens.sum() > 0
     assert got.n_chars.sum() > got.n_tokens.sum()  # multi-char pieces won
+
+
+# --- hypothesis: EM determinism under arbitrary corpora/batching --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=8)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(_doc, min_size=1, max_size=8),
+    nparts=st.integers(1, 5),
+    vocab_size=st.integers(8, 64),
+)
+def test_unigram_em_batching_independent(texts, nparts, vocab_size):
+    """The distributed EM equals the single-process replica bit for bit
+    on arbitrary corpora, regardless of partitioning."""
+    import pandas as pd
+    import ray.data
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = (
+        unigram_train(
+            ray.data.from_arrow(t).repartition(nparts),
+            vocab_size=vocab_size,
+            n_iters=2,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = unigram_train_oracle(t, vocab_size=vocab_size, n_iters=2).to_pandas()
+    if len(got) == 0 and len(want) == 0:
+        # an empty Ray dataset drops its schema in to_pandas (known Ray
+        # artifact); both sides agree the vocab is empty
+        return
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
