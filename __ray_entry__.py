@@ -791,6 +791,12 @@ _DRIVER_PRIORITY = [
     "knn_join",
     # new this round: corpus-wide sentence dedup
     "sentence_dedup",
+    # new this round: the remaining feasible TPC-H join shapes
+    # (Q15/Q17/Q19/Q22)
+    "top_supplier_revenue",
+    "small_quantity_revenue",
+    "brand_bracket_revenue",
+    "idle_rich_customers",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -2364,6 +2370,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customer": _J().large_volume_customer,
         "nation_trade_volume": _J().nation_trade_volume,
         "order_priority_check": _J().order_priority_check,
+        "top_supplier_revenue": _J().top_revenue_supplier,
+        "small_quantity_revenue": _J().small_quantity_revenue,
+        "brand_bracket_revenue": _J().brand_bracket_revenue,
+        "idle_rich_customers": _J().idle_rich_customers,
         "pruned_revenue_scan": A.pruned_revenue_scan,
         "events_hourly": A.events_hourly,
         "cohort_retention": A.cohort_retention,
@@ -3235,6 +3245,70 @@ def oracle_sql() -> dict[str, str]:
             "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
             "            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # Q15 shape: window revenue aggregate + scalar-subquery max with ties
+        "top_supplier_revenue": (
+            "WITH rev AS ("
+            "  SELECT l_suppkey,"
+            "         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS cents"
+            "  FROM lineitem"
+            "  WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+            "    AND l_shipdate < TIMESTAMP '1997-04-01'"
+            "  GROUP BY l_suppkey"
+            ") "
+            "SELECT s.s_suppkey, s.s_name, CAST(r.cents AS BIGINT) / 10000.0 AS total_revenue "
+            "FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey "
+            "WHERE r.cents = (SELECT max(cents) FROM rev)"
+        ),
+        # Q17 shape: correlated per-part avg joined back, exact-integer
+        # cross-multiplied form of qty < 0.2 * avg(qty)
+        "small_quantity_revenue": (
+            "WITH pk AS (SELECT p_partkey FROM part"
+            "            WHERE p_brand = 'Brand#23' AND p_size <= 10), "
+            "l AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS q,"
+            "             CAST(round(l_extendedprice * 10000) AS BIGINT) AS cents"
+            "      FROM lineitem"
+            "      WHERE l_partkey IN (SELECT p_partkey FROM pk)), "
+            "ag AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS qs, count(*) AS n"
+            "       FROM l GROUP BY l_partkey) "
+            "SELECT CAST(COALESCE(sum(l.cents), 0) AS BIGINT) AS total_cents,"
+            "       CAST(COALESCE(sum(l.cents), 0) AS BIGINT) / 70000.0 AS avg_yearly "
+            "FROM l JOIN ag ON ag.l_partkey = l.l_partkey "
+            "WHERE 5 * l.q * ag.n < ag.qs"
+        ),
+        # Q19 shape: disjunctive (brand, size, qty) brackets over the join
+        "brand_bracket_revenue": (
+            "SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS total_cents,"
+            "       CAST(COALESCE(sum(c), 0) AS BIGINT) / 10000.0 AS revenue "
+            "FROM ("
+            "  SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS c"
+            "  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey"
+            "  WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5"
+            "         AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)"
+            "     OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10"
+            "         AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)"
+            "     OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15"
+            "         AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)"
+            ")"
+        ),
+        # Q22 shape: exact-integer global-average scalar subquery +
+        # anti-join on high-value orders + per-nation rollup
+        "idle_rich_customers": (
+            "WITH c0 AS (SELECT c_custkey, c_nationkey,"
+            "                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal"
+            "            FROM customer"
+            "            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)), "
+            "s AS (SELECT CAST(sum(CASE WHEN bal > 0 THEN bal ELSE 0 END) AS BIGINT) AS tot,"
+            "             CAST(sum(CASE WHEN bal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n"
+            "      FROM c0), "
+            "hot AS (SELECT DISTINCT o_custkey FROM orders"
+            "        WHERE o_totalprice > 300000.0) "
+            "SELECT c.c_nationkey, count(*) AS n_custs,"
+            "       CAST(sum(c.bal) AS BIGINT) / 100.0 AS total_acctbal "
+            "FROM c0 c, s "
+            "WHERE c.bal * s.n > s.tot "
+            "  AND NOT EXISTS (SELECT 1 FROM hot h WHERE h.o_custkey = c.c_custkey) "
+            "GROUP BY c.c_nationkey"
         ),
         # Q18 shape: aggregate-HAVING semi-join; quantities are integral
         # doubles so BIGINT sums are exact

@@ -637,6 +637,22 @@ def main() -> None:
         "order_priority_check",
         lambda: J.order_priority_check(SF_DIR).count(),
     )
+    timed(
+        "top_supplier_revenue",
+        lambda: J.top_revenue_supplier(SF_DIR).count(),
+    )
+    timed(
+        "small_quantity_revenue",
+        lambda: J.small_quantity_revenue(SF_DIR).count(),
+    )
+    timed(
+        "brand_bracket_revenue",
+        lambda: J.brand_bracket_revenue(SF_DIR).count(),
+    )
+    timed(
+        "idle_rich_customers",
+        lambda: J.idle_rich_customers(SF_DIR).count(),
+    )
     timed("funnel", lambda: A.funnel_counts(SF_DIR).count())
     timed("cohort_retention", lambda: A.cohort_retention(SF_DIR).count())
     timed("event_paths", lambda: A.user_event_paths(SF_DIR).count())

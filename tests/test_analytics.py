@@ -751,3 +751,138 @@ def test_order_priority_check_q4():
     want = duckdb.sql(sql).df()
     assert len(got) == 5
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _tpch_sql(sql, sf, tables):
+    import re
+
+    for t in tables:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{sf}/{t}.parquet')", sql)
+    return duckdb.sql(sql).df()
+
+
+def test_top_supplier_revenue_q15():
+    """Q15 shape: scalar-subquery max with tie preservation — the winner
+    set must equal the SQL plan exactly (including any ties)."""
+    from agentic_doc_ray.functions import joins as J
+
+    got = (
+        J.top_revenue_supplier(SF01)
+        .to_pandas()
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    want = _tpch_sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, CAST(r.cents AS BIGINT) / 10000.0 AS total_revenue
+        FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+        WHERE r.cents = (SELECT max(cents) FROM rev)
+        ORDER BY s.s_suppkey
+        """,
+        SF01,
+        ["lineitem", "supplier"],
+    )
+    assert len(got) >= 1
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_small_quantity_revenue_q17():
+    """Q17 shape: the exact-integer form 5*qty*cnt < qty_sum must match the
+    SQL correlated-average plan; sf0.001 pins the zero-match path."""
+    from agentic_doc_ray.functions import joins as J
+
+    sql = """
+        WITH pk AS (SELECT p_partkey FROM part
+                    WHERE p_brand = 'Brand#23' AND p_size <= 10),
+        l AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS q,
+                     CAST(round(l_extendedprice * 10000) AS BIGINT) AS cents
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+        ag AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS qs, count(*) AS n
+               FROM l GROUP BY l_partkey)
+        SELECT CAST(COALESCE(sum(l.cents), 0) AS BIGINT) AS total_cents,
+               CAST(COALESCE(sum(l.cents), 0) AS BIGINT) / 70000.0 AS avg_yearly
+        FROM l JOIN ag ON ag.l_partkey = l.l_partkey
+        WHERE 5 * l.q * ag.n < ag.qs
+    """
+    got = J.small_quantity_revenue(SF01).to_pandas()
+    want = _tpch_sql(sql, SF01, ["lineitem", "part"])
+    assert int(got["total_cents"][0]) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # zero-match corpus: the single output row must still agree
+    got0 = J.small_quantity_revenue(SF).to_pandas()
+    want0 = _tpch_sql(sql, SF, ["lineitem", "part"])
+    pd.testing.assert_frame_equal(got0, want0, check_dtype=False, check_exact=True)
+
+
+def test_brand_bracket_revenue_q19():
+    """Q19 shape: the OR-of-brackets predicate resolves only after the
+    part attributes meet the lineitem row — bucketed join + vectorized
+    disjunction must equal the SQL plan."""
+    from agentic_doc_ray.functions import joins as J
+
+    sql = """
+        SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS total_cents,
+               CAST(COALESCE(sum(c), 0) AS BIGINT) / 10000.0 AS revenue
+        FROM (
+          SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS c
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                 AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+             OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                 AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+             OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                 AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+        )
+    """
+    got = J.brand_bracket_revenue(SF01).to_pandas()
+    want = _tpch_sql(sql, SF01, ["lineitem", "part"])
+    assert int(got["total_cents"][0]) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_idle_rich_customers_q22():
+    """Q22 shape: exact-integer above-average test + anti-join on
+    high-value orders + per-nation rollup; sf0.001 pins the all-filtered
+    (empty-output) path through the exchange."""
+    from agentic_doc_ray.functions import joins as J
+
+    sql = """
+        WITH c0 AS (SELECT c_custkey, c_nationkey,
+                           CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                    FROM customer
+                    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        s AS (SELECT CAST(sum(CASE WHEN bal > 0 THEN bal ELSE 0 END) AS BIGINT) AS tot,
+                     CAST(sum(CASE WHEN bal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+              FROM c0),
+        hot AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_totalprice > 300000.0)
+        SELECT c.c_nationkey, count(*) AS n_custs,
+               CAST(sum(c.bal) AS BIGINT) / 100.0 AS total_acctbal
+        FROM c0 c, s
+        WHERE c.bal * s.n > s.tot
+          AND NOT EXISTS (SELECT 1 FROM hot h WHERE h.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+    """
+    got = (
+        J.idle_rich_customers(SF01)
+        .to_pandas()
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    want = _tpch_sql(sql, SF01, ["customer", "orders"])
+    assert len(got) >= 1
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # all-anti-joined corpus: empty output on both sides
+    got0 = J.idle_rich_customers(SF).to_pandas()
+    assert len(got0) == 0
