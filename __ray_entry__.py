@@ -797,6 +797,8 @@ _DRIVER_PRIORITY = [
     "small_quantity_revenue",
     "brand_bracket_revenue",
     "idle_rich_customers",
+    # new this round: FlashText-style dictionary tagging
+    "keyword_tag_counts",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1651,6 +1653,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return T.lang_id(docs(sf_dir))
 
+    def q_keyword_tags(sf_dir):
+        """FlashText-style dictionary tagging: (doc, keyword, count) long
+        format, zero exchanges, one vectorized kernel pass per keyword."""
+        return T.keyword_tag_counts(docs(sf_dir))
+
     def q_dedup_keep(sf_dir):
         """Deduplicated corpus via a distributed bucketed semi-join — no
         driver-side collection of per-doc state (see D.dedup_keep)."""
@@ -2352,6 +2359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
+        "keyword_tag_counts": q_keyword_tags,
         "embedding_dup_pairs": q_embedding_dups,
         # similarity
         "similarity_topk": q_similarity,
@@ -3447,6 +3455,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"SELECT doc_id, simhash FROM read_parquet('{_ORACLE_SQL_DIR}/simhash.parquet')",
         "doc_fingerprints": f"SELECT doc_id, fingerprint FROM read_parquet('{_ORACLE_SQL_DIR}/fingerprints.parquet')",
         "lang_id": f"SELECT doc_id, lang_pred, stopword_ratio FROM read_parquet('{_ORACLE_SQL_DIR}/lang_id.parquet')",
+        # non-overlapping substring counts: the replace-shrinkage form is
+        # exact for keywords that cannot overlap themselves
+        "keyword_tag_counts": (
+            "SELECT d.doc_id, k.kw AS keyword,"
+            "       CAST((length(d.text) - length(replace(d.text, k.kw, ''))) // length(k.kw) AS BIGINT) AS n "
+            "FROM documents d "
+            "CROSS JOIN (VALUES ('table'), ('hash'), ('merge'), ('window'),"
+            "            ('fast table'), ('quantum')) k(kw) "
+            "WHERE length(d.text) - length(replace(d.text, k.kw, '')) > 0"
+        ),
         "media_features": (
             "SELECT media_id, media_type, feat_sum_milli "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/media_features.parquet')"

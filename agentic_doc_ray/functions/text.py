@@ -1724,3 +1724,59 @@ def source_divergence_oracle(tbl: pa.Table, max_vocab: int = 1 << 20) -> pa.Tabl
             ]
         ).empty_table()
     return pa.concat_tables(out)
+
+
+# Default tagging dictionary for keyword_tag_counts: drawn from the
+# synthetic corpus vocabulary, plus one multi-word phrase and one
+# never-matching probe (pins the zero path on both engines).
+DEFAULT_KEYWORDS: tuple[str, ...] = (
+    "table",
+    "hash",
+    "merge",
+    "window",
+    "fast table",
+    "quantum",
+)
+
+
+def keyword_tag_counts(
+    docs: "ray.data.Dataset", keywords: tuple[str, ...] = DEFAULT_KEYWORDS
+) -> "ray.data.Dataset":
+    """FlashText-style dictionary tagging: per (document, keyword) the
+    number of non-overlapping occurrences, long format, zero-count rows
+    dropped — the corpus-labelling primitive behind topic routing and
+    blocklist scoring.
+
+    Zero exchanges; the dictionary is closure-broadcast once per worker.
+    Cost per batch is O(K) Arrow ``count_substring`` kernel passes (each
+    fully vectorized over the batch), which is the right trade up to a
+    few thousand keywords; beyond that the kernel-pass loop — not the
+    data path — becomes the bottleneck and the stage should swap in an
+    Aho-Corasick automaton built once per actor (``__init__``), same
+    signature. The K-pass form is exact for any dictionary whose entries
+    cannot overlap themselves (left-to-right non-overlapping counting on
+    both engines).
+    """
+    kws = tuple(keywords)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        text = batch.column("text")
+        parts = []
+        for kw in kws:
+            n = pc.count_substring(text, kw).cast(pa.int64())
+            m = pc.greater(n, pa.scalar(0, pa.int64()))
+            f_ids = ids.filter(m)
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        f_ids,
+                        pa.array([kw] * len(f_ids), pa.string()),
+                        n.filter(m),
+                    ],
+                    names=["doc_id", "keyword", "n"],
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return docs.map_batches(tag, batch_format="pyarrow")

@@ -221,6 +221,7 @@ def main() -> None:
 
     timed("token_counts", lambda: T.token_counts(docs()).count())
     timed("lang_id", lambda: T.lang_id(docs()).count())
+    timed("keyword_tag_counts", lambda: T.keyword_tag_counts(docs()).count())
     from agentic_doc_ray.context import partitions_for as _pfor
 
     n_doc_rows = docs().count()  # metadata-only; sizes exchange widths

@@ -730,3 +730,60 @@ def test_source_divergence_vocab_cap_logged():
     assert got == want
     by = {r["source"]: r for r in got}
     assert by["s1"]["n_tokens"] == 5  # rare1/rare2 excluded by the cap
+
+
+def test_keyword_tag_counts_vs_sql(docs_ds):
+    """Dictionary tagging: non-overlapping counts in long format must
+    equal the SQL replace-shrinkage oracle; the never-matching probe
+    keyword must emit no rows."""
+    got = (
+        T.keyword_tag_counts(docs_ds)
+        .to_pandas()
+        .sort_values(["doc_id", "keyword"])
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        SELECT d.doc_id, k.kw AS keyword,
+               CAST((length(d.text) - length(replace(d.text, k.kw, ''))) // length(k.kw) AS BIGINT) AS n
+        FROM documents d
+        CROSS JOIN (VALUES ('table'), ('hash'), ('merge'), ('window'),
+                    ('fast table'), ('quantum')) k(kw)
+        WHERE length(d.text) - length(replace(d.text, k.kw, '')) > 0
+        ORDER BY d.doc_id, keyword
+        """
+    )
+    assert len(got) > 0
+    assert "quantum" not in set(got["keyword"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_keyword_tag_counts_overlap_and_phrase():
+    """Hand-pinned counts: phrase matching, adjacency, and the
+    left-to-right non-overlapping rule."""
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "fast table fast table hash",
+                        "tabletable table",
+                        "no match here",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    got = {
+        (r["doc_id"], r["keyword"]): r["n"]
+        for r in T.keyword_tag_counts(
+            ds, keywords=("table", "hash", "fast table")
+        ).take_all()
+    }
+    assert got[(1, "fast table")] == 2
+    assert got[(1, "table")] == 2
+    assert got[(1, "hash")] == 1
+    assert got[(2, "table")] == 3
+    assert (3, "table") not in got
