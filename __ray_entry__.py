@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 31  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 32  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -467,6 +467,15 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         os.path.join(out_dir, "knn_join.parquet"),
     )
 
+    # single-process JL random-projection replica: int64 matmul against a
+    # hash-derived ±1 matrix — bit-equal by construction
+    from agentic_doc_ray.functions.similarity import random_projection_oracle
+
+    _pq.write_table(
+        random_projection_oracle(emb_tbl, out_dim=16, seed=7),
+        os.path.join(out_dir, "random_projection.parquet"),
+    )
+
     # single-process product-quantization replica: per-vector ADC scores are
     # batch-independent, so the distributed partial-top-k merge is bit-equal
     from agentic_doc_ray.functions.similarity import pq_topk_oracle
@@ -799,6 +808,8 @@ _DRIVER_PRIORITY = [
     "idle_rich_customers",
     # new this round: FlashText-style dictionary tagging
     "keyword_tag_counts",
+    # new this round: integer-exact JL random projection
+    "random_projection",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -2094,6 +2105,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res.select(["query_id", "rank", "vec_id"])
 
+    def q_random_projection(sf_dir):
+        """JL dimensionality reduction: int64-exact seeded Rademacher
+        projection; replica oracle is bit-equal by construction."""
+        from agentic_doc_ray.functions.similarity import random_projection
+
+        _ensure_extraction_oracles(sf_dir)
+        return random_projection(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            out_dim=16,
+            seed=7,
+        )
+
     def q_semantic_dedup(sf_dir):
         """SemDeDup-shaped near-dup: k-means co-location + within-cluster
         exact cosine. Same planted exact duplicates as embedding_dup_pairs
@@ -2356,6 +2381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
         "knn_join": q_knn_join,                    # single-process replica oracle
         "similarity_topk_pq": q_similarity_pq,     # single-process replica oracle
+        "random_projection": q_random_projection,  # single-process replica oracle
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
@@ -3845,6 +3871,10 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_pq": (
             "SELECT query_id, rank, vec_id "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pq_topk.parquet')"
+        ),
+        "random_projection": (
+            "SELECT vec_id, dim, value_micro "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/random_projection.parquet')"
         ),
         "kmeans_clusters": (
             "SELECT vec_id, cluster "

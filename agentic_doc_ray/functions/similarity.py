@@ -795,3 +795,87 @@ def knn_join_oracle(
         out["rank"].extend(range(1, len(order) + 1))
         out["neighbor_id"].extend(sub_ids[order].tolist())
     return pa.Table.from_pydict(out, schema=KNN_SCHEMA)
+
+
+def _rademacher_matrix(in_dim: int, out_dim: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix, derived
+    by splitmix64-hashing (seed, flat index) — no RNG object, so the
+    distributed stage and the single-process replica build bit-identical
+    matrices with zero state to broadcast."""
+    idx = np.arange(in_dim * out_dim, dtype=np.uint64)
+    z = idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed * 2 + 1)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    signs = np.where((z & np.uint64(1)).astype(bool), 1, -1).astype(np.int64)
+    return signs.reshape(in_dim, out_dim)
+
+
+def _list_matrix_micro(col: "pa.ChunkedArray", dim: int) -> np.ndarray:
+    """list<float> column -> (n, dim) int64 micro-unit matrix (x1e6),
+    zero-copy through the flat values buffer."""
+    arr = col.combine_chunks()
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    if len(lens) and not (lens == dim).all():
+        raise ValueError(f"ragged embedding column (expected dim={dim})")
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    micro = np.round(flat * 1_000_000.0).astype(np.int64)
+    return micro.reshape(-1, dim)
+
+
+def random_projection(
+    embeddings: "ray.data.Dataset",
+    out_dim: int = 16,
+    seed: int = 7,
+    in_dim: int = 64,
+) -> "ray.data.Dataset":
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out_dim`` seeded Rademacher (±1) directions — the
+    cheap front-end that shrinks the vector family's dedup/ANN cost by
+    d/out_dim while approximately preserving pairwise distances
+    (Achlioptas 2003 database-friendly projections).
+
+    Exact-integer contract: inputs are quantized to micro-units
+    (round(x * 1e6)) and the projection is an int64 matmul against the
+    hash-derived ±1 matrix — no float accumulation anywhere, so the
+    output is bit-equal regardless of batch boundaries and the replica
+    oracle is exact. Zero exchanges; the matrix is rebuilt from (seed,
+    dims) per worker (64x16 ints — cheaper than shipping it).
+
+    Output long format (vec_id, dim, value_micro) — scalar columns only,
+    so the driver's value-hash compare applies directly.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        r = _rademacher_matrix(in_dim, out_dim, seed)
+        micro = _list_matrix_micro(batch.column("embedding"), in_dim)
+        proj = micro @ r  # int64-exact
+        n = len(micro)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, out_dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(out_dim, dtype=np.int64), n)),
+                "value_micro": pa.array(proj.reshape(-1), pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(project, batch_format="pyarrow")
+
+
+def random_projection_oracle(
+    emb_tbl: "pa.Table", out_dim: int = 16, seed: int = 7, in_dim: int = 64
+) -> "pa.Table":
+    """Single-process replica of ``random_projection`` (bit-equal: the
+    int64 matmul has no accumulation-order sensitivity)."""
+    r = _rademacher_matrix(in_dim, out_dim, seed)
+    micro = _list_matrix_micro(emb_tbl.column("embedding"), in_dim)
+    proj = micro @ r
+    ids = emb_tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(ids, out_dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(out_dim, dtype=np.int64), len(micro))),
+            "value_micro": pa.array(proj.reshape(-1), pa.int64()),
+        }
+    )

@@ -585,6 +585,19 @@ def main() -> None:
 
     timed("similarity_topk_pq", similarity_pq)
 
+    def random_projection_q() -> None:
+        from agentic_doc_ray.functions.similarity import random_projection
+
+        random_projection(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            out_dim=16,
+            seed=7,
+        ).count()
+
+    timed("random_projection", random_projection_q)
+
     def knn_join_q() -> None:
         from agentic_doc_ray.functions.similarity import knn_join
 

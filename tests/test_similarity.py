@@ -182,3 +182,64 @@ def test_knn_join_matches_replica_and_recall(ray_session):
     pd.testing.assert_frame_equal(
         exact_dist, brute, check_dtype=False, check_exact=True
     )
+
+
+def test_random_projection_bit_equal_replica(emb):
+    """Distributed JL projection == single-process replica bit-for-bit,
+    under a batch size that fragments the input."""
+    from agentic_doc_ray.functions.similarity import (
+        random_projection,
+        random_projection_oracle,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = (
+        random_projection(ds, out_dim=16, seed=7)
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    want = (
+        random_projection_oracle(emb, out_dim=16, seed=7)
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    assert (got.values == want.values).all()
+    assert len(got) == emb.num_rows * 16
+
+
+def test_random_projection_preserves_distances(emb):
+    """JL property sanity: projected distances correlate strongly with the
+    original distances (seeded ±1 matrix, 64 -> 16 dims)."""
+    from agentic_doc_ray.functions.similarity import (
+        _list_matrix_micro,
+        _rademacher_matrix,
+    )
+
+    micro = _list_matrix_micro(emb.column("embedding"), 64)[:200].astype(np.float64)
+    proj = micro @ _rademacher_matrix(64, 16, 7).astype(np.float64)
+    iu = np.triu_indices(len(micro), 1)
+    d2_orig = ((micro[:, None, :] - micro[None, :, :]) ** 2).sum(axis=2)[iu]
+    d2_proj = (((proj[:, None, :] - proj[None, :, :]) ** 2).sum(axis=2) / 16.0)[iu]
+    # JL concentration for k=16: E[ratio]=1 with stdev ~ sqrt(2/k) ≈ 0.35;
+    # synthetic sphere-like embeddings make distances concentrate, so test
+    # the per-pair ratio distribution, not a correlation
+    ratio = d2_proj / np.maximum(d2_orig, 1.0)
+    assert 0.9 < ratio.mean() < 1.1
+    assert (np.abs(ratio - 1.0) < 1.0).mean() > 0.95
+
+
+def test_rademacher_matrix_deterministic_and_balanced():
+    from agentic_doc_ray.functions.similarity import _rademacher_matrix
+
+    a = _rademacher_matrix(64, 16, 7)
+    b = _rademacher_matrix(64, 16, 7)
+    assert (a == b).all()
+    assert set(np.unique(a)) == {-1, 1}
+    # a different seed gives a different matrix
+    assert (a != _rademacher_matrix(64, 16, 8)).any()
+    # roughly balanced signs (binomial bound)
+    assert abs(int(a.sum())) < 200
