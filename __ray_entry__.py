@@ -801,7 +801,8 @@ _DRIVER_PRIORITY = [
     # new this round: corpus-wide sentence dedup
     "sentence_dedup",
     # new this round: the remaining feasible TPC-H join shapes
-    # (Q15/Q17/Q19/Q22)
+    # (Q8/Q15/Q17/Q19/Q22)
+    "nation_market_share",
     "top_supplier_revenue",
     "small_quantity_revenue",
     "brand_bracket_revenue",
@@ -2404,6 +2405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customer": _J().large_volume_customer,
         "nation_trade_volume": _J().nation_trade_volume,
         "order_priority_check": _J().order_priority_check,
+        "nation_market_share": _J().nation_market_share,
         "top_supplier_revenue": _J().top_revenue_supplier,
         "small_quantity_revenue": _J().small_quantity_revenue,
         "brand_bracket_revenue": _J().brand_bracket_revenue,
@@ -3279,6 +3281,31 @@ def oracle_sql() -> dict[str, str]:
             "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
             "            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # Q8 shape: 7-table market-share join, numerator/denominator split
+        # per order year; mkt_share is one IEEE division of exact BIGINTs
+        "nation_market_share": (
+            "WITH v AS ("
+            "  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,"
+            "         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS cents,"
+            "         s.s_nationkey"
+            "  FROM lineitem l"
+            "  JOIN part p ON p.p_partkey = l.l_partkey"
+            "  JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            "  JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            "  JOIN customer c ON c.c_custkey = o.o_custkey"
+            "  JOIN nation n ON n.n_nationkey = c.c_nationkey"
+            "  JOIN region r ON r.r_regionkey = n.n_regionkey"
+            "  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'"
+            "    AND o.o_orderdate >= TIMESTAMP '1996-01-01'"
+            "    AND o.o_orderdate < TIMESTAMP '1998-01-01'"
+            ") "
+            "SELECT o_year,"
+            "  CAST(sum(CASE WHEN s_nationkey = 7 THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,"
+            "  CAST(sum(cents) AS BIGINT) AS total_cents,"
+            "  CAST(sum(CASE WHEN s_nationkey = 7 THEN cents ELSE 0 END) AS BIGINT)"
+            "    / CAST(sum(cents) AS BIGINT) AS mkt_share "
+            "FROM v GROUP BY o_year"
         ),
         # Q15 shape: window revenue aggregate + scalar-subquery max with ties
         "top_supplier_revenue": (

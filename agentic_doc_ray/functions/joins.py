@@ -3040,3 +3040,415 @@ def idle_rich_customers(
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def nation_market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    nation: str = "NATION_7",
+    p_type: str = "ECONOMY",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Q8 (national market share): one nation's share of a region's
+    yearly revenue for one part type — the deepest join in the feasible
+    family (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈ nation ⋈
+    region), grouped by order year with a numerator/denominator split.
+
+    Scale shape — four bucketed exchanges, each side shedding rows first:
+
+    1. custkey: region-filtered customers ship KEYS ONLY against
+       date-filtered orders → (orderkey, year);
+    2. partkey: type-filtered part ships keys only against lineitem
+       (exact cents projected per row) → per-(orderkey, suppkey) cents;
+    3. suppkey: the full supplier dimension (key + nationkey — never
+       broadcast, it scales with SF) against the partials → per-
+       (orderkey, is_target_nation) cents;
+    4. orderkey: (orderkey, year) ⋈ the attributed cents → per-year
+       numerator/denominator partials, folded by one tiny final groupby.
+
+    nation/region themselves are fixed 25/5-row tables, read once on the
+    driver for key lookups. The market share is a single IEEE division
+    of two exact BIGINT cent sums per year — deterministic against the
+    SQL oracle.
+    """
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    # driver-side key lookups over the fixed-size dimension tables
+    nat_t = _pq.read_table(f"{sf_dir}/nation.parquet")
+    reg_t = _pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = reg_t.filter(pc.equal(reg_t.column("r_name"), region)).column(
+        "r_regionkey"
+    )[0].as_py()
+    region_nations = nat_t.filter(
+        pc.equal(nat_t.column("n_regionkey"), rkey)
+    ).column("n_nationkey").cast(pa.int64())
+    target_key = nat_t.filter(pc.equal(nat_t.column("n_name"), nation)).column(
+        "n_nationkey"
+    )[0].as_py()
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+    width = partitions_for(n_rows)
+
+    def _bucket(key: "pa.Array") -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+
+    # --- exchange 1: orders ⋈ customer(region) on custkey → (orderkey, year)
+    ex1 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_year", pa.int64()),
+        ]
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.is_in(
+                batch.column("c_nationkey").cast(pa.int64()),
+                value_set=region_nations,
+            )
+        )
+        key = f.column("c_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["c"] * f.num_rows, pa.string()),
+                pa.nulls(f.num_rows, pa.int64()),
+                pa.nulls(f.num_rows, pa.int64()),
+            ],
+            schema=ex1,
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        f = batch.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        key = f.column("o_custkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * f.num_rows, pa.string()),
+                f.column("o_orderkey"),
+                pc.year(f.column("o_orderdate")).cast(pa.int64()),
+            ],
+            schema=ex1,
+        )
+
+    order_year_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_year", pa.int64())]
+    )
+
+    def cust_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_c = pc.equal(g.column("side"), "c")
+        cust = g.filter(is_c).select(["key"])
+        o = g.filter(pc.invert(is_c)).select(["key", "o_orderkey", "o_year"])
+        if cust.num_rows == 0 or o.num_rows == 0:
+            return order_year_schema.empty_table()
+        keep = pc.is_in(o.column("key"), value_set=cust.column("key").combine_chunks())
+        return o.filter(keep).select(["o_orderkey", "o_year"])
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    order_year = (
+        customer.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(cust_bucket, batch_format="pyarrow")
+    )
+
+    # --- exchange 2: lineitem ⋈ part(type) on partkey -------------------
+    ex2 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("orderkey", pa.int64()),
+            ("suppkey", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def tag_part(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch.column("p_type"), p_type))
+        key = f.column("p_partkey")
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["p"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=ex2,
+        )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(
+                pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                ),
+                pa.scalar(10000.0),
+            )
+        ).cast(pa.int64())
+        key = batch.column("l_partkey")
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["l"] * n, pa.string()),
+                batch.column("l_orderkey"),
+                batch.column("l_suppkey"),
+                cents,
+            ],
+            schema=ex2,
+        )
+
+    os_schema = pa.schema(
+        [("orderkey", pa.int64()), ("suppkey", pa.int64()), ("cents", pa.int64())]
+    )
+
+    def part_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_p = pc.equal(g.column("side"), "p")
+        p = g.filter(is_p).select(["key"])
+        li = g.filter(pc.invert(is_p)).select(["key", "orderkey", "suppkey", "cents"])
+        if p.num_rows == 0 or li.num_rows == 0:
+            return os_schema.empty_table()
+        keep = pc.is_in(li.column("key"), value_set=p.column("key").combine_chunks())
+        f = li.filter(keep)
+        # collapse the partkey dimension before the suppkey exchange
+        out = (
+            f.select(["orderkey", "suppkey", "cents"])
+            .group_by(["orderkey", "suppkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["orderkey", "suppkey", "cents"])
+        )
+        return out.cast(os_schema)
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    typed_rev = (
+        part.map_batches(tag_part, batch_format="pyarrow")
+        .union(lineitem.map_batches(tag_line, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex2, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(part_bucket, batch_format="pyarrow")
+    )
+
+    # --- exchange 3: typed_rev ⋈ supplier on suppkey ---------------------
+    ex3 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("orderkey", pa.int64()),
+            ("cents", pa.int64()),
+            ("is_target", pa.bool_()),
+        ]
+    )
+
+    def tag_supp(batch: pa.Table) -> pa.Table:
+        key = batch.column("s_suppkey")
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["s"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pc.equal(
+                    batch.column("s_nationkey").cast(pa.int64()),
+                    pa.scalar(target_key, pa.int64()),
+                ),
+            ],
+            schema=ex3,
+        )
+
+    def tag_rev(batch: pa.Table) -> pa.Table:
+        key = batch.column("suppkey")
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["r"] * n, pa.string()),
+                batch.column("orderkey"),
+                batch.column("cents"),
+                pa.nulls(n, pa.bool_()),
+            ],
+            schema=ex3,
+        )
+
+    attr_schema = pa.schema(
+        [
+            ("orderkey", pa.int64()),
+            ("is_target", pa.bool_()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def supp_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_s = pc.equal(g.column("side"), "s")
+        supp = g.filter(is_s).select(["key", "is_target"])
+        rv = g.filter(pc.invert(is_s)).select(["key", "orderkey", "cents"])
+        if supp.num_rows == 0 or rv.num_rows == 0:
+            return attr_schema.empty_table()
+        m = rv.join(supp, keys="key", join_type="inner")
+        out = (
+            m.select(["orderkey", "is_target", "cents"])
+            .group_by(["orderkey", "is_target"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["orderkey", "is_target", "cents"])
+        )
+        return out.cast(attr_schema)
+
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    attributed = (
+        supplier.map_batches(tag_supp, batch_format="pyarrow")
+        .union(typed_rev.map_batches(tag_rev, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex3, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(supp_bucket, batch_format="pyarrow")
+    )
+
+    # --- exchange 4: attributed ⋈ order_year on orderkey → per-year partials
+    ex4 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("o_year", pa.int64()),
+            ("cents", pa.int64()),
+            ("is_target", pa.bool_()),
+        ]
+    )
+
+    def tag_year(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey")
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["y"] * n, pa.string()),
+                batch.column("o_year"),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.bool_()),
+            ],
+            schema=ex4,
+        )
+
+    def tag_attr(batch: pa.Table) -> pa.Table:
+        key = batch.column("orderkey")
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["a"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                batch.column("cents"),
+                batch.column("is_target"),
+            ],
+            schema=ex4,
+        )
+
+    year_part_schema = pa.schema(
+        [
+            ("o_year", pa.int64()),
+            ("nation_cents", pa.int64()),
+            ("total_cents", pa.int64()),
+        ]
+    )
+
+    def year_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_y = pc.equal(g.column("side"), "y")
+        y = g.filter(is_y).select(["key", "o_year"])
+        a = g.filter(pc.invert(is_y)).select(["key", "cents", "is_target"])
+        if y.num_rows == 0 or a.num_rows == 0:
+            return year_part_schema.empty_table()
+        m = a.join(y, keys="key", join_type="inner")
+        nation_cents = pc.if_else(
+            m.column("is_target"), m.column("cents"), pa.scalar(0, pa.int64())
+        )
+        out = (
+            pa.Table.from_arrays(
+                [m.column("o_year"), nation_cents, m.column("cents")],
+                names=["o_year", "nation_cents", "total_cents"],
+            )
+            .group_by("o_year")
+            .aggregate([("nation_cents", "sum"), ("total_cents", "sum")])
+            .rename_columns(["o_year", "nation_cents", "total_cents"])
+        )
+        return out.cast(year_part_schema)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        share = pc.divide(
+            batch.column("nation_cents").cast(pa.float64()),
+            batch.column("total_cents").cast(pa.float64()),
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("o_year"),
+                batch.column("nation_cents"),
+                batch.column("total_cents"),
+                share,
+            ],
+            names=["o_year", "nation_cents", "total_cents", "mkt_share"],
+        )
+
+    return (
+        order_year.map_batches(tag_year, batch_format="pyarrow")
+        .union(attributed.map_batches(tag_attr, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex4, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(year_bucket, batch_format="pyarrow")
+        .groupby("o_year", num_partitions=partitions_for(64))
+        .aggregate(
+            Sum("nation_cents", alias_name="nation_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

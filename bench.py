@@ -652,6 +652,10 @@ def main() -> None:
         lambda: J.order_priority_check(SF_DIR).count(),
     )
     timed(
+        "nation_market_share",
+        lambda: J.nation_market_share(SF_DIR).count(),
+    )
+    timed(
         "top_supplier_revenue",
         lambda: J.top_revenue_supplier(SF_DIR).count(),
     )

@@ -886,3 +886,46 @@ def test_idle_rich_customers_q22():
     # all-anti-joined corpus: empty output on both sides
     got0 = J.idle_rich_customers(SF).to_pandas()
     assert len(got0) == 0
+
+
+def test_nation_market_share_q8():
+    """Q8 shape: 7-table market-share join with numerator/denominator
+    split per year — exact cents on both engines, share is one IEEE
+    division of the two BIGINTs."""
+    from agentic_doc_ray.functions import joins as J
+
+    sql = """
+        WITH v AS (
+          SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS cents,
+                 s.s_nationkey
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT o_year,
+          CAST(sum(CASE WHEN s_nationkey = 7 THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+          CAST(sum(cents) AS BIGINT) AS total_cents,
+          CAST(sum(CASE WHEN s_nationkey = 7 THEN cents ELSE 0 END) AS BIGINT)
+            / CAST(sum(cents) AS BIGINT) AS mkt_share
+        FROM v GROUP BY o_year ORDER BY o_year
+    """
+    got = (
+        J.nation_market_share(SF01)
+        .to_pandas()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    want = _tpch_sql(
+        sql,
+        SF01,
+        ["lineitem", "part", "supplier", "orders", "customer", "nation", "region"],
+    )
+    assert len(got) == 2
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
