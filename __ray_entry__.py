@@ -807,6 +807,8 @@ _DRIVER_PRIORITY = [
     "small_quantity_revenue",
     "brand_bracket_revenue",
     "idle_rich_customers",
+    # new this round: Q21 shape (the double-correlated lineitem self-join)
+    "waiting_supplier_check",
     # new this round: FlashText-style dictionary tagging
     "keyword_tag_counts",
     # new this round: integer-exact JL random projection
@@ -2410,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": _J().small_quantity_revenue,
         "brand_bracket_revenue": _J().brand_bracket_revenue,
         "idle_rich_customers": _J().idle_rich_customers,
+        "waiting_supplier_check": _J().waiting_supplier_check,
         "pruned_revenue_scan": A.pruned_revenue_scan,
         "events_hourly": A.events_hourly,
         "cohort_retention": A.cohort_retention,
@@ -3370,6 +3373,32 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c.bal * s.n > s.tot "
             "  AND NOT EXISTS (SELECT 1 FROM hot h WHERE h.o_custkey = c.c_custkey) "
             "GROUP BY c.c_nationkey"
+        ),
+        # Q21 shape: exactly-one-late-supplier orders credit that supplier;
+        # "late" is the derived Q12 predicate (max shipdate per
+        # (order, supplier) vs orderdate + 90 days)
+        "waiting_supplier_check": (
+            "WITH l AS ("
+            "  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms"
+            "  FROM lineitem GROUP BY 1, 2"
+            "), j AS ("
+            "  SELECT l.l_orderkey, l.l_suppkey,"
+            "         CASE WHEN l.ms > o.o_orderdate + INTERVAL 90 DAY"
+            "              THEN 1 ELSE 0 END AS late"
+            "  FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            "  WHERE o.o_orderstatus = 'F'"
+            "), agg AS ("
+            "  SELECT l_orderkey, count(*) AS n_supps, sum(late) AS n_late"
+            "  FROM j GROUP BY 1"
+            "), w AS ("
+            "  SELECT j.l_suppkey FROM j JOIN agg USING (l_orderkey)"
+            "  WHERE j.late = 1 AND agg.n_supps > 1 AND agg.n_late = 1"
+            ") "
+            "SELECT s.s_name AS s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "WHERE n.n_name = 'NATION_9' "
+            "GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 100"
         ),
         # Q18 shape: aggregate-HAVING semi-join; quantities are integral
         # doubles so BIGINT sums are exact

@@ -3452,3 +3452,271 @@ def nation_market_share(
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def waiting_supplier_check(
+    sf_dir: str,
+    nation: str = "NATION_9",
+    late_days: int = 90,
+    k: int = 100,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    ('F') orders with MORE than one distinct supplier where EXACTLY one
+    supplier shipped late, credit that supplier — the double-correlated
+    EXISTS / NOT-EXISTS self-join over lineitem, the one classic TPC-H
+    shape the available tables can still express. "Late" is the derived
+    Q12 predicate (max shipdate per (order, supplier) more than
+    ``late_days`` after the order date), since the synthetic lineitem
+    carries no commit/receipt dates (reference Q21 uses receipt >
+    commit; the correlation structure — exists another supplier, not
+    exists another LATE supplier — is identical).
+
+    Scale shape — two bucketed exchanges plus a tiny top-k merge:
+
+    1. exchange 1 (orderkey): lineitem collapses per batch to
+       (orderkey, suppkey, max shipdate) partials — the late bit needs
+       only the latest line a supplier shipped for the order — and
+       orders ships 'F' rows as (orderkey, orderdate) keys. The bucket
+       task merges the partials, derives the late bit, counts
+       per-order suppliers / late suppliers, and emits per-suppkey
+       waiter-count PARTIALS (bounded by distinct suppliers per
+       bucket, never lineitem rows).
+    2. exchange 2 (suppkey): supplier ships (suppkey, name) keys only,
+       pre-filtered to the target nation via the ≤25-row nation table
+       (supplier itself scales with SF, so no broadcast); the bucket
+       task finishes the per-supplier sum, joins the name, and emits
+       its LOCAL top-k by (numwait DESC, s_name), so the global
+       sort + limit sees ≤ k×buckets rows.
+
+    Both exchanges feed ``map_groups`` from filtering stages, so each
+    unions sentinel rows (functions/_exchange.py). Output deterministic:
+    (numwait DESC, s_name ASC) total order.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat_keys = {
+        name: key
+        for key, name in zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist(),
+        )
+    }
+    nationkey = nat_keys[nation]
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+    late_us = np.timedelta64(late_days, "D").astype("timedelta64[us]")
+
+    def _bucket(key: "pa.Array") -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+
+    ex1_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("suppkey", pa.int64()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+
+    def tag_lines(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [
+                batch.column("l_orderkey"),
+                batch.column("l_suppkey"),
+                batch.column("l_shipdate").cast(pa.timestamp("us")),
+            ],
+            names=["key", "suppkey", "ts"],
+        )
+        g = (
+            t.group_by(["key", "suppkey"])
+            .aggregate([("ts", "max")])
+            .rename_columns(["key", "suppkey", "ts"])
+        )
+        key = g.column("key")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["l"] * g.num_rows, pa.string()),
+                g.column("suppkey"),
+                g.column("ts"),
+            ],
+            schema=ex1_schema,
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch.column("o_orderstatus"), "F"))
+        key = f.column("o_orderkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["o"] * f.num_rows, pa.string()),
+                pa.nulls(f.num_rows, pa.int64()),
+                f.column("o_orderdate").cast(pa.timestamp("us")),
+            ],
+            schema=ex1_schema,
+        )
+
+    part_schema = pa.schema([("suppkey", pa.int64()), ("cnt", pa.int64())])
+
+    def waiters_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_o = pc.equal(g.column("side"), "o")
+        o = (
+            g.filter(is_o)
+            .select(["key", "ts"])
+            .rename_columns(["key", "odate"])
+        )
+        l = (
+            g.filter(pc.invert(is_o))
+            .select(["key", "suppkey", "ts"])
+            .group_by(["key", "suppkey"])
+            .aggregate([("ts", "max")])
+            .rename_columns(["key", "suppkey", "ts"])
+        )
+        if o.num_rows == 0 or l.num_rows == 0:
+            return part_schema.empty_table()
+        m = l.join(o, keys="key", join_type="inner")
+        if m.num_rows == 0:
+            return part_schema.empty_table()
+        odate = m.column("odate").to_numpy(zero_copy_only=False)
+        sdate = m.column("ts").to_numpy(zero_copy_only=False)
+        late = pa.array((sdate > odate + late_us).astype("int64"))
+        m = pa.Table.from_arrays(
+            [m.column("key"), m.column("suppkey"), late, late],
+            names=["key", "suppkey", "late", "n_late"],
+        )
+        per_order = (
+            m.select(["key", "late", "n_late"])
+            .group_by("key")
+            .aggregate([("late", "count"), ("n_late", "sum")])
+            .rename_columns(["key", "n_supps", "n_late"])
+        )
+        per_order = per_order.filter(
+            pc.and_(
+                pc.greater(per_order.column("n_supps"), pa.scalar(1, pa.int64())),
+                pc.equal(per_order.column("n_late"), pa.scalar(1, pa.int64())),
+            )
+        )
+        if per_order.num_rows == 0:
+            return part_schema.empty_table()
+        w = m.filter(pc.equal(m.column("late"), pa.scalar(1, pa.int64()))).join(
+            per_order.select(["key"]), keys="key", join_type="inner"
+        )
+        if w.num_rows == 0:
+            return part_schema.empty_table()
+        out = (
+            w.select(["suppkey", "late"])
+            .group_by("suppkey")
+            .aggregate([("late", "sum")])
+            .rename_columns(["suppkey", "cnt"])
+        )
+        return out.cast(part_schema)
+
+    partials = (
+        lineitem.map_batches(tag_lines, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(waiters_bucket, batch_format="pyarrow")
+    )
+
+    ex2_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("cnt", pa.int64()),
+            ("s_name", pa.string()),
+        ]
+    )
+
+    def tag_supp(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.equal(batch.column("s_nationkey"), pa.scalar(nationkey))
+        )
+        key = f.column("s_suppkey").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["s"] * f.num_rows, pa.string()),
+                pa.nulls(f.num_rows, pa.int64()),
+                f.column("s_name"),
+            ],
+            schema=ex2_schema,
+        )
+
+    def tag_partial(batch: pa.Table) -> pa.Table:
+        key = batch.column("suppkey")
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["w"] * batch.num_rows, pa.string()),
+                batch.column("cnt"),
+                pa.nulls(batch.num_rows, pa.string()),
+            ],
+            schema=ex2_schema,
+        )
+
+    out_schema = pa.schema([("s_name", pa.string()), ("numwait", pa.int64())])
+
+    def name_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_s = pc.equal(g.column("side"), "s")
+        supp = g.filter(is_s).select(["key", "s_name"])
+        w = (
+            g.filter(pc.invert(is_s))
+            .select(["key", "cnt"])
+            .group_by("key")
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["key", "numwait"])
+        )
+        if supp.num_rows == 0 or w.num_rows == 0:
+            return out_schema.empty_table()
+        m = w.join(supp, keys="key", join_type="inner")
+        if m.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            m, sort_keys=[("numwait", "descending"), ("s_name", "ascending")]
+        )
+        m = m.take(order.slice(0, k))
+        return pa.Table.from_arrays(
+            [m.column("s_name"), m.column("numwait")], schema=out_schema
+        )
+
+    named = (
+        partials.map_batches(tag_partial, batch_format="pyarrow")
+        .union(supplier.map_batches(tag_supp, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex2_schema, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(supplier.count()))
+        .map_groups(name_bucket, batch_format="pyarrow")
+    )
+    return named.sort(
+        key=["numwait", "s_name"], descending=[True, False]
+    ).limit(k)

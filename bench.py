@@ -671,6 +671,10 @@ def main() -> None:
         "idle_rich_customers",
         lambda: J.idle_rich_customers(SF_DIR).count(),
     )
+    timed(
+        "waiting_supplier_check",
+        lambda: J.waiting_supplier_check(SF_DIR).count(),
+    )
     timed("funnel", lambda: A.funnel_counts(SF_DIR).count())
     timed("cohort_retention", lambda: A.cohort_retention(SF_DIR).count())
     timed("event_paths", lambda: A.user_event_paths(SF_DIR).count())

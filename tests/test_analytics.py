@@ -929,3 +929,38 @@ def test_nation_market_share_q8():
     )
     assert len(got) == 2
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_waiting_supplier_check_q21():
+    """Q21 shape: orders with >1 supplier where exactly ONE shipped late
+    credit that supplier; derived late predicate (max shipdate per
+    (order, supplier) vs orderdate + 90 days), deterministic
+    (numwait DESC, s_name) order."""
+    from agentic_doc_ray.functions import joins as J
+
+    sql = """
+        WITH l AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+                   FROM lineitem GROUP BY 1, 2),
+        j AS (SELECT l.l_orderkey, l.l_suppkey,
+                CASE WHEN l.ms > o.o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END AS late
+              FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_orderstatus = 'F'),
+        agg AS (SELECT l_orderkey, count(*) AS n_supps, sum(late) AS n_late
+                FROM j GROUP BY 1),
+        w AS (SELECT j.l_suppkey FROM j JOIN agg USING (l_orderkey)
+              WHERE j.late = 1 AND agg.n_supps > 1 AND agg.n_late = 1)
+        SELECT s.s_name AS s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_12'
+        GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """
+    got = (
+        J.waiting_supplier_check(SF, nation="NATION_12")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = _tpch_sql(sql, SF, ["lineitem", "orders", "supplier", "nation"])
+    assert len(got) >= 1
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
