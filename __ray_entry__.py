@@ -763,6 +763,9 @@ _DRIVER_PRIORITY = [
     "viz_overlays",
     # new this round: full Gopher rule set (integer cross-multiplied flags)
     "gopher_quality_flags",
+    # new this round: C4 rule set (line-level) + applied clean
+    "c4_quality_flags",
+    "c4_clean",
     # new this round: CCNet-style per-domain boilerplate line removal
     "domain_boilerplate_strip",
     # new this round: interleaved multimodal sequence packing
@@ -1705,6 +1708,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(plant, batch_format="pyarrow")
         return T.redact_pii(d)
 
+    def _c4_planted(sf_dir):
+        """Deterministic multi-line plant so every C4 rule binds on the
+        single-line punctuation-free synthetic corpus (same pattern as the
+        redact_pii plant; the SQL oracle applies the identical plant)."""
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out = []
+            for i, t in zip(ids, texts):
+                i = int(i)
+                t = (
+                    t
+                    + (_C4_S5 if i % 5 == 0 else "")
+                    + (_C4_S3 if i % 3 == 0 else "")
+                    + (_C4_S7 if i % 7 == 0 else "")
+                    + (_C4_S11 if i % 11 == 0 else "")
+                    + (_C4_S13 if i % 13 == 0 else "")
+                )
+                out.append(t)
+            return pa.Table.from_pydict(
+                {"doc_id": batch.column("doc_id"), "text": out}
+            )
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(plant, batch_format="pyarrow")
+
+    def q_c4_quality_flags(sf_dir):
+        """C4 cleaning rules (Raffel et al. 2020 §2.2) as integer flags:
+        line-level keep (terminal punct + >=5 words + no 'javascript'),
+        doc-level lorem-ipsum / code-brace / >=3-kept-sentences gate."""
+        return T.c4_quality_flags(_c4_planted(sf_dir))
+
+    def q_c4_clean(sf_dir):
+        """C4 cleaning APPLIED: passing docs with dropped lines removed
+        and survivors rejoined in order (vectorized binary_join)."""
+        return T.c4_clean(_c4_planted(sf_dir))
+
     def q_bpe_merges(sf_dir):
         """BPE tokenizer training: one distributed word-count exchange,
         then driver-local merge learning over the Heaps-bounded distinct
@@ -2319,6 +2361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": lambda sf: T.gopher_quality_flags(docs(sf)),
         "token_commonness": lambda sf: T.token_commonness(docs(sf)),
         "redact_pii": q_redact_pii,
+        "c4_quality_flags": q_c4_quality_flags,
+        "c4_clean": q_c4_clean,
         "normalize_text": q_normalize_text,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,                # single-process replica oracle
@@ -2473,6 +2517,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     rotated.update(q)
     return rotated
 
+
+# C4 plant strings (shared by the Ray plant fn and the SQL oracle): a
+# deterministic multi-line suffix per doc_id residue class so every C4
+# rule (terminal punct, min words, javascript line, lorem ipsum, code
+# brace) binds on the single-line punctuation-free synthetic corpus.
+_C4_S5 = (
+    ".\nThe quick brown fox jumps high today.\n"
+    "Another proper sentence with enough words here."
+)
+_C4_S3 = "\nA sentence with barely five words."
+_C4_S7 = "\nlorem ipsum dolor sit amet."
+_C4_S11 = "\nfunction foo() { return 1; }"
+_C4_S13 = "\nPlease enable JavaScript to view this page."
+
+_C4_PLANT_SQL = (
+    "planted AS ("
+    "  SELECT doc_id, text"
+    "    || CASE WHEN doc_id % 5 = 0 THEN '.' || chr(10) || 'The quick brown fox jumps high today.' || chr(10) || 'Another proper sentence with enough words here.' ELSE '' END"
+    "    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'A sentence with barely five words.' ELSE '' END"
+    "    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END"
+    "    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function foo() { return 1; }' ELSE '' END"
+    "    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Please enable JavaScript to view this page.' ELSE '' END AS text"
+    "  FROM documents)"
+)
 
 # Gopher rule set (Rae et al. 2021 A1.1); every threshold is an integer
 # cross-multiplication, so no float ratio can drift. Shared by the
@@ -2950,6 +3018,55 @@ def oracle_sql() -> dict[str, str]:
             "+ len(regexp_extract_all(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), '(\\+?1[ .\\-]?)?(\\([0-9]{3}\\)|\\b[0-9]{3})[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b')) "
             "+ len(regexp_extract_all(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), '(\\+?1[ .\\-]?)?(\\([0-9]{3}\\)|\\b[0-9]{3})[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b', '<PHONE>', 'g'), '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_pii "
             "FROM planted"
+        ),
+        # C4 rules (Raffel et al. 2020 §2.2) over the planted multi-line
+        # corpus: per-line keep (terminal punct + >=5 words + no
+        # 'javascript'), doc gates (lorem ipsum, code brace, >=3 kept
+        # sentences). Same plant CTE as the Ray side.
+        "c4_quality_flags": (
+            "WITH " + _C4_PLANT_SQL + ", "
+            "l AS (SELECT doc_id, unnest(regexp_split_to_array(text, chr(10))) AS line FROM planted), "
+            "lt AS (SELECT doc_id, line, regexp_replace(line, '^\\s+|\\s+$', '', 'g') AS tl FROM l), "
+            "lx AS (SELECT doc_id, "
+            "  CASE WHEN regexp_matches(tl, '[.!?\"]$') "
+            "        AND (CASE WHEN tl = '' THEN 0 ELSE len(regexp_split_to_array(tl, '\\s+')) END) >= 5 "
+            "        AND NOT contains(lower(line), 'javascript') "
+            "       THEN 1 ELSE 0 END AS kept, "
+            "  CASE WHEN contains(lower(line), 'javascript') THEN 1 ELSE 0 END AS js, "
+            "  len(regexp_extract_all(line, '[.!?]')) AS nsent "
+            " FROM lt), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+            "  CAST(sum(kept) AS BIGINT) AS n_kept_lines, "
+            "  CAST(sum(kept * nsent) AS BIGINT) AS n_sentences, "
+            "  CAST(sum(js) AS BIGINT) AS n_js_lines "
+            " FROM lx GROUP BY doc_id) "
+            "SELECT a.doc_id, a.n_lines, a.n_kept_lines, a.n_sentences, a.n_js_lines, "
+            "  CAST(CASE WHEN contains(lower(p.text), 'lorem ipsum') THEN 1 ELSE 0 END AS BIGINT) AS has_lorem_ipsum, "
+            "  CAST(CASE WHEN contains(p.text, '{') THEN 1 ELSE 0 END AS BIGINT) AS has_code_brace, "
+            "  CAST(CASE WHEN NOT contains(lower(p.text), 'lorem ipsum') AND NOT contains(p.text, '{') "
+            "        AND a.n_sentences >= 3 THEN 1 ELSE 0 END AS BIGINT) AS keep "
+            "FROM agg a JOIN planted p USING (doc_id)"
+        ),
+        "c4_clean": (
+            "WITH " + _C4_PLANT_SQL + ", "
+            "arrs AS (SELECT doc_id, text, regexp_split_to_array(text, chr(10)) AS arr FROM planted), "
+            "l AS (SELECT doc_id, unnest(range(1, len(arr)+1)) AS idx, unnest(arr) AS line FROM arrs), "
+            "lt AS (SELECT doc_id, idx, line, regexp_replace(line, '^\\s+|\\s+$', '', 'g') AS tl FROM l), "
+            "lx AS (SELECT doc_id, idx, line, "
+            "  CASE WHEN regexp_matches(tl, '[.!?\"]$') "
+            "        AND (CASE WHEN tl = '' THEN 0 ELSE len(regexp_split_to_array(tl, '\\s+')) END) >= 5 "
+            "        AND NOT contains(lower(line), 'javascript') "
+            "       THEN 1 ELSE 0 END AS kept, "
+            "  len(regexp_extract_all(line, '[.!?]')) AS nsent "
+            " FROM lt), "
+            "agg AS (SELECT doc_id, "
+            "  CAST(sum(kept * nsent) AS BIGINT) AS n_sentences, "
+            "  string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE kept = 1) AS cleaned "
+            " FROM lx GROUP BY doc_id) "
+            "SELECT a.doc_id, a.cleaned AS text "
+            "FROM agg a JOIN planted p USING (doc_id) "
+            "WHERE NOT contains(lower(p.text), 'lorem ipsum') AND NOT contains(p.text, '{') "
+            "  AND a.n_sentences >= 3"
         ),
         # stable md5-percentile split/sample: int(md5(id)[:4],16) % 100 on
         # both sides — content-keyed, resumable, block-layout-independent

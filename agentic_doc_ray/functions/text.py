@@ -1780,3 +1780,191 @@ def keyword_tag_counts(
         return pa.concat_tables(parts)
 
     return docs.map_batches(tag, batch_format="pyarrow")
+
+
+def c4_quality_flags_batch(
+    batch: pa.Table,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> pa.Table:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) as integer-exact flags —
+    the line-level companion to the doc-level Gopher set:
+
+      - a line is KEPT iff it ends in terminal punctuation (``.!?"``),
+        has at least ``min_words_per_line`` whitespace words, and does
+        not contain the word "javascript" (case-insensitive);
+      - doc flags: "lorem ipsum" (case-insensitive) and the ``{``
+        code brace anywhere in the doc;
+      - ``keep`` = no lorem ipsum, no brace, and at least
+        ``min_sentences`` terminal-punctuation marks across KEPT lines.
+
+    Fully vectorized: one line split across the batch, per-line
+    predicates as Arrow kernels, per-doc rollups as numpy segment sums —
+    zero exchanges, runs at scan speed.
+    """
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = batch.num_rows
+    lines = pc.split_pattern(text, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    trimmed = pc.replace_substring_regex(flat, pattern=r"^\s+|\s+$", replacement="")
+    ends_punct = pc.match_substring_regex(trimmed, pattern='[.!?"]$')
+    nonempty = pc.not_equal(trimmed, "")
+    words = pc.split_pattern_regex(trimmed, r"\s+")
+    n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    # split of "" yields [""]: zero the word count on empty lines
+    n_words = np.where(
+        nonempty.to_numpy(zero_copy_only=False), n_words, 0
+    )
+    has_js = pc.match_substring(pc.utf8_lower(flat), "javascript")
+    kept = (
+        ends_punct.to_numpy(zero_copy_only=False)
+        & (n_words >= min_words_per_line)
+        & ~has_js.to_numpy(zero_copy_only=False)
+    )
+    n_sent_line = pc.count_substring_regex(
+        flat, pattern="[.!?]"
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    n_lines = np.zeros(n, dtype=np.int64)
+    np.add.at(n_lines, parents, 1)
+    n_kept = np.zeros(n, dtype=np.int64)
+    np.add.at(n_kept, parents[kept], 1)
+    n_sentences = np.zeros(n, dtype=np.int64)
+    np.add.at(n_sentences, parents[kept], n_sent_line[kept])
+    n_js = np.zeros(n, dtype=np.int64)
+    js_mask = has_js.to_numpy(zero_copy_only=False)
+    np.add.at(n_js, parents[js_mask], 1)
+
+    lower_doc = pc.utf8_lower(text)
+    has_lorem = pc.cast(
+        pc.match_substring(lower_doc, "lorem ipsum"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    has_brace = pc.cast(
+        pc.match_substring(text, "{"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    keep = (
+        (has_lorem == 0) & (has_brace == 0) & (n_sentences >= min_sentences)
+    ).astype(np.int64)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": n_lines,
+            "n_kept_lines": n_kept,
+            "n_sentences": n_sentences,
+            "n_js_lines": n_js,
+            "has_lorem_ipsum": has_lorem,
+            "has_code_brace": has_brace,
+            "keep": keep,
+        },
+        schema=pa.schema(
+            [
+                ("doc_id", batch.schema.field("doc_id").type),
+                ("n_lines", pa.int64()),
+                ("n_kept_lines", pa.int64()),
+                ("n_sentences", pa.int64()),
+                ("n_js_lines", pa.int64()),
+                ("has_lorem_ipsum", pa.int64()),
+                ("has_code_brace", pa.int64()),
+                ("keep", pa.int64()),
+            ]
+        ),
+    )
+
+
+def c4_quality_flags(
+    docs: "ray.data.Dataset",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> "ray.data.Dataset":
+    import functools
+
+    return docs.map_batches(
+        functools.partial(
+            c4_quality_flags_batch,
+            min_words_per_line=min_words_per_line,
+            min_sentences=min_sentences,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def c4_clean_batch(
+    batch: pa.Table,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> pa.Table:
+    """C4 cleaning APPLIED: keep only passing docs, with dropped lines
+    removed and the survivors rejoined in order — the end stage the
+    flags feed. Shares the exact rule arithmetic with
+    ``c4_quality_flags_batch``."""
+    flags = c4_quality_flags_batch(
+        batch, min_words_per_line=min_words_per_line, min_sentences=min_sentences
+    )
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lines = pc.split_pattern(text, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    trimmed = pc.replace_substring_regex(flat, pattern=r"^\s+|\s+$", replacement="")
+    ends_punct = pc.match_substring_regex(trimmed, pattern='[.!?"]$')
+    nonempty = pc.not_equal(trimmed, "")
+    words = pc.split_pattern_regex(trimmed, r"\s+")
+    n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = np.where(nonempty.to_numpy(zero_copy_only=False), n_words, 0)
+    has_js = pc.match_substring(pc.utf8_lower(flat), "javascript")
+    kept = (
+        ends_punct.to_numpy(zero_copy_only=False)
+        & (n_words >= min_words_per_line)
+        & ~has_js.to_numpy(zero_copy_only=False)
+    )
+    keep_doc = flags.column("keep").to_numpy(zero_copy_only=False) == 1
+    # vectorized per-doc rejoin: keep lines of surviving docs, rebuild a
+    # list<string> column with per-doc offsets, join with pc.binary_join
+    line_mask = kept & keep_doc[parents]
+    survivors = np.flatnonzero(keep_doc)
+    counts = np.bincount(
+        parents[line_mask], minlength=batch.num_rows
+    )[survivors]
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    values = flat.filter(pa.array(line_mask))
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values),
+        "\n",
+    )
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id").take(pa.array(survivors, pa.int64())),
+            joined,
+        ],
+        schema=pa.schema(
+            [
+                ("doc_id", batch.schema.field("doc_id").type),
+                ("text", pa.string()),
+            ]
+        ),
+    )
+
+
+def c4_clean(
+    docs: "ray.data.Dataset",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> "ray.data.Dataset":
+    import functools
+
+    return docs.map_batches(
+        functools.partial(
+            c4_clean_batch,
+            min_words_per_line=min_words_per_line,
+            min_sentences=min_sentences,
+        ),
+        batch_format="pyarrow",
+    )

@@ -517,6 +517,7 @@ def main() -> None:
 
     timed("sentence_dedup", sentence_dedup_q)
     timed("repetition_stats", lambda: T.repetition_stats(docs()).count())
+    timed("c4_quality_flags", lambda: T.c4_quality_flags(docs()).count())
 
     from agentic_doc_ray.functions import sampling as SA
 

@@ -787,3 +787,53 @@ def test_keyword_tag_counts_overlap_and_phrase():
     assert got[(1, "hash")] == 1
     assert got[(2, "table")] == 3
     assert (3, "table") not in got
+
+
+def test_c4_quality_flags_edge_cases():
+    """C4 rules on hostile inputs: empty doc, whitespace-only lines,
+    quote-terminated line, mixed-case javascript, brace + lorem overlap."""
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.text import (
+        c4_clean_batch,
+        c4_quality_flags_batch,
+    )
+
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "",
+                    "   \n\t\n  ",
+                    'He said "hello there my good friend."\n'
+                    "Second proper sentence with enough words.\n"
+                    "Third one also has sufficient words here.",
+                    "Enable JavaScript to see all this content now.\n"
+                    "short.\nno terminal punct line with many words",
+                    "lorem IPSUM inside { braces }.\n"
+                    "A full sentence with enough words one.\n"
+                    "A full sentence with enough words two.\n"
+                    "A full sentence with enough words three.",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = c4_quality_flags_batch(batch).to_pydict()
+    assert out["n_lines"] == [1, 3, 3, 3, 4]
+    # doc 2: all three lines kept (quote counts as terminal punct);
+    # doc 4: the lorem line itself passes the LINE filter (6 words,
+    # terminal period) — it's the doc-level gate that rejects the doc
+    assert out["n_kept_lines"] == [0, 0, 3, 0, 4]
+    # doc 3: the javascript line is excluded even though it would pass
+    assert out["n_js_lines"] == [0, 0, 0, 1, 0]
+    assert out["has_lorem_ipsum"] == [0, 0, 0, 0, 1]
+    assert out["has_code_brace"] == [0, 0, 0, 0, 1]
+    # doc 2 keeps (3 sentences: ". ." + quote line has 2 periods)
+    assert out["n_sentences"][2] >= 3
+    assert out["keep"] == [0, 0, 1, 0, 0]
+
+    cleaned = c4_clean_batch(batch).to_pydict()
+    assert cleaned["doc_id"] == [2]
+    assert cleaned["text"][0].count("\n") == 2  # three kept lines rejoined
