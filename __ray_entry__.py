@@ -816,6 +816,8 @@ _DRIVER_PRIORITY = [
     "keyword_tag_counts",
     # new this round: integer-exact JL random projection
     "random_projection",
+    # new this round: common-neighbor link prediction over the link graph
+    "link_prediction",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1589,6 +1591,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         d = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
         return triangle_counts(d, d.count())
+
+    def q_link_prediction(sf_dir):
+        """Common-neighbor link prediction: top-k non-adjacent pairs by
+        shared-neighbor count over the deterministic link graph — shares
+        the node-iterator skeleton with triangle_counts, inverted closure
+        (anti-join on the edge set). Pure SQL oracle."""
+        from agentic_doc_ray.functions.graph import link_prediction
+
+        d = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        return link_prediction(d, d.count(), k=100)
 
     def q_table_cells(sf_dir):
         """Structured table extraction: the flagship's table chunks parsed
@@ -2410,6 +2422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_counts": q_substring_counts,
         "table_cells": q_table_cells,              # SQL over flat-spans replica
         "triangle_counts": q_triangle_counts,
+        "link_prediction": q_link_prediction,
         "doc_outline": q_doc_outline,              # SQL over flat-spans replica
         "video_scene_cuts": q_video_scene_cuts,    # single-process replica oracle
         "audio_segments": q_audio_segments,        # single-process replica oracle
@@ -3858,6 +3871,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM ("
             "  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri"
             ") GROUP BY node"
+        ),
+        # common-neighbor link prediction: wedges minus existing edges,
+        # deterministic (n_common DESC, node_a, node_b) top-k
+        "link_prediction": (
+            "WITH ids AS (SELECT doc_id AS i FROM documents),"
+            "nn AS (SELECT count(*) AS n FROM ids),"
+            "e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst"
+            "       FROM ids, nn, generate_series(1,3) AS t(k)),"
+            "e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),"
+            "canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e1 WHERE src <> dst),"
+            "wed AS (SELECT w1.b AS x, w2.b AS y FROM canon w1"
+            "        JOIN canon w2 ON w2.a = w1.a AND w2.b > w1.b),"
+            "cn AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_common FROM wed GROUP BY 1, 2),"
+            "pred AS (SELECT cn.* FROM cn LEFT JOIN canon e ON e.a = cn.x AND e.b = cn.y"
+            "         WHERE e.a IS NULL) "
+            "SELECT x AS node_a, y AS node_b, n_common FROM pred "
+            "ORDER BY n_common DESC, node_a, node_b LIMIT 100"
         ),
         # table chunks parsed to cells; " | " grammar, truncation-tolerant
         "table_cells": (

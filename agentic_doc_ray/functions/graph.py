@@ -714,3 +714,216 @@ def triangle_counts(
     return wedge_and_edges.groupby("node", num_partitions=np_).aggregate(
         Sum("n", alias_name="n_triangles")
     )
+
+
+def link_prediction(
+    docs: "ray.data.Dataset",
+    n_docs: int,
+    k: int = 100,
+    n_buckets: int = 64,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Common-neighbor link prediction over the synthetic link graph: the
+    top-k NON-adjacent node pairs ranked by how many neighbors they
+    share — the classic link-prediction baseline (Liben-Nowell & Kleinberg
+    2003) and the "suggested merge" signal over a crawl host graph.
+
+    Shares the node-iterator skeleton with ``triangle_counts`` but
+    inverts the closure: a wedge (x, y) through apex a scores +1 for the
+    pair, and pairs PRESENT in the edge set are anti-joined away instead
+    of counted. Three exchanges:
+
+    1. canonical-distinct edge exchange (same as triangle_counts);
+    2. apex-keyed wedge generation, with per-bucket (x, y) count
+       PARTIALS — apex identity is dropped before the wire, so wedge
+       rows carry 8 fewer bytes than the triangle path's;
+    3. pair-bucket closure: partials finish their sum in-bucket
+       (each (x, y) lands in one bucket), edge-set rows anti-join, the
+       bucket emits its LOCAL top-k by (n_common DESC, x, y) so the
+       global sort + limit sees <= k x buckets rows.
+
+    Output deterministic: (n_common DESC, node_a, node_b) total order.
+    """
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+
+    n_hint = n_rows_hint if n_rows_hint is not None else n_docs * N_LINKS
+    np_ = partitions_for(n_hint)
+
+    edge_schema = pa.schema(
+        [("bucket", pa.int32()), ("a", pa.int64()), ("b", pa.int64())]
+    )
+
+    def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return (
+            (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, N_LINKS)
+        kk = np.tile(np.arange(1, N_LINKS + 1, dtype=np.int64), len(ids))
+        dst = (src * _LCG_A + kk * _LCG_C) % n_docs
+        dst = np.where(dst == src, (dst + 1) % n_docs, dst)
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        keep = a != b
+        pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+        a, b = pairs[:, 0], pairs[:, 1]
+        return pa.Table.from_arrays(
+            [pa.array(_pair_bucket(a, b)), pa.array(a), pa.array(b)],
+            schema=edge_schema,
+        )
+
+    def distinct_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("a"), pa.scalar(-1)))
+        if g.num_rows == 0:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        return (
+            g.select(["a", "b"])
+            .group_by(["a", "b"])
+            .aggregate([("a", "count")])
+            .select(["a", "b"])
+        )
+
+    edges = (
+        docs.map_batches(tag_edges, batch_format="pyarrow")
+        .union(int_key_sentinels(edge_schema, "bucket", fill={"a": -1, "b": -1}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(distinct_bucket, batch_format="pyarrow")
+        # consumed by two branches (wedge generation + edge-set rows)
+        .materialize()
+    )
+
+    apex_schema = pa.schema(
+        [("bucket", pa.int32()), ("a", pa.int64()), ("b", pa.int64())]
+    )
+
+    def tag_by_apex(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array((a % n_buckets).astype(np.int32)),
+                batch.column("a"),
+                batch.column("b"),
+            ],
+            schema=apex_schema,
+        )
+
+    # cnt >= 1: wedge count partial; cnt == -1: edge-set row; -2: sentinel
+    match_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("x", pa.int64()),
+            ("y", pa.int64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def wedge_partials_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("a"), pa.scalar(-1)))
+        if g.num_rows == 0:
+            return match_schema.empty_table()
+        df = g.select(["a", "b"]).to_pandas().sort_values(["a", "b"])
+        xs, ys = [], []
+        for _, nb in df.groupby("a", sort=False)["b"]:
+            arr = nb.to_numpy()
+            if len(arr) < 2:
+                continue
+            iu, ju = np.triu_indices(len(arr), k=1)
+            xs.append(arr[iu])
+            ys.append(arr[ju])
+        if not xs:
+            return match_schema.empty_table()
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        # pre-sum per (x, y) before the wire (apex identity not needed)
+        key = x * np.int64(n_docs) + y
+        uniq, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        ux = (uniq // n_docs).astype(np.int64)
+        uy = (uniq % n_docs).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_pair_bucket(ux, uy)),
+                pa.array(ux),
+                pa.array(uy),
+                pa.array(cnt.astype(np.int64)),
+            ],
+            schema=match_schema,
+        )
+
+    def tag_edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_pair_bucket(a, b)),
+                batch.column("a"),
+                batch.column("b"),
+                pa.array(np.full(len(a), -1, np.int64)),
+            ],
+            schema=match_schema,
+        )
+
+    out_schema = pa.schema(
+        [("node_a", pa.int64()), ("node_b", pa.int64()), ("n_common", pa.int64())]
+    )
+
+    def predict_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("cnt"), pa.scalar(-2)))
+        is_e = pc.equal(g.column("cnt"), pa.scalar(-1))
+        e = g.filter(is_e)
+        w = g.filter(pc.invert(is_e))
+        if w.num_rows == 0:
+            return out_schema.empty_table()
+        t = (
+            w.select(["x", "y", "cnt"])
+            .group_by(["x", "y"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["x", "y", "n_common"])
+        )
+        if e.num_rows:
+            ekey = (
+                e.column("x").to_numpy(zero_copy_only=False) * n_docs
+                + e.column("y").to_numpy(zero_copy_only=False)
+            )
+            tkey = (
+                t.column("x").to_numpy(zero_copy_only=False) * n_docs
+                + t.column("y").to_numpy(zero_copy_only=False)
+            )
+            t = t.filter(pa.array(~np.isin(tkey, ekey)))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("n_common", "descending"),
+                ("x", "ascending"),
+                ("y", "ascending"),
+            ],
+        )
+        t = t.take(order.slice(0, k))
+        return pa.Table.from_arrays(
+            [t.column("x"), t.column("y"), t.column("n_common")],
+            schema=out_schema,
+        )
+
+    preds = (
+        edges.map_batches(tag_by_apex, batch_format="pyarrow")
+        .union(int_key_sentinels(apex_schema, "bucket", fill={"a": -1, "b": -1}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(wedge_partials_bucket, batch_format="pyarrow")
+        .union(edges.map_batches(tag_edge_rows, batch_format="pyarrow"))
+        .union(
+            int_key_sentinels(
+                match_schema, "bucket", fill={"x": -1, "y": -1, "cnt": -2}
+            )
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(predict_bucket, batch_format="pyarrow")
+    )
+    return preds.sort(
+        key=["n_common", "node_a", "node_b"], descending=[True, False, False]
+    ).limit(k)

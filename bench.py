@@ -486,6 +486,16 @@ def main() -> None:
 
     timed("triangle_counts", triangle_q)
 
+    def link_pred_q() -> None:
+        from agentic_doc_ray.functions.graph import link_prediction
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        link_prediction(d, d.count(), k=100).count()
+
+    timed("link_prediction", link_pred_q)
+
     def bm25_q() -> None:
         from agentic_doc_ray.functions.retrieval import bm25_topk
 

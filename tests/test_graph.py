@@ -309,3 +309,37 @@ def test_triangle_counts_clique():
         """
     ).fetchall()
     assert got == [(int(a), int(b)) for a, b in want]
+
+
+def test_link_prediction_matches_sql():
+    """Common-neighbor link prediction == wedge-count-minus-edges closure
+    in SQL, top-k in deterministic (n_common DESC, a, b) order."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from agentic_doc_ray.functions.graph import link_prediction
+
+    sf = "/root/testdata/sf0.001"
+    d = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    got = link_prediction(d, d.count(), k=40).to_pandas().reset_index(drop=True)
+    want = duckdb.sql(
+        f"""
+        WITH ids AS (SELECT doc_id AS i FROM read_parquet('{sf}/documents.parquet')),
+        nn AS (SELECT count(*) AS n FROM ids),
+        e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst
+               FROM ids, nn, generate_series(1,3) AS t(k)),
+        e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),
+        canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e1 WHERE src <> dst),
+        wed AS (SELECT w1.b AS x, w2.b AS y FROM canon w1
+                JOIN canon w2 ON w2.a = w1.a AND w2.b > w1.b),
+        cn AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_common FROM wed GROUP BY 1, 2),
+        pred AS (SELECT cn.* FROM cn LEFT JOIN canon e ON e.a = cn.x AND e.b = cn.y
+                 WHERE e.a IS NULL)
+        SELECT x AS node_a, y AS node_b, n_common FROM pred
+        ORDER BY n_common DESC, node_a, node_b LIMIT 40
+        """
+    ).df()
+    assert len(got) == 40
+    # no predicted pair may already be an edge (spot the anti-join)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
