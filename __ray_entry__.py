@@ -818,6 +818,9 @@ _DRIVER_PRIORITY = [
     "random_projection",
     # new this round: common-neighbor link prediction over the link graph
     "link_prediction",
+    # new this round: sign-bit binary quantization + Hamming ANN
+    "binary_quantize",
+    "hamming_topk",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -2176,6 +2179,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             seed=7,
         )
 
+    def q_binary_quantize(sf_dir):
+        """Sign-bit binary quantization of the embedding column: bit =
+        coordinate strictly above the global per-dim mean (integer
+        cross-multiplication in micro-units), packed 32 bits/word.
+        Pure SQL oracle (same micro arithmetic)."""
+        from agentic_doc_ray.functions.similarity import binary_quantize
+
+        return binary_quantize(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            )
+        )
+
+    def q_hamming_topk(sf_dir):
+        """Hamming-space top-k over the binary codes (popcount(xor)),
+        exact with vec_id tie-break — the search side of binary ANN.
+        Pure SQL oracle (bit_count(xor) window top-k)."""
+        from agentic_doc_ray.functions.similarity import hamming_topk
+
+        return hamming_topk(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            n_queries=8,
+            k=10,
+        )
+
     def q_semantic_dedup(sf_dir):
         """SemDeDup-shaped near-dup: k-means co-location + within-cluster
         exact cosine. Same planted exact duplicates as embedding_dup_pairs
@@ -2442,6 +2472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": q_knn_join,                    # single-process replica oracle
         "similarity_topk_pq": q_similarity_pq,     # single-process replica oracle
         "random_projection": q_random_projection,  # single-process replica oracle
+        "binary_quantize": q_binary_quantize,
+        "hamming_topk": q_hamming_topk,
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
@@ -3279,6 +3311,35 @@ def oracle_sql() -> dict[str, str]:
             "    e.vec_id "
             "  FROM q CROSS JOIN embeddings e"
             ") WHERE rank <= 10"
+        ),
+        # sign-bit binary quantization in exact micro-units: bit d = 1 iff
+        # micro * n > sum_d (cross-multiplied, no mean division); packed
+        # 32 bits per int64 word, long (vec_id, word_idx, word) format
+        "binary_quantize": (
+            "WITH v AS (SELECT vec_id, unnest(range(0, 64)) AS d, unnest(embedding) AS x FROM embeddings),"
+            "m AS (SELECT vec_id, d, CAST(round(x * 1000000) AS BIGINT) AS micro FROM v),"
+            "s AS (SELECT d, CAST(sum(micro) AS BIGINT) AS sd, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY d),"
+            "b AS (SELECT m.vec_id, m.d, CASE WHEN m.micro * s.n > s.sd THEN 1 ELSE 0 END AS bit FROM m JOIN s USING (d)) "
+            "SELECT vec_id, CAST(d // 32 AS BIGINT) AS word_idx,"
+            "  CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(d % 32 AS INTEGER))) AS BIGINT) AS word "
+            "FROM b GROUP BY 1, 2"
+        ),
+        "hamming_topk": (
+            "WITH v AS (SELECT vec_id, unnest(range(0, 64)) AS d, unnest(embedding) AS x FROM embeddings),"
+            "m AS (SELECT vec_id, d, CAST(round(x * 1000000) AS BIGINT) AS micro FROM v),"
+            "s AS (SELECT d, CAST(sum(micro) AS BIGINT) AS sd, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY d),"
+            "b AS (SELECT m.vec_id, m.d, CASE WHEN m.micro * s.n > s.sd THEN 1 ELSE 0 END AS bit FROM m JOIN s USING (d)),"
+            "codes AS (SELECT vec_id, CAST(d // 32 AS BIGINT) AS word_idx,"
+            "  CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(d % 32 AS INTEGER))) AS BIGINT) AS word"
+            "  FROM b GROUP BY 1, 2),"
+            "qd AS (SELECT q.vec_id AS query_id, v2.vec_id AS vec_id,"
+            "       CAST(sum(bit_count(xor(q.word, v2.word))) AS BIGINT) AS hamming"
+            "       FROM codes q JOIN codes v2 ON v2.word_idx = q.word_idx"
+            "       WHERE q.vec_id < 8 AND v2.vec_id <> q.vec_id GROUP BY 1, 2) "
+            "SELECT query_id, rank, vec_id, hamming FROM ("
+            "  SELECT query_id, vec_id, hamming,"
+            "         CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS BIGINT) AS rank"
+            "  FROM qd) t WHERE rank <= 10"
         ),
         # money sums go through exact integer cents (round(x*100) per row,
         # int64 sum, /100 at the end) in BOTH engines: float summation is

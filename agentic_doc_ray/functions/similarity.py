@@ -879,3 +879,207 @@ def random_projection_oracle(
             "value_micro": pa.array(proj.reshape(-1), pa.int64()),
         }
     )
+
+
+def _dim_micro_sums(
+    embeddings: "ray.data.Dataset", in_dim: int
+) -> "tuple[np.ndarray, int]":
+    """Global per-dimension micro-unit sums + vector count — the
+    quantization thresholds for ``binary_quantize``. Per-batch partials
+    (in_dim int64s + a count) collected driver-side and merged with
+    integer adds (exact, order-independent); kilobytes regardless of
+    input size, same collect shape as the k-means update."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micro = _list_matrix_micro(batch.column("embedding"), in_dim)
+        return pa.Table.from_pydict(
+            {
+                "s": [micro.sum(axis=0, dtype=np.int64).tolist()],
+                "n": [len(micro)],
+            }
+        )
+
+    parts = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
+    sums = np.zeros(in_dim, dtype=np.int64)
+    n = 0
+    for r in parts:
+        sums += np.asarray(r["s"], dtype=np.int64)
+        n += int(r["n"])
+    return sums, n
+
+
+def _pack_sign_bits(
+    micro: np.ndarray, sums: np.ndarray, n: int, word_bits: int
+) -> np.ndarray:
+    """(rows, dim) micro matrix -> (rows, n_words) packed int64 codes.
+    Bit d is set iff micro[:, d] * n > sums[d] (strictly above the global
+    mean by integer cross-multiplication — no division, no float)."""
+    bits = (micro * np.int64(n)) > sums[None, :]
+    dim = micro.shape[1]
+    n_words = (dim + word_bits - 1) // word_bits
+    codes = np.zeros((len(micro), n_words), dtype=np.int64)
+    for w in range(n_words):
+        seg = bits[:, w * word_bits : (w + 1) * word_bits]
+        weights = np.int64(1) << np.arange(seg.shape[1], dtype=np.int64)
+        codes[:, w] = seg @ weights
+    return codes
+
+
+def binary_quantize(
+    embeddings: "ray.data.Dataset",
+    in_dim: int = 64,
+    word_bits: int = 32,
+) -> "ray.data.Dataset":
+    """Sign-bit binary quantization of the embedding column: bit d = 1
+    iff the coordinate is strictly above the global per-dimension mean —
+    64x storage compression and the code side of Hamming-space ANN
+    (classic sign-random-projection / ITQ-baseline quantization).
+
+    Exact-integer contract end to end: coordinates quantize to
+    micro-units (round(x * 1e6), the repo-wide convention), the
+    threshold test is the cross-multiplication micro * n > sum so no
+    mean is ever divided, and bits pack into ``word_bits``-wide int64
+    words. Two passes: a kilobyte-sized per-dimension sum collect
+    (exact int64, order-independent), then one scan emitting codes —
+    zero data exchanges.
+
+    Output long format (vec_id, word_idx, word), schema-stable for any
+    dimension.
+    """
+    sums, n = _dim_micro_sums(embeddings, in_dim)
+    n_words = (in_dim + word_bits - 1) // word_bits
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        micro = _list_matrix_micro(batch.column("embedding"), in_dim)
+        codes = _pack_sign_bits(micro, sums, n, word_bits)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, n_words), pa.int64()),
+                "word_idx": pa.array(
+                    np.tile(np.arange(n_words, dtype=np.int64), len(micro))
+                ),
+                "word": pa.array(codes.reshape(-1), pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(quantize, batch_format="pyarrow")
+
+
+def hamming_topk(
+    embeddings: "ray.data.Dataset",
+    n_queries: int = 8,
+    k: int = 10,
+    in_dim: int = 64,
+    word_bits: int = 32,
+) -> pa.Table:
+    """Hamming-space top-k over the binary-quantized codes: for each of
+    the first ``n_queries`` vectors (by vec_id), the k nearest OTHER
+    vectors by popcount(xor) distance — the search side of binary ANN,
+    exact over the codes (ties broken by vec_id ascending, mirrored in
+    the SQL oracle).
+
+    Same partial-merge shape as ``brute_topk``: per-batch local top-k
+    (k rows per query per BLOCK), then one query-keyed exchange reduces
+    to the global top-k — the corpus itself never shuffles.
+    """
+    from agentic_doc_ray.functions.phash import _popcount64
+
+    sums, n = _dim_micro_sums(embeddings, in_dim)
+
+    def collect_queries(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch.column("vec_id"), pa.scalar(n_queries, pa.int64()))
+        return batch.filter(m)
+
+    q_rows = (
+        embeddings.map_batches(collect_queries, batch_format="pyarrow")
+        .take_all()
+    )
+    q_rows.sort(key=lambda r: int(r["vec_id"]))
+    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    q_micro = np.round(
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64) * 1_000_000.0
+    ).astype(np.int64)
+    q_codes = _pack_sign_bits(q_micro, sums, n, word_bits)
+    q_ref = ray.put((q_ids, q_codes))
+
+    partial_schema = pa.schema(
+        [
+            ("query_idx", pa.int32()),
+            ("vec_id", pa.int64()),
+            ("hamming", pa.int64()),
+        ]
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qcodes = ray.get(q_ref)
+        micro = _list_matrix_micro(batch.column("embedding"), in_dim)
+        codes = _pack_sign_bits(micro, sums, n, word_bits)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"query_idx": [], "vec_id": [], "hamming": []}
+        for qi in range(len(qids)):
+            d = np.zeros(len(ids), dtype=np.int64)
+            for w in range(codes.shape[1]):
+                d += _popcount64(
+                    (codes[:, w] ^ qcodes[qi, w]).astype(np.uint64)
+                ).astype(np.int64)
+            keep = ids != qids[qi]
+            sub_ids, sub_d = ids[keep], d[keep]
+            order = np.lexsort((sub_ids, sub_d))[: min(k, len(sub_ids))]
+            out["query_idx"].extend([qi] * len(order))
+            out["vec_id"].extend(sub_ids[order].tolist())
+            out["hamming"].extend(sub_d[order].tolist())
+        return pa.Table.from_pydict(out, schema=partial_schema)
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    def group_topk(group: pa.Table) -> pa.Table:
+        real = group.filter(pc.is_valid(group.column("hamming")))
+        if real.num_rows == 0:
+            return partial_schema.empty_table()
+        d = real.column("hamming").to_numpy(zero_copy_only=False)
+        ids = real.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))[: min(k, len(ids))]
+        take = pa.array(order, pa.int64())
+        return pa.Table.from_arrays(
+            [
+                real.column("query_idx").take(take),
+                pa.array(ids[order], pa.int64()),
+                pa.array(d[order], pa.int64()),
+            ],
+            schema=partial_schema,
+        )
+
+    merged = (
+        embeddings.map_batches(partial_topk, batch_format="pyarrow")
+        .union(int_key_sentinels(partial_schema, "query_idx"))
+        .groupby("query_idx", num_partitions=shuffle_partitions())
+        .map_groups(group_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    by_q: dict[int, list] = {}
+    for r in merged:
+        by_q.setdefault(int(r["query_idx"]), []).append(
+            (int(r["hamming"]), int(r["vec_id"]))
+        )
+    rows = {"query_id": [], "rank": [], "vec_id": [], "hamming": []}
+    for qi in range(len(q_ids)):
+        for rank, (d, vid) in enumerate(
+            sorted(by_q.get(qi, []))[:k], start=1
+        ):
+            rows["query_id"].append(int(q_ids[qi]))
+            rows["rank"].append(rank)
+            rows["vec_id"].append(vid)
+            rows["hamming"].append(d)
+    return pa.Table.from_pydict(
+        rows,
+        schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("rank", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("hamming", pa.int64()),
+            ]
+        ),
+    )

@@ -609,6 +609,19 @@ def main() -> None:
 
     timed("random_projection", random_projection_q)
 
+    def hamming_topk_q() -> None:
+        from agentic_doc_ray.functions.similarity import hamming_topk
+
+        hamming_topk(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            n_queries=8,
+            k=10,
+        )
+
+    timed("hamming_topk", hamming_topk_q)
+
     def knn_join_q() -> None:
         from agentic_doc_ray.functions.similarity import knn_join
 

@@ -243,3 +243,79 @@ def test_rademacher_matrix_deterministic_and_balanced():
     assert (a != _rademacher_matrix(64, 16, 8)).any()
     # roughly balanced signs (binomial bound)
     assert abs(int(a.sum())) < 200
+
+
+def test_binary_quantize_strict_above_mean():
+    """Sign bits: strictly-above-global-mean test (a coordinate exactly AT
+    the mean gets bit 0 — the cross-multiplication is strict), packing is
+    little-endian within each 32-bit word."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import binary_quantize
+
+    # dim 64; three vectors where dim 0 has values (-1, 0, 1): mean 0, so
+    # only the +1 vector sets bit 0. dim 33 all equal: nobody sets it.
+    vecs = np.zeros((3, 64), dtype=np.float32)
+    vecs[:, 0] = [-0.000001, 0.0, 0.000001]
+    vecs[:, 33] = 0.25
+    vecs[2, 40] = 0.5
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    )
+    out = binary_quantize(ds).to_pandas().sort_values(["vec_id", "word_idx"])
+    w = {(r.vec_id, r.word_idx): r.word for r in out.itertuples()}
+    assert w[(0, 0)] == 0 and w[(1, 0)] == 0 and w[(2, 0)] == 1  # bit 0
+    # dim 33 at the mean everywhere -> bit (33-32)=1 of word 1 never set;
+    # dim 40 -> bit 8 of word 1 only for vec 2
+    assert w[(0, 1)] == 0 and w[(1, 1)] == 0 and w[(2, 1)] == (1 << 8)
+
+
+def test_hamming_topk_matches_bruteforce():
+    """hamming_topk == brute-force popcount over the same codes at
+    sf0.001, ties by vec_id."""
+    import numpy as np
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import (
+        _dim_micro_sums,
+        _list_matrix_micro,
+        _pack_sign_bits,
+        hamming_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = hamming_topk(emb, n_queries=4, k=5).to_pandas()
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sums, n = _dim_micro_sums(emb, 64)
+    micro = _list_matrix_micro(t.column("embedding"), 64)
+    codes = _pack_sign_bits(micro, sums, n, 32)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    rows = []
+    for q in range(4):
+        qrow = codes[ids == q][0]
+        d = np.zeros(len(ids), dtype=np.int64)
+        for w in range(codes.shape[1]):
+            x = (codes[:, w] ^ qrow[w]).astype(np.uint64)
+            d += np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        keep = ids != q
+        order = np.lexsort((ids[keep], d[keep]))[:5]
+        for rank, j in enumerate(order, start=1):
+            rows.append((q, rank, int(ids[keep][j]), int(d[keep][j])))
+    import pandas as pd
+
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "hamming"])
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        want,
+        check_dtype=False,
+        check_exact=True,
+    )
