@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 32  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 33  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -311,6 +311,16 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         hll_distinct_oracle(ev_tbl, "event_type", "user_id"),
         os.path.join(out_dir, "hll_distinct.parquet"),
+    )
+
+    # Count-Min replica: counter adds are commutative integer sums, so
+    # the sketch is batching-independent and the single-process replica
+    # over the whole corpus is bit-equal
+    from agentic_doc_ray.functions.sketches import cms_token_counts_oracle
+
+    _pq.write_table(
+        cms_token_counts_oracle(docs_tbl, _CMS_PROBES),
+        os.path.join(out_dir, "cms_token_counts.parquet"),
     )
 
     # bigram-LM replica: per-bigram log-likelihoods round to integer
@@ -727,6 +737,9 @@ EXTRACTION_SCHEMA = {
 
 _ORACLE_SQL_DIR = _oracle_dir(SF_CORRECTNESS)  # static path used in SQL strings
 
+# Count-Min probe tokens (shared by the query and its replica oracle)
+_CMS_PROBES = ["hash", "join", "vector", "window", "spark", "zzz_absent"]
+
 _ORDER_PRIORITY_SQL = (
     "SELECT o.o_orderpriority, "
     "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue, "
@@ -821,6 +834,8 @@ _DRIVER_PRIORITY = [
     # new this round: sign-bit binary quantization + Hamming ANN
     "binary_quantize",
     "hamming_topk",
+    # new this round: Count-Min frequency sketch
+    "cms_token_counts",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1198,6 +1213,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
         )
         return hll_distinct(ds, "event_type", "user_id")
+
+    def q_cms_token_counts(sf_dir):
+        """Count-Min sketch frequency estimates for the probe tokens:
+        per-batch slot partials -> ONE (row, slot)-keyed hash aggregate
+        (<= depth*width rows total) -> driver gather. Counter adds are
+        commutative integer sums, so the oracle is a bit-equal
+        single-process replica."""
+        from agentic_doc_ray.functions.sketches import cms_token_counts
+
+        _ensure_extraction_oracles(sf_dir)
+        return cms_token_counts(docs(sf_dir), _CMS_PROBES)
 
     def _J():
         from agentic_doc_ray.functions import joins
@@ -2511,6 +2537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": q_quantiles,
         "curriculum_bins": q_curriculum_bins,
         "hll_distinct_users": q_hll,  # single-process replica oracle
+        "cms_token_counts": q_cms_token_counts,  # bit-equal replica oracle
         "sessionize": A.sessionize,
         "purchase_sessions": A.purchase_sessions,
         "funnel_counts": A.funnel_counts,
@@ -4430,5 +4457,12 @@ def oracle_sql() -> dict[str, str]:
             # estimator's error vs exact is pinned in tests/
             "SELECT event_type, approx_distinct "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/hll_distinct.parquet')"
+        ),
+        "cms_token_counts": (
+            # approximate sketch, but DETERMINISTIC (commutative integer
+            # counter adds): oracle = bit-equal single-process replica;
+            # the >= exact-count guarantee is pinned in tests/
+            "SELECT token, est_count "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/cms_token_counts.parquet')"
         ),
     }

@@ -293,3 +293,145 @@ def quantile_bins(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# estimation. est(x) = min over depth rows of counter[d][h_d(x)] — always an
+# OVERestimate (collisions only add), within eps*N with probability
+# 1 - (1/2)^depth for width = 2/eps. Counter adds are commutative integer
+# sums, so the distributed sketch is bit-equal to a single-process replica
+# regardless of batch boundaries.
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
+
+
+def _token_hash_u64(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hash per DISTINCT token (crc32 of the bytes,
+    then splitmix64) — python loop bounded by the batch vocabulary
+    (Heaps' law), same cost class as token_commonness's crc pass."""
+    import zlib
+
+    h = np.array(
+        [zlib.crc32(t.encode("utf-8")) for t in tokens], dtype=np.uint64
+    )
+    return _hash64(h.astype(np.int64))
+
+
+def _cms_slots(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(len(h), depth) int64 slot indices: row d uses splitmix64 of
+    (token_hash + d * odd_constant)."""
+    out = np.empty((len(h), depth), dtype=np.int64)
+    for d in range(depth):
+        hd = _hash64((h + np.uint64(d) * np.uint64(0xA24BAED4963EE407)).astype(np.int64))
+        out[:, d] = (hd % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def _cms_partial_batch(
+    batch: pa.Table, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> pa.Table:
+    """Whitespace-token counts folded into sketch-slot partials: long
+    (row, slot, n) rows for the NONZERO slots this batch touched
+    (<= min(width*depth, distinct tokens * depth) rows per batch — the
+    top_tokens partial-counts shape, so the merge is a plain hash
+    aggregate that tolerates empty partitions; no map_groups)."""
+    import pyarrow.compute as pc
+
+    trimmed = pc.replace_substring_regex(
+        batch.column("text"), pattern=r"^\s+|\s+$", replacement=""
+    )
+    nonempty = pc.not_equal(trimmed, "")
+    toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    enc = flat.dictionary_encode()
+    vocab = enc.dictionary.to_pylist()
+    schema = pa.schema(
+        [("row", pa.int32()), ("slot", pa.int64()), ("n", pa.int64())]
+    )
+    if not vocab:
+        return schema.empty_table()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    per_tok = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+    slots = _cms_slots(_token_hash_u64(vocab), depth, width)
+    rows, ns, ss = [], [], []
+    for d in range(depth):
+        cnt = np.zeros(width, dtype=np.int64)
+        np.add.at(cnt, slots[:, d], per_tok)
+        nz = np.flatnonzero(cnt)
+        ss.append(nz)
+        ns.append(cnt[nz])
+        rows.append(np.full(len(nz), d, np.int32))
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.concatenate(rows), pa.int32()),
+            pa.array(np.concatenate(ss), pa.int64()),
+            pa.array(np.concatenate(ns), pa.int64()),
+        ],
+        schema=schema,
+    )
+
+
+def cms_token_counts(
+    docs: "ray.data.Dataset",
+    probes: list[str],
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> pa.Table:
+    """Count-Min frequency estimates for ``probes`` over the corpus'
+    whitespace tokens: (token, est_count), est = min over depth rows.
+
+    Scale shape: per-batch slot partials -> ONE hash aggregate keyed by
+    (row, slot) (output <= depth*width rows TOTAL, independent of corpus
+    size) -> the <= depth*width merged rows collect driver-side and the
+    probe estimates are a numpy gather. The corpus never shuffles.
+    """
+    from functools import partial as _part
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        docs.map_batches(
+            _part(_cms_partial_batch, width=width, depth=depth),
+            batch_format="pyarrow",
+        )
+        .groupby(["row", "slot"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    cms = np.zeros((depth, width), dtype=np.int64)
+    for r in merged:
+        cms[int(r["row"]), int(r["slot"])] = int(r["n"])
+    return _cms_estimate_table(cms, probes, width, depth)
+
+
+def _cms_estimate_table(
+    cms: np.ndarray, probes: list[str], width: int, depth: int
+) -> pa.Table:
+    slots = _cms_slots(_token_hash_u64(list(probes)), depth, width)
+    est = cms[np.arange(depth)[None, :], slots].min(axis=1)
+    return pa.Table.from_pydict(
+        {"token": list(probes), "est_count": est.astype(np.int64)},
+        schema=pa.schema([("token", pa.string()), ("est_count", pa.int64())]),
+    )
+
+
+def cms_token_counts_oracle(
+    docs_tbl: pa.Table,
+    probes: list[str],
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> pa.Table:
+    """Single-process replica (bit-equal: counter adds are commutative
+    integer sums, so the sketch is batching-independent)."""
+    part = _cms_partial_batch(docs_tbl, width=width, depth=depth)
+    cms = np.zeros((depth, width), dtype=np.int64)
+    rows = part.column("row").to_numpy(zero_copy_only=False)
+    slots = part.column("slot").to_numpy(zero_copy_only=False)
+    ns = part.column("n").to_numpy(zero_copy_only=False)
+    np.add.at(cms, (rows.astype(np.int64), slots), ns)
+    return _cms_estimate_table(cms, probes, width, depth)

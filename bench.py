@@ -247,6 +247,13 @@ def main() -> None:
     )
     timed("simhash", lambda: D.simhashes(docs()).count())
     timed("token_commonness", lambda: T.token_commonness(docs()).count())
+
+    def cms_q() -> None:
+        from agentic_doc_ray.functions.sketches import cms_token_counts
+
+        cms_token_counts(docs(), ["hash", "join", "vector", "window"])
+
+    timed("cms_token_counts", cms_q)
     timed("bigram_lm_nll", lambda: T.bigram_lm_score(docs()).count())
     from agentic_doc_ray.functions.cdc import cdc_dedup_stats as _cdc
 

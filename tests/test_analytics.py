@@ -964,3 +964,45 @@ def test_waiting_supplier_check_q21():
     want = _tpch_sql(sql, SF, ["lineitem", "orders", "supplier", "nation"])
     assert len(got) >= 1
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_cms_token_counts_guarantees():
+    """Count-Min: distributed == replica bit-for-bit; estimates are NEVER
+    below exact counts (collisions only add), and a tiny width=16 sketch
+    forces collisions to prove the min-over-depth still upper-bounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from agentic_doc_ray.functions.sketches import (
+        cms_token_counts,
+        cms_token_counts_oracle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    probes = ["hash", "join", "vector", "window", "spark", "zzz_absent"]
+    d = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    got = cms_token_counts(d.repartition(7), probes).to_pandas()
+    want = cms_token_counts_oracle(tbl, probes).to_pandas()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    # exact counts lower-bound the estimates, at ANY width
+    exact = duckdb.sql(
+        f"""
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT unnest(regexp_split_to_array(
+            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
+          FROM read_parquet('{sf}/documents.parquet')
+          WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> '') t
+        GROUP BY 1
+        """
+    ).df()
+    exact_map = dict(zip(exact["w"], exact["c"]))
+    for width in (2048, 16):  # 16 forces heavy collisions
+        est = cms_token_counts_oracle(tbl, probes, width=width).to_pandas()
+        for tok, e in zip(est["token"], est["est_count"]):
+            assert e >= exact_map.get(tok, 0), (width, tok, e)
+    # wide sketch on a small vocab is collision-free -> exact
+    for tok, e in zip(want["token"], want["est_count"]):
+        assert e == exact_map.get(tok, 0)
