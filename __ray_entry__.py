@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 33  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 34  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -331,6 +331,16 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         bigram_lm_oracle(docs_tbl),
         os.path.join(out_dir, "bigram_lm.parquet"),
+    )
+
+    # min-k% replica: value-based selection with a fixed per-doc count
+    # over integer micro-bit NLLs — tie- and batch-independent, so the
+    # single-process replica is bit-equal
+    from agentic_doc_ray.functions.text import mink_prob_oracle
+
+    _pq.write_table(
+        mink_prob_oracle(docs_tbl),
+        os.path.join(out_dir, "mink_prob.parquet"),
     )
 
     # CDC chunk replica: chunking is per-doc deterministic (batch-local),
@@ -836,6 +846,8 @@ _DRIVER_PRIORITY = [
     "hamming_topk",
     # new this round: Count-Min frequency sketch
     "cms_token_counts",
+    # new this round: min-k% membership-inference signal
+    "mink_prob",
     # new in r03 and never driver-checked — outranks the refactor
     # re-checks at the window tail
     "frame_samples",
@@ -1213,6 +1225,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
         )
         return hll_distinct(ds, "event_type", "user_id")
+
+    def q_mink_prob(sf_dir):
+        """Min-K% probability membership signal: per doc, mean NLL
+        (micro-bits) of its 20% lowest-probability bigrams under the
+        corpus bigram LM — bit-equal replica oracle."""
+        from agentic_doc_ray.functions.text import mink_prob_score
+
+        _ensure_extraction_oracles(sf_dir)
+        return mink_prob_score(docs(sf_dir))
 
     def q_cms_token_counts(sf_dir):
         """Count-Min sketch frequency estimates for the probe tokens:
@@ -2538,6 +2559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_bins": q_curriculum_bins,
         "hll_distinct_users": q_hll,  # single-process replica oracle
         "cms_token_counts": q_cms_token_counts,  # bit-equal replica oracle
+        "mink_prob": q_mink_prob,  # bit-equal replica oracle
         "sessionize": A.sessionize,
         "purchase_sessions": A.purchase_sessions,
         "funnel_counts": A.funnel_counts,
@@ -4464,5 +4486,11 @@ def oracle_sql() -> dict[str, str]:
             # the >= exact-count guarantee is pinned in tests/
             "SELECT token, est_count "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/cms_token_counts.parquet')"
+        ),
+        "mink_prob": (
+            # integer micro-bit NLLs, value-based fixed-count selection:
+            # bit-equal single-process replica
+            "SELECT doc_id, n_scored, k_sel, mink_nll_micro, mink_mean_micro "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/mink_prob.parquet')"
         ),
     }

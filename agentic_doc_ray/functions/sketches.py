@@ -394,12 +394,17 @@ def cms_token_counts(
 
     from ray.data.aggregate import Sum
 
+    from agentic_doc_ray.context import partitions_for
+
     merged = (
         docs.map_batches(
             _part(_cms_partial_batch, width=width, depth=depth),
             batch_format="pyarrow",
         )
-        .groupby(["row", "slot"])
+        # output is bounded by depth*width rows — size the aggregator
+        # fleet for THAT, not the corpus (unsized groupbys spawn a
+        # default-width fleet whose cold start dominates)
+        .groupby(["row", "slot"], num_partitions=partitions_for(depth * width))
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
     )

@@ -1968,3 +1968,151 @@ def c4_clean(
         ),
         batch_format="pyarrow",
     )
+
+
+def _mink_score_batch(batch: pa.Table, bmap, fmap, k_pct: int) -> pa.Table:
+    """Min-K% membership-inference signal (Shi et al. 2023, adapted to
+    the corpus bigram LM): per doc, the mean NLL of its ceil(k_pct%)
+    LOWEST-probability scored bigrams. All integer micro-bits; the
+    selection is by VALUE with a fixed count, so the selected SUM is
+    independent of tie order and of batch boundaries — bit-equal
+    replica territory."""
+    import pandas as pd
+
+    trimmed = _regex_trim(batch.column("text"))
+    if isinstance(trimmed, pa.ChunkedArray):
+        trimmed = trimmed.combine_chunks()
+    nonempty = pc.not_equal(trimmed, "")
+    toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks_list, pa.ChunkedArray):
+        toks_list = toks_list.combine_chunks()
+    flat = toks_list.flatten()
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    n = len(flat)
+
+    n_docs = batch.num_rows
+    n_scored = np.zeros(n_docs, np.int64)
+    k_sel = np.zeros(n_docs, np.int64)
+    mink_sum = np.zeros(n_docs, np.int64)
+    idx = np.flatnonzero(nonempty.to_numpy(zero_copy_only=False))
+
+    if n >= 2:
+        same = parents[:-1] == parents[1:]
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1), " "
+        ).filter(pa.array(same))
+        firsts = flat.slice(0, n - 1).filter(pa.array(same))
+        seg = parents[:-1][same]
+
+        nb = pd.Series(joined.to_numpy(zero_copy_only=False)).map(bmap).to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        nf = pd.Series(firsts.to_numpy(zero_copy_only=False)).map(fmap).to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        scored = ~(np.isnan(nb) | np.isnan(nf))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ll = np.log2(nb[scored] / nf[scored])
+        nll = -np.round(ll * _LM_SCALE).astype(np.int64)
+        sseg = seg[scored]
+
+        n_ne = int(parents[-1]) + 1 if n else 0
+        sc = np.bincount(sseg, minlength=n_ne).astype(np.int64)
+        ks = -(-sc * k_pct // 100)  # ceil(n_scored * k_pct / 100), int
+        # per segment: take the ks[d] HIGHEST nll values. lexsort by
+        # (segment, -nll); rank-within-segment = arange - seg_start
+        order = np.lexsort((-nll, sseg))
+        snll = nll[order]
+        sseg_sorted = sseg[order]
+        seg_starts = np.concatenate(
+            (np.zeros(1, np.int64), np.cumsum(sc[:-1], dtype=np.int64))
+        )
+        rank = np.arange(len(snll), dtype=np.int64) - seg_starts[sseg_sorted]
+        takemask = rank < ks[sseg_sorted]
+        sums = np.bincount(
+            sseg_sorted[takemask],
+            weights=snll[takemask].astype(np.float64),
+            minlength=n_ne,
+        )
+        n_scored[idx[:n_ne]] = sc
+        k_sel[idx[:n_ne]] = ks
+        mink_sum[idx[:n_ne]] = np.round(sums).astype(np.int64)
+
+    mean = np.where(k_sel > 0, mink_sum // np.maximum(k_sel, 1), 0)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_scored, pa.int64()),
+            pa.array(k_sel, pa.int64()),
+            pa.array(mink_sum, pa.int64()),
+            pa.array(mean.astype(np.int64), pa.int64()),
+        ],
+        names=["doc_id", "n_scored", "k_sel", "mink_nll_micro", "mink_mean_micro"],
+    )
+
+
+def mink_prob_score(
+    docs: "ray.data.Dataset", k_pct: int = 20, max_vocab: int = 1 << 22
+) -> "ray.data.Dataset":
+    """Min-K% probability score over the corpus bigram LM: per document,
+    the mean NLL (integer micro-bits) of its k% lowest-probability
+    bigrams — the standard pretraining-data membership/contamination
+    signal (a doc whose WORST tokens are still high-probability is
+    likely memorized/duplicated training text).
+
+    Same two count exchanges + broadcast probe as ``bigram_lm_score``;
+    one extra per-batch segment-sorted selection, still fully
+    vectorized. Oracle: bit-equal single-process replica (value-based
+    selection with a fixed count is tie- and batch-independent).
+    """
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    np_ = shuffle_partitions()
+
+    def collect(ds, key):
+        blocks = [
+            b for b in _ray.get(ds.materialize().to_arrow_refs()) if b.num_rows
+        ]
+        if not blocks:
+            return pa.table(
+                {key: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(blocks).combine_chunks()
+
+    btbl = collect(
+        docs.map_batches(_bigram_partial, batch_format="pyarrow")
+        .groupby("bigram", num_partitions=np_)
+        .aggregate(Sum("n", alias_name="n")),
+        "bigram",
+    )
+    ftbl = _firsts_from_bigrams(btbl)
+    bmap = _counts_to_series(_cap_counts(btbl, "bigram", max_vocab, "bigram"), "bigram")
+    fmap = _counts_to_series(_cap_counts(ftbl, "token", max_vocab, "first-token"), "token")
+    bref, fref = _ray.put(bmap), _ray.put(fmap)
+
+    def score(batch: pa.Table, *, _b=bref, _f=fref) -> pa.Table:
+        cache = score.__dict__
+        if "b" not in cache:
+            cache["b"], cache["f"] = _ray.get(_b), _ray.get(_f)
+        return _mink_score_batch(batch, cache["b"], cache["f"], k_pct)
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def mink_prob_oracle(
+    docs_tbl: pa.Table, k_pct: int = 20, max_vocab: int = 1 << 22
+) -> pa.Table:
+    """Single-process replica of ``mink_prob_score`` (same partial count
+    fns over the whole corpus, same cap rule, same selection scorer)."""
+    btbl = _cap_counts(_bigram_partial(docs_tbl), "bigram", max_vocab, "bigram")
+    ftbl = _cap_counts(_first_partial(docs_tbl), "token", max_vocab, "first-token")
+    return _mink_score_batch(
+        docs_tbl,
+        _counts_to_series(btbl, "bigram"),
+        _counts_to_series(ftbl, "token"),
+        k_pct,
+    )

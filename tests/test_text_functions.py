@@ -837,3 +837,39 @@ def test_c4_quality_flags_edge_cases():
     cleaned = c4_clean_batch(batch).to_pydict()
     assert cleaned["doc_id"] == [2]
     assert cleaned["text"][0].count("\n") == 2  # three kept lines rejoined
+
+
+def test_mink_prob_matches_replica_and_bounds():
+    """Min-K%: distributed == single-process replica bit-for-bit across
+    an adversarial repartition, and the selected mean NLL (mean of the
+    WORST k% bigrams) never falls below the doc's overall mean NLL."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from agentic_doc_ray.functions.text import (
+        bigram_lm_oracle,
+        mink_prob_oracle,
+        mink_prob_score,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    got = (
+        mink_prob_score(d.repartition(9))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = mink_prob_oracle(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    lm = bigram_lm_oracle(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    both = want.merge(lm, on="doc_id")
+    sel = both[both["k_sel"] > 0]
+    assert len(sel) > 100
+    assert (
+        sel["mink_mean_micro"] >= sel["nll_micro"] // sel["n_scored_y"]
+    ).all()
+    # k_sel is ceil(20% of n_scored)
+    assert (sel["k_sel"] == -(-sel["n_scored_x"] * 20 // 100)).all()
