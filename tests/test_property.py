@@ -366,3 +366,88 @@ def test_dedup_lines_batch_matches_pure_spec(texts):
                 removed += 1
         assert got["text"][i] == "\n".join(kept)
         assert got["n_removed"][i] == removed
+
+
+@settings(deadline=None, max_examples=80, derandomize=True)
+@given(
+    st.lists(
+        st.text(
+            alphabet=' \t\nabJ.!?"{xy' + "lorem ipsu",  # hits every rule
+            max_size=60,
+        ),
+        max_size=8,
+    )
+)
+def test_c4_flags_fuzz_matches_naive(texts):
+    """Vectorized C4 flags == a pure-Python line-by-line spec on
+    arbitrary (ascii) corpora, including empty docs and whitespace-only
+    lines."""
+    import re
+
+    from agentic_doc_ray.functions.text import c4_quality_flags_batch
+
+    t = pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts},
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+    got = {r["doc_id"]: r for r in c4_quality_flags_batch(t).to_pylist()}
+    for i, txt in enumerate(texts):
+        lines = txt.split("\n")
+        kept_lines, n_js = [], 0
+        for ln in lines:
+            tl = re.sub(r"^\s+|\s+$", "", ln)
+            js = "javascript" in ln.lower()
+            n_js += js
+            if (
+                tl
+                and re.search(r'[.!?"]$', tl)
+                and len(re.split(r"\s+", tl)) >= 5
+                and not js
+            ):
+                kept_lines.append(ln)
+        n_sent = sum(len(re.findall(r"[.!?]", ln)) for ln in kept_lines)
+        lorem = "lorem ipsum" in txt.lower()
+        brace = "{" in txt
+        r = got[i]
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept_lines"] == len(kept_lines)
+        assert r["n_sentences"] == n_sent
+        assert r["n_js_lines"] == n_js
+        assert r["has_lorem_ipsum"] == int(lorem)
+        assert r["has_code_brace"] == int(brace)
+        assert r["keep"] == int(not lorem and not brace and n_sent >= 3)
+
+
+@settings(deadline=None, max_examples=40, derandomize=True)
+@given(
+    st.lists(
+        st.text(alphabet=" \tabAB.!?xy", max_size=50),
+        max_size=10,
+    ),
+    st.integers(1, 3),
+)
+def test_mink_prob_batching_invariant(texts, n_slices):
+    """_mink_score_batch over the whole table == concat of arbitrary
+    slice scorings (same count tables): value-based fixed-count
+    selection over integer micro-bits cannot depend on batch layout."""
+    from agentic_doc_ray.functions.text import (
+        _bigram_partial,
+        _counts_to_series,
+        _first_partial,
+        _mink_score_batch,
+    )
+
+    t = pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts},
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+    bmap = _counts_to_series(_bigram_partial(t), "bigram")
+    fmap = _counts_to_series(_first_partial(t), "token")
+    whole = _mink_score_batch(t, bmap, fmap, 20).to_pylist()
+    n = len(texts)
+    cuts = [0] + sorted((i * n) // n_slices for i in range(1, n_slices)) + [n]
+    sliced = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        if b > a:
+            sliced.extend(_mink_score_batch(t.slice(a, b - a), bmap, fmap, 20).to_pylist())
+    assert whole == sliced
