@@ -515,6 +515,45 @@ def near_dedup_keep_best(
     )
 
 
+def _wedge_pairs(
+    apex: np.ndarray, nb: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Vectorized wedge generation: edges sorted by (apex, neighbor) ->
+    (x, y, apex) arrays of all higher-neighbor pairs per apex, x < y.
+
+    No per-apex Python loop: apexes are bucketed BY DEGREE (the number
+    of distinct degree values is <= max degree — single digits on a
+    bounded-degree graph, ~log n even under crawl skew), and each degree
+    class stacks its neighbor lists into an (m, d) matrix so one
+    np.triu_indices gather emits every pair of the class at once.
+    """
+    if len(apex) == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e, e
+    # degree per edge-run: apex array is sorted, count run lengths
+    uniq, starts, counts = np.unique(apex, return_index=True, return_counts=True)
+    xs, ys, aps = [], [], []
+    for d in np.unique(counts):
+        if d < 2:
+            continue
+        sel = counts == d
+        s = starts[sel]
+        # (m, d) neighbor matrix for all apexes of degree d
+        mat = nb[(s[:, None] + np.arange(d)[None, :]).reshape(-1)].reshape(-1, int(d))
+        iu, ju = np.triu_indices(int(d), k=1)
+        xs.append(mat[:, iu].reshape(-1))
+        ys.append(mat[:, ju].reshape(-1))
+        aps.append(np.repeat(uniq[sel], len(iu)))
+    if not xs:
+        e = np.array([], dtype=np.int64)
+        return e, e, e
+    return (
+        np.concatenate(xs),
+        np.concatenate(ys),
+        np.concatenate(aps),
+    )
+
+
 def triangle_counts(
     docs: "ray.data.Dataset",
     n_docs: int,
@@ -632,21 +671,12 @@ def triangle_counts(
         g = group.filter(pc.not_equal(group.column("a"), pa.scalar(-1)))
         if g.num_rows == 0:
             return match_schema.empty_table()
-        df = g.select(["a", "b"]).to_pandas().sort_values(["a", "b"])
-        apexes, xs, ys = [], [], []
-        for apex, nb in df.groupby("a", sort=False)["b"]:
-            arr = nb.to_numpy()
-            if len(arr) < 2:
-                continue
-            iu, ju = np.triu_indices(len(arr), k=1)
-            xs.append(arr[iu])
-            ys.append(arr[ju])
-            apexes.append(np.full(len(iu), apex, np.int64))
-        if not xs:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        x, y, ap = _wedge_pairs(a[order], b[order])
+        if len(x) == 0:
             return match_schema.empty_table()
-        x = np.concatenate(xs)
-        y = np.concatenate(ys)
-        ap = np.concatenate(apexes)
         return pa.Table.from_arrays(
             [pa.array(_pair_bucket(x, y)), pa.array(x), pa.array(y), pa.array(ap)],
             schema=match_schema,
@@ -826,19 +856,12 @@ def link_prediction(
         g = group.filter(pc.not_equal(group.column("a"), pa.scalar(-1)))
         if g.num_rows == 0:
             return match_schema.empty_table()
-        df = g.select(["a", "b"]).to_pandas().sort_values(["a", "b"])
-        xs, ys = [], []
-        for _, nb in df.groupby("a", sort=False)["b"]:
-            arr = nb.to_numpy()
-            if len(arr) < 2:
-                continue
-            iu, ju = np.triu_indices(len(arr), k=1)
-            xs.append(arr[iu])
-            ys.append(arr[ju])
-        if not xs:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        x, y, _ap = _wedge_pairs(a[order], b[order])
+        if len(x) == 0:
             return match_schema.empty_table()
-        x = np.concatenate(xs)
-        y = np.concatenate(ys)
         # pre-sum per (x, y) before the wire (apex identity not needed)
         key = x * np.int64(n_docs) + y
         uniq, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
