@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 34  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 35  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -288,6 +288,16 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=5
         ),
         os.path.join(out_dir, "pagerank.parquet"),
+    )
+
+    # k-core replica: exact Batagelj-Zaversnik peeling over the same LCG
+    # edge set — an INDEPENDENT algorithm from the distributed H-index
+    # iteration, which converges to the identical integer coreness
+    from agentic_doc_ray.functions.graph import kcore_oracle
+
+    _pq.write_table(
+        kcore_oracle(docs_tbl.column("doc_id"), docs_tbl.num_rows),
+        os.path.join(out_dir, "kcore.parquet"),
     )
 
     # compression-ratio replica: zlib at a fixed level is deterministic
@@ -782,6 +792,9 @@ def entry() -> Any:
 _DRIVER_PRIORITY = [
     # r02 FAIL — oracle HUGEINT->BIGINT cast added this round
     "repetition_stats",
+    # new this round: k-core decomposition over the link graph (distributed
+    # H-index BSP vs exact peeling replica)
+    "kcore_numbers",
     # new this round (rendered overlays; byte-exact PPM digest oracle)
     "viz_overlays",
     # new this round: full Gopher rule set (integer cross-multiplied flags)
@@ -844,6 +857,8 @@ _DRIVER_PRIORITY = [
     # new this round: sign-bit binary quantization + Hamming ANN
     "binary_quantize",
     "hamming_topk",
+    # new this round: SQ8 scalar quantization (per-dim range codes)
+    "sq8_codes",
     # new this round: Count-Min frequency sketch
     "cms_token_counts",
     # new this round: min-k% membership-inference signal
@@ -1480,6 +1495,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
         return pagerank(edges, n_iter=5)
+
+    def q_kcore(sf_dir):
+        """k-core decomposition over the synthetic link graph (link-graph
+        pruning signal: dense-core hosts vs periphery). Distributed
+        H-index BSP iteration; oracle: exact Batagelj-Zaversnik peeling —
+        an independent algorithm that lands on the same integer
+        coreness."""
+        from agentic_doc_ray.functions.graph import kcore
+
+        _ensure_extraction_oracles(sf_dir)
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        return kcore(d, d.count())
 
     def q_split_sentences(sf_dir):
         """Sentence segmentation (the unit for sentence-level dedup /
@@ -2239,6 +2268,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_sq8(sf_dir):
+        """FAISS-style SQ8 scalar quantization: per-dim global [min,max]
+        range (kilobyte collect), 8-bit levels by exact nonnegative
+        integer floor-division, 7 codes packed per int64 word (byte 7
+        would cross the sign bit). Pure SQL oracle (same micro
+        arithmetic + integer division)."""
+        from agentic_doc_ray.functions.similarity import sq8_quantize
+
+        return sq8_quantize(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            )
+        )
+
     def q_hamming_topk(sf_dir):
         """Hamming-space top-k over the binary codes (popcount(xor)),
         exact with vec_id tie-break — the search side of binary ANN.
@@ -2491,6 +2534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "cross_snapshot_dedup": q_cross_snapshot_dedup,  # naive replica oracle
         "pagerank": q_pagerank,                    # single-process replica oracle
+        "kcore_numbers": q_kcore,                  # independent peeling oracle
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "source_divergence": q_source_divergence,  # single-process replica oracle
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
@@ -2520,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_pq": q_similarity_pq,     # single-process replica oracle
         "random_projection": q_random_projection,  # single-process replica oracle
         "binary_quantize": q_binary_quantize,
+        "sq8_codes": q_sq8,
         "hamming_topk": q_hamming_topk,
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
@@ -3364,6 +3409,17 @@ def oracle_sql() -> dict[str, str]:
         # sign-bit binary quantization in exact micro-units: bit d = 1 iff
         # micro * n > sum_d (cross-multiplied, no mean division); packed
         # 32 bits per int64 word, long (vec_id, word_idx, word) format
+        "sq8_codes": (
+            "WITH v AS (SELECT vec_id, unnest(range(0, 64)) AS d, unnest(embedding) AS x FROM embeddings),"
+            "m AS (SELECT vec_id, d, CAST(round(x * 1000000) AS BIGINT) AS micro FROM v),"
+            "s AS (SELECT d, min(micro) AS mn, max(micro) AS mx FROM m GROUP BY d),"
+            "c AS (SELECT m.vec_id, m.d,"
+            "  CASE WHEN s.mx > s.mn THEN ((m.micro - s.mn) * 255) // (s.mx - s.mn) ELSE 0 END AS code"
+            "  FROM m JOIN s USING (d)) "
+            "SELECT vec_id, CAST(d // 7 AS BIGINT) AS word_idx,"
+            "  CAST(sum(code * (CAST(1 AS BIGINT) << CAST((d % 7) * 8 AS INTEGER))) AS BIGINT) AS word "
+            "FROM c GROUP BY 1, 2"
+        ),
         "binary_quantize": (
             "WITH v AS (SELECT vec_id, unnest(range(0, 64)) AS d, unnest(embedding) AS x FROM embeddings),"
             "m AS (SELECT vec_id, d, CAST(round(x * 1000000) AS BIGINT) AS micro FROM v),"
@@ -3909,6 +3965,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": (
             "SELECT node, rank_scaled "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pagerank.parquet')"
+        ),
+        "kcore_numbers": (
+            "SELECT node, core "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/kcore.parquet')"
         ),
         "bigram_lm_nll": (
             "SELECT doc_id, n_bigrams, n_scored, nll_micro "

@@ -515,6 +515,67 @@ def near_dedup_keep_best(
     )
 
 
+_LINK_EDGE_SCHEMA = pa.schema(
+    [("bucket", pa.int32()), ("a", pa.int64()), ("b", pa.int64())]
+)
+
+
+def _link_pair_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket of a canonical (a < b) node pair."""
+    return (
+        (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.astype(np.uint64))
+        % np.uint64(n_buckets)
+    ).astype(np.int32)
+
+
+def _distinct_link_edges(
+    docs: "ray.data.Dataset", n_docs: int, n_buckets: int, np_: int
+) -> "ray.data.Dataset":
+    """Canonical-distinct undirected edge set (a < b) of the synthetic LCG
+    link graph (``pagerank.link_edges`` formula): batch-local derive +
+    canonicalize + dedupe, then ONE pair-bucket exchange finishes the
+    global DISTINCT. Materialized — every caller consumes it from at
+    least two branches (wedges + edge-set rows, or symmetric adjacency),
+    and re-running the exchange per branch would double its cost."""
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, N_LINKS)
+        k = np.tile(np.arange(1, N_LINKS + 1, dtype=np.int64), len(ids))
+        dst = (src * _LCG_A + k * _LCG_C) % n_docs
+        dst = np.where(dst == src, (dst + 1) % n_docs, dst)
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        keep = a != b
+        pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+        a, b = pairs[:, 0], pairs[:, 1]
+        return pa.Table.from_arrays(
+            [pa.array(_link_pair_bucket(a, b, n_buckets)), pa.array(a), pa.array(b)],
+            schema=_LINK_EDGE_SCHEMA,
+        )
+
+    def distinct_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("a"), pa.scalar(-1)))
+        if g.num_rows == 0:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        return (
+            g.select(["a", "b"])
+            .group_by(["a", "b"])
+            .aggregate([("a", "count")])
+            .select(["a", "b"])
+        )
+
+    return (
+        docs.map_batches(tag_edges, batch_format="pyarrow")
+        .union(int_key_sentinels(_LINK_EDGE_SCHEMA, "bucket", fill={"a": -1, "b": -1}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(distinct_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def _wedge_pairs(
     apex: np.ndarray, nb: np.ndarray
 ) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
@@ -589,59 +650,15 @@ def triangle_counts(
 
     from agentic_doc_ray.context import partitions_for
     from agentic_doc_ray.functions._exchange import int_key_sentinels
-    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+    from agentic_doc_ray.functions.pagerank import N_LINKS
 
     n_hint = n_rows_hint if n_rows_hint is not None else n_docs * N_LINKS
     np_ = partitions_for(n_hint)
 
-    edge_schema = pa.schema(
-        [("bucket", pa.int32()), ("a", pa.int64()), ("b", pa.int64())]
-    )
-
     def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        return (
-            (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.astype(np.uint64))
-            % np.uint64(n_buckets)
-        ).astype(np.int32)
+        return _link_pair_bucket(a, b, n_buckets)
 
-    def tag_edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.repeat(ids, N_LINKS)
-        k = np.tile(np.arange(1, N_LINKS + 1, dtype=np.int64), len(ids))
-        dst = (src * _LCG_A + k * _LCG_C) % n_docs
-        dst = np.where(dst == src, (dst + 1) % n_docs, dst)
-        a = np.minimum(src, dst)
-        b = np.maximum(src, dst)
-        keep = a != b
-        pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
-        a, b = pairs[:, 0], pairs[:, 1]
-        return pa.Table.from_arrays(
-            [pa.array(_pair_bucket(a, b)), pa.array(a), pa.array(b)],
-            schema=edge_schema,
-        )
-
-    def distinct_bucket(group: pa.Table) -> pa.Table:
-        g = group.filter(pc.not_equal(group.column("a"), pa.scalar(-1)))
-        if g.num_rows == 0:
-            return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
-        d = (
-            g.select(["a", "b"])
-            .group_by(["a", "b"])
-            .aggregate([("a", "count")])
-            .select(["a", "b"])
-        )
-        return d
-
-    edges = (
-        docs.map_batches(tag_edges, batch_format="pyarrow")
-        .union(int_key_sentinels(edge_schema, "bucket", fill={"a": -1, "b": -1}))
-        .groupby("bucket", num_partitions=np_)
-        .map_groups(distinct_bucket, batch_format="pyarrow")
-        # consumed by TWO branches (apex re-key + edge-set rows): pin the
-        # distinct edge set once instead of re-running the exchange per
-        # branch (object-store spill covers it at scale)
-        .materialize()
-    )
+    edges = _distinct_link_edges(docs, n_docs, n_buckets, np_)
 
     apex_schema = pa.schema(
         [("bucket", pa.int32()), ("a", pa.int64()), ("b", pa.int64())]
@@ -776,56 +793,15 @@ def link_prediction(
     """
     from agentic_doc_ray.context import partitions_for
     from agentic_doc_ray.functions._exchange import int_key_sentinels
-    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+    from agentic_doc_ray.functions.pagerank import N_LINKS
 
     n_hint = n_rows_hint if n_rows_hint is not None else n_docs * N_LINKS
     np_ = partitions_for(n_hint)
 
-    edge_schema = pa.schema(
-        [("bucket", pa.int32()), ("a", pa.int64()), ("b", pa.int64())]
-    )
-
     def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        return (
-            (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.astype(np.uint64))
-            % np.uint64(n_buckets)
-        ).astype(np.int32)
+        return _link_pair_bucket(a, b, n_buckets)
 
-    def tag_edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.repeat(ids, N_LINKS)
-        kk = np.tile(np.arange(1, N_LINKS + 1, dtype=np.int64), len(ids))
-        dst = (src * _LCG_A + kk * _LCG_C) % n_docs
-        dst = np.where(dst == src, (dst + 1) % n_docs, dst)
-        a = np.minimum(src, dst)
-        b = np.maximum(src, dst)
-        keep = a != b
-        pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
-        a, b = pairs[:, 0], pairs[:, 1]
-        return pa.Table.from_arrays(
-            [pa.array(_pair_bucket(a, b)), pa.array(a), pa.array(b)],
-            schema=edge_schema,
-        )
-
-    def distinct_bucket(group: pa.Table) -> pa.Table:
-        g = group.filter(pc.not_equal(group.column("a"), pa.scalar(-1)))
-        if g.num_rows == 0:
-            return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
-        return (
-            g.select(["a", "b"])
-            .group_by(["a", "b"])
-            .aggregate([("a", "count")])
-            .select(["a", "b"])
-        )
-
-    edges = (
-        docs.map_batches(tag_edges, batch_format="pyarrow")
-        .union(int_key_sentinels(edge_schema, "bucket", fill={"a": -1, "b": -1}))
-        .groupby("bucket", num_partitions=np_)
-        .map_groups(distinct_bucket, batch_format="pyarrow")
-        # consumed by two branches (wedge generation + edge-set rows)
-        .materialize()
-    )
+    edges = _distinct_link_edges(docs, n_docs, n_buckets, np_)
 
     apex_schema = pa.schema(
         [("bucket", pa.int32()), ("a", pa.int64()), ("b", pa.int64())]
@@ -950,3 +926,304 @@ def link_prediction(
     return preds.sort(
         key=["n_common", "node_a", "node_b"], descending=[True, False, False]
     ).limit(k)
+
+
+# ---------------------------------------------------------------- k-core
+
+_KCORE_ATTACH_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("src", pa.int64()),
+        ("dst", pa.int64()),   # -1 on estimate rows
+        ("est", pa.int64()),   # -1 on edge rows
+        ("side", pa.string()),  # 'e' edge / 'v' estimate / 's' sentinel
+    ]
+)
+_KCORE_EST_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.int64()),
+        ("est", pa.int64()),
+        ("side", pa.string()),  # 'o' own / 'n' neighbor / 's' sentinel
+    ]
+)
+_KCORE_RES_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.int64()),
+        ("est", pa.int64()),
+        ("side", pa.string()),  # always 'o' — dropping 'changed' re-feeds the loop
+        ("changed", pa.int64()),
+    ]
+)
+
+
+def _segment_h_index(
+    nodes: np.ndarray, ests: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-node H-index of neighbor estimates: h = max{r : the r-th
+    largest est >= r}. Vectorized across every node of the bucket at
+    once: sort by (node, est DESC); within a node's segment est is
+    non-increasing while rank increases, so (est >= rank) holds on a
+    prefix and h is just the segment sum of that predicate."""
+    order = np.lexsort((-ests, nodes))
+    nd, es = nodes[order], ests[order]
+    uniq, starts = np.unique(nd, return_index=True)
+    seg = np.zeros(len(nd), np.int64)
+    seg[starts] = 1
+    seg = np.cumsum(seg) - 1
+    rank = np.arange(len(nd), dtype=np.int64) - starts[seg] + 1
+    return uniq, np.add.reduceat((es >= rank).astype(np.int64), starts)
+
+
+def kcore(
+    docs: "ray.data.Dataset",
+    n_docs: int,
+    n_buckets: int = 64,
+    max_iters: int = 100,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-node core number (the largest k with the node inside the
+    k-core) over the synthetic link graph — the standard link-graph
+    pruning signal (keep hosts in a dense core, drop the periphery).
+
+    Distributed H-index iteration (Lu/Zhou/Zhang/Stanley 2016, PNAS):
+    every node starts at its degree; each round replaces the estimate
+    with the H-index of its neighbors' estimates; the sequence is
+    non-increasing, lower-bounded by the true coreness, and converges to
+    it exactly. TWO bucketed hash exchanges per round (attach estimates
+    to edges by src; fold H-indexes by dst) over tables bounded by the
+    symmetric EDGE count, never the corpus — the same BSP shape as
+    ``connected_components``/``pagerank``, sentinel-guarded per
+    ``_exchange.py``. Convergence detection is exact: a round with zero
+    changed estimates is a fixpoint (the operator is deterministic).
+
+    Output: (node, core) for every node of the graph.
+    """
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.pagerank import N_LINKS
+
+    n_hint = n_rows_hint if n_rows_hint is not None else n_docs * N_LINKS
+    np_ = partitions_for(n_hint)
+    edges = _distinct_link_edges(docs, n_docs, n_buckets, np_)
+
+    def symmetric(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        n = len(src)
+        return pa.Table.from_arrays(
+            [
+                pa.array((src % n_buckets).astype(np.int32)),
+                pa.array(src),
+                pa.array(dst),
+                pa.array(np.full(n, -1, np.int64)),
+                pa.array(["e"] * n, pa.string()),
+            ],
+            schema=_KCORE_ATTACH_SCHEMA,
+        )
+
+    sym = edges.map_batches(symmetric, batch_format="pyarrow").materialize()
+
+    # initial estimates = degree: per-batch partial counts finish in-bucket
+    def degree_partials(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(src, return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pa.array((uniq % n_buckets).astype(np.int32)),
+                pa.array(uniq),
+                pa.array(cnt.astype(np.int64)),
+                pa.array(["o"] * len(uniq), pa.string()),
+            ],
+            schema=_KCORE_EST_SCHEMA,
+        )
+
+    def sum_degrees(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "s"))
+        if g.num_rows == 0:
+            return _KCORE_EST_SCHEMA.empty_table()
+        t = (
+            g.select(["bucket", "node", "est"])
+            .group_by(["bucket", "node"])
+            .aggregate([("est", "sum")])
+            .rename_columns(["bucket", "node", "est"])
+        )
+        return t.append_column(
+            "side", pa.array(["o"] * t.num_rows, pa.string())
+        )
+
+    est = (
+        sym.map_batches(degree_partials, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                _KCORE_EST_SCHEMA, "bucket", fill={"node": -1, "est": -1, "side": "s"}
+            )
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(sum_degrees, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_for_attach(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("bucket"),
+                batch.column("node"),
+                pa.array(np.full(n, -1, np.int64)),
+                batch.column("est"),
+                pa.array(["v"] * n, pa.string()),
+            ],
+            schema=_KCORE_ATTACH_SCHEMA,
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "s"))
+        is_e = pc.equal(g.column("side"), "e")
+        e = g.filter(is_e)
+        v = g.filter(pc.invert(is_e))
+        if e.num_rows == 0 or v.num_rows == 0:
+            return _KCORE_EST_SCHEMA.empty_table()
+        vn = v.column("src").to_numpy(zero_copy_only=False)
+        ve = v.column("est").to_numpy(zero_copy_only=False)
+        o = np.argsort(vn)
+        vn, ve = vn[o], ve[o]
+        es = e.column("src").to_numpy(zero_copy_only=False)
+        ed = e.column("dst").to_numpy(zero_copy_only=False)
+        # every edge src has its estimate row co-located (same bucket key)
+        est_src = ve[np.searchsorted(vn, es)]
+        return pa.Table.from_arrays(
+            [
+                pa.array((ed % n_buckets).astype(np.int32)),
+                pa.array(ed),
+                pa.array(est_src),
+                pa.array(["n"] * len(ed), pa.string()),
+            ],
+            schema=_KCORE_EST_SCHEMA,
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "s"))
+        own = g.filter(pc.equal(g.column("side"), "o"))
+        if own.num_rows == 0:
+            return _KCORE_RES_SCHEMA.empty_table()
+        nb = g.filter(pc.equal(g.column("side"), "n"))
+        nodes = own.column("node").to_numpy(zero_copy_only=False)
+        old = own.column("est").to_numpy(zero_copy_only=False)
+        new = old
+        if nb.num_rows:
+            uniq, h = _segment_h_index(
+                nb.column("node").to_numpy(zero_copy_only=False),
+                nb.column("est").to_numpy(zero_copy_only=False),
+            )
+            pos = np.searchsorted(uniq, nodes).clip(max=len(uniq) - 1)
+            found = uniq[pos] == nodes
+            new = np.where(found, np.minimum(old, h[pos]), old)
+        changed = (new != old).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                own.column("bucket"),
+                pa.array(nodes),
+                pa.array(new),
+                pa.array(["o"] * len(nodes), pa.string()),
+                pa.array(changed),
+            ],
+            schema=_KCORE_RES_SCHEMA,
+        )
+
+    for _ in range(max_iters):
+        nb_est = (
+            sym.union(est.map_batches(tag_for_attach, batch_format="pyarrow"))
+            .union(
+                int_key_sentinels(
+                    _KCORE_ATTACH_SCHEMA,
+                    "bucket",
+                    fill={"src": -1, "dst": -1, "est": -1, "side": "s"},
+                )
+            )
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(attach, batch_format="pyarrow")
+        )
+        resolved = (
+            nb_est.union(est)
+            .union(
+                int_key_sentinels(
+                    _KCORE_EST_SCHEMA,
+                    "bucket",
+                    fill={"node": -1, "est": -1, "side": "s"},
+                )
+            )
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(resolve, batch_format="pyarrow")
+            .materialize()
+        )
+        n_changed = resolved.sum("changed")
+        est = resolved.drop_columns(["changed"])
+        if not n_changed:
+            break
+    else:  # pragma: no cover - H-index converges in O(tens) on any test graph
+        # no-silent-caps rule: unconverged estimates overstate coreness
+        raise RuntimeError(
+            f"kcore did not converge within max_iters={max_iters} "
+            f"({n_changed} estimates still changing) — raise max_iters"
+        )
+
+    return est.map_batches(
+        lambda b: b.select(["node", "est"]).rename_columns(["node", "core"]),
+        batch_format="pyarrow",
+    )
+
+
+def peel_core(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Exact coreness by min-degree peeling (Batagelj-Zaversnik order,
+    heap variant) over canonical-distinct undirected edges — the
+    INDEPENDENT single-process check for the BSP H-index iteration:
+    shares no algorithmic structure with it beyond the edge set."""
+    import heapq
+
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    n = len(nodes)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for x, y in zip(ai.tolist(), bi.tolist()):
+        adj[x].append(y)
+        adj[y].append(x)
+    deg = np.array([len(adj[i]) for i in range(n)], np.int64)
+    heap = [(int(d), i) for i, d in enumerate(deg)]
+    heapq.heapify(heap)
+    removed = np.zeros(n, bool)
+    core = np.zeros(n, np.int64)
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if removed[v] or d != deg[v]:
+            continue  # stale heap entry
+        k = max(k, d)
+        core[v] = k
+        removed[v] = True
+        for u in adj[v]:
+            if not removed[u]:
+                deg[u] -= 1
+                heapq.heappush(heap, (int(deg[u]), u))
+    return pa.Table.from_arrays(
+        [pa.array(nodes, pa.int64()), pa.array(core, pa.int64())],
+        names=["node", "core"],
+    )
+
+
+def kcore_oracle(doc_ids: "pa.ChunkedArray | pa.Array", n_docs: int) -> pa.Table:
+    """Replica oracle: exact peeling over the same LCG edge set."""
+    from agentic_doc_ray.functions.pagerank import link_edges
+
+    e = link_edges(doc_ids, n_docs)
+    src = pc.cast(e.column("src"), pa.int64()).to_numpy(zero_copy_only=False)
+    dst = pc.cast(e.column("dst"), pa.int64()).to_numpy(zero_copy_only=False)
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    keep = a != b
+    pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+    return peel_core(pairs[:, 0], pairs[:, 1])

@@ -504,6 +504,16 @@ def main() -> None:
 
     timed("link_prediction", link_pred_q)
 
+    def kcore_q() -> None:
+        from agentic_doc_ray.functions.graph import kcore
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        kcore(d, d.count()).count()
+
+    timed("kcore_numbers", kcore_q)
+
     def bm25_q() -> None:
         from agentic_doc_ray.functions.retrieval import bm25_topk
 
@@ -629,6 +639,17 @@ def main() -> None:
         )
 
     timed("hamming_topk", hamming_topk_q)
+
+    def sq8_q() -> None:
+        from agentic_doc_ray.functions.similarity import sq8_quantize
+
+        sq8_quantize(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            )
+        ).count()
+
+    timed("sq8_codes", sq8_q)
 
     def knn_join_q() -> None:
         from agentic_doc_ray.functions.similarity import knn_join

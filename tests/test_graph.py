@@ -343,3 +343,95 @@ def test_link_prediction_matches_sql():
     assert len(got) == 40
     # no predicted pair may already be an edge (spot the anti-join)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def _brute_coreness(edges, nodes):
+    """Textbook definition check: repeatedly delete nodes of degree < k;
+    core(v) = largest k whose k-core still contains v. Independent of both
+    peel_core's heap order and the BSP H-index."""
+    core = {}
+    for k in range(1, len(nodes) + 2):
+        alive = set(nodes)
+        while True:
+            deg = {v: 0 for v in alive}
+            for a, b in edges:
+                if a in alive and b in alive:
+                    deg[a] += 1
+                    deg[b] += 1
+            drop = [v for v in alive if deg[v] < k]
+            if not drop:
+                break
+            alive -= set(drop)
+        for v in alive:
+            core[v] = k
+        if not alive:
+            break
+    return {v: core.get(v, 0) for v in nodes}
+
+
+def test_peel_core_hand_graphs():
+    import numpy as np
+
+    from agentic_doc_ray.functions.graph import peel_core
+
+    cases = [
+        # triangle with a tail: triangle nodes core 2, tail core 1
+        [(0, 1), (1, 2), (0, 2), (2, 3)],
+        # pure chain: everything core 1
+        [(i, i + 1) for i in range(6)],
+        # two K4 cliques joined by a bridge: clique nodes core 3
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+        + [(3, 4)],
+    ]
+    for edges in cases:
+        nodes = sorted({v for e in edges for v in e})
+        a = np.array([e[0] for e in edges], np.int64)
+        b = np.array([e[1] for e in edges], np.int64)
+        got = dict(zip(*(c.to_pylist() for c in peel_core(a, b).columns)))
+        assert got == _brute_coreness(edges, nodes)
+
+
+def test_segment_h_index_brute():
+    import numpy as np
+
+    from agentic_doc_ray.functions.graph import _segment_h_index
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        n = rng.randint(1, 40)
+        nodes = rng.randint(0, 8, n).astype(np.int64)
+        ests = rng.randint(0, 10, n).astype(np.int64)
+        uniq, h = _segment_h_index(nodes, ests)
+        for u, hv in zip(uniq.tolist(), h.tolist()):
+            vals = sorted(ests[nodes == u].tolist(), reverse=True)
+            brute = max(
+                [r for r in range(1, len(vals) + 1) if vals[r - 1] >= r],
+                default=0,
+            )
+            assert hv == brute, (u, vals)
+
+
+def test_kcore_bsp_matches_peeling_oracle():
+    """The distributed H-index iteration lands exactly on the peeled
+    coreness for the LCG link graph over 500 doc ids."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from agentic_doc_ray.functions.graph import kcore, kcore_oracle
+
+    n = 500
+    ids = pa.table({"doc_id": list(range(n))})
+    got = (
+        kcore(ray.data.from_arrow(ids).repartition(4), n)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = kcore_oracle(ids.column("doc_id"), n).to_pandas()
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["core"].tolist() == want["core"].tolist()

@@ -319,3 +319,55 @@ def test_hamming_topk_matches_bruteforce():
         check_dtype=False,
         check_exact=True,
     )
+
+
+def test_sq8_quantize_exact_and_batch_invariant():
+    """SQ8 codes: exact integer levels in [0,255], batch-layout
+    independent (global min/max collect), words never touch the sign
+    bit, and a zero-span dimension encodes to 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import (
+        SQ8_CODES_PER_WORD,
+        sq8_quantize,
+    )
+
+    rng = np.random.RandomState(3)
+    dim = 16
+    vecs = rng.randn(40, dim).astype(np.float32)
+    vecs[:, 5] = 0.25  # zero-span dimension
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        df = sq8_quantize(ds, in_dim=dim).to_pandas()
+        return df.sort_values(["vec_id", "word_idx"]).reset_index(drop=True)
+
+    a, b = run(1), run(5)
+    assert a.equals(b)
+    words = a["word"].to_numpy()
+    assert (words >= 0).all()  # sign bit untouched by construction
+    # unpack and check levels
+    micro = np.round(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    mn, mx = micro.min(0), micro.max(0)
+    span = mx - mn
+    want = np.where(span > 0, (micro - mn) * 255 // np.maximum(span, 1), 0)
+    n_words = (dim + SQ8_CODES_PER_WORD - 1) // SQ8_CODES_PER_WORD
+    got = np.zeros((40, dim), np.int64)
+    for r in a.itertuples():
+        w = int(r.word)
+        base = int(r.word_idx) * SQ8_CODES_PER_WORD
+        for i in range(min(SQ8_CODES_PER_WORD, dim - base)):
+            got[int(r.vec_id), base + i] = (w >> (8 * i)) & 0xFF
+    assert (got == want).all()
+    assert (want >= 0).all() and (want <= 255).all()
+    assert (want[:, 5] == 0).all()
+    assert a["word_idx"].max() == n_words - 1
