@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 35  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 36  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -298,6 +298,32 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         kcore_oracle(docs_tbl.column("doc_id"), docs_tbl.num_rows),
         os.path.join(out_dir, "kcore.parquet"),
+    )
+
+    # fuzzy-contamination replica: the op is batch-local after the
+    # benchmark band-table broadcast, so the single-process replica is
+    # the same pure batch fn over the whole table (bit-equal)
+    from agentic_doc_ray.functions.dedup import (
+        benchmark_band_table,
+        fuzzy_contamination_batch,
+    )
+
+    _bench_texts = [
+        t
+        for i, t in enumerate(docs_tbl.column("text").to_pylist())
+        if i % 50 == 0
+    ]
+    _doc_str_tbl = pa.table(
+        {
+            "doc_id": pc.cast(docs_tbl.column("doc_id"), pa.string()),
+            "text": docs_tbl.column("text"),
+        }
+    )
+    _pq.write_table(
+        fuzzy_contamination_batch(
+            _doc_str_tbl, benchmark_band_table(_bench_texts)
+        ),
+        os.path.join(out_dir, "fuzzy_contamination.parquet"),
     )
 
     # compression-ratio replica: zlib at a fixed level is deterministic
@@ -859,6 +885,10 @@ _DRIVER_PRIORITY = [
     "hamming_topk",
     # new this round: SQ8 scalar quantization (per-dim range codes)
     "sq8_codes",
+    # new this round: fuzzy (MinHash-band) benchmark decontamination
+    "fuzzy_contamination",
+    # new this round: per-user Markov transition counts
+    "event_transitions",
     # new this round: Count-Min frequency sketch
     "cms_token_counts",
     # new this round: min-k% membership-inference signal
@@ -1955,6 +1985,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ]
         return D.contamination_flags(_docs_str(sf_dir), bench, n=13)
 
+    def q_fuzzy_contamination(sf_dir):
+        """FUZZY decontamination: MinHash-LSH band agreement against the
+        same every-50th-doc benchmark set (near-dup complement to the
+        exact 13-gram check — catches lightly edited benchmark copies).
+        Benchmark band table broadcast once; zero exchanges. Oracle:
+        bit-equal single-process replica (the op is batch-local)."""
+        from agentic_doc_ray.functions.dedup import fuzzy_contamination
+
+        _ensure_extraction_oracles(sf_dir)
+        bench = [
+            t
+            for i, t in enumerate(
+                pq.read_table(
+                    f"{sf_dir}/documents.parquet", columns=["text"]
+                ).column("text").to_pylist()
+            )
+            if i % 50 == 0
+        ]
+        return fuzzy_contamination(_docs_str(sf_dir), bench)
+
     def q_train_val_split(sf_dir):
         from agentic_doc_ray.functions.sampling import train_val_split
 
@@ -2505,6 +2555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,          # SQL windows over the LM replica
         "chunk_windows": q_chunk_windows,
         "contamination_flags": q_contamination,
+        "fuzzy_contamination": q_fuzzy_contamination,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
@@ -2608,6 +2659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": A.sessionize,
         "purchase_sessions": A.purchase_sessions,
         "funnel_counts": A.funnel_counts,
+        "event_transitions": A.event_transitions,
         "user_event_paths": A.user_event_paths,
         "order_rollup": A.order_priority_status_rollup,
         "user_event_pivot": A.user_event_pivot,
@@ -3056,6 +3108,10 @@ def oracle_sql() -> dict[str, str]:
         "contamination_flags": (
             "SELECT doc_id, n_overlaps, contaminated "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/contamination.parquet')"
+        ),
+        "fuzzy_contamination": (
+            "SELECT doc_id, n_shared_bands, fuzzy_contaminated "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/fuzzy_contamination.parquet')"
         ),
         # same pattern chain + order as text.PII_PATTERNS (email first)
         "bpe_merges": (
@@ -3736,6 +3792,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT '1_view' AS stage, count(*) AS n_users FROM v "
             "UNION ALL SELECT '2_view_click', count(*) FROM c "
             "UNION ALL SELECT '3_view_click_purchase', count(*) FROM p"
+        ),
+        # first-order Markov transition counts; LAG over the same
+        # deterministic (ts, event_id) per-user order as user_event_paths
+        "event_transitions": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "  FROM events) "
+            "SELECT prev_type AS prev_event, event_type AS next_event, "
+            "  CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2"
         ),
         # ordered collect: per-user event-path string, deterministic
         # (ts, event_id) order inside the aggregate

@@ -1100,3 +1100,100 @@ def pruned_revenue_scan(
         ),
         batch_format="pyarrow",
     )
+
+
+def event_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user next-event Markov transition counts: for every user's
+    event history ordered by (ts, event_id), how often does event type A
+    immediately precede event type B — the first-order behavioral model
+    behind next-action prediction and anomaly scoring on clickstreams
+    (the reference has no counterpart; engine capability for event-log
+    corpora).
+
+    Shape: ONE exchange on a coarse user bucket (user_id % 64, the
+    sessionize/funnel pattern) co-locates each user's history; inside a
+    bucket a single vectorized pandas pass (sort + shift + same-user
+    mask) counts the bucket's (prev, next) pairs, so only
+    |event_type|^2 partial rows per bucket leave for the tiny final
+    groupby. Adjacent pairs never cross buckets because the bucket key
+    is a function of user_id alone."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    tag_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                batch.column("user_id"),
+                batch.column("ts"),
+                batch.column("event_id"),
+                batch.column("event_type"),
+            ],
+            schema=tag_schema,
+        )
+
+    part_schema = pa.schema(
+        [
+            ("prev_event", pa.string()),
+            ("next_event", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def transitions_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = group.filter(pc.greater_equal(group.column("user_id"), 0))
+        if g.num_rows == 0:
+            return part_schema.empty_table()
+        df = (
+            g.select(["user_id", "ts", "event_id", "event_type"])
+            .to_pandas()
+            .sort_values(["user_id", "ts", "event_id"])
+        )
+        same_user = df["user_id"].eq(df["user_id"].shift())
+        prev_type = df["event_type"].shift()
+        pairs = (
+            pd.DataFrame(
+                {
+                    "prev_event": prev_type[same_user],
+                    "next_event": df["event_type"][same_user],
+                }
+            )
+            .groupby(["prev_event", "next_event"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(pairs, schema=part_schema, preserve_index=False)
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                tag_schema, "bucket", fill={"user_id": -1, "event_type": ""}
+            )
+        )
+        .groupby("bucket", num_partitions=_cap(8))
+        .map_groups(transitions_bucket, batch_format="pyarrow")
+    )
+    return partials.groupby(
+        ["prev_event", "next_event"], num_partitions=_cap(4)
+    ).aggregate(Sum("n", alias_name="n_pairs"))

@@ -1568,3 +1568,83 @@ def cross_snapshot_dedup_oracle(
                 {"new_doc_id": nid, "status": "near", "matched_old_id": bo, "jaccard": bj}
             )
     return pa.Table.from_pylist(rows, schema=CROSS_STATUS_SCHEMA)
+
+
+def _band_key_matrix(sigs: np.ndarray) -> np.ndarray:
+    """(n, N_HASHES) signature matrix -> (n, N_BANDS) int64 band hashes —
+    the same ROWS_PER_BAND polynomial mixing as ``band_rows_batch``, so a
+    band agreement here means exactly what it means in the LSH dedup
+    path (all 4 of the band's minhash rows equal)."""
+    n = len(sigs)
+    out = np.empty((n, N_BANDS), dtype=np.int64)
+    for b in range(N_BANDS):
+        band = sigs[:, b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        mixed = np.zeros(n, dtype=np.uint64)
+        for c in range(ROWS_PER_BAND):
+            mixed = mixed * np.uint64(1_000_003) + band[:, c].astype(np.uint64)
+        out[:, b] = (mixed >> np.uint64(1)).astype(np.int64)
+    return out
+
+
+def fuzzy_contamination_batch(
+    batch: pa.Table, bench_per_band: "list[np.ndarray]"
+) -> pa.Table:
+    """Per-batch fuzzy-contamination flags (pure, batch-local): for each
+    doc, how many of its N_BANDS LSH band hashes appear in the benchmark
+    set's corresponding band column. ``bench_per_band`` is one sorted
+    unique int64 array per band."""
+    texts = batch.column("text").to_pylist()
+    sigs = _chunk_signatures(texts)
+    bands = _band_key_matrix(sigs)
+    shared = np.zeros(len(texts), dtype=np.int64)
+    for b in range(N_BANDS):
+        shared += np.isin(bands[:, b], bench_per_band[b]).astype(np.int64)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_shared_bands": shared,
+            "fuzzy_contaminated": shared > 0,
+        },
+        schema=pa.schema(
+            [
+                ("doc_id", batch.schema.field("doc_id").type),
+                ("n_shared_bands", pa.int64()),
+                ("fuzzy_contaminated", pa.bool_()),
+            ]
+        ),
+    )
+
+
+def benchmark_band_table(benchmark_texts: "list[str]") -> "list[np.ndarray]":
+    """Benchmark texts -> per-band sorted unique band-hash arrays (the
+    broadcast state for ``fuzzy_contamination``)."""
+    if not benchmark_texts:
+        return [np.array([], dtype=np.int64) for _ in range(N_BANDS)]
+    bench = _band_key_matrix(_chunk_signatures(benchmark_texts))
+    return [np.unique(bench[:, b]) for b in range(N_BANDS)]
+
+
+def fuzzy_contamination(
+    docs: "ray.data.Dataset", benchmark_texts: "list[str]"
+) -> "ray.data.Dataset":
+    """FUZZY benchmark decontamination (the near-duplicate complement to
+    the exact 13-gram ``contamination_flags``, as used for eval-set
+    overlap in the GPT-3/PaLM data papers): flag documents whose MinHash
+    signature agrees with ANY benchmark document on at least one LSH band
+    (ROWS_PER_BAND = 4 consecutive minhash rows equal) — a high-recall
+    near-duplicate test that catches lightly edited benchmark copies the
+    exact n-gram check misses.
+
+    Scale shape: the benchmark band table (N_BANDS sorted int64 columns,
+    ~128 B per benchmark doc) is broadcast ONCE via ray.put; each batch
+    computes its docs' signatures and counts band membership vectorized
+    (one np.isin per band) — the corpus never shuffles, zero exchanges.
+    Output: (doc_id, n_shared_bands, fuzzy_contaminated).
+    """
+    per_band = benchmark_band_table(benchmark_texts)
+    ref = ray.put(per_band)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return fuzzy_contamination_batch(batch, ray.get(ref))
+
+    return docs.map_batches(flag, batch_format="pyarrow")

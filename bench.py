@@ -651,6 +651,28 @@ def main() -> None:
 
     timed("sq8_codes", sq8_q)
 
+    def fuzzy_contam_q() -> None:
+        import pyarrow.parquet as _pq
+
+        from agentic_doc_ray.functions.dedup import fuzzy_contamination
+
+        bench_texts = [
+            t
+            for i, t in enumerate(
+                _pq.read_table(
+                    f"{SF_DIR}/documents.parquet", columns=["text"]
+                ).column("text").to_pylist()
+            )
+            if i % 50 == 0
+        ]
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        fuzzy_contamination(d, bench_texts).count()
+
+    timed("fuzzy_contamination", fuzzy_contam_q)
+    timed("event_transitions", lambda: A.event_transitions(SF_DIR).count())
+
     def knn_join_q() -> None:
         from agentic_doc_ray.functions.similarity import knn_join
 

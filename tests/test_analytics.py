@@ -1006,3 +1006,30 @@ def test_cms_token_counts_guarantees():
     # wide sketch on a small vocab is collision-free -> exact
     for tok, e in zip(want["token"], want["est_count"]):
         assert e == exact_map.get(tok, 0)
+
+
+def test_event_transitions_vs_sql_lag():
+    got = (
+        A.event_transitions(SF)
+        .to_pandas()
+        .sort_values(["prev_event", "next_event"])
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        WITH o AS (SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev_type FROM events)
+        SELECT prev_type AS prev_event, event_type AS next_event,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ORDER BY prev_event, next_event
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # total transitions = total events - distinct users (every user's
+    # first event has no predecessor)
+    tot = _duck(
+        "SELECT count(*) - count(DISTINCT user_id) AS n FROM events"
+    )["n"][0]
+    assert got["n_pairs"].sum() == tot

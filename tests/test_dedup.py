@@ -309,3 +309,54 @@ def test_cross_snapshot_dedup_real_corpus():
         key=lambda r: r["new_doc_id"],
     )
     assert got == want
+
+
+def test_fuzzy_contamination_planted():
+    """A lightly edited copy of a benchmark text shares LSH bands (fuzzy
+    hit) even when no 13-gram survives verbatim; an unrelated text does
+    not. Batch layout does not change the flags."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.dedup import (
+        benchmark_band_table,
+        fuzzy_contamination,
+        fuzzy_contamination_batch,
+    )
+
+    bench = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors watch from the harbor wall and gulls wheel overhead "
+        "in the salt wind of an october morning near the old lighthouse"
+    )
+    near_copy = bench.replace("seventeen", "nineteen").replace(
+        "october", "november"
+    )
+    unrelated = (
+        "completely different subject matter entirely about integer "
+        "arithmetic in distributed database engines and shuffle plans "
+        "with no shared phrasing whatsoever in any shingle window here"
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["bench", "near", "far"], pa.string()),
+            "text": pa.array([bench, near_copy, unrelated], pa.string()),
+        }
+    )
+    per_band = benchmark_band_table([bench])
+    local = fuzzy_contamination_batch(docs, per_band).to_pylist()
+    by_id = {r["doc_id"]: r for r in local}
+    assert by_id["bench"]["fuzzy_contaminated"]  # self-hit, all bands
+    assert by_id["bench"]["n_shared_bands"] == 16
+    assert by_id["near"]["fuzzy_contaminated"]  # edited copy still banded
+    assert not by_id["far"]["fuzzy_contaminated"]
+
+    for n_blocks in (1, 3):
+        got = sorted(
+            fuzzy_contamination(
+                ray.data.from_arrow(docs).repartition(n_blocks), [bench]
+            ).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert got == sorted(local, key=lambda r: r["doc_id"])
