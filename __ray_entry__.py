@@ -889,6 +889,8 @@ _DRIVER_PRIORITY = [
     "fuzzy_contamination",
     # new this round: per-user Markov transition counts
     "event_transitions",
+    # new this round: hybrid lexical+dense RRF retrieval
+    "rrf_fusion",
     # new this round: Count-Min frequency sketch
     "cms_token_counts",
     # new this round: min-k% membership-inference signal
@@ -1767,6 +1769,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=10,
         )
 
+    def q_rrf_fusion(sf_dir):
+        """Hybrid retrieval: integer fixed-point RRF over the BM25 list
+        and the dense cosine list for the same 3 queries (vec_id ==
+        doc_id on the synthetic tables). Fusion touches queries x k rows;
+        the distributed work is the two retrieval passes."""
+        from agentic_doc_ray.functions.retrieval import rrf_fusion
+
+        return rrf_fusion(
+            docs(sf_dir),
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            {"q0": ["hash", "join"], "q1": ["window", "stream"], "q2": ["vector"]},
+            {"q0": 0, "q1": 1, "q2": 2},
+            k=10,
+        )
+
     def q_index_postings(sf_dir):
         """Targeted postings extraction through the distributed inverted-
         index exchange: exact (term, doc_id, tf) rows for a term set."""
@@ -2609,6 +2628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_dedup": q_sentence_dedup,
         "domain_boilerplate_strip": q_domain_boilerplate,
         "bm25_topk": q_bm25,
+        "rrf_fusion": q_rrf_fusion,
         "index_postings": q_index_postings,
         "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
         "knn_join": q_knn_join,                    # single-process replica oracle
@@ -2713,6 +2733,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # deterministic multi-line suffix per doc_id residue class so every C4
 # rule (terminal punct, min words, javascript line, lorem ipsum, code
 # brace) binds on the single-line punctuation-free synthetic corpus.
+# BM25 oracle pieces, shared verbatim by the "bm25_topk" oracle and the
+# "rrf_fusion" hybrid oracle (same queries, same tokenization, same
+# scoring association order as functions/retrieval.py)
+_BM25_CTES = (
+    "tr AS (SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed FROM documents), "
+    "tok AS (SELECT doc_id, CASE WHEN trimmed = '' THEN CAST([] AS VARCHAR[]) "
+    "  ELSE regexp_split_to_array(trimmed, '\\s+') END AS toks FROM tr), "
+    "dl AS (SELECT doc_id, len(toks) AS dl FROM tok), "
+    "g AS (SELECT count(*) AS n, sum(dl) AS total FROM dl), "
+    "terms(query_id, term) AS (VALUES ('q0','hash'),('q0','join'),"
+    "  ('q1','window'),('q1','stream'),('q2','vector')), "
+    "df AS (SELECT u.term, (SELECT count(*) FROM tok WHERE list_contains(tok.toks, u.term)) AS df "
+    "  FROM (SELECT DISTINCT term FROM terms) u), "
+    "tf AS (SELECT te.query_id, te.term, k.doc_id, "
+    "  len(list_filter(k.toks, x -> x = te.term)) AS tf FROM terms te CROSS JOIN tok k), "
+    "sc AS (SELECT tf.query_id, tf.doc_id, "
+    "  sum( ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 / "
+    "       (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * g.n / CAST(g.total AS DOUBLE)))) ) AS s "
+    "  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g "
+    "  GROUP BY tf.query_id, tf.doc_id)"
+)
+_BM25_RANKED = (
+    "SELECT query_id, rank, doc_id FROM ("
+    "  SELECT query_id, row_number() OVER (PARTITION BY query_id "
+    "    ORDER BY s DESC, doc_id) AS rank, doc_id FROM sc"
+    ") WHERE rank <= 10"
+)
+
 _C4_S5 = (
     ".\nThe quick brown fox jumps high today.\n"
     "Another proper sentence with enough words here."
@@ -3428,26 +3476,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         # BM25 with the engine's exact tokenization (trim + \s+ split) and
         # association order; ranks compare exactly, scores stay internal
-        "bm25_topk": (
-            "WITH tr AS (SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed FROM documents), "
-            "tok AS (SELECT doc_id, CASE WHEN trimmed = '' THEN CAST([] AS VARCHAR[]) "
-            "  ELSE regexp_split_to_array(trimmed, '\\s+') END AS toks FROM tr), "
-            "dl AS (SELECT doc_id, len(toks) AS dl FROM tok), "
-            "g AS (SELECT count(*) AS n, sum(dl) AS total FROM dl), "
-            "terms(query_id, term) AS (VALUES ('q0','hash'),('q0','join'),"
-            "  ('q1','window'),('q1','stream'),('q2','vector')), "
-            "df AS (SELECT u.term, (SELECT count(*) FROM tok WHERE list_contains(tok.toks, u.term)) AS df "
-            "  FROM (SELECT DISTINCT term FROM terms) u), "
-            "tf AS (SELECT te.query_id, te.term, k.doc_id, "
-            "  len(list_filter(k.toks, x -> x = te.term)) AS tf FROM terms te CROSS JOIN tok k), "
-            "sc AS (SELECT tf.query_id, tf.doc_id, "
-            "  sum( ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 / "
-            "       (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * g.n / CAST(g.total AS DOUBLE)))) ) AS s "
-            "  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g "
-            "  GROUP BY tf.query_id, tf.doc_id) "
-            "SELECT query_id, rank, doc_id FROM ("
-            "  SELECT query_id, row_number() OVER (PARTITION BY query_id "
-            "    ORDER BY s DESC, doc_id) AS rank, doc_id FROM sc"
+        "bm25_topk": ("WITH " + _BM25_CTES + " " + _BM25_RANKED),
+        # hybrid retrieval: the bm25 CTEs verbatim + the dense cosine rank
+        # list (vec_id == doc_id on the synthetic tables), fused with the
+        # integer fixed-point RRF weight 10^12 // (60 + rank)
+        "rrf_fusion": (
+            "WITH " + _BM25_CTES + ", "
+            "bm AS (" + _BM25_RANKED + "), "
+            "cos AS (SELECT query_id, rank, vec_id AS doc_id FROM ("
+            "  SELECT 'q' || CAST(q.vec_id AS VARCHAR) AS query_id, "
+            "    row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "      CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank, "
+            "    e.vec_id "
+            "  FROM embeddings e CROSS JOIN "
+            "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q"
+            ") WHERE rank <= 10), "
+            "u AS (SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS s FROM bm "
+            "  UNION ALL SELECT query_id, doc_id, 1000000000000 // (60 + rank) FROM cos), "
+            "f AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS rrf_score "
+            "  FROM u GROUP BY 1, 2) "
+            "SELECT query_id, rank, doc_id, rrf_score FROM ("
+            "  SELECT query_id, doc_id, rrf_score, "
+            "    CAST(row_number() OVER (PARTITION BY query_id "
+            "      ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM f"
             ") WHERE rank <= 10"
         ),
         "similarity_topk": (

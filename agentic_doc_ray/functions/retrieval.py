@@ -162,3 +162,85 @@ def bm25_topk(
         .groupby("query_id", num_partitions=shuffle_partitions(4))
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+def rrf_fusion(
+    docs: "ray.data.Dataset",
+    embeddings: "ray.data.Dataset",
+    keyword_queries: dict[str, list[str]],
+    query_vec_ids: dict[str, int],
+    k: int = 10,
+    k_rrf: int = 60,
+) -> pa.Table:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    2009) of the BM25 keyword ranking and the dense cosine ranking for
+    the same query set — the standard lexical+dense hybrid. The
+    interleaved corpus carries one embedding per document (vec_id ==
+    doc_id), so both sides rank the same id space.
+
+    Each side runs its own distributed pass (``bm25_topk``: two
+    streaming passes, corpus never shuffles; ``brute_force_topk``:
+    broadcast query matrix + per-batch partial top-k); the fusion itself
+    touches only |queries| x k rank rows on the driver — bounded by the
+    ASK, not the corpus.
+
+    Integer-exact fusion: rank r contributes ``10^12 // (k_rrf + r)``
+    (the canonical 1/(60+r) RRF weight in fixed point), so the combined
+    ordering — ties broken by doc_id ascending — is bit-identical to the
+    SQL oracle's. Output (query_id, rank, doc_id, rrf_score), top-k.
+    """
+    from agentic_doc_ray.functions.similarity import brute_force_topk
+
+    qnames = sorted(keyword_queries)
+    bm_rows = bm25_topk(docs, keyword_queries, k=k).take_all()
+
+    wanted = pa.array(
+        sorted({query_vec_ids[q] for q in qnames}), pa.int64()
+    )
+
+    def grab_queries(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("vec_id"), wanted))
+
+    q_rows = (
+        embeddings.map_batches(grab_queries, batch_format="pyarrow").take_all()
+    )
+    vec_of = {int(r["vec_id"]): r["embedding"] for r in q_rows}
+    queries_m = np.array(
+        [vec_of[query_vec_ids[q]] for q in qnames], dtype=np.float64
+    )
+    dense = brute_force_topk(
+        embeddings, queries_m, [query_vec_ids[q] for q in qnames], k=k
+    )
+    name_of_vec = {query_vec_ids[q]: q for q in qnames}
+
+    scores: dict[tuple[str, int], int] = {}
+    big = 10**12
+    for r in bm_rows:
+        key = (str(r["query_id"]), int(r["doc_id"]))
+        scores[key] = scores.get(key, 0) + big // (k_rrf + int(r["rank"]))
+    for r in dense.to_pylist():
+        key = (name_of_vec[int(r["query_id"])], int(r["vec_id"]))
+        scores[key] = scores.get(key, 0) + big // (k_rrf + int(r["rank"]))
+
+    out = {"query_id": [], "rank": [], "doc_id": [], "rrf_score": []}
+    for q in qnames:
+        ranked = sorted(
+            ((s, d) for (qq, d), s in scores.items() if qq == q),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rank, (s, d) in enumerate(ranked, start=1):
+            out["query_id"].append(q)
+            out["rank"].append(rank)
+            out["doc_id"].append(d)
+            out["rrf_score"].append(s)
+    return pa.Table.from_pydict(
+        out,
+        schema=pa.schema(
+            [
+                ("query_id", pa.string()),
+                ("rank", pa.int64()),
+                ("doc_id", pa.int64()),
+                ("rrf_score", pa.int64()),
+            ]
+        ),
+    )

@@ -524,6 +524,21 @@ def main() -> None:
         ).count()
 
     timed("bm25_topk", bm25_q)
+
+    def rrf_q() -> None:
+        from agentic_doc_ray.functions.retrieval import rrf_fusion
+
+        rrf_fusion(
+            docs(),
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            {"q0": ["hash", "join"], "q1": ["window", "stream"], "q2": ["vector"]},
+            {"q0": 0, "q1": 1, "q2": 2},
+            k=10,
+        )
+
+    timed("rrf_fusion", rrf_q)
     timed(
         "dedup_keep",
         lambda: D.dedup_keep(

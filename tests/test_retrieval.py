@@ -73,3 +73,60 @@ def test_bm25_empty_corpus():
     )
     got = bm25_topk(ray.data.from_arrow(t), {"q": ["x"]}).to_pandas()
     assert len(got) == 0
+
+
+def test_rrf_fusion_matches_independent_recompute():
+    """Fusion parity: recompute RRF in the test from the two rank lists
+    the engine itself produced — pins the fixed-point weights, the
+    union-of-candidates semantics, and the (score DESC, doc_id) order."""
+    import numpy as np
+
+    from agentic_doc_ray.functions.retrieval import rrf_fusion
+    from agentic_doc_ray.functions.similarity import brute_force_topk
+
+    sf = "/root/testdata/sf0.001"
+    kw = {"q0": ["hash", "join"], "q1": ["window", "stream"], "q2": ["vector"]}
+    vec_ids = {"q0": 0, "q1": 1, "q2": 2}
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    emb = ray.data.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = rrf_fusion(docs, emb, kw, vec_ids, k=10).to_pylist()
+
+    bm = bm25_topk(docs, kw, k=10).take_all()
+    q_tbl = emb.take_all()
+    vec_of = {int(r["vec_id"]): r["embedding"] for r in q_tbl if r["vec_id"] < 3}
+    dense = brute_force_topk(
+        emb,
+        np.array([vec_of[vec_ids[q]] for q in sorted(kw)], dtype=np.float64),
+        [vec_ids[q] for q in sorted(kw)],
+        k=10,
+    ).to_pylist()
+    scores = {}
+    for r in bm:
+        key = (r["query_id"], int(r["doc_id"]))
+        scores[key] = scores.get(key, 0) + 10**12 // (60 + int(r["rank"]))
+    name = {v: k for k, v in vec_ids.items()}
+    for r in dense:
+        key = (name[int(r["query_id"])], int(r["vec_id"]))
+        scores[key] = scores.get(key, 0) + 10**12 // (60 + int(r["rank"]))
+    want = []
+    for q in sorted(kw):
+        ranked = sorted(
+            ((s, d) for (qq, d), s in scores.items() if qq == q),
+            key=lambda t: (-t[0], t[1]),
+        )[:10]
+        for rank, (s, d) in enumerate(ranked, 1):
+            want.append(
+                {"query_id": q, "rank": rank, "doc_id": d, "rrf_score": s}
+            )
+    assert got == want
+    # a doc ranked in both lists must outscore any single-list doc of
+    # equal best rank: 2/(60+r) > 1/(60+r)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rrf_score"])
+    for q, ss in per_q.items():
+        assert ss == sorted(ss, reverse=True)
