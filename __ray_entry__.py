@@ -891,6 +891,8 @@ _DRIVER_PRIORITY = [
     "event_transitions",
     # new this round: hybrid lexical+dense RRF retrieval
     "rrf_fusion",
+    # new this round: per-source lexical-diversity scorecard
+    "source_diversity",
     # new this round: Count-Min frequency sketch
     "cms_token_counts",
     # new this round: min-k% membership-inference signal
@@ -1338,6 +1340,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from agentic_doc_ray.functions.substr import ngram_novelty
 
         return ngram_novelty(docs(sf_dir))
+
+    def q_source_diversity(sf_dir):
+        """Per-source lexical diversity (distinct vs total sampled
+        8-grams, types per mille) — the template-farm detector. One
+        gram-bucket exchange of (source, gram) partial counts; SQL
+        oracle over the literal substrings."""
+        from agentic_doc_ray.functions.substr import source_diversity
+
+        return source_diversity(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        )
 
     def q_substr_stats(sf_dir):
         from agentic_doc_ray.functions.substr import substring_dup_stats
@@ -2704,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_stats": q_substr_stats,
         "strip_repeated_substrings": q_substr_strip,
         "ngram_novelty": q_ngram_novelty,
+        "source_diversity": q_source_diversity,
         # anti-join / bloom semi-join / outer-join distribution
         "customer_order_dist": q_customer_order_dist,
         "large_qty_orders": q_large_qty_orders,
@@ -4503,6 +4520,27 @@ def oracle_sql() -> dict[str, str]:
         # L=50 grams; positions are 1-based chars, matching substr()
         # novelty: gram identity = canonical rolling hash on the Ray side,
         # literal substrings here (collision-free by the 61-bit convention)
+        "source_diversity": (
+            "WITH pos AS ("
+            "  SELECT source, text,"
+            "         unnest(range(1, greatest(length(text)-7, 0) + 1, 4)) AS i"
+            "  FROM documents"
+            "), g AS ("
+            "  SELECT source, substr(text, CAST(i AS INTEGER), 8) AS gram FROM pos"
+            "), s AS ("
+            "  SELECT source, CAST(count(DISTINCT gram) AS BIGINT) AS n_gram_types,"
+            "         CAST(count(*) AS BIGINT) AS n_gram_occurrences"
+            "  FROM g GROUP BY source) "
+            "SELECT source, n_gram_types, n_gram_occurrences,"
+            "  CASE WHEN n_gram_occurrences > 0"
+            "    THEN n_gram_types * 1000 // n_gram_occurrences ELSE 0 END"
+            "  AS types_per_mille "
+            "FROM (SELECT d.source,"
+            "        COALESCE(s.n_gram_types, 0) AS n_gram_types,"
+            "        COALESCE(s.n_gram_occurrences, 0) AS n_gram_occurrences"
+            "      FROM (SELECT DISTINCT source FROM documents) d"
+            "      LEFT JOIN s USING (source))"
+        ),
         "ngram_novelty": (
             "WITH pos AS ("
             "  SELECT doc_id, text,"

@@ -911,3 +911,134 @@ def substring_counts(
             batch_format="pyarrow",
         )
     )
+
+
+def source_diversity(
+    docs: "ray.data.Dataset",
+    L: int = 8,
+    stride: int = 4,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-SOURCE lexical-diversity scorecard: over each source's
+    stride-sampled L-gram occurrences, how many DISTINCT grams (types)
+    back them — a wimbd-style type/occurrence table that separates
+    template farms (few types, many occurrences) from diverse domains
+    before any per-doc scoring runs.
+
+    Gram identity is the canonical 61-bit rolling hash (``_gram_hashes``,
+    batch-layout independent; the SQL oracle uses the literal substrings
+    — same 2^61-space collision contract as the repo's fingerprint dedup
+    family). Shape: per-batch (source, gram) partial counts, ONE
+    gram-bucket exchange (all copies of a gram co-locate, so the
+    per-bucket (source, gram) rollup is globally distinct), per-source
+    partials, then a tiny groupby(source). Zero rows planted per batch
+    keep sources whose docs are all shorter than L in the output.
+
+    Output: (source, n_gram_types, n_gram_occurrences, types_per_mille).
+    """
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for, shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    n_docs = docs.count()
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("h", pa.int64()),
+            ("source", pa.string()),
+            ("cnt", pa.int64()),
+        ]
+    )
+    np_ = shuffle_partitions(
+        num_partitions if num_partitions is not None else partitions_for(100 * n_docs)
+    )
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        h, doc_idx, pos, _buf, _offs = _gram_hashes(
+            batch.column("text").combine_chunks(), L
+        )
+        sampled = (pos % stride) == 0
+        h, doc_idx = h[sampled], doc_idx[sampled]
+        src = np.asarray(
+            batch.column("source").to_pandas(), dtype=object
+        )[doc_idx]
+        # per-batch partial counts of each (source, gram)
+        import pandas as pd
+
+        df = (
+            pd.DataFrame({"h": h.astype(np.int64), "source": src})
+            .groupby(["h", "source"], as_index=False)
+            .size()
+        )
+        hh = df["h"].to_numpy(dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array((hh & (np_ * 8 - 1)).astype(np.int32), pa.int32()),
+                pa.array(hh, pa.int64()),
+                pa.array(df["source"].to_numpy(dtype=object), pa.string()),
+                pa.array(df["size"].to_numpy(dtype=np.int64), pa.int64()),
+            ],
+            schema=ex_schema,
+        )
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("types", pa.int64()), ("occ", pa.int64())]
+    )
+
+    def div_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("cnt"), 0))
+        if g.num_rows == 0:
+            return part_schema.empty_table()
+        # finish the global (source, gram) rollup in-bucket, then reduce
+        # to one (types, occurrences) partial per source
+        pairs = (
+            g.select(["source", "h", "cnt"])
+            .group_by(["source", "h"])
+            .aggregate([("cnt", "sum")])
+        )
+        out = (
+            pairs.append_column(
+                "one", pa.array(np.ones(pairs.num_rows, np.int64))
+            )
+            .group_by("source")
+            .aggregate([("one", "sum"), ("cnt_sum", "sum")])
+        )
+        return out.rename_columns(["source", "types", "occ"])
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        srcs = (
+            batch.select(["source"]).group_by("source").aggregate([]).column("source")
+        )
+        n = len(srcs)
+        return pa.Table.from_arrays(
+            [
+                srcs.combine_chunks(),
+                pa.array(np.zeros(n, np.int64)),
+                pa.array(np.zeros(n, np.int64)),
+            ],
+            schema=part_schema,
+        )
+
+    agg = (
+        docs.map_batches(gram_rows, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(ex_schema, "bucket", fill={"h": 0, "source": "", "cnt": -1})
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(div_bucket, batch_format="pyarrow")
+        .union(docs.map_batches(zero_rows, batch_format="pyarrow"))
+        .groupby("source", num_partitions=shuffle_partitions(4))
+        .aggregate(
+            Sum("types", alias_name="n_gram_types"),
+            Sum("occ", alias_name="n_gram_occurrences"),
+        )
+    )
+
+    def per_mille(batch: pa.Table) -> pa.Table:
+        t = batch.column("n_gram_types").to_numpy(zero_copy_only=False)
+        o = batch.column("n_gram_occurrences").to_numpy(zero_copy_only=False)
+        pm = np.where(o > 0, t * 1000 // np.maximum(o, 1), 0)
+        return batch.append_column("types_per_mille", pa.array(pm, pa.int64()))
+
+    return agg.map_batches(per_mille, batch_format="pyarrow")

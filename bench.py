@@ -830,6 +830,18 @@ def main() -> None:
 
     timed("ngram_novelty", novelty_q)
 
+    def source_div_q() -> None:
+        from agentic_doc_ray.functions.substr import source_diversity
+
+        source_diversity(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        ).count()
+
+    timed("source_diversity", source_div_q)
+
     def dedup_lines_q() -> None:
         from agentic_doc_ray.functions.text import dedup_lines
 

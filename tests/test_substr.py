@@ -289,3 +289,56 @@ def test_substring_counts_overlap_semantics():
     )
     got = {r["query"]: r for r in substring_counts(ds, ["aa"]).take_all()}
     assert got["aa"]["n_occurrences"] == 4 and got["aa"]["n_docs"] == 2
+
+
+def test_source_diversity_planted(ray_session):
+    """A template-farm source (one string repeated) shows few types over
+    many occurrences; a diverse source shows types ~= occurrences; a
+    source of sub-L docs reports (0, 0, 0). Checked against a
+    brute-force literal-substring recount."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.substr import source_diversity
+
+    template = "BUY-NOW-CHEAP-DEALS-CLICK-HERE-TODAY!"
+    rows = (
+        [{"doc_id": i, "text": template, "source": "farm"} for i in range(6)]
+        + [
+            {"doc_id": 10, "text": "the quick brown fox jumps over dogs", "source": "blog"},
+            {"doc_id": 11, "text": "entirely different words appear here", "source": "blog"},
+            {"doc_id": 12, "text": "tiny", "source": "short"},
+        ]
+    )
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()), ("source", pa.string())]
+        ),
+    )
+
+    def brute(src_rows, L=8, stride=4):
+        types, occ = set(), 0
+        for r in src_rows:
+            txt = r["text"]
+            for i in range(0, max(len(txt) - L + 1, 0), stride):
+                types.add(txt[i : i + L])
+                occ += 1
+        return len(types), occ
+
+    for n_blocks in (1, 4):
+        got = {
+            r["source"]: r
+            for r in source_diversity(
+                ray.data.from_arrow(t).repartition(n_blocks)
+            ).take_all()
+        }
+        for src in ("farm", "blog", "short"):
+            ty, oc = brute([r for r in rows if r["source"] == src])
+            assert got[src]["n_gram_types"] == ty, (src, got[src])
+            assert got[src]["n_gram_occurrences"] == oc
+            want_pm = ty * 1000 // oc if oc else 0
+            assert got[src]["types_per_mille"] == want_pm
+        # the farm's types collapse to one doc's worth
+        assert got["farm"]["n_gram_occurrences"] == 6 * got["farm"]["n_gram_types"]
+        assert got["short"]["n_gram_occurrences"] == 0
