@@ -893,6 +893,8 @@ _DRIVER_PRIORITY = [
     "rrf_fusion",
     # new this round: per-source lexical-diversity scorecard
     "source_diversity",
+    # new this round: anchor-text harvesting over the link graph
+    "anchor_texts",
     # new this round: Count-Min frequency sketch
     "cms_token_counts",
     # new this round: min-k% membership-inference signal
@@ -1557,6 +1559,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id"]
         )
         return kcore(d, d.count())
+
+    def q_anchor_texts(sf_dir):
+        """Anchor-text harvesting: per link target, in-link count + most
+        common anchor token from the linking docs' first-3-token sets
+        (the query-doc pair construction signal). One target-bucket
+        exchange of (target, token) partial counts; SQL oracle derives
+        the same LCG edges and tokenization."""
+        from agentic_doc_ray.functions.graph import anchor_texts
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return anchor_texts(d, d.count())
 
     def q_split_sentences(sf_dir):
         """Sentence segmentation (the unit for sentence-level dedup /
@@ -2621,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_snapshot_dedup": q_cross_snapshot_dedup,  # naive replica oracle
         "pagerank": q_pagerank,                    # single-process replica oracle
         "kcore_numbers": q_kcore,                  # independent peeling oracle
+        "anchor_texts": q_anchor_texts,
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "source_divergence": q_source_divergence,  # single-process replica oracle
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
@@ -4104,6 +4120,32 @@ def oracle_sql() -> dict[str, str]:
         "kcore_numbers": (
             "SELECT node, core "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/kcore.parquet')"
+        ),
+        # same LCG edge formula as the pagerank/triangle oracles; anchor
+        # tokens = the source's first-3-token SET per edge row (DISTINCT
+        # over (src, k, dst, token)); top token by (count DESC, token)
+        "anchor_texts": (
+            "WITH nn AS (SELECT count(*) AS n FROM documents), "
+            "e0 AS (SELECT d.doc_id AS src, t.k AS k, "
+            "  (d.doc_id*1103515245 + t.k*2654435761) % nn.n AS dst0, d.text "
+            "  FROM documents d CROSS JOIN nn, generate_series(1,3) t(k)), "
+            "e1 AS (SELECT src, k, CASE WHEN dst0 = src "
+            "  THEN (dst0+1) % (SELECT n FROM nn) ELSE dst0 END AS dst, text "
+            "  FROM e0), "
+            "links AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks "
+            "  FROM e1 GROUP BY dst), "
+            "tok AS (SELECT DISTINCT src, k, dst, token FROM ("
+            "  SELECT src, k, dst, "
+            "    unnest(regexp_split_to_array(trim(text), '\\s+')[1:3]) AS token "
+            "  FROM e1) WHERE token <> ''), "
+            "cnt AS (SELECT dst, token, CAST(count(*) AS BIGINT) AS n "
+            "  FROM tok GROUP BY 1, 2), "
+            "top AS (SELECT dst, token, n, row_number() OVER "
+            "  (PARTITION BY dst ORDER BY n DESC, token) AS rn FROM cnt) "
+            "SELECT l.dst AS target_id, l.n_inlinks, "
+            "  COALESCE(t.token, '') AS top_token, "
+            "  CAST(COALESCE(t.n, 0) AS BIGINT) AS top_count "
+            "FROM links l LEFT JOIN top t ON t.dst = l.dst AND t.rn = 1"
         ),
         "bigram_lm_nll": (
             "SELECT doc_id, n_bigrams, n_scored, nll_micro "

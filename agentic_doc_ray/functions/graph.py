@@ -1227,3 +1227,141 @@ def kcore_oracle(doc_ids: "pa.ChunkedArray | pa.Array", n_docs: int) -> pa.Table
     keep = a != b
     pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
     return peel_core(pairs[:, 0], pairs[:, 1])
+
+
+def anchor_texts(
+    docs: "ray.data.Dataset",
+    n_docs: int,
+    n_tokens: int = 3,
+    n_buckets: int = 64,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Anchor-text harvesting over the synthetic link graph: for every
+    link TARGET, aggregate the linking documents' anchor tokens (proxy:
+    the source doc's first ``n_tokens`` whitespace tokens, deduplicated
+    per source) and report the in-link count plus the most common anchor
+    token — the classic web-graph signal used to build query-document
+    pairs and target-page descriptions from link context.
+
+    ONE bucketed exchange: each batch derives its docs' out-edges
+    (``pagerank.link_edges`` formula), emits per-(target, token) partial
+    counts plus one in-link marker row per edge (token=''), keyed by
+    bucket(target). A target's rows all land in one bucket, so the
+    rollup, the in-link count and the argmax finish in-bucket — only
+    (targets x distinct-anchor-tokens) partial rows cross the wire,
+    never document text beyond the first few tokens.
+
+    Output: (target_id, n_inlinks, top_token, top_count) — top_token ''
+    with count 0 when every linking source has no tokens; ties broken by
+    lexicographically smallest token (mirrored in the SQL oracle).
+    """
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+
+    n_hint = n_rows_hint if n_rows_hint is not None else n_docs * N_LINKS
+    np_ = partitions_for(n_hint)
+
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("target", pa.int64()),
+            ("token", pa.string()),
+            ("cnt", pa.int64()),  # -1 = sentinel
+        ]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        src = np.repeat(ids, N_LINKS)
+        k = np.tile(np.arange(1, N_LINKS + 1, dtype=np.int64), len(ids))
+        dst = (src * _LCG_A + k * _LCG_C) % n_docs
+        dst = np.where(dst == src, (dst + 1) % n_docs, dst)
+        # marker rows: one per edge (token='')
+        rows_t: list[str] = [""] * len(dst)
+        rows_d: list[int] = dst.tolist()
+        # anchor token rows: the source's first n_tokens tokens (deduped),
+        # repeated for each of its out-edges
+        for i, t in enumerate(texts):
+            toks = sorted(set((t or "").split()[:n_tokens]))
+            if not toks:
+                continue
+            for d in dst[i * N_LINKS : (i + 1) * N_LINKS].tolist():
+                rows_t.extend(toks)
+                rows_d.extend([d] * len(toks))
+        df = (
+            pd.DataFrame({"target": rows_d, "token": rows_t})
+            .groupby(["target", "token"], as_index=False)
+            .size()
+        )
+        tgt = df["target"].to_numpy(dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array((tgt % n_buckets).astype(np.int32), pa.int32()),
+                pa.array(tgt, pa.int64()),
+                pa.array(df["token"].to_numpy(dtype=object), pa.string()),
+                pa.array(df["size"].to_numpy(dtype=np.int64), pa.int64()),
+            ],
+            schema=ex_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("target_id", pa.int64()),
+            ("n_inlinks", pa.int64()),
+            ("top_token", pa.string()),
+            ("top_count", pa.int64()),
+        ]
+    )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = group.filter(pc.greater_equal(group.column("cnt"), 0))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            g.select(["target", "token", "cnt"])
+            .to_pandas()
+            .groupby(["target", "token"], as_index=False)["cnt"]
+            .sum()
+        )
+        marks = df[df["token"] == ""]
+        inlinks = dict(zip(marks["target"], marks["cnt"]))
+        toks = df[df["token"] != ""].sort_values(
+            ["target", "cnt", "token"], ascending=[True, False, True]
+        )
+        top = toks.groupby("target", as_index=False).first()
+        top_of = {
+            int(r.target): (str(r.token), int(r.cnt)) for r in top.itertuples()
+        }
+        targets = sorted(inlinks)
+        return pa.Table.from_pydict(
+            {
+                "target_id": pa.array(targets, pa.int64()),
+                "n_inlinks": pa.array(
+                    [int(inlinks[t]) for t in targets], pa.int64()
+                ),
+                "top_token": pa.array(
+                    [top_of.get(t, ("", 0))[0] for t in targets], pa.string()
+                ),
+                "top_count": pa.array(
+                    [top_of.get(t, ("", 0))[1] for t in targets], pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                ex_schema, "bucket", fill={"target": -1, "token": "", "cnt": -1}
+            )
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(fold_bucket, batch_format="pyarrow")
+    )

@@ -514,6 +514,16 @@ def main() -> None:
 
     timed("kcore_numbers", kcore_q)
 
+    def anchor_q() -> None:
+        from agentic_doc_ray.functions.graph import anchor_texts
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        anchor_texts(d, d.count()).count()
+
+    timed("anchor_texts", anchor_q)
+
     def bm25_q() -> None:
         from agentic_doc_ray.functions.retrieval import bm25_topk
 

@@ -435,3 +435,59 @@ def test_kcore_bsp_matches_peeling_oracle():
     want = kcore_oracle(ids.column("doc_id"), n).to_pandas()
     assert got["node"].tolist() == want["node"].tolist()
     assert got["core"].tolist() == want["core"].tolist()
+
+
+def test_anchor_texts_hand_graph():
+    """5-doc corpus, edges derivable by hand from the LCG formula; the
+    brute-force recount shares nothing with the bucketed implementation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.graph import anchor_texts
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+
+    n = 5
+    texts = [
+        "alpha beta gamma delta",
+        "alpha alpha zulu",     # first-3 SET dedupes to {alpha, zulu}
+        "  beta   gamma  ",     # leading/multi whitespace
+        "",                      # no tokens: contributes only in-links
+        "omega",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    # brute force
+    inlinks: dict[int, int] = {}
+    counts: dict[tuple[int, str], int] = {}
+    for src in range(n):
+        toks = set(texts[src].split()[:3])
+        for k in range(1, N_LINKS + 1):
+            dst = (src * _LCG_A + k * _LCG_C) % n
+            if dst == src:
+                dst = (dst + 1) % n
+            inlinks[dst] = inlinks.get(dst, 0) + 1
+            for tok in toks:
+                counts[(dst, tok)] = counts.get((dst, tok), 0) + 1
+    want = {}
+    for d, m in inlinks.items():
+        best = sorted(
+            ((c, tok) for (dd, tok), c in counts.items() if dd == d),
+            key=lambda x: (-x[0], x[1]),
+        )
+        top_tok, top_cnt = (best[0][1], best[0][0]) if best else ("", 0)
+        want[d] = (m, top_tok, top_cnt)
+
+    for n_blocks in (1, 3):
+        got = {
+            r["target_id"]: (r["n_inlinks"], r["top_token"], r["top_count"])
+            for r in anchor_texts(
+                ray.data.from_arrow(t).repartition(n_blocks), n
+            ).take_all()
+        }
+        assert got == want
