@@ -895,6 +895,8 @@ _DRIVER_PRIORITY = [
     "source_diversity",
     # new this round: anchor-text harvesting over the link graph
     "anchor_texts",
+    # new this round: local clustering coefficient (integer per-mille)
+    "clustering_coefficient",
     # new this round: Count-Min frequency sketch
     "cms_token_counts",
     # new this round: min-k% membership-inference signal
@@ -1572,6 +1574,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return anchor_texts(d, d.count())
+
+    def q_clustering_coeff(sf_dir):
+        """Local clustering coefficient in exact per-mille integers
+        (2000*T // d(d-1), degree >= 2) — triangle counts composed with a
+        degree pass, one extra groupby(node)."""
+        from agentic_doc_ray.functions.graph import clustering_coefficient
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        return clustering_coefficient(d, d.count())
 
     def q_split_sentences(sf_dir):
         """Sentence segmentation (the unit for sentence-level dedup /
@@ -2637,6 +2650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,                    # single-process replica oracle
         "kcore_numbers": q_kcore,                  # independent peeling oracle
         "anchor_texts": q_anchor_texts,
+        "clustering_coefficient": q_clustering_coeff,
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "source_divergence": q_source_divergence,  # single-process replica oracle
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
@@ -4218,6 +4232,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM ("
             "  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri"
             ") GROUP BY node"
+        ),
+        # triangle closure + degree rollup; integer per-mille coefficient
+        "clustering_coefficient": (
+            "WITH ids AS (SELECT doc_id AS i FROM documents),"
+            "nn AS (SELECT count(*) AS n FROM ids),"
+            "e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst"
+            "       FROM ids, nn, generate_series(1,3) AS t(k)),"
+            "e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),"
+            "canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e1 WHERE src <> dst),"
+            "tri AS ("
+            "  SELECT w1.a AS u, w1.b AS v, w2.b AS w"
+            "  FROM canon w1 JOIN canon w2 ON w2.a = w1.a AND w2.b > w1.b"
+            "  JOIN canon e ON e.a = w1.b AND e.b = w2.b"
+            "), tcnt AS ("
+            "  SELECT node, CAST(count(*) AS BIGINT) AS t FROM ("
+            "    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri"
+            "  ) GROUP BY node"
+            "), deg AS ("
+            "  SELECT node, CAST(count(*) AS BIGINT) AS d FROM ("
+            "    SELECT a AS node FROM canon UNION ALL SELECT b FROM canon"
+            "  ) GROUP BY node) "
+            "SELECT deg.node, deg.d AS degree, "
+            "  CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles, "
+            "  (2000 * COALESCE(tcnt.t, 0)) // (deg.d * (deg.d - 1)) AS coeff_per_mille "
+            "FROM deg LEFT JOIN tcnt USING (node) WHERE deg.d >= 2"
         ),
         # common-neighbor link prediction: wedges minus existing edges,
         # deterministic (n_common DESC, node_a, node_b) top-k

@@ -1365,3 +1365,89 @@ def anchor_texts(
         .groupby("bucket", num_partitions=np_)
         .map_groups(fold_bucket, batch_format="pyarrow")
     )
+
+
+def clustering_coefficient(
+    docs: "ray.data.Dataset",
+    n_docs: int,
+    n_buckets: int = 64,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-node local clustering coefficient over the synthetic link
+    graph, in exact per-mille integers: ``1000 * 2T(v) // (d(v)(d(v)-1))``
+    for every node with degree >= 2 — the neighborhood-density signal
+    that, with ``triangle_counts`` as its numerator, ranks link-graph
+    nodes by how web-spammy (clique-like) their surroundings are.
+
+    Pure composition: the triangle pipeline's per-node counts union a
+    degree pass over the canonical-distinct edge set, folded by one
+    ``groupby(node)``; the coefficient is a nonnegative integer
+    floor-division (numerator cross-multiplied, no float), mirrored
+    exactly in the SQL oracle. Degree->=2 nodes with zero triangles
+    appear with coefficient 0; degree-1 nodes are excluded (the
+    coefficient is undefined).
+    """
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions.pagerank import N_LINKS
+
+    n_hint = n_rows_hint if n_rows_hint is not None else n_docs * N_LINKS
+    np_ = partitions_for(n_hint)
+
+    pair_schema = pa.schema(
+        [("node", pa.int64()), ("tri", pa.int64()), ("deg", pa.int64())]
+    )
+
+    def tri_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("node"),
+                batch.column("n_triangles"),
+                pa.array(np.zeros(n, np.int64)),
+            ],
+            schema=pair_schema,
+        )
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pa.array(uniq, pa.int64()),
+                pa.array(np.zeros(len(uniq), np.int64)),
+                pa.array(cnt.astype(np.int64)),
+            ],
+            schema=pair_schema,
+        )
+
+    edges = _distinct_link_edges(docs, n_docs, n_buckets, np_)
+    tri = triangle_counts(
+        docs, n_docs, n_buckets=n_buckets, n_rows_hint=n_rows_hint
+    )
+    folded = (
+        tri.map_batches(tri_rows, batch_format="pyarrow")
+        .union(edges.map_batches(deg_rows, batch_format="pyarrow"))
+        .groupby("node", num_partitions=np_)
+        .aggregate(Sum("tri", alias_name="n_triangles"), Sum("deg", alias_name="degree"))
+    )
+
+    def coeff(batch: pa.Table) -> pa.Table:
+        d = batch.column("degree").to_numpy(zero_copy_only=False)
+        t = batch.column("n_triangles").to_numpy(zero_copy_only=False)
+        keep = d >= 2
+        d, t = d[keep], t[keep]
+        nodes = batch.column("node").to_numpy(zero_copy_only=False)[keep]
+        pm = (2000 * t) // (d * (d - 1))
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "degree": pa.array(d, pa.int64()),
+                "n_triangles": pa.array(t, pa.int64()),
+                "coeff_per_mille": pa.array(pm, pa.int64()),
+            }
+        )
+
+    return folded.map_batches(coeff, batch_format="pyarrow")

@@ -524,6 +524,16 @@ def main() -> None:
 
     timed("anchor_texts", anchor_q)
 
+    def clustering_q() -> None:
+        from agentic_doc_ray.functions.graph import clustering_coefficient
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        clustering_coefficient(d, d.count()).count()
+
+    timed("clustering_coefficient", clustering_q)
+
     def bm25_q() -> None:
         from agentic_doc_ray.functions.retrieval import bm25_topk
 

@@ -491,3 +491,52 @@ def test_anchor_texts_hand_graph():
             ).take_all()
         }
         assert got == want
+
+
+def test_clustering_coefficient_clique_and_chain():
+    """K4-with-tail by brute force: clique interiors dense, tail sparse.
+    Uses a direct edge table via monkeypatched edge derivation? No — the
+    operator derives LCG edges, so assert against a brute-force recount
+    of the SAME derived graph on 30 ids (degree >= 2 filter, per-mille
+    integer division)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.graph import clustering_coefficient
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+
+    n = 30
+    edges = set()
+    for src in range(n):
+        for k in range(1, N_LINKS + 1):
+            dst = (src * _LCG_A + k * _LCG_C) % n
+            if dst == src:
+                dst = (dst + 1) % n
+            if dst != src:
+                edges.add((min(src, dst), max(src, dst)))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(
+            1
+            for x in nb
+            for y in nb
+            if x < y and (min(x, y), max(x, y)) in edges
+        )
+        want[v] = (d, t, 2000 * t // (d * (d - 1)))
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    ).repartition(3)
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["coeff_per_mille"])
+        for r in clustering_coefficient(ds, n).take_all()
+    }
+    assert got == want
