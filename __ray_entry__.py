@@ -897,6 +897,9 @@ _DRIVER_PRIORITY = [
     "anchor_texts",
     # new this round: local clustering coefficient (integer per-mille)
     "clustering_coefficient",
+    # new this round: generic hash_join API (broadcast + bucketed routes)
+    "generic_join",
+    "generic_anti_join",
     # new this round: Count-Min frequency sketch
     "cms_token_counts",
     # new this round: min-k% membership-inference signal
@@ -1574,6 +1577,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return anchor_texts(d, d.count())
+
+    def q_generic_join(sf_dir):
+        """Generic hash_join API, broadcast route (customer is below the
+        threshold): orders x customer inner join with automatic
+        dimension-side broadcast. Plain SQL JOIN oracle."""
+        from agentic_doc_ray.functions.join_api import hash_join
+
+        return hash_join(
+            ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+            ),
+            ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_mktsegment"],
+            ),
+            left_on="o_custkey",
+            right_on="c_custkey",
+            how="inner",
+        )
+
+    def q_generic_anti_join(sf_dir):
+        """Generic hash_join API, BUCKETED route (threshold 0 forces the
+        exchange): customers with no order in the o_orderkey % 7 == 0
+        subset — left anti join. SQL NOT EXISTS oracle."""
+        from agentic_doc_ray.functions.join_api import hash_join
+
+        o = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).filter(lambda r: r["o_orderkey"] % 7 == 0)
+        return hash_join(
+            ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_mktsegment"],
+            ),
+            o,
+            left_on="c_custkey",
+            right_on="o_custkey",
+            how="anti",
+            broadcast_threshold=0,
+        )
 
     def q_clustering_coeff(sf_dir):
         """Local clustering coefficient in exact per-mille integers
@@ -2651,6 +2694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_numbers": q_kcore,                  # independent peeling oracle
         "anchor_texts": q_anchor_texts,
         "clustering_coefficient": q_clustering_coeff,
+        "generic_join": q_generic_join,
+        "generic_anti_join": q_generic_anti_join,
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "source_divergence": q_source_divergence,  # single-process replica oracle
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
@@ -4232,6 +4277,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM ("
             "  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri"
             ") GROUP BY node"
+        ),
+        "generic_join": (
+            "SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "generic_anti_join": (
+            "SELECT c.c_custkey, c.c_name, c.c_mktsegment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "  WHERE o.o_orderkey % 7 = 0 AND o.o_custkey = c.c_custkey)"
         ),
         # triangle closure + degree rollup; integer per-mille coefficient
         "clustering_coefficient": (

@@ -534,6 +534,25 @@ def main() -> None:
 
     timed("clustering_coefficient", clustering_q)
 
+    def generic_join_q() -> None:
+        from agentic_doc_ray.functions.join_api import hash_join
+
+        hash_join(
+            ray.data.read_parquet(
+                f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+            ),
+            ray.data.read_parquet(
+                f"{SF_DIR}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_mktsegment"],
+            ),
+            left_on="o_custkey",
+            right_on="c_custkey",
+            how="inner",
+            broadcast_threshold=0,  # force the exchange route (the scale path)
+        ).count()
+
+    timed("generic_join_bucketed", generic_join_q)
+
     def bm25_q() -> None:
         from agentic_doc_ray.functions.retrieval import bm25_topk
 
