@@ -883,8 +883,9 @@ _DRIVER_PRIORITY = [
     # new this round: sign-bit binary quantization + Hamming ANN
     "binary_quantize",
     "hamming_topk",
-    # new this round: SQ8 scalar quantization (per-dim range codes)
+    # new this round: SQ8 scalar quantization (per-dim range codes) + ADC search
     "sq8_codes",
+    "sq8_topk",
     # new this round: fuzzy (MinHash-band) benchmark decontamination
     "fuzzy_contamination",
     # new this round: per-user Markov transition counts
@@ -2438,6 +2439,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_sq8_topk(sf_dir):
+        """SQ8 asymmetric-distance top-k (exact query vs decoded 8-bit
+        codes, loss-free int64 squared-L2) — the search side of scalar
+        quantization. Pure SQL oracle (same decode + integer distance)."""
+        from agentic_doc_ray.functions.similarity import sq8_topk
+
+        return sq8_topk(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            n_queries=8,
+            k=10,
+        )
+
     def q_hamming_topk(sf_dir):
         """Hamming-space top-k over the binary codes (popcount(xor)),
         exact with vec_id tie-break — the search side of binary ANN.
@@ -2727,6 +2742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_projection": q_random_projection,  # single-process replica oracle
         "binary_quantize": q_binary_quantize,
         "sq8_codes": q_sq8,
+        "sq8_topk": q_sq8_topk,
         "hamming_topk": q_hamming_topk,
         "simhash": q_simhash,
         "doc_fingerprints": q_fingerprints,
@@ -3611,7 +3627,10 @@ def oracle_sql() -> dict[str, str]:
         # 32 bits per int64 word, long (vec_id, word_idx, word) format
         "sq8_codes": (
             "WITH v AS (SELECT vec_id, unnest(range(0, 64)) AS d, unnest(embedding) AS x FROM embeddings),"
-            "m AS (SELECT vec_id, d, CAST(round(x * 1000000) AS BIGINT) AS micro FROM v),"
+            # half-up over the EXACT double product (float32 x 1e6 fits a double):
+            # DuckDB's round(x*1000000) multiplies in float32 and rounds half-away,
+            # which disagrees with any float64 engine on .5-landing products
+            "m AS (SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS micro FROM v),"
             "s AS (SELECT d, min(micro) AS mn, max(micro) AS mx FROM m GROUP BY d),"
             "c AS (SELECT m.vec_id, m.d,"
             "  CASE WHEN s.mx > s.mn THEN ((m.micro - s.mn) * 255) // (s.mx - s.mn) ELSE 0 END AS code"
@@ -3619,6 +3638,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(d // 7 AS BIGINT) AS word_idx,"
             "  CAST(sum(code * (CAST(1 AS BIGINT) << CAST((d % 7) * 8 AS INTEGER))) AS BIGINT) AS word "
             "FROM c GROUP BY 1, 2"
+        ),
+        "sq8_topk": (
+            "WITH v AS (SELECT vec_id, unnest(range(0, 64)) AS d, unnest(embedding) AS x FROM embeddings),"
+            "m AS (SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS micro FROM v),"
+            "s AS (SELECT d, min(micro) AS mn, max(micro) AS mx FROM m GROUP BY d),"
+            "dec AS (SELECT m.vec_id, m.d,"
+            "  CASE WHEN s.mx > s.mn"
+            "    THEN s.mn + (((m.micro - s.mn) * 255) // (s.mx - s.mn)) * (s.mx - s.mn) // 255"
+            "    ELSE s.mn END AS dm"
+            "  FROM m JOIN s USING (d)),"
+            "qd AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,"
+            "  CAST(sum((c.dm - q.micro) * (c.dm - q.micro)) AS BIGINT) AS dist"
+            "  FROM dec c JOIN m q ON q.d = c.d"
+            "  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id GROUP BY 1, 2) "
+            "SELECT query_id, rank, vec_id, dist FROM ("
+            "  SELECT query_id, vec_id, dist,"
+            "    CAST(row_number() OVER (PARTITION BY query_id"
+            "      ORDER BY dist, vec_id) AS BIGINT) AS rank FROM qd"
+            ") WHERE rank <= 10"
         ),
         "binary_quantize": (
             "WITH v AS (SELECT vec_id, unnest(range(0, 64)) AS d, unnest(embedding) AS x FROM embeddings),"

@@ -1085,6 +1085,23 @@ def hamming_topk(
     )
 
 
+def _sq8_micro(col: "pa.ChunkedArray", dim: int) -> np.ndarray:
+    """list<float> column -> (n, dim) int64 micro matrix by HALF-UP
+    rounding: floor(x_double * 1e6 + 0.5). The double product of a
+    float32 value and 1e6 is EXACT (24-bit mantissa x 2^20 fits a
+    double), so this is deterministic and engine-independent — unlike
+    np.round (banker's) vs SQL round() over a float32 product, which
+    disagree exactly when the float32 product lands on .5 (observed
+    133/32000 values at sf0.01). The SQ8 oracles mirror this formula as
+    floor(CAST(x AS DOUBLE) * 1000000 + 0.5)."""
+    arr = col.combine_chunks()
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    if len(lens) and not (lens == dim).all():
+        raise ValueError(f"ragged embedding column (expected dim={dim})")
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.floor(flat * 1_000_000.0 + 0.5).astype(np.int64).reshape(-1, dim)
+
+
 def _dim_micro_minmax(
     embeddings: "ray.data.Dataset", in_dim: int
 ) -> "tuple[np.ndarray, np.ndarray]":
@@ -1095,7 +1112,7 @@ def _dim_micro_minmax(
     ``_dim_micro_sums``."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        micro = _list_matrix_micro(batch.column("embedding"), in_dim)
+        micro = _sq8_micro(batch.column("embedding"), in_dim)
         return pa.Table.from_pydict(
             {
                 "mn": [micro.min(axis=0).tolist()],
@@ -1144,7 +1161,7 @@ def sq8_quantize(
     n_words = (in_dim + SQ8_CODES_PER_WORD - 1) // SQ8_CODES_PER_WORD
 
     def quantize(batch: pa.Table) -> pa.Table:
-        micro = _list_matrix_micro(batch.column("embedding"), in_dim)
+        micro = _sq8_micro(batch.column("embedding"), in_dim)
         num = (micro - mins[None, :]) * np.int64(255)
         codes = np.where(span[None, :] > 0, num // np.maximum(span, 1)[None, :], 0)
         words = np.zeros((len(micro), n_words), dtype=np.int64)
@@ -1164,3 +1181,121 @@ def sq8_quantize(
         )
 
     return embeddings.map_batches(quantize, batch_format="pyarrow")
+
+
+def sq8_topk(
+    embeddings: "ray.data.Dataset",
+    n_queries: int = 8,
+    k: int = 10,
+    in_dim: int = 64,
+) -> pa.Table:
+    """SQ8 asymmetric-distance (ADC) top-k: the search side of scalar
+    quantization — each query keeps its EXACT micro-unit vector while
+    the corpus is represented by its 8-bit codes, and distance is the
+    exact integer squared-L2 between the query and the DECODED code
+    ``dec_d = min_d + code_d * span_d // 255`` (the FAISS SQ8 search
+    recipe, here in loss-free int64: |diff| <= ~6e6, squared x 64 dims
+    < 2^52).
+
+    Same partial-merge shape as ``hamming_topk``/``brute_topk``:
+    per-batch local top-k against the broadcast query matrix, one
+    query-keyed k-bounded exchange — the corpus never shuffles.
+    Deterministic: ties broken by vec_id ascending, mirrored in the SQL
+    oracle. Output (query_id, rank, vec_id, dist).
+    """
+    mins, maxes = _dim_micro_minmax(embeddings, in_dim)
+    span = maxes - mins
+
+    def collect_queries(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.less(batch.column("vec_id"), pa.scalar(n_queries, pa.int64()))
+        )
+
+    q_rows = (
+        embeddings.map_batches(collect_queries, batch_format="pyarrow").take_all()
+    )
+    q_rows.sort(key=lambda r: int(r["vec_id"]))
+    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    q_micro = np.floor(
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64) * 1_000_000.0
+        + 0.5
+    ).astype(np.int64)
+    q_ref = ray.put((q_ids, q_micro))
+
+    partial_schema = pa.schema(
+        [
+            ("query_idx", pa.int32()),
+            ("vec_id", pa.int64()),
+            ("dist", pa.int64()),
+        ]
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(q_ref)
+        micro = _sq8_micro(batch.column("embedding"), in_dim)
+        num = (micro - mins[None, :]) * np.int64(255)
+        codes = np.where(span[None, :] > 0, num // np.maximum(span, 1)[None, :], 0)
+        dec = mins[None, :] + codes * span[None, :] // np.int64(255)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"query_idx": [], "vec_id": [], "dist": []}
+        for qi in range(len(qids)):
+            diff = dec - qm[qi][None, :]
+            d = (diff * diff).sum(axis=1)
+            keep = ids != qids[qi]
+            sub_ids, sub_d = ids[keep], d[keep]
+            order = np.lexsort((sub_ids, sub_d))[: min(k, len(sub_ids))]
+            out["query_idx"].extend([qi] * len(order))
+            out["vec_id"].extend(sub_ids[order].tolist())
+            out["dist"].extend(sub_d[order].tolist())
+        return pa.Table.from_pydict(out, schema=partial_schema)
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    def group_topk(group: pa.Table) -> pa.Table:
+        real = group.filter(pc.is_valid(group.column("dist")))
+        if real.num_rows == 0:
+            return partial_schema.empty_table()
+        d = real.column("dist").to_numpy(zero_copy_only=False)
+        ids = real.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))[: min(k, len(ids))]
+        take = pa.array(order, pa.int64())
+        return pa.Table.from_arrays(
+            [
+                real.column("query_idx").take(take),
+                pa.array(ids[order], pa.int64()),
+                pa.array(d[order], pa.int64()),
+            ],
+            schema=partial_schema,
+        )
+
+    merged = (
+        embeddings.map_batches(partial_topk, batch_format="pyarrow")
+        .union(int_key_sentinels(partial_schema, "query_idx"))
+        .groupby("query_idx", num_partitions=shuffle_partitions())
+        .map_groups(group_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    by_q: dict[int, list] = {}
+    for r in merged:
+        by_q.setdefault(int(r["query_idx"]), []).append(
+            (int(r["dist"]), int(r["vec_id"]))
+        )
+    rows = {"query_id": [], "rank": [], "vec_id": [], "dist": []}
+    for qi in range(len(q_ids)):
+        for rank, (d, vid) in enumerate(sorted(by_q.get(qi, []))[:k], start=1):
+            rows["query_id"].append(int(q_ids[qi]))
+            rows["rank"].append(rank)
+            rows["vec_id"].append(vid)
+            rows["dist"].append(d)
+    return pa.Table.from_pydict(
+        rows,
+        schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("rank", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("dist", pa.int64()),
+            ]
+        ),
+    )

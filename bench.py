@@ -705,6 +705,19 @@ def main() -> None:
 
     timed("sq8_codes", sq8_q)
 
+    def sq8_topk_q() -> None:
+        from agentic_doc_ray.functions.similarity import sq8_topk
+
+        sq8_topk(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            n_queries=8,
+            k=10,
+        )
+
+    timed("sq8_topk", sq8_topk_q)
+
     def fuzzy_contam_q() -> None:
         import pyarrow.parquet as _pq
 

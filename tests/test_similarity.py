@@ -356,7 +356,7 @@ def test_sq8_quantize_exact_and_batch_invariant():
     words = a["word"].to_numpy()
     assert (words >= 0).all()  # sign bit untouched by construction
     # unpack and check levels
-    micro = np.round(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    micro = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     mn, mx = micro.min(0), micro.max(0)
     span = mx - mn
     want = np.where(span > 0, (micro - mn) * 255 // np.maximum(span, 1), 0)
@@ -371,3 +371,49 @@ def test_sq8_quantize_exact_and_batch_invariant():
     assert (want >= 0).all() and (want <= 255).all()
     assert (want[:, 5] == 0).all()
     assert a["word_idx"].max() == n_words - 1
+
+
+def test_sq8_topk_adc_recovers_neighbors():
+    """ADC parity: a single-process recompute (decode every code, exact
+    int64 squared-L2, (dist, vec_id) order) must match the distributed
+    partial-merge output; a planted exact duplicate of query 0 must rank
+    first at distance 0... almost: its CODES coincide, so ADC distance
+    equals the query-to-own-code distance, the minimum possible."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import sq8_topk
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    vecs = rng.randn(50, dim).astype(np.float32)
+    vecs[37] = vecs[0]  # exact duplicate of query 0
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = sq8_topk(
+        ray.data.from_arrow(t).repartition(4), n_queries=3, k=5, in_dim=dim
+    ).to_pylist()
+
+    micro = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    mn, mx = micro.min(0), micro.max(0)
+    span = mx - mn
+    codes = np.where(span > 0, (micro - mn) * 255 // np.maximum(span, 1), 0)
+    dec = mn + codes * span // 255
+    want = []
+    for q in range(3):
+        d = ((dec - micro[q]) ** 2).sum(axis=1)
+        cand = sorted((int(d[i]), i) for i in range(50) if i != q)[:5]
+        for rank, (dist, vid) in enumerate(cand, 1):
+            want.append(
+                {"query_id": q, "rank": rank, "vec_id": vid, "dist": dist}
+            )
+    assert got == want
+    # the planted duplicate of query 0 is its rank-1 neighbor
+    assert got[0]["query_id"] == 0 and got[0]["vec_id"] == 37
