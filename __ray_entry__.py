@@ -901,6 +901,8 @@ _DRIVER_PRIORITY = [
     # new this round: generic hash_join API (broadcast + bucketed routes)
     "generic_join",
     "generic_anti_join",
+    # new this round: near-dup-aware (leakage-free) train/val split
+    "leakage_free_split",
     # new this round: Count-Min frequency sketch
     "cms_token_counts",
     # new this round: min-k% membership-inference signal
@@ -2112,6 +2114,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ]
         return fuzzy_contamination(_docs_str(sf_dir), bench)
 
+    def q_leakage_free_split(sf_dir):
+        """Near-dup-aware train/val split: the md5 gate runs on the
+        duplicate-COMPONENT id, so verified near-duplicates never
+        straddle the split. CC + generic hash_join + batch-local gate;
+        oracle composes the recursive-CTE closure with the same gate."""
+        from agentic_doc_ray.functions.dedup import verified_dedup_pairs
+        from agentic_doc_ray.functions.sampling import leakage_free_split
+
+        _ensure_extraction_oracles(sf_dir)
+        pairs = ray.data.from_arrow(
+            verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8).select(
+                ["doc_a", "doc_b"]
+            )
+        )
+        return leakage_free_split(_docs_str(sf_dir), pairs, val_pct=10)
+
     def q_train_val_split(sf_dir):
         from agentic_doc_ray.functions.sampling import train_val_split
 
@@ -2678,6 +2696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_flags": q_contamination,
         "fuzzy_contamination": q_fuzzy_contamination,
         "train_val_split": q_train_val_split,
+        "leakage_free_split": q_leakage_free_split,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
         "temperature_mixture": q_temperature_mixture,
@@ -4162,6 +4181,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         # drop set = non-canonical members of each transitive-closure
         # component; string doc_ids on both sides (min is string min)
+        # same recursive closure as near_dedup_keep; singletons gate on
+        # their own id, components on the canonical min member
+        "leakage_free_split": (
+            "WITH RECURSIVE und AS ("
+            f"  SELECT doc_a AS a, doc_b AS b FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') WHERE jaccard >= 0.8 "
+            "  UNION "
+            f"  SELECT doc_b, doc_a FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') WHERE jaccard >= 0.8"
+            "), reach(a, b) AS ("
+            "  SELECT a, b FROM und "
+            "  UNION "
+            "  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a"
+            "), comp AS ("
+            "  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a"
+            "), j AS ("
+            "  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, "
+            "    COALESCE(c.component, CAST(d.doc_id AS VARCHAR)) AS component "
+            "  FROM documents d LEFT JOIN comp c ON CAST(d.doc_id AS VARCHAR) = c.doc_id"
+            ") "
+            "SELECT doc_id, component, "
+            "  CASE WHEN CAST(('0x' || substring(md5(component),1,4)) AS INTEGER) % 100 < 10 "
+            "  THEN 'val' ELSE 'train' END AS split FROM j"
+        ),
         "near_dedup_keep": (
             "WITH RECURSIVE und AS ("
             f"  SELECT doc_a AS a, doc_b AS b FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') WHERE jaccard >= 0.8 "

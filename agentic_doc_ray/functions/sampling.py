@@ -348,3 +348,54 @@ def temperature_mixture_sample(
         return batch.filter(pa.array(h < thr)).select(["doc_id", "source"])
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def leakage_free_split(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    val_pct: int = 10,
+) -> "ray.data.Dataset":
+    """Near-duplicate-AWARE train/val split: the stable md5 percentile
+    gate is applied to each document's duplicate-COMPONENT id (canonical
+    min member via connected components over the verified pairs), so
+    near-duplicate documents can never straddle the split — the standard
+    defense against train/eval leakage that a plain per-doc hash split
+    does not give you. Unpaired documents are their own singleton
+    component and split exactly like ``train_val_split``.
+
+    Shape: CC over the pair-bounded graph (2 exchanges/round), then the
+    (doc -> component) table joins back onto the corpus ids through the
+    generic ``hash_join`` (auto-broadcast when the dup set is small, one
+    bucketed exchange otherwise); the gate itself is batch-local.
+    Output: (doc_id, component, split).
+    """
+    from agentic_doc_ray.functions.graph import connected_components
+    from agentic_doc_ray.functions.join_api import hash_join
+
+    comp = connected_components(pairs)
+
+    ids = docs.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        ids, comp, left_on="doc_id", right_on="doc_id", how="left"
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        doc_ids = [str(d) for d in batch.column("doc_id").to_pylist()]
+        comps = [
+            str(c) if c is not None else doc_ids[i]
+            for i, c in enumerate(batch.column("component").to_pylist())
+        ]
+        pct = _pct(comps)
+        split = np.where(pct < val_pct, "val", "train")
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, pa.string()),
+                pa.array(comps, pa.string()),
+                pa.array(split, pa.string()),
+            ],
+            names=["doc_id", "component", "split"],
+        )
+
+    return joined.map_batches(gate, batch_format="pyarrow")

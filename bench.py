@@ -553,6 +553,19 @@ def main() -> None:
 
     timed("generic_join_bucketed", generic_join_q)
 
+    def leakage_split_q() -> None:
+        from agentic_doc_ray.functions.dedup import verified_dedup_pairs
+        from agentic_doc_ray.functions.sampling import leakage_free_split
+
+        pairs = ray.data.from_arrow(
+            verified_dedup_pairs(docs_str(), exact_threshold=0.8).select(
+                ["doc_a", "doc_b"]
+            )
+        )
+        leakage_free_split(docs_str(), pairs, val_pct=10).count()
+
+    timed("leakage_free_split", leakage_split_q)
+
     def bm25_q() -> None:
         from agentic_doc_ray.functions.retrieval import bm25_topk
 

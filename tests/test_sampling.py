@@ -195,3 +195,56 @@ def test_temperature_mixture_rejects_other_tau():
     t = pa.table({"doc_id": [1], "source": ["a"]})
     with pytest.raises(NotImplementedError):
         S.temperature_mixture_sample(ray.data.from_arrow(t), tau=0.9)
+
+
+def test_leakage_free_split_components_never_straddle(ray_session):
+    """Every member of a pair-connected component gets the SAME split
+    side (the whole point); singletons split exactly like
+    train_val_split's per-doc gate."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.sampling import (
+        _pct,
+        leakage_free_split,
+        train_val_split,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([str(i) for i in range(40)], pa.string()),
+            "text": pa.array(["t"] * 40, pa.string()),
+        }
+    )
+    # components: {0,1,2}, {5,6}, {10,11,12,13} via chains
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(["0", "1", "5", "10", "11", "12"], pa.string()),
+            "doc_b": pa.array(["1", "2", "6", "11", "12", "13"], pa.string()),
+        }
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["split"])
+        for r in leakage_free_split(
+            ray.data.from_arrow(docs).repartition(3),
+            ray.data.from_arrow(pairs),
+            val_pct=30,
+        ).take_all()
+    }
+    assert len(got) == 40
+    for comp_members in (["0", "1", "2"], ["5", "6"], ["10", "11", "12", "13"]):
+        canon = min(comp_members)
+        sides = {got[m][1] for m in comp_members}
+        assert len(sides) == 1, comp_members
+        assert {got[m][0] for m in comp_members} == {canon}
+        want_side = "val" if _pct([canon])[0] < 30 else "train"
+        assert sides == {want_side}
+    # singleton: same side as the per-doc gate
+    tv = {
+        r["doc_id"]: r["split"]
+        for r in train_val_split(
+            ray.data.from_arrow(docs), val_pct=30
+        ).take_all()
+    }
+    for d in ("20", "25", "39"):
+        assert got[d] == (d, tv[d])
