@@ -963,6 +963,10 @@ _DRIVER_PRIORITY = [
     "lineitem_pricing_summary",
     "order_priority_revenue_bucketed",
     "sessionize",
+    # new in the final r03 session — outside this round's ~50-entry window
+    # (verified by scripts/driver_sim.py locally); rotate into r04's front
+    "forecast_revenue",
+    "product_type_profit",
 ]
 
 
@@ -2792,6 +2796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": _J().idle_rich_customers,
         "waiting_supplier_check": _J().waiting_supplier_check,
         "pruned_revenue_scan": A.pruned_revenue_scan,
+        "forecast_revenue": A.forecast_revenue,
+        "product_type_profit": _J().product_type_profit,
         "events_hourly": A.events_hourly,
         "cohort_retention": A.cohort_retention,
         "events_sliding": A.events_sliding,
@@ -3802,6 +3808,35 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"
+        ),
+        # Q9 shape: product-type profit per (nation, year), exact cents
+        "product_type_profit": (
+            "SELECT n.n_name,"
+            "       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,"
+            "       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS profit_cents,"
+            "       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS profit "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "WHERE p.p_name LIKE '%widget%' "
+            "GROUP BY 1, 2"
+        ),
+        # Q6 shape: one-row forecast scan, zero exchanges
+        "forecast_revenue": (
+            "WITH f AS ("
+            "  SELECT CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT) AS cents"
+            "  FROM lineitem"
+            "  WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+            "    AND l_shipdate < TIMESTAMP '1998-01-01'"
+            "    AND l_discount >= 0.05 AND l_discount <= 0.07"
+            "    AND l_quantity < 24"
+            ") "
+            "SELECT CAST(COALESCE(sum(cents), 0) AS BIGINT) AS forecast_cents,"
+            "       CAST(COALESCE(sum(cents), 0) AS BIGINT) / 10000.0 AS forecast_revenue,"
+            "       CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM f"
         ),
         # predicate pushed into the parquet read (row-group pruning)
         "pruned_revenue_scan": (

@@ -1197,3 +1197,78 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
     return partials.groupby(
         ["prev_event", "next_event"], num_partitions=_cap(4)
     ).aggregate(Sum("n", alias_name="n_pairs"))
+
+
+def forecast_revenue(
+    sf_dir: str,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> "ray.data.Dataset":
+    """TPC-H Q6 shape: forecast-revenue-change scan — ONE summary row of
+    ``sum(l_extendedprice * l_discount)`` over a shipdate year for lines
+    with a small discount and quantity (ref parity: the reference's
+    "aggregate everything" scans are per-document; this is the relational
+    analogue at corpus scale).
+
+    The cheapest possible plan shape: the date window is pushed INTO the
+    parquet read (row-group pruning, as ``pruned_revenue_scan``), the
+    discount/quantity predicate and exact integer-cents products run
+    vectorized per batch, and only ONE partial row per batch reaches the
+    single-task fold — no hash exchange at all. Discount bounds compare
+    against the same float64 literals DuckDB parses, so the predicate is
+    bit-identical on both sides; cents are exact 4-decimal integers
+    (price × discount is a 4-decimal quantity).
+    """
+    import pyarrow.dataset as pads
+
+    lo = pads.field("l_shipdate") >= pa.scalar(np.datetime64(date_from, "us"))
+    hi = pads.field("l_shipdate") < pa.scalar(np.datetime64(date_to, "us"))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        filter=lo & hi,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = batch.column("l_discount")
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(disc, pa.scalar(disc_lo)),
+                pc.less_equal(disc, pa.scalar(disc_hi)),
+            ),
+            pc.less(batch.column("l_quantity"), pa.scalar(max_qty)),
+        )
+        t = batch.filter(keep)
+        cents = pc.round(
+            pc.multiply(
+                pc.multiply(t.column("l_extendedprice"), t.column("l_discount")),
+                pa.scalar(10000.0),
+            )
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "cents": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cents = pc.sum(batch.column("cents")).as_py() or 0
+        n = pc.sum(batch.column("n")).as_py() or 0
+        return pa.table(
+            {
+                "forecast_cents": pa.array([cents], pa.int64()),
+                "forecast_revenue": pa.array([cents / 10000.0], pa.float64()),
+                "n_lines": pa.array([n], pa.int64()),
+            }
+        )
+
+    # batch partials are one row each; fold them in one tiny task
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )

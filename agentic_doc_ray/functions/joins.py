@@ -3720,3 +3720,326 @@ def waiting_supplier_check(
     return named.sort(
         key=["numwait", "s_name"], descending=[True, False]
     ).limit(k)
+
+
+def product_type_profit(
+    sf_dir: str,
+    name_token: str = "widget",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q9 shape (product-type profit): per (supplier nation, order
+    year) revenue for parts whose name contains ``name_token`` — the
+    classic 5-table profit attribution (lineitem ⋈ part ⋈ supplier ⋈
+    orders ⋈ nation), minus the partsupp cost term (no partsupp table in
+    this corpus; revenue IS the profit measure here).
+
+    Scale shape — three bucketed exchanges, each side shedding first:
+
+    1. partkey: name-filtered part ships KEYS ONLY against lineitem
+       (exact cents projected per row) → per-(orderkey, suppkey) cents;
+    2. suppkey: the supplier dimension (key + nationkey — SF-scaled, so
+       never broadcast) joins in-bucket → per-(orderkey, nationkey)
+       cents;
+    3. orderkey: orders ship (orderkey, year); the join finishes per
+       bucket and collapses to ≤ |nations|×|years| partial rows each —
+       the final groupby is tiny.
+
+    nation (fixed 25 rows) is read once on the driver and mapped onto
+    the ≤25-key result. Exact integer cents end-to-end; the float
+    ``profit`` is a single IEEE division per output row.
+    """
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    nat_t = _pq.read_table(f"{sf_dir}/nation.parquet")
+    nat_name = {
+        k.as_py(): v.as_py()
+        for k, v in zip(
+            nat_t.column("n_nationkey").cast(pa.int64()),
+            nat_t.column("n_name"),
+        )
+    }
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+    width = partitions_for(n_rows)
+
+    def _bucket(key: "pa.Array") -> "pa.Array":
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+
+    # --- exchange 1: lineitem ⋉ part(name) on partkey --------------------
+    ex1 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("orderkey", pa.int64()),
+            ("suppkey", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def tag_part(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.match_substring(batch.column("p_name"), name_token)
+        )
+        key = f.column("p_partkey")
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["p"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=ex1,
+        )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(
+                pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                ),
+                pa.scalar(10000.0),
+            )
+        ).cast(pa.int64())
+        key = batch.column("l_partkey")
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["l"] * n, pa.string()),
+                batch.column("l_orderkey"),
+                batch.column("l_suppkey"),
+                cents,
+            ],
+            schema=ex1,
+        )
+
+    os_schema = pa.schema(
+        [("orderkey", pa.int64()), ("suppkey", pa.int64()), ("cents", pa.int64())]
+    )
+
+    def part_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_p = pc.equal(g.column("side"), "p")
+        p = g.filter(is_p).select(["key"])
+        li = g.filter(pc.invert(is_p)).select(
+            ["key", "orderkey", "suppkey", "cents"]
+        )
+        if p.num_rows == 0 or li.num_rows == 0:
+            return os_schema.empty_table()
+        keep = pc.is_in(li.column("key"), value_set=p.column("key").combine_chunks())
+        f = li.filter(keep)
+        out = (
+            f.select(["orderkey", "suppkey", "cents"])
+            .group_by(["orderkey", "suppkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["orderkey", "suppkey", "cents"])
+        )
+        return out.cast(os_schema)
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    typed_rev = (
+        part.map_batches(tag_part, batch_format="pyarrow")
+        .union(lineitem.map_batches(tag_line, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(part_bucket, batch_format="pyarrow")
+    )
+
+    # --- exchange 2: typed_rev ⋈ supplier on suppkey → nationkey ---------
+    ex2 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("orderkey", pa.int64()),
+            ("cents", pa.int64()),
+            ("nationkey", pa.int64()),
+        ]
+    )
+
+    def tag_supp(batch: pa.Table) -> pa.Table:
+        key = batch.column("s_suppkey")
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["s"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                batch.column("s_nationkey").cast(pa.int64()),
+            ],
+            schema=ex2,
+        )
+
+    def tag_rev(batch: pa.Table) -> pa.Table:
+        key = batch.column("suppkey")
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["r"] * n, pa.string()),
+                batch.column("orderkey"),
+                batch.column("cents"),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=ex2,
+        )
+
+    on_schema = pa.schema(
+        [
+            ("orderkey", pa.int64()),
+            ("nationkey", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def supp_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_s = pc.equal(g.column("side"), "s")
+        supp = g.filter(is_s).select(["key", "nationkey"])
+        rv = g.filter(pc.invert(is_s)).select(["key", "orderkey", "cents"])
+        if supp.num_rows == 0 or rv.num_rows == 0:
+            return on_schema.empty_table()
+        m = rv.join(supp, keys="key", join_type="inner")
+        out = (
+            m.select(["orderkey", "nationkey", "cents"])
+            .group_by(["orderkey", "nationkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["orderkey", "nationkey", "cents"])
+        )
+        return out.cast(on_schema)
+
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    attributed = (
+        supplier.map_batches(tag_supp, batch_format="pyarrow")
+        .union(typed_rev.map_batches(tag_rev, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex2, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(supp_bucket, batch_format="pyarrow")
+    )
+
+    # --- exchange 3: attributed ⋈ orders on orderkey → per-(nation, year)
+    ex3 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("o_year", pa.int64()),
+            ("cents", pa.int64()),
+            ("nationkey", pa.int64()),
+        ]
+    )
+
+    def tag_year(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey")
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["y"] * n, pa.string()),
+                pc.year(batch.column("o_orderdate")).cast(pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=ex3,
+        )
+
+    def tag_attr(batch: pa.Table) -> pa.Table:
+        key = batch.column("orderkey")
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["a"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                batch.column("cents"),
+                batch.column("nationkey"),
+            ],
+            schema=ex3,
+        )
+
+    ny_schema = pa.schema(
+        [
+            ("nationkey", pa.int64()),
+            ("o_year", pa.int64()),
+            ("profit_cents", pa.int64()),
+        ]
+    )
+
+    def year_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_y = pc.equal(g.column("side"), "y")
+        y = g.filter(is_y).select(["key", "o_year"])
+        a = g.filter(pc.invert(is_y)).select(["key", "cents", "nationkey"])
+        if y.num_rows == 0 or a.num_rows == 0:
+            return ny_schema.empty_table()
+        m = a.join(y, keys="key", join_type="inner")
+        out = (
+            m.select(["nationkey", "o_year", "cents"])
+            .group_by(["nationkey", "o_year"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["nationkey", "o_year", "profit_cents"])
+        )
+        return out.cast(ny_schema)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        names = pa.array(
+            [nat_name[k] for k in batch.column("nationkey").to_pylist()],
+            pa.string(),
+        )
+        return pa.Table.from_arrays(
+            [
+                names,
+                batch.column("o_year"),
+                batch.column("profit_cents"),
+                pc.divide(
+                    batch.column("profit_cents").cast(pa.float64()), 10000.0
+                ),
+            ],
+            names=["n_name", "o_year", "profit_cents", "profit"],
+        )
+
+    return (
+        orders.map_batches(tag_year, batch_format="pyarrow")
+        .union(attributed.map_batches(tag_attr, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex3, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(year_bucket, batch_format="pyarrow")
+        .groupby(["nationkey", "o_year"], num_partitions=partitions_for(64))
+        .aggregate(Sum("profit_cents", alias_name="profit_cents"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -1033,3 +1033,62 @@ def test_event_transitions_vs_sql_lag():
         "SELECT count(*) - count(DISTINCT user_id) AS n FROM events"
     )["n"][0]
     assert got["n_pairs"].sum() == tot
+
+
+def test_forecast_revenue_q6():
+    """Q6 shape: one-row forecast scan (pushed date window + vectorized
+    discount/quantity predicate + exact integer cents, zero exchanges)."""
+    import re
+
+    got = A.forecast_revenue(SF).to_pandas().reset_index(drop=True)
+    sql = """
+        WITH f AS (
+          SELECT CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT) AS cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND l_discount >= 0.05 AND l_discount <= 0.07
+            AND l_quantity < 24
+        )
+        SELECT CAST(COALESCE(sum(cents), 0) AS BIGINT) AS forecast_cents,
+               CAST(COALESCE(sum(cents), 0) AS BIGINT) / 10000.0 AS forecast_revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM f
+    """
+    sql = re.sub(r"\blineitem\b", f"read_parquet('{SF}/lineitem.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    assert got["n_lines"][0] > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_product_type_profit_q9():
+    """Q9 shape: per-(nation, year) profit for name-filtered parts —
+    three bucketed exchanges, exact integer cents."""
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    got = (
+        J.product_type_profit(SF)
+        .to_pandas()
+        .sort_values(["n_name", "o_year"])
+        .reset_index(drop=True)
+    )
+    sql = """
+        SELECT n.n_name,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS profit_cents,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    for t in ["lineitem", "part", "supplier", "nation", "orders"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
