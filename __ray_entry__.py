@@ -967,6 +967,7 @@ _DRIVER_PRIORITY = [
     # (verified by scripts/driver_sim.py locally); rotate into r04's front
     "forecast_revenue",
     "product_type_profit",
+    "bfs_distances",
 ]
 
 
@@ -1571,6 +1572,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id"]
         )
         return kcore(d, d.count())
+
+    def q_bfs_distances(sf_dir):
+        """Multi-source BFS hop distances over the synthetic link graph
+        from the doc_id % 97 == 0 seed set (seed-set proximity / crawl
+        frontier). BSP min-dist propagation, exact zero-change stop;
+        oracle: DuckDB recursive CTE over the same LCG edges."""
+        from agentic_doc_ray.functions.graph import bfs_distances
+        from agentic_doc_ray.functions.pagerank import link_edges
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        n = d.count()
+        edges = d.map_batches(
+            lambda b: link_edges(b.column("doc_id"), n),
+            batch_format="pyarrow",
+        )
+
+        def seed_rows(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = ids % 97 == 0
+            return pa.table(
+                {"node": pa.array(ids[keep].astype(str), pa.string())}
+            )
+
+        seeds = d.map_batches(seed_rows, batch_format="pyarrow")
+        return bfs_distances(edges, seeds)
 
     def q_anchor_texts(sf_dir):
         """Anchor-text harvesting: per link target, in-link count + most
@@ -2731,6 +2761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,                    # single-process replica oracle
         "kcore_numbers": q_kcore,                  # independent peeling oracle
         "anchor_texts": q_anchor_texts,
+        "bfs_distances": q_bfs_distances,
         "clustering_coefficient": q_clustering_coeff,
         "generic_join": q_generic_join,
         "generic_anti_join": q_generic_anti_join,
@@ -4373,6 +4404,25 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(sum(CASE WHEN kind <> 'title' THEN 1 ELSE 0 END) AS BIGINT) AS n_spans "
             "FROM s GROUP BY doc_id, title_idx "
             "HAVING title_idx >= 0 OR sum(CASE WHEN kind <> 'title' THEN 1 ELSE 0 END) > 0"
+        ),
+        # multi-source BFS via a recursive CTE over the same LCG edges;
+        # the UNION dedups (node, dist) pairs so the walk terminates, and
+        # the outer min() collapses to the true hop distance (bound 40 >>
+        # the random graph's eccentricity)
+        "bfs_distances": (
+            "WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),"
+            "nn AS (SELECT count(*) AS n FROM ids),"
+            "e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst"
+            "       FROM ids, nn, generate_series(1,3) AS t(k)),"
+            "e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),"
+            "bfs AS ("
+            "  SELECT i AS node, 0 AS dist FROM ids WHERE i % 97 = 0"
+            "  UNION"
+            "  SELECT e1.dst, bfs.dist + 1 FROM bfs JOIN e1 ON e1.src = bfs.node"
+            "  WHERE bfs.dist < 40"
+            ") "
+            "SELECT CAST(node AS VARCHAR) AS node, CAST(min(dist) AS BIGINT) AS dist "
+            "FROM bfs GROUP BY 1"
         ),
         # same LCG link-graph derivation as pagerank's link_edges; the
         # closure is the classic 3-way self-join

@@ -540,3 +540,56 @@ def test_clustering_coefficient_clique_and_chain():
         for r in clustering_coefficient(ds, n).take_all()
     }
     assert got == want
+
+
+def test_bfs_distances_chain():
+    """Directed chain 0->1->2->3: every round reaches a NEW node (the
+    left-join first-reach path), distances are exact hop counts, and the
+    unreachable direction (nothing upstream of the seed) stays absent."""
+    from agentic_doc_ray.functions.graph import bfs_distances
+
+    edges = ray.data.from_arrow(
+        pa.table({"src": ["0", "1", "2"], "dst": ["1", "2", "3"]})
+    )
+    seeds = ray.data.from_arrow(pa.table({"node": ["0"]}))
+    got = {
+        r["node"]: r["dist"] for r in bfs_distances(edges, seeds).take_all()
+    }
+    assert got == {"0": 0, "1": 1, "2": 2, "3": 3}
+
+
+def test_bfs_distances_multi_source_min():
+    """Two seeds on a cycle: each node takes the MIN hop distance over
+    both sources; a shortcut edge must win over the longer path."""
+    from agentic_doc_ray.functions.graph import bfs_distances
+
+    # cycle 0->1->2->3->0 plus shortcut 0->3
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": ["0", "1", "2", "3", "0"], "dst": ["1", "2", "3", "0", "3"]}
+        )
+    )
+    seeds = ray.data.from_arrow(pa.table({"node": ["0", "2"]}))
+    got = {
+        r["node"]: r["dist"] for r in bfs_distances(edges, seeds).take_all()
+    }
+    assert got == {"0": 0, "2": 0, "1": 1, "3": 1}
+
+
+def test_bfs_distances_no_edges():
+    """Empty edge table: seeds are still at distance 0 of themselves."""
+    from agentic_doc_ray.functions.graph import bfs_distances
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+            }
+        )
+    )
+    seeds = ray.data.from_arrow(pa.table({"node": ["7", "9"]}))
+    got = {
+        r["node"]: r["dist"] for r in bfs_distances(edges, seeds).take_all()
+    }
+    assert got == {"7": 0, "9": 0}
