@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 36  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 37  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -288,6 +288,18 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=5
         ),
         os.path.join(out_dir, "pagerank.parquet"),
+    )
+
+    # label-propagation replica: synchronous LPA with a fixed round count
+    # and a deterministic (count desc, label asc) argmax is bit-equal to
+    # the distributed two-exchange-per-round run
+    from agentic_doc_ray.functions.graph import label_propagation_oracle
+
+    _pq.write_table(
+        label_propagation_oracle(
+            link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=4
+        ),
+        os.path.join(out_dir, "lpa.parquet"),
     )
 
     # k-core replica: exact Batagelj-Zaversnik peeling over the same LCG
@@ -968,6 +980,7 @@ _DRIVER_PRIORITY = [
     "forecast_revenue",
     "product_type_profit",
     "bfs_distances",
+    "label_propagation",
 ]
 
 
@@ -1572,6 +1585,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id"]
         )
         return kcore(d, d.count())
+
+    def q_label_propagation(sf_dir):
+        """Synchronous label-propagation communities over the synthetic
+        link graph (host/community clustering signal for mixture
+        balancing). Fixed 4 rounds, deterministic min-tie argmax; oracle:
+        bit-equal single-process replica."""
+        from agentic_doc_ray.functions.graph import label_propagation
+        from agentic_doc_ray.functions.pagerank import link_edges
+
+        _ensure_extraction_oracles(sf_dir)
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        n = d.count()
+        edges = d.map_batches(
+            lambda b: link_edges(b.column("doc_id"), n),
+            batch_format="pyarrow",
+        )
+        return label_propagation(edges, n_iter=4)
 
     def q_bfs_distances(sf_dir):
         """Multi-source BFS hop distances over the synthetic link graph
@@ -2762,6 +2794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_numbers": q_kcore,                  # independent peeling oracle
         "anchor_texts": q_anchor_texts,
         "bfs_distances": q_bfs_distances,
+        "label_propagation": q_label_propagation,  # bit-equal replica oracle
         "clustering_coefficient": q_clustering_coeff,
         "generic_join": q_generic_join,
         "generic_anti_join": q_generic_anti_join,
@@ -4324,6 +4357,10 @@ def oracle_sql() -> dict[str, str]:
         "kcore_numbers": (
             "SELECT node, core "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/kcore.parquet')"
+        ),
+        "label_propagation": (
+            "SELECT node, community "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/lpa.parquet')"
         ),
         # same LCG edge formula as the pagerank/triangle oracles; anchor
         # tokens = the source's first-3-token SET per edge row (DISTINCT

@@ -1668,3 +1668,292 @@ def bfs_distances(
     return state.map_batches(
         lambda b: b.select(["node", "dist"]), batch_format="pyarrow"
     )
+
+
+# --- label-propagation communities (synchronous, deterministic) -----------
+
+_LPA_EDGE = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("side", pa.string()),
+        ("label", pa.string()),
+    ]
+)
+_LPA_CNT = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.string()),
+        ("label", pa.string()),
+        ("cnt", pa.int64()),
+        ("side", pa.string()),
+    ]
+)
+_LPA_STATE = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.string()),
+        ("label", pa.string()),
+    ]
+)
+
+
+def _lpa_argmax(t: pa.Table) -> pa.Table:
+    """(node, label) rows picking per node the label with max cnt, ties to
+    the MIN label — vectorized: sort by (node, cnt desc, label) and keep
+    each node's first row."""
+    s = t.sort_by(
+        [("node", "ascending"), ("cnt", "descending"), ("label", "ascending")]
+    )
+    nodes = np.asarray(s.column("node").to_pandas(), dtype=object)
+    first = np.ones(len(nodes), dtype=bool)
+    first[1:] = nodes[1:] != nodes[:-1]
+    return s.filter(pa.array(first)).select(["node", "label"])
+
+
+def label_propagation(
+    edges: "ray.data.Dataset",
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> "ray.data.Dataset":
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over an undirected view of ``edges``: every node starts as its own
+    label; each round it adopts the most common label among its DISTINCT
+    neighbors (ties to the minimum label). A FIXED ``n_iter`` rounds —
+    synchronous LPA can oscillate on bipartite structures, so a
+    convergence stop is not well-defined; fixed rounds keep the run
+    deterministic and bit-equal to ``label_propagation_oracle``.
+
+    Scale shape: the edge set is symmetrized and deduplicated ONCE (its
+    src-bucket exchange doubles as the per-round join partitioning);
+    each round runs two edge-bounded exchanges — (1) labels meet edges
+    in the src bucket and leave as per-(dst, label) COUNT partials
+    (pre-aggregated in-bucket, so heavy communities collapse before the
+    wire), (2) partials merge per node and the argmax resolves
+    vectorized (sort + boundary mask, no per-node Python)."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array([], pa.string()),
+                    "community": pa.array([], pa.string()),
+                }
+            )
+        )
+    np_ = max(2, min(shuffle_partitions(), 1 + n_edges // 65536))
+
+    def symmetric(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch.column(src_col), pa.string()).combine_chunks()
+        b = pc.cast(batch.column(dst_col), pa.string()).combine_chunks()
+        src = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
+        t = (
+            pa.Table.from_arrays([src, dst], names=["src", "dst"])
+            .group_by(["src", "dst"])
+            .aggregate([])
+        )
+        s = t.column("src").combine_chunks()
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(s),
+                s,
+                t.column("dst"),
+                pa.array(["e"] * n, pa.string()),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=_LPA_EDGE,
+        )
+
+    def dedup_edges(group: pa.Table) -> pa.Table:
+        # src determines the bucket, so per-bucket distinct == global
+        g = (
+            _drop_sentinels(group)
+            .group_by(["bucket", "src", "dst", "side"])
+            .aggregate([])
+        )
+        return g.append_column(
+            "label", pa.nulls(g.num_rows, pa.string())
+        ).cast(_LPA_EDGE)
+
+    edge_rows = (
+        edges.map_batches(symmetric, batch_format="pyarrow")
+        .union(_sentinels(_LPA_EDGE))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(dedup_edges, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # initial state: every node labels itself (nodes = distinct srcs of the
+    # symmetric edge set, i.e. every node with degree >= 1). Batch-local
+    # distinct, then one exchange makes it globally distinct (reuses the
+    # CC node schema, whose side column carries the sentinel marker).
+    def self_label(batch: pa.Table) -> pa.Table:
+        nodes = (
+            batch.select(["src"]).group_by("src").aggregate([]).column("src")
+        ).combine_chunks()
+        n = len(nodes)
+        return pa.Table.from_arrays(
+            [_bucket_of(nodes), nodes, nodes, pa.array(["o"] * n, pa.string())],
+            schema=_NODE_SCHEMA,
+        )
+
+    def dedup_state(group: pa.Table) -> pa.Table:
+        g = (
+            _drop_sentinels(group)
+            .select(["bucket", "node", "label"])
+            .group_by(["bucket", "node"])
+            .aggregate([("label", "min")])
+            .rename_columns(["bucket", "node", "label"])
+        )
+        return g.cast(_LPA_STATE)
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    state = (
+        edge_rows.map_batches(self_label, batch_format="pyarrow")
+        .union(_sentinels(_NODE_SCHEMA))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(dedup_state, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_state(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("bucket"),
+                batch.column("node"),
+                pa.nulls(n, pa.string()),
+                pa.array(["l"] * n, pa.string()),
+                batch.column("label"),
+            ],
+            schema=_LPA_EDGE,
+        )
+
+    def count_votes(group: pa.Table) -> pa.Table:
+        group = _drop_sentinels(group)
+        is_edge = pc.equal(group.column("side"), "e")
+        e = group.filter(is_edge).select(["src", "dst"])
+        l = group.filter(pc.invert(is_edge)).select(["src", "label"])
+        m = e.join(l, keys="src", join_type="inner")
+        votes = m.select(["dst", "label"]).append_column(
+            "one", pa.array(np.ones(m.num_rows, np.int64))
+        )
+        cnt = (
+            votes.group_by(["dst", "label"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["node", "label", "cnt"])
+        )
+        node = cnt.column("node").combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(node),
+                node,
+                cnt.column("label"),
+                cnt.column("cnt").cast(pa.int64()),
+                pa.array(["c"] * cnt.num_rows, pa.string()),
+            ],
+            schema=_LPA_CNT,
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        group = _drop_sentinels(group)
+        votes = group.filter(pc.equal(group.column("side"), "c"))
+        merged = (
+            votes.select(["node", "label", "cnt"])
+            .group_by(["node", "label"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["node", "label", "cnt"])
+        )
+        best = _lpa_argmax(merged)
+        old = (
+            group.filter(pc.equal(group.column("side"), "o"))
+            .select(["node", "label"])
+            .rename_columns(["node", "old_label"])
+        )
+        # nodes with no votes this round (can't happen for degree>=1
+        # graphs, but keep the state total) fall back to the old label
+        m = old.join(best, keys="node", join_type="left outer")
+        label = pc.if_else(
+            pc.is_null(m.column("label")), m.column("old_label"), m.column("label")
+        )
+        node = m.column("node").combine_chunks()
+        return pa.Table.from_arrays(
+            [_bucket_of(node), node, label], schema=_LPA_STATE
+        )
+
+    def tag_old(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("bucket"),
+                batch.column("node"),
+                batch.column("label"),
+                pa.nulls(n, pa.int64()),
+                pa.array(["o"] * n, pa.string()),
+            ],
+            schema=_LPA_CNT,
+        )
+
+    for _ in range(n_iter):
+        votes = (
+            edge_rows.union(state.map_batches(tag_state, batch_format="pyarrow"))
+            .union(_sentinels(_LPA_EDGE))
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(count_votes, batch_format="pyarrow")
+        )
+        state = (
+            votes.union(state.map_batches(tag_old, batch_format="pyarrow"))
+            .union(int_key_sentinels(_LPA_CNT, "bucket", fill={"side": "s", "node": "", "label": ""}))
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(resolve, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return state.map_batches(
+        lambda b: b.select(["node", "label"]).rename_columns(
+            ["node", "community"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def label_propagation_oracle(
+    edges: pa.Table,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> pa.Table:
+    """Single-process replica of ``label_propagation`` — same symmetrized
+    distinct neighbor sets, same (count desc, label asc) argmax, same
+    fixed round count; bit-equal."""
+    a = [str(x) for x in edges.column(src_col).to_pylist()]
+    b = [str(x) for x in edges.column(dst_col).to_pylist()]
+    nbrs: dict[str, set] = {}
+    for x, y in zip(a, b):
+        nbrs.setdefault(x, set()).add(y)
+        nbrs.setdefault(y, set()).add(x)
+    label = {v: v for v in nbrs}
+    for _ in range(n_iter):
+        new = {}
+        for v, ns in nbrs.items():
+            counts: dict[str, int] = {}
+            for u in ns:
+                lu = label[u]
+                counts[lu] = counts.get(lu, 0) + 1
+            new[v] = min(
+                counts, key=lambda l: (-counts[l], l)
+            ) if counts else label[v]
+        label = new
+    nodes = sorted(nbrs)
+    return pa.Table.from_pydict(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "community": pa.array([label[v] for v in nodes], pa.string()),
+        }
+    )

@@ -593,3 +593,59 @@ def test_bfs_distances_no_edges():
         r["node"]: r["dist"] for r in bfs_distances(edges, seeds).take_all()
     }
     assert got == {"7": 0, "9": 0}
+
+
+def test_label_propagation_matches_oracle_random():
+    """Distributed LPA == the single-process replica, bit for bit, on a
+    random multigraph (duplicate + reversed edges collapse to the same
+    distinct neighbor sets)."""
+    import numpy as np
+    import pandas as pd
+
+    from agentic_doc_ray.functions.graph import (
+        label_propagation,
+        label_propagation_oracle,
+    )
+
+    rng = np.random.RandomState(11)
+    t = pa.table(
+        {
+            "src": pa.array(rng.randint(0, 80, 300).astype(str)),
+            "dst": pa.array(rng.randint(0, 80, 300).astype(str)),
+        }
+    )
+    got = (
+        label_propagation(ray.data.from_arrow(t), n_iter=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = (
+        label_propagation_oracle(t, n_iter=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_label_propagation_two_cliques():
+    """Two triangles joined by one bridge edge settle into two distinct
+    communities (pinned to the deterministic min-tie fixpoint: the
+    bridge node c seeds the second clique's label before c itself is
+    absorbed into the a-clique — a known sync-LPA artifact, identical in
+    the replica)."""
+    from agentic_doc_ray.functions.graph import label_propagation
+
+    t = pa.table(
+        {
+            "src": ["a", "b", "c", "x", "y", "z", "c"],
+            "dst": ["b", "c", "a", "y", "z", "x", "x"],
+        }
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(ray.data.from_arrow(t), n_iter=4).take_all()
+    }
+    assert {got["a"], got["b"], got["c"]} == {"a"}
+    assert {got["x"], got["y"], got["z"]} == {"c"}
