@@ -981,6 +981,8 @@ _DRIVER_PRIORITY = [
     "product_type_profit",
     "bfs_distances",
     "label_propagation",
+    "embedding_gram",
+    "ivf_recall",
 ]
 
 
@@ -2509,6 +2511,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_embedding_gram(sf_dir):
+        """Exact integer second-moment (Gram) matrix over the embedding
+        table — the PCA/covariance precursor; O(d^2) exchange payload
+        regardless of row count. Pure SQL oracle (same micro units)."""
+        from agentic_doc_ray.functions.similarity import embedding_gram
+
+        return embedding_gram(sf_dir)
+
+    def q_ivf_recall(sf_dir):
+        """ANN quality eval: recall@10 of the IVF path against the exact
+        brute-force ground truth, integer per-mille per query. Oracle:
+        SQL brute side (cosine window) joined to the IVF replica."""
+        from agentic_doc_ray.functions.similarity import ivf_recall
+
+        _ensure_extraction_oracles(sf_dir)
+        return ivf_recall(sf_dir, k=10)
+
     def q_sq8(sf_dir):
         """FAISS-style SQ8 scalar quantization: per-dim global [min,max]
         range (kilobyte collect), 8-bit levels by exact nonnegative
@@ -2829,6 +2848,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_projection": q_random_projection,  # single-process replica oracle
         "binary_quantize": q_binary_quantize,
         "sq8_codes": q_sq8,
+        "embedding_gram": q_embedding_gram,
+        "ivf_recall": q_ivf_recall,
         "sq8_topk": q_sq8_topk,
         "hamming_topk": q_hamming_topk,
         "simhash": q_simhash,
@@ -3710,6 +3731,17 @@ def oracle_sql() -> dict[str, str]:
             "    e.vec_id "
             "  FROM q CROSS JOIN embeddings e"
             ") WHERE rank <= 10"
+        ),
+        # exact integer Gram matrix: same half-up micro units as sq8,
+        # positional unnest zip + vec_id self-join for the pair products
+        "embedding_gram": (
+            "WITH v AS (SELECT vec_id, unnest(range(0, 64)) AS d, unnest(embedding) AS x FROM embeddings),"
+            "m AS (SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS micro FROM v) "
+            "SELECT a.d AS d_i, b.d AS d_j,"
+            "       CAST(sum(a.micro * b.micro) AS BIGINT) AS sumprod_micro2,"
+            "       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs "
+            "FROM m a JOIN m b ON b.vec_id = a.vec_id AND b.d >= a.d "
+            "GROUP BY 1, 2"
         ),
         # sign-bit binary quantization in exact micro-units: bit d = 1 iff
         # micro * n > sum_d (cross-multiplied, no mean division); packed
@@ -4715,6 +4747,28 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_pq": (
             "SELECT query_id, rank, vec_id "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pq_topk.parquet')"
+        ),
+        # recall@10: exact brute-force ground truth in SQL (same cosine
+        # window as similarity_topk) against the IVF replica's rank table
+        "ivf_recall": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 5), "
+            "brute AS ("
+            "  SELECT query_id, vec_id FROM ("
+            "    SELECT q.query_id, "
+            "      row_number() OVER (PARTITION BY q.query_id ORDER BY "
+            "        list_cosine_similarity(CAST(q.qe AS DOUBLE[]), "
+            "        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank, "
+            "      e.vec_id "
+            "    FROM q CROSS JOIN embeddings e"
+            "  ) WHERE rank <= 10), "
+            "ivf AS (SELECT query_id, vec_id "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/ivf_topk.parquet')) "
+            "SELECT b.query_id, "
+            "  CAST(1000 * count(i.vec_id) // 10 AS BIGINT) AS recall_per_mille "
+            "FROM brute b LEFT JOIN ivf i "
+            "  ON i.query_id = b.query_id AND i.vec_id = b.vec_id "
+            "GROUP BY 1"
         ),
         "random_projection": (
             "SELECT vec_id, dim, value_micro "

@@ -1299,3 +1299,110 @@ def sq8_topk(
             ]
         ),
     )
+
+
+def embedding_gram(sf_dir: str, micro: int = 10**6) -> "ray.data.Dataset":
+    """Exact second-moment (Gram) matrix of the embedding table — the
+    PCA / whitening / covariance precursor: one row per dimension pair
+    (d_i <= d_j) with the EXACT integer sum of micro-unit coordinate
+    products plus the global vector count (callers finish covariance as
+    (sumprod/n - mean_i*mean_j) in float once, on d^2 numbers).
+
+    Scale shape: each batch contributes one d x d integer matmul
+    (numpy int64, vectorized) and ships exactly d*(d+1)/2 partial rows
+    regardless of batch size; ONE tiny groupby over (d_i, d_j) merges
+    them — the exchange is O(d^2), never O(rows). Micro-units use the
+    same half-up-over-exact-double rule as sq8_codes, so the SQL oracle
+    lands on identical integers. Overflow bound (documented, not a
+    silent cap): |coord| <= 1 => per-pair products <= micro^2, so the
+    int64 total is exact up to ~9e18/micro^2 ~ 9e6 vectors at micro=1e6;
+    pass a smaller ``micro`` (1e3 => 9e12 vectors) for crawl-scale
+    embedding tables.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "d_i": pa.array([], pa.int64()),
+                    "d_j": pa.array([], pa.int64()),
+                    "sumprod_micro2": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                }
+            )
+        d = len(flat) // n
+        x = np.floor(flat * micro + 0.5).astype(np.int64).reshape(n, d)
+        g = x.T @ x  # exact int64 within the documented bound
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "d_i": pa.array(iu.astype(np.int64)),
+                "d_j": pa.array(ju.astype(np.int64)),
+                "sumprod_micro2": pa.array(g[iu, ju]),
+                "n_vecs": pa.array(np.full(len(iu), n, np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["d_i", "d_j"], num_partitions=shuffle_partitions(4))
+        .aggregate(
+            Sum("sumprod_micro2", alias_name="sumprod_micro2"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+    )
+
+
+def ivf_recall(sf_dir: str, k: int = 10, max_qid: int = 5) -> pa.Table:
+    """ANN quality evaluation: per-query recall@k of ``ivf_topk`` against
+    the exact ``brute_force_topk`` ground truth, as an integer per-mille
+    (1000 * |ivf ∩ brute| // k) — the standard accept/reject gate before
+    swapping an exact search stage for the IVF scale path.
+
+    Both inputs run as their own distributed pipelines (broadcast
+    queries, per-batch partial top-k, k-bounded merges); this stage only
+    joins the two q x k rank tables — driver-resident by construction
+    (bounded by queries x k, never by the embedding table).
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qt = t.filter(pc.less(t["vec_id"], max_qid))
+    queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = [int(x) for x in qt["vec_id"].to_pylist()]
+
+    def emb():
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    brute = brute_force_topk(emb(), queries, qids, k=k)
+    ivf = ivf_topk(emb(), queries, qids, k=k)
+    b = brute.select(["query_id", "vec_id"]).to_pandas()
+    i = ivf.select(["query_id", "vec_id"]).to_pandas()
+    hit = b.merge(i, on=["query_id", "vec_id"], how="inner")
+    hits = hit.groupby("query_id").size()
+    rows = pd.DataFrame({"query_id": sorted(qids)})
+    rows["recall_per_mille"] = [
+        int(1000 * int(hits.get(q, 0)) // k) for q in rows["query_id"]
+    ]
+    return pa.Table.from_pandas(
+        rows,
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("recall_per_mille", pa.int64())]
+        ),
+        preserve_index=False,
+    )

@@ -417,3 +417,60 @@ def test_sq8_topk_adc_recovers_neighbors():
     assert got == want
     # the planted duplicate of query 0 is its rank-1 neighbor
     assert got[0]["query_id"] == 0 and got[0]["vec_id"] == 37
+
+
+def test_embedding_gram_exact():
+    """Distributed Gram partials == one single-process numpy matmul over
+    the whole table, entry for entry (integer-exact)."""
+    from agentic_doc_ray.functions.similarity import embedding_gram
+
+    got = embedding_gram(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    flat = np.asarray(
+        t.column("embedding").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=np.float64,
+    )
+    n = t.num_rows
+    d = len(flat) // n
+    x = np.floor(flat * 10**6 + 0.5).astype(np.int64).reshape(n, d)
+    g = x.T @ x
+    assert len(got) == d * (d + 1) // 2
+    assert (got["n_vecs"] == n).all()
+    for _, r in got.sample(50, random_state=0).iterrows():
+        assert g[int(r["d_i"]), int(r["d_j"])] == r["sumprod_micro2"]
+
+
+def test_ivf_recall_bounds_and_exhaustive():
+    """recall is in [0, 1000]; probing EVERY centroid makes IVF exact, so
+    recall@k == 1000 for all queries."""
+    from agentic_doc_ray.functions.similarity import ivf_recall
+
+    got = ivf_recall(SF, k=10).to_pandas()
+    assert len(got) == 5
+    assert got["recall_per_mille"].between(0, 1000).all()
+
+    # exhaustive probing: IVF == brute force exactly
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    qt = t.filter(pc.less(t["vec_id"], 5))
+    queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = [int(x) for x in qt["vec_id"].to_pylist()]
+    emb = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = ivf_topk(emb, queries, qids, k=10, n_centroids=8, n_probe=8)
+    brute = brute_force_topk(
+        ray.data.read_parquet(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        queries,
+        qids,
+        k=10,
+    )
+    assert (
+        exact.select(["query_id", "rank", "vec_id"]).to_pandas().values.tolist()
+        == brute.select(["query_id", "rank", "vec_id"]).to_pandas().values.tolist()
+    )
