@@ -983,6 +983,7 @@ _DRIVER_PRIORITY = [
     "label_propagation",
     "embedding_gram",
     "ivf_recall",
+    "fim_transform",
 ]
 
 
@@ -2203,6 +2204,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return train_val_split(_docs_str(sf_dir), val_pct=10)
 
+    def q_fim_transform(sf_dir):
+        """Fill-in-the-middle (PSM) pretraining transform: md5-gated 50%
+        of docs re-emitted as <PRE>prefix<SUF>suffix<MID>middle with
+        md5-derived cut points; batch-local, byte-equal SQL oracle."""
+        from agentic_doc_ray.functions.sampling import fim_transform
+
+        return fim_transform(docs(sf_dir), transform_pct=50)
+
     def q_stratified_sample(sf_dir):
         from agentic_doc_ray.functions.sampling import stratified_sample
 
@@ -2781,6 +2790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_flags": q_contamination,
         "fuzzy_contamination": q_fuzzy_contamination,
         "train_val_split": q_train_val_split,
+        "fim_transform": q_fim_transform,
         "leakage_free_split": q_leakage_free_split,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
@@ -3535,6 +3545,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 100 < 10 "
             "THEN 'val' ELSE 'train' END AS split FROM documents"
+        ),
+        # FIM/PSM: same md5 gate; the two cuts are the next two md5
+        # nibble groups mod (len+1); both sides slice by code points
+        "fim_transform": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CASE WHEN gate < 50 THEN 'psm' ELSE 'orig' END AS mode, "
+            "CASE WHEN gate < 50 THEN "
+            "  '<PRE>' || substring(text, 1, lo) || '<SUF>' || substring(text, hi + 1) || '<MID>' || substring(text, lo + 1, hi - lo) "
+            "ELSE text END AS fim_text "
+            "FROM ("
+            "  SELECT doc_id, text, gate, least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM ("
+            "    SELECT doc_id, text,"
+            "      CAST(('0x' || substring(h, 1, 4)) AS INTEGER) % 100 AS gate,"
+            "      CAST(('0x' || substring(h, 5, 4)) AS INTEGER) % (length(text) + 1) AS c1,"
+            "      CAST(('0x' || substring(h, 9, 4)) AS INTEGER) % (length(text) + 1) AS c2"
+            "    FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)"
+            "  )"
+            ")"
         ),
         "stratified_sample": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents "

@@ -399,3 +399,50 @@ def leakage_free_split(
         )
 
     return joined.map_batches(gate, batch_format="pyarrow")
+
+
+def fim_transform(
+    docs: "ray.data.Dataset", transform_pct: int = 50
+) -> "ray.data.Dataset":
+    """Fill-in-the-middle transform (Bavarian et al. 2022) for code/text
+    pretraining: a deterministic md5 percentile gate picks
+    ``transform_pct`` of documents; each picked doc is split at two
+    md5-derived character offsets and re-emitted in PSM order —
+    ``<PRE>prefix<SUF>suffix<MID>middle`` — so the model learns infilling;
+    the rest pass through unchanged (mode 'orig').
+
+    Deterministic function of content alone (no RNG stream): the gate is
+    the repo-standard ``int(md5(doc_id)[:4], 16) % 100`` percentile and
+    the two cuts come from the NEXT two md5 nibbles groups mod (len+1) —
+    a rerun, a resume, or a different block layout reproduces byte-equal
+    output, and DuckDB's md5/substring land on the same strings (both
+    sides slice by code points). Batch-local, zero exchanges.
+    """
+
+    def transform(batch: pa.Table) -> pa.Table:
+        ids = [str(d) for d in batch.column("doc_id").to_pylist()]
+        texts = batch.column("text").to_pylist()
+        out_mode, out_text = [], []
+        for d, t in zip(ids, texts):
+            h = hashlib.md5(d.encode()).hexdigest()
+            if int(h[:4], 16) % 100 < transform_pct:
+                L = len(t)
+                c1 = int(h[4:8], 16) % (L + 1)
+                c2 = int(h[8:12], 16) % (L + 1)
+                lo, hi = min(c1, c2), max(c1, c2)
+                out_mode.append("psm")
+                out_text.append(
+                    "<PRE>" + t[:lo] + "<SUF>" + t[hi:] + "<MID>" + t[lo:hi]
+                )
+            else:
+                out_mode.append("orig")
+                out_text.append(t)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "mode": pa.array(out_mode, pa.string()),
+                "fim_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return docs.map_batches(transform, batch_format="pyarrow")

@@ -248,3 +248,40 @@ def test_leakage_free_split_components_never_straddle(ray_session):
     }
     for d in ("20", "25", "39"):
         assert got[d] == (d, tv[d])
+
+
+def test_fim_transform_roundtrip_and_gate():
+    """PSM output is loss-free (reassembling middle between prefix and
+    suffix recovers the original text), the md5 gate matches the
+    repo-standard percentile, and 'orig' rows pass through unchanged."""
+    import hashlib
+
+    import ray.data
+
+    from agentic_doc_ray.functions.sampling import fim_transform
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    orig = {
+        str(r["doc_id"]): r["text"]
+        for r in docs.take_all()
+    }
+    rows = fim_transform(docs, transform_pct=50).take_all()
+    assert len(rows) == len(orig)
+    n_psm = 0
+    for r in rows:
+        d, t = r["doc_id"], orig[r["doc_id"]]
+        gate = int(hashlib.md5(d.encode()).hexdigest()[:4], 16) % 100
+        if gate < 50:
+            assert r["mode"] == "psm"
+            n_psm += 1
+            body = r["fim_text"]
+            assert body.startswith("<PRE>")
+            pre, rest = body[5:].split("<SUF>", 1)
+            suf, mid = rest.split("<MID>", 1)
+            assert pre + mid + suf == t
+        else:
+            assert r["mode"] == "orig"
+            assert r["fim_text"] == t
+    assert 0 < n_psm < len(rows)
