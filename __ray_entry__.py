@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 37  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 38  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -90,6 +90,14 @@ _VIZ_DIGEST_SCHEMA = pa.schema(
 def _oracle_dir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     return f"/tmp/agentic_oracle/v{_ORACLE_VERSION}/{tag}"
+
+
+def _ppr_seed_fn(nodes):
+    """Teleport-set predicate for personalized pagerank: node id % 97 == 0
+    (module-level so Ray can pickle it into the exchange closures)."""
+    import numpy as np
+
+    return np.array([int(x) % 97 == 0 for x in nodes], dtype=bool)
 
 
 def _ensure_extraction_oracles(sf_dir: str) -> str:
@@ -288,6 +296,17 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=5
         ),
         os.path.join(out_dir, "pagerank.parquet"),
+    )
+
+    # personalized-pagerank replica: same exact integer arithmetic with
+    # the teleport term restricted to the doc_id % 97 == 0 seed set
+    _pq.write_table(
+        pagerank_oracle(
+            link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows),
+            n_iter=5,
+            seed_fn=_ppr_seed_fn,
+        ),
+        os.path.join(out_dir, "ppr.parquet"),
     )
 
     # label-propagation replica: synchronous LPA with a fixed round count
@@ -984,6 +1003,7 @@ _DRIVER_PRIORITY = [
     "embedding_gram",
     "ivf_recall",
     "fim_transform",
+    "personalized_pagerank",
 ]
 
 
@@ -1588,6 +1608,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id"]
         )
         return kcore(d, d.count())
+
+    def q_personalized_pagerank(sf_dir):
+        """TrustRank-style personalized PageRank: teleport restricted to
+        the doc_id % 97 == 0 seed set over the synthetic link graph —
+        seed-proximity authority scoring. Same exact-integer BSP as
+        pagerank; oracle: bit-equal single-process replica."""
+        from agentic_doc_ray.functions.pagerank import link_edges, pagerank
+
+        _ensure_extraction_oracles(sf_dir)
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        n = d.count()
+        edges = d.map_batches(
+            lambda b: link_edges(b.column("doc_id"), n),
+            batch_format="pyarrow",
+        )
+        return pagerank(edges, n_iter=5, seed_fn=_ppr_seed_fn)
 
     def q_label_propagation(sf_dir):
         """Synchronous label-propagation communities over the synthetic
@@ -2824,6 +2862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": q_anchor_texts,
         "bfs_distances": q_bfs_distances,
         "label_propagation": q_label_propagation,  # bit-equal replica oracle
+        "personalized_pagerank": q_personalized_pagerank,  # bit-equal replica
         "clustering_coefficient": q_clustering_coeff,
         "generic_join": q_generic_join,
         "generic_anti_join": q_generic_anti_join,
@@ -4421,6 +4460,10 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": (
             "SELECT node, community "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/lpa.parquet')"
+        ),
+        "personalized_pagerank": (
+            "SELECT node, rank_scaled "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/ppr.parquet')"
         ),
         # same LCG edge formula as the pagerank/triangle oracles; anchor
         # tokens = the source's first-3-token SET per edge row (DISTINCT

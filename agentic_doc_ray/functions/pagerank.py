@@ -76,9 +76,20 @@ def pagerank(
     n_iter: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
+    seed_fn=None,
 ) -> "ray.data.Dataset":
     """(node, rank_scaled) for every node in ``edges`` after ``n_iter``
-    damped power iterations; rank_scaled/1e12 is the PageRank weight."""
+    damped power iterations; rank_scaled/1e12 is the PageRank weight.
+
+    ``seed_fn`` (optional) personalizes the walk: a PURE vectorized
+    predicate ``np.ndarray[str] -> np.ndarray[bool]`` marking the
+    teleport set (e.g. trusted-domain seeds). Seeds split the initial
+    mass (SCALE // n_seeds each) and the teleport term lands ONLY on
+    them (base = 0 elsewhere) — TrustRank-style proximity scoring. A
+    pure function instead of a seed table keeps the plan unchanged (the
+    flag is recomputed per batch from the node id, nothing joins or
+    broadcasts); ``seed_fn=None`` is exactly classic PageRank, pinned
+    bit-equal against the replica."""
 
     def canon(batch: pa.Table) -> pa.Table:
         src = pc.cast(batch.column(src_col), pa.string()).combine_chunks()
@@ -178,14 +189,65 @@ def pagerank(
                 }
             )
         )
-    r0 = SCALE // n_nodes
-    base = (_DAMP_DEN - _DAMP_NUM) * r0 // _DAMP_DEN
+    if seed_fn is None:
+        r0 = SCALE // n_nodes
+        base = (_DAMP_DEN - _DAMP_NUM) * r0 // _DAMP_DEN
+
+        def node_r0(nodes: np.ndarray) -> np.ndarray:
+            return np.full(len(nodes), r0, np.int64)
+
+        def node_base(nodes: "pa.Array") -> "pa.Array":
+            return pa.array(
+                np.full(len(nodes), base, np.int64), pa.int64()
+            )
+
+    else:
+        # count the seed set with one streaming pass over the state rows
+        n_seeds = int(
+            state.map_batches(
+                lambda b: pa.table(
+                    {
+                        "ns": pa.array(
+                            [
+                                int(
+                                    seed_fn(
+                                        np.asarray(
+                                            b.column("node").to_pylist(),
+                                            dtype=object,
+                                        )
+                                    ).sum()
+                                )
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).sum("ns")
+            or 0
+        )
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank: seed_fn marked no nodes")
+        r0_seed = SCALE // n_seeds
+        base_seed = (_DAMP_DEN - _DAMP_NUM) * r0_seed // _DAMP_DEN
+
+        def node_r0(nodes: np.ndarray) -> np.ndarray:
+            return np.where(seed_fn(nodes), r0_seed, 0).astype(np.int64)
+
+        def node_base(nodes: "pa.Array") -> "pa.Array":
+            flags = seed_fn(
+                np.asarray(nodes.to_pylist(), dtype=object)
+            )
+            return pa.array(
+                np.where(flags, base_seed, 0).astype(np.int64), pa.int64()
+            )
 
     def init_rank(batch: pa.Table) -> pa.Table:
+        nodes = np.asarray(batch.column("node").to_pylist(), dtype=object)
         return batch.set_column(
             batch.schema.get_field_index("rank"),
             "rank",
-            pa.array([r0] * batch.num_rows, pa.int64()),
+            pa.array(node_r0(nodes), pa.int64()),
         )
 
     state = state.map_batches(init_rank, batch_format="pyarrow").materialize()
@@ -258,7 +320,7 @@ def pagerank(
         m = st.join(sums, keys="node", join_type="left outer")
         csum = m.column("csum").combine_chunks().fill_null(0)
         new_rank = pc.add(
-            pa.scalar(base, pa.int64()),
+            node_base(m.column("node").combine_chunks()),
             pc.divide(
                 pc.multiply(csum, pa.scalar(_DAMP_NUM, pa.int64())),
                 pa.scalar(_DAMP_DEN, pa.int64()),
@@ -333,8 +395,11 @@ def pagerank_oracle(
     n_iter: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
+    seed_fn=None,
 ) -> pa.Table:
     """Single-process replica — same integer arithmetic, bit-equal."""
+    import numpy as np
+
     src = [str(x) for x in edges.column(src_col).to_pylist()]
     dst = [str(x) for x in edges.column(dst_col).to_pylist()]
     nodes = sorted(set(src) | set(dst))
@@ -349,15 +414,25 @@ def pagerank_oracle(
                 "rank_scaled": pa.array([], pa.int64()),
             }
         )
-    r0 = SCALE // n
+    if seed_fn is None:
+        is_seed = {v: True for v in nodes}
+        r0 = SCALE // n
+    else:
+        flags = seed_fn(np.asarray(nodes, dtype=object))
+        is_seed = {v: bool(f) for v, f in zip(nodes, flags)}
+        n_seeds = sum(is_seed.values())
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank: seed_fn marked no nodes")
+        r0 = SCALE // n_seeds
     base = (_DAMP_DEN - _DAMP_NUM) * r0 // _DAMP_DEN
-    rank = {v: r0 for v in nodes}
+    rank = {v: (r0 if is_seed[v] else 0) for v in nodes}
     for _ in range(n_iter):
         sums = {v: 0 for v in nodes}
         for s, d in zip(src, dst):
             sums[d] += rank[s] // deg[s]
         rank = {
-            v: base + _DAMP_NUM * sums[v] // _DAMP_DEN for v in nodes
+            v: (base if is_seed[v] else 0) + _DAMP_NUM * sums[v] // _DAMP_DEN
+            for v in nodes
         }
     return pa.Table.from_pydict(
         {

@@ -649,3 +649,40 @@ def test_label_propagation_two_cliques():
     }
     assert {got["a"], got["b"], got["c"]} == {"a"}
     assert {got["x"], got["y"], got["z"]} == {"c"}
+
+
+def test_personalized_pagerank_bit_equal():
+    """Seeded teleport == the replica bit for bit; non-seed nodes carry
+    only flowed-in mass (no base term)."""
+    import numpy as np
+    import pandas as pd
+
+    from agentic_doc_ray.functions.pagerank import pagerank, pagerank_oracle
+
+    def seeds(nodes):
+        return np.array([int(x) % 3 == 0 for x in nodes], dtype=bool)
+
+    rng = np.random.RandomState(3)
+    t = pa.table(
+        {
+            "src": pa.array(rng.randint(0, 40, 120).astype(str)),
+            "dst": pa.array(rng.randint(0, 40, 120).astype(str)),
+        }
+    )
+    got = (
+        pagerank(ray.data.from_arrow(t), n_iter=4, seed_fn=seeds)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = (
+        pagerank_oracle(t, n_iter=4, seed_fn=seeds)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # personalization concentrates mass: the seed third of the nodes must
+    # hold MORE than its population share of the total rank
+    seed_mass = want[want["node"].map(lambda x: int(x) % 3 == 0)]["rank_scaled"].sum()
+    assert seed_mass > want["rank_scaled"].sum() / 3
