@@ -1004,6 +1004,7 @@ _DRIVER_PRIORITY = [
     "ivf_recall",
     "fim_transform",
     "personalized_pagerank",
+    "brand_supplier_counts",
 ]
 
 
@@ -2932,6 +2933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_revenue_scan": A.pruned_revenue_scan,
         "forecast_revenue": A.forecast_revenue,
         "product_type_profit": _J().product_type_profit,
+        "brand_supplier_counts": _J().brand_supplier_counts,
         "events_hourly": A.events_hourly,
         "cohort_retention": A.cohort_retention,
         "events_sliding": A.events_sliding,
@@ -3984,6 +3986,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n ON n.n_nationkey = s.s_nationkey "
             "JOIN orders o ON o.o_orderkey = l.l_orderkey "
             "WHERE p.p_name LIKE '%widget%' "
+            "GROUP BY 1, 2"
+        ),
+        # Q16 shape: distinct suppliers per small brand/size bracket
+        # (lineitem pairs stand in for partsupp; corpus has no partsupp)
+        "brand_supplier_counts": (
+            "SELECT p.p_brand,"
+            "       CAST(p.p_size AS BIGINT) AS p_size,"
+            "       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers "
+            "FROM part p "
+            "JOIN lineitem l ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_size < 3 "
             "GROUP BY 1, 2"
         ),
         # Q6 shape: one-row forecast scan, zero exchanges

@@ -4043,3 +4043,176 @@ def product_type_profit(
         .aggregate(Sum("profit_cents", alias_name="profit_cents"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def brand_supplier_counts(
+    sf_dir: str,
+    max_size: int = 3,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q16 shape (parts/supplier relationship): how many DISTINCT
+    suppliers ship each small (p_size < ``max_size``) brand/size bracket
+    — the supplier-diversity signal. This corpus has no partsupp table,
+    so the shipped lineitem pairs stand in for the part-supplier
+    relation (same join/count-distinct shape).
+
+    Scale shape — count-distinct across a join without ever shipping
+    duplicate pairs twice: the lineitem side collapses to DISTINCT
+    (partkey, suppkey) per batch BEFORE exchange 1 (partkey buckets,
+    size-filtered part ships (key, brand, size)); each bucket re-dedups
+    and emits distinct (brand, size, suppkey) rows; exchange 2 hashes
+    the (brand, size) group key so the global distinct-supplier count
+    finishes in-bucket. Payload is bounded by the distinct relation, not
+    the lineitem row count.
+    """
+    import numpy as np
+
+    from agentic_doc_ray.functions._exchange import (
+        int_key_sentinels,
+        str_key_sentinels,
+    )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+    width = partitions_for(n_rows)
+
+    ex1 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.string()),
+            ("suppkey", pa.int64()),
+            ("brand", pa.string()),
+            ("size", pa.int64()),
+        ]
+    )
+
+    def _bucket(key):
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+
+    def tag_part(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.less(batch.column("p_size"), max_size))
+        key = f.column("p_partkey")
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["p"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                f.column("p_brand"),
+                f.column("p_size").cast(pa.int64()),
+            ],
+            schema=ex1,
+        )
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.select(["l_partkey", "l_suppkey"])
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([])
+        )
+        key = d.column("l_partkey")
+        n = d.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["l"] * n, pa.string()),
+                d.column("l_suppkey"),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=ex1,
+        )
+
+    bss_schema = pa.schema(
+        [
+            ("gbucket", pa.string()),
+            ("brand", pa.string()),
+            ("size", pa.int64()),
+            ("suppkey", pa.int64()),
+            ("side", pa.string()),
+        ]
+    )
+
+    def part_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_p = pc.equal(g.column("side"), "p")
+        p = g.filter(is_p).select(["key", "brand", "size"])
+        li = g.filter(pc.invert(is_p)).select(["key", "suppkey"])
+        if p.num_rows == 0 or li.num_rows == 0:
+            return bss_schema.empty_table()
+        m = (
+            li.join(p, keys="key", join_type="inner")
+            .select(["brand", "size", "suppkey"])
+            .group_by(["brand", "size", "suppkey"])
+            .aggregate([])
+        )
+        gb = pc.binary_join_element_wise(
+            m.column("brand").cast(pa.string()),
+            pc.cast(m.column("size"), pa.string()),
+            "|",
+        )
+        n = m.num_rows
+        return pa.Table.from_arrays(
+            [
+                gb,
+                m.column("brand"),
+                m.column("size"),
+                m.column("suppkey"),
+                pa.array(["r"] * n, pa.string()),
+            ],
+            schema=bss_schema,
+        )
+
+    distinct_rel = (
+        part.map_batches(tag_part, batch_format="pyarrow")
+        .union(lineitem.map_batches(tag_pairs, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(part_bucket, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("p_brand", pa.string()),
+            ("p_size", pa.int64()),
+            ("n_suppliers", pa.int64()),
+        ]
+    )
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        d = (
+            g.select(["brand", "size", "suppkey"])
+            .group_by(["brand", "size", "suppkey"])
+            .aggregate([])
+        )
+        cnt = (
+            d.append_column("one", pa.array(np.ones(d.num_rows, np.int64)))
+            .group_by(["brand", "size"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["p_brand", "p_size", "n_suppliers"])
+        )
+        return cnt.cast(out_schema)
+
+    return (
+        distinct_rel.union(
+            str_key_sentinels(
+                bss_schema, "gbucket", fill={"side": "sent", "brand": "", "suppkey": -1, "size": -1}
+            )
+        )
+        .groupby("gbucket", num_partitions=partitions_for(64))
+        .map_groups(count_bucket, batch_format="pyarrow")
+    )

@@ -830,6 +830,10 @@ def main() -> None:
         "waiting_supplier_check",
         lambda: J.waiting_supplier_check(SF_DIR).count(),
     )
+    timed(
+        "brand_supplier_counts",
+        lambda: J.brand_supplier_counts(SF_DIR).count(),
+    )
     timed("funnel", lambda: A.funnel_counts(SF_DIR).count())
     timed("cohort_retention", lambda: A.cohort_retention(SF_DIR).count())
     timed("event_paths", lambda: A.user_event_paths(SF_DIR).count())

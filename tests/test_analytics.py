@@ -1092,3 +1092,32 @@ def test_product_type_profit_q9():
     want = duckdb.sql(sql).df()
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_brand_supplier_counts_q16():
+    """Q16 shape: distinct suppliers per small brand/size bracket —
+    join + count-distinct with per-batch pair dedup before the exchange."""
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    got = (
+        J.brand_supplier_counts(SF)
+        .to_pandas()
+        .sort_values(["p_brand", "p_size"])
+        .reset_index(drop=True)
+    )
+    sql = """
+        SELECT p.p_brand,
+               CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size < 3
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    for t in ["lineitem", "part"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
