@@ -1005,6 +1005,9 @@ _DRIVER_PRIORITY = [
     "fim_transform",
     "personalized_pagerank",
     "brand_supplier_counts",
+    "min_cost_supplier",
+    "important_part_values",
+    "excess_stock_suppliers",
 ]
 
 
@@ -2934,6 +2937,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": A.forecast_revenue,
         "product_type_profit": _J().product_type_profit,
         "brand_supplier_counts": _J().brand_supplier_counts,
+        "min_cost_supplier": _J().min_cost_supplier,
+        "important_part_values": _J().important_part_values,
+        "excess_stock_suppliers": _J().excess_stock_suppliers,
         "events_hourly": A.events_hourly,
         "cohort_retention": A.cohort_retention,
         "events_sliding": A.events_sliding,
@@ -3998,6 +4004,62 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lineitem l ON l.l_partkey = p.p_partkey "
             "WHERE p.p_size < 3 "
             "GROUP BY 1, 2"
+        ),
+        # Q2 shape: per-part minimum-cost supplier in one region, ties
+        # preserved; lineitem min line price stands in for ps_supplycost
+        "min_cost_supplier": (
+            "WITH ps AS ("
+            "  SELECT l_partkey, l_suppkey,"
+            "         CAST(min(CAST(round(l_extendedprice*10000) AS BIGINT)) AS BIGINT) AS cents"
+            "  FROM lineitem GROUP BY 1, 2"
+            "), esupp AS ("
+            "  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name"
+            "  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey"
+            "  JOIN region r ON r.r_regionkey = n.n_regionkey WHERE r.r_name = 'EUROPE'"
+            "), cand AS ("
+            "  SELECT p.p_partkey, p.p_brand, e.s_suppkey, e.s_name, e.s_acctbal, e.n_name, ps.cents"
+            "  FROM part p JOIN ps ON ps.l_partkey = p.p_partkey"
+            "  JOIN esupp e ON e.s_suppkey = ps.l_suppkey"
+            "  WHERE p.p_type = 'PROMO' AND p.p_size < 10"
+            ") "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey,"
+            "       cents/10000.0 AS cost "
+            "FROM cand "
+            "QUALIFY cents = min(cents) OVER (PARTITION BY p_partkey) "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey LIMIT 100"
+        ),
+        # Q11 shape: per-part value through one nation's suppliers vs the
+        # global-total HAVING threshold (exact integer cross-multiply)
+        "important_part_values": (
+            "WITH ps AS ("
+            "  SELECT l.l_partkey,"
+            "         CAST(sum(CAST(round(l.l_extendedprice*10000) AS BIGINT)) AS BIGINT) AS value_cents"
+            "  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            "  JOIN nation n ON n.n_nationkey = s.s_nationkey"
+            "  WHERE n.n_name = 'NATION_7'"
+            "  GROUP BY 1"
+            ") "
+            "SELECT l_partkey, value_cents, value_cents/10000.0 AS value "
+            "FROM ps WHERE 1000*value_cents > (SELECT sum(value_cents) FROM ps)"
+        ),
+        # Q20 shape: nested semi-join chain with a correlated aggregate
+        # threshold (qty_total > 2*qty_year stands in for availqty > half
+        # the year's shipments — no partsupp table in this corpus)
+        "excess_stock_suppliers": (
+            "SELECT s.s_suppkey, s.s_name "
+            "FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "WHERE n.n_name = 'NATION_3' AND s.s_suppkey IN ("
+            "  SELECT ps.l_suppkey FROM ("
+            "    SELECT l_partkey, l_suppkey,"
+            "           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_total,"
+            "           CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'"
+            "                          AND l_shipdate < TIMESTAMP '1998-01-01'"
+            "                         THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_year"
+            "    FROM lineitem GROUP BY 1, 2"
+            "  ) ps"
+            "  WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')"
+            "    AND ps.qty_total > 2*ps.qty_year"
+            ") ORDER BY s_name, s_suppkey"
         ),
         # Q6 shape: one-row forecast scan, zero exchanges
         "forecast_revenue": (

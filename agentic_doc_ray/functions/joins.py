@@ -4216,3 +4216,688 @@ def brand_supplier_counts(
         .groupby("gbucket", num_partitions=partitions_for(64))
         .map_groups(count_bucket, batch_format="pyarrow")
     )
+
+
+def min_cost_supplier(
+    sf_dir: str,
+    region: str = "EUROPE",
+    ptype: str = "PROMO",
+    max_size: int = 10,
+    k: int = 100,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q2 shape (minimum-cost supplier): for every small part of one
+    type, the region's supplier(s) offering it at the global minimum cost
+    — the correlated-scalar-min join. This corpus has no partsupp table,
+    so the stand-in supply cost is the cheapest shipped line price per
+    (part, supplier): MIN(round(l_extendedprice * 10000)) over lineitem.
+
+    Scale shape — two bucketed exchanges plus a tiny top-k merge:
+
+    1. suppkey exchange: lineitem collapses per batch to one min-cents
+       row per (partkey, suppkey) before the wire (payload bounded by
+       the distinct part-supplier relation); the supplier side is
+       region-filtered against the ≤25-row nation⋈region broadcast and
+       ships (key, name, acctbal, nation). Buckets finish the min and
+       join supplier attributes Arrow-native.
+    2. partkey exchange: the part side ships only type/size-filtered
+       (key, brand); buckets join, resolve the per-part min with a
+       group-min + equality filter (ties preserved, Q2 semantics), and
+       emit their LOCAL top-k, so the global merge sees ≤ k×buckets rows.
+    3. Ray sort + limit(k) over the k×buckets partials (tiny).
+
+    Ordering is fully deterministic: (s_acctbal DESC, n_name, s_name,
+    p_partkey, s_suppkey) — suppkey last so even same-named suppliers
+    tying at the boundary cannot diverge from the SQL oracle. Both
+    exchanges feed map_groups from filtering stages → sentinel rows
+    guard Ray's empty-first-block schema race (functions/_exchange.py).
+    """
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    # bounded dimension broadcast: region ⋈ nation (≤25 rows)
+    nation_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region_tbl = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkeys = region_tbl.filter(
+        pc.equal(region_tbl.column("r_name"), region)
+    ).column("r_regionkey")
+    nat = nation_tbl.filter(
+        pc.is_in(nation_tbl.column("n_regionkey"), value_set=rkeys)
+    )
+    nat_keys = nat.column("n_nationkey").combine_chunks()
+    nat_names = nat.column("n_name").combine_chunks()
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+    width = partitions_for(n_rows)
+
+    def _bucket(key):
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+
+    ex1 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),  # suppkey
+            ("side", pa.string()),
+            ("partkey", pa.int64()),
+            ("cents", pa.int64()),
+            ("s_name", pa.string()),
+            ("s_acctbal", pa.float64()),
+            ("n_name", pa.string()),
+        ]
+    )
+
+    def tag_cost(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(batch.column("l_extendedprice"), pa.scalar(10000.0))
+        ).cast(pa.int64())
+        t = (
+            pa.Table.from_arrays(
+                [batch.column("l_partkey"), batch.column("l_suppkey"), cents],
+                names=["partkey", "key", "cents"],
+            )
+            .group_by(["partkey", "key"])
+            .aggregate([("cents", "min")])
+        )
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(t.column("key")),
+                t.column("key"),
+                pa.array(["l"] * n, pa.string()),
+                t.column("partkey"),
+                t.column("cents_min"),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.float64()),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=ex1,
+        )
+
+    def tag_supp(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("s_nationkey"), value_set=nat_keys)
+        f = batch.filter(pc.is_valid(idx))
+        names = nat_names.take(pc.index_in(f.column("s_nationkey"), value_set=nat_keys))
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(f.column("s_suppkey")),
+                f.column("s_suppkey"),
+                pa.array(["s"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                f.column("s_name"),
+                f.column("s_acctbal").cast(pa.float64()),
+                names,
+            ],
+            schema=ex1,
+        )
+
+    mid = pa.schema(
+        [
+            ("partkey", pa.int64()),
+            ("suppkey", pa.int64()),
+            ("cents", pa.int64()),
+            ("s_name", pa.string()),
+            ("s_acctbal", pa.float64()),
+            ("n_name", pa.string()),
+        ]
+    )
+
+    def cost_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_l = pc.equal(g.column("side"), "l")
+        li = (
+            g.filter(is_l)
+            .select(["partkey", "key", "cents"])
+            .group_by(["partkey", "key"])
+            .aggregate([("cents", "min")])
+        )
+        s = g.filter(pc.equal(g.column("side"), "s")).select(
+            ["key", "s_name", "s_acctbal", "n_name"]
+        )
+        if li.num_rows == 0 or s.num_rows == 0:
+            return mid.empty_table()
+        j = li.join(s, keys="key", join_type="inner")
+        return pa.Table.from_arrays(
+            [
+                j.column("partkey"),
+                j.column("key"),
+                j.column("cents_min"),
+                j.column("s_name"),
+                j.column("s_acctbal"),
+                j.column("n_name"),
+            ],
+            schema=mid,
+        )
+
+    costed = (
+        lineitem.map_batches(tag_cost, batch_format="pyarrow")
+        .union(supplier.map_batches(tag_supp, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(cost_bucket, batch_format="pyarrow")
+    )
+
+    ex2 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),  # partkey
+            ("side", pa.string()),
+            ("suppkey", pa.int64()),
+            ("cents", pa.int64()),
+            ("s_name", pa.string()),
+            ("s_acctbal", pa.float64()),
+            ("n_name", pa.string()),
+            ("p_brand", pa.string()),
+        ]
+    )
+
+    def tag_mid(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(batch.column("partkey")),
+                batch.column("partkey"),
+                pa.array(["r"] * n, pa.string()),
+                batch.column("suppkey"),
+                batch.column("cents"),
+                batch.column("s_name"),
+                batch.column("s_acctbal"),
+                batch.column("n_name"),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=ex2,
+        )
+
+    def tag_part(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.and_(
+                pc.equal(batch.column("p_type"), ptype),
+                pc.less(batch.column("p_size"), max_size),
+            )
+        )
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(f.column("p_partkey")),
+                f.column("p_partkey"),
+                pa.array(["p"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.float64()),
+                pa.nulls(n, pa.string()),
+                f.column("p_brand"),
+            ],
+            schema=ex2,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("s_acctbal", pa.float64()),
+            ("s_name", pa.string()),
+            ("n_name", pa.string()),
+            ("p_partkey", pa.int64()),
+            ("p_brand", pa.string()),
+            ("s_suppkey", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def pick_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_p = pc.equal(g.column("side"), "p")
+        p = g.filter(is_p).select(["key", "p_brand"])
+        r = g.filter(pc.equal(g.column("side"), "r")).select(
+            ["key", "suppkey", "cents", "s_name", "s_acctbal", "n_name"]
+        )
+        if p.num_rows == 0 or r.num_rows == 0:
+            return out_schema.empty_table()
+        j = r.join(p, keys="key", join_type="inner")
+        if j.num_rows == 0:
+            return out_schema.empty_table()
+        mins = j.select(["key", "cents"]).group_by("key").aggregate([("cents", "min")])
+        j = j.join(mins, keys="key", join_type="inner")
+        w = j.filter(pc.equal(j.column("cents"), j.column("cents_min")))
+        order = pc.sort_indices(
+            w,
+            sort_keys=[
+                ("s_acctbal", "descending"),
+                ("n_name", "ascending"),
+                ("s_name", "ascending"),
+                ("key", "ascending"),
+                ("suppkey", "ascending"),
+            ],
+        )
+        w = w.take(order.slice(0, k))  # bucket-local top-k
+        return pa.Table.from_arrays(
+            [
+                w.column("s_acctbal"),
+                w.column("s_name"),
+                w.column("n_name"),
+                w.column("key"),
+                w.column("p_brand"),
+                w.column("suppkey"),
+                w.column("cents"),
+            ],
+            schema=out_schema,
+        )
+
+    top = (
+        costed.map_batches(tag_mid, batch_format="pyarrow")
+        .union(part.map_batches(tag_part, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex2, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(pick_bucket, batch_format="pyarrow")
+        .sort(
+            key=["s_acctbal", "n_name", "s_name", "p_partkey", "s_suppkey"],
+            descending=[True, False, False, False, False],
+        )
+        .limit(k)
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("s_acctbal"),
+                batch.column("s_name"),
+                batch.column("n_name"),
+                batch.column("p_partkey"),
+                batch.column("p_brand"),
+                batch.column("s_suppkey"),
+                pc.divide(batch.column("cents").cast(pa.float64()), 10000.0),
+            ],
+            names=[
+                "s_acctbal", "s_name", "n_name", "p_partkey",
+                "p_brand", "s_suppkey", "cost",
+            ],
+        )
+
+    return top.map_batches(finalize, batch_format="pyarrow")
+
+
+def important_part_values(
+    sf_dir: str,
+    nation: str = "NATION_7",
+    frac_den: int = 1000,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q11 shape (important stock): per-part shipped value through
+    one nation's suppliers, kept only where a part's value exceeds
+    1/``frac_den`` of the nation's total — the aggregate-vs-global-total
+    HAVING. Stand-in for partsupp value: SUM(round(l_extendedprice *
+    10000)) over lineitem (no partsupp table in this corpus).
+
+    Scale shape: lineitem collapses per batch to (partkey, cents)
+    partials restricted to the nation's suppliers — the supplier side
+    ships KEYS ONLY into a suppkey-bucketed semi-join (supplier scales
+    with SF, so no broadcast; the nation filter itself uses the ≤25-row
+    nation broadcast). Buckets re-aggregate per partkey before the final
+    partkey hash-aggregate, so the second exchange is bounded by the
+    distinct part count. The total is ONE driver scalar off the
+    materialized per-part table (consumed twice: total + filter), and
+    the keep test is the exact integer cross-multiplication
+    ``frac_den * value_cents > total_cents`` — int64-safe while the
+    corpus total stays under 2^63/frac_den (~9e14 cents-e4 at the
+    default, i.e. ~92 B USD; raise to HUGEINT territory only via a
+    smaller frac_den).
+    """
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    nation_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkeys = nation_tbl.filter(
+        pc.equal(nation_tbl.column("n_name"), nation)
+    ).column("n_nationkey").combine_chunks()
+
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+    width = partitions_for(n_rows)
+
+    def _bucket(key):
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+
+    ex1 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),  # suppkey
+            ("side", pa.string()),
+            ("partkey", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def tag_value(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(batch.column("l_extendedprice"), pa.scalar(10000.0))
+        ).cast(pa.int64())
+        t = (
+            pa.Table.from_arrays(
+                [batch.column("l_partkey"), batch.column("l_suppkey"), cents],
+                names=["partkey", "key", "cents"],
+            )
+            .group_by(["partkey", "key"])
+            .aggregate([("cents", "sum")])
+        )
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(t.column("key")),
+                t.column("key"),
+                pa.array(["l"] * n, pa.string()),
+                t.column("partkey"),
+                t.column("cents_sum"),
+            ],
+            schema=ex1,
+        )
+
+    def tag_supp(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.is_in(batch.column("s_nationkey"), value_set=nkeys))
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(f.column("s_suppkey")),
+                f.column("s_suppkey"),
+                pa.array(["s"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=ex1,
+        )
+
+    part_schema = pa.schema([("l_partkey", pa.int64()), ("cents", pa.int64())])
+
+    def semi_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_s = pc.equal(g.column("side"), "s")
+        skeys = g.filter(is_s).column("key").combine_chunks()
+        li = g.filter(pc.invert(is_s))
+        hit = li.filter(pc.is_in(li.column("key"), value_set=skeys))
+        if hit.num_rows == 0:
+            return part_schema.empty_table()
+        out = (
+            hit.select(["partkey", "cents"])
+            .group_by("partkey")
+            .aggregate([("cents", "sum")])
+        )
+        return out.rename_columns(["l_partkey", "cents"]).cast(part_schema)
+
+    per_part = (
+        lineitem.map_batches(tag_value, batch_format="pyarrow")
+        .union(supplier.map_batches(tag_supp, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(semi_bucket, batch_format="pyarrow")
+        .groupby("l_partkey", num_partitions=partitions_for(n_rows // 8))
+        .aggregate(Sum("cents", alias_name="value_cents"))
+        .materialize()  # consumed twice: total scalar + threshold filter
+    )
+
+    total = int(per_part.sum("value_cents") or 0)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value_cents")
+        m = pc.greater(
+            pc.multiply(v, pa.scalar(frac_den, pa.int64())),
+            pa.scalar(total, pa.int64()),
+        )
+        f = batch.filter(m)
+        return pa.Table.from_arrays(
+            [
+                f.column("l_partkey"),
+                f.column("value_cents"),
+                pc.divide(f.column("value_cents").cast(pa.float64()), 10000.0),
+            ],
+            names=["l_partkey", "value_cents", "value"],
+        )
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def excess_stock_suppliers(
+    sf_dir: str,
+    name_like: str = "gear",
+    nation: str = "NATION_3",
+    year: int = 1997,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """TPC-H Q20 shape (potential part promotion): one nation's suppliers
+    holding excess stock of a part family — the nested semi-join chain
+    with a correlated per-(part, supplier) aggregate threshold. Stand-in
+    for availqty (no partsupp table): a supplier has "excess stock" of a
+    part when LESS than half its all-time shipped quantity of that part
+    moved in ``year`` (qty_total > 2 * qty_year; quantities are integral,
+    so the cross-multiplied test is exact int64).
+
+    Scale shape — two bucketed exchanges plus a tiny name sort:
+
+    1. partkey exchange: the part side ships name-filtered KEYS ONLY;
+       lineitem collapses per batch to (partkey, suppkey, qty_total,
+       qty_year) integer partials. Buckets semi-join, finish both sums,
+       apply the threshold, and emit DISTINCT suppkeys (a suppkey
+       reaching the merge at most once per bucket).
+    2. suppkey exchange: the nation-filtered supplier side (≤25-row
+       nation broadcast for the filter) ships (key, name); buckets
+       re-dedup the winning suppkeys across part buckets and join names.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    nation_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkeys = nation_tbl.filter(
+        pc.equal(nation_tbl.column("n_name"), nation)
+    ).column("n_nationkey").combine_chunks()
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    n_rows = lineitem.count()
+    n_buckets = n_buckets or auto_buckets(n_rows)
+    width = partitions_for(n_rows)
+    lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"))
+    hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"))
+
+    def _bucket(key):
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+
+    ex1 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),  # partkey
+            ("side", pa.string()),
+            ("suppkey", pa.int64()),
+            ("qty_total", pa.int64()),
+            ("qty_year", pa.int64()),
+        ]
+    )
+
+    def tag_qty(batch: pa.Table) -> pa.Table:
+        qty = pc.round(batch.column("l_quantity")).cast(pa.int64())
+        in_year = pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi),
+        )
+        qty_year = pc.if_else(in_year, qty, pa.scalar(0, pa.int64()))
+        t = (
+            pa.Table.from_arrays(
+                [
+                    batch.column("l_partkey"),
+                    batch.column("l_suppkey"),
+                    qty,
+                    qty_year,
+                ],
+                names=["key", "suppkey", "qty_total", "qty_year"],
+            )
+            .group_by(["key", "suppkey"])
+            .aggregate([("qty_total", "sum"), ("qty_year", "sum")])
+        )
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(t.column("key")),
+                t.column("key"),
+                pa.array(["l"] * n, pa.string()),
+                t.column("suppkey"),
+                t.column("qty_total_sum"),
+                t.column("qty_year_sum"),
+            ],
+            schema=ex1,
+        )
+
+    def tag_part(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.match_substring(batch.column("p_name"), name_like)
+        )
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(f.column("p_partkey")),
+                f.column("p_partkey"),
+                pa.array(["p"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=ex1,
+        )
+
+    skey_schema = pa.schema([("suppkey", pa.int64())])
+
+    def excess_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_p = pc.equal(g.column("side"), "p")
+        pkeys = g.filter(is_p).column("key").combine_chunks()
+        li = g.filter(pc.invert(is_p))
+        hit = li.filter(pc.is_in(li.column("key"), value_set=pkeys))
+        if hit.num_rows == 0:
+            return skey_schema.empty_table()
+        t = (
+            hit.select(["key", "suppkey", "qty_total", "qty_year"])
+            .group_by(["key", "suppkey"])
+            .aggregate([("qty_total", "sum"), ("qty_year", "sum")])
+        )
+        excess = t.filter(
+            pc.greater(
+                t.column("qty_total_sum"),
+                pc.multiply(t.column("qty_year_sum"), pa.scalar(2, pa.int64())),
+            )
+        )
+        out = excess.select(["suppkey"]).group_by("suppkey").aggregate([])
+        return out.cast(skey_schema)
+
+    winners = (
+        lineitem.map_batches(tag_qty, batch_format="pyarrow")
+        .union(part.map_batches(tag_part, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=width)
+        .map_groups(excess_bucket, batch_format="pyarrow")
+    )
+
+    ex2 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("key", pa.int64()),  # suppkey
+            ("side", pa.string()),
+            ("s_name", pa.string()),
+        ]
+    )
+
+    def tag_winner(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(batch.column("suppkey")),
+                batch.column("suppkey"),
+                pa.array(["w"] * n, pa.string()),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=ex2,
+        )
+
+    def tag_supp(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.is_in(batch.column("s_nationkey"), value_set=nkeys))
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(f.column("s_suppkey")),
+                f.column("s_suppkey"),
+                pa.array(["s"] * n, pa.string()),
+                f.column("s_name"),
+            ],
+            schema=ex2,
+        )
+
+    out_schema = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())])
+
+    def name_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_w = pc.equal(g.column("side"), "w")
+        # re-dedup: the same suppkey can win in many part buckets
+        w = (
+            g.filter(is_w)
+            .select(["key"])
+            .group_by("key")
+            .aggregate([])
+        )
+        s = g.filter(pc.equal(g.column("side"), "s")).select(["key", "s_name"])
+        if w.num_rows == 0 or s.num_rows == 0:
+            return out_schema.empty_table()
+        j = w.join(s, keys="key", join_type="inner")
+        return pa.Table.from_arrays(
+            [j.column("key"), j.column("s_name")], schema=out_schema
+        )
+
+    return (
+        winners.map_batches(tag_winner, batch_format="pyarrow")
+        .union(supplier.map_batches(tag_supp, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex2, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows // 16))
+        .map_groups(name_bucket, batch_format="pyarrow")
+        .sort(key=["s_name", "s_suppkey"])
+    )

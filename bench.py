@@ -834,6 +834,18 @@ def main() -> None:
         "brand_supplier_counts",
         lambda: J.brand_supplier_counts(SF_DIR).count(),
     )
+    timed(
+        "min_cost_supplier",
+        lambda: J.min_cost_supplier(SF_DIR).count(),
+    )
+    timed(
+        "important_part_values",
+        lambda: J.important_part_values(SF_DIR).count(),
+    )
+    timed(
+        "excess_stock_suppliers",
+        lambda: J.excess_stock_suppliers(SF_DIR).count(),
+    )
     timed("funnel", lambda: A.funnel_counts(SF_DIR).count())
     timed("cohort_retention", lambda: A.cohort_retention(SF_DIR).count())
     timed("event_paths", lambda: A.user_event_paths(SF_DIR).count())

@@ -1094,6 +1094,118 @@ def test_product_type_profit_q9():
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
+def test_min_cost_supplier_q2():
+    """Q2 shape: per-part min-cost supplier in one region, ties preserved,
+    deterministic top-100."""
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    got = (
+        J.min_cost_supplier(SF)
+        .to_pandas()
+        .sort_values(["s_acctbal", "s_name", "p_partkey"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    sql = """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(min(CAST(round(l_extendedprice*10000) AS BIGINT)) AS BIGINT) AS cents
+          FROM lineitem GROUP BY 1, 2
+        ), esupp AS (
+          SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+          FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey WHERE r.r_name = 'EUROPE'
+        ), cand AS (
+          SELECT p.p_partkey, p.p_brand, e.s_suppkey, e.s_name, e.s_acctbal, e.n_name, ps.cents
+          FROM part p JOIN ps ON ps.l_partkey = p.p_partkey
+          JOIN esupp e ON e.s_suppkey = ps.l_suppkey
+          WHERE p.p_type = 'PROMO' AND p.p_size < 10
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey,
+               cents/10000.0 AS cost
+        FROM cand
+        QUALIFY cents = min(cents) OVER (PARTITION BY p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey LIMIT 100
+    """
+    for t in ["lineitem", "supplier", "nation", "region", "part"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = (
+        duckdb.sql(sql)
+        .df()
+        .sort_values(["s_acctbal", "s_name", "p_partkey"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_important_part_values_q11():
+    """Q11 shape: per-part value vs global-total threshold (exact integer
+    cross-multiply), supplier side as a keys-only semi-join."""
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    # NATION_8 is the sf0.001 fixture's supplier-bearing nation (NATION_7,
+    # the sf0.01 default the driver checks, has no suppliers at this SF)
+    got = (
+        J.important_part_values(SF, nation="NATION_8")
+        .to_pandas()
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+    sql = """
+        WITH ps AS (
+          SELECT l.l_partkey,
+                 CAST(sum(CAST(round(l.l_extendedprice*10000) AS BIGINT)) AS BIGINT) AS value_cents
+          FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          WHERE n.n_name = 'NATION_8'
+          GROUP BY 1
+        )
+        SELECT l_partkey, value_cents, value_cents/10000.0 AS value
+        FROM ps WHERE 1000*value_cents > (SELECT sum(value_cents) FROM ps)
+        ORDER BY l_partkey
+    """
+    for t in ["lineitem", "supplier", "nation"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_excess_stock_suppliers_q20():
+    """Q20 shape: nested semi-join chain with a correlated aggregate
+    threshold; winners deduped across part buckets."""
+    import re
+
+    from agentic_doc_ray.functions import joins as J
+
+    got = J.excess_stock_suppliers(SF).to_pandas().reset_index(drop=True)
+    sql = """
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3' AND s.s_suppkey IN (
+          SELECT ps.l_suppkey FROM (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_total,
+                   CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                                 THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_year
+            FROM lineitem GROUP BY 1, 2
+          ) ps
+          WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+            AND ps.qty_total > 2*ps.qty_year
+        ) ORDER BY s_name, s_suppkey
+    """
+    for t in ["lineitem", "supplier", "nation", "part"]:
+        sql = re.sub(rf"\b{t}\b", f"read_parquet('{SF}/{t}.parquet')", sql)
+    want = duckdb.sql(sql).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_brand_supplier_counts_q16():
     """Q16 shape: distinct suppliers per small brand/size bracket —
     join + count-distinct with per-batch pair dedup before the exchange."""
