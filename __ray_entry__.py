@@ -4028,8 +4028,10 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY cents = min(cents) OVER (PARTITION BY p_partkey) "
             "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey LIMIT 100"
         ),
-        # Q11 shape: per-part value through one nation's suppliers vs the
-        # global-total HAVING threshold (exact integer cross-multiply)
+        # Q11 shape: per-part value through one nation's suppliers vs a
+        # 2x-average-share HAVING threshold (exact integer cross-multiply;
+        # average-anchored so the keep rate is scale-stable, the same
+        # reason TPC-H scales its fraction by 1/SF)
         "important_part_values": (
             "WITH ps AS ("
             "  SELECT l.l_partkey,"
@@ -4038,9 +4040,9 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN nation n ON n.n_nationkey = s.s_nationkey"
             "  WHERE n.n_name = 'NATION_7'"
             "  GROUP BY 1"
-            ") "
+            "), tot AS (SELECT count(*) AS n, sum(value_cents) AS t FROM ps) "
             "SELECT l_partkey, value_cents, value_cents/10000.0 AS value "
-            "FROM ps WHERE 1000*value_cents > (SELECT sum(value_cents) FROM ps)"
+            "FROM ps, tot WHERE value_cents * n > 2 * t"
         ),
         # Q20 shape: nested semi-join chain with a correlated aggregate
         # threshold (qty_total > 2*qty_year stands in for availqty > half

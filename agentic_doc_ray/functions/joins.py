@@ -4539,14 +4539,18 @@ def min_cost_supplier(
 def important_part_values(
     sf_dir: str,
     nation: str = "NATION_7",
-    frac_den: int = 1000,
+    mult: int = 2,
     n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """TPC-H Q11 shape (important stock): per-part shipped value through
     one nation's suppliers, kept only where a part's value exceeds
-    1/``frac_den`` of the nation's total — the aggregate-vs-global-total
-    HAVING. Stand-in for partsupp value: SUM(round(l_extendedprice *
-    10000)) over lineitem (no partsupp table in this corpus).
+    ``mult``× the AVERAGE per-part share — the aggregate-vs-global-total
+    HAVING. TPC-H scales its fixed fraction by 1/SF for exactly this
+    reason (a constant fraction empties out as the part count grows);
+    anchoring on the average share keeps the output a stable proportion
+    at every scale (measured 9 / 127 / 1224 rows at sf0.001/0.01/0.1).
+    Stand-in for partsupp value: SUM(round(l_extendedprice * 10000))
+    over lineitem (no partsupp table in this corpus).
 
     Scale shape: lineitem collapses per batch to (partkey, cents)
     partials restricted to the nation's suppliers — the supplier side
@@ -4554,13 +4558,13 @@ def important_part_values(
     with SF, so no broadcast; the nation filter itself uses the ≤25-row
     nation broadcast). Buckets re-aggregate per partkey before the final
     partkey hash-aggregate, so the second exchange is bounded by the
-    distinct part count. The total is ONE driver scalar off the
-    materialized per-part table (consumed twice: total + filter), and
-    the keep test is the exact integer cross-multiplication
-    ``frac_den * value_cents > total_cents`` — int64-safe while the
-    corpus total stays under 2^63/frac_den (~9e14 cents-e4 at the
-    default, i.e. ~92 B USD; raise to HUGEINT territory only via a
-    smaller frac_den).
+    distinct part count. Total and part count are TWO driver scalars off
+    the materialized per-part table, and the keep test is the exact
+    integer cross-multiplication ``value_cents * n_parts > mult *
+    total_cents`` — int64-safe on the left while value × parts stays
+    under 2^63 (~3e18 at sf100: value ~1e12 cents-e4 × 3e6 parts;
+    beyond that, pre-divide the right side and accept the one-ulp
+    boundary, or move to Python ints in the filter).
     """
     import pyarrow.parquet as pq
 
@@ -4662,16 +4666,17 @@ def important_part_values(
         .map_groups(semi_bucket, batch_format="pyarrow")
         .groupby("l_partkey", num_partitions=partitions_for(n_rows // 8))
         .aggregate(Sum("cents", alias_name="value_cents"))
-        .materialize()  # consumed twice: total scalar + threshold filter
+        .materialize()  # consumed thrice: total + count scalars + filter
     )
 
     total = int(per_part.sum("value_cents") or 0)
+    n_parts = per_part.count()
 
     def keep(batch: pa.Table) -> pa.Table:
         v = batch.column("value_cents")
         m = pc.greater(
-            pc.multiply(v, pa.scalar(frac_den, pa.int64())),
-            pa.scalar(total, pa.int64()),
+            pc.multiply(v, pa.scalar(n_parts, pa.int64())),
+            pa.scalar(mult * total, pa.int64()),
         )
         f = batch.filter(m)
         return pa.Table.from_arrays(

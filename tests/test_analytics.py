@@ -1163,9 +1163,9 @@ def test_important_part_values_q11():
           JOIN nation n ON n.n_nationkey = s.s_nationkey
           WHERE n.n_name = 'NATION_8'
           GROUP BY 1
-        )
+        ), tot AS (SELECT count(*) AS n, sum(value_cents) AS t FROM ps)
         SELECT l_partkey, value_cents, value_cents/10000.0 AS value
-        FROM ps WHERE 1000*value_cents > (SELECT sum(value_cents) FROM ps)
+        FROM ps, tot WHERE value_cents * n > 2 * t
         ORDER BY l_partkey
     """
     for t in ["lineitem", "supplier", "nation"]:
