@@ -1008,6 +1008,7 @@ _DRIVER_PRIORITY = [
     "min_cost_supplier",
     "important_part_values",
     "excess_stock_suppliers",
+    "pmi_collocations",
 ]
 
 
@@ -2844,6 +2845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "top_tokens": q_top_tokens,
         "top_bigrams": lambda sf: T.top_bigrams(docs(sf), k=100),
+        "pmi_collocations": lambda sf: T.pmi_collocations(docs(sf)),
         "top_tfidf_tokens": q_tfidf,
         # dedup
         "exact_dedup": q_exact_dedup,
@@ -3718,8 +3720,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "top_tokens": (
             "SELECT token, count(*) AS n FROM ("
-            "  SELECT unnest(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+')) AS token "
-            "  FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''"
+            "  SELECT unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token "
+            "  FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''"
             ") GROUP BY token ORDER BY n DESC, token LIMIT 100"
         ),
         "top_bigrams": (
@@ -3733,6 +3735,29 @@ def oracle_sql() -> dict[str, str]:
             "  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS r(i) "
             "  WHERE len(t) >= 2"
             ") GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"
+        ),
+        # PMI collocations: exact-ratio ranking (c12*N^2)/(c1*c2*B) with a
+        # pinned double association order so both sides land bit-identical
+        "pmi_collocations": (
+            "WITH toks AS ("
+            "  SELECT regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t "
+            "  FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''"
+            "), uni AS ("
+            "  SELECT token, count(*) AS c FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1"
+            "), bi AS ("
+            "  SELECT w1, w2, count(*) AS c12 FROM ("
+            "    SELECT t[i] AS w1, t[i+1] AS w2"
+            "    FROM toks, UNNEST(generate_series(1, len(t)-1)) AS r(i) WHERE len(t) >= 2"
+            "  ) GROUP BY 1, 2"
+            "), tot AS (SELECT (SELECT sum(c) FROM uni) AS n, (SELECT sum(c12) FROM bi) AS b) "
+            "SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,"
+            "  (CAST(b.c12 AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) /"
+            "  (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(t.b AS DOUBLE)) AS score "
+            "FROM bi b CROSS JOIN tot t "
+            "JOIN uni u1 ON u1.token = b.w1 "
+            "JOIN uni u2 ON u2.token = b.w2 "
+            "WHERE b.c12 >= 5 "
+            "ORDER BY score DESC, w1, w2 LIMIT 100"
         ),
         "top_tfidf_tokens": (
             "WITH toks AS ("

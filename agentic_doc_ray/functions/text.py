@@ -2116,3 +2116,275 @@ def mink_prob_oracle(
         _counts_to_series(ftbl, "token"),
         k_pct,
     )
+
+
+def pmi_collocations(
+    docs: "ray.data.Dataset",
+    min_count: int = 5,
+    k: int = 100,
+    n_buckets: int = 64,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Top-k collocations by pointwise mutual information — the classic
+    phrase-mining signal (Church & Hanks 1990): bigrams whose observed
+    frequency most exceeds the independence expectation,
+    PMI ∝ P(w1 w2) / (P(w1)·P(w2)), ranked by the exact ratio
+    c12·N² / (c1·c2·B) with a ``min_count`` support floor (PMI is
+    degenerate on rare pairs).
+
+    Scale shape: ONE fused counting exchange — tokens contain no
+    whitespace, so unigram keys ("w") and bigram keys ("w1 w2") live in
+    disjoint string spaces and share a single hash aggregate; per-batch
+    partials bound the exchange by distinct keys per batch, never token
+    occurrences. The merged table is materialized once (vocab-bounded)
+    and re-scanned for the two scalar totals and the candidate filter.
+    The support filter runs BEFORE the two attach exchanges, so c1/c2
+    attachment ships each unigram row once plus only surviving bigrams.
+    The score divides exact int64 counts in IEEE double with a pinned
+    association order — DuckDB lands on bit-identical values, and ties
+    at the top-k boundary break on (w1, w2).
+    """
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.delta import _fingerprint64
+
+    np_ = num_partitions or shuffle_partitions()
+
+    count_schema = pa.schema([("key", pa.string()), ("n", pa.int64())])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        flat = toks_list.flatten()
+        keys = [flat]
+        n = len(flat)
+        if n >= 2:
+            parents = pc.list_parent_indices(toks_list).to_numpy(
+                zero_copy_only=False
+            )
+            joined = pc.binary_join_element_wise(
+                flat.slice(0, n - 1), flat.slice(1), " "
+            )
+            same_doc = parents[:-1] == parents[1:]
+            keys.append(joined.filter(pa.array(same_doc)))
+        t = pa.Table.from_arrays(
+            [pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in keys])],
+            names=["key"],
+        )
+        g = t.group_by("key").aggregate([("key", "count")])
+        return g.rename_columns(["key", "n"]).cast(count_schema)
+
+    merged = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("key", num_partitions=np_)
+        .aggregate(Sum("n", alias_name="c"))
+        .materialize()  # vocab-bounded; re-scanned for totals + filters
+    )
+
+    def _is_bigram(t: pa.Table):
+        return pc.match_substring(t.column("key"), " ")
+
+    n_total = int(
+        merged.map_batches(
+            lambda t: t.filter(pc.invert(_is_bigram(t))), batch_format="pyarrow"
+        ).sum("c")
+        or 0
+    )
+    b_total = int(
+        merged.map_batches(
+            lambda t: t.filter(_is_bigram(t)), batch_format="pyarrow"
+        ).sum("c")
+        or 0
+    )
+
+    def _bucket(arr) -> pa.Array:
+        return pc.cast(
+            pc.bit_wise_and(
+                _fingerprint64(arr), pa.scalar(n_buckets - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+
+    ex1 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("w", pa.string()),
+            ("side", pa.string()),
+            ("other", pa.string()),
+            ("c12", pa.int64()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def tag_cand1(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.and_(
+                _is_bigram(batch),
+                pc.greater_equal(batch.column("c"), min_count),
+            )
+        )
+        parts = pc.split_pattern(f.column("key"), " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        w1 = pc.list_element(parts, 0)
+        w2 = pc.list_element(parts, 1)
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(w1),
+                w1,
+                pa.array(["b"] * n, pa.string()),
+                w2,
+                f.column("c").combine_chunks(),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=ex1,
+        )
+
+    def tag_uni(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.invert(_is_bigram(batch)))
+        key = f.column("key").combine_chunks()
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["u"] * n, pa.string()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                f.column("c").combine_chunks(),
+            ],
+            schema=ex1,
+        )
+
+    mid = pa.schema(
+        [
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("c12", pa.int64()),
+            ("c1", pa.int64()),
+        ]
+    )
+
+    def attach1(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_b = pc.equal(g.column("side"), "b")
+        b = g.filter(is_b).select(["w", "other", "c12"])
+        u = g.filter(pc.equal(g.column("side"), "u")).select(["w", "c"])
+        if b.num_rows == 0 or u.num_rows == 0:
+            return mid.empty_table()
+        j = b.join(u, keys="w", join_type="inner")
+        return pa.Table.from_arrays(
+            [j.column("w"), j.column("other"), j.column("c12"), j.column("c")],
+            schema=mid,
+        )
+
+    with_c1 = (
+        merged.map_batches(tag_cand1, batch_format="pyarrow")
+        .union(merged.map_batches(tag_uni, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex1, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(attach1, batch_format="pyarrow")
+    )
+
+    ex2 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("w", pa.string()),
+            ("side", pa.string()),
+            ("other", pa.string()),
+            ("c12", pa.int64()),
+            ("c1", pa.int64()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def tag_cand2(batch: pa.Table) -> pa.Table:
+        w2 = batch.column("w2").combine_chunks()
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(w2),
+                w2,
+                pa.array(["b"] * n, pa.string()),
+                batch.column("w1").combine_chunks(),
+                batch.column("c12").combine_chunks(),
+                batch.column("c1").combine_chunks(),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=ex2,
+        )
+
+    def tag_uni2(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.invert(_is_bigram(batch)))
+        key = f.column("key").combine_chunks()
+        n = f.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["u"] * n, pa.string()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                f.column("c").combine_chunks(),
+            ],
+            schema=ex2,
+        )
+
+    scored_schema = pa.schema(
+        [
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("c12", pa.int64()),
+            ("c1", pa.int64()),
+            ("c2", pa.int64()),
+            ("score", pa.float64()),
+        ]
+    )
+
+    def attach2(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_b = pc.equal(g.column("side"), "b")
+        b = g.filter(is_b).select(["w", "other", "c12", "c1"])
+        u = g.filter(pc.equal(g.column("side"), "u")).select(["w", "c"])
+        if b.num_rows == 0 or u.num_rows == 0:
+            return scored_schema.empty_table()
+        j = b.join(u, keys="w", join_type="inner")
+        f8 = pa.float64()
+        # pinned association order: ((c12 * N) * N) / ((c1 * c2) * B) —
+        # each op correctly rounded, so DuckDB lands on identical doubles
+        num = pc.multiply(
+            pc.multiply(j.column("c12").cast(f8), pa.scalar(float(n_total))),
+            pa.scalar(float(n_total)),
+        )
+        den = pc.multiply(
+            pc.multiply(j.column("c1").cast(f8), j.column("c").cast(f8)),
+            pa.scalar(float(b_total)),
+        )
+        return pa.Table.from_arrays(
+            [
+                j.column("other"),
+                j.column("w"),
+                j.column("c12"),
+                j.column("c1"),
+                j.column("c"),
+                pc.divide(num, den),
+            ],
+            schema=scored_schema,
+        )
+
+    return (
+        with_c1.map_batches(tag_cand2, batch_format="pyarrow")
+        .union(merged.map_batches(tag_uni2, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex2, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(attach2, batch_format="pyarrow")
+        .sort(["score", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -107,6 +107,46 @@ def test_top_bigrams_match_sql(docs_ds):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_pmi_collocations_match_sql(docs_ds):
+    got = (
+        T.pmi_collocations(docs_ds, min_count=3, k=50)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _duck(
+            """
+        WITH toks AS (
+          SELECT regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+          FROM documents
+          WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+        ), uni AS (
+          SELECT token, count(*) AS c FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1
+        ), bi AS (
+          SELECT w1, w2, count(*) AS c12 FROM (
+            SELECT t[i] AS w1, t[i+1] AS w2
+            FROM toks, UNNEST(generate_series(1, len(t)-1)) AS r(i) WHERE len(t) >= 2
+          ) GROUP BY 1, 2
+        ), tot AS (SELECT (SELECT sum(c) FROM uni) AS n, (SELECT sum(c12) FROM bi) AS b)
+        SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+          (CAST(b.c12 AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) /
+          (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(t.b AS DOUBLE)) AS score
+        FROM bi b CROSS JOIN tot t
+        JOIN uni u1 ON u1.token = b.w1
+        JOIN uni u2 ON u2.token = b.w2
+        WHERE b.c12 >= 3
+        ORDER BY score DESC, w1, w2 LIMIT 50
+        """
+        )
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    # exact: integer counts AND the pinned-association double score
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_fingerprint_vectorized_matches_scalar_horner():
     # The vectorized Σ crc32(tok)·B^e mod M must equal the sequential
     # Horner fold it replaced, including empty/whitespace-only docs.
