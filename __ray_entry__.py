@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 38  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 39  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -83,7 +83,8 @@ _VIZ_DIGEST_SCHEMA = pa.schema(
 # brute-force oracle; v15: adds the image-media id universe (the
 # image_dedup_keep SQL does its own recursive-CTE clustering over the
 # brute-force pairs); v16: adds the DSIR importance-weight replica;
-# v17: adds the DSIR Gumbel-top-k selection replica
+# v17: adds the DSIR Gumbel-top-k selection replica; v39: adds the
+# winnowing (MOSS) fingerprint scalar replica
 # — the bump invalidates any stale _DONE marker that predates them)
 
 
@@ -737,6 +738,21 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         os.path.join(out_dir, "ppm_resized.parquet"),
     )
 
+    # winnowing replica: independent scalar implementation (per-doc Horner
+    # hashes + explicit rightmost-min window scan) vs the vectorized
+    # sliding-window engine path (v39)
+    from agentic_doc_ray.functions.substr import winnow_oracle
+
+    _pq.write_table(
+        winnow_oracle(
+            docs_tbl.column("doc_id").to_pylist(),
+            docs_tbl.column("text").to_pylist(),
+            L=8,
+            window=8,
+        ),
+        os.path.join(out_dir, "winnow.parquet"),
+    )
+
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
@@ -1009,6 +1025,7 @@ _DRIVER_PRIORITY = [
     "important_part_values",
     "excess_stock_suppliers",
     "pmi_collocations",
+    "winnow_fingerprints",
 ]
 
 
@@ -1378,6 +1395,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange rows ~ candidate grams; 100x docs is the working proxy
         # (A/B at sf0.1: np=8 8.7 s vs np=32 11.3 s)
         return repeated_substring_spans(d, num_partitions=_pfor(100 * d.count()))
+
+    def q_winnow(sf_dir):
+        """Winnowing (MOSS) document fingerprints — doc-local, zero
+        exchanges; oracle: independent scalar replica (Horner hashes +
+        explicit rightmost-min scan) written by _ensure_extraction_oracles."""
+        from agentic_doc_ray.functions.substr import winnow_fingerprints
+
+        _ensure_extraction_oracles(sf_dir)
+        return winnow_fingerprints(docs(sf_dir), L=8, window=8)
 
     def q_substr_strip(sf_dir):
         from agentic_doc_ray.functions.substr import strip_repeated_substrings
@@ -2978,6 +3004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "repeated_substring_spans": q_substr_spans,
         "substring_dup_stats": q_substr_stats,
+        "winnow_fingerprints": q_winnow,  # independent scalar replica oracle
         "strip_repeated_substrings": q_substr_strip,
         "ngram_novelty": q_ngram_novelty,
         "source_diversity": q_source_diversity,
@@ -5121,6 +5148,12 @@ def oracle_sql() -> dict[str, str]:
             "         count(*) AS t"
             "  FROM g JOIN df USING (gram) GROUP BY doc_id"
             ") s ON d.doc_id = s.doc_id"
+        ),
+        "winnow_fingerprints": (
+            # doc-local deterministic function: oracle = independent scalar
+            # replica (per-doc Horner hashes + rightmost-min window scan)
+            "SELECT doc_id, pos, gram_hash "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/winnow.parquet')"
         ),
         "repeated_substring_spans": (
             "WITH pos AS ("

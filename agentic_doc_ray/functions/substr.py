@@ -1042,3 +1042,104 @@ def source_diversity(
         return batch.append_column("types_per_mille", pa.array(pm, pa.int64()))
 
     return agg.map_batches(per_mille, batch_format="pyarrow")
+
+
+def winnow_fingerprints(
+    docs: "ray.data.Dataset", L: int = 8, window: int = 4
+) -> "ray.data.Dataset":
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS algorithm): slide a ``window`` of consecutive L-gram hashes
+    over each document and keep each window's minimum (RIGHTMOST minimum
+    on ties — the paper's rule, maximizing fingerprint reuse across
+    overlapping windows). Guarantee: any two documents sharing a
+    substring of length >= window + L - 1 share at least one fingerprint,
+    while only ~2/(window+1) of positions are kept — the local, bounded
+    alternative to shipping every gram hash.
+
+    Output: (doc_id, pos, gram_hash) — pos is the 1-based character
+    offset of the chosen gram (matching the substr family's convention),
+    gram_hash the canonical 61-bit polynomial of the gram's bytes.
+
+    Scale shape: doc-local and ZERO exchanges — grams hash through the
+    same exact split-prefix-sum kernel as ``repeated_substring_spans``
+    (batch-layout-independent), window minima resolve in one vectorized
+    sliding-window argmin over the reversed window (rightmost-min), and
+    cross-document windows mask out by comparing the doc index at both
+    window ends. Documents shorter than window + L - 1 chars emit
+    nothing (no window fits — the guarantee is vacuous there).
+    """
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("gram_hash", pa.int64()),
+        ]
+    )
+
+    def fingerprint_batch(batch: pa.Table) -> pa.Table:
+        h, doc_idx, local0, _buf, _offsets = _gram_hashes(
+            batch.column("text"), L
+        )
+        n = len(h)
+        if n < window:
+            return out_schema.empty_table()
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        wv = np.lib.stride_tricks.sliding_window_view(h, window)
+        # rightmost minimum: argmin over the REVERSED window
+        right_am = (window - 1) - np.argmin(wv[:, ::-1], axis=1)
+        sel = np.arange(len(wv), dtype=np.int64) + right_am
+        # a window is doc-local iff both ends fall in the same document
+        # (gram starts of one doc are contiguous after boundary filtering)
+        same_doc = doc_idx[: len(wv)] == doc_idx[window - 1 :]
+        sel = np.unique(sel[same_doc])  # overlapping windows re-pick
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[doc_idx[sel]], pa.int64()),
+                pa.array(local0[sel] + 1, pa.int64()),
+                pa.array(h[sel].astype(np.int64), pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def winnow_oracle(
+    doc_ids, texts, L: int = 8, window: int = 4
+) -> pa.Table:
+    """Independent scalar winnowing replica (per-doc Python loops, Horner
+    gram hashes) for pinning ``winnow_fingerprints`` bit-equal."""
+    from agentic_doc_ray.functions.text import _FP_BASE, _FP_MOD
+
+    out_ids, out_pos, out_h = [], [], []
+    for d, t in zip(doc_ids, texts):
+        bs = str(t).encode("ascii")
+        m = len(bs) - L + 1
+        if m < window:
+            continue
+        hs = []
+        for i in range(m):
+            acc = 0
+            for c in bs[i : i + L]:
+                acc = (acc * _FP_BASE + c) % _FP_MOD
+            hs.append(acc)
+        chosen = set()
+        for s in range(m - window + 1):
+            win = hs[s : s + window]
+            mn = min(win)
+            j = max(ix for ix, v in enumerate(win) if v == mn)
+            chosen.add(s + j)
+        for p in sorted(chosen):
+            out_ids.append(int(d))
+            out_pos.append(p + 1)
+            out_h.append(hs[p])
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_ids, pa.int64()),
+            pa.array(out_pos, pa.int64()),
+            pa.array(out_h, pa.int64()),
+        ],
+        names=["doc_id", "pos", "gram_hash"],
+    )

@@ -875,6 +875,13 @@ def main() -> None:
 
     timed("substr_spans", substr_q)
 
+    def winnow_q() -> None:
+        from agentic_doc_ray.functions.substr import winnow_fingerprints
+
+        winnow_fingerprints(docs(), L=8, window=8).count()
+
+    timed("winnow_fingerprints", winnow_q)
+
     def substr_count_q() -> None:
         from agentic_doc_ray.functions.substr import substring_counts
 

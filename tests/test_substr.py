@@ -342,3 +342,80 @@ def test_source_diversity_planted(ray_session):
         # the farm's types collapse to one doc's worth
         assert got["farm"]["n_gram_occurrences"] == 6 * got["farm"]["n_gram_types"]
         assert got["short"]["n_gram_occurrences"] == 0
+
+
+def test_winnow_fingerprints_match_scalar_oracle():
+    """Vectorized sliding-window winnowing == the independent scalar
+    replica, bit for bit, over the sf0.001 corpus."""
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions.substr import (
+        winnow_fingerprints,
+        winnow_oracle,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = (
+        winnow_fingerprints(docs, L=8, window=8)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = (
+        winnow_oracle(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            L=8,
+            window=8,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_winnow_guarantee_and_density():
+    """The winnowing theorem: docs sharing a substring of length >=
+    window + L - 1 share a fingerprint; density stays near 2/(w+1)."""
+    from agentic_doc_ray.functions.substr import winnow_fingerprints
+
+    L, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog 0123"
+    assert len(shared) >= w + L - 1
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "AAAA " + shared + " BBBB",
+                    "xyzzy plugh " + shared + " quux",
+                    "completely unrelated content with no overlap at all",
+                ],
+            }
+        )
+    )
+    fp = winnow_fingerprints(ds, L=L, window=w).to_pandas()
+    s1 = set(fp[fp.doc_id == 1].gram_hash)
+    s2 = set(fp[fp.doc_id == 2].gram_hash)
+    assert s1 & s2, "shared substring must share a fingerprint"
+    # density: kept positions per doc ~ 2/(w+1) of gram positions (loose)
+    n3 = len(fp[fp.doc_id == 3])
+    grams3 = len("completely unrelated content with no overlap at all") - L + 1
+    assert 0 < n3 <= grams3
+
+
+def test_winnow_short_docs_emit_nothing():
+    from agentic_doc_ray.functions.substr import winnow_fingerprints
+
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": [1, 2], "text": ["tiny", "also small"]}
+        )
+    )
+    out = winnow_fingerprints(ds, L=8, window=8).to_pandas()
+    assert len(out) == 0
