@@ -1026,6 +1026,7 @@ _DRIVER_PRIORITY = [
     "excess_stock_suppliers",
     "pmi_collocations",
     "winnow_fingerprints",
+    "vocab_growth",
 ]
 
 
@@ -2872,6 +2873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": q_top_tokens,
         "top_bigrams": lambda sf: T.top_bigrams(docs(sf), k=100),
         "pmi_collocations": lambda sf: T.pmi_collocations(docs(sf)),
+        "vocab_growth": lambda sf: T.vocab_growth(docs(sf)),
         "top_tfidf_tokens": q_tfidf,
         # dedup
         "exact_dedup": q_exact_dedup,
@@ -3762,6 +3764,22 @@ def oracle_sql() -> dict[str, str]:
             "  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS r(i) "
             "  WHERE len(t) >= 2"
             ") GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"
+        ),
+        # Heaps-law vocabulary growth: equal doc-id-range checkpoints
+        # (dense synthetic ids => range deciles == rank deciles)
+        "vocab_growth": (
+            "WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents), "
+            "ck AS (SELECT k, mn - 1 + ((mx - mn + 1) * k) // 10 AS hi"
+            "       FROM b, UNNEST(generate_series(1, 10)) AS t(k)), "
+            "toks AS ("
+            "  SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token "
+            "  FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''"
+            "), firstocc AS (SELECT token, min(doc_id) AS fd FROM toks GROUP BY 1) "
+            "SELECT k AS checkpoint, hi AS doc_id_hi,"
+            "  (SELECT count(*) FROM documents d WHERE d.doc_id <= ck.hi) AS n_docs,"
+            "  (SELECT count(*) FROM toks t WHERE t.doc_id <= ck.hi) AS n_tokens,"
+            "  (SELECT count(*) FROM firstocc f WHERE f.fd <= ck.hi) AS vocab_size "
+            "FROM ck ORDER BY k"
         ),
         # PMI collocations: exact-ratio ranking (c12*N^2)/(c1*c2*B) with a
         # pinned double association order so both sides land bit-identical

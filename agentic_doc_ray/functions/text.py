@@ -2388,3 +2388,123 @@ def pmi_collocations(
         .sort(["score", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def vocab_growth(
+    docs: "ray.data.Dataset", n_checkpoints: int = 10
+) -> pa.Table:
+    """Heaps-law vocabulary growth curve: cumulative distinct-token count
+    (and total token count) at ``n_checkpoints`` equal doc-id-range
+    checkpoints — the V(n) ≈ K·nᵝ diagnostic that tells you whether a
+    corpus is still contributing new vocabulary or has saturated (dedup /
+    source-mix health at crawl scale).
+
+    Checkpoints split the [min, max] doc_id range into equal integer
+    slices (synthetic ids are dense, so range deciles == rank deciles;
+    the two range scalars are the only driver-side inputs — no
+    distributed selection needed). Scale shape: ONE vocab-bounded
+    exchange (token → min doc_id, per-batch partials first) plus three
+    K-bounded partial aggregates (tokens / docs / first-occurrences per
+    checkpoint slice); the curve itself is a K-row driver cumsum.
+    Everything integer-exact.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    mn = int(docs.min("doc_id"))
+    mx = int(docs.max("doc_id"))
+    K = n_checkpoints
+    span = mx - mn + 1
+    his = np.array([mn - 1 + (span * k) // K for k in range(1, K + 1)], np.int64)
+
+    def _bucket_of(doc_ids: np.ndarray) -> np.ndarray:
+        # slice index = first checkpoint whose hi bound covers the id
+        return np.searchsorted(his, doc_ids, side="left").astype(np.int64)
+
+    tok_schema = pa.schema([("token", pa.string()), ("fd", pa.int64())])
+
+    def partial_first(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = (
+            batch.column("doc_id")
+            .filter(nonempty)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.Table.from_arrays(
+            [flat, pa.array(ids[parents], pa.int64())], names=["token", "fd"]
+        )
+        g = t.group_by("token").aggregate([("fd", "min")])
+        return g.rename_columns(["token", "fd"]).cast(tok_schema)
+
+    firstocc = (
+        docs.map_batches(partial_first, batch_format="pyarrow")
+        .groupby("token", num_partitions=shuffle_partitions())
+        .aggregate(Min("fd", alias_name="fd"))
+    )
+
+    k_schema = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+
+    def _k_counts(doc_ids: np.ndarray) -> pa.Table:
+        ks, cnts = np.unique(_bucket_of(doc_ids), return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(ks, pa.int64()), pa.array(cnts.astype(np.int64), pa.int64())],
+            schema=k_schema,
+        )
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        return _k_counts(
+            batch.column("fd").combine_chunks().to_numpy(zero_copy_only=False)
+        )
+
+    def token_partial(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = (
+            batch.column("doc_id")
+            .filter(nonempty)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return _k_counts(ids[parents])
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        return _k_counts(
+            batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        )
+
+    def _curve(ds) -> np.ndarray:
+        rows = (
+            ds.groupby("k", num_partitions=2)
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )  # K-bounded
+        per = np.zeros(K, np.int64)
+        for r in rows:
+            per[int(r["k"])] = int(r["n"])
+        return np.cumsum(per)
+
+    vocab = _curve(firstocc.map_batches(vocab_partial, batch_format="pyarrow"))
+    toks = _curve(docs.map_batches(token_partial, batch_format="pyarrow"))
+    ndocs = _curve(docs.map_batches(doc_partial, batch_format="pyarrow"))
+
+    return pa.Table.from_pydict(
+        {
+            "checkpoint": pa.array(np.arange(1, K + 1, dtype=np.int64), pa.int64()),
+            "doc_id_hi": pa.array(his, pa.int64()),
+            "n_docs": pa.array(ndocs, pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "vocab_size": pa.array(vocab, pa.int64()),
+        }
+    )

@@ -256,6 +256,7 @@ def main() -> None:
     timed("cms_token_counts", cms_q)
     timed("bigram_lm_nll", lambda: T.bigram_lm_score(docs()).count())
     timed("pmi_collocations", lambda: T.pmi_collocations(docs()).count())
+    timed("vocab_growth", lambda: T.vocab_growth(docs()).num_rows)
     timed("mink_prob", lambda: T.mink_prob_score(docs()).count())
     from agentic_doc_ray.functions.cdc import cdc_dedup_stats as _cdc
 

@@ -147,6 +147,29 @@ def test_pmi_collocations_match_sql(docs_ds):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
+def test_vocab_growth_match_sql(docs_ds):
+    got = T.vocab_growth(docs_ds).to_pandas()
+    want = _duck(
+        """
+        WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+        ck AS (SELECT k, mn - 1 + ((mx - mn + 1) * k) // 10 AS hi
+               FROM b, UNNEST(generate_series(1, 10)) AS t(k)),
+        toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+          FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+        ), firstocc AS (SELECT token, min(doc_id) AS fd FROM toks GROUP BY 1)
+        SELECT k AS checkpoint, hi AS doc_id_hi,
+          (SELECT count(*) FROM documents d WHERE d.doc_id <= ck.hi) AS n_docs,
+          (SELECT count(*) FROM toks t WHERE t.doc_id <= ck.hi) AS n_tokens,
+          (SELECT count(*) FROM firstocc f WHERE f.fd <= ck.hi) AS vocab_size
+        FROM ck ORDER BY k
+        """
+    )
+    assert got["vocab_size"].is_monotonic_increasing
+    assert got["n_tokens"].iloc[-1] > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_fingerprint_vectorized_matches_scalar_horner():
     # The vectorized Σ crc32(tok)·B^e mod M must equal the sequential
     # Horner fold it replaced, including empty/whitespace-only docs.
