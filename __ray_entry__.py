@@ -1027,6 +1027,8 @@ _DRIVER_PRIORITY = [
     "pmi_collocations",
     "winnow_fingerprints",
     "vocab_growth",
+    "jsonl_roundtrip",
+    "csv_roundtrip",
 ]
 
 
@@ -1373,6 +1375,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from agentic_doc_ray.functions import joins
 
         return joins
+
+    def _textio():
+        from agentic_doc_ray.sources import textio
+
+        return textio
 
     def _Sc():
         from agentic_doc_ray.functions import scans
@@ -2874,6 +2881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": lambda sf: T.top_bigrams(docs(sf), k=100),
         "pmi_collocations": lambda sf: T.pmi_collocations(docs(sf)),
         "vocab_growth": lambda sf: T.vocab_growth(docs(sf)),
+        "jsonl_roundtrip": _textio().jsonl_roundtrip_stats,
+        "csv_roundtrip": _textio().csv_roundtrip_stats,
         "top_tfidf_tokens": q_tfidf,
         # dedup
         "exact_dedup": q_exact_dedup,
@@ -3764,6 +3773,16 @@ def oracle_sql() -> dict[str, str]:
             "  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS r(i) "
             "  WHERE len(t) >= 2"
             ") GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"
+        ),
+        # text-format sink+source roundtrips: stats over the re-read files
+        # must equal the ORIGINAL parquet table (lossless pair)
+        "jsonl_roundtrip": (
+            "SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars "
+            "FROM documents"
+        ),
+        "csv_roundtrip": (
+            "SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars "
+            "FROM documents"
         ),
         # Heaps-law vocabulary growth: equal doc-id-range checkpoints
         # (dense synthetic ids => range deciles == rank deciles)
