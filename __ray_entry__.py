@@ -1029,6 +1029,7 @@ _DRIVER_PRIORITY = [
     "vocab_growth",
     "jsonl_roundtrip",
     "csv_roundtrip",
+    "distinctive_terms",
 ]
 
 
@@ -1046,6 +1047,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def docs(sf_dir):
         return ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    def docs_with_source(sf_dir):
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
         )
 
     # --- extraction pipeline (python-oracle-backed) -----------------------
@@ -2881,6 +2887,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": lambda sf: T.top_bigrams(docs(sf), k=100),
         "pmi_collocations": lambda sf: T.pmi_collocations(docs(sf)),
         "vocab_growth": lambda sf: T.vocab_growth(docs(sf)),
+        "distinctive_terms": lambda sf: T.distinctive_terms(
+            docs_with_source(sf), k=10, min_tf=3
+        ),
         "jsonl_roundtrip": _textio().jsonl_roundtrip_stats,
         "csv_roundtrip": _textio().csv_roundtrip_stats,
         "top_tfidf_tokens": q_tfidf,
@@ -3773,6 +3782,27 @@ def oracle_sql() -> dict[str, str]:
             "  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS r(i) "
             "  WHERE len(t) >= 2"
             ") GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"
+        ),
+        # per-source distinctive vocabulary by integer lift (floor-divided
+        # exact counts, same integer-score trick as top_tfidf_tokens)
+        "distinctive_terms": (
+            "WITH toks AS ("
+            "  SELECT source, unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token "
+            "  FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''"
+            "), st AS (SELECT source, token, count(*) AS tf_s FROM toks GROUP BY 1, 2), "
+            "tg AS (SELECT token, count(*) AS tf_g FROM toks GROUP BY 1), "
+            "ns AS (SELECT source, count(*) AS n_s FROM toks GROUP BY 1), "
+            "tot AS (SELECT count(*) AS n FROM toks), "
+            "scored AS ("
+            "  SELECT st.source, st.token, st.tf_s, tg.tf_g,"
+            "         (st.tf_s * t.n) // (tg.tf_g * ns.n_s) AS lift"
+            "  FROM st JOIN tg USING (token) JOIN ns USING (source) CROSS JOIN tot t"
+            "  WHERE st.tf_s >= 3"
+            ") "
+            "SELECT source, token, tf_s, tf_g, lift, rank FROM ("
+            "  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY lift DESC, token) AS BIGINT) AS rank"
+            "  FROM scored"
+            ") WHERE rank <= 10 ORDER BY source, rank"
         ),
         # text-format sink+source roundtrips: stats over the re-read files
         # must equal the ORIGINAL parquet table (lossless pair)

@@ -2508,3 +2508,217 @@ def vocab_growth(
             "vocab_size": pa.array(vocab, pa.int64()),
         }
     )
+
+
+def distinctive_terms(
+    docs: "ray.data.Dataset",
+    k: int = 10,
+    min_tf: int = 3,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Per-source distinctive vocabulary: the top-k tokens by integer
+    LIFT — (tf_s/N_s) / (tf_g/N), the "what words characterize this
+    domain" report behind source-mix debugging. Scored as the exact
+    floor division (tf_s · N) // (tf_g · N_s) (same integer-score trick
+    as ``top_tfidf_tokens``; int64-safe while tf_s·N < 2^63, i.e. to
+    ~3e9 corpus tokens for a token with tf_s=1 — beyond that, scale
+    both totals down together), with a ``min_tf`` support floor and
+    (lift DESC, token ASC) rank order.
+
+    Scale shape: per-batch (source, token) partials feed ONE composite
+    hash aggregate (bounded by |sources|×|vocab|, never occurrences);
+    global token counts attach through one token-keyed bucketed
+    exchange; per-source totals are a source-cardinality-bounded
+    collect (source is a bounded dimension, like nation). Buckets emit
+    only their local per-source top-k, so the driver's final exact
+    selection sees ≤ k × buckets × |sources| candidate rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.delta import _fingerprint64
+
+    np_ = num_partitions or shuffle_partitions()
+    n_buckets = 64
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("token", pa.string()), ("tf", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks)
+        src = batch.column("source").filter(nonempty).combine_chunks().take(parents)
+        t = pa.Table.from_arrays([src, flat], names=["source", "token"])
+        g = t.group_by(["source", "token"]).aggregate([("token", "count")])
+        return g.rename_columns(["source", "token", "tf"]).cast(part_schema)
+
+    st = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "token"], num_partitions=np_)
+        .aggregate(Sum("tf", alias_name="tf_s"))
+        .materialize()  # |sources| x |vocab| bounded; consumed 3x below
+    )
+
+    # per-source totals: bounded-dimension collect (like the nation
+    # broadcasts in joins.py)
+    src_rows = (
+        st.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("source"), b.column("tf_s")], names=["source", "n"]
+            )
+            .group_by("source")
+            .aggregate([("n", "sum")])
+            .rename_columns(["source", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("source", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n_s"))
+        .take_all()
+    )
+    n_s_map = {r["source"]: int(r["n_s"]) for r in src_rows}
+    n_total = sum(n_s_map.values())
+
+    ex = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("token", pa.string()),
+            ("side", pa.string()),
+            ("source", pa.string()),
+            ("tf", pa.int64()),
+        ]
+    )
+
+    def _bucket(arr) -> pa.Array:
+        return pc.cast(
+            pc.bit_wise_and(
+                _fingerprint64(arr), pa.scalar(n_buckets - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+
+    def tag_st(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.greater_equal(batch.column("tf_s"), min_tf))
+        tok = f.column("token").combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                _bucket(tok),
+                tok,
+                pa.array(["s"] * f.num_rows, pa.string()),
+                f.column("source").combine_chunks(),
+                f.column("tf_s").combine_chunks(),
+            ],
+            schema=ex,
+        )
+
+    def tag_tg(batch: pa.Table) -> pa.Table:
+        # global tf partials per token from the same merged table
+        g = (
+            pa.Table.from_arrays(
+                [batch.column("token"), batch.column("tf_s")],
+                names=["token", "tf"],
+            )
+            .group_by("token")
+            .aggregate([("tf", "sum")])
+        )
+        tok = g.column("token").combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                _bucket(tok),
+                tok,
+                pa.array(["g"] * g.num_rows, pa.string()),
+                pa.nulls(g.num_rows, pa.string()),
+                g.column("tf_sum").combine_chunks(),
+            ],
+            schema=ex,
+        )
+
+    cand_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("token", pa.string()),
+            ("tf_s", pa.int64()),
+            ("tf_g", pa.int64()),
+            ("lift", pa.int64()),
+        ]
+    )
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "sent"))
+        is_s = pc.equal(g.column("side"), "s")
+        s = g.filter(is_s).select(["token", "source", "tf"])
+        tg = (
+            g.filter(pc.equal(g.column("side"), "g"))
+            .select(["token", "tf"])
+            .group_by("token")  # partials from several st batches
+            .aggregate([("tf", "sum")])
+            .rename_columns(["token", "tf_g"])
+        )
+        if s.num_rows == 0 or tg.num_rows == 0:
+            return cand_schema.empty_table()
+        j = s.join(tg, keys="token", join_type="inner")
+        srcs = j.column("source").to_pylist()
+        tf_s = j.column("tf").to_numpy(zero_copy_only=False)
+        tf_g = j.column("tf_g").to_numpy(zero_copy_only=False)
+        n_s = np.array([n_s_map[x] for x in srcs], dtype=np.int64)
+        lift = (tf_s * np.int64(n_total)) // (tf_g * n_s)
+        t = pa.Table.from_arrays(
+            [
+                j.column("source"),
+                j.column("token"),
+                pa.array(tf_s, pa.int64()),
+                pa.array(tf_g, pa.int64()),
+                pa.array(lift, pa.int64()),
+            ],
+            schema=cand_schema,
+        )
+        # bucket-local top-k per source: the global merge sees
+        # <= k x buckets x |sources| rows
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("source", "ascending"),
+                ("lift", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        src_np = np.asarray(t.column("source").to_pylist(), dtype=object)
+        new_grp = np.concatenate(([True], src_np[1:] != src_np[:-1]))
+        grp_id = np.cumsum(new_grp) - 1
+        pos = np.arange(len(src_np)) - np.concatenate(
+            ([0], np.flatnonzero(new_grp[1:]) + 1)
+        )[grp_id]
+        return t.filter(pa.array(pos < k))
+
+    cands = (
+        st.map_batches(tag_st, batch_format="pyarrow")
+        .union(st.map_batches(tag_tg, batch_format="pyarrow"))
+        .union(int_key_sentinels(ex, "bucket", fill={"side": "sent"}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(score_bucket, batch_format="pyarrow")
+        .take_all()
+    )  # <= k x buckets x |sources|
+
+    import pandas as pd
+
+    df = pd.DataFrame(cands)
+    if df.empty:
+        return cand_schema.empty_table().append_column(
+            "rank", pa.array([], pa.int64())
+        )
+    df = df.sort_values(
+        ["source", "lift", "token"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    df["rank"] = df.groupby("source").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return pa.Table.from_pandas(
+        df[["source", "token", "tf_s", "tf_g", "lift", "rank"]],
+        preserve_index=False,
+    )

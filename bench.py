@@ -257,6 +257,15 @@ def main() -> None:
     timed("bigram_lm_nll", lambda: T.bigram_lm_score(docs()).count())
     timed("pmi_collocations", lambda: T.pmi_collocations(docs()).count())
     timed("vocab_growth", lambda: T.vocab_growth(docs()).num_rows)
+
+    def distinctive_q() -> None:
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+        )
+        T.distinctive_terms(d, k=10, min_tf=3).num_rows
+
+    timed("distinctive_terms", distinctive_q)
     timed("mink_prob", lambda: T.mink_prob_score(docs()).count())
     from agentic_doc_ray.functions.cdc import cdc_dedup_stats as _cdc
 

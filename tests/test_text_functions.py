@@ -147,6 +147,45 @@ def test_pmi_collocations_match_sql(docs_ds):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
+def test_distinctive_terms_match_sql():
+    d = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    got = (
+        T.distinctive_terms(d, k=5, min_tf=2)
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _duck(
+            """
+        WITH toks AS (
+          SELECT source, unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+          FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+        ), st AS (SELECT source, token, count(*) AS tf_s FROM toks GROUP BY 1, 2),
+        tg AS (SELECT token, count(*) AS tf_g FROM toks GROUP BY 1),
+        ns AS (SELECT source, count(*) AS n_s FROM toks GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM toks),
+        scored AS (
+          SELECT st.source, st.token, st.tf_s, tg.tf_g,
+                 (st.tf_s * t.n) // (tg.tf_g * ns.n_s) AS lift
+          FROM st JOIN tg USING (token) JOIN ns USING (source) CROSS JOIN tot t
+          WHERE st.tf_s >= 2
+        )
+        SELECT source, token, tf_s, tf_g, lift, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY lift DESC, token) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= 5 ORDER BY source, rank
+        """
+        )
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_vocab_growth_match_sql(docs_ds):
     got = T.vocab_growth(docs_ds).to_pandas()
     want = _duck(
