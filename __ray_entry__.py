@@ -1030,6 +1030,7 @@ _DRIVER_PRIORITY = [
     "jsonl_roundtrip",
     "csv_roundtrip",
     "distinctive_terms",
+    "partitioned_parquet",
 ]
 
 
@@ -2892,6 +2893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "jsonl_roundtrip": _textio().jsonl_roundtrip_stats,
         "csv_roundtrip": _textio().csv_roundtrip_stats,
+        "partitioned_parquet": _textio().partitioned_parquet_roundtrip,
         "top_tfidf_tokens": q_tfidf,
         # dedup
         "exact_dedup": q_exact_dedup,
@@ -3813,6 +3815,12 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": (
             "SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars "
             "FROM documents"
+        ),
+        # hive-partitioned sink + path-level partition pruning: only the
+        # kept lang= directories are read back
+        "partitioned_parquet": (
+            "SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars "
+            "FROM documents WHERE lang IN ('en', 'de')"
         ),
         # Heaps-law vocabulary growth: equal doc-id-range checkpoints
         # (dense synthetic ids => range deciles == rank deciles)

@@ -66,3 +66,38 @@ def csv_roundtrip_stats(sf_dir: str) -> "ray.data.Dataset":
     """documents -> CSV files (Arrow quoting) -> fresh read -> per-doc
     stats; pins that quoted multi-line text survives the CSV dialect."""
     return _roundtrip(sf_dir, "csv")
+
+
+def partitioned_parquet_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Partitioned-sink discipline as a tested surface: write documents
+    as hive-partitioned parquet (one directory per ``lang``, one file per
+    block inside — the resumable layout where a failed run skips finished
+    partitions), then read back ONLY selected partitions via partition
+    pruning and emit per-doc stats. Lossless + pruned iff the stats match
+    the parquet-side oracle filtered to the same languages.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/agentic_textio/{tag}/part_parquet"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=_COLS
+    )
+    docs.write_parquet(out, partition_cols=["lang"])
+    keep = ["en", "de"]
+    # partition pruning by path: only the kept lang= directories are ever
+    # listed or opened (the other partitions' files never leave storage);
+    # the partition key itself re-attaches as a per-directory constant
+    sides = []
+    for lang in keep:
+        part = ray.data.read_parquet(
+            f"{out}/lang={lang}", columns=["doc_id", "text", "source"]
+        )
+
+        def attach(batch: pa.Table, *, _lang=lang) -> pa.Table:
+            return batch.append_column(
+                "lang", pa.array([_lang] * batch.num_rows, pa.string())
+            )
+
+        sides.append(part.map_batches(attach, batch_format="pyarrow"))
+    back = sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0]
+    return back.map_batches(_stats_batch, batch_format="pyarrow")
