@@ -1957,3 +1957,571 @@ def label_propagation_oracle(
             "community": pa.array([label[v] for v in nodes], pa.string()),
         }
     )
+
+
+# --- strongly connected components (coloring / FW-BW peeling) -------------
+
+_SCC_EDGE = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("side", pa.string()),
+        ("label", pa.string()),
+    ]
+)
+_SCC_NODE = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.string()),
+        ("label", pa.string()),
+        ("side", pa.string()),
+    ]
+)
+_SCC_RESOLVED = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.string()),
+        ("label", pa.string()),
+        ("changed", pa.int64()),
+    ]
+)
+_SCC_OUT = pa.schema([("node", pa.string()), ("scc_id", pa.string())])
+
+
+def scc(
+    nodes: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+    max_iters: int = 64,
+) -> "ray.data.Dataset":
+    """Strongly connected components over a DIRECTED edge table — the
+    link-graph condensation primitive (spam farms and link rings surface
+    as large SCCs; PageRank over the condensation needs the labels).
+    Output: (node, scc_id) where scc_id is the component's maximum node
+    id in STRING order — canonical, algorithm-independent.
+
+    Algorithm (Orzan-style coloring, peeled): per round, (1) FORWARD
+    max-label fixpoint — every remaining node's color becomes the largest
+    node id that reaches it; (2) roots (color == self) mark BACKWARD
+    along reversed edges, a node accepting a mark only when the mark
+    equals its own color — marked nodes are exactly the root's SCC
+    (forward reach via color, backward reach via mark); (3) assigned
+    nodes and their edges peel off. Many roots peel in the SAME round
+    (parallel), so rounds are bounded by the condensation DAG's masking
+    depth, not the SCC count.
+
+    Scale shape: every inner iteration is the BSP pair the other graph
+    ops use — edge-bounded propagate + node-bounded resolve, exact
+    zero-change stop. State rows carry (node, label) only; edges ship
+    once per iteration from a materialized canonical table. Peeling is
+    two key-only semi-join exchanges (src- then dst-keyed) plus a
+    node anti-join. Per the repo's no-silent-caps rule, exhausting
+    ``max_rounds``/``max_iters`` raises rather than returning partial
+    labels.
+    """
+    np_base = edges.materialize()
+    n_edges = np_base.count()
+    np_ = max(2, min(shuffle_partitions(), 1 + n_edges // 65536))
+
+    def canon_nodes(batch: pa.Table) -> pa.Table:
+        nd = pc.cast(batch.column(node_col), pa.string()).combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(nd),
+                nd,
+                nd,  # initial color = self
+                pa.array(["o"] * len(nd), pa.string()),
+            ],
+            schema=_SCC_NODE,
+        )
+
+    def canon_edges(batch: pa.Table) -> pa.Table:
+        src = pc.cast(batch.column(src_col), pa.string()).combine_chunks()
+        dst = pc.cast(batch.column(dst_col), pa.string()).combine_chunks()
+        n = len(src)
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(src),
+                src,
+                dst,
+                pa.array(["e"] * n, pa.string()),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=_SCC_EDGE,
+        )
+
+    remaining_nodes = nodes.map_batches(
+        canon_nodes, batch_format="pyarrow"
+    ).materialize()
+    # forward edges keyed by src; the backward pass re-keys by dst
+    fwd_edges = np_base.map_batches(canon_edges, batch_format="pyarrow").materialize()
+
+    out_parts: list = []
+
+    def tag_state_src(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("bucket"),
+                batch.column("node"),
+                pa.nulls(n, pa.string()),
+                pa.array(["l"] * n, pa.string()),
+                batch.column("label"),
+            ],
+            schema=_SCC_EDGE,
+        )
+
+    def fwd_propagate(group: pa.Table) -> pa.Table:
+        g = _drop_sentinels(group)
+        is_e = pc.equal(g.column("side"), "e")
+        e = g.filter(is_e).select(["src", "dst"])
+        l = g.filter(pc.equal(g.column("side"), "l")).select(["src", "label"])
+        m = e.join(l, keys="src", join_type="inner")
+        if m.num_rows == 0:
+            return _SCC_NODE.empty_table()
+        # pre-fold per dst: only the max incoming label leaves the bucket
+        m = (
+            m.select(["dst", "label"])
+            .group_by("dst")
+            .aggregate([("label", "max")])
+        )
+        dst = m.column("dst").combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(dst),
+                dst,
+                m.column("label_max").combine_chunks(),
+                pa.array(["c"] * m.num_rows, pa.string()),
+            ],
+            schema=_SCC_NODE,
+        )
+
+    def fwd_resolve(group: pa.Table) -> pa.Table:
+        g = _drop_sentinels(group)
+        best = (
+            g.select(["node", "label"])
+            .group_by("node")
+            .aggregate([("label", "max")])
+            .rename_columns(["node", "new_label"])
+        )
+        old = (
+            g.filter(pc.equal(g.column("side"), "o"))
+            .select(["node", "label"])
+            .rename_columns(["node", "old_label"])
+        )
+        # inner join: every remaining node has an old color row
+        m = best.join(old, keys="node", join_type="inner")
+        changed = pc.cast(
+            pc.greater(m.column("new_label"), m.column("old_label")), pa.int64()
+        )
+        node = m.column("node").combine_chunks()
+        return pa.Table.from_arrays(
+            [_bucket_of(node), node, m.column("new_label"), changed],
+            schema=_SCC_RESOLVED,
+        )
+
+    def _as_state(ds):
+        return ds.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [
+                    b.column("bucket"),
+                    b.column("node"),
+                    b.column("label"),
+                    pa.array(["o"] * b.num_rows, pa.string()),
+                ],
+                schema=_SCC_NODE,
+            ),
+            batch_format="pyarrow",
+        )
+
+    for _round in range(max_rounds):
+        if remaining_nodes.count() == 0:
+            break
+        # ---- (1) forward max-label fixpoint -----------------------------
+        color = remaining_nodes
+        for _ in range(max_iters):
+            cands = (
+                fwd_edges.union(
+                    color.map_batches(tag_state_src, batch_format="pyarrow")
+                )
+                .union(_sentinels(_SCC_EDGE))
+                .groupby("bucket", num_partitions=np_)
+                .map_groups(fwd_propagate, batch_format="pyarrow")
+            )
+            resolved = (
+                cands.union(color.map_batches(
+                    lambda b: b, batch_format="pyarrow"
+                ))
+                .union(_sentinels(_SCC_NODE))
+                .groupby("bucket", num_partitions=np_)
+                .map_groups(fwd_resolve, batch_format="pyarrow")
+                .materialize()
+            )
+            n_changed = resolved.sum("changed")
+            color = _as_state(resolved.drop_columns(["changed"])).materialize()
+            if not n_changed:
+                break
+        else:  # pragma: no cover - needs a >max_iters forward chain
+            raise RuntimeError(
+                f"scc: forward coloring did not converge within "
+                f"max_iters={max_iters}; raise max_iters"
+            )
+
+        # ---- (2) backward mark within color ------------------------------
+        # roots: color == self; their SCC mark is their own id
+        def roots_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch.column("node"), batch.column("label"))
+            )
+
+        marked = color.map_batches(roots_only, batch_format="pyarrow").materialize()
+
+        def tag_state_dst(batch: pa.Table) -> pa.Table:
+            # marks travel BACKWARD: key marked state by the edge's dst
+            n = batch.num_rows
+            return pa.Table.from_arrays(
+                [
+                    batch.column("bucket"),
+                    batch.column("node"),
+                    pa.nulls(n, pa.string()),
+                    pa.array(["l"] * n, pa.string()),
+                    batch.column("label"),
+                ],
+                schema=_SCC_EDGE,
+            )
+
+        def rekey_dst(batch: pa.Table) -> pa.Table:
+            dst = batch.column("dst").combine_chunks()
+            return pa.Table.from_arrays(
+                [
+                    _bucket_of(dst),
+                    batch.column("src"),
+                    dst,
+                    batch.column("side"),
+                    batch.column("label"),
+                ],
+                schema=_SCC_EDGE,
+            )
+
+        bwd_edges = fwd_edges.map_batches(
+            rekey_dst, batch_format="pyarrow"
+        ).materialize()
+
+        def bwd_propagate(group: pa.Table) -> pa.Table:
+            g = _drop_sentinels(group)
+            is_e = pc.equal(g.column("side"), "e")
+            e = g.filter(is_e).select(["src", "dst"])
+            l = (
+                g.filter(pc.equal(g.column("side"), "l"))
+                .select(["src", "label"])
+                .rename_columns(["dst", "label"])
+            )
+            m = e.join(l, keys="dst", join_type="inner")
+            if m.num_rows == 0:
+                return _SCC_NODE.empty_table()
+            m = (
+                m.select(["src", "label"])
+                .group_by(["src", "label"])
+                .aggregate([])
+            )
+            src = m.column("src").combine_chunks()
+            return pa.Table.from_arrays(
+                [
+                    _bucket_of(src),
+                    src,
+                    m.column("label").combine_chunks(),
+                    pa.array(["c"] * m.num_rows, pa.string()),
+                ],
+                schema=_SCC_NODE,
+            )
+
+        for _ in range(max_iters):
+            cands = (
+                bwd_edges.union(
+                    marked.map_batches(tag_state_dst, batch_format="pyarrow")
+                )
+                .union(_sentinels(_SCC_EDGE))
+                .groupby("bucket", num_partitions=np_)
+                .map_groups(bwd_propagate, batch_format="pyarrow")
+            )
+
+            def bwd_resolve(group: pa.Table) -> pa.Table:
+                g = _drop_sentinels(group)
+                old = g.filter(pc.equal(g.column("side"), "o")).select(
+                    ["node", "label"]
+                )
+                col = (
+                    g.filter(pc.equal(g.column("side"), "k"))
+                    .select(["node", "label"])
+                    .rename_columns(["node", "color"])
+                )
+                cand = (
+                    g.filter(pc.equal(g.column("side"), "c"))
+                    .select(["node", "label"])
+                    .group_by(["node", "label"])
+                    .aggregate([])
+                )
+                # accept a mark only when it equals the node's own color
+                acc = cand.join(col, keys="node", join_type="inner")
+                acc = acc.filter(
+                    pc.equal(acc.column("label"), acc.column("color"))
+                ).select(["node", "label"])
+                if old.num_rows:
+                    hit = pc.is_in(
+                        acc.column("node"),
+                        value_set=old.column("node").combine_chunks(),
+                    )
+                    acc = acc.filter(pc.invert(hit))
+                node_new = acc.column("node").combine_chunks()
+                new_rows = pa.Table.from_arrays(
+                    [
+                        _bucket_of(node_new),
+                        node_new,
+                        acc.column("label").combine_chunks(),
+                        pa.array(
+                            np.ones(acc.num_rows, np.int64), pa.int64()
+                        ),
+                    ],
+                    schema=_SCC_RESOLVED,
+                )
+                node_old = old.column("node").combine_chunks()
+                old_rows = pa.Table.from_arrays(
+                    [
+                        _bucket_of(node_old),
+                        node_old,
+                        old.column("label").combine_chunks(),
+                        pa.array(np.zeros(old.num_rows, np.int64), pa.int64()),
+                    ],
+                    schema=_SCC_RESOLVED,
+                )
+                return pa.concat_tables([old_rows, new_rows])
+
+            def tag_color_k(batch: pa.Table) -> pa.Table:
+                return pa.Table.from_arrays(
+                    [
+                        batch.column("bucket"),
+                        batch.column("node"),
+                        batch.column("label"),
+                        pa.array(["k"] * batch.num_rows, pa.string()),
+                    ],
+                    schema=_SCC_NODE,
+                )
+
+            resolved = (
+                cands.union(marked.map_batches(lambda b: b, batch_format="pyarrow"))
+                .union(color.map_batches(tag_color_k, batch_format="pyarrow"))
+                .union(_sentinels(_SCC_NODE))
+                .groupby("bucket", num_partitions=np_)
+                .map_groups(bwd_resolve, batch_format="pyarrow")
+                .materialize()
+            )
+            n_changed = resolved.sum("changed")
+            marked = _as_state(resolved.drop_columns(["changed"])).materialize()
+            if not n_changed:
+                break
+        else:  # pragma: no cover - needs a >max_iters backward chain
+            raise RuntimeError(
+                f"scc: backward marking did not converge within "
+                f"max_iters={max_iters}; raise max_iters"
+            )
+
+        out_parts.append(
+            marked.map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [b.column("node"), b.column("label")], schema=_SCC_OUT
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+
+        # ---- (3) peel: drop assigned nodes and their edges ---------------
+        def drop_assigned_nodes(group: pa.Table) -> pa.Table:
+            g = _drop_sentinels(group)
+            gone = g.filter(pc.equal(g.column("side"), "a"))
+            keep = g.filter(pc.equal(g.column("side"), "o"))
+            if gone.num_rows:
+                hit = pc.is_in(
+                    keep.column("node"),
+                    value_set=gone.column("node").combine_chunks(),
+                )
+                keep = keep.filter(pc.invert(hit))
+            return keep
+
+        assigned_tag = marked.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [
+                    b.column("bucket"),
+                    b.column("node"),
+                    b.column("label"),
+                    pa.array(["a"] * b.num_rows, pa.string()),
+                ],
+                schema=_SCC_NODE,
+            ),
+            batch_format="pyarrow",
+        )
+        remaining_nodes = (
+            remaining_nodes.union(assigned_tag)
+            .union(_sentinels(_SCC_NODE))
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(drop_assigned_nodes, batch_format="pyarrow")
+            .map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [
+                        b.column("bucket"),
+                        b.column("node"),
+                        b.column("node"),  # fresh colors next round
+                        pa.array(["o"] * b.num_rows, pa.string()),
+                    ],
+                    schema=_SCC_NODE,
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+        def drop_edges(key_field: str):
+            def tag_gone(batch: pa.Table) -> pa.Table:
+                n = batch.num_rows
+                return pa.Table.from_arrays(
+                    [
+                        batch.column("bucket"),
+                        batch.column("node"),
+                        pa.nulls(n, pa.string()),
+                        pa.array(["a"] * n, pa.string()),
+                        pa.nulls(n, pa.string()),
+                    ],
+                    schema=_SCC_EDGE,
+                )
+
+            def flt(group: pa.Table) -> pa.Table:
+                g = _drop_sentinels(group)
+                gone = g.filter(pc.equal(g.column("side"), "a"))
+                e = g.filter(pc.equal(g.column("side"), "e"))
+                if gone.num_rows:
+                    hit = pc.is_in(
+                        e.column(key_field),
+                        value_set=gone.column("src").combine_chunks(),
+                    )
+                    e = e.filter(pc.invert(hit))
+                if key_field == "dst":
+                    # re-key back to src buckets for the next forward pass
+                    src = e.column("src").combine_chunks()
+                    e = pa.Table.from_arrays(
+                        [
+                            _bucket_of(src),
+                            src,
+                            e.column("dst"),
+                            e.column("side"),
+                            e.column("label"),
+                        ],
+                        schema=_SCC_EDGE,
+                    )
+                return e
+
+            return tag_gone, flt
+
+        tag_gone_src, flt_src = drop_edges("src")
+        fwd_edges = (
+            fwd_edges.union(
+                marked.map_batches(tag_gone_src, batch_format="pyarrow")
+            )
+            .union(_sentinels(_SCC_EDGE))
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(flt_src, batch_format="pyarrow")
+        )
+        tag_gone_dst, flt_dst = drop_edges("dst")
+        fwd_edges = (
+            fwd_edges.map_batches(rekey_dst, batch_format="pyarrow")
+            .union(marked.map_batches(tag_gone_dst, batch_format="pyarrow"))
+            .union(_sentinels(_SCC_EDGE))
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(flt_dst, batch_format="pyarrow")
+            .materialize()
+        )
+    else:  # pragma: no cover - needs a >max_rounds condensation chain
+        raise RuntimeError(
+            f"scc did not assign every node within max_rounds={max_rounds}; "
+            "the condensation DAG's masking depth exceeds the round budget "
+            "— raise max_rounds"
+        )
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def scc_oracle(
+    edges: pa.Table,
+    node_ids,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> pa.Table:
+    """Independent single-process SCC replica: iterative KOSARAJU (two
+    DFS passes — a different algorithm from the distributed coloring
+    peel), components canonicalized to their max-string member."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    radj = defaultdict(list)
+    nodes = set(str(x) for x in node_ids)
+    for s, d in zip(
+        edges.column(src_col).to_pylist(), edges.column(dst_col).to_pylist()
+    ):
+        s, d = str(s), str(d)
+        adj[s].append(d)
+        radj[d].append(s)
+        nodes.add(s)
+        nodes.add(d)
+
+    # pass 1: DFS finish order on the forward graph (iterative, post-order)
+    visited = set()
+    order = []
+    for v0 in sorted(nodes):
+        if v0 in visited:
+            continue
+        stack = [(v0, iter(adj.get(v0, ())))]
+        visited.add(v0)
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in visited:
+                    visited.add(w)
+                    stack.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(v)
+                stack.pop()
+
+    # pass 2: reverse-graph DFS in reverse finish order
+    comp_of = {}
+    for v0 in reversed(order):
+        if v0 in comp_of:
+            continue
+        comp = []
+        stack = [v0]
+        comp_of[v0] = v0
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in radj.get(v, ()):
+                if w not in comp_of:
+                    comp_of[w] = v0
+                    stack.append(w)
+        cid = max(comp)
+        for w in comp:
+            comp_of[w] = cid
+    ks = sorted(nodes)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ks, pa.string()),
+            pa.array([comp_of[k] for k in ks], pa.string()),
+        ],
+        schema=_SCC_OUT,
+    )

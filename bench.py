@@ -120,8 +120,17 @@ def main() -> None:
     extract_corpus(ray.data.read_parquet(corpus_path).limit(200), cfg).count()
 
     timings: dict[str, float] = {}
+    # --only <substr> [...]: time only matching queries (targeted perf
+    # iteration without paying for the whole suite); headline always runs
+    only = (
+        sys.argv[sys.argv.index("--only") + 1 :]
+        if "--only" in sys.argv
+        else None
+    )
 
     def timed(name: str, fn, trials: int = 1) -> None:
+        if only and name != "extract" and not any(s in name for s in only):
+            return
         best = None
         for _ in range(trials):
             t0 = time.perf_counter()

@@ -686,3 +686,65 @@ def test_personalized_pagerank_bit_equal():
     # hold MORE than its population share of the total rank
     seed_mass = want[want["node"].map(lambda x: int(x) % 3 == 0)]["rank_scaled"].sum()
     assert seed_mass > want["rank_scaled"].sum() / 3
+
+
+def test_scc_constructed_matches_kosaraju():
+    """Coloring/FW-BW peel == iterative Kosaraju on a graph with a
+    3-cycle, a 2-cycle behind a one-way bridge, a chain, and an isolate."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.graph import scc, scc_oracle
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),   # SCC {a,b,c}
+        ("c", "d"),                            # one-way bridge
+        ("d", "e"), ("e", "d"),                # SCC {d,e}
+        ("e", "f"), ("f", "g"),                # chain: singletons
+    ]
+    nodes = list("abcdefgh")                   # h isolated
+    et = pa.Table.from_pydict(
+        {"src": [s for s, _ in edges], "dst": [d for _, d in edges]}
+    )
+    nt = pa.Table.from_pydict({"node": nodes})
+    got = (
+        scc(ray.data.from_arrow(nt), ray.data.from_arrow(et))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = (
+        scc_oracle(et, nodes).to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert got.set_index("node").loc["a", "scc_id"] == "c"  # max of {a,b,c}
+    assert got.set_index("node").loc["h", "scc_id"] == "h"  # isolate
+
+
+def test_scc_random_matches_kosaraju():
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.graph import scc, scc_oracle
+
+    rng = random.Random(2)
+    ns = [str(i) for i in range(14)]
+    es = [(rng.choice(ns), rng.choice(ns)) for _ in range(22)]
+    es = [(s, d) for s, d in es if s != d]
+    et = pa.Table.from_pydict(
+        {"src": [s for s, _ in es], "dst": [d for _, d in es]}
+    )
+    nt = pa.Table.from_pydict({"node": ns})
+    got = (
+        scc(ray.data.from_arrow(nt), ray.data.from_arrow(et))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = (
+        scc_oracle(et, ns).to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert got["scc_id"].nunique() > 1
