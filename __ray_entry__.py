@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 40  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 41  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -298,6 +298,21 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=5
         ),
         os.path.join(out_dir, "pagerank.parquet"),
+    )
+
+    # PCA-projection replica: whole-table gram/sums feed the same
+    # _pca_basis + cross-multiplied integer projection — bit-equal to the
+    # distributed gram-exchange + projecting-scan plan
+    from agentic_doc_ray.functions.similarity import pca_project_oracle
+
+    _pq.write_table(
+        pca_project_oracle(
+            pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+            )
+        ),
+        os.path.join(out_dir, "pca.parquet"),
     )
 
     # personalized-pagerank replica: same exact integer arithmetic with
@@ -1056,6 +1071,10 @@ _DRIVER_PRIORITY = [
     "distinctive_terms",
     "partitioned_parquet",
     "scc_labels",
+    "pca_project",
+    "hits_scores",
+    "fuzzy_name_pairs",
+    "graph_walks",
 ]
 
 
@@ -2672,6 +2691,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return embedding_gram(sf_dir)
 
+    def q_pca_project(sf_dir):
+        """Mean-centered PCA projection onto the top-8 covariance
+        eigendirections (dimensionality reduction / whitening prep —
+        embedding_gram's consumer). Exact-integer output (projection
+        cross-multiplied by n, no division); oracle = bit-equal
+        whole-table replica through the same _pca_basis helper."""
+        from agentic_doc_ray.functions.similarity import pca_project
+
+        _ensure_extraction_oracles(sf_dir)
+        return pca_project(sf_dir)
+
     def q_ivf_recall(sf_dir):
         """ANN quality eval: recall@10 of the IVF path against the exact
         brute-force ground truth, integer per-mille per query. Oracle:
@@ -3013,6 +3043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "binary_quantize": q_binary_quantize,
         "sq8_codes": q_sq8,
         "embedding_gram": q_embedding_gram,
+        "pca_project": q_pca_project,
         "ivf_recall": q_ivf_recall,
         "sq8_topk": q_sq8_topk,
         "hamming_topk": q_hamming_topk,
@@ -4005,6 +4036,10 @@ def oracle_sql() -> dict[str, str]:
             "       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs "
             "FROM m a JOIN m b ON b.vec_id = a.vec_id AND b.d >= a.d "
             "GROUP BY 1, 2"
+        ),
+        "pca_project": (
+            "SELECT vec_id, comp, coord_nscaled "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/pca.parquet')"
         ),
         # sign-bit binary quantization in exact micro-units: bit d = 1 iff
         # micro * n > sum_d (cross-multiplied, no mean division); packed

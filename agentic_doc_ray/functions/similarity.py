@@ -1406,3 +1406,128 @@ def ivf_recall(sf_dir: str, k: int = 10, max_qid: int = 5) -> pa.Table:
         ),
         preserve_index=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (the consumer of embedding_gram's second-moment matrix)
+# ---------------------------------------------------------------------------
+
+
+def _pca_basis(
+    gram: np.ndarray, sums: np.ndarray, n: int, micro: int, k: int
+) -> np.ndarray:
+    """Top-``k`` covariance eigenbasis, micro-quantized to int64 (k, d).
+
+    ``gram`` is the dense symmetric int64 sum-of-products matrix in
+    micro^2 units (from ``embedding_gram``), ``sums`` the per-dim int64
+    micro sums (from ``_dim_micro_sums``) — both EXACT integers, so the
+    float covariance built here is identical no matter how the
+    distributed partials were batched; ``eigh`` then runs ONCE on the
+    driver (d x d — embedding dims are <= a few thousand) and the replica
+    oracle calls this same helper on the same integers, so the basis is
+    the same object on both sides. Determinism pins: eigenvalues sorted
+    descending with a stable argsort, and each eigenvector's sign is
+    fixed so its largest-|coordinate| entry (lowest index on ties) is
+    non-negative."""
+    d = len(sums)
+    mean = sums.astype(np.float64) / (float(n) * micro)
+    second = gram.astype(np.float64) / (float(n) * micro * micro)
+    cov = second - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(-w, kind="stable")[:k]
+    basis = np.ascontiguousarray(v[:, order].T)  # (k, d)
+    for row in basis:
+        pivot = int(np.argmax(np.abs(row)))  # first index on exact ties
+        if row[pivot] < 0:
+            row *= -1.0
+    return np.floor(basis * micro + 0.5).astype(np.int64)
+
+
+def _gram_dense(gram_rows: "list[dict]", d: int) -> np.ndarray:
+    """(d, d) dense symmetric int64 matrix from embedding_gram's upper-
+    triangle rows."""
+    g = np.zeros((d, d), dtype=np.int64)
+    for r in gram_rows:
+        i, j = int(r["d_i"]), int(r["d_j"])
+        g[i, j] = int(r["sumprod_micro2"])
+        g[j, i] = g[i, j]
+    return g
+
+
+def pca_project(
+    sf_dir: str, k: int = 8, in_dim: int = 64, micro: int = 10**6
+) -> "ray.data.Dataset":
+    """Mean-centered PCA projection of the embedding table onto its top-k
+    covariance eigendirections — dimensionality reduction / whitening
+    prep for embedding pipelines (the step ``embedding_gram`` documents
+    itself as the precursor of).
+
+    Plan shape: (1) ``embedding_gram`` — per-batch d x d int64 matmuls,
+    ONE O(d^2) exchange; (2) ``_dim_micro_sums`` — a kilobyte per-dim sum
+    collect; (3) eigh on the driver over d x d floats (never over rows);
+    (4) one projecting scan. The basis (k x d int64 micro units) rides
+    into the scan closure — broadcast once per worker, nothing reshuffled.
+
+    Exact-integer output contract: per vector x (micro units, int64) the
+    emitted coordinate is ``n * (x @ W_j) - sums @ W_j`` — the centered
+    projection cross-multiplied by n so no division ever happens;
+    batching cannot move a bit, and the replica oracle reproduces it
+    exactly. Units are micro^2 * n (callers divide once, driver-side, if
+    they want floats). Overflow bound (documented, not silent): |coord|
+    <= micro, |W| <= micro => |x @ W| <= d * micro^2, so int64 holds n <=
+    2^63 / (2 d micro^2) (~7e4 vectors at d=64, micro=1e6; micro=1e4
+    lifts it to ~7e8, micro=1e3 to ~7e10 — pick micro for the corpus
+    scale; the eigenbasis itself is scale-free)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sums, n = _dim_micro_sums(ds, in_dim)
+    gram_rows = embedding_gram(sf_dir, micro=micro).take_all()
+    gram = _gram_dense(gram_rows, in_dim)
+    basis = _pca_basis(gram, sums, n, micro, k)  # (k, d) int64
+    sums_proj = basis @ sums  # (k,) int64, exact
+
+    def project(batch: pa.Table) -> pa.Table:
+        x = _list_matrix_micro(batch.column("embedding"), in_dim)
+        z = x @ basis.T  # (rows, k) int64, exact
+        coord = np.int64(n) * z - sums_proj[None, :]
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        rows = len(x)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+                "comp": pa.array(np.tile(np.arange(k, dtype=np.int64), rows)),
+                "coord_nscaled": pa.array(coord.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def pca_project_oracle(
+    embeddings: pa.Table, k: int = 8, micro: int = 10**6
+) -> pa.Table:
+    """Single-process replica: whole-table gram/sums -> the same
+    ``_pca_basis`` -> the same cross-multiplied integer projection.
+    Bit-equal to the distributed run because every input to the float
+    eigh is an exact integer reduction (order-free) and the projection
+    itself is pure int64."""
+    col = embeddings.column("embedding").combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = embeddings.num_rows
+    d = len(flat) // n
+    x = np.floor(flat * micro + 0.5).astype(np.int64).reshape(n, d)
+    gram = x.T @ x
+    sums = x.sum(axis=0, dtype=np.int64)
+    basis = _pca_basis(gram, sums, n, micro, k)
+    sums_proj = basis @ sums
+    z = x @ basis.T
+    coord = np.int64(n) * z - sums_proj[None, :]
+    ids = embeddings.column("vec_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+            "comp": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+            "coord_nscaled": pa.array(coord.reshape(-1), pa.int64()),
+        }
+    )

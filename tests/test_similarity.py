@@ -474,3 +474,41 @@ def test_ivf_recall_bounds_and_exhaustive():
         exact.select(["query_id", "rank", "vec_id"]).to_pandas().values.tolist()
         == brute.select(["query_id", "rank", "vec_id"]).to_pandas().values.tolist()
     )
+
+
+def test_pca_project_matches_replica_and_geometry(emb):
+    """Distributed PCA projection is bit-equal to the whole-table replica,
+    and the basis actually diagonalizes: recovered component variances
+    (from the integer outputs) match the top eigenvalues of the float
+    covariance."""
+    from agentic_doc_ray.functions.similarity import (
+        pca_project,
+        pca_project_oracle,
+    )
+
+    got = (
+        pca_project(SF, k=4)
+        .to_pandas()
+        .sort_values(["vec_id", "comp"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pca_project_oracle(emb, k=4)
+        .to_pandas()
+        .sort_values(["vec_id", "comp"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+
+    # geometry: per-component variance of coord/(n*micro^2) ~= eigenvalue
+    micro = 10**6
+    n = emb.num_rows
+    flat = np.asarray(emb["embedding"].combine_chunks().flatten())
+    x = flat.reshape(n, -1).astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    eig = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
+    coords = got["coord_nscaled"].to_numpy().reshape(n, 4) / (n * micro * micro)
+    var = coords.var(axis=0)
+    assert np.allclose(var, eig, rtol=1e-3)
+    # centering: component means are ~0
+    assert np.abs(coords.mean(axis=0)).max() < 1e-9
