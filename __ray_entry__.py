@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 41  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 42  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -298,6 +298,18 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=5
         ),
         os.path.join(out_dir, "pagerank.parquet"),
+    )
+
+    # HITS replica: exact integer sums + power-of-two rescale make the
+    # 4-exchange-per-iteration BSP run bit-equal; same synthetic link
+    # graph as pagerank
+    from agentic_doc_ray.functions.hits import hits_oracle
+
+    _pq.write_table(
+        hits_oracle(
+            link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=2
+        ),
+        os.path.join(out_dir, "hits.parquet"),
     )
 
     # PCA-projection replica: whole-table gram/sums feed the same
@@ -1685,6 +1697,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pagerank(edges, n_iter=5)
 
+    def q_hits(sf_dir):
+        """HITS hubs & authorities over the synthetic link graph
+        (Kleinberg link analysis — seed/site quality signals). Exact
+        integer sums + power-of-two rescale; oracle: bit-equal
+        single-process replica."""
+        from agentic_doc_ray.functions.hits import hits
+        from agentic_doc_ray.functions.pagerank import link_edges
+
+        _ensure_extraction_oracles(sf_dir)
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        n = d.count()
+        edges = d.map_batches(
+            lambda b: link_edges(b.column("doc_id"), n),
+            batch_format="pyarrow",
+        )
+        return hits(edges, n_iter=2)
+
     def q_scc(sf_dir):
         """Strongly connected components over the mod-64 quotient of the
         synthetic link graph (link-ring condensation signal). Distributed
@@ -3002,6 +3033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "cross_snapshot_dedup": q_cross_snapshot_dedup,  # naive replica oracle
         "pagerank": q_pagerank,                    # single-process replica oracle
+        "hits_scores": q_hits,                     # bit-equal replica oracle
         "kcore_numbers": q_kcore,                  # independent peeling oracle
         "scc_labels": q_scc,                       # independent Kosaraju oracle
         "anchor_texts": q_anchor_texts,
@@ -4752,6 +4784,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": (
             "SELECT node, rank_scaled "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pagerank.parquet')"
+        ),
+        "hits_scores": (
+            "SELECT node, hub_scaled, auth_scaled "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/hits.parquet')"
         ),
         "kcore_numbers": (
             "SELECT node, core "

@@ -748,3 +748,52 @@ def test_scc_random_matches_kosaraju():
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
     assert got["scc_id"].nunique() > 1
+
+
+def test_hits_matches_replica_toy_and_lcg():
+    """Distributed HITS is bit-equal to the replica on a hand graph and
+    on the synthetic LCG link graph; structure: the node every hub points
+    at carries the top authority."""
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.hits import hits, hits_oracle
+    from agentic_doc_ray.functions.pagerank import link_edges
+
+    edges = pa.table(
+        {
+            "src": ["a", "a", "b", "c", "d", "d", "e"],
+            "dst": ["b", "c", "c", "a", "c", "e", "a"],
+        }
+    )
+    got = (
+        hits(ray.data.from_arrow(edges), n_iter=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = (
+        hits_oracle(edges, n_iter=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    # c has in-links from every hub side (a, b, d) -> max authority
+    best = got.loc[got["auth_scaled"].idxmax(), "node"]
+    assert best == "c"
+
+    ids = pa.array(list(range(120)), pa.int64())
+    lcg = link_edges(ids, 120)
+    got2 = (
+        hits(ray.data.from_arrow(lcg), n_iter=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want2 = (
+        hits_oracle(lcg, n_iter=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got2.values.tolist() == want2.values.tolist()
