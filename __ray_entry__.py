@@ -1844,6 +1844,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return anchor_texts(d, d.count())
 
+    def q_fuzzy_name_pairs(sf_dir):
+        """Fuzzy string self-join on customer names (record linkage):
+        all pairs within edit distance 1 via FastSS deletion-neighborhood
+        candidates + vectorized exact verify — recall 1.0 by construction.
+        Oracle: INDEPENDENT all-pairs DuckDB levenshtein."""
+        from agentic_doc_ray.functions.fuzzyjoin import fuzzy_pairs
+
+        return fuzzy_pairs(
+            ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+            ),
+            "c_custkey",
+            "c_name",
+        )
+
     def q_generic_join(sf_dir):
         """Generic hash_join API, broadcast route (customer is below the
         threshold): orders x customer inner join with automatic
@@ -3042,6 +3057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": q_personalized_pagerank,  # bit-equal replica
         "clustering_coefficient": q_clustering_coeff,
         "generic_join": q_generic_join,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "generic_anti_join": q_generic_anti_join,
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "source_divergence": q_source_divergence,  # single-process replica oracle
@@ -4926,6 +4942,14 @@ def oracle_sql() -> dict[str, str]:
         "generic_join": (
             "SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        # INDEPENDENT oracle: brute-force all-pairs Levenshtein (shares no
+        # candidate/verify code with the FastSS engine path)
+        "fuzzy_name_pairs": (
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+            "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "generic_anti_join": (
             "SELECT c.c_custkey, c.c_name, c.c_mktsegment FROM customer c "
