@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 42  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 43  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -310,6 +310,16 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_iter=2
         ),
         os.path.join(out_dir, "hits.parquet"),
+    )
+
+    # graph-walks replica: same hash-argmin next-hop rule single-process
+    from agentic_doc_ray.functions.walks import graph_walks_oracle
+
+    _pq.write_table(
+        graph_walks_oracle(
+            link_edges(docs_tbl.column("doc_id"), docs_tbl.num_rows), n_steps=3
+        ),
+        os.path.join(out_dir, "walks.parquet"),
     )
 
     # PCA-projection replica: whole-table gram/sums feed the same
@@ -1716,6 +1726,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hits(edges, n_iter=2)
 
+    def q_graph_walks(sf_dir):
+        """Deterministic random walks over the synthetic link graph
+        (DeepWalk corpus prep): one walk per node, hash-argmin next-hop
+        choice, one edge-bounded exchange per hop. Oracle: bit-equal
+        single-process replica."""
+        from agentic_doc_ray.functions.pagerank import link_edges
+        from agentic_doc_ray.functions.walks import graph_walks
+
+        _ensure_extraction_oracles(sf_dir)
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        n = d.count()
+        edges = d.map_batches(
+            lambda b: link_edges(b.column("doc_id"), n),
+            batch_format="pyarrow",
+        )
+        return graph_walks(edges, n_steps=3)
+
     def q_scc(sf_dir):
         """Strongly connected components over the mod-64 quotient of the
         synthetic link graph (link-ring condensation signal). Distributed
@@ -3049,6 +3078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_snapshot_dedup": q_cross_snapshot_dedup,  # naive replica oracle
         "pagerank": q_pagerank,                    # single-process replica oracle
         "hits_scores": q_hits,                     # bit-equal replica oracle
+        "graph_walks": q_graph_walks,              # bit-equal replica oracle
         "kcore_numbers": q_kcore,                  # independent peeling oracle
         "scc_labels": q_scc,                       # independent Kosaraju oracle
         "anchor_texts": q_anchor_texts,
@@ -4804,6 +4834,10 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": (
             "SELECT node, hub_scaled, auth_scaled "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/hits.parquet')"
+        ),
+        "graph_walks": (
+            "SELECT walk_id, step, node "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/walks.parquet')"
         ),
         "kcore_numbers": (
             "SELECT node, core "

@@ -797,3 +797,36 @@ def test_hits_matches_replica_toy_and_lcg():
         .reset_index(drop=True)
     )
     assert got2.values.tolist() == want2.values.tolist()
+
+
+def test_graph_walks_matches_replica_with_sinks():
+    """Distributed walks are bit-equal to the replica; sink nodes
+    terminate walks early; every walk starts at its own node."""
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.walks import graph_walks, graph_walks_oracle
+
+    edges = pa.table(
+        {
+            "src": ["a", "a", "b", "c", "d", "d", "e", "f"],
+            "dst": ["b", "c", "c", "a", "c", "e", "a", "g"],
+        }
+    )
+    got = (
+        graph_walks(ray.data.from_arrow(edges), n_steps=5)
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    want = (
+        graph_walks_oracle(edges, n_steps=5)
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    fw = got[got.walk_id == "f"]
+    assert fw.node.tolist() == ["f", "g"]  # g is a sink -> early stop
+    starts = got[got.step == 0]
+    assert (starts.walk_id == starts.node).all()
+    assert set(starts.walk_id) == {"a", "b", "c", "d", "e", "f"}
