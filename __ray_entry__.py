@@ -1097,6 +1097,8 @@ _DRIVER_PRIORITY = [
     "hits_scores",
     "fuzzy_name_pairs",
     "graph_walks",
+    "event_outliers",
+    "revenue_trend",
 ]
 
 
@@ -3176,6 +3178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": A.event_transitions,
         "user_event_paths": A.user_event_paths,
         "order_rollup": A.order_priority_status_rollup,
+        "event_outliers": A.event_outliers,        # exact 3-sigma flags (HUGEINT SQL)
+        "revenue_trend": A.revenue_trend,          # exact OLS slope (HUGEINT SQL)
         "user_event_pivot": A.user_event_pivot,
         "event_value_histogram": A.event_value_histogram,
         "priority_revenue_share": A.priority_revenue_share,
@@ -4611,6 +4615,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1) "
             "SELECT priority, cents, CAST(cents AS DOUBLE) / "
             "(SELECT CAST(sum(cents) AS DOUBLE) FROM a) AS share FROM a"
+        ),
+        # exact 3-sigma outlier flags: the engine's split-limb integer Q and
+        # float-with-certified-margin test equal this HUGEINT cross-multiply
+        "event_outliers": (
+            "WITH c AS (SELECT event_id, event_type, "
+            "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, "
+            "  CAST(sum(cents) AS HUGEINT) AS sc, "
+            "  sum(CAST(cents AS HUGEINT) * cents) AS q FROM c GROUP BY 1) "
+            "SELECT c.event_id, c.event_type, c.cents "
+            "FROM c JOIN s USING (event_type) "
+            "WHERE (c.cents * s.n - s.sc) > 0 "
+            "AND (c.cents * s.n - s.sc) * (c.cents * s.n - s.sc) "
+            "    > 9 * (s.n * s.q - s.sc * s.sc)"
+        ),
+        # exact OLS slope of daily revenue (floor division emulated for
+        # signed numerators; den > 0 because every priority spans > 1 day)
+        "revenue_trend": (
+            "WITH c AS (SELECT o_orderpriority, "
+            "  datediff('day', TIMESTAMP '1970-01-01', o_orderdate) - 9000 AS x, "
+            "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+            "d AS (SELECT o_orderpriority, x, CAST(sum(cents) AS BIGINT) AS y "
+            "  FROM c GROUP BY 1, 2), "
+            "s AS (SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS n, "
+            "  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy, "
+            "  CAST(sum(x * y) AS HUGEINT) AS sxy, "
+            "  CAST(sum(x * x) AS HUGEINT) AS sxx FROM d GROUP BY 1), "
+            "f AS (SELECT o_orderpriority, n, "
+            "  (n * sxy - sx * sy) * 1000000 AS num, n * sxx - sx * sx AS den "
+            "  FROM s) "
+            "SELECT o_orderpriority, CAST(n AS BIGINT) AS n_days, "
+            "CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS slope_micro "
+            "FROM f"
         ),
         # grouping-sets rollup in one scan (exact integer cents)
         "order_rollup": (

@@ -1272,3 +1272,220 @@ def forecast_revenue(
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact second-moment statistics: 3-sigma outliers and OLS trend
+# ---------------------------------------------------------------------------
+
+
+def _cents(col) -> "pa.Array":
+    c = pc.round(pc.multiply(col, pa.scalar(100.0))).cast(pa.int64())
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def event_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Events whose value exceeds their event-type group's mean + 3
+    standard deviations — the classic heavy-tail anomaly flag, EXACT.
+
+    The test  x > mean + 3*sigma  is evaluated with zero divisions or
+    roots via cross-multiplication:  (x*n - S) > 0  and  (x*n - S)^2 >
+    9*(n*Q - S^2)  where S = sum(cents), Q = sum(cents^2), x in exact
+    integer cents. Q can overflow int64 at crawl scale, so per-batch
+    partials carry Q SPLIT into three int64 accumulators (hi^2, hi*lo,
+    lo^2 of the 16-bit limb split) that recombine into one exact Python
+    int per GROUP — O(groups) unbounded integers, never per row. The
+    per-row inequality runs vectorized in float64 with a certified
+    margin (float error at these magnitudes is orders below the 1e12
+    margin) and only margin-ambiguous rows — none in practice —
+    re-check in exact Python ints. Sketch-then-filter shape: ONE tiny
+    stats exchange (<= groups x batches partial rows), the event rows
+    themselves never shuffle.
+
+    Scale note: group count is the event_type cardinality; the
+    driver-side stats table is |event_type| rows regardless of SF.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("value")).to_numpy()
+        hi, lo = cents >> 16, cents & 0xFFFF
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": np.ones(len(cents), np.int64),
+                "s": cents,
+                "qhh": hi * hi,
+                "qhl": hi * lo,
+                "qll": lo * lo,
+            }
+        )
+        return (
+            t.group_by("event_type")
+            .aggregate(
+                [("n", "sum"), ("s", "sum"), ("qhh", "sum"), ("qhl", "sum"), ("qll", "sum")]
+            )
+            .rename_columns(["event_type", "n", "s", "qhh", "qhl", "qll"])
+        )
+
+    stats_rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("qhh", alias_name="qhh"),
+            Sum("qhl", alias_name="qhl"),
+            Sum("qll", alias_name="qll"),
+        )
+        .take_all()
+    )
+    # exact Q recombination: O(groups) Python ints (the only unbounded-width
+    # arithmetic, never per row)
+    stats = {
+        r["event_type"]: (
+            int(r["n"]),
+            int(r["s"]),
+            (int(r["qhh"]) << 32) + (int(r["qhl"]) << 17) + int(r["qll"]),
+        )
+        for r in stats_rows
+    }
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = _cents(batch.column("value")).to_numpy()
+        types = batch.column("event_type").to_pandas()
+        n = types.map({k: v[0] for k, v in stats.items()}).to_numpy(np.int64)
+        s = types.map({k: v[1] for k, v in stats.items()}).to_numpy(np.int64)
+        q = types.map({k: float(v[2]) for k, v in stats.items()}).to_numpy(
+            np.float64
+        )
+        types = types.to_numpy(dtype=object)
+        lhs_i = cents * n - s  # int64-exact
+        lhs = lhs_i.astype(np.float64) ** 2
+        rhs = n.astype(np.float64) * q - s.astype(np.float64) ** 2
+        rhs *= 9.0
+        keep = (lhs_i > 0) & (lhs > rhs + 1e12)
+        ambiguous = (lhs_i > 0) & ~keep & (lhs > rhs - 1e12)
+        if ambiguous.any():
+            for i in np.nonzero(ambiguous)[0]:
+                ni, si, qi = stats[types[i]]
+                li = int(cents[i]) * ni - si
+                keep[i] = li > 0 and li * li > 9 * (ni * qi - si * si)
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": out.column("event_id"),
+                "event_type": out.column("event_type"),
+                "cents": _cents(out.column("value")),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def revenue_trend(sf_dir: str) -> "ray.data.Dataset":
+    """Per-priority OLS slope of DAILY order revenue over time — the
+    drift/trend detector for monitoring pipelines, exact to the last bit.
+
+    Two stages: (1) one (priority, day) hash aggregate rolls order cents
+    up to daily revenue (day = epoch day of o_orderdate, rebased by a
+    FIXED 9000-day offset to keep every downstream product inside
+    int64); (2) per-batch regression partials (n, sum x, sum y, sum xy,
+    sum x^2) finish in a tiny per-priority aggregate, and the driver
+    computes slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) per group in exact
+    Python ints (O(groups) big-int ops), emitting floor(num * 1e6 / den)
+    micro-cents-per-day. Int64 bound: daily cents ~1e7 at sf0.01 and |x|
+    <= ~1600, so every PARTIAL fits int64 through ~sf10; the final
+    products are Python ints, overflow-free at any scale.
+    """
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def daily_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("o_totalprice"))
+        days = pc.subtract(
+            pc.divide(
+                batch.column("o_orderdate").cast(pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64()),
+            ),
+            pa.scalar(9000, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "x": days.combine_chunks() if isinstance(days, pa.ChunkedArray) else days,
+                "y": cents,
+            }
+        )
+        return (
+            t.group_by(["o_orderpriority", "x"])
+            .aggregate([("y", "sum")])
+            .rename_columns(["o_orderpriority", "x", "y"])
+        )
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    daily = (
+        ds.map_batches(daily_partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "x"], num_partitions=shuffle_partitions(4))
+        .aggregate(Sum("y", alias_name="y"))
+    )
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n": np.ones(len(x), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return (
+            t.group_by("o_orderpriority")
+            .aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"), ("sxx", "sum")]
+            )
+            .rename_columns(["o_orderpriority", "n", "sx", "sy", "sxy", "sxx"])
+        )
+
+    rows = (
+        daily.map_batches(reg_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .take_all()
+    )
+    out_rows = []
+    for r in sorted(rows, key=lambda r: r["o_orderpriority"]):
+        n, sx, sy, sxy, sxx = (
+            int(r["n"]), int(r["sx"]), int(r["sy"]), int(r["sxy"]), int(r["sxx"])
+        )
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx  # > 0 whenever the group spans > 1 day
+        # single-day group: slope undefined -> 0 (documented degenerate case)
+        slope_micro = (num * 1_000_000) // den if den else 0
+        out_rows.append(
+            {"o_orderpriority": r["o_orderpriority"], "n_days": n, "slope_micro": slope_micro}
+        )
+    return ray.data.from_arrow(
+        pa.Table.from_pylist(
+            out_rows,
+            schema=pa.schema(
+                [
+                    ("o_orderpriority", pa.string()),
+                    ("n_days", pa.int64()),
+                    ("slope_micro", pa.int64()),
+                ]
+            ),
+        )
+    )

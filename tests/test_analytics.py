@@ -1233,3 +1233,63 @@ def test_brand_supplier_counts_q16():
     want = duckdb.sql(sql).df()
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_event_outliers_exact_three_sigma():
+    """The distributed flags equal an independent float-free brute check
+    (exact Python-int cross-multiplication per row), and the flagged set
+    is non-trivial on the exponential-tailed value column."""
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions.analytics import event_outliers
+
+    got = (
+        event_outliers(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "event_type", "value"])
+    import numpy as np
+
+    cents = np.floor(np.asarray(t["value"].to_numpy()) * 100 + 0.5).astype(np.int64)
+    types = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    ids = t["event_id"].to_numpy()
+    want = []
+    for et in np.unique(types):
+        m = types == et
+        n, s = int(m.sum()), int(cents[m].sum())
+        q = int((cents[m].astype(object) ** 2).sum())  # exact python ints
+        for i, x in zip(ids[m], cents[m]):
+            lhs = int(x) * n - s
+            if lhs > 0 and lhs * lhs > 9 * (n * q - s * s):
+                want.append((int(i), et, int(x)))
+    want.sort()
+    assert got.values.tolist() == [list(w) for w in want]
+    assert len(want) > 10
+
+
+def test_revenue_trend_matches_numpy_ols():
+    """Exact-integer slope equals the float OLS slope to 1e-6 relative,
+    per priority, and n_days matches the distinct-day count."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from agentic_doc_ray.functions.analytics import revenue_trend
+
+    got = revenue_trend(SF).to_pandas().set_index("o_orderpriority")
+    t = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    t["x"] = (
+        t["o_orderdate"].astype("datetime64[us]").astype("int64")
+        // 86_400_000_000
+    ) - 9000
+    t["cents"] = np.floor(t["o_totalprice"] * 100 + 0.5).astype("int64")
+    for prio, sub in t.groupby("o_orderpriority"):
+        daily = sub.groupby("x")["cents"].sum()
+        slope = np.polyfit(daily.index.to_numpy(float), daily.to_numpy(float), 1)[0]
+        row = got.loc[prio]
+        assert row["n_days"] == len(daily)
+        assert abs(row["slope_micro"] / 1e6 - slope) <= max(1e-6 * abs(slope), 1e-3)
