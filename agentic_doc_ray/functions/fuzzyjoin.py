@@ -176,23 +176,35 @@ def fuzzy_pairs(
         if g.num_rows == 0:
             return _PAIR_SCHEMA.empty_table()
         df = g.select(["vhash", "id", "text"]).to_pandas()
-        # all-pairs within each variant-hash group, id-ordered
+        # variant hashes are mostly singletons — keep only collision
+        # groups BEFORE any per-group work (vectorized duplicated mask)
+        df = df[df.duplicated("vhash", keep=False)]
+        if not len(df):
+            return _PAIR_SCHEMA.empty_table()
         df = df.sort_values(["vhash", "id"], kind="stable")
+        vh = df["vhash"].to_numpy()
+        ids_all = df["id"].to_numpy()
+        txt_all = df["text"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
+        lens = np.diff(np.r_[starts, len(vh)])
         ia: list[np.ndarray] = []
         ib: list[np.ndarray] = []
         ta: list[np.ndarray] = []
         tb: list[np.ndarray] = []
-        for _, sub in df.groupby("vhash", sort=False):
-            m = len(sub)
-            if m < 2:
-                continue
+        # size-2 groups (the overwhelming majority) pair vectorized
+        two = starts[lens == 2]
+        if len(two):
+            ia.append(ids_all[two])
+            ib.append(ids_all[two + 1])
+            ta.append(txt_all[two])
+            tb.append(txt_all[two + 1])
+        # larger groups (rare): per-group triu — bounded by true-dup mass
+        for s0, m in zip(starts[lens > 2], lens[lens > 2]):
             iu, ju = np.triu_indices(m, k=1)
-            ids_ = sub["id"].to_numpy()
-            txt_ = sub["text"].to_numpy()
-            ia.append(ids_[iu])
-            ib.append(ids_[ju])
-            ta.append(txt_[iu])
-            tb.append(txt_[ju])
+            ia.append(ids_all[s0 + iu])
+            ib.append(ids_all[s0 + ju])
+            ta.append(txt_all[s0 + iu])
+            tb.append(txt_all[s0 + ju])
         if not ia:
             return _PAIR_SCHEMA.empty_table()
         id_a = np.concatenate(ia)

@@ -1462,11 +1462,13 @@ def pca_project(
     prep for embedding pipelines (the step ``embedding_gram`` documents
     itself as the precursor of).
 
-    Plan shape: (1) ``embedding_gram`` — per-batch d x d int64 matmuls,
-    ONE O(d^2) exchange; (2) ``_dim_micro_sums`` — a kilobyte per-dim sum
-    collect; (3) eigh on the driver over d x d floats (never over rows);
-    (4) one projecting scan. The basis (k x d int64 micro units) rides
-    into the scan closure — broadcast once per worker, nothing reshuffled.
+    Plan shape: (1) ONE pass emitting per-batch d x d int64 matmul
+    partials PLUS the per-dim first-moment rows under disjoint (d, -1)
+    keys, merged by ONE O(d^2) exchange (the embedding_gram shape with
+    the mean fused in — the table is read once); (2) eigh on the driver
+    over d x d floats (never over rows); (3) one projecting scan. The
+    basis (k x d int64 micro units) rides into the scan closure —
+    broadcast once per worker, nothing reshuffled.
 
     Exact-integer output contract: per vector x (micro units, int64) the
     emitted coordinate is ``n * (x @ W_j) - sums @ W_j`` — the centered
@@ -1481,9 +1483,31 @@ def pca_project(
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    sums, n = _dim_micro_sums(ds, in_dim)
-    gram_rows = embedding_gram(sf_dir, micro=micro).take_all()
-    gram = _gram_dense(gram_rows, in_dim)
+    # ONE pass, ZERO exchanges: each batch contributes a flattened d x d
+    # int64 gram block + the per-dim first-moment vector + a count; the
+    # driver merges them with exact integer adds (order-free — same
+    # collect shape as _dim_micro_sums, O(d^2) per batch driver-side;
+    # for thousands-of-dims embeddings switch to the embedding_gram
+    # exchange, whose aggregate is the same integers)
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _list_matrix_micro(batch.column("embedding"), in_dim)
+        g = x.T @ x if len(x) else np.zeros((in_dim, in_dim), np.int64)
+        s = x.sum(axis=0, dtype=np.int64) if len(x) else np.zeros(in_dim, np.int64)
+        return pa.Table.from_pydict(
+            {
+                "g": [g.reshape(-1).tolist()],
+                "s": [s.tolist()],
+                "n": [len(x)],
+            }
+        )
+
+    gram = np.zeros((in_dim, in_dim), dtype=np.int64)
+    sums = np.zeros(in_dim, dtype=np.int64)
+    n = 0
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        gram += np.asarray(r["g"], dtype=np.int64).reshape(in_dim, in_dim)
+        sums += np.asarray(r["s"], dtype=np.int64)
+        n += int(r["n"])
     basis = _pca_basis(gram, sums, n, micro, k)  # (k, d) int64
     sums_proj = basis @ sums  # (k,) int64, exact
 

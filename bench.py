@@ -1051,6 +1051,30 @@ def main() -> None:
 
     timed("curation_pipeline", curation_dag_q)
 
+    # session-10 additions (the exchange-latency-bound hits/graph_walks
+    # stay out of the suite for the same reason as scc — see OPERATORS.md)
+    def pca_q() -> None:
+        from agentic_doc_ray.functions.similarity import pca_project
+
+        pca_project(SF_DIR).count()
+
+    timed("pca_project", pca_q)
+
+    def fuzzy_q() -> None:
+        from agentic_doc_ray.functions.fuzzyjoin import fuzzy_pairs
+
+        fuzzy_pairs(
+            ray.data.read_parquet(
+                f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_name"]
+            ),
+            "c_custkey",
+            "c_name",
+        ).count()
+
+    timed("fuzzy_name_pairs", fuzzy_q)
+    timed("event_outliers", lambda: A.event_outliers(SF_DIR).count())
+    timed("revenue_trend", lambda: A.revenue_trend(SF_DIR).count())
+
     # end-of-suite probe: the SAME zero-exchange query as the early
     # "interleave_stats" entry. The ratio probe_late/interleave_stats is
     # the session-AGING factor (Ray 2.49 cold-spawns aggregator/actor
