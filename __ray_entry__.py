@@ -1099,6 +1099,7 @@ _DRIVER_PRIORITY = [
     "graph_walks",
     "event_outliers",
     "revenue_trend",
+    "exact_jaccard_join",
 ]
 
 
@@ -2585,6 +2586,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_top_tokens(sf_dir):
         return T.top_tokens(docs(sf_dir), k=100)
 
+    def q_exact_jaccard_join(sf_dir):
+        """EXACT set-similarity self-join at Jaccard >= 0.8 via the
+        AllPairs/PPJoin prefix filter — recall 1.0 by theorem (the LSH
+        route's exact-recall counterpart), precision by the verify pass.
+        Oracle: the brute-force all-pairs replica filtered at 0.8."""
+        from agentic_doc_ray.functions.simjoin import exact_jaccard_join
+
+        _ensure_extraction_oracles(sf_dir)
+        return exact_jaccard_join(_docs_str(sf_dir), threshold=0.8)
+
     def q_ngram_jaccard(sf_dir):
         """Exact n-gram Jaccard pairs at a looser threshold (0.7), with the
         jaccard values themselves — integer-ratio division is deterministic
@@ -3067,6 +3078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep": q_dedup_keep,
         "minhash_dedup_pairs": q_minhash,          # exact (verified pipeline)
         "ngram_jaccard_pairs": q_ngram_jaccard,    # exact (verified pipeline)
+        "exact_jaccard_join": q_exact_jaccard_join,  # prefix-filter exact join
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
         "near_dedup_keep_best": q_near_dedup_keep_best,
@@ -5242,6 +5254,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, jaccard "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') "
             "WHERE jaccard >= 0.7"
+        ),
+        "exact_jaccard_join": (
+            "SELECT doc_a, doc_b, jaccard "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') "
+            "WHERE jaccard >= 0.8"
         ),
         "knn_join": (
             "SELECT vec_id, rank, neighbor_id "
