@@ -1100,6 +1100,7 @@ _DRIVER_PRIORITY = [
     "event_outliers",
     "revenue_trend",
     "exact_jaccard_join",
+    "table_profile",
 ]
 
 
@@ -2586,6 +2587,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_top_tokens(sf_dir):
         return T.top_tokens(docs(sf_dir), k=100)
 
+    def q_table_profile(sf_dir):
+        """Per-column data-quality profile of the orders table (row/null
+        counts, EXACT distinct cardinality via a distinct-key exchange,
+        int64 ranges). Oracle: one UNION ALL of per-column SQL."""
+        from agentic_doc_ray.functions.profile import table_profile
+
+        return table_profile(sf_dir, "orders")
+
     def q_exact_jaccard_join(sf_dir):
         """EXACT set-similarity self-join at Jaccard >= 0.8 via the
         AllPairs/PPJoin prefix filter — recall 1.0 by theorem (the LSH
@@ -3079,6 +3088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": q_minhash,          # exact (verified pipeline)
         "ngram_jaccard_pairs": q_ngram_jaccard,    # exact (verified pipeline)
         "exact_jaccard_join": q_exact_jaccard_join,  # prefix-filter exact join
+        "table_profile": q_table_profile,
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
         "near_dedup_keep_best": q_near_dedup_keep_best,
@@ -5259,6 +5269,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, jaccard "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') "
             "WHERE jaccard >= 0.8"
+        ),
+        "table_profile": (
+            "SELECT 'o_custkey' AS \"column\", count(*) AS n, count(*) - count(o_custkey) AS n_null,"
+            " CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,"
+            " CAST(min(o_custkey) AS BIGINT) AS min_i64, CAST(max(o_custkey) AS BIGINT) AS max_i64 FROM orders"
+            " UNION ALL SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),"
+            " CAST(count(DISTINCT o_orderdate) AS BIGINT),"
+            " epoch_us(min(o_orderdate)), epoch_us(max(o_orderdate)) FROM orders"
+            " UNION ALL SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),"
+            " CAST(count(DISTINCT o_orderkey) AS BIGINT),"
+            " CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT) FROM orders"
+            " UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),"
+            " CAST(count(DISTINCT o_orderpriority) AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders"
+            " UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),"
+            " CAST(count(DISTINCT o_orderstatus) AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders"
+            " UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),"
+            " CAST(count(DISTINCT o_totalprice) AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders"
         ),
         "knn_join": (
             "SELECT vec_id, rank, neighbor_id "

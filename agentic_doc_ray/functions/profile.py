@@ -1,0 +1,192 @@
+"""Per-column table profiling — the data-quality / schema-drift gate.
+
+Every ingestion pipeline fronts its tables with a profile pass (row
+count, null count, exact distinct cardinality, numeric range per
+column — the Deequ/TFDV-style contract check) before the expensive
+stages run; at crawl scale the profile also feeds partitioning choices
+(distinct counts size bucket fan-outs). One operator profiles every
+column of a table in a single plan:
+
+  1. counting partials (n, n_null, and min/max for integer-valued
+     columns — timestamps profile as epoch micros) fold batch-locally
+     into ONE row per (batch, column): a tiny driver-side merge,
+     exactly the _dim_micro_sums collect shape;
+  2. exact distinct cardinality per column via one (column, value-key)
+     exchange: each batch emits its LOCAL distinct keys only, buckets
+     count their share of the global distincts (a disjoint partition of
+     the key space), and a kilobyte per-(bucket, column) count table
+     folds driver-side. The exchange payload is bounded by the DISTINCT
+     mass per batch, never the row count.
+
+Value keys canonicalize by TYPE, not by print format: integers and
+timestamps key as int64, doubles normalize -0.0 -> +0.0 and key by
+bit pattern (repr-free, exact), strings key as themselves — so the
+cardinality equals SQL COUNT(DISTINCT) without any float-printing
+parity games. Output: (column, n, n_null, n_distinct, min_i64,
+max_i64), the range columns null for non-integer types.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from agentic_doc_ray.context import partitions_for
+from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+_N_BUCKETS = 64
+
+_KEY_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("column", pa.string()),
+        ("vkey", pa.string()),
+        ("side", pa.string()),
+    ]
+)
+_OUT_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("n", pa.int64()),
+        ("n_null", pa.int64()),
+        ("n_distinct", pa.int64()),
+        ("min_i64", pa.int64()),
+        ("max_i64", pa.int64()),
+    ]
+)
+
+
+def _value_keys(col: "pa.ChunkedArray") -> np.ndarray:
+    """Canonical string keys of the NON-NULL values (type-aware, see
+    module doc)."""
+    t = col.type
+    valid = col.drop_null()
+    if pa.types.is_integer(t):
+        v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return v.astype("U21").astype(object)
+    if pa.types.is_timestamp(t):
+        v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return v.astype("U21").astype(object)
+    if pa.types.is_floating(t):
+        v = valid.cast(pa.float64()).to_numpy(zero_copy_only=False) + 0.0
+        return (
+            np.char.mod("%d", v.view(np.int64)).astype(object)
+        )
+    return np.asarray(valid.cast(pa.string()).to_pandas(), dtype=object)
+
+
+def table_profile(sf_dir: str, table: str) -> pa.Table:
+    """(column, n, n_null, n_distinct, min_i64, max_i64) for every
+    column of ``{sf_dir}/{table}.parquet`` (see module doc)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    n_rows = ds.count()
+    np_ = partitions_for(n_rows)
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        rows = []
+        for name in batch.schema.names:
+            col = batch.column(name)
+            t = col.type
+            mn = mx = None
+            if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+                as_i = col.cast(pa.int64())
+                mn = pc.min(as_i).as_py()
+                mx = pc.max(as_i).as_py()
+            rows.append(
+                {
+                    "column": name,
+                    "n": batch.num_rows,
+                    "n_null": col.null_count,
+                    "min_i64": mn,
+                    "max_i64": mx,
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("column", pa.string()),
+                    ("n", pa.int64()),
+                    ("n_null", pa.int64()),
+                    ("min_i64", pa.int64()),
+                    ("max_i64", pa.int64()),
+                ]
+            ),
+        )
+
+    counts: dict[str, list] = {}
+    for r in ds.map_batches(count_partials, batch_format="pyarrow").take_all():
+        c = counts.setdefault(r["column"], [0, 0, None, None])
+        c[0] += int(r["n"])
+        c[1] += int(r["n_null"])
+        for i, (cur, new, f) in enumerate(
+            [(c[2], r["min_i64"], min), (c[3], r["max_i64"], max)], start=2
+        ):
+            if new is not None:
+                c[i] = new if cur is None else f(cur, new)
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        cols: list[np.ndarray] = []
+        names: list[np.ndarray] = []
+        for name in batch.schema.names:
+            k = np.unique(_value_keys(batch.column(name)))
+            cols.append(k)
+            names.append(np.full(len(k), name, dtype=object))
+        if not cols:
+            return _KEY_SCHEMA.empty_table()
+        vk = np.concatenate(cols)
+        nm = np.concatenate(names)
+        h = pd.util.hash_array(nm + "\x1f" + vk)
+        return pa.Table.from_arrays(
+            [
+                pa.array((h % _N_BUCKETS).astype(np.int32)),
+                pa.array(nm, pa.string()),
+                pa.array(vk, pa.string()),
+                pa.array(["v"] * len(vk), pa.string()),
+            ],
+            schema=_KEY_SCHEMA,
+        )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "s"))
+        if g.num_rows == 0:
+            return pa.schema(
+                [("column", pa.string()), ("cnt", pa.int64())]
+            ).empty_table()
+        d = (
+            g.select(["column", "vkey"])
+            .group_by(["column", "vkey"])
+            .aggregate([])
+        )
+        return (
+            d.group_by("column")
+            .aggregate([("vkey", "count")])
+            .rename_columns(["column", "cnt"])
+        )
+
+    distinct: dict[str, int] = {}
+    for r in (
+        ds.map_batches(distinct_keys, batch_format="pyarrow")
+        .union(int_key_sentinels(_KEY_SCHEMA, "bucket", fill={"side": "s"}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(bucket_counts, batch_format="pyarrow")
+        .take_all()
+    ):
+        distinct[r["column"]] = distinct.get(r["column"], 0) + int(r["cnt"])
+
+    out = [
+        {
+            "column": name,
+            "n": c[0],
+            "n_null": c[1],
+            "n_distinct": distinct.get(name, 0),
+            "min_i64": c[2],
+            "max_i64": c[3],
+        }
+        for name, c in sorted(counts.items())
+    ]
+    return pa.Table.from_pylist(out, schema=_OUT_SCHEMA)

@@ -1,0 +1,39 @@
+"""Table profiler vs direct whole-table computation (null handling
+included via a synthetic table with planted nulls)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from agentic_doc_ray.functions.profile import table_profile
+
+
+def test_profile_orders_matches_direct():
+    got = table_profile("/root/testdata/sf0.001", "orders").to_pandas()
+    t = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    for _, r in got.iterrows():
+        col = t.column(r["column"])
+        assert r["n"] == len(col)
+        assert r["n_null"] == col.null_count
+        vals = col.drop_null().to_pylist()
+        assert r["n_distinct"] == len(set(vals))
+        if pa.types.is_integer(col.type):
+            assert r["min_i64"] == min(vals) and r["max_i64"] == max(vals)
+
+
+def test_profile_nulls_and_negative_zero(tmp_path):
+    tbl = pa.table(
+        {
+            "i": pa.array([1, None, 3, 3, None], pa.int64()),
+            "f": pa.array([0.0, -0.0, 1.5, None, 1.5], pa.float64()),
+            "s": pa.array(["a", "a", None, "b", ""], pa.string()),
+        }
+    )
+    d = tmp_path / "x"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "t.parquet"))
+    got = table_profile(str(d), "t").to_pandas().set_index("column")
+    assert got.loc["i"].tolist() == [5, 2, 2, 1, 3]
+    # -0.0 normalizes to +0.0 -> distinct {0.0, 1.5} = 2 (SQL equality)
+    assert got.loc["f", "n_null"] == 1 and got.loc["f", "n_distinct"] == 2
+    assert got.loc["s", "n_null"] == 1 and got.loc["s", "n_distinct"] == 3
