@@ -1101,6 +1101,7 @@ _DRIVER_PRIORITY = [
     "revenue_trend",
     "exact_jaccard_join",
     "table_profile",
+    "entity_clusters",
 ]
 
 
@@ -1885,6 +1886,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from agentic_doc_ray.functions.fuzzyjoin import fuzzy_pairs
 
         return fuzzy_pairs(
+            ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+            ),
+            "c_custkey",
+            "c_name",
+        )
+
+    def q_entity_clusters(sf_dir):
+        """Entity resolution end stage: transitive clusters of customer
+        names within edit distance 1 (fuzzy_pairs -> CC -> min-member
+        label; singletons label themselves). Oracle: INDEPENDENT
+        recursive-CTE closure over brute-force levenshtein pairs."""
+        from agentic_doc_ray.functions.fuzzyjoin import entity_clusters
+
+        return entity_clusters(
             ray.data.read_parquet(
                 f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
             ),
@@ -3112,6 +3128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": q_clustering_coeff,
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
+        "entity_clusters": q_entity_clusters,      # independent closure oracle
         "generic_anti_join": q_generic_anti_join,
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "source_divergence": q_source_divergence,  # single-process replica oracle
@@ -5035,6 +5052,23 @@ def oracle_sql() -> dict[str, str]:
         "generic_join": (
             "SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        # INDEPENDENT oracle: recursive min-label closure over brute-force
+        # levenshtein pairs (shares nothing with the FastSS + CC path)
+        "entity_clusters": (
+            "WITH RECURSIVE p AS ("
+            "  SELECT a.c_custkey AS a, b.c_custkey AS b FROM customer a "
+            "  JOIN customer b ON a.c_custkey < b.c_custkey "
+            "  AND levenshtein(a.c_name, b.c_name) <= 1"
+            "), und AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+            "reach(a, b) AS ("
+            "  SELECT a, b FROM und "
+            "  UNION "
+            "  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a"
+            "), m AS (SELECT a, min(b) AS mn FROM reach GROUP BY a) "
+            "SELECT c.c_custkey, "
+            "CAST(coalesce(least(c.c_custkey, m.mn), c.c_custkey) AS BIGINT) AS cluster "
+            "FROM customer c LEFT JOIN m ON c.c_custkey = m.a"
         ),
         # INDEPENDENT oracle: brute-force all-pairs Levenshtein (shares no
         # candidate/verify code with the FastSS engine path)

@@ -299,3 +299,51 @@ def fuzzy_pairs_oracle(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
             "dist": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def entity_clusters(
+    ds: "ray.data.Dataset", id_col: str, text_col: str
+) -> "ray.data.Dataset":
+    """Entity resolution end stage: cluster rows whose strings sit within
+    edit distance 1 of each other TRANSITIVELY (fuzzy_pairs -> connected
+    components -> per-row cluster label = min member id; singletons label
+    themselves). The record-linkage counterpart of near_dedup_keep.
+
+    The CC label table is bounded by the fuzzy-pair mass, so it rides to
+    the labeling scan as a driver-side dict (same candidate-bounded
+    pattern as jaccard_verify); the entity rows themselves never
+    shuffle beyond fuzzy_pairs' own two slim exchanges. Ids are
+    zero-padded to 19 digits inside CC so its min-STRING component
+    convention coincides with numeric min."""
+    from agentic_doc_ray.functions.graph import connected_components
+
+    pairs = fuzzy_pairs(ds, id_col, text_col)
+
+    def pad(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_a": pa.array(np.char.zfill(a.astype("U19"), 19)),
+                "doc_b": pa.array(np.char.zfill(b.astype("U19"), 19)),
+            }
+        )
+
+    labels = connected_components(
+        pairs.map_batches(pad, batch_format="pyarrow")
+    ).take_all()  # pair-bounded (see docstring)
+    lab = {int(r["doc_id"]): int(r["component"]) for r in labels}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch.column(id_col).to_pandas()
+        cluster = ids.map(lab).fillna(ids).astype("int64")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(cluster.to_numpy(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

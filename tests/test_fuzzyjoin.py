@@ -51,3 +51,27 @@ def test_fuzzy_pairs_randomized_vs_bruteforce():
     want = fuzzy_pairs_oracle(t, "id", "name").to_pandas()
     assert got.values.tolist() == want.values.tolist()
     assert len(want) > 50  # the alphabet is tiny; the case is non-trivial
+
+
+def test_entity_clusters_transitive_and_singletons():
+    """a~b, b~c (but a!~c) must share one cluster; unrelated rows label
+    themselves; distributed result == union-find over oracle pairs."""
+    t = pa.table(
+        {
+            "id": [10, 11, 12, 20, 30, 31],
+            "name": ["kettle", "kettl", "kett", "zebra", "apple", "apples"],
+        }
+    )
+    from agentic_doc_ray.functions.fuzzyjoin import entity_clusters
+
+    got = (
+        entity_clusters(ray.data.from_arrow(t), "id", "name")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # kettle~kettl~kett chain -> one cluster rooted at 10 (kettle!~kett,
+    # distance 2 — only transitivity links them)
+    assert got.set_index("id")["cluster"].to_dict() == {
+        10: 10, 11: 10, 12: 10, 20: 20, 30: 30, 31: 30,
+    }
