@@ -1102,6 +1102,7 @@ _DRIVER_PRIORITY = [
     "exact_jaccard_join",
     "table_profile",
     "entity_clusters",
+    "crawl_schedule",
 ]
 
 
@@ -3226,6 +3227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _Sc().late_events,
         "user_cumulative_spend": _Sc().user_cumulative_spend,
         "global_rank": _Sc().global_rank,
+        "crawl_schedule": _Sc().crawl_schedule,    # politeness round-robin order
         "shuffle_positions": _Sc().shuffle_positions,
         "on_time_hourly": _Sc().on_time_hourly,
         "docs_above_group_median": q_group_median,
@@ -5435,6 +5437,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars, "
             "CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_rank "
             "FROM documents"
+        ),
+        # politeness schedule: same-source docs >= n_sources apart by
+        # construction (rank-within-source interleave)
+        "crawl_schedule": (
+            "WITH s AS (SELECT source, "
+            "  row_number() OVER (ORDER BY source) - 1 AS sidx "
+            "  FROM (SELECT DISTINCT source FROM documents)), "
+            "r AS (SELECT doc_id, source, "
+            "  row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rnk "
+            "  FROM documents) "
+            "SELECT r.doc_id, r.source, "
+            "CAST(r.rnk * (SELECT count(*) FROM s) + s.sidx AS BIGINT) AS position "
+            "FROM r JOIN s USING (source)"
         ),
         "shuffle_positions": (
             # the same Fibonacci-hash permutation key, in exact HUGEINT
