@@ -1103,6 +1103,7 @@ _DRIVER_PRIORITY = [
     "table_profile",
     "entity_clusters",
     "crawl_schedule",
+    "merge_upsert",
 ]
 
 
@@ -2604,6 +2605,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_top_tokens(sf_dir):
         return T.top_tokens(docs(sf_dir), k=100)
 
+    def q_merge_upsert(sf_dir):
+        """Lakehouse MERGE INTO: apply a deterministic CDC feed (D/U/I
+        row ops) to the documents table through one key-bucket exchange.
+        The merged state must equal the independent SQL derivation of
+        the 'next crawl' — update/delete/insert all exercised."""
+        from agentic_doc_ray.functions.delta import merge_upsert, upsert_feed_batch
+
+        base = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        updates = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(upsert_feed_batch, batch_format="pyarrow")
+        return merge_upsert(base, updates)
+
     def q_table_profile(sf_dir):
         """Per-column data-quality profile of the orders table (row/null
         counts, EXACT distinct cardinality via a distinct-key exchange,
@@ -3106,6 +3122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,    # exact (verified pipeline)
         "exact_jaccard_join": q_exact_jaccard_join,  # prefix-filter exact join
         "table_profile": q_table_profile,
+        "merge_upsert": q_merge_upsert,            # independent SQL v2 derivation
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
         "near_dedup_keep_best": q_near_dedup_keep_best,
@@ -5305,6 +5322,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, jaccard "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') "
             "WHERE jaccard >= 0.8"
+        ),
+        # INDEPENDENT oracle: the post-merge state derived directly in SQL
+        # (same shape as the cross_snapshot v2 derivation)
+        "merge_upsert": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 5 = 0 THEN text || ' [edited v2]' ELSE text END AS text "
+            "FROM documents WHERE doc_id % 7 <> 0 "
+            "UNION ALL "
+            "SELECT doc_id + 10000000 AS doc_id, text || ' (new)' AS text "
+            "FROM documents WHERE doc_id % 11 = 0"
         ),
         "table_profile": (
             "SELECT 'o_custkey' AS \"column\", count(*) AS n, count(*) - count(o_custkey) AS n_null,"

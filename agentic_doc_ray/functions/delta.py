@@ -332,3 +332,143 @@ def incremental_token_counts(
     kept = anti_join_ids(prev, stale_ids)
     fresh = token_counts(semi_join_ids(v2, compute_ids))
     return kept.union(fresh)
+
+
+# ---------------------------------------------------------------------------
+# keyed MERGE / upsert (the lakehouse MERGE INTO primitive)
+# ---------------------------------------------------------------------------
+
+_MERGE_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("side", pa.string()),  # 'b' base / 'u' update / 's' sentinel
+        ("op", pa.string()),  # updates only: U / D / I
+        ("text", pa.string()),
+    ]
+)
+
+
+def upsert_feed_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic CDC update feed against the documents table — the
+    row-op encoding of the same 'next crawl' rules as
+    ``second_crawl_batch`` (D: doc_id%7==0; U: %5==0 among survivors;
+    I: every %11==0 doc re-appears under doc_id+10_000_000). Module-level
+    and batch-local so replicas and SQL oracles mirror it exactly."""
+    did = batch.column("doc_id")
+    dels = batch.filter(pc.equal(_mod(did, 7), pa.scalar(0, pa.int64())))
+    upds = batch.filter(
+        pc.and_(
+            pc.not_equal(_mod(did, 7), pa.scalar(0, pa.int64())),
+            pc.equal(_mod(did, 5), pa.scalar(0, pa.int64())),
+        )
+    )
+    ins = batch.filter(pc.equal(_mod(did, 11), pa.scalar(0, pa.int64())))
+    return pa.table(
+        {
+            "doc_id": pa.concat_arrays(
+                [
+                    dels.column("doc_id").combine_chunks().cast(pa.int64()),
+                    upds.column("doc_id").combine_chunks().cast(pa.int64()),
+                    pc.add(
+                        ins.column("doc_id"), pa.scalar(10_000_000, pa.int64())
+                    ).combine_chunks(),
+                ]
+            ),
+            "op": pa.array(
+                ["D"] * dels.num_rows + ["U"] * upds.num_rows + ["I"] * ins.num_rows,
+                pa.string(),
+            ),
+            "text": pa.concat_arrays(
+                [
+                    pa.nulls(dels.num_rows, pa.string()),
+                    pc.binary_join_element_wise(
+                        upds.column("text"), pa.scalar(" [edited v2]"), ""
+                    ).combine_chunks(),
+                    pc.binary_join_element_wise(
+                        ins.column("text"), pa.scalar(" (new)"), ""
+                    ).combine_chunks(),
+                ]
+            ),
+        }
+    )
+
+
+def merge_upsert(
+    base: "ray.data.Dataset",
+    updates: "ray.data.Dataset",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """MERGE INTO semantics over (doc_id, text) tables: D removes the
+    key, U replaces the row (insert when absent — true upsert), I
+    inserts. One doc_id-keyed bucket exchange carries both sides;
+    each bucket applies its ops with Arrow joins, nothing driver-side.
+    The update feed is usually the O(delta) side, so the exchange cost
+    tracks the CHANGE volume on the update side while the base ships
+    once — the standard CDC-apply shape (Delta/Iceberg MERGE).
+
+    Assumes at most one op per key per merge batch (the CDC contract);
+    compact multi-op feeds upstream (last-writer-wins compaction is
+    ``snapshot_diff``'s territory)."""
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    n_rows = base.count()
+
+    def _bucket(key):
+        return pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        key = batch.column("doc_id").combine_chunks().cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["b"] * batch.num_rows, pa.string()),
+                pa.nulls(batch.num_rows, pa.string()),
+                batch.column("text").combine_chunks(),
+            ],
+            schema=_MERGE_SCHEMA,
+        )
+
+    def tag_updates(batch: pa.Table) -> pa.Table:
+        key = batch.column("doc_id").combine_chunks().cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                _bucket(key),
+                key,
+                pa.array(["u"] * batch.num_rows, pa.string()),
+                batch.column("op").combine_chunks(),
+                batch.column("text").combine_chunks(),
+            ],
+            schema=_MERGE_SCHEMA,
+        )
+
+    def apply_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "s"))
+        is_upd = pc.equal(g.column("side"), "u")
+        b = g.filter(pc.invert(is_upd)).select(["doc_id", "text"])
+        u = g.filter(is_upd).select(["doc_id", "op", "text"])
+        out_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        if u.num_rows == 0:
+            return b if b.num_rows else out_schema.empty_table()
+        keys = u.column("doc_id")
+        survivors = b.filter(
+            pc.invert(pc.is_in(b.column("doc_id"), value_set=keys.combine_chunks()))
+        )
+        new_rows = u.filter(
+            pc.not_equal(u.column("op"), "D")
+        ).select(["doc_id", "text"])
+        out = pa.concat_tables([survivors, new_rows])
+        return out if out.num_rows else out_schema.empty_table()
+
+    return (
+        base.map_batches(tag_base, batch_format="pyarrow")
+        .union(updates.map_batches(tag_updates, batch_format="pyarrow"))
+        .union(int_key_sentinels(_MERGE_SCHEMA, "bucket", fill={"side": "s"}))
+        .groupby("bucket", num_partitions=partitions_for(n_rows))
+        .map_groups(apply_bucket, batch_format="pyarrow")
+    )
