@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 43  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 44  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -335,6 +335,20 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             )
         ),
         os.path.join(out_dir, "pca.parquet"),
+    )
+
+    # k-center coreset replica: same exact integer distances + tie rules
+    from agentic_doc_ray.functions.similarity import kcenter_oracle
+
+    _pq.write_table(
+        kcenter_oracle(
+            pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+            ),
+            k=8,
+        ),
+        os.path.join(out_dir, "kcenter.parquet"),
     )
 
     # personalized-pagerank replica: same exact integer arithmetic with
@@ -1104,6 +1118,7 @@ _DRIVER_PRIORITY = [
     "entity_clusters",
     "crawl_schedule",
     "merge_upsert",
+    "kcenter_coreset",
 ]
 
 
@@ -2832,6 +2847,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return pca_project(sf_dir)
 
+    def q_kcenter_coreset(sf_dir):
+        """Greedy k-center coreset (Gonzalez farthest-point) over the
+        embedding table — diverse-subset selection; exact int64 micro
+        distances, deterministic ties, k streaming passes with zero
+        exchanges. Oracle: bit-equal single-process replica."""
+        from agentic_doc_ray.functions.similarity import kcenter_coreset
+
+        _ensure_extraction_oracles(sf_dir)
+        return kcenter_coreset(sf_dir, k=8)
+
     def q_ivf_recall(sf_dir):
         """ANN quality eval: recall@10 of the IVF path against the exact
         brute-force ground truth, integer per-mille per query. Oracle:
@@ -3181,6 +3206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_codes": q_sq8,
         "embedding_gram": q_embedding_gram,
         "pca_project": q_pca_project,
+        "kcenter_coreset": q_kcenter_coreset,
         "ivf_recall": q_ivf_recall,
         "sq8_topk": q_sq8_topk,
         "hamming_topk": q_hamming_topk,
@@ -4180,6 +4206,10 @@ def oracle_sql() -> dict[str, str]:
         "pca_project": (
             "SELECT vec_id, comp, coord_nscaled "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pca.parquet')"
+        ),
+        "kcenter_coreset": (
+            "SELECT center_rank, vec_id, radius_sq_micro2 "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/kcenter.parquet')"
         ),
         # sign-bit binary quantization in exact micro-units: bit d = 1 iff
         # micro * n > sum_d (cross-multiplied, no mean division); packed

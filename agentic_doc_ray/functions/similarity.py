@@ -1555,3 +1555,135 @@ def pca_project_oracle(
             "coord_nscaled": pa.array(coord.reshape(-1), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset (Gonzalez farthest-point, exact integer)
+# ---------------------------------------------------------------------------
+
+
+def kcenter_coreset(
+    sf_dir: str, k: int = 8, in_dim: int = 64, micro: int = 10**6
+) -> pa.Table:
+    """Greedy k-center coreset over the embedding table (Gonzalez 1985
+    farthest-point traversal, the classic 2-approximation): pick the
+    point farthest from the chosen set, k times — the standard diverse
+    subset / facility-location seed for data-selection and k-means init.
+
+    Exactness contract: squared L2 distances in micro-unit int64
+    (|coord| <= 1 -> per-pair d^2 <= 4 d micro^2 ~ 1e15, exact), argmax
+    ties broken by min vec_id, seed = min vec_id — so the traversal is a
+    pure function of the data and the replica oracle is bit-equal.
+
+    Scale shape: k rounds, each ONE streaming pass emitting a single
+    (best d^2, best id) partial row per batch — k driver-side kilobyte
+    collects, ZERO exchanges, nothing materialized. The chosen centers
+    (k x d ints) ride into each pass's closure. Cost is k full scans by
+    design (the greedy is inherently sequential in k); pick k << corpus
+    and cache the input upstream if k grows.
+
+    Output: (center_rank, vec_id, radius_sq_micro2) — radius is the
+    selected point's distance to the PREVIOUS centers (rank 0: -1), i.e.
+    the coverage-radius curve r_1 >= r_2 >= ... used to choose k."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    # every pass's partial carries the winning row's VECTOR, so the next
+    # center never needs a lookup pass — exactly k streaming scans total
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        x = _list_matrix_micro(batch.column("embedding"), in_dim)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if not len(x):
+            return pa.table(
+                {"vid": pa.array([], pa.int64()), "vec": pa.array([], pa.list_(pa.int64()))}
+            )
+        j = int(np.argmin(ids))
+        return pa.table({"vid": [int(ids[j])], "vec": [x[j].tolist()]})
+
+    parts = ds.map_batches(seed_partial, batch_format="pyarrow").take_all()
+    best = min(parts, key=lambda r: int(r["vid"]))
+    centers = [(0, int(best["vid"]), -1)]
+    cvecs = [np.asarray(best["vec"], dtype=np.int64)]
+
+    for rank in range(1, k):
+        C = np.stack(cvecs)  # (c, d) int64
+
+        def far_partial(batch: pa.Table, C=C) -> pa.Table:
+            x = _list_matrix_micro(batch.column("embedding"), in_dim)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if not len(x):
+                return pa.table(
+                    {
+                        "d2": pa.array([], pa.int64()),
+                        "vid": pa.array([], pa.int64()),
+                        "vec": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            # exact int64: ||x||^2 + ||c||^2 - 2 x.c  per (point, center)
+            xx = (x * x).sum(axis=1)
+            cc = (C * C).sum(axis=1)
+            d2 = xx[:, None] + cc[None, :] - 2 * (x @ C.T)
+            dmin = d2.min(axis=1)
+            j = np.lexsort((ids, -dmin))[0]  # max d2, tie -> min id
+            return pa.table(
+                {
+                    "d2": pa.array([int(dmin[j])], pa.int64()),
+                    "vid": pa.array([int(ids[j])], pa.int64()),
+                    "vec": [x[j].tolist()],
+                }
+            )
+
+        parts = ds.map_batches(far_partial, batch_format="pyarrow").take_all()
+        best = max(parts, key=lambda r: (int(r["d2"]), -int(r["vid"])))
+        centers.append((rank, int(best["vid"]), int(best["d2"])))
+        cvecs.append(np.asarray(best["vec"], dtype=np.int64))
+
+    return pa.table(
+        {
+            "center_rank": pa.array([c[0] for c in centers], pa.int64()),
+            "vec_id": pa.array([c[1] for c in centers], pa.int64()),
+            "radius_sq_micro2": pa.array([c[2] for c in centers], pa.int64()),
+        }
+    )
+
+
+def _micro_row(vals, micro: int) -> np.ndarray:
+    v = np.asarray(vals, dtype=np.float64)
+    return np.floor(v * micro + 0.5).astype(np.int64)
+
+
+def kcenter_oracle(
+    embeddings: pa.Table, k: int = 8, micro: int = 10**6
+) -> pa.Table:
+    """Single-process replica — same integer distances and tie rules."""
+    ids = np.asarray(embeddings.column("vec_id").to_numpy(zero_copy_only=False))
+    flat = (
+        embeddings.column("embedding")
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    n = len(ids)
+    x = np.floor(flat * micro + 0.5).astype(np.int64).reshape(n, -1)
+    order = np.argsort(ids, kind="stable")
+    ids, x = ids[order], x[order]
+    centers = [(0, int(ids[0]), -1)]
+    cidx = [0]
+    xx = (x * x).sum(axis=1)
+    dmin = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for rank in range(1, k):
+        c = x[cidx[-1]]
+        d2 = xx + (c * c).sum() - 2 * (x @ c)
+        dmin = np.minimum(dmin, d2)
+        best = np.lexsort((ids, -dmin))[0]
+        centers.append((rank, int(ids[best]), int(dmin[best])))
+        cidx.append(int(best))
+    return pa.table(
+        {
+            "center_rank": pa.array([c[0] for c in centers], pa.int64()),
+            "vec_id": pa.array([c[1] for c in centers], pa.int64()),
+            "radius_sq_micro2": pa.array([c[2] for c in centers], pa.int64()),
+        }
+    )

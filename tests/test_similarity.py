@@ -512,3 +512,19 @@ def test_pca_project_matches_replica_and_geometry(emb):
     assert np.allclose(var, eig, rtol=1e-3)
     # centering: component means are ~0
     assert np.abs(coords.mean(axis=0)).max() < 1e-9
+
+
+def test_kcenter_coreset_matches_replica(emb):
+    """Distributed Gonzalez traversal is bit-equal to the replica; the
+    coverage radius curve is non-increasing; centers are distinct."""
+    from agentic_doc_ray.functions.similarity import (
+        kcenter_coreset,
+        kcenter_oracle,
+    )
+
+    got = kcenter_coreset(SF, k=6).to_pandas()
+    want = kcenter_oracle(emb, k=6).to_pandas()
+    assert got.values.tolist() == want.values.tolist()
+    r = got["radius_sq_micro2"].to_numpy()[1:]
+    assert (r[1:] <= r[:-1]).all()
+    assert got["vec_id"].is_unique
