@@ -908,6 +908,14 @@ _ORACLE_SQL_DIR = _oracle_dir(SF_CORRECTNESS)  # static path used in SQL strings
 # Count-Min probe tokens (shared by the query and its replica oracle)
 _CMS_PROBES = ["hash", "join", "vector", "window", "spark", "zzz_absent"]
 
+# Morton bit-interleave expression shared by the zorder_layout oracle:
+# custkey bit i -> position 2i, epoch-day bit i -> 2i+1 (8 bits each),
+# generated here so the SQL is provably the same formula the engine runs.
+_ZORDER_TERMS = " + ".join(
+    f"(((o_custkey >> {i}) & 1) << {2 * i}) + (((dd >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
 _ORDER_PRIORITY_SQL = (
     "SELECT o.o_orderpriority, "
     "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue, "
@@ -940,6 +948,12 @@ def entry() -> Any:
 _DRIVER_PRIORITY = [
     # r02 FAIL — oracle HUGEINT->BIGINT cast added this round
     "repetition_stats",
+    # new in session 11: degree assortativity, lakehouse Z-order layout,
+    # exact covariance moments, code-corpus line-stat quality rules
+    "avg_neighbor_degree",
+    "zorder_layout",
+    "qty_discount_covariance",
+    "code_quality_flags",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -1975,6 +1989,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id"]
         )
         return clustering_coefficient(d, d.count())
+
+    def q_avg_neighbor_degree(sf_dir):
+        """Per-node average neighbor degree (degree-assortativity signal)
+        in exact integers + floor per-mille; degree pass + one bucketed
+        attach exchange over the canonical edge set. Pure SQL oracle."""
+        from agentic_doc_ray.functions.graph import avg_neighbor_degree
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        return avg_neighbor_degree(d, d.count())
+
+    def q_zorder_layout(sf_dir):
+        """Lakehouse OPTIMIZE ZORDER: Morton-interleave (o_custkey,
+        epoch-day), dense global position via range-partition +
+        driver prefix sums, file_id = pos // rows_per_file. Pure SQL
+        oracle (bit-interleave expression + row_number)."""
+        from agentic_doc_ray.functions.scans import zorder_layout
+
+        return zorder_layout(sf_dir)
+
+    def q_qty_discount_cov(sf_dir):
+        """Exact per-returnflag covariance moments of (quantity, discount
+        percent points); per-batch integer partials, 3-row groupby,
+        Python-int cross multiply. Pure SQL oracle (HUGEINT->BIGINT)."""
+        return A.qty_discount_covariance(sf_dir)
+
+    def q_code_quality_flags(sf_dir):
+        """BigCode/The-Stack line-stat quality rules (max/mean line
+        length, alnum fraction) as exact integer flags; batch-local,
+        zero shuffle. Pure SQL oracle."""
+        return T.code_quality_flags(docs(sf_dir))
 
     def q_split_sentences(sf_dir):
         """Sentence segmentation (the unit for sentence-level dedup /
@@ -3169,6 +3215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": q_label_propagation,  # bit-equal replica oracle
         "personalized_pagerank": q_personalized_pagerank,  # bit-equal replica
         "clustering_coefficient": q_clustering_coeff,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "zorder_layout": q_zorder_layout,
+        "qty_discount_covariance": q_qty_discount_cov,
+        "code_quality_flags": q_code_quality_flags,
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
@@ -5156,6 +5206,73 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles, "
             "  (2000 * COALESCE(tcnt.t, 0)) // (deg.d * (deg.d - 1)) AS coeff_per_mille "
             "FROM deg LEFT JOIN tcnt USING (node) WHERE deg.d >= 2"
+        ),
+        # same canonical-distinct LCG edge set; avg neighbor degree =
+        # sum of neighbor degrees over the directed view, floor per-mille
+        "avg_neighbor_degree": (
+            "WITH ids AS (SELECT doc_id AS i FROM documents),"
+            "nn AS (SELECT count(*) AS n FROM ids),"
+            "e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst"
+            "       FROM ids, nn, generate_series(1,3) AS t(k)),"
+            "e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),"
+            "canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e1 WHERE src <> dst),"
+            "dir AS (SELECT a AS node, b AS other FROM canon"
+            "        UNION ALL SELECT b AS node, a AS other FROM canon),"
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM dir GROUP BY node) "
+            "SELECT r.node, dn.degree, "
+            "  CAST(sum(do_.degree) AS BIGINT) AS nbr_degree_sum, "
+            "  CAST((1000 * CAST(sum(do_.degree) AS BIGINT)) // dn.degree AS BIGINT)"
+            "    AS avg_nbr_deg_permille "
+            "FROM dir r JOIN deg dn ON dn.node = r.node "
+            "JOIN deg do_ ON do_.node = r.other "
+            "GROUP BY r.node, dn.degree"
+        ),
+        # Morton interleave (shared _ZORDER_TERMS expression), dense
+        # position by (zkey, o_orderkey), file of 8192 rows
+        "zorder_layout": (
+            "WITH d AS (SELECT o_orderkey, o_custkey, "
+            "  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd "
+            "  FROM orders), "
+            f"z AS (SELECT o_orderkey, CAST({_ZORDER_TERMS} AS BIGINT) AS zkey FROM d), "
+            "r AS (SELECT o_orderkey, zkey, "
+            "  row_number() OVER (ORDER BY zkey, o_orderkey) - 1 AS pos FROM z) "
+            "SELECT o_orderkey, zkey, CAST(pos // 8192 AS BIGINT) AS file_id FROM r"
+        ),
+        # exact integer covariance moments; quantities are integral and
+        # discounts live on the 0.01 grid, so round() is exact on both
+        # engines; HUGEINT sums cast back to BIGINT
+        "qty_discount_covariance": (
+            "WITH m AS (SELECT l_returnflag, "
+            "  CAST(count(*) AS BIGINT) AS n, "
+            "  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q, "
+            "  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_d, "
+            "  CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_qd "
+            "  FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, sum_q, sum_d, sum_qd, "
+            "  CAST(n*sum_qd - sum_q*sum_d AS BIGINT) AS cov_num FROM m"
+        ),
+        # BigCode line-stat rules: ALL newline-split segments count,
+        # line_len_sum = chars - newlines (split parts - 1), floors by
+        # integer division, flags cross-multiplied
+        "code_quality_flags": (
+            "WITH l AS (SELECT doc_id, length(text) AS n_chars, "
+            "  string_split(text, chr(10)) AS ls, "
+            "  length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum "
+            "  FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  CAST(len(ls) AS BIGINT) AS n_lines, "
+            "  CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT) AS max_line_len, "
+            "  CAST(n_chars - (len(ls) - 1) AS BIGINT) AS line_len_sum, "
+            "  CAST(n_alnum AS BIGINT) AS n_alnum, "
+            "  CAST(n_chars AS BIGINT) AS n_chars FROM l) "
+            "SELECT doc_id, n_lines, max_line_len, line_len_sum, n_alnum, "
+            "  CAST(CASE WHEN n_chars > 0 THEN (1000*n_alnum)//n_chars ELSE 0 END AS BIGINT) AS alnum_per_mille, "
+            "  CAST(CASE WHEN max_line_len <= 1000 THEN 1 ELSE 0 END AS BIGINT) AS flag_max_line, "
+            "  CAST(CASE WHEN line_len_sum <= 100*n_lines THEN 1 ELSE 0 END AS BIGINT) AS flag_mean_line, "
+            "  CAST(CASE WHEN n_chars > 0 AND 4*n_alnum >= n_chars THEN 1 ELSE 0 END AS BIGINT) AS flag_alnum, "
+            "  CAST(CASE WHEN max_line_len <= 1000 AND line_len_sum <= 100*n_lines "
+            "    AND n_chars > 0 AND 4*n_alnum >= n_chars THEN 1 ELSE 0 END AS BIGINT) AS keep "
+            "FROM s"
         ),
         # common-neighbor link prediction: wedges minus existing edges,
         # deterministic (n_common DESC, node_a, node_b) top-k

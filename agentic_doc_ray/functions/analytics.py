@@ -1199,6 +1199,90 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
     ).aggregate(Sum("n", alias_name="n_pairs"))
 
 
+def qty_discount_covariance(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-group covariance moments of (quantity, discount) by
+    return flag — the do-big-discounts-move-volume signal, computed as
+    EXACT integers: per flag, ``n``, ``sum_q`` (integral quantities),
+    ``sum_d`` (discount in whole percent points — the data lives on the
+    0.01 grid), ``sum_qd``, and the covariance numerator
+    ``cov_num = n*sum_qd - sum_q*sum_d`` (``n^2 * covariance``; the
+    caller divides, or compares sign/ratio exactly).
+
+    Shape is the cheapest possible: per-batch integer partials (one row
+    per flag per batch) -> a 3-row ``groupby`` -> the numerator computed
+    on the driver-scale result with PYTHON ints, so the cross-multiply
+    cannot overflow int64 even at 10^12 rows (the per-batch int64
+    partials are safe: q <= 50, d <= 10, so sum_qd grows at <= 500/row).
+    No exchange carries more than |flags| x blocks rows.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        d = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t = pa.Table.from_arrays(
+            [
+                batch.column("l_returnflag"),
+                q,
+                d,
+                pc.multiply(q, d),
+                pa.array(np.ones(batch.num_rows, np.int64)),
+            ],
+            names=["l_returnflag", "q", "d", "qd", "one"],
+        )
+        return (
+            t.group_by("l_returnflag")
+            .aggregate(
+                [("q", "sum"), ("d", "sum"), ("qd", "sum"), ("one", "sum")]
+            )
+            .rename_columns(["l_returnflag", "q", "d", "qd", "one"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag", num_partitions=shuffle_partitions(2))
+        .aggregate(
+            Sum("q", alias_name="sum_q"),
+            Sum("d", alias_name="sum_d"),
+            Sum("qd", alias_name="sum_qd"),
+            Sum("one", alias_name="n"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()  # <= |flags| rows: driver-scale math
+        for r in rows:
+            # Python ints: exact at any scale (int64 would overflow the
+            # cross-multiply around 10^9 rows/group)
+            r["cov_num"] = int(r["n"]) * int(r["sum_qd"]) - int(r["sum_q"]) * int(
+                r["sum_d"]
+            )
+        out = pa.Table.from_pylist(rows)
+        return out.select(
+            ["l_returnflag", "n", "sum_q", "sum_d", "sum_qd", "cov_num"]
+        ).cast(
+            pa.schema(
+                [
+                    ("l_returnflag", pa.string()),
+                    ("n", pa.int64()),
+                    ("sum_q", pa.int64()),
+                    ("sum_d", pa.int64()),
+                    ("sum_qd", pa.int64()),
+                    ("cov_num", pa.int64()),
+                ]
+            )
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def forecast_revenue(
     sf_dir: str,
     date_from: str = "1997-01-01",

@@ -448,6 +448,113 @@ def shuffle_positions(
     )
 
 
+_US_PER_DAY = 86_400_000_000
+
+
+def zorder_layout(
+    sf_dir: str, bits: int = 8, rows_per_file: int = 8192, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Z-order (Morton-curve) data layout over orders — the lakehouse
+    ``OPTIMIZE ZORDER BY (o_custkey, o_orderdate)`` primitive: interleave
+    the low ``bits`` bits of customer key and epoch-day so rows close in
+    BOTH dimensions land in the same output file, making every downstream
+    read with a customer OR date predicate prune most files (the
+    multi-dimensional analogue of the hive partitioning in
+    ``partitioned_parquet``; reference has no storage layout surface).
+
+    Exact and deterministic: ``zkey`` is a pure bit interleave (custkey
+    bit i -> position 2i, day bit i -> 2i+1), the global position is the
+    dense rank of ``(zkey, o_orderkey)``, and ``file_id = pos //
+    rows_per_file`` — all integer math, mirrored bit-for-bit in the SQL
+    oracle.
+
+    Shape is the ``global_rank`` machinery minus its min/max pass: zkey
+    lives in ``[0, 4^bits)`` by construction, so the range partition is
+    just the top bucket bits. Per-bucket counts fold from per-batch
+    partials (<= n_buckets integers on the driver), then ONE
+    ``groupby(bucket)`` exchange sorts each value range locally and
+    assigns ``offset + local index``. At 10^12 rows: one exchange, one
+    tiny driver table — Ray's ``sort()`` would range-partition anyway and
+    then materialize a total order nobody needs.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    n_rows = ds.count()  # metadata-only
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "zkey": pa.array([], pa.int64()),
+            "file_id": pa.array([], pa.int64()),
+        }
+    )
+    if n_rows == 0:  # zero-row shuffle guard
+        return ray.data.from_arrow(empty)
+
+    shift = max(0, 2 * bits - int(np.log2(n_buckets)))
+
+    def with_zkey(batch: pa.Table) -> pa.Table:
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        days = (
+            batch.column("o_orderdate")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // _US_PER_DAY
+        )
+        z = np.zeros(len(cust), np.int64)
+        for i in range(bits):
+            z |= ((cust >> i) & 1) << (2 * i)
+            z |= ((days >> i) & 1) << (2 * i + 1)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "zkey": pa.array(z, pa.int64()),
+                "bucket": pa.array((z >> shift).astype(np.int32)),
+            }
+        )
+
+    keyed = ds.map_batches(with_zkey, batch_format="pyarrow")
+
+    counts = keyed.map_batches(
+        lambda b: b.select(["bucket"])
+        .group_by("bucket")
+        .aggregate([("bucket", "count")])
+        .rename_columns(["bucket", "n"]),
+        batch_format="pyarrow",
+    ).take_all()
+    per_bucket: dict[int, int] = {}
+    for r in counts:
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["n"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b]
+    off_ref = ray.put(offsets)
+
+    def layout_bucket(group: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        order = pc.sort_indices(
+            group, sort_keys=[("zkey", "ascending"), ("o_orderkey", "ascending")]
+        )
+        g = group.take(order)
+        base = offs[int(g.column("bucket")[0].as_py())]
+        pos = np.arange(g.num_rows, dtype=np.int64) + base
+        return pa.Table.from_arrays(
+            [
+                g.column("o_orderkey"),
+                g.column("zkey"),
+                pa.array(pos // rows_per_file),
+            ],
+            names=["o_orderkey", "zkey", "file_id"],
+        )
+
+    return keyed.groupby("bucket", num_partitions=partitions_for(n_rows)).map_groups(
+        layout_bucket, batch_format="pyarrow"
+    )
+
+
 def user_cumulative_spend(sf_dir: str) -> "ray.data.Dataset":
     """Per-user running purchase totals: for every purchase event, the
     user's cumulative purchase count and spend up to and including it

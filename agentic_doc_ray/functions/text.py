@@ -463,6 +463,73 @@ def gopher_quality_flags(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(gopher_quality_flags_batch, batch_format="pyarrow")
 
 
+def code_quality_flags_batch(batch: pa.Table) -> pa.Table:
+    """BigCode/StarCoder-style line-stat quality rules per doc (The Stack
+    §filtering: max line length, mean line length, alphanumeric fraction)
+    — the code-corpus complement to the natural-language Gopher rules.
+    Exact integers only: per doc ``n_lines`` (ALL "\\n"-split segments,
+    empty included — that is what a code filter counts), ``max_line_len``,
+    ``line_len_sum`` (chars minus newlines), ``n_alnum``,
+    ``alnum_per_mille`` (floor), and the three flags + ``keep``:
+
+      - ``flag_max_line``: longest line <= 1000 chars (minified/data blob
+        detector),
+      - ``flag_mean_line``: mean line length <= 100, cross-multiplied
+        (``line_len_sum <= 100 * n_lines``),
+      - ``flag_alnum``: alphanumeric fraction >= 1/4
+        (``4 * n_alnum >= n_chars``, and nonempty).
+
+    Vectorized: one split + one regex count across the batch, segmented
+    max via ``np.maximum.at`` — batch-local, zero shuffle."""
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = batch.num_rows
+    n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_alnum = (
+        pc.count_substring_regex(text, "[A-Za-z0-9]")
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    lines = pc.split_pattern(text, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    flat_len = pc.utf8_length(flat).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_lines = pc.list_value_length(lines).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    max_line = np.zeros(n, dtype=np.int64)
+    np.maximum.at(max_line, parents, flat_len)
+    line_len_sum = n_chars - (n_lines - 1)  # split yields n_newlines + 1 parts
+
+    f_max_line = (max_line <= 1000).astype(np.int64)
+    f_mean_line = (line_len_sum <= 100 * n_lines).astype(np.int64)
+    f_alnum = ((n_chars > 0) & (4 * n_alnum >= n_chars)).astype(np.int64)
+    keep = f_max_line & f_mean_line & f_alnum
+    alnum_pm = np.where(n_chars > 0, (1000 * n_alnum) // np.maximum(n_chars, 1), 0)
+
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": n_lines,
+            "max_line_len": max_line,
+            "line_len_sum": line_len_sum,
+            "n_alnum": n_alnum,
+            "alnum_per_mille": alnum_pm.astype(np.int64),
+            "flag_max_line": f_max_line,
+            "flag_mean_line": f_mean_line,
+            "flag_alnum": f_alnum,
+            "keep": keep,
+        }
+    )
+
+
+def code_quality_flags(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    return docs.map_batches(code_quality_flags_batch, batch_format="pyarrow")
+
+
 def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     """Gopher-style repetition metrics per doc (integer, oracle-exact):
     n_lines (non-empty), n_dup_lines (lines whose text occurs more than

@@ -554,6 +554,41 @@ def main() -> None:
 
     timed("clustering_coefficient", clustering_q)
 
+    def avg_nbr_deg_q() -> None:
+        from agentic_doc_ray.functions.graph import avg_neighbor_degree
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        avg_neighbor_degree(d, d.count()).count()
+
+    timed("avg_neighbor_degree", avg_nbr_deg_q)
+
+    def zorder_q() -> None:
+        from agentic_doc_ray.functions.scans import zorder_layout
+
+        zorder_layout(SF_DIR).count()
+
+    timed("zorder_layout", zorder_q)
+
+    def qty_disc_cov_q() -> None:
+        from agentic_doc_ray.functions.analytics import qty_discount_covariance
+
+        qty_discount_covariance(SF_DIR).count()
+
+    timed("qty_discount_covariance", qty_disc_cov_q)
+
+    def code_quality_q() -> None:
+        from agentic_doc_ray.functions.text import code_quality_flags
+
+        code_quality_flags(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("code_quality_flags", code_quality_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

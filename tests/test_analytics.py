@@ -1293,3 +1293,33 @@ def test_revenue_trend_matches_numpy_ols():
         row = got.loc[prio]
         assert row["n_days"] == len(daily)
         assert abs(row["slope_micro"] / 1e6 - slope) <= max(1e-6 * abs(slope), 1e-3)
+
+
+def test_qty_discount_covariance_exact():
+    got = (
+        A.qty_discount_covariance(SF)
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH m AS (SELECT l_returnflag,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q,
+          CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_d,
+          CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_qd
+        FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1)
+        SELECT l_returnflag, n, sum_q, sum_d, sum_qd,
+          CAST(n*sum_qd - sum_q*sum_d AS BIGINT) AS cov_num FROM m
+        ORDER BY l_returnflag
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, check_exact=True,
+    )
+    # the Python-int cross-multiply must equal the definition n^2*cov
+    r = got.iloc[0]
+    assert r["cov_num"] == r["n"] * r["sum_qd"] - r["sum_q"] * r["sum_d"]

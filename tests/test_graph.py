@@ -830,3 +830,45 @@ def test_graph_walks_matches_replica_with_sinks():
     starts = got[got.step == 0]
     assert (starts.walk_id == starts.node).all()
     assert set(starts.walk_id) == {"a", "b", "c", "d", "e", "f"}
+
+
+def test_avg_neighbor_degree_brute_force():
+    """Brute-force recount of the derived LCG graph on 30 ids: degree,
+    neighbor-degree sum, and the exact floor per-mille average."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.graph import avg_neighbor_degree
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+
+    n = 30
+    edges = set()
+    for src in range(n):
+        for k in range(1, N_LINKS + 1):
+            dst = (src * _LCG_A + k * _LCG_C) % n
+            if dst == src:
+                dst = (dst + 1) % n
+            if dst != src:
+                edges.add((min(src, dst), max(src, dst)))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {
+        v: (
+            len(nb),
+            sum(len(adj[u]) for u in nb),
+            1000 * sum(len(adj[u]) for u in nb) // len(nb),
+        )
+        for v, nb in adj.items()
+    }
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    ).repartition(3)
+    got = {
+        r["node"]: (r["degree"], r["nbr_degree_sum"], r["avg_nbr_deg_permille"])
+        for r in avg_neighbor_degree(ds, n).take_all()
+    }
+    assert got == want

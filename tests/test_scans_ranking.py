@@ -309,3 +309,26 @@ def test_word_ngram_units_doc_boundaries():
     )
     grams = _word_ngram_units(t, 3).to_pylist()
     assert grams == ["a b c", "b c d", "p q r"]
+
+
+def test_zorder_layout_oracle_and_file_sizes():
+    """Morton layout vs a numpy recount, plus the layout invariants: file
+    ids are a dense prefix partition of the (zkey, key) order with at
+    most rows_per_file rows each."""
+    got = S.zorder_layout(SF, rows_per_file=100).to_pandas()
+    o = _duck("SELECT o_orderkey, o_custkey, o_orderdate FROM orders")
+    days = (
+        (o["o_orderdate"] - pd.Timestamp("1970-01-01")).dt.days.to_numpy()
+    ).astype(np.int64)
+    cust = o["o_custkey"].to_numpy()
+    z = np.zeros(len(o), dtype=np.int64)
+    for i in range(8):
+        z |= ((cust >> i) & 1) << (2 * i)
+        z |= ((days >> i) & 1) << (2 * i + 1)
+    want = pd.DataFrame({"o_orderkey": o["o_orderkey"], "zkey": z})
+    want = want.sort_values(["zkey", "o_orderkey"]).reset_index(drop=True)
+    want["file_id"] = np.arange(len(want), dtype=np.int64) // 100
+    _cmp(got, want, ["o_orderkey"])
+    sizes = got.groupby("file_id").size()
+    assert (sizes <= 100).all()
+    assert sorted(sizes.index) == list(range(len(sizes)))

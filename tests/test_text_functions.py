@@ -975,3 +975,37 @@ def test_mink_prob_matches_replica_and_bounds():
     ).all()
     # k_sel is ceil(20% of n_scored)
     assert (sel["k_sel"] == -(-sel["n_scored_x"] * 20 // 100)).all()
+
+
+def test_code_quality_flags_planted():
+    """Each BigCode rule binds on a planted doc: a minified blob (long
+    line), a data table (long mean line), symbol soup (low alnum), and a
+    clean passage that passes everything."""
+    texts = [
+        "x" * 1500,                               # one 1500-char line
+        ("y" * 150 + "\n") * 4 + "y" * 150,       # 5 lines, mean 150
+        "(((***)))\n[[[///]]]",                   # alnum fraction 0
+        "def f(x):\n    return x + 1\n",          # clean
+        "",                                       # empty: all-zero stats
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(5), pa.int64()), "text": texts}
+        )
+    )
+    got = (
+        T.code_quality_flags(ds)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "flag_max_line"] == 0 and got.loc[0, "max_line_len"] == 1500
+    assert got.loc[1, "flag_mean_line"] == 0 and got.loc[1, "flag_max_line"] == 1
+    assert got.loc[2, "flag_alnum"] == 0 and got.loc[2, "n_alnum"] == 0
+    assert got.loc[3, "keep"] == 1
+    # empty text: one zero-length line, alnum flag fails (nonempty rule)
+    assert got.loc[4, "n_lines"] == 1 and got.loc[4, "keep"] == 0
+    assert got.loc[3, "n_lines"] == 3  # trailing newline -> empty 3rd part
+    assert (got["keep"] == (
+        got["flag_max_line"] & got["flag_mean_line"] & got["flag_alnum"]
+    )).all()
