@@ -954,6 +954,12 @@ _DRIVER_PRIORITY = [
     "zorder_layout",
     "qty_discount_covariance",
     "code_quality_flags",
+    # new in session 11 (batch 2): GloVe co-occurrence window counts,
+    # market-basket support, moving-average rollup, SCD2 history
+    "cooccurrence_counts",
+    "copurchase_pairs",
+    "revenue_moving_avg",
+    "scd2_history",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2021,6 +2027,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         length, alnum fraction) as exact integer flags; batch-local,
         zero shuffle. Pure SQL oracle."""
         return T.code_quality_flags(docs(sf_dir))
+
+    def q_cooccurrence_counts(sf_dir):
+        """GloVe-style windowed token co-occurrence top-k (unordered
+        canonical pairs, +/-2 words): per-batch shifted-mask pairing,
+        one pair exchange of partials. Pure SQL oracle."""
+        return T.cooccurrence_counts(docs(sf_dir))
+
+    def q_copurchase_pairs(sf_dir):
+        """Market-basket co-purchase support (A-Priori pass 1 /
+        bought-together): one order-bucket exchange, degree-class-matrix
+        pair generation, deterministic top-k. Pure SQL oracle."""
+        return A.copurchase_pairs(sf_dir)
+
+    def q_revenue_moving_avg(sf_dir):
+        """Trailing 7-row moving average of daily revenue in exact
+        cents: tiny day rollup exchange, driver cumsum bounded by
+        distinct days. Pure SQL oracle (ROWS window)."""
+        return A.revenue_moving_avg(sf_dir)
+
+    def q_scd2_history(sf_dir):
+        """SCD type-2 dimension history over the event stream: validity
+        intervals per user via one user-bucket exchange + vectorized
+        sort/shift. Pure SQL oracle (LEAD window)."""
+        return A.scd2_history(sf_dir)
 
     def q_split_sentences(sf_dir):
         """Sentence segmentation (the unit for sentence-level dedup /
@@ -3219,6 +3249,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": q_zorder_layout,
         "qty_discount_covariance": q_qty_discount_cov,
         "code_quality_flags": q_code_quality_flags,
+        "cooccurrence_counts": q_cooccurrence_counts,
+        "copurchase_pairs": q_copurchase_pairs,
+        "revenue_moving_avg": q_revenue_moving_avg,
+        "scd2_history": q_scd2_history,
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
@@ -5273,6 +5307,63 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN max_line_len <= 1000 AND line_len_sum <= 100*n_lines "
             "    AND n_chars > 0 AND 4*n_alnum >= n_chars THEN 1 ELSE 0 END AS BIGINT) AS keep "
             "FROM s"
+        ),
+        # windowed (+/-2) unordered token co-occurrence; least/greatest
+        # is DuckDB's collation-free byte compare — same canonical form
+        # as the engine's pc.greater swap
+        "cooccurrence_counts": (
+            "WITH toks AS ("
+            "  SELECT regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t "
+            "  FROM documents "
+            "  WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''"
+            "), pairs AS ("
+            "  SELECT least(t[i], t[i+o]) AS tok_a, greatest(t[i], t[i+o]) AS tok_b "
+            "  FROM toks, UNNEST(generate_series(1,2)) AS w(o), "
+            "       UNNEST(generate_series(1, len(t)-o)) AS r(i) "
+            "  WHERE len(t) > o AND t[i] <> t[i+o]"
+            ") "
+            "SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n FROM pairs "
+            "GROUP BY 1, 2 ORDER BY n DESC, tok_a, tok_b LIMIT 100"
+        ),
+        # market-basket support: distinct (order, part) self-join with
+        # part_a < part_b; row_number makes the boundary deterministic
+        "copurchase_pairs": (
+            "WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
+            "  FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey "
+            "  AND a.l_partkey < b.l_partkey), "
+            "c AS (SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support "
+            "  FROM pr GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER "
+            "  (ORDER BY support DESC, part_a, part_b) AS rn FROM c) "
+            "SELECT part_a, part_b, support FROM r WHERE rn <= 100"
+        ),
+        # trailing 7-ROW window over the daily rollup, exact cents
+        "revenue_moving_avg": (
+            "WITH d AS (SELECT "
+            "  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num, "
+            "  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_cents "
+            "  FROM orders GROUP BY 1), "
+            "w AS (SELECT day_num, day_cents, "
+            "  CAST(sum(day_cents) OVER (ORDER BY day_num "
+            "    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents, "
+            "  CAST(count(*) OVER (ORDER BY day_num "
+            "    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_days "
+            "  FROM d) "
+            "SELECT day_num, day_cents, win_cents, win_days, "
+            "  CAST(win_cents // win_days AS BIGINT) AS avg_cents FROM w"
+        ),
+        # SCD2 validity intervals: LEAD over (ts, event_id) per user,
+        # NULL valid_to on the current row
+        "scd2_history": (
+            "SELECT user_id, "
+            "  CAST(row_number() OVER w AS BIGINT) AS version, "
+            "  ts AS valid_from, "
+            "  lead(ts) OVER w AS valid_to, "
+            "  event_type, "
+            "  CAST(round(value*100) AS BIGINT) AS value_cents "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         # common-neighbor link prediction: wedges minus existing edges,
         # deterministic (n_common DESC, node_a, node_b) top-k

@@ -1199,6 +1199,296 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
     ).aggregate(Sum("n", alias_name="n_pairs"))
 
 
+_BASKET_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("l_orderkey", pa.int64()),
+        ("l_partkey", pa.int64()),
+    ]
+)
+
+
+def copurchase_pairs(
+    sf_dir: str, k: int = 100, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Market-basket co-purchase support counts — the first pass of
+    A-Priori frequent-itemset mining and the co-visitation matrix behind
+    "bought together" recommendation: for every unordered pair of parts
+    appearing on the SAME order, in how many orders do they co-occur;
+    deterministic (support DESC, part_a, part_b) top-k.
+
+    Shape: in-batch distinct (order, part) first, then ONE
+    ``hash(l_orderkey)`` bucket exchange co-locates each order's basket
+    (pairs never cross orders, so the bucket key is a function of the
+    order alone); inside a bucket the degree-class-matrix pair generator
+    from the triangle pipeline (``graph._wedge_pairs``) emits every
+    basket's pairs with no per-order Python loop, and per-bucket partial
+    counts mean the final pair ``groupby`` sees one row per distinct pair
+    per bucket. Baskets are small (TPC-H ≤ 7 lines; retail ~10s), so the
+    per-bucket pair blowup is bounded by ``max_basket^2/2`` per order."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for, shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.graph import _wedge_pairs
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    np_ = partitions_for(ds.count())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        # in-batch distinct before the exchange
+        t = (
+            batch.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+        )
+        bucket = pc.cast(
+            pc.bit_wise_and(
+                t.column("l_orderkey"), pa.scalar(n_buckets - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [bucket, t.column("l_orderkey"), t.column("l_partkey")],
+            schema=_BASKET_SCHEMA,
+        )
+
+    part_schema = pa.schema(
+        [("part_a", pa.int64()), ("part_b", pa.int64()), ("n", pa.int64())]
+    )
+
+    def pairs_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("l_orderkey"), 0))
+        if g.num_rows == 0:
+            return part_schema.empty_table()
+        # global distinct within the bucket (an order's lines can span
+        # input batches), then sorted runs feed the pair generator
+        g = (
+            g.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+        )
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("l_orderkey", "ascending"), ("l_partkey", "ascending")],
+        )
+        g = g.take(order)
+        apex = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        nb = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        x, y, _ = _wedge_pairs(apex, nb)
+        if len(x) == 0:
+            return part_schema.empty_table()
+        t = pa.table(
+            {"part_a": pa.array(x, pa.int64()), "part_b": pa.array(y, pa.int64())}
+        )
+        return (
+            t.group_by(["part_a", "part_b"])
+            .aggregate([("part_a", "count")])
+            .rename_columns(["part_a", "part_b", "n"])
+        )
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                _BASKET_SCHEMA, "bucket", fill={"l_orderkey": -1, "l_partkey": -1}
+            )
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(pairs_bucket, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"], num_partitions=shuffle_partitions(8))
+        .aggregate(Sum("n", alias_name="support"))
+    )
+    return agg.sort(
+        ["support", "part_a", "part_b"], descending=[True, False, False]
+    ).limit(k)
+
+
+def revenue_moving_avg(sf_dir: str, window_days: int = 7) -> "ray.data.Dataset":
+    """Trailing ``window_days``-row moving average of daily order revenue
+    in exact integer cents — the smoothed-demand curve behind forecast
+    dashboards, computed sketch-then-scan: per-batch (day, cents)
+    partials, ONE tiny ``groupby(day)`` exchange, then the rollup —
+    bounded by the number of DISTINCT DAYS (~2.4k for seven years,
+    independent of row count) — finishes on the driver with one exact
+    int64 cumsum. The window is over existing days in day order (ROWS,
+    not RANGE — matching the SQL oracle's ``ROWS BETWEEN n PRECEDING``).
+
+    ``avg_cents`` is floor integer division of the window sum by the
+    window row count. int64 cumsum overflows only past ~9e16 total cents
+    (a quadrillion dollars) — asserted, not assumed."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            batch.column("o_orderdate").cast(pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return (
+            pa.Table.from_arrays([day, cents], names=["day_num", "c"])
+            .group_by("day_num")
+            .aggregate([("c", "sum")])
+            .rename_columns(["day_num", "c"])
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day_num", num_partitions=shuffle_partitions(4))
+        .aggregate(Sum("c", alias_name="day_cents"))
+        .take_all()  # bounded by distinct days, documented above
+    )
+    daily.sort(key=lambda r: r["day_num"])
+    days = np.array([r["day_num"] for r in daily], dtype=np.int64)
+    cents = np.array([r["day_cents"] for r in daily], dtype=np.int64)
+    total = int(cents.sum())
+    assert total < (1 << 62), "cumsum overflow guard"
+    cs = np.concatenate(([0], np.cumsum(cents)))
+    idx = np.arange(len(days), dtype=np.int64)
+    lo = np.maximum(0, idx - (window_days - 1))
+    win_cents = cs[idx + 1] - cs[lo]
+    win_days = idx + 1 - lo
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day_num": pa.array(days),
+                "day_cents": pa.array(cents),
+                "win_cents": pa.array(win_cents),
+                "win_days": pa.array(win_days),
+                "avg_cents": pa.array(win_cents // win_days),
+            }
+        )
+    )
+
+
+_SCD2_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("event_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+    ]
+)
+
+
+def scd2_history(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Slowly-changing-dimension type-2 history builder over the event
+    change stream — the lakehouse dimension-table pattern (Kimball SCD2,
+    Delta/Iceberg MERGE's historical sibling): every event opens a
+    validity interval ``[valid_from, valid_to)`` on its user's timeline;
+    ``valid_to`` is the next event's timestamp (NULL for the current
+    row), ``version`` is the 1-based position in (ts, event_id) order.
+
+    ONE exchange on a coarse user bucket (the sessionize/transitions
+    pattern — intervals never cross users, so the bucket key is a
+    function of user_id alone); inside a bucket a single vectorized
+    sort + shift computes every user's lead timestamps. Value is carried
+    as exact integer cents."""
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ds = _read(
+        sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"]
+    )
+    np_ = partitions_for(ds.count())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.bit_wise_and(
+                batch.column("user_id"), pa.scalar(n_buckets - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                batch.column("user_id"),
+                batch.column("ts"),
+                batch.column("event_id"),
+                batch.column("event_type"),
+                batch.column("value"),
+            ],
+            schema=_SCD2_SCHEMA,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("version", pa.int64()),
+            ("valid_from", pa.timestamp("us")),
+            ("valid_to", pa.timestamp("us")),
+            ("event_type", pa.string()),
+            ("value_cents", pa.int64()),
+        ]
+    )
+
+    def history_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("user_id"), 0))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        # version: 1-based rank within each user run
+        starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        version = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [n])))
+        ) + 1
+        # lead(ts) within user: next row's ts unless the user changes
+        lead = np.empty(n, np.int64)
+        lead[:-1] = ts[1:]
+        lead[-1] = 0
+        last_of_user = np.concatenate((uid[1:] != uid[:-1], [True]))
+        valid_to = pc.if_else(
+            pa.array(last_of_user),
+            pa.nulls(n, pa.timestamp("us")),
+            pa.array(lead, pa.int64()).cast(pa.timestamp("us")),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(g.column("value"), pa.scalar(100.0))), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [
+                g.column("user_id"),
+                pa.array(version),
+                g.column("ts"),
+                valid_to,
+                g.column("event_type"),
+                cents,
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                _SCD2_SCHEMA, "bucket", fill={"user_id": -1, "event_type": ""}
+            )
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(history_bucket, batch_format="pyarrow")
+    )
+
+
 def qty_discount_covariance(sf_dir: str) -> "ray.data.Dataset":
     """Exact per-group covariance moments of (quantity, discount) by
     return flag — the do-big-discounts-move-volume signal, computed as

@@ -733,6 +733,76 @@ def top_tfidf_tokens(
     )
 
 
+def cooccurrence_counts(
+    docs: "ray.data.Dataset", window: int = 2, k: int = 100
+) -> "ray.data.Dataset":
+    """Top-k token co-occurrence pairs within a +/-``window`` word
+    context — the GloVe / word2vec co-occurrence-matrix prep pass
+    (Pennington et al. 2014), and the association signal behind query
+    expansion and collocation features (``pmi_collocations`` is the
+    scored sibling; this is the raw windowed count).
+
+    Pairs are unordered (lexicographic canonical form, byte comparison —
+    identical to DuckDB's collation-free least/greatest) and self-pairs
+    are excluded. Vectorized per batch: one split, then per offset
+    ``o <= window`` a shifted same-document mask pairs ``flat[i]`` with
+    ``flat[i+o]`` — no per-token Python. The exchange moves one row per
+    distinct pair per batch (per-batch partial counts), never one per
+    occurrence; the deterministic (n DESC, tok_a, tok_b) top-k bounds the
+    output. At crawl scale the distinct-pair space is the cost driver —
+    cap it upstream with a vocabulary gate if needed (the ``top_tokens``
+    exchange provides one)."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    pair_schema = pa.schema(
+        [("tok_a", pa.string()), ("tok_b", pa.string()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        lo_parts, hi_parts = [], []
+        for off in range(1, window + 1):
+            if len(flat) <= off:
+                continue
+            same = pa.array(parents[off:] == parents[:-off])
+            a = flat.slice(0, len(flat) - off).filter(same)
+            b = flat.slice(off).filter(same)
+            swap = pc.greater(a, b)
+            lo = pc.if_else(swap, b, a)
+            hi = pc.if_else(swap, a, b)
+            neq = pc.not_equal(lo, hi)  # no self-pairs
+            lo_parts.append(lo.filter(neq))
+            hi_parts.append(hi.filter(neq))
+        if not lo_parts:
+            return pair_schema.empty_table()
+        t = pa.Table.from_arrays(
+            [pa.concat_arrays(lo_parts), pa.concat_arrays(hi_parts)],
+            names=["tok_a", "tok_b"],
+        )
+        return (
+            t.group_by(["tok_a", "tok_b"])
+            .aggregate([("tok_a", "count")])
+            .rename_columns(["tok_a", "tok_b", "n"])
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"], num_partitions=shuffle_partitions())
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(
+        ["n", "tok_a", "tok_b"], descending=[True, False, False]
+    ).limit(k)
+
+
 def top_tokens(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
     """Vocabulary building: top-k most frequent whitespace tokens.
 

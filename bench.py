@@ -589,6 +589,38 @@ def main() -> None:
 
     timed("code_quality_flags", code_quality_q)
 
+    def cooccurrence_q() -> None:
+        from agentic_doc_ray.functions.text import cooccurrence_counts
+
+        cooccurrence_counts(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("cooccurrence_counts", cooccurrence_q)
+
+    def copurchase_q() -> None:
+        from agentic_doc_ray.functions.analytics import copurchase_pairs
+
+        copurchase_pairs(SF_DIR).count()
+
+    timed("copurchase_pairs", copurchase_q)
+
+    def moving_avg_q() -> None:
+        from agentic_doc_ray.functions.analytics import revenue_moving_avg
+
+        revenue_moving_avg(SF_DIR).count()
+
+    timed("revenue_moving_avg", moving_avg_q)
+
+    def scd2_q() -> None:
+        from agentic_doc_ray.functions.analytics import scd2_history
+
+        scd2_history(SF_DIR).count()
+
+    timed("scd2_history", scd2_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

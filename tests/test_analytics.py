@@ -1323,3 +1323,89 @@ def test_qty_discount_covariance_exact():
     # the Python-int cross-multiply must equal the definition n^2*cov
     r = got.iloc[0]
     assert r["cov_num"] == r["n"] * r["sum_qd"] - r["sum_q"] * r["sum_d"]
+
+
+def test_copurchase_pairs_support():
+    got = (
+        A.copurchase_pairs(SF)
+        .to_pandas()
+        .sort_values(["support", "part_a", "part_b"],
+                     ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH p AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM read_parquet('{SF}/lineitem.parquet')),
+        pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+          FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey),
+        c AS (SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+          FROM pr GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER
+          (ORDER BY support DESC, part_a, part_b) AS rn FROM c)
+        SELECT part_a, part_b, support FROM r WHERE rn <= 100
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, check_exact=True,
+    )
+    assert (got["part_a"] < got["part_b"]).all()
+
+
+def test_revenue_moving_avg_window():
+    got = (
+        A.revenue_moving_avg(SF)
+        .to_pandas()
+        .sort_values("day_num")
+        .reset_index(drop=True)
+    )
+    # hand-rolled trailing window over the daily rollup
+    daily = duckdb.sql(
+        f"""
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+        FROM read_parquet('{SF}/orders.parquet') GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    c = daily["day_cents"].to_numpy()
+    for i in [0, 3, len(daily) - 1]:
+        lo = max(0, i - 6)
+        row = got.iloc[i]
+        assert row["win_cents"] == c[lo : i + 1].sum()
+        assert row["win_days"] == i + 1 - lo
+        assert row["avg_cents"] == c[lo : i + 1].sum() // (i + 1 - lo)
+    assert len(got) == len(daily)
+    assert (got["day_num"].to_numpy() == daily["day_num"].to_numpy()).all()
+
+
+def test_scd2_history_intervals():
+    got = A.scd2_history(SF).to_pandas()
+    want = duckdb.sql(
+        f"""
+        SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+          ts AS valid_from, lead(ts) OVER w AS valid_to, event_type,
+          CAST(round(value*100) AS BIGINT) AS value_cents
+        FROM read_parquet('{SF}/events.parquet')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    ).df()
+    g = got.sort_values(["user_id", "version"]).reset_index(drop=True)
+    w = want.sort_values(["user_id", "version"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[sorted(g.columns)], w[sorted(w.columns)],
+        check_dtype=False, check_exact=True,
+    )
+    # interval chain: valid_to == next valid_from; exactly one open
+    # (NULL) interval per user, on its max version
+    for uid, grp in g.groupby("user_id"):
+        grp = grp.sort_values("version")
+        assert grp["valid_to"].isna().sum() == 1
+        assert pd.isna(grp["valid_to"].iloc[-1])
+        assert (
+            grp["valid_to"].iloc[:-1].to_numpy()
+            == grp["valid_from"].iloc[1:].to_numpy()
+        ).all()
+        if uid > 20:
+            break

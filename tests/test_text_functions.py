@@ -1009,3 +1009,23 @@ def test_code_quality_flags_planted():
     assert (got["keep"] == (
         got["flag_max_line"] & got["flag_mean_line"] & got["flag_alnum"]
     )).all()
+
+
+def test_cooccurrence_counts_planted():
+    """Window semantics on a tiny corpus: pairs within +/-2, canonical
+    order, self-pairs excluded, counts summed across docs."""
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": ["b a b", "a c a"],
+            }
+        )
+    )
+    got = {
+        (r["tok_a"], r["tok_b"]): r["n"]
+        for r in T.cooccurrence_counts(ds, window=2, k=100).take_all()
+    }
+    # doc0: offsets1 (b,a),(a,b); offset2 (b,b) self -> drop => ab:2
+    # doc1: offsets1 (a,c),(c,a); offset2 (a,a) self -> drop => ac:2
+    assert got == {("a", "b"): 2, ("a", "c"): 2}
