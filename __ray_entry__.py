@@ -960,6 +960,11 @@ _DRIVER_PRIORITY = [
     "copurchase_pairs",
     "revenue_moving_avg",
     "scd2_history",
+    # new in session 11 (batch 3): FK integrity audit, exact Gini skew
+    # diagnostic, degree histogram
+    "referential_integrity",
+    "revenue_gini",
+    "degree_histogram",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2051,6 +2056,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         intervals per user via one user-bucket exchange + vectorized
         sort/shift. Pure SQL oracle (LEAD window)."""
         return A.scd2_history(sf_dir)
+
+    def q_referential_integrity(sf_dir):
+        """FK->PK audit of every declared edge (Deequ/dbt relationships
+        check): child partials + parent distinct keys through one
+        hash(key) exchange per edge, is_in resolve. Pure SQL oracle."""
+        from agentic_doc_ray.functions.profile import (
+            referential_integrity_check,
+        )
+
+        return referential_integrity_check(sf_dir)
+
+    def q_revenue_gini(sf_dir):
+        """EXACT Gini coefficient of per-customer revenue (the key-skew
+        diagnostic): rank-partials via the global_rank machinery, driver
+        merge in Python ints. Pure SQL oracle (HUGEINT->BIGINT)."""
+        from agentic_doc_ray.functions.scans import revenue_gini
+
+        return revenue_gini(sf_dir)
+
+    def q_degree_histogram(sf_dir):
+        """Link-graph degree distribution (power-law / skew-forecast
+        plot): degree aggregate + tiny histogram groupby, both on the
+        empty-tolerant aggregate path. Pure SQL oracle."""
+        from agentic_doc_ray.functions.graph import degree_histogram
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        return degree_histogram(d, d.count())
 
     def q_split_sentences(sf_dir):
         """Sentence segmentation (the unit for sentence-level dedup /
@@ -3253,6 +3287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": q_copurchase_pairs,
         "revenue_moving_avg": q_revenue_moving_avg,
         "scd2_history": q_scd2_history,
+        "referential_integrity": q_referential_integrity,
+        "revenue_gini": q_revenue_gini,
+        "degree_histogram": q_degree_histogram,
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
@@ -5307,6 +5344,72 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN max_line_len <= 1000 AND line_len_sum <= 100*n_lines "
             "    AND n_chars > 0 AND 4*n_alnum >= n_chars THEN 1 ELSE 0 END AS BIGINT) AS keep "
             "FROM s"
+        ),
+        # per-edge FK audit; NOT IN over null-stripped parent keys gives
+        # SQL FK semantics (NULL child keys are not violations)
+        "referential_integrity": (
+            "SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk, "
+            "  CAST(count(*) AS BIGINT) AS n_child_rows, "
+            "  CAST(count(*) FILTER (l_orderkey NOT IN "
+            "    (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) AS BIGINT) AS n_violating_rows, "
+            "  CAST(count(DISTINCT l_orderkey) FILTER (l_orderkey NOT IN "
+            "    (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) AS BIGINT) AS n_violating_keys "
+            "FROM lineitem WHERE l_orderkey IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'lineitem.l_partkey->part.p_partkey', "
+            "  CAST(count(*) AS BIGINT), "
+            "  CAST(count(*) FILTER (l_partkey NOT IN "
+            "    (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)) AS BIGINT), "
+            "  CAST(count(DISTINCT l_partkey) FILTER (l_partkey NOT IN "
+            "    (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)) AS BIGINT) "
+            "FROM lineitem WHERE l_partkey IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'orders.o_custkey->customer.c_custkey', "
+            "  CAST(count(*) AS BIGINT), "
+            "  CAST(count(*) FILTER (o_custkey NOT IN "
+            "    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) AS BIGINT), "
+            "  CAST(count(DISTINCT o_custkey) FILTER (o_custkey NOT IN "
+            "    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) AS BIGINT) "
+            "FROM orders WHERE o_custkey IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'events.user_id->customer.c_custkey', "
+            "  CAST(count(*) AS BIGINT), "
+            "  CAST(count(*) FILTER (user_id NOT IN "
+            "    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) AS BIGINT), "
+            "  CAST(count(DISTINCT user_id) FILTER (user_id NOT IN "
+            "    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) AS BIGINT) "
+            "FROM events WHERE user_id IS NOT NULL"
+        ),
+        # exact Gini moments over per-customer revenue; ties in cents
+        # rank by custkey (provably irrelevant to sum(i*x))
+        "revenue_gini": (
+            "WITH cr AS (SELECT o_custkey, "
+            "  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents "
+            "  FROM orders GROUP BY 1), "
+            "r AS (SELECT cents, row_number() OVER "
+            "  (ORDER BY cents, o_custkey) AS i FROM cr), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "  CAST(sum(cents) AS BIGINT) AS sum_cents, "
+            "  CAST(sum(i*cents) AS BIGINT) AS wsum FROM r) "
+            "SELECT n, sum_cents, wsum AS weighted_rank_sum, "
+            "  CAST(2*wsum - (n+1)*sum_cents AS BIGINT) AS gini_num, "
+            "  CAST(n*sum_cents AS BIGINT) AS gini_den, "
+            "  CAST((1000*(2*wsum - (n+1)*sum_cents)) // (n*sum_cents) AS BIGINT) AS gini_per_mille "
+            "FROM s"
+        ),
+        # degree distribution over the same canonical LCG edge set
+        "degree_histogram": (
+            "WITH ids AS (SELECT doc_id AS i FROM documents),"
+            "nn AS (SELECT count(*) AS n FROM ids),"
+            "e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst"
+            "       FROM ids, nn, generate_series(1,3) AS t(k)),"
+            "e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),"
+            "canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e1 WHERE src <> dst),"
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM ("
+            "  SELECT a AS node FROM canon UNION ALL SELECT b FROM canon"
+            ") GROUP BY node) "
+            "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes "
+            "FROM deg GROUP BY degree"
         ),
         # windowed (+/-2) unordered token co-occurrence; least/greatest
         # is DuckDB's collation-free byte compare — same canonical form

@@ -1615,6 +1615,51 @@ def avg_neighbor_degree(
     return folded.map_batches(finish, batch_format="pyarrow")
 
 
+def degree_histogram(
+    docs: "ray.data.Dataset",
+    n_docs: int,
+    n_buckets: int = 64,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Degree distribution of the synthetic link graph — (degree,
+    n_nodes) rows, the first plot anyone makes of a web graph (power-law
+    check, crawler-trap detection, shuffle-skew forecast for every
+    downstream groupby on node keys).
+
+    Composition: degrees via per-batch ``np.unique`` partials over the
+    shared canonical edge set folded by one ``groupby(node)``, then a
+    SECOND tiny ``groupby(degree)`` whose input is one row per node —
+    both on the empty-tolerant aggregate path, no sentinels needed. The
+    histogram itself is at most max-degree rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions.pagerank import N_LINKS
+
+    n_hint = n_rows_hint if n_rows_hint is not None else n_docs * N_LINKS
+    np_ = partitions_for(n_hint)
+    edges = _distinct_link_edges(docs, n_docs, n_buckets, np_)
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table(
+            {"node": pa.array(uniq, pa.int64()), "d": pa.array(cnt, pa.int64())}
+        )
+
+    degrees = (
+        edges.map_batches(deg_partials, batch_format="pyarrow")
+        .groupby("node", num_partitions=np_)
+        .aggregate(Sum("d", alias_name="degree"))
+    )
+    return (
+        degrees.select_columns(["degree"])
+        .groupby("degree", num_partitions=2)
+        .aggregate(Count(alias_name="n_nodes"))
+    )
+
+
 # --- BFS hop distances (BSP min-distance propagation) ---------------------
 
 _BFS_EDGE = pa.schema(

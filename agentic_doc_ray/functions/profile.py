@@ -190,3 +190,170 @@ def table_profile(sf_dir: str, table: str) -> pa.Table:
         for name, c in sorted(counts.items())
     ]
     return pa.Table.from_pylist(out, schema=_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# referential integrity (FK -> PK) audit
+# ---------------------------------------------------------------------------
+
+_FK_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("key", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("side", pa.string()),  # 'c' child partial / 'p' parent key / 's'
+    ]
+)
+_FK_OUT = pa.schema(
+    [
+        ("fk", pa.string()),
+        ("n_child_rows", pa.int64()),
+        ("n_violating_rows", pa.int64()),
+        ("n_violating_keys", pa.int64()),
+    ]
+)
+
+
+def fk_violations(
+    child: "ray.data.Dataset",
+    fk_col: str,
+    parent: "ray.data.Dataset",
+    pk_col: str,
+    name: str,
+    n_buckets: int = _N_BUCKETS,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Referential-integrity audit of one FK edge: how many child rows
+    (and distinct child keys) reference a key absent from the parent —
+    the Deequ/dbt-test `relationships` check, the gate that catches
+    partial loads and orphaned facts before a join silently drops them.
+
+    Scale shape: the child side ships per-batch (key, n_rows) PARTIALS
+    (bounded by distinct keys per batch, not rows), the parent ships
+    batch-local distinct keys only; ONE hash(key) bucket exchange
+    resolves membership with a vectorized ``is_in`` per bucket and emits
+    one summary row per bucket. Nothing scales with table size on the
+    driver. NULL child keys are not violations (SQL FK semantics)."""
+    np_ = partitions_for(
+        n_rows_hint if n_rows_hint is not None else child.count()
+    )
+    mask = np.int64(n_buckets - 1)
+
+    def tag_child(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([fk_col])
+            .drop_null()
+            .group_by(fk_col)
+            .aggregate([(fk_col, "count")])
+            .rename_columns(["key", "n_rows"])
+        )
+        key = t.column("key").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                pc.cast(pc.bit_wise_and(key, pa.scalar(mask)), pa.int32()),
+                key,
+                t.column("n_rows").cast(pa.int64()),
+                pa.array(["c"] * t.num_rows, pa.string()),
+            ],
+            schema=_FK_SCHEMA,
+        )
+
+    def tag_parent(batch: pa.Table) -> pa.Table:
+        t = batch.select([pk_col]).drop_null().group_by(pk_col).aggregate([])
+        key = t.column(pk_col).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                pc.cast(pc.bit_wise_and(key, pa.scalar(mask)), pa.int32()),
+                key,
+                pa.array(np.zeros(t.num_rows, np.int64)),
+                pa.array(["p"] * t.num_rows, pa.string()),
+            ],
+            schema=_FK_SCHEMA,
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        side = group.column("side")
+        child_part = group.filter(pc.equal(side, "c"))
+        if child_part.num_rows == 0:
+            return _FK_OUT.empty_table()
+        pk = group.filter(pc.equal(side, "p")).column("key").combine_chunks()
+        # fold the per-batch child partials to per-key totals first
+        ck = (
+            child_part.select(["key", "n_rows"])
+            .group_by("key")
+            .aggregate([("n_rows", "sum")])
+            .rename_columns(["key", "n_rows"])
+        )
+        hit = pc.is_in(ck.column("key"), value_set=pk)
+        bad = ck.filter(pc.invert(hit))
+        return pa.Table.from_pylist(
+            [
+                {
+                    "fk": name,
+                    "n_child_rows": int(
+                        pc.sum(ck.column("n_rows")).as_py() or 0
+                    ),
+                    "n_violating_rows": int(
+                        pc.sum(bad.column("n_rows")).as_py() or 0
+                    ),
+                    "n_violating_keys": bad.num_rows,
+                }
+            ],
+            schema=_FK_OUT,
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_bucket = (
+        child.map_batches(tag_child, batch_format="pyarrow")
+        .union(parent.map_batches(tag_parent, batch_format="pyarrow"))
+        .union(int_key_sentinels(_FK_SCHEMA, "bucket", fill={"side": "s"}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+    return per_bucket.groupby("fk", num_partitions=2).aggregate(
+        Sum("n_child_rows", alias_name="n_child_rows"),
+        Sum("n_violating_rows", alias_name="n_violating_rows"),
+        Sum("n_violating_keys", alias_name="n_violating_keys"),
+    )
+
+
+def referential_integrity_check(sf_dir: str) -> "ray.data.Dataset":
+    """The schema's FK audit in one result table: every declared FK edge
+    of the TPC-H-ish star (lineitem→orders, lineitem→part,
+    orders→customer, events→customer) checked with ``fk_violations``;
+    one row per edge with child-row and violation counts. On clean data
+    every violation count is exactly 0 — and the oracle pins that, so a
+    loader regression that orphans keys flips the gate."""
+
+    def rd(table: str, cols: list[str]) -> "ray.data.Dataset":
+        return ray.data.read_parquet(
+            f"{sf_dir}/{table}.parquet", columns=cols
+        )
+
+    checks = [
+        fk_violations(
+            rd("lineitem", ["l_orderkey"]), "l_orderkey",
+            rd("orders", ["o_orderkey"]), "o_orderkey",
+            "lineitem.l_orderkey->orders.o_orderkey",
+        ),
+        fk_violations(
+            rd("lineitem", ["l_partkey"]), "l_partkey",
+            rd("part", ["p_partkey"]), "p_partkey",
+            "lineitem.l_partkey->part.p_partkey",
+        ),
+        fk_violations(
+            rd("orders", ["o_custkey"]), "o_custkey",
+            rd("customer", ["c_custkey"]), "c_custkey",
+            "orders.o_custkey->customer.c_custkey",
+        ),
+        fk_violations(
+            rd("events", ["user_id"]), "user_id",
+            rd("customer", ["c_custkey"]), "c_custkey",
+            "events.user_id->customer.c_custkey",
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.union(c)
+    return out

@@ -448,6 +448,179 @@ def shuffle_positions(
     )
 
 
+def revenue_gini(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """EXACT Gini coefficient of per-customer order revenue — the
+    concentration/skew diagnostic (how head-heavy is the key
+    distribution this engine must shuffle): with customer revenues
+    sorted ascending, ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))``
+    for 1-based ranks i. All integer math; output is one row of the
+    exact moments plus the floor per-mille coefficient. Ties in revenue
+    are rank-ordered by custkey, which cannot change ``sum(i*x_i)``
+    (equal x under rank permutation), so the statistic is deterministic
+    without being tie-sensitive.
+
+    Shape is the ``global_rank`` machinery ending in a SCALAR, not a
+    ranked table: per-customer cents via one aggregate exchange, a
+    min/max pass for the value-range partition, per-bucket local sort +
+    ``(base + i) * x`` partials, and a driver merge of one 3-int row per
+    bucket — computed with Python ints, so nothing overflows at any
+    scale. Rows cross exactly two exchanges; nothing customer-sized
+    reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return (
+            pa.Table.from_arrays(
+                [batch.column("o_custkey"), cents], names=["o_custkey", "c"]
+            )
+            .group_by("o_custkey")
+            .aggregate([("c", "sum")])
+            .rename_columns(["o_custkey", "c"])
+        )
+
+    per_cust = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey", num_partitions=shuffle_partitions())
+        .aggregate(Sum("c", alias_name="cents"))
+        .materialize()  # consumed twice (min/max pass + ranked pass)
+    )
+
+    mm = per_cust.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "lo": [pc.min(b.column("cents")).as_py()],
+                "hi": [pc.max(b.column("cents")).as_py()],
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    empty = pa.table(
+        {
+            "n": pa.array([], pa.int64()),
+            "sum_cents": pa.array([], pa.int64()),
+            "weighted_rank_sum": pa.array([], pa.int64()),
+            "gini_num": pa.array([], pa.int64()),
+            "gini_den": pa.array([], pa.int64()),
+            "gini_per_mille": pa.array([], pa.int64()),
+        }
+    )
+    if not mm:
+        return ray.data.from_arrow(empty)
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.divide(
+                pc.subtract(batch.column("cents"), pa.scalar(lo, pa.int64())),
+                pa.scalar(width, pa.int64()),
+            ),
+            pa.int32(),
+        )
+        return batch.append_column("bucket", b)
+
+    keyed = per_cust.map_batches(with_bucket, batch_format="pyarrow")
+
+    counts = keyed.map_batches(
+        lambda b: b.select(["bucket"])
+        .group_by("bucket")
+        .aggregate([("bucket", "count")])
+        .rename_columns(["bucket", "n"]),
+        batch_format="pyarrow",
+    ).take_all()
+    per_bucket: dict[int, int] = {}
+    for r in counts:
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["n"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b]
+    n_total = acc
+    off_ref = ray.put(offsets)
+
+    part_schema = pa.schema(
+        [("b", pa.int64()), ("sx", pa.int64()), ("wsum", pa.int64())]
+    )
+
+    def gini_bucket(group: pa.Table) -> pa.Table:
+        # sentinel rows (o_custkey = -1) guard the exchange against
+        # Ray's empty-first-block schema race: per_cust is aggregate
+        # output, whose finalizers can emit empty blocks
+        g0 = group.filter(pc.greater_equal(group.column("o_custkey"), 0))
+        if g0.num_rows == 0:
+            return part_schema.empty_table()
+        offs = ray.get(off_ref)
+        order = pc.sort_indices(
+            g0,
+            sort_keys=[("cents", "ascending"), ("o_custkey", "ascending")],
+        )
+        g = g0.take(order)
+        base = offs[int(g.column("bucket")[0].as_py())]
+        x = g.column("cents").to_numpy(zero_copy_only=False)
+        ranks = np.arange(1, len(x) + 1, dtype=np.int64) + base
+        return pa.Table.from_pylist(
+            [
+                {
+                    "b": int(g.column("bucket")[0].as_py()),
+                    "sx": int(x.sum()),
+                    # Python-int fold of the int64 partial keeps this
+                    # exact; per-bucket ranks*x stays under 2^63 for any
+                    # realistic bucket (documented: resplit buckets if
+                    # rank*cents*rows approaches 2^63)
+                    "wsum": int((ranks * x).sum()),
+                }
+            ],
+            schema=part_schema,
+        )
+
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    keyed_schema = pa.schema(
+        [("o_custkey", pa.int64()), ("cents", pa.int64()), ("bucket", pa.int32())]
+    )
+    parts = (
+        keyed.union(
+            int_key_sentinels(
+                keyed_schema, "bucket", fill={"o_custkey": -1, "cents": 0}
+            )
+        )
+        .groupby("bucket", num_partitions=shuffle_partitions())
+        .map_groups(gini_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    sum_cents = sum(int(r["sx"]) for r in parts)
+    wsum = sum(int(r["wsum"]) for r in parts)
+    n = n_total
+    gini_num = 2 * wsum - (n + 1) * sum_cents
+    gini_den = n * sum_cents
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sum_cents": pa.array([sum_cents], pa.int64()),
+                "weighted_rank_sum": pa.array([wsum], pa.int64()),
+                "gini_num": pa.array([gini_num], pa.int64()),
+                "gini_den": pa.array([gini_den], pa.int64()),
+                "gini_per_mille": pa.array(
+                    [1000 * gini_num // gini_den if gini_den else 0], pa.int64()
+                ),
+            }
+        )
+    )
+
+
 _US_PER_DAY = 86_400_000_000
 
 

@@ -621,6 +621,32 @@ def main() -> None:
 
     timed("scd2_history", scd2_q)
 
+    def ref_integrity_q() -> None:
+        from agentic_doc_ray.functions.profile import (
+            referential_integrity_check,
+        )
+
+        referential_integrity_check(SF_DIR).count()
+
+    timed("referential_integrity", ref_integrity_q)
+
+    def revenue_gini_q() -> None:
+        from agentic_doc_ray.functions.scans import revenue_gini
+
+        revenue_gini(SF_DIR).count()
+
+    timed("revenue_gini", revenue_gini_q)
+
+    def degree_histogram_q() -> None:
+        from agentic_doc_ray.functions.graph import degree_histogram
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        degree_histogram(d, d.count()).count()
+
+    timed("degree_histogram", degree_histogram_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

@@ -872,3 +872,37 @@ def test_avg_neighbor_degree_brute_force():
         for r in avg_neighbor_degree(ds, n).take_all()
     }
     assert got == want
+
+
+def test_degree_histogram_brute_force():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.graph import degree_histogram
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+
+    n = 30
+    edges = set()
+    for src in range(n):
+        for k in range(1, N_LINKS + 1):
+            dst = (src * _LCG_A + k * _LCG_C) % n
+            if dst == src:
+                dst = (dst + 1) % n
+            if dst != src:
+                edges.add((min(src, dst), max(src, dst)))
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    want: dict[int, int] = {}
+    for d in deg.values():
+        want[d] = want.get(d, 0) + 1
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    ).repartition(3)
+    got = {
+        r["degree"]: r["n_nodes"] for r in degree_histogram(ds, n).take_all()
+    }
+    assert got == want
+    assert sum(got.values()) == len(deg)

@@ -37,3 +37,42 @@ def test_profile_nulls_and_negative_zero(tmp_path):
     # -0.0 normalizes to +0.0 -> distinct {0.0, 1.5} = 2 (SQL equality)
     assert got.loc["f", "n_null"] == 1 and got.loc["f", "n_distinct"] == 2
     assert got.loc["s", "n_null"] == 1 and got.loc["s", "n_distinct"] == 3
+
+
+def test_fk_violations_planted_orphans():
+    """Planted orphans + NULL child keys: NULLs are not violations,
+    orphan rows/keys counted exactly, clean edge reports zeros."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.profile import fk_violations
+
+    child = ray.data.from_arrow(
+        pa.table(
+            {
+                "fk": pa.array([1, 1, 2, 7, 7, 7, None, 9], pa.int64()),
+                "x": pa.array(range(8), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    parent = ray.data.from_arrow(
+        pa.table({"pk": pa.array([1, 2, 3], pa.int64())})
+    )
+    got = fk_violations(child, "fk", parent, "pk", "child.fk->parent.pk").take_all()
+    assert len(got) == 1
+    r = got[0]
+    assert r["fk"] == "child.fk->parent.pk"
+    assert r["n_child_rows"] == 7          # NULL row excluded
+    assert r["n_violating_rows"] == 4      # 7,7,7,9
+    assert r["n_violating_keys"] == 2      # {7, 9}
+
+    clean = fk_violations(
+        ray.data.from_arrow(pa.table({"fk": pa.array([1, 2], pa.int64())})),
+        "fk",
+        parent,
+        "pk",
+        "clean",
+    ).take_all()
+    assert clean[0]["n_violating_rows"] == 0
+    assert clean[0]["n_violating_keys"] == 0

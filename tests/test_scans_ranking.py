@@ -332,3 +332,28 @@ def test_zorder_layout_oracle_and_file_sizes():
     sizes = got.groupby("file_id").size()
     assert (sizes <= 100).all()
     assert sorted(sizes.index) == list(range(len(sizes)))
+
+
+def test_revenue_gini_exact():
+    got = S.revenue_gini(SF).to_pandas()
+    want = _duck(
+        """
+        WITH cr AS (SELECT o_custkey,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM cr),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(cents) AS BIGINT) AS sum_cents,
+          CAST(sum(i*cents) AS BIGINT) AS wsum FROM r)
+        SELECT n, sum_cents, wsum AS weighted_rank_sum,
+          CAST(2*wsum - (n+1)*sum_cents AS BIGINT) AS gini_num,
+          CAST(n*sum_cents AS BIGINT) AS gini_den,
+          CAST((1000*(2*wsum - (n+1)*sum_cents)) // (n*sum_cents) AS BIGINT) AS gini_per_mille
+        FROM s
+        """
+    )
+    _cmp(got, want, ["n"])
+    r = got.iloc[0]
+    assert 0 <= r["gini_per_mille"] < 1000
+    # identity: gini_num/den reconstruct from the raw moments
+    assert r["gini_num"] == 2 * r["weighted_rank_sum"] - (r["n"] + 1) * r["sum_cents"]
