@@ -965,6 +965,10 @@ _DRIVER_PRIORITY = [
     "referential_integrity",
     "revenue_gini",
     "degree_histogram",
+    # new in session 11 (batch 4): cross-corpus vocab overlap, CUSUM
+    # change-point
+    "source_vocab_overlap",
+    "revenue_changepoint",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2056,6 +2060,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         intervals per user via one user-bucket exchange + vectorized
         sort/shift. Pure SQL oracle (LEAD window)."""
         return A.scd2_history(sf_dir)
+
+    def q_source_vocab_overlap(sf_dir):
+        """Pairwise distinct-vocabulary overlap between sources (wimbd
+        cross-corpus comparison): batch-local distinct partials, one
+        token-hash exchange, source-pair counts via the shared pair
+        generator. Pure SQL oracle."""
+        return T.source_vocab_overlap(docs_with_source(sf_dir))
+
+    def q_revenue_changepoint(sf_dir):
+        """Exact CUSUM change-point of daily revenue (max |n*CS_i -
+        i*S_n|, earliest tie): day rollup exchange + Python-int scan
+        bounded by distinct days. Pure SQL oracle."""
+        return A.revenue_changepoint(sf_dir)
 
     def q_referential_integrity(sf_dir):
         """FK->PK audit of every declared edge (Deequ/dbt relationships
@@ -3290,6 +3307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_integrity": q_referential_integrity,
         "revenue_gini": q_revenue_gini,
         "degree_histogram": q_degree_histogram,
+        "source_vocab_overlap": q_source_vocab_overlap,
+        "revenue_changepoint": q_revenue_changepoint,
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
@@ -5344,6 +5363,42 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN max_line_len <= 1000 AND line_len_sum <= 100*n_lines "
             "    AND n_chars > 0 AND 4*n_alnum >= n_chars THEN 1 ELSE 0 END AS BIGINT) AS keep "
             "FROM s"
+        ),
+        # pairwise distinct-vocab overlap; pairs with zero shared tokens
+        # are omitted on both sides (inner join)
+        "source_vocab_overlap": (
+            "WITH st AS (SELECT DISTINCT source, token FROM ("
+            "  SELECT source, unnest(regexp_split_to_array("
+            "    regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token "
+            "  FROM documents "
+            "  WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> '')), "
+            "cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1), "
+            "pairs AS (SELECT a.source AS sa, b.source AS sb, "
+            "  CAST(count(*) AS BIGINT) AS n_common "
+            "  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source "
+            "  GROUP BY 1, 2) "
+            "SELECT sa AS source_a, sb AS source_b, p.n_common, "
+            "  ca.n AS n_a, cb.n AS n_b, "
+            "  CAST((1000*p.n_common) // (ca.n + cb.n - p.n_common) AS BIGINT) AS jaccard_per_mille "
+            "FROM pairs p JOIN cnt ca ON ca.source = p.sa "
+            "JOIN cnt cb ON cb.source = p.sb"
+        ),
+        # exact CUSUM: max |n*CS_i - i*S_n| over the day rollup, earliest
+        # day on ties
+        "revenue_changepoint": (
+            "WITH d AS (SELECT "
+            "  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num, "
+            "  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_cents "
+            "  FROM orders GROUP BY 1), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "  CAST(sum(day_cents) AS BIGINT) AS s_n FROM d), "
+            "c AS (SELECT day_num, "
+            "  CAST(sum(day_cents) OVER (ORDER BY day_num) AS BIGINT) AS cs, "
+            "  CAST(row_number() OVER (ORDER BY day_num) AS BIGINT) AS i FROM d) "
+            "SELECT c.day_num AS split_day_num, "
+            "  CAST(t.n*c.cs - c.i*t.s_n AS BIGINT) AS d_value, "
+            "  t.n AS n_days, t.s_n AS total_cents "
+            "FROM c, t ORDER BY abs(t.n*c.cs - c.i*t.s_n) DESC, c.day_num LIMIT 1"
         ),
         # per-edge FK audit; NOT IN over null-stripped parent keys gives
         # SQL FK semantics (NULL child keys are not violations)

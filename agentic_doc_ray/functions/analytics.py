@@ -1304,19 +1304,11 @@ def copurchase_pairs(
     ).limit(k)
 
 
-def revenue_moving_avg(sf_dir: str, window_days: int = 7) -> "ray.data.Dataset":
-    """Trailing ``window_days``-row moving average of daily order revenue
-    in exact integer cents — the smoothed-demand curve behind forecast
-    dashboards, computed sketch-then-scan: per-batch (day, cents)
-    partials, ONE tiny ``groupby(day)`` exchange, then the rollup —
-    bounded by the number of DISTINCT DAYS (~2.4k for seven years,
-    independent of row count) — finishes on the driver with one exact
-    int64 cumsum. The window is over existing days in day order (ROWS,
-    not RANGE — matching the SQL oracle's ``ROWS BETWEEN n PRECEDING``).
-
-    ``avg_cents`` is floor integer division of the window sum by the
-    window row count. int64 cumsum overflows only past ~9e16 total cents
-    (a quadrillion dollars) — asserted, not assumed."""
+def _daily_order_cents(sf_dir: str) -> "tuple[np.ndarray, np.ndarray]":
+    """Exact (day_num, cents) daily revenue rollup, sorted by day —
+    per-batch partials through one tiny exchange, collected bounded by
+    DISTINCT DAYS (independent of row count). Shared by the
+    moving-average and change-point scans."""
     from ray.data.aggregate import Sum
 
     from agentic_doc_ray.context import shuffle_partitions
@@ -1343,11 +1335,70 @@ def revenue_moving_avg(sf_dir: str, window_days: int = 7) -> "ray.data.Dataset":
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("day_num", num_partitions=shuffle_partitions(4))
         .aggregate(Sum("c", alias_name="day_cents"))
-        .take_all()  # bounded by distinct days, documented above
+        .take_all()
     )
     daily.sort(key=lambda r: r["day_num"])
     days = np.array([r["day_num"] for r in daily], dtype=np.int64)
     cents = np.array([r["day_cents"] for r in daily], dtype=np.int64)
+    return days, cents
+
+
+def revenue_changepoint(sf_dir: str) -> "ray.data.Dataset":
+    """Exact CUSUM change-point of the daily-revenue series: the day that
+    maximizes ``|n*CS_i - i*S_n|`` (the cross-multiplied deviation of the
+    running sum from a uniform-rate line — n^2 x the classic CUSUM
+    statistic, so no division and no floats), earliest day on ties. The
+    did-the-distribution-shift gate on any monitored stream (crawl
+    volume, revenue, error rates).
+
+    Same sketch-then-finish shape as ``revenue_moving_avg``: rows fold to
+    the per-day table through one tiny exchange; the scan over ~2.4k days
+    runs in Python ints on the driver — exact at any scale."""
+    days, cents = _daily_order_cents(sf_dir)
+    empty = pa.table(
+        {
+            "split_day_num": pa.array([], pa.int64()),
+            "d_value": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+        }
+    )
+    if len(days) == 0:
+        return ray.data.from_arrow(empty)
+    n = len(days)
+    s_n = int(cents.sum())
+    best_day, best_d, cs = None, None, 0
+    for i in range(n):  # ~2.4k iterations of Python-int math: driver-scale
+        cs += int(cents[i])
+        d = n * cs - (i + 1) * s_n
+        if best_d is None or abs(d) > abs(best_d):
+            best_day, best_d = int(days[i]), d
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "split_day_num": pa.array([best_day], pa.int64()),
+                "d_value": pa.array([best_d], pa.int64()),
+                "n_days": pa.array([n], pa.int64()),
+                "total_cents": pa.array([s_n], pa.int64()),
+            }
+        )
+    )
+
+
+def revenue_moving_avg(sf_dir: str, window_days: int = 7) -> "ray.data.Dataset":
+    """Trailing ``window_days``-row moving average of daily order revenue
+    in exact integer cents — the smoothed-demand curve behind forecast
+    dashboards, computed sketch-then-scan: per-batch (day, cents)
+    partials, ONE tiny ``groupby(day)`` exchange, then the rollup —
+    bounded by the number of DISTINCT DAYS (~2.4k for seven years,
+    independent of row count) — finishes on the driver with one exact
+    int64 cumsum. The window is over existing days in day order (ROWS,
+    not RANGE — matching the SQL oracle's ``ROWS BETWEEN n PRECEDING``).
+
+    ``avg_cents`` is floor integer division of the window sum by the
+    window row count. int64 cumsum overflows only past ~9e16 total cents
+    (a quadrillion dollars) — asserted, not assumed."""
+    days, cents = _daily_order_cents(sf_dir)
     total = int(cents.sum())
     assert total < (1 << 62), "cumsum overflow guard"
     cs = np.concatenate(([0], np.cumsum(cents)))

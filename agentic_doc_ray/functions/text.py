@@ -803,6 +803,191 @@ def cooccurrence_counts(
     ).limit(k)
 
 
+def source_vocab_overlap(
+    docs: "ray.data.Dataset", n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Pairwise vocabulary overlap between sources — the wimbd-style
+    cross-corpus comparison (Elazar et al. 2024): for every source pair,
+    the exact count of shared distinct tokens, each side's distinct
+    vocabulary size, and the floor per-mille Jaccard. The
+    which-corpora-are-redundant signal when composing a pretraining
+    mixture from many crawls/dumps.
+
+    Scale shape: batch-local distinct (source, token) partials, ONE
+    token-hash bucket exchange (buckets partition the token space, so
+    per-bucket distinct counts and pair counts SUM to the global
+    values); inside a bucket, tokens dictionary-encode and the shared
+    degree-class pair generator (``graph._wedge_pairs``) emits each
+    token's source pairs with no per-token Python. Pair space is
+    |sources|^2/2 — tiny — so the final fold is O(pairs). Pairs with
+    zero shared tokens are omitted (matching the SQL join oracle)."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ex_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("source", pa.string()),
+            ("token", pa.string()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        src = batch.column("source").filter(nonempty)
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks)
+        t = (
+            pa.Table.from_arrays(
+                [src.take(parents), flat], names=["source", "token"]
+            )
+            .group_by(["source", "token"])
+            .aggregate([])
+        )
+        # process-stable string bucket (hash() is salted per worker —
+        # the same token MUST reach one bucket from every batch)
+        from agentic_doc_ray.functions.dedup import _str_bucket
+
+        bucket = _str_bucket(t.column("token"), n_buckets)
+        return pa.Table.from_arrays(
+            [bucket, t.column("source"), t.column("token")], schema=ex_schema
+        )
+
+    pair_schema = pa.schema(
+        [
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("n_common", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+        ]
+    )
+
+    def overlap_bucket(group: pa.Table) -> pa.Table:
+        from agentic_doc_ray.functions.graph import _wedge_pairs
+
+        g = group.filter(pc.not_equal(group.column("source"), ""))
+        if g.num_rows == 0:
+            return pair_schema.empty_table()
+        # global distinct within the bucket (a (source, token) pair can
+        # arrive from many batches)
+        g = (
+            g.select(["source", "token"])
+            .group_by(["source", "token"])
+            .aggregate([])
+        )
+        # per-source distinct vocabulary share of this bucket
+        per_src = (
+            g.group_by("source")
+            .aggregate([("token", "count")])
+            .rename_columns(["source", "n"])
+        )
+        srcs = sorted(per_src.column("source").to_pylist())
+        n_of = {r["source"]: r["n"] for r in per_src.to_pylist()}
+        order = pc.sort_indices(
+            g, sort_keys=[("token", "ascending"), ("source", "ascending")]
+        )
+        g = g.take(order)
+        tok = g.column("token").to_pandas().to_numpy(dtype=object)
+        # dictionary-encode tokens to int apexes for the pair generator;
+        # source ids via vectorized searchsorted (no per-row Python)
+        _, apex = np.unique(tok, return_inverse=True)
+        srcs_arr = np.array(srcs, dtype=object)
+        nb = np.searchsorted(
+            srcs_arr, g.column("source").to_pandas().to_numpy(dtype=object)
+        ).astype(np.int64)
+        x, y, _ = _wedge_pairs(apex.astype(np.int64), nb)
+        rows = []
+        if len(x):
+            pair_key = x * len(srcs) + y
+            uniqp, cnts = np.unique(pair_key, return_counts=True)
+            for pk, c in zip(uniqp, cnts):
+                a, b = srcs[int(pk) // len(srcs)], srcs[int(pk) % len(srcs)]
+                rows.append(
+                    {
+                        "source_a": a,
+                        "source_b": b,
+                        "n_common": int(c),
+                        "n_a": 0,
+                        "n_b": 0,
+                    }
+                )
+        # per-source sizes ride the same exchange output: attach them to
+        # a canonical self-pair row so the final fold can redistribute
+        for s in srcs:
+            rows.append(
+                {
+                    "source_a": s,
+                    "source_b": s,
+                    "n_common": 0,
+                    "n_a": int(n_of[s]),
+                    "n_b": int(n_of[s]),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=pair_schema)
+
+    folded = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                ex_schema, "bucket", fill={"source": "", "token": ""}
+            )
+        )
+        .groupby("bucket", num_partitions=shuffle_partitions())
+        .map_groups(overlap_bucket, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"], num_partitions=2)
+        .aggregate(
+            Sum("n_common", alias_name="n_common"),
+            Sum("n_a", alias_name="n_a"),
+        )
+    ).take_all()  # bounded by |sources|^2 rows
+
+    sizes = {
+        r["source_a"]: int(r["n_a"])
+        for r in folded
+        if r["source_a"] == r["source_b"]
+    }
+    out = []
+    for r in folded:
+        a, b = r["source_a"], r["source_b"]
+        if a == b:
+            continue
+        common = int(r["n_common"])
+        if common == 0:
+            continue
+        na, nb_ = sizes[a], sizes[b]
+        union = na + nb_ - common
+        out.append(
+            {
+                "source_a": a,
+                "source_b": b,
+                "n_common": common,
+                "n_a": na,
+                "n_b": nb_,
+                "jaccard_per_mille": 1000 * common // union,
+            }
+        )
+    out_schema = pa.schema(
+        [
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("n_common", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("jaccard_per_mille", pa.int64()),
+        ]
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pylist(sorted(out, key=lambda r: (r["source_a"], r["source_b"])), schema=out_schema)
+    )
+
+
 def top_tokens(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
     """Vocabulary building: top-k most frequent whitespace tokens.
 

@@ -647,6 +647,25 @@ def main() -> None:
 
     timed("degree_histogram", degree_histogram_q)
 
+    def vocab_overlap_q() -> None:
+        from agentic_doc_ray.functions.text import source_vocab_overlap
+
+        source_vocab_overlap(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        ).count()
+
+    timed("source_vocab_overlap", vocab_overlap_q)
+
+    def changepoint_q() -> None:
+        from agentic_doc_ray.functions.analytics import revenue_changepoint
+
+        revenue_changepoint(SF_DIR).count()
+
+    timed("revenue_changepoint", changepoint_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

@@ -1409,3 +1409,26 @@ def test_scd2_history_intervals():
         ).all()
         if uid > 20:
             break
+
+
+def test_revenue_changepoint_exact():
+    got = A.revenue_changepoint(SF).take_all()
+    assert len(got) == 1
+    r = got[0]
+    daily = duckdb.sql(
+        f"""
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c
+        FROM read_parquet('{SF}/orders.parquet') GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    n = len(daily)
+    s_n = int(daily["c"].sum())
+    cs, best = 0, None
+    for i, (day, c) in enumerate(zip(daily["day_num"], daily["c"])):
+        cs += int(c)
+        d = n * cs - (i + 1) * s_n
+        if best is None or abs(d) > abs(best[1]):
+            best = (int(day), d)
+    assert (r["split_day_num"], r["d_value"]) == best
+    assert r["n_days"] == n and r["total_cents"] == s_n

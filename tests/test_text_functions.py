@@ -1029,3 +1029,30 @@ def test_cooccurrence_counts_planted():
     # doc0: offsets1 (b,a),(a,b); offset2 (b,b) self -> drop => ab:2
     # doc1: offsets1 (a,c),(c,a); offset2 (a,a) self -> drop => ac:2
     assert got == {("a", "b"): 2, ("a", "c"): 2}
+
+
+def test_source_vocab_overlap_planted():
+    """Three planted sources with known vocab sets: exact intersection /
+    union counts and floor per-mille Jaccard; zero-overlap pair omitted."""
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "source": ["s1", "s1", "s2", "s3"],
+                "text": [
+                    "a b c",
+                    "c d",            # s1 vocab {a,b,c,d}
+                    "c d e",          # s2 vocab {c,d,e}
+                    "zzz",            # s3 vocab {zzz} — disjoint
+                ],
+            }
+        )
+    ).repartition(2)
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in T.source_vocab_overlap(ds).take_all()
+    }
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    assert r["n_a"] == 4 and r["n_b"] == 3 and r["n_common"] == 2
+    assert r["jaccard_per_mille"] == 1000 * 2 // 5
