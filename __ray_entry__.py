@@ -969,6 +969,8 @@ _DRIVER_PRIORITY = [
     # change-point
     "source_vocab_overlap",
     "revenue_changepoint",
+    # new in session 11 (batch 5): contrastive hard-negative mining
+    "hard_negatives",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2060,6 +2062,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         intervals per user via one user-bucket exchange + vectorized
         sort/shift. Pure SQL oracle (LEAD window)."""
         return A.scd2_history(sf_dir)
+
+    def q_hard_negatives(sf_dir):
+        """Contrastive hard-negative mining: per query, top-k most
+        similar DIFFERENT-label vectors (same zero-shuffle broadcast +
+        partial-topk shape as similarity_topk). SQL oracle with the
+        label-mismatch predicate."""
+        import numpy as np
+
+        from agentic_doc_ray.functions.similarity import hard_negatives
+
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        qt = t.filter(pc.less(t["vec_id"], 5))
+        res = hard_negatives(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding", "label"],
+            ),
+            np.array(qt["embedding"].to_pylist(), dtype=np.float64),
+            [int(x) for x in qt["vec_id"].to_pylist()],
+            [int(x) for x in qt["label"].to_pylist()],
+            k=10,
+        )
+        return res.select(["query_id", "rank", "vec_id"])
 
     def q_source_vocab_overlap(sf_dir):
         """Pairwise distinct-vocabulary overlap between sources (wimbd
@@ -3309,6 +3337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": q_degree_histogram,
         "source_vocab_overlap": q_source_vocab_overlap,
         "revenue_changepoint": q_revenue_changepoint,
+        "hard_negatives": q_hard_negatives,
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
@@ -5363,6 +5392,20 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN max_line_len <= 1000 AND line_len_sum <= 100*n_lines "
             "    AND n_chars > 0 AND 4*n_alnum >= n_chars THEN 1 ELSE 0 END AS BIGINT) AS keep "
             "FROM s"
+        ),
+        # hard negatives: the similarity_topk oracle with a label
+        # mismatch predicate
+        "hard_negatives": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql "
+            "FROM embeddings WHERE vec_id < 5) "
+            "SELECT query_id, rank, vec_id FROM ("
+            "  SELECT q.query_id, "
+            "    row_number() OVER (PARTITION BY q.query_id ORDER BY "
+            "      list_cosine_similarity(CAST(q.qe AS DOUBLE[]), "
+            "      CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank, "
+            "    e.vec_id "
+            "  FROM q CROSS JOIN embeddings e WHERE e.label <> q.ql"
+            ") WHERE rank <= 10"
         ),
         # pairwise distinct-vocab overlap; pairs with zero shared tokens
         # are omitted on both sides (inner join)

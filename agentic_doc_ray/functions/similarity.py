@@ -74,6 +74,53 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: list[int],
+    query_labels: list[int],
+    k: int = 10,
+) -> pa.Table:
+    """Contrastive hard-negative mining: for every query, the top-k most
+    cosine-similar vectors whose LABEL DIFFERS from the query's — the
+    near-miss negatives that make embedding/classifier training data
+    actually hard (the in-batch-negatives upgrade every retrieval recipe
+    ships). Output (query_id, rank, vec_id, cosine), rank 1..k,
+    (sim desc, vec_id asc) ties.
+
+    Same zero-shuffle shape as ``brute_force_topk``: query matrix +
+    labels broadcast once, one matmul per batch with same-label columns
+    masked to -inf (excluded, not just down-ranked), k-row partials per
+    query per batch, and the shared ``_merge_topk_partials`` keyed
+    exchange. The corpus never moves."""
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    ref = ray.put((q_unit, np.asarray(query_labels, dtype=np.int64)))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        Q, qlab = ray.get(ref)
+        vecs = _unit(_as_matrix(batch.column("embedding")))
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        sims = vecs @ Q.T  # (n, q)
+        sims[labels[:, None] == qlab[None, :]] = -np.inf
+        out = {"query_idx": [], "vec_id": [], "cosine": []}
+        kk = min(k, len(ids))
+        for qi in range(Q.shape[0]):
+            s = sims[:, qi]
+            order = np.lexsort((ids, -s))[:kk]
+            order = order[np.isfinite(s[order])]  # drop masked candidates
+            out["query_idx"].extend([qi] * len(order))
+            out["vec_id"].extend(ids[order].tolist())
+            out["cosine"].extend(s[order].tolist())
+        return pa.Table.from_pydict(out, schema=_PARTIAL_SCHEMA)
+
+    return _merge_topk_partials(
+        embeddings.map_batches(partial_topk, batch_format="pyarrow"),
+        query_ids,
+        k,
+    )
+
+
 _KM_SCALE = 1 << 20  # exact-integer accumulation scale for k-means sums
 
 

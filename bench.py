@@ -666,6 +666,30 @@ def main() -> None:
 
     timed("revenue_changepoint", changepoint_q)
 
+    def hard_negatives_q() -> None:
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        from agentic_doc_ray.functions.similarity import hard_negatives
+
+        t = _pq.read_table(
+            f"{SF_DIR}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        qt = t.filter(pc.less(t["vec_id"], 5))
+        hard_negatives(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet",
+                columns=["vec_id", "embedding", "label"],
+            ),
+            np.array(qt["embedding"].to_pylist(), dtype=np.float64),
+            [int(x) for x in qt["vec_id"].to_pylist()],
+            [int(x) for x in qt["label"].to_pylist()],
+        ).num_rows
+
+    timed("hard_negatives", hard_negatives_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

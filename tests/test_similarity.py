@@ -528,3 +528,40 @@ def test_kcenter_coreset_matches_replica(emb):
     r = got["radius_sq_micro2"].to_numpy()[1:]
     assert (r[1:] <= r[:-1]).all()
     assert got["vec_id"].is_unique
+
+
+def test_hard_negatives_excludes_same_label():
+    """Planted 2-label set: the nearest vector shares the query's label
+    and MUST be excluded; negatives come back in exact cosine order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import hard_negatives
+
+    # query = e0; same-label near-duplicate at id 1; negatives at 2..5
+    vecs = np.array(
+        [
+            [1.0, 0.0, 0.0],   # 0: the query itself (label 0)
+            [0.99, 0.1, 0.0],  # 1: near-dup, label 0 -> excluded
+            [0.9, 0.4, 0.0],   # 2: label 1
+            [0.5, 0.8, 0.0],   # 3: label 1
+            [0.0, 1.0, 0.0],   # 4: label 1
+            [-1.0, 0.0, 0.0],  # 5: label 1
+        ]
+    )
+    labels = [0, 0, 1, 1, 1, 1]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(6), pa.int64()),
+                "embedding": pa.array(
+                    [list(v) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+    ).repartition(3)
+    res = hard_negatives(ds, vecs[:1], [0], [0], k=3).to_pylist()
+    got = [(r["rank"], r["vec_id"]) for r in res]
+    assert got == [(1, 2), (2, 3), (3, 4)]  # 0 and 1 excluded (label 0)
