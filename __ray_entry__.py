@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 44  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 45  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -600,11 +600,17 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     )
 
     # single-process kNN-JOIN replica (all-vector top-k neighbor graph)
-    from agentic_doc_ray.functions.similarity import knn_join_oracle
+    from agentic_doc_ray.functions.similarity import (
+        knn_join_oracle,
+        mutual_knn_pairs_oracle,
+    )
 
+    knn_tbl = knn_join_oracle(emb_tbl, k=5)
+    _pq.write_table(knn_tbl, os.path.join(out_dir, "knn_join.parquet"))
+    # mutual (reciprocal) kNN pairs derived from the SAME replica edges
     _pq.write_table(
-        knn_join_oracle(emb_tbl, k=5),
-        os.path.join(out_dir, "knn_join.parquet"),
+        mutual_knn_pairs_oracle(knn_tbl),
+        os.path.join(out_dir, "mutual_knn.parquet"),
     )
 
     # single-process JL random-projection replica: int64 matmul against a
@@ -971,6 +977,11 @@ _DRIVER_PRIORITY = [
     "revenue_changepoint",
     # new in session 11 (batch 5): contrastive hard-negative mining
     "hard_negatives",
+    # new in session 12: soft dedup, dedup audit, skyline, mutual kNN
+    "soft_dedup_weights",
+    "dup_cluster_histogram",
+    "pareto_front",
+    "mutual_knn_pairs",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2088,6 +2099,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=10,
         )
         return res.select(["query_id", "rank", "vec_id"])
+
+    def q_soft_dedup_weights(sf_dir):
+        """SoftDeDup down-weighting: per doc, exact-dup cluster size and
+        the 1000//size training weight. One key-only exchange; exact SQL
+        oracle (md5 group count joined back)."""
+        from agentic_doc_ray.functions.dedup import soft_dedup_weights
+
+        return soft_dedup_weights(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        )
+
+    def q_dup_cluster_histogram(sf_dir):
+        """Dedup audit: distribution of exact-dup cluster sizes
+        (cluster_size, n_clusters, n_docs). exact_dedup + a size-keyed
+        histogram merge; exact SQL oracle."""
+        from agentic_doc_ray.functions.dedup import dup_cluster_histogram
+
+        return dup_cluster_histogram(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        )
+
+    def q_pareto_front(sf_dir):
+        """Distributed 2-D skyline over part (min price, max size): local
+        skyline partials -> one single-group merge with the same kernel.
+        SQL oracle: NOT EXISTS dominance."""
+        from agentic_doc_ray.functions.analytics import pareto_front
+
+        return pareto_front(sf_dir)
+
+    def q_mutual_knn(sf_dir):
+        """Reciprocal kNN pairs over the knn_join edge set (one extra
+        key-only exchange). Replica oracle: mutual pairs of the
+        single-process knn_join replica."""
+        from agentic_doc_ray.functions.similarity import mutual_knn_pairs
+
+        _ensure_extraction_oracles(sf_dir)
+        return mutual_knn_pairs(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            k=5,
+        )
 
     def q_source_vocab_overlap(sf_dir):
         """Pairwise distinct-vocabulary overlap between sources (wimbd
@@ -3338,6 +3395,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": q_source_vocab_overlap,
         "revenue_changepoint": q_revenue_changepoint,
         "hard_negatives": q_hard_negatives,
+        "soft_dedup_weights": q_soft_dedup_weights,
+        "dup_cluster_histogram": q_dup_cluster_histogram,
+        "pareto_front": q_pareto_front,
+        "mutual_knn_pairs": q_mutual_knn,      # single-process replica oracle
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
@@ -5406,6 +5467,37 @@ def oracle_sql() -> dict[str, str]:
             "    e.vec_id "
             "  FROM q CROSS JOIN embeddings e WHERE e.label <> q.ql"
             ") WHERE rank <= 10"
+        ),
+        # SoftDeDup weights: exact-dup cluster size per doc, integer
+        # per-mille down-weight
+        "soft_dedup_weights": (
+            "WITH h AS (SELECT doc_id, md5(text) AS h FROM documents), "
+            "c AS (SELECT h, CAST(count(*) AS BIGINT) AS cluster_size "
+            "      FROM h GROUP BY h) "
+            "SELECT h.doc_id, c.cluster_size, "
+            "  CAST(1000 // c.cluster_size AS BIGINT) AS weight_permille "
+            "FROM h JOIN c USING (h)"
+        ),
+        # dedup audit histogram over exact-dup cluster sizes
+        "dup_cluster_histogram": (
+            "WITH c AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n "
+            "           FROM documents GROUP BY 1) "
+            "SELECT n AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, "
+            "  CAST(n * count(*) AS BIGINT) AS n_docs FROM c GROUP BY n"
+        ),
+        # 2-D skyline: dominated iff another part is <= price AND >= size
+        # with at least one strict
+        "pareto_front": (
+            "SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size "
+            "FROM part p WHERE NOT EXISTS ("
+            "  SELECT 1 FROM part q "
+            "  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size "
+            "    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"
+        ),
+        # reciprocal kNN pairs of the single-process knn_join replica
+        "mutual_knn_pairs": (
+            "SELECT vec_id_a, vec_id_b "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/mutual_knn.parquet')"
         ),
         # pairwise distinct-vocab overlap; pairs with zero shared tokens
         # are omitted on both sides (inner join)

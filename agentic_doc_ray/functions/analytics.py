@@ -1914,3 +1914,86 @@ def revenue_trend(sf_dir: str) -> "ray.data.Dataset":
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto front (2-D skyline)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_SCHEMA = pa.schema(
+    [
+        ("p_partkey", pa.int64()),
+        ("p_retailprice", pa.float64()),
+        ("p_size", pa.int64()),
+    ]
+)
+
+
+def _local_skyline(batch: pa.Table) -> pa.Table:
+    """Non-dominated rows of ONE batch: minimize p_retailprice, maximize
+    p_size. A row is dominated iff some row is <= on price AND >= on size
+    with at least one strict; rows tied on BOTH dims all survive together.
+
+    Vectorized: per distinct price, only the max-size rows can survive;
+    across prices (ascending), a price level survives iff its max size
+    STRICTLY exceeds the running max over all cheaper levels (an equal
+    size at a cheaper price dominates strictly on price)."""
+    if batch.num_rows == 0:
+        return _SKYLINE_SCHEMA.empty_table()
+    price = batch.column("p_retailprice").to_numpy(zero_copy_only=False)
+    size = batch.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+    uprice, inv = np.unique(price, return_inverse=True)
+    max_at = np.full(len(uprice), np.iinfo(np.int64).min, np.int64)
+    np.maximum.at(max_at, inv, size)
+    # running strict prefix max over cheaper price levels
+    prefix = np.concatenate(
+        ([np.iinfo(np.int64).min], np.maximum.accumulate(max_at)[:-1])
+    )
+    level_ok = max_at > prefix
+    keep = level_ok[inv] & (size == max_at[inv])
+    return pa.Table.from_arrays(
+        [
+            batch.column("p_partkey").filter(pa.array(keep)).cast(pa.int64()),
+            batch.column("p_retailprice").filter(pa.array(keep)),
+            batch.column("p_size").filter(pa.array(keep)).cast(pa.int64()),
+        ],
+        schema=_SKYLINE_SCHEMA,
+    )
+
+
+def pareto_front(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed 2-D skyline over part: the parts no other part beats on
+    both (cheaper-or-equal price, larger-or-equal size, one strict) — the
+    classic multi-criteria shortlist query.
+
+    Scale shape: the skyline operator is IDEMPOTENT under composition
+    (a globally dominated row is dominated inside any subset containing
+    its dominator), so each batch first reduces to its LOCAL skyline —
+    expected O(distinct prices at the frontier) rows, a massive data cut
+    — and one single-group exchange merges the partials with the same
+    kernel. The merge group is bounded by sum-of-partial-skylines (tiny
+    for non-adversarial data; worst case — every row on the global front
+    — is output-sized, which no exact skyline can beat)."""
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    partials = part.map_batches(_local_skyline, batch_format="pyarrow")
+
+    ex_schema = _SKYLINE_SCHEMA.insert(0, pa.field("bucket", pa.int32()))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.add_column(
+            0, "bucket", pa.array([0] * batch.num_rows, pa.int32())
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("p_partkey"), 0))
+        return _local_skyline(g)
+
+    return (
+        partials.map_batches(tag, batch_format="pyarrow")
+        .union(int_key_sentinels(ex_schema, "bucket", fill={"p_partkey": -1}))
+        .groupby("bucket", num_partitions=_cap(2))
+        .map_groups(merge, batch_format="pyarrow")
+    )

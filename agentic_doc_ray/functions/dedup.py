@@ -1648,3 +1648,97 @@ def fuzzy_contamination(
         return fuzzy_contamination_batch(batch, ray.get(ref))
 
     return docs.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup down-weighting + dedup audit histogram
+# ---------------------------------------------------------------------------
+
+
+def soft_dedup_weights(
+    docs: "ray.data.Dataset", shuffle_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """SoftDeDup-style duplicate DOWN-WEIGHTING instead of removal: every
+    doc is annotated with its exact-dup cluster size and the training
+    weight ``1000 // cluster_size`` (integer per-mille, so a text seen 4
+    times contributes ~once in aggregate) — the soft alternative to
+    ``dedup_keep`` when hard removal is too lossy.
+
+    Scale shape (same as ``dedup_keep``): ONE bucketed exchange of small
+    (bucket, h, doc_id) key rows — text never shuffles, nothing collects
+    on the driver; each bucket counts per-hash members vectorized and
+    joins the count back onto its doc ids with Arrow ``Table.join``.
+    Output: (doc_id, cluster_size, weight_permille)."""
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        h = pa.array(_md5_hex(batch.column("text").to_pylist()))
+        bucket = pa.array(
+            [int(x[:4], 16) % _N_DEDUP_BUCKETS for x in h.to_pylist()],
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [bucket, h, batch.column("doc_id")], names=["bucket", "h", "doc_id"]
+        )
+
+    def weight_group(group: pa.Table) -> pa.Table:
+        counts = (
+            group.select(["h", "doc_id"])
+            .group_by("h")
+            .aggregate([("doc_id", "count")])
+            .rename_columns(["h", "cluster_size"])
+        )
+        joined = group.select(["doc_id", "h"]).join(counts, keys="h")
+        size = joined.column("cluster_size").cast(pa.int64())
+        w = pc.divide(pa.scalar(1000, pa.int64()), size)
+        return pa.Table.from_arrays(
+            [joined.column("doc_id"), size, w],
+            names=["doc_id", "cluster_size", "weight_permille"],
+        )
+
+    keyed = docs.map_batches(key_rows, batch_format="pyarrow")
+    return keyed.groupby(
+        "bucket", num_partitions=_cap(shuffle_partitions)
+    ).map_groups(weight_group, batch_format="pyarrow")
+
+
+def dup_cluster_histogram(
+    docs: "ray.data.Dataset", shuffle_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """Dedup AUDIT: the distribution of exact-dup cluster sizes —
+    (cluster_size, n_clusters, n_docs) — the first table any dedup run
+    report shows (how much mass is duplicated, and in how big clusters).
+
+    Composes ``exact_dedup`` (one key-only exchange) with a per-batch
+    histogram partial and a tiny ``groupby().aggregate()`` merge whose
+    key cardinality is the number of DISTINCT cluster sizes (~dozens at
+    any corpus scale), so the second exchange is O(sizes), not O(docs)."""
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["n_dups"])
+            .group_by("n_dups")
+            .aggregate([("n_dups", "count")])
+        )
+        return pa.Table.from_arrays(
+            [
+                g.column("n_dups").cast(pa.int64()),
+                g.column("n_dups_count").cast(pa.int64()),
+            ],
+            names=["cluster_size", "n_clusters"],
+        )
+
+    merged = (
+        exact_dedup(docs, shuffle_partitions)
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_docs", pc.multiply(batch.column("cluster_size"), batch.column("n_clusters"))
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

@@ -1734,3 +1734,101 @@ def kcenter_oracle(
             "radius_sq_micro2": pa.array([c[2] for c in centers], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual kNN pairs (reciprocal nearest-neighbor graph)
+# ---------------------------------------------------------------------------
+
+MUTUAL_KNN_SCHEMA = pa.schema(
+    [("vec_id_a", pa.int64()), ("vec_id_b", pa.int64())]
+)
+
+
+def mutual_knn_pairs(
+    embeddings: "ray.data.Dataset", k: int = 5, **knn_kwargs
+) -> "ray.data.Dataset":
+    """RECIPROCAL nearest-neighbor pairs: (a, b) with a < b where a is in
+    b's top-k AND b is in a's top-k — the high-precision edge set used for
+    agglomerative corpus clustering and paired-duplicate mining (a
+    one-sided kNN edge is often an asymmetric hub artifact; mutuality
+    filters the hubs out).
+
+    Composes ``knn_join`` (one vector exchange + one key-only merge) with
+    ONE more key-only exchange: each directed edge ships as a canonical
+    (min, max, direction) row of 17 bytes, pairs land in one bucket via
+    hash(min id), and a vectorized per-bucket groupby keeps pairs seen in
+    BOTH directions. Nothing touches the driver; vectors ship only inside
+    ``knn_join``."""
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    edges = knn_join(embeddings, k=k, **knn_kwargs)
+
+    ex_schema = pa.schema(
+        [
+            ("pbucket", pa.int32()),
+            ("lo", pa.int64()),
+            ("hi", pa.int64()),
+            ("dir", pa.int8()),
+        ]
+    )
+
+    def canonical(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        n = batch.column("neighbor_id").to_numpy(zero_copy_only=False)
+        lo = np.minimum(v, n)
+        hi = np.maximum(v, n)
+        return pa.Table.from_arrays(
+            [
+                pa.array((lo & 63).astype(np.int32), pa.int32()),
+                pa.array(lo, pa.int64()),
+                pa.array(hi, pa.int64()),
+                pa.array((v < n).astype(np.int8), pa.int8()),
+            ],
+            schema=ex_schema,
+        )
+
+    def mutual_group(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("lo"), 0))
+        if g.num_rows == 0:
+            return MUTUAL_KNN_SCHEMA.empty_table()
+        agg = (
+            g.select(["lo", "hi", "dir"])
+            .group_by(["lo", "hi"])
+            .aggregate([("dir", "min"), ("dir", "max")])
+        )
+        both = pc.and_(
+            pc.equal(agg.column("dir_min"), pa.scalar(0, pa.int8())),
+            pc.equal(agg.column("dir_max"), pa.scalar(1, pa.int8())),
+        )
+        m = agg.filter(both)
+        return pa.Table.from_arrays(
+            [m.column("lo"), m.column("hi")], schema=MUTUAL_KNN_SCHEMA
+        )
+
+    n_edges = k * embeddings.count()
+    return (
+        edges.map_batches(canonical, batch_format="pyarrow")
+        .union(int_key_sentinels(ex_schema, "pbucket", fill={"lo": -1, "hi": -1}))
+        .groupby("pbucket", num_partitions=partitions_for(n_edges))
+        .map_groups(mutual_group, batch_format="pyarrow")
+    )
+
+
+def mutual_knn_pairs_oracle(knn_table: pa.Table) -> pa.Table:
+    """Single-process replica: mutual pairs from a (vec_id, rank,
+    neighbor_id) kNN table (e.g. ``knn_join_oracle``'s output)."""
+    v = np.asarray(knn_table.column("vec_id").to_pylist(), dtype=np.int64)
+    n = np.asarray(knn_table.column("neighbor_id").to_pylist(), dtype=np.int64)
+    directed = set(zip(v.tolist(), n.tolist()))
+    pairs = sorted(
+        {(a, b) for (a, b) in directed if a < b and (b, a) in directed}
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array([p[0] for p in pairs], pa.int64()),
+            pa.array([p[1] for p in pairs], pa.int64()),
+        ],
+        schema=MUTUAL_KNN_SCHEMA,
+    )

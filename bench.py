@@ -690,6 +690,47 @@ def main() -> None:
 
     timed("hard_negatives", hard_negatives_q)
 
+    def soft_dedup_q() -> None:
+        from agentic_doc_ray.functions.dedup import soft_dedup_weights
+
+        soft_dedup_weights(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("soft_dedup_weights", soft_dedup_q)
+
+    def dup_hist_q() -> None:
+        from agentic_doc_ray.functions.dedup import dup_cluster_histogram
+
+        dup_cluster_histogram(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("dup_cluster_histogram", dup_hist_q)
+
+    def pareto_q() -> None:
+        from agentic_doc_ray.functions.analytics import pareto_front
+
+        pareto_front(SF_DIR).count()
+
+    timed("pareto_front", pareto_q)
+
+    def mutual_knn_q() -> None:
+        from agentic_doc_ray.functions.similarity import mutual_knn_pairs
+
+        mutual_knn_pairs(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            k=5,
+        ).count()
+
+    timed("mutual_knn_pairs", mutual_knn_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

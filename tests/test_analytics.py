@@ -1432,3 +1432,90 @@ def test_revenue_changepoint_exact():
             best = (int(day), d)
     assert (r["split_day_num"], r["d_value"]) == best
     assert r["n_days"] == n and r["total_cents"] == s_n
+
+
+def _brute_skyline(price, size):
+    """O(n^2) dominance reference for the 2-D skyline."""
+    keep = []
+    n = len(price)
+    for i in range(n):
+        dominated = any(
+            price[j] <= price[i]
+            and size[j] >= size[i]
+            and (price[j] < price[i] or size[j] > size[i])
+            for j in range(n)
+        )
+        if not dominated:
+            keep.append(i)
+    return set(keep)
+
+
+def test_local_skyline_matches_brute_force():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.RandomState(11)
+    price = np.round(rng.uniform(1, 50, 200), 2)
+    size = rng.randint(1, 20, 200).astype(np.int64)
+    # plant ties on both dims: duplicate frontier points must ALL survive
+    price[10] = price[11] = 1.0
+    size[10] = size[11] = 19
+    t = pa.table(
+        {
+            "p_partkey": pa.array(range(200), pa.int64()),
+            "p_retailprice": pa.array(price, pa.float64()),
+            "p_size": pa.array(size, pa.int64()),
+        }
+    )
+    got = set(A._local_skyline(t).column("p_partkey").to_pylist())
+    assert got == _brute_skyline(price, size)
+
+
+def test_skyline_composition_is_lossless():
+    """skyline(skyline(A) U skyline(B)) == skyline(A U B): the property
+    the distributed partial->merge shape relies on."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.RandomState(7)
+    price = np.round(rng.uniform(1, 30, 300), 2)
+    size = rng.randint(1, 15, 300).astype(np.int64)
+    t = pa.table(
+        {
+            "p_partkey": pa.array(range(300), pa.int64()),
+            "p_retailprice": pa.array(price, pa.float64()),
+            "p_size": pa.array(size, pa.int64()),
+        }
+    )
+    import pyarrow as _pa
+
+    whole = set(A._local_skyline(t).column("p_partkey").to_pylist())
+    parts = [t.slice(0, 100), t.slice(100, 100), t.slice(200, 100)]
+    merged = A._local_skyline(
+        _pa.concat_tables([A._local_skyline(p) for p in parts])
+    )
+    assert set(merged.column("p_partkey").to_pylist()) == whole
+
+
+def test_pareto_front_end_to_end_matches_sql():
+    got = (
+        A.pareto_front(SF)
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"""
+        SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+        FROM read_parquet('{SF}/part.parquet') p WHERE NOT EXISTS (
+          SELECT 1 FROM read_parquet('{SF}/part.parquet') q
+          WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        ORDER BY p_partkey
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -360,3 +360,40 @@ def test_fuzzy_contamination_planted():
             key=lambda r: r["doc_id"],
         )
         assert got == sorted(local, key=lambda r: r["doc_id"])
+
+
+def test_soft_dedup_weights_planted():
+    """Planted clusters: a triple, a pair, singletons -> integer
+    per-mille weights 333/500/1000 and matching cluster sizes."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(7)), pa.int64()),
+            "text": ["aaa", "aaa", "aaa", "bb", "bb", "c", "d"],
+        }
+    )
+    got = (
+        D.soft_dedup_weights(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["cluster_size"].tolist() == [3, 3, 3, 2, 2, 1, 1]
+    assert got["weight_permille"].tolist() == [333, 333, 333, 500, 500, 1000, 1000]
+
+
+def test_dup_cluster_histogram_planted():
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(7)), pa.int64()),
+            "text": ["aaa", "aaa", "aaa", "bb", "bb", "c", "d"],
+        }
+    )
+    got = (
+        D.dup_cluster_histogram(ray.data.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values("cluster_size")
+        .reset_index(drop=True)
+    )
+    assert got["cluster_size"].tolist() == [1, 2, 3]
+    assert got["n_clusters"].tolist() == [2, 1, 1]
+    assert got["n_docs"].tolist() == [2, 2, 3]

@@ -565,3 +565,38 @@ def test_hard_negatives_excludes_same_label():
     res = hard_negatives(ds, vecs[:1], [0], [0], k=3).to_pylist()
     got = [(r["rank"], r["vec_id"]) for r in res]
     assert got == [(1, 2), (2, 3), (3, 4)]  # 0 and 1 excluded (label 0)
+
+
+def test_mutual_knn_pairs_matches_replica():
+    """Distributed mutual-kNN == mutual pairs of the single-process
+    knn_join replica on a deterministic planted set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import (
+        knn_join_oracle,
+        mutual_knn_pairs,
+        mutual_knn_pairs_oracle,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, 8)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(80), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = (
+        mutual_knn_pairs(ray.data.from_arrow(t).repartition(4), k=4)
+        .to_pandas()
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
+    want = mutual_knn_pairs_oracle(knn_join_oracle(t, k=4)).to_pandas()
+    assert got.values.tolist() == want.values.tolist()
+    # mutuality is symmetric by construction: every pair is canonical
+    assert (got["vec_id_a"] < got["vec_id_b"]).all()
