@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 45  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 46  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -613,6 +613,19 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         os.path.join(out_dir, "mutual_knn.parquet"),
     )
 
+    # label-centroid affinity replica (exact integer micro sums)
+    from agentic_doc_ray.functions.similarity import centroid_affinity_oracle
+
+    _pq.write_table(
+        centroid_affinity_oracle(
+            pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding", "label"],
+            )
+        ),
+        os.path.join(out_dir, "centroid_affinity.parquet"),
+    )
+
     # single-process JL random-projection replica: int64 matmul against a
     # hash-derived ±1 matrix — bit-equal by construction
     from agentic_doc_ray.functions.similarity import random_projection_oracle
@@ -982,6 +995,12 @@ _DRIVER_PRIORITY = [
     "dup_cluster_histogram",
     "pareto_front",
     "mutual_knn_pairs",
+    # new in session 12 (batch 2): mixture upsampling, provenance audits,
+    # centroid affinity
+    "upsample_sources",
+    "cross_source_duplicates",
+    "dedup_savings_by_source",
+    "centroid_affinity",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2144,6 +2163,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
             ),
             k=5,
+        )
+
+    def q_upsample_sources(sf_dir):
+        """Deterministic per-source up/down-sampling with epoch indices
+        (zero exchanges, md5 gate). Exact SQL oracle (CASE factors +
+        lateral generate_series)."""
+        from agentic_doc_ray.functions.sampling import upsample_sources
+
+        return upsample_sources(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+            ),
+            {"src0": 2500, "src1": 1700, "src2": 900, "src3": 400},
+        )
+
+    def q_cross_source_duplicates(sf_dir):
+        """Provenance audit: distinct-source spread per exact-dup cluster
+        (one key-only exchange of per-batch (h, source) partials)."""
+        from agentic_doc_ray.functions.dedup import cross_source_duplicates
+
+        return cross_source_duplicates(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+            )
+        )
+
+    def q_dedup_savings_by_source(sf_dir):
+        """Dedup ROI report: per-source docs/chars removed by exact dedup
+        (one key-row exchange + tiny source merge)."""
+        from agentic_doc_ray.functions.dedup import dedup_savings_by_source
+
+        return dedup_savings_by_source(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "source", "n_chars"],
+            )
+        )
+
+    def q_centroid_affinity(sf_dir):
+        """Pairwise cosine between per-label mean embeddings from exact
+        integer micro sums (one tiny sentinel-guarded exchange); replica
+        oracle."""
+        from agentic_doc_ray.functions.similarity import centroid_affinity
+
+        _ensure_extraction_oracles(sf_dir)
+        return centroid_affinity(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+            )
         )
 
     def q_source_vocab_overlap(sf_dir):
@@ -3399,6 +3467,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "pareto_front": q_pareto_front,
         "mutual_knn_pairs": q_mutual_knn,      # single-process replica oracle
+        "upsample_sources": q_upsample_sources,
+        "cross_source_duplicates": q_cross_source_duplicates,
+        "dedup_savings_by_source": q_dedup_savings_by_source,
+        "centroid_affinity": q_centroid_affinity,  # single-process replica oracle
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
@@ -5498,6 +5570,47 @@ def oracle_sql() -> dict[str, str]:
         "mutual_knn_pairs": (
             "SELECT vec_id_a, vec_id_b "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/mutual_knn.parquet')"
+        ),
+        # per-source up/down-sampling: floor copies + md5-gated fractional
+        # copy, lateral generate_series for the epoch index
+        "upsample_sources": (
+            "WITH f AS (SELECT doc_id, source, CASE source "
+            "  WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1700 "
+            "  WHEN 'src2' THEN 900 WHEN 'src3' THEN 400 ELSE 1000 END AS f "
+            "FROM documents), "
+            "d AS (SELECT doc_id, source, f // 1000 + CASE WHEN "
+            "  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 1000 "
+            "  < f % 1000 THEN 1 ELSE 0 END AS n FROM f) "
+            "SELECT doc_id, source, "
+            "  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch "
+            "FROM d"
+        ),
+        # distinct-source spread per exact-dup cluster
+        "cross_source_duplicates": (
+            "SELECT md5(text) AS h, "
+            "  CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+            "  CAST(count(*) AS BIGINT) AS n_docs, "
+            "  count(DISTINCT source) > 1 AS cross_source "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        # per-source dedup ROI: kept = corpus-wide min-doc_id first
+        # occurrence
+        "dedup_savings_by_source": (
+            "WITH h AS (SELECT doc_id, source, n_chars, md5(text) AS h "
+            "           FROM documents), "
+            "k AS (SELECT h, min(doc_id) AS keeper FROM h GROUP BY h) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "  CAST(sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) "
+            "    AS n_docs_kept, "
+            "  CAST(sum(n_chars) AS BIGINT) AS n_chars, "
+            "  CAST(sum(CASE WHEN doc_id = keeper THEN n_chars ELSE 0 END) "
+            "    AS BIGINT) AS n_chars_kept "
+            "FROM h JOIN k USING (h) GROUP BY source"
+        ),
+        # label-centroid cosine matrix: single-process replica parquet
+        "centroid_affinity": (
+            "SELECT label_a, label_b, cosine_micro "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/centroid_affinity.parquet')"
         ),
         # pairwise distinct-vocab overlap; pairs with zero shared tokens
         # are omitted on both sides (inner join)

@@ -1742,3 +1742,135 @@ def dup_cluster_histogram(
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def cross_source_duplicates(
+    docs: "ray.data.Dataset", shuffle_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """Provenance audit: per exact-dup cluster, how many DISTINCT sources
+    carry the text — (h, n_sources, n_docs, cross_source). Cross-source
+    clusters (mirrors, syndication, scraped copies) are the ones worth a
+    provenance check before dedup picks an arbitrary keeper.
+
+    Scale shape: per-batch partials are one row per distinct (h, source)
+    per batch — already collapsed before the single key-only exchange;
+    each bucket then re-collapses (h, source) and counts distinct sources
+    vectorized. Text never shuffles."""
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pa.array(_md5_hex(batch.column("text").to_pylist()))
+        t = pa.Table.from_arrays(
+            [h, batch.column("source")], names=["h", "source"]
+        )
+        g = t.group_by(["h", "source"]).aggregate([("source", "count")])
+        g = g.rename_columns(["h", "source", "n"])
+        bucket = pa.array(
+            [int(x[:4], 16) % _N_DEDUP_BUCKETS for x in g.column("h").to_pylist()],
+            pa.int32(),
+        )
+        return g.append_column("bucket", bucket)
+
+    def merge(group: pa.Table) -> pa.Table:
+        per_src = (
+            group.select(["h", "source", "n"])
+            .group_by(["h", "source"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["h", "source", "n"])
+        )
+        agg = (
+            per_src.select(["h", "source", "n"])
+            .group_by("h")
+            .aggregate([("source", "count_distinct"), ("n", "sum")])
+            .rename_columns(["h", "n_sources", "n_docs"])
+        )
+        return agg.set_column(
+            1, "n_sources", agg.column("n_sources").cast(pa.int64())
+        ).append_column(
+            "cross_source",
+            pc.greater(agg.column("n_sources").cast(pa.int64()), 1),
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(
+        "bucket", num_partitions=_cap(shuffle_partitions)
+    ).map_groups(merge, batch_format="pyarrow")
+
+
+def dedup_savings_by_source(
+    docs: "ray.data.Dataset", shuffle_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """Dedup ROI report: per source, how many docs/chars exact dedup
+    removes — (source, n_docs, n_docs_kept, n_chars, n_chars_kept), where
+    "kept" = the min-doc_id first occurrence of each distinct text
+    (corpus-wide, so a doc duplicated across sources is kept only in the
+    keeper's source; the others' copies count as removed mass).
+
+    Scale shape: ONE exchange of (bucket, h, doc_id, source, n_chars) key
+    rows — text never ships; each bucket marks keepers vectorized and
+    pre-aggregates per source, so the final merge is a tiny
+    groupby().aggregate() over O(sources x buckets) partial rows."""
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from ray.data.aggregate import Sum
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        h = pa.array(_md5_hex(batch.column("text").to_pylist()))
+        bucket = pa.array(
+            [int(x[:4], 16) % _N_DEDUP_BUCKETS for x in h.to_pylist()],
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [
+                bucket,
+                h,
+                batch.column("doc_id"),
+                batch.column("source"),
+                batch.column("n_chars").cast(pa.int64()),
+            ],
+            names=["bucket", "h", "doc_id", "source", "n_chars"],
+        )
+
+    def savings_group(group: pa.Table) -> pa.Table:
+        keepers = (
+            group.select(["h", "doc_id"])
+            .group_by("h")
+            .aggregate([("doc_id", "min")])
+            .rename_columns(["h", "keeper"])
+        )
+        j = group.select(["h", "doc_id", "source", "n_chars"]).join(
+            keepers, keys="h"
+        )
+        kept = pc.equal(j.column("doc_id"), j.column("keeper"))
+        kept_i = kept.cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [
+                j.column("source"),
+                kept_i,
+                pc.multiply(j.column("n_chars"), kept_i),
+                j.column("n_chars"),
+            ],
+            names=["source", "n_docs_kept", "n_chars_kept", "n_chars"],
+        )
+        g = t.group_by("source").aggregate(
+            [
+                ("n_docs_kept", "count"),
+                ("n_docs_kept", "sum"),
+                ("n_chars", "sum"),
+                ("n_chars_kept", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["source", "n_docs", "n_docs_kept", "n_chars", "n_chars_kept"]
+        )
+
+    partials = (
+        docs.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=_cap(shuffle_partitions))
+        .map_groups(savings_group, batch_format="pyarrow")
+    )
+    return partials.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_docs_kept", alias_name="n_docs_kept"),
+        Sum("n_chars", alias_name="n_chars"),
+        Sum("n_chars_kept", alias_name="n_chars_kept"),
+    )

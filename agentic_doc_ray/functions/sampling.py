@@ -446,3 +446,47 @@ def fim_transform(
         )
 
     return docs.map_batches(transform, batch_format="pyarrow")
+
+
+def upsample_sources(
+    docs: "ray.data.Dataset",
+    factors_permille: dict[str, int],
+    default_permille: int = 1000,
+) -> "ray.data.Dataset":
+    """Deterministic per-source UP/DOWN-sampling with epoch indices — the
+    multilingual/low-resource mixture rebalance where a source with factor
+    2500 contributes each doc 2.5x (2 full copies + a stable-hash 50%
+    chance of a third; factor 400 keeps 40% of docs once). Output
+    (doc_id, source, epoch) with epoch 0..n_copies-1 — downstream packing
+    can salt sequence order by epoch so repeated copies don't collide.
+
+    Zero exchanges, no RNG state: n_copies = f//1000 plus one more iff the
+    doc's stable md5 per-mille < f%1000 (the same gate as
+    ``mixture_sample``, SQL-reproducible). The repeat is a vectorized
+    ``take``; rows never leave their batch."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch.column("doc_id").to_pylist()
+        h = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 1000
+                for d in ids
+            ],
+            dtype=np.int64,
+        )
+        f = (
+            pd.Series(batch.column("source").to_pylist())
+            .map(factors_permille)
+            .fillna(default_permille)
+            .to_numpy(dtype=np.int64)
+        )
+        n_copies = f // 1000 + (h < f % 1000)
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_copies)
+        starts = np.concatenate(([0], np.cumsum(n_copies)))[:-1]
+        epoch = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, n_copies)
+        out = batch.select(["doc_id", "source"]).take(pa.array(idx))
+        return out.append_column("epoch", pa.array(epoch, pa.int64()))
+
+    return docs.map_batches(expand, batch_format="pyarrow")

@@ -1832,3 +1832,142 @@ def mutual_knn_pairs_oracle(knn_table: pa.Table) -> pa.Table:
         ],
         schema=MUTUAL_KNN_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid affinity (per-group mean-embedding cosine matrix)
+# ---------------------------------------------------------------------------
+
+CENTROID_AFFINITY_SCHEMA = pa.schema(
+    [
+        ("label_a", pa.int64()),
+        ("label_b", pa.int64()),
+        ("cosine_micro", pa.int64()),
+    ]
+)
+
+
+def _affinity_from_sums(labels: np.ndarray, sums: np.ndarray) -> pa.Table:
+    """Pairwise centroid cosines from EXACT integer micro-unit sums.
+
+    The cosine of two means equals the cosine of their (unnormalized)
+    sums, so counts cancel and only the exact int sums matter. Dots are
+    taken in Python ints (arbitrary precision — int64 would overflow at
+    ~1e7 docs x unit vectors); the final float64 division of two exact
+    integers is a fixed IEEE expression, identical in the distributed run
+    and the replica, so floor(1e6 * cos) is bit-stable."""
+    order = np.argsort(labels)
+    labels, sums = labels[order], sums[order]
+    rows = {"label_a": [], "label_b": [], "cosine_micro": []}
+    py = [[int(x) for x in s] for s in sums]
+    norms2 = [sum(x * x for x in s) for s in py]
+    import math
+
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            dot = sum(a * b for a, b in zip(py[i], py[j]))
+            den = math.sqrt(float(norms2[i]) * float(norms2[j]))
+            c = float(dot) / den if den else 0.0
+            rows["label_a"].append(int(labels[i]))
+            rows["label_b"].append(int(labels[j]))
+            rows["cosine_micro"].append(int(np.floor(1e6 * c)))
+    return pa.Table.from_pydict(rows, schema=CENTROID_AFFINITY_SCHEMA)
+
+
+def centroid_affinity(embeddings: "ray.data.Dataset") -> pa.Table:
+    """Pairwise cosine between per-LABEL mean embeddings — the
+    cluster-overlap diagnostic (which classes/topics are embedding-space
+    neighbors, which sources cover the same content region).
+
+    Scale shape: per-batch partials are one (label, sum int64-micro
+    vector) row per label per batch — exact integer micro units so the
+    distributed sum is order-independent; ONE tiny sentinel-guarded
+    exchange merges them to L rows; the LxL cosine matrix is computed
+    from those exact sums (L = label cardinality, a bounded dimension —
+    for million-key cardinalities use a keyed pair exchange instead).
+    Vectors themselves never shuffle."""
+    import pyarrow.compute as _pc
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ex_schema = pa.schema(
+        [
+            ("label", pa.int64()),
+            ("n", pa.int64()),
+            ("sums", pa.list_(pa.int64())),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column("embedding").combine_chunks()
+        lens = _pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        if len(lens) == 0:
+            return ex_schema.empty_table()
+        dim = int(lens[0])
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        micro = np.round(flat * 1_000_000.0).astype(np.int64).reshape(-1, dim)
+        labs = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        ulab, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(ulab), dim), np.int64)
+        np.add.at(sums, inv, micro)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ulab, pa.int64()),
+                pa.array(counts, pa.int64()),
+                pa.array([list(map(int, s)) for s in sums], pa.list_(pa.int64())),
+            ],
+            schema=ex_schema,
+        )
+
+    def merge_label(group: pa.Table) -> pa.Table:
+        # sentinels carry n=0 (their label values are arbitrary covering
+        # keys, so the n-column is the discriminator)
+        g = group.filter(_pc.greater(group.column("n"), 0))
+        if g.num_rows == 0:
+            return ex_schema.empty_table()
+        labs = np.asarray(g.column("label").to_pylist(), dtype=np.int64)
+        sums = np.array(g.column("sums").to_pylist(), dtype=np.int64)
+        ns = np.asarray(g.column("n").to_pylist(), dtype=np.int64)
+        ulab, inv = np.unique(labs, return_inverse=True)
+        out = np.zeros((len(ulab), sums.shape[1]), np.int64)
+        np.add.at(out, inv, sums)
+        cnt = np.zeros(len(ulab), np.int64)
+        np.add.at(cnt, inv, ns)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ulab, pa.int64()),
+                pa.array(cnt, pa.int64()),
+                pa.array([list(map(int, s)) for s in out], pa.list_(pa.int64())),
+            ],
+            schema=ex_schema,
+        )
+
+    merged = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .union(int_key_sentinels(ex_schema, "label", fill={"n": 0}))
+        .groupby("label", num_partitions=shuffle_partitions(4))
+        .map_groups(merge_label, batch_format="pyarrow")
+    )
+    rows = [r for r in merged.take_all() if r["n"] > 0]
+    labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    sums = np.array([r["sums"] for r in rows], dtype=np.int64)
+    return _affinity_from_sums(labels, sums)
+
+
+def centroid_affinity_oracle(embeddings: pa.Table) -> pa.Table:
+    """Single-process replica: same micro-int rounding, same exact sums,
+    same cosine expression."""
+    import pyarrow.compute as _pc
+
+    arr = embeddings.column("embedding").combine_chunks()
+    lens = _pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    dim = int(lens[0])
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    micro = np.round(flat * 1_000_000.0).astype(np.int64).reshape(-1, dim)
+    labs = np.asarray(embeddings.column("label").to_pylist(), dtype=np.int64)
+    ulab, inv = np.unique(labs, return_inverse=True)
+    sums = np.zeros((len(ulab), dim), np.int64)
+    np.add.at(sums, inv, micro)
+    return _affinity_from_sums(ulab, sums)

@@ -731,6 +731,52 @@ def main() -> None:
 
     timed("mutual_knn_pairs", mutual_knn_q)
 
+    def upsample_q() -> None:
+        from agentic_doc_ray.functions.sampling import upsample_sources
+
+        upsample_sources(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+            ),
+            {"src0": 2500, "src1": 1700, "src2": 900, "src3": 400},
+        ).count()
+
+    timed("upsample_sources", upsample_q)
+
+    def cross_source_q() -> None:
+        from agentic_doc_ray.functions.dedup import cross_source_duplicates
+
+        cross_source_duplicates(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+            )
+        ).count()
+
+    timed("cross_source_duplicates", cross_source_q)
+
+    def savings_q() -> None:
+        from agentic_doc_ray.functions.dedup import dedup_savings_by_source
+
+        dedup_savings_by_source(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet",
+                columns=["doc_id", "text", "source", "n_chars"],
+            )
+        ).count()
+
+    timed("dedup_savings_by_source", savings_q)
+
+    def affinity_q() -> None:
+        from agentic_doc_ray.functions.similarity import centroid_affinity
+
+        centroid_affinity(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["embedding", "label"]
+            )
+        ).num_rows
+
+    timed("centroid_affinity", affinity_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

@@ -397,3 +397,53 @@ def test_dup_cluster_histogram_planted():
     assert got["cluster_size"].tolist() == [1, 2, 3]
     assert got["n_clusters"].tolist() == [2, 1, 1]
     assert got["n_docs"].tolist() == [2, 2, 3]
+
+
+def test_cross_source_duplicates_planted():
+    """A text shared by 2 sources, one duplicated within a single source,
+    and singletons."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": ["x", "x", "y", "y", "z", "w"],
+            "source": ["s1", "s2", "s1", "s1", "s2", "s3"],
+        }
+    )
+    got = (
+        D.cross_source_duplicates(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("n_docs", ascending=False)
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4
+    by = {
+        r.h: (r.n_sources, r.n_docs, r.cross_source) for r in got.itertuples()
+    }
+    import hashlib as _h
+
+    hx = _h.md5(b"x").hexdigest()
+    hy = _h.md5(b"y").hexdigest()
+    assert by[hx] == (2, 2, True)
+    assert by[hy] == (1, 2, False)
+
+
+def test_dedup_savings_by_source_planted():
+    """Cross-source dup: keeper's source keeps the chars, the other
+    source's copy counts as removed."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30, 40], pa.int64()),
+            "text": ["x", "x", "y", "z"],
+            "source": ["s1", "s2", "s2", "s2"],
+            "n_chars": pa.array([5, 5, 7, 9], pa.int64()),
+        }
+    )
+    got = (
+        D.dedup_savings_by_source(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["s1"].tolist() == [1, 1, 5, 5]
+    # s2: 3 docs, the 'x' copy (doc 20) loses to keeper doc 10 in s1
+    assert got.loc["s2"].tolist() == [3, 2, 21, 16]

@@ -285,3 +285,42 @@ def test_fim_transform_roundtrip_and_gate():
             assert r["mode"] == "orig"
             assert r["fim_text"] == t
     assert 0 < n_psm < len(rows)
+
+
+def test_upsample_sources_planted():
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.sampling import upsample_sources
+
+    ids = list(range(40))
+    src = ["a" if i % 2 == 0 else "b" for i in ids]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+    got = (
+        upsample_sources(
+            ray.data.from_arrow(t).repartition(3), {"a": 2500, "b": 400}
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "epoch"])
+        .reset_index(drop=True)
+    )
+    pm = {
+        d: int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 1000
+        for d in ids
+    }
+    for d in ids:
+        copies = got[got.doc_id == d]
+        if d % 2 == 0:  # source a: 2 or 3 copies
+            want = 2 + (1 if pm[d] < 500 else 0)
+        else:  # source b: 0 or 1 copies
+            want = 1 if pm[d] < 400 else 0
+        assert len(copies) == want, d
+        assert copies["epoch"].tolist() == list(range(want))

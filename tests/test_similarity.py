@@ -600,3 +600,35 @@ def test_mutual_knn_pairs_matches_replica():
     assert got.values.tolist() == want.values.tolist()
     # mutuality is symmetric by construction: every pair is canonical
     assert (got["vec_id_a"] < got["vec_id_b"]).all()
+
+
+def test_centroid_affinity_matches_replica_and_geometry():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import (
+        centroid_affinity,
+        centroid_affinity_oracle,
+    )
+
+    # label 0 along +x, label 1 along +x too (affinity ~1), label 2 along +y
+    vecs, labs = [], []
+    rng = np.random.RandomState(5)
+    for i in range(30):
+        base = [1.0, 0.0, 0.0] if i % 3 < 2 else [0.0, 1.0, 0.0]
+        v = np.array(base) + rng.randn(3) * 0.01
+        vecs.append([float(x) for x in v])
+        labs.append(i % 3)
+    t = pa.table(
+        {
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labs, pa.int32()),
+        }
+    )
+    got = centroid_affinity(ray.data.from_arrow(t).repartition(4)).to_pandas()
+    want = centroid_affinity_oracle(t).to_pandas()
+    assert got.values.tolist() == want.values.tolist()
+    by = {(r.label_a, r.label_b): r.cosine_micro for r in got.itertuples()}
+    assert by[(0, 1)] > 999_000      # same direction
+    assert abs(by[(0, 2)]) < 50_000  # near-orthogonal
