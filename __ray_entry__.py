@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 46  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 47  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -613,6 +613,30 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
         os.path.join(out_dir, "mutual_knn.parquet"),
     )
 
+    # embedding clusters replica: union-find over the SAME replica edges
+    from agentic_doc_ray.functions.similarity import embedding_clusters_oracle
+
+    _pq.write_table(
+        embedding_clusters_oracle(knn_tbl),
+        os.path.join(out_dir, "embedding_clusters.parquet"),
+    )
+
+    # T5 span-corruption replica (per-doc deterministic batch kernel)
+    from agentic_doc_ray.functions.sampling import span_corruption_batch
+
+    _pq.write_table(
+        span_corruption_batch(docs_tbl),
+        os.path.join(out_dir, "span_corruption.parquet"),
+    )
+
+    # mixed-language flags replica (same per-doc kernel)
+    from agentic_doc_ray.functions.text import mixed_lang_flags_batch
+
+    _pq.write_table(
+        mixed_lang_flags_batch(docs_tbl),
+        os.path.join(out_dir, "mixed_lang.parquet"),
+    )
+
     # label-centroid affinity replica (exact integer micro sums)
     from agentic_doc_ray.functions.similarity import centroid_affinity_oracle
 
@@ -1001,6 +1025,11 @@ _DRIVER_PRIORITY = [
     "cross_source_duplicates",
     "dedup_savings_by_source",
     "centroid_affinity",
+    # new in session 12 (batch 3): T5 span corruption, mixed-language
+    # flags, mutual-kNN agglomerative clustering
+    "span_corruption",
+    "mixed_lang_flags",
+    "embedding_clusters",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2212,6 +2241,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(
                 f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
             )
+        )
+
+    def q_span_corruption(sf_dir):
+        """T5 span-corruption denoising transform: per-doc deterministic
+        (inputs, targets) pair, zero exchanges; byte-equal replica."""
+        from agentic_doc_ray.functions.sampling import span_corruption
+
+        _ensure_extraction_oracles(sf_dir)
+        return span_corruption(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        )
+
+    def q_mixed_lang_flags(sf_dir):
+        """Mixed-language cleaning signal: lang-id both halves of each
+        doc, flag confident disagreement; batch-local, replica oracle."""
+        from agentic_doc_ray.functions.text import mixed_lang_flags
+
+        _ensure_extraction_oracles(sf_dir)
+        return mixed_lang_flags(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        )
+
+    def q_embedding_clusters(sf_dir):
+        """Agglomerative embedding clustering: connected components over
+        the mutual-kNN graph; replica oracle (union-find over the replica
+        edge set)."""
+        from agentic_doc_ray.functions.similarity import embedding_clusters
+
+        _ensure_extraction_oracles(sf_dir)
+        return embedding_clusters(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            k=5,
         )
 
     def q_source_vocab_overlap(sf_dir):
@@ -3471,6 +3538,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_duplicates": q_cross_source_duplicates,
         "dedup_savings_by_source": q_dedup_savings_by_source,
         "centroid_affinity": q_centroid_affinity,  # single-process replica oracle
+        "span_corruption": q_span_corruption,      # byte-equal replica oracle
+        "mixed_lang_flags": q_mixed_lang_flags,    # byte-equal replica oracle
+        "embedding_clusters": q_embedding_clusters,  # replica union-find oracle
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
@@ -5611,6 +5681,21 @@ def oracle_sql() -> dict[str, str]:
         "centroid_affinity": (
             "SELECT label_a, label_b, cosine_micro "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/centroid_affinity.parquet')"
+        ),
+        # T5 span corruption: byte-equal per-doc replica
+        "span_corruption": (
+            "SELECT doc_id, input_text, target_text, n_masked_tokens "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/span_corruption.parquet')"
+        ),
+        # mixed-language flags: per-doc replica
+        "mixed_lang_flags": (
+            "SELECT doc_id, lang_head, lang_tail, mixed "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/mixed_lang.parquet')"
+        ),
+        # mutual-kNN connected components: replica union-find parquet
+        "embedding_clusters": (
+            "SELECT vec_id, cluster "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/embedding_clusters.parquet')"
         ),
         # pairwise distinct-vocab overlap; pairs with zero shared tokens
         # are omitted on both sides (inner join)

@@ -204,6 +204,15 @@ _FK_SCHEMA = pa.schema(
         ("side", pa.string()),  # 'c' child partial / 'p' parent key / 's'
     ]
 )
+_FK_MULTI_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("key", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("side", pa.string()),  # 'c' child partial / 'p' parent key / 's'
+        ("fk", pa.string()),  # edge name, carried through the exchange
+    ]
+)
 _FK_OUT = pa.schema(
     [
         ("fk", pa.string()),
@@ -212,6 +221,127 @@ _FK_OUT = pa.schema(
         ("n_violating_keys", pa.int64()),
     ]
 )
+
+
+def fk_violations_tables(
+    tables: "list[tuple[ray.data.Dataset, list[tuple[str, str, int]]]]",
+    edge_names: list[str],
+    n_buckets: int = _N_BUCKETS,
+    n_rows_hint: int = 1 << 19,
+) -> "ray.data.Dataset":
+    """Referential-integrity audit of MANY FK edges with ONE read per
+    table and ONE exchange total. ``tables`` is a list of
+    (dataset, specs) where each spec ``(col, side, edge_id)`` says this
+    table plays ``side`` ('c' child / 'p' parent) for edge ``edge_id``
+    through column ``col`` — so a fact table audited on two FKs is read
+    once, and a dimension parenting two edges ships its keys from one
+    scan. Rows are bucketed by ``edge_id * n_buckets + (key & mask)`` so
+    every group holds exactly one edge's one key range.
+
+    Per edge, same semantics as ``fk_violations``: child ships per-batch
+    (key, n_rows) partials, parent ships batch-local distinct keys, a
+    vectorized ``is_in`` per bucket emits one summary row, and a tiny
+    name-keyed merge sums them. NULLs are not violations.
+
+    Why this exists: the per-edge composition (4x ``fk_violations``
+    unioned) paid each branch's read + pipeline start-up serially —
+    13.7 s at sf0.1 where this shape runs the same audit in ~6 s, with
+    the fact table scanned once instead of once per FK."""
+    from ray.data.aggregate import Sum
+
+    np_ = partitions_for(n_rows_hint)
+    mask = np.int64(n_buckets - 1)
+
+    def make_tag(specs: "list[tuple[str, str, int]]"):
+        def tag(batch: pa.Table) -> pa.Table:
+            outs = []
+            for col, side, edge_id in specs:
+                if side == "c":
+                    t = (
+                        batch.select([col])
+                        .drop_null()
+                        .group_by(col)
+                        .aggregate([(col, "count")])
+                        .rename_columns(["key", "n_rows"])
+                    )
+                    n_rows = t.column("n_rows").cast(pa.int64())
+                else:
+                    t = (
+                        batch.select([col]).drop_null().group_by(col).aggregate([])
+                    )
+                    t = t.rename_columns(["key"])
+                    n_rows = pa.array(np.zeros(t.num_rows, np.int64))
+                key = t.column("key").cast(pa.int64())
+                bucket = pc.add(
+                    pc.bit_wise_and(key, pa.scalar(mask)),
+                    pa.scalar(np.int64(edge_id * n_buckets)),
+                )
+                outs.append(
+                    pa.Table.from_arrays(
+                        [
+                            pc.cast(bucket, pa.int32()),
+                            key,
+                            n_rows,
+                            pa.array([side] * t.num_rows, pa.string()),
+                            pa.array(
+                                [edge_names[edge_id]] * t.num_rows, pa.string()
+                            ),
+                        ],
+                        schema=_FK_MULTI_SCHEMA,
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        return tag
+
+    def resolve(group: pa.Table) -> pa.Table:
+        side = group.column("side")
+        child_part = group.filter(pc.equal(side, "c"))
+        if child_part.num_rows == 0:
+            return _FK_OUT.empty_table()
+        name = child_part.column("fk")[0].as_py()
+        pk = group.filter(pc.equal(side, "p")).column("key").combine_chunks()
+        ck = (
+            child_part.select(["key", "n_rows"])
+            .group_by("key")
+            .aggregate([("n_rows", "sum")])
+            .rename_columns(["key", "n_rows"])
+        )
+        hit = pc.is_in(ck.column("key"), value_set=pk)
+        bad = ck.filter(pc.invert(hit))
+        return pa.Table.from_pylist(
+            [
+                {
+                    "fk": name,
+                    "n_child_rows": int(pc.sum(ck.column("n_rows")).as_py() or 0),
+                    "n_violating_rows": int(
+                        pc.sum(bad.column("n_rows")).as_py() or 0
+                    ),
+                    "n_violating_keys": bad.num_rows,
+                }
+            ],
+            schema=_FK_OUT,
+        )
+
+    streams = [
+        ds.map_batches(make_tag(specs), batch_format="pyarrow")
+        for ds, specs in tables
+    ]
+    tagged = streams[0]
+    for s in streams[1:]:
+        tagged = tagged.union(s)
+    per_bucket = (
+        tagged.union(
+            int_key_sentinels(_FK_MULTI_SCHEMA, "bucket", fill={"side": "s"})
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+    return per_bucket.groupby("fk", num_partitions=2).aggregate(
+        Sum("n_child_rows", alias_name="n_child_rows"),
+        Sum("n_violating_rows", alias_name="n_violating_rows"),
+        Sum("n_violating_keys", alias_name="n_violating_keys"),
+    )
 
 
 def fk_violations(
@@ -331,29 +461,28 @@ def referential_integrity_check(sf_dir: str) -> "ray.data.Dataset":
             f"{sf_dir}/{table}.parquet", columns=cols
         )
 
-    checks = [
-        fk_violations(
-            rd("lineitem", ["l_orderkey"]), "l_orderkey",
-            rd("orders", ["o_orderkey"]), "o_orderkey",
+    return fk_violations_tables(
+        [
+            # fact tables read ONCE, auditing every FK they carry
+            (
+                rd("lineitem", ["l_orderkey", "l_partkey"]),
+                [("l_orderkey", "c", 0), ("l_partkey", "c", 1)],
+            ),
+            (
+                rd("orders", ["o_orderkey", "o_custkey"]),
+                [("o_orderkey", "p", 0), ("o_custkey", "c", 2)],
+            ),
+            (rd("part", ["p_partkey"]), [("p_partkey", "p", 1)]),
+            (
+                rd("customer", ["c_custkey"]),
+                [("c_custkey", "p", 2), ("c_custkey", "p", 3)],
+            ),
+            (rd("events", ["user_id"]), [("user_id", "c", 3)]),
+        ],
+        [
             "lineitem.l_orderkey->orders.o_orderkey",
-        ),
-        fk_violations(
-            rd("lineitem", ["l_partkey"]), "l_partkey",
-            rd("part", ["p_partkey"]), "p_partkey",
             "lineitem.l_partkey->part.p_partkey",
-        ),
-        fk_violations(
-            rd("orders", ["o_custkey"]), "o_custkey",
-            rd("customer", ["c_custkey"]), "c_custkey",
             "orders.o_custkey->customer.c_custkey",
-        ),
-        fk_violations(
-            rd("events", ["user_id"]), "user_id",
-            rd("customer", ["c_custkey"]), "c_custkey",
             "events.user_id->customer.c_custkey",
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.union(c)
-    return out
+        ],
+    )

@@ -490,3 +490,86 @@ def upsample_sources(
         return out.append_column("epoch", pa.array(epoch, pa.int64()))
 
     return docs.map_batches(expand, batch_format="pyarrow")
+
+
+
+
+def _splitmix64_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 — a deterministic hash
+    stream (no RNG state), same constants as the exchange sentinel mixer."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x2545F4914F6CDD1D)
+    return z ^ (z >> np.uint64(31))
+
+
+def span_corruption_batch(
+    batch: pa.Table, density_permille: int = 150, span_len: int = 3
+) -> pa.Table:
+    """T5-style span corruption of one batch (the pure per-doc kernel —
+    shared by the distributed wrapper and the single-process replica
+    oracle, which must be byte-equal).
+
+    Whitespace tokens are grouped into aligned ``span_len`` spans; a span
+    is masked iff splitmix64(md5(doc_id) ^ span_idx) per-mille <
+    ``density_permille`` (expected noise = density/1000, mean masked-run
+    length >= span_len). Consecutive masked tokens collapse into ONE
+    ``<extra_id_k>`` sentinel (k = run order); the target is the inverse
+    sequence ``<extra_id_0> dropped... <extra_id_1> ...`` — the
+    (inputs, targets) pair of Raffel et al. 2020 §3.1.4."""
+    ids = [str(d) for d in batch.column("doc_id").to_pylist()]
+    texts = batch.column("text").to_pylist()
+    out_in, out_tgt, out_n = [], [], []
+    for d, t in zip(ids, texts):
+        toks = (t or "").split()
+        n = len(toks)
+        if n == 0:
+            out_in.append("")
+            out_tgt.append("")
+            out_n.append(0)
+            continue
+        seed = np.uint64(int(hashlib.md5(d.encode()).hexdigest()[:16], 16))
+        n_spans = -(-n // span_len)
+        h = _splitmix64_vec(np.arange(n_spans, dtype=np.uint64) ^ seed)
+        masked_span = (h % np.uint64(1000)) < np.uint64(density_permille)
+        masked = masked_span[np.arange(n) // span_len]
+        run_start = masked & np.concatenate(([True], ~masked[:-1]))
+        k_of = np.cumsum(run_start) - 1  # sentinel index per position
+        inp, tgt = [], []
+        for i, tok in enumerate(toks):
+            if masked[i]:
+                if run_start[i]:
+                    s = f"<extra_id_{int(k_of[i])}>"
+                    inp.append(s)
+                    tgt.append(s)
+                tgt.append(tok)
+            else:
+                inp.append(tok)
+        out_in.append(" ".join(inp))
+        out_tgt.append(" ".join(tgt))
+        out_n.append(int(masked.sum()))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "input_text": pa.array(out_in, pa.string()),
+            "target_text": pa.array(out_tgt, pa.string()),
+            "n_masked_tokens": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def span_corruption(
+    docs: "ray.data.Dataset",
+    density_permille: int = 150,
+    span_len: int = 3,
+) -> "ray.data.Dataset":
+    """Distributed T5 span-corruption transform (see
+    ``span_corruption_batch``): per-doc deterministic, batch-local, zero
+    exchanges — rerun/resume/block layout all byte-equal."""
+
+    def transform(batch: pa.Table) -> pa.Table:
+        return span_corruption_batch(batch, density_permille, span_len)
+
+    return docs.map_batches(transform, batch_format="pyarrow")

@@ -1971,3 +1971,75 @@ def centroid_affinity_oracle(embeddings: pa.Table) -> pa.Table:
     sums = np.zeros((len(ulab), dim), np.int64)
     np.add.at(sums, inv, micro)
     return _affinity_from_sums(ulab, sums)
+
+
+def embedding_clusters(
+    embeddings: "ray.data.Dataset", k: int = 5, **knn_kwargs
+) -> "ray.data.Dataset":
+    """Agglomerative embedding clustering: connected components over the
+    MUTUAL-kNN graph — reciprocal edges only, so hub vectors cannot chain
+    unrelated regions together (the standard failure of one-sided kNN
+    clustering). Output (vec_id, cluster) for every vector in a mutual
+    pair; cluster = min reachable vec_id.
+
+    Composes ``mutual_knn_pairs`` (one vector exchange + two key-only
+    exchanges) with the BSP min-label connected-components engine
+    (edge-bounded exchanges per round, no driver state)."""
+    from agentic_doc_ray.functions.graph import connected_components
+
+    pairs = mutual_knn_pairs(embeddings, k=k, **knn_kwargs)
+
+    def pad(batch: pa.Table) -> pa.Table:
+        # the CC engine min-labels over STRING ids; zero-pad so the
+        # lexicographic min it picks IS the numeric min vec_id
+        return pa.Table.from_pydict(
+            {
+                "vec_id_a": ["%019d" % x for x in batch.column("vec_id_a").to_pylist()],
+                "vec_id_b": ["%019d" % x for x in batch.column("vec_id_b").to_pylist()],
+            }
+        )
+
+    cc = connected_components(
+        pairs.map_batches(pad, batch_format="pyarrow"),
+        a_col="vec_id_a",
+        b_col="vec_id_b",
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        b = batch.rename_columns(["vec_id", "cluster"])
+        return pa.Table.from_arrays(
+            [
+                b.column("vec_id").cast(pa.int64()),
+                b.column("cluster").cast(pa.int64()),
+            ],
+            names=["vec_id", "cluster"],
+        )
+
+    return cc.map_batches(rename, batch_format="pyarrow")
+
+
+def embedding_clusters_oracle(knn_table: pa.Table) -> pa.Table:
+    """Single-process replica: union-find over the mutual pairs of a
+    replica kNN edge table."""
+    pairs = mutual_knn_pairs_oracle(knn_table)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(
+        pairs.column("vec_id_a").to_pylist(), pairs.column("vec_id_b").to_pylist()
+    ):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((x, find(x)) for x in parent)
+    return pa.Table.from_pydict(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cluster": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )

@@ -3044,3 +3044,65 @@ def distinctive_terms(
         df[["source", "token", "tf_s", "tf_g", "lift", "rank"]],
         preserve_index=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-language detection (language-consistency cleaning signal)
+# ---------------------------------------------------------------------------
+
+
+def _lang_of_column(text: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Stopword-ratio language id per string (the ``LangIdActor`` rule,
+    factored so halves of documents can be scored independently)."""
+    low = pc.utf8_lower(text)
+    n_tokens = _token_count(text).to_numpy(zero_copy_only=False)
+    denom = np.maximum(n_tokens, 1).astype(np.float64)
+    best_lang = np.full(len(low), "und", dtype=object)
+    best_score = np.zeros(len(low), dtype=np.float64)
+    for lang, words in sorted(STOPWORDS.items()):
+        pat = r"\b(" + "|".join(words) + r")\b"
+        hits = pc.count_substring_regex(low, pat).to_numpy(zero_copy_only=False)
+        score = hits / denom
+        better = score > best_score + 1e-12
+        best_score = np.where(better, score, best_score)
+        best_lang = np.where(better, lang, best_lang)
+    return best_lang
+
+
+def mixed_lang_flags_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc kernel (shared with the replica oracle): language-id the
+    FIRST and SECOND half of each document (split at the whitespace
+    nearest the midpoint, so no token straddles the cut) and flag docs
+    whose halves disagree with both halves confidently identified — the
+    mixed-language / template-switch cleaning signal (Dolma-style)."""
+    texts = batch.column("text").to_pylist()
+    heads, tails = [], []
+    for t in texts:
+        t = t or ""
+        mid = len(t) // 2
+        cut = t.rfind(" ", 0, mid + 1)
+        if cut <= 0:
+            cut = mid
+        heads.append(t[:cut])
+        tails.append(t[cut:])
+    lang_head = _lang_of_column(pa.array(heads, pa.string()))
+    lang_tail = _lang_of_column(pa.array(tails, pa.string()))
+    mixed = (
+        (lang_head != lang_tail) & (lang_head != "und") & (lang_tail != "und")
+    )
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(lang_head, pa.string()),
+            pa.array(lang_tail, pa.string()),
+            pa.array(mixed, pa.bool_()),
+        ],
+        names=["doc_id", "lang_head", "lang_tail", "mixed"],
+    )
+
+
+def mixed_lang_flags(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed mixed-language flags (see ``mixed_lang_flags_batch``):
+    per-doc deterministic, batch-local, zero exchanges; regex scoring is
+    Arrow-kernel vectorized over both halves."""
+    return docs.map_batches(mixed_lang_flags_batch, batch_format="pyarrow")

@@ -777,6 +777,40 @@ def main() -> None:
 
     timed("centroid_affinity", affinity_q)
 
+    def span_corruption_q() -> None:
+        from agentic_doc_ray.functions.sampling import span_corruption
+
+        span_corruption(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("span_corruption", span_corruption_q)
+
+    def mixed_lang_q() -> None:
+        from agentic_doc_ray.functions.text import mixed_lang_flags
+
+        mixed_lang_flags(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("mixed_lang_flags", mixed_lang_q)
+
+    def embedding_clusters_q() -> None:
+        from agentic_doc_ray.functions.similarity import embedding_clusters
+
+        embedding_clusters(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            k=5,
+        ).count()
+
+    timed("embedding_clusters", embedding_clusters_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

@@ -324,3 +324,65 @@ def test_upsample_sources_planted():
             want = 1 if pm[d] < 400 else 0
         assert len(copies) == want, d
         assert copies["epoch"].tolist() == list(range(want))
+
+
+def test_span_corruption_invariants_and_batching():
+    """Reconstruction invariant: interleaving input/target around matched
+    sentinels reproduces the original token sequence; distributed output
+    byte-equals the single-process kernel."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.sampling import (
+        span_corruption,
+        span_corruption_batch,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b",
+        "",
+        " ".join(f"tok{i}" for i in range(100)),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(texts))], pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        span_corruption(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        span_corruption_batch(t)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    # reconstruct: walk input; at <extra_id_k> splice the target run k
+    import re
+
+    for r in want.itertuples():
+        orig = texts[int(r.doc_id[1:])].split()
+        runs = {}
+        cur = None
+        for tok in r.target_text.split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                cur = int(m.group(1))
+                runs[cur] = []
+            else:
+                runs[cur].append(tok)
+        rebuilt = []
+        for tok in r.input_text.split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                rebuilt.extend(runs[int(m.group(1))])
+            else:
+                rebuilt.append(tok)
+        assert rebuilt == orig, r.doc_id
+        assert r.n_masked_tokens == sum(len(v) for v in runs.values())

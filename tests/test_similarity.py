@@ -632,3 +632,48 @@ def test_centroid_affinity_matches_replica_and_geometry():
     by = {(r.label_a, r.label_b): r.cosine_micro for r in got.itertuples()}
     assert by[(0, 1)] > 999_000      # same direction
     assert abs(by[(0, 2)]) < 50_000  # near-orthogonal
+
+
+def test_embedding_clusters_matches_unionfind():
+    """Two well-separated planted blobs -> two clusters labeled by their
+    min member; distributed CC over mutual-kNN == replica union-find."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import (
+        embedding_clusters,
+        embedding_clusters_oracle,
+        knn_join_oracle,
+    )
+
+    rng = np.random.RandomState(9)
+    blob_a = rng.randn(30, 6) * 0.05 + np.array([10, 0, 0, 0, 0, 0])
+    blob_b = rng.randn(30, 6) * 0.05 + np.array([0, 10, 0, 0, 0, 0])
+    vecs = np.vstack([blob_a, blob_b])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = (
+        embedding_clusters(ray.data.from_arrow(t).repartition(4), k=4)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        embedding_clusters_oracle(knn_join_oracle(t, k=4))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    by_cluster = got.groupby("cluster")["vec_id"].apply(list).to_dict()
+    # no cluster mixes the two blobs
+    for members in by_cluster.values():
+        sides = {m // 30 for m in members}
+        assert len(sides) == 1

@@ -1056,3 +1056,39 @@ def test_source_vocab_overlap_planted():
     r = got[("s1", "s2")]
     assert r["n_a"] == 4 and r["n_b"] == 3 and r["n_common"] == 2
     assert r["jaccard_per_mille"] == 1000 * 2 // 5
+
+
+def test_mixed_lang_flags_planted():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import (
+        mixed_lang_flags,
+        mixed_lang_flags_batch,
+    )
+
+    en = "the cat and the dog are in the house with a ball"
+    de = "der Hund und die Katze sind nicht in das Haus mit einem Ball"
+    t = pa.table(
+        {
+            "doc_id": pa.array(["mixed", "pure", "empty"], pa.string()),
+            "text": pa.array([en + " " + de, en + " " + en, ""], pa.string()),
+        }
+    )
+    got = (
+        mixed_lang_flags(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        mixed_lang_flags_batch(t)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    by = got.set_index("doc_id")
+    assert bool(by.loc["mixed", "mixed"]) is True
+    assert bool(by.loc["pure", "mixed"]) is False
+    assert bool(by.loc["empty", "mixed"]) is False
