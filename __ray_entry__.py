@@ -1030,6 +1030,11 @@ _DRIVER_PRIORITY = [
     "span_corruption",
     "mixed_lang_flags",
     "embedding_clusters",
+    # new in session 12 (batch 4): dataset card, survivorship rollup,
+    # mixture waterfilling
+    "dataset_card",
+    "user_latest_state",
+    "mixture_plan",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2279,6 +2284,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
             ),
             k=5,
+        )
+
+    def q_dataset_card(sf_dir):
+        """Single-pass corpus summary card (metric, value): counts, token
+        totals, length extremes, per-source doc counts, derived mean.
+        One constant-key exchange of per-batch metric partials."""
+        from agentic_doc_ray.functions.profile import dataset_card
+
+        return dataset_card(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+            )
+        )
+
+    def q_user_latest_state(sf_dir):
+        """Survivorship rollup: per (user, event_type), the latest
+        event's value (ts desc, event_id tie-break); argmax partials
+        through one bucketed exchange. SQL oracle: row_number window."""
+        from agentic_doc_ray.functions.analytics import user_latest_state
+
+        return user_latest_state(sf_dir)
+
+    def q_mixture_plan(sf_dir):
+        """Integer waterfilling of a token budget across sources (max-min
+        fair allocation); per-source sums via one tiny exchange, sweep on
+        the source-bounded table. SQL oracle: recursive-CTE sweep."""
+        from agentic_doc_ray.functions.sampling import mixture_plan
+
+        return mixture_plan(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["source", "text"]
+            ),
+            budget_tokens=20_000,
         )
 
     def q_source_vocab_overlap(sf_dir):
@@ -3541,6 +3579,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption": q_span_corruption,      # byte-equal replica oracle
         "mixed_lang_flags": q_mixed_lang_flags,    # byte-equal replica oracle
         "embedding_clusters": q_embedding_clusters,  # replica union-find oracle
+        "dataset_card": q_dataset_card,
+        "user_latest_state": q_user_latest_state,
+        "mixture_plan": q_mixture_plan,
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
@@ -5696,6 +5737,57 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": (
             "SELECT vec_id, cluster "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/embedding_clusters.parquet')"
+        ),
+        # single-pass corpus summary card
+        "dataset_card": (
+            "WITH tr AS (SELECT source, length(text) AS nc, "
+            "  regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed FROM documents), "
+            "tok AS (SELECT source, nc, CASE WHEN trimmed = '' THEN 0 "
+            "  ELSE len(regexp_split_to_array(trimmed, '\\s+')) END AS nt FROM tr) "
+            "SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM tok "
+            "UNION ALL SELECT 'n_chars', CAST(sum(nc) AS BIGINT) FROM tok "
+            "UNION ALL SELECT 'n_tokens', CAST(sum(nt) AS BIGINT) FROM tok "
+            "UNION ALL SELECT 'min_chars', CAST(min(nc) AS BIGINT) FROM tok "
+            "UNION ALL SELECT 'max_chars', CAST(max(nc) AS BIGINT) FROM tok "
+            "UNION ALL SELECT 'mean_chars_x100', "
+            "  CAST(100 * sum(nc) // count(*) AS BIGINT) FROM tok "
+            "UNION ALL SELECT 'docs:' || source, CAST(count(*) AS BIGINT) "
+            "  FROM tok GROUP BY source"
+        ),
+        # survivorship rollup: latest event per (user, type)
+        "user_latest_state": (
+            "SELECT user_id, event_type, last_ts_us, last_event_id, "
+            "  last_value_cents FROM ("
+            "  SELECT user_id, event_type, epoch_us(ts) AS last_ts_us, "
+            "    event_id AS last_event_id, "
+            "    CAST(round(value * 100) AS BIGINT) AS last_value_cents, "
+            "    row_number() OVER (PARTITION BY user_id, event_type "
+            "      ORDER BY ts DESC, event_id DESC) AS rn FROM events"
+            ") WHERE rn = 1"
+        ),
+        # integer waterfilling sweep over sources ordered (avail, name)
+        "mixture_plan": (
+            "WITH RECURSIVE "
+            "tr AS (SELECT source, "
+            "  regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed FROM documents), "
+            "tok AS (SELECT source, CAST(sum(CASE WHEN trimmed = '' THEN 0 "
+            "  ELSE len(regexp_split_to_array(trimmed, '\\s+')) END) AS BIGINT) AS n "
+            "  FROM tr GROUP BY source), "
+            "ord AS (SELECT source, n, "
+            "  CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i FROM tok), "
+            "c AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ord), "
+            "sweep AS ("
+            "  SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS source, "
+            "    CAST(0 AS BIGINT) AS avail, CAST(0 AS BIGINT) AS take, "
+            "    CAST(20000 AS BIGINT) AS remaining "
+            "  UNION ALL "
+            "  SELECT o.i, o.source, o.n, "
+            "    LEAST(o.n, s.remaining // (c.total - s.i)), "
+            "    s.remaining - LEAST(o.n, s.remaining // (c.total - s.i)) "
+            "  FROM sweep s, c, ord o WHERE o.i = s.i + 1"
+            ") "
+            "SELECT source, avail AS avail_tokens, take AS alloc_tokens "
+            "FROM sweep WHERE i > 0"
         ),
         # pairwise distinct-vocab overlap; pairs with zero shared tokens
         # are omitted on both sides (inner join)

@@ -2052,3 +2052,117 @@ def pareto_front(sf_dir: str) -> "ray.data.Dataset":
         .groupby("bucket", num_partitions=_cap(2))
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-user latest-state rollup (survivorship / golden record)
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("last_ts_us", pa.int64()),
+        ("last_event_id", pa.int64()),
+        ("last_value_cents", pa.int64()),
+    ]
+)
+
+
+def _state_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch argmax: for each (user, event_type), the row with max
+    (ts, event_id) — a valid partial because argmax distributes over
+    unions."""
+    ts = batch.column("ts").cast(pa.int64())
+    cents = pc.cast(
+        pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0))), pa.int64()
+    )
+    t = pa.Table.from_arrays(
+        [
+            batch.column("user_id").cast(pa.int64()),
+            batch.column("event_type"),
+            ts,
+            batch.column("event_id").cast(pa.int64()),
+            cents,
+        ],
+        names=["user_id", "event_type", "last_ts_us", "last_event_id", "last_value_cents"],
+    )
+    order = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("user_id", "ascending"),
+            ("event_type", "ascending"),
+            ("last_ts_us", "descending"),
+            ("last_event_id", "descending"),
+        ],
+    )
+    t = t.take(order)
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+    first = np.concatenate(
+        ([True], (uid[1:] != uid[:-1]) | (et[1:] != et[:-1]))
+    ) if len(uid) else np.zeros(0, bool)
+    t = t.filter(pa.array(first))
+    bucket = pc.cast(
+        pc.bit_wise_and(t.column("user_id"), pa.scalar(63, pa.int64())),
+        pa.int32(),
+    )
+    return pa.Table.from_arrays(
+        [bucket] + [t.column(c) for c in t.column_names], schema=_STATE_SCHEMA
+    )
+
+
+def user_latest_state(sf_dir: str) -> "ray.data.Dataset":
+    """Survivorship rollup (the 'golden record' read every CDP / feature
+    store serves): per (user, event_type), the value of the LATEST event
+    — max ts, event_id tie-break. Output (user_id, event_type,
+    last_ts_us, last_event_id, last_value_cents).
+
+    Scale shape: per-batch vectorized argmax partials (one row per
+    (user, type) per batch) through ONE user-bucketed exchange; each
+    bucket re-runs the same argmax — argmax distributes over unions, so
+    the merge is the partial. Raw events never shuffle."""
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    np_ = partitions_for(ds.count())
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("user_id"), 0))
+        if g.num_rows == 0:
+            return _STATE_SCHEMA.remove(0).empty_table()
+        t = g.select(
+            ["user_id", "event_type", "last_ts_us", "last_event_id", "last_value_cents"]
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("last_ts_us", "descending"),
+                ("last_event_id", "descending"),
+            ],
+        )
+        t = t.take(order)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        first = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (et[1:] != et[:-1]))
+        )
+        return t.filter(pa.array(first))
+
+    return (
+        ds.map_batches(_state_partial, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                _STATE_SCHEMA,
+                "bucket",
+                fill={"user_id": -1, "event_type": "", "last_ts_us": 0,
+                      "last_event_id": 0, "last_value_cents": 0},
+            )
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(merge, batch_format="pyarrow")
+    )

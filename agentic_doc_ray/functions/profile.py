@@ -486,3 +486,89 @@ def referential_integrity_check(sf_dir: str) -> "ray.data.Dataset":
             "events.user_id->customer.c_custkey",
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset card (single-pass corpus summary)
+# ---------------------------------------------------------------------------
+
+_CARD_SCHEMA = pa.schema([("metric", pa.string()), ("value", pa.int64())])
+_CARD_EX_SCHEMA = pa.schema(
+    [("g", pa.int32()), ("metric", pa.string()), ("value", pa.int64())]
+)
+
+
+def dataset_card(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The corpus summary every dataset card leads with, in ONE streaming
+    pass: (metric, value) rows — n_docs, n_chars, n_tokens, min/max doc
+    length, mean_chars_x100, and one ``docs:<source>`` row per source.
+
+    Scale shape: per-batch partials are a handful of metric rows (plus
+    one per distinct source in the batch); ONE tiny constant-key exchange
+    folds them with per-metric merge rules (sum for counts, min/max for
+    extremes) — all metrics land in one group because the mean derives
+    from two of the sums. The merge task handles batches x ~(5+sources)
+    two-field rows — kilobytes per million batches; nothing proportional
+    to corpus size anywhere, nothing on the driver."""
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.text import _token_count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        chars = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        toks = _token_count(batch.column("text"))
+        rows = [
+            ("sum:n_docs", n),
+            ("sum:n_chars", int(pc.sum(chars).as_py() or 0)),
+            ("sum:n_tokens", int(pc.sum(toks).as_py() or 0)),
+        ]
+        if n:
+            rows.append(("min:min_chars", int(pc.min(chars).as_py())))
+            rows.append(("max:max_chars", int(pc.max(chars).as_py())))
+        g = (
+            pa.Table.from_arrays([batch.column("source")], names=["source"])
+            .group_by("source")
+            .aggregate([("source", "count")])
+        )
+        for s, c in zip(
+            g.column("source").to_pylist(), g.column("source_count").to_pylist()
+        ):
+            rows.append((f"sum:docs:{s}", int(c)))
+        return pa.Table.from_pylist(
+            [{"g": 0, "metric": m, "value": v} for m, v in rows],
+            schema=_CARD_EX_SCHEMA,
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("metric"), ""))
+        if g.num_rows == 0:
+            return _CARD_SCHEMA.empty_table()
+        out: dict[str, int] = {}
+        for m, v in zip(
+            g.column("metric").to_pylist(), g.column("value").to_pylist()
+        ):
+            rule, name = m.split(":", 1)
+            if name not in out:
+                out[name] = v
+            elif rule == "sum":
+                out[name] += v
+            elif rule == "min":
+                out[name] = min(out[name], v)
+            else:
+                out[name] = max(out[name], v)
+        if "n_docs" in out and "n_chars" in out and out["n_docs"]:
+            out["mean_chars_x100"] = 100 * out["n_chars"] // out["n_docs"]
+        return pa.Table.from_pylist(
+            [{"metric": k, "value": v} for k, v in sorted(out.items())],
+            schema=_CARD_SCHEMA,
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.union(
+            int_key_sentinels(_CARD_EX_SCHEMA, "g", fill={"metric": "", "value": 0})
+        )
+        .groupby("g", num_partitions=shuffle_partitions(2))
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -573,3 +573,75 @@ def span_corruption(
         return span_corruption_batch(batch, density_permille, span_len)
 
     return docs.map_batches(transform, batch_format="pyarrow")
+
+
+def mixture_plan(
+    docs: "ray.data.Dataset", budget_tokens: int
+) -> pa.Table:
+    """Pretraining-mixture PLANNING: integer waterfilling of a total token
+    budget across sources — each source contributes min(its available
+    tokens, the waterline), the waterline chosen by the classic ascending
+    sweep: sources sorted by availability (name tie-break), each takes
+    ``min(avail, remaining // remaining_sources)``. Small sources are
+    fully taken, large ones are capped equally — the max-min fair
+    allocation every mixture designer starts from. Output (source,
+    avail_tokens, alloc_tokens); integer remainders stay unallocated
+    (documented, deterministic).
+
+    Scale shape: per-batch (source, token-sum) partials through one tiny
+    source-keyed ``groupby().aggregate()``; the sweep runs on the
+    collected per-source table — bounded by SOURCE CARDINALITY, never by
+    rows (the nation-broadcast precedent)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions.text import _token_count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column("source"), _token_count(batch.column("text"))],
+            names=["source", "n"],
+        )
+        return (
+            t.group_by("source").aggregate([("n", "sum")]).rename_columns(
+                ["source", "n"]
+            )
+        )
+
+    per_src = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=shuffle_partitions(4))
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    blocks = [
+        b for b in _ray.get(per_src.materialize().to_arrow_refs()) if b.num_rows
+    ]
+    if not blocks:
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([], pa.string()),
+                "avail_tokens": pa.array([], pa.int64()),
+                "alloc_tokens": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(blocks).combine_chunks()
+    rows = sorted(
+        zip(t.column("source").to_pylist(), t.column("n").to_pylist()),
+        key=lambda r: (r[1], r[0]),
+    )
+    remaining = int(budget_tokens)
+    alloc: dict[str, int] = {}
+    for i, (src, avail) in enumerate(rows):
+        share = remaining // (len(rows) - i)
+        take = min(int(avail), share)
+        alloc[src] = take
+        remaining -= take
+    out = sorted((src, int(avail), alloc[src]) for src, avail in rows)
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array([r[0] for r in out], pa.string()),
+            "avail_tokens": pa.array([r[1] for r in out], pa.int64()),
+            "alloc_tokens": pa.array([r[2] for r in out], pa.int64()),
+        }
+    )

@@ -811,6 +811,36 @@ def main() -> None:
 
     timed("embedding_clusters", embedding_clusters_q)
 
+    def dataset_card_q() -> None:
+        from agentic_doc_ray.functions.profile import dataset_card
+
+        dataset_card(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+            )
+        ).count()
+
+    timed("dataset_card", dataset_card_q)
+
+    def latest_state_q() -> None:
+        from agentic_doc_ray.functions.analytics import user_latest_state
+
+        user_latest_state(SF_DIR).count()
+
+    timed("user_latest_state", latest_state_q)
+
+    def mixture_plan_q() -> None:
+        from agentic_doc_ray.functions.sampling import mixture_plan
+
+        mixture_plan(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["source", "text"]
+            ),
+            budget_tokens=200_000,
+        ).num_rows
+
+    timed("mixture_plan", mixture_plan_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

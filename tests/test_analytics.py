@@ -1519,3 +1519,26 @@ def test_pareto_front_end_to_end_matches_sql():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_user_latest_state_matches_sql():
+    got = (
+        A.user_latest_state(SF)
+        .to_pandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _duck(
+            "SELECT user_id, event_type, last_ts_us, last_event_id,"
+            " last_value_cents FROM ("
+            " SELECT user_id, event_type, epoch_us(ts) AS last_ts_us,"
+            "  event_id AS last_event_id,"
+            "  CAST(round(value * 100) AS BIGINT) AS last_value_cents,"
+            "  row_number() OVER (PARTITION BY user_id, event_type"
+            "   ORDER BY ts DESC, event_id DESC) AS rn FROM events"
+            ") WHERE rn = 1 ORDER BY user_id, event_type"
+        )
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

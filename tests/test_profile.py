@@ -76,3 +76,29 @@ def test_fk_violations_planted_orphans():
     ).take_all()
     assert clean[0]["n_violating_rows"] == 0
     assert clean[0]["n_violating_keys"] == 0
+
+
+def test_dataset_card_planted():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.profile import dataset_card
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["one two three", "four five", ""],
+            "source": ["a", "a", "b"],
+        }
+    )
+    got = {
+        r["metric"]: r["value"]
+        for r in dataset_card(ray.data.from_arrow(t).repartition(2)).take_all()
+    }
+    assert got["n_docs"] == 3
+    assert got["n_tokens"] == 5
+    assert got["n_chars"] == 13 + 9 + 0
+    assert got["min_chars"] == 0
+    assert got["max_chars"] == 13
+    assert got["mean_chars_x100"] == 100 * 22 // 3
+    assert got["docs:a"] == 2 and got["docs:b"] == 1

@@ -386,3 +386,34 @@ def test_span_corruption_invariants_and_batching():
                 rebuilt.append(tok)
         assert rebuilt == orig, r.doc_id
         assert r.n_masked_tokens == sum(len(v) for v in runs.values())
+
+
+def test_mixture_plan_waterfilling():
+    """Two small sources fully taken, two big ones capped at the
+    waterline; total allocation == budget when it fits."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.sampling import mixture_plan
+
+    def doc(src, n_tokens):
+        return {"source": src, "text": " ".join(["w"] * n_tokens)}
+
+    rows = (
+        [doc("tiny", 10)]
+        + [doc("small", 100)]
+        + [doc("big1", 500) for _ in range(2)]
+        + [doc("big2", 700) for _ in range(2)]
+    )
+    t = pa.Table.from_pylist(rows)
+    got = mixture_plan(
+        ray.data.from_arrow(t).repartition(3), budget_tokens=1000
+    ).to_pandas().set_index("source")
+    # sweep (asc): tiny 10 (share 250) -> small 100 (share 330) ->
+    # big1 1000avail take share 445 -> big2 take 445
+    assert got.loc["tiny"].tolist() == [10, 10]
+    assert got.loc["small"].tolist() == [100, 100]
+    assert got.loc["big1", "avail_tokens"] == 1000
+    assert got.loc["big1", "alloc_tokens"] == 445
+    assert got.loc["big2", "alloc_tokens"] == 445
+    assert got["alloc_tokens"].sum() == 1000
