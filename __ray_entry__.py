@@ -1035,6 +1035,12 @@ _DRIVER_PRIORITY = [
     "dataset_card",
     "user_latest_state",
     "mixture_plan",
+    # new in session 12 (batch 5): assortativity, script profile, pivot,
+    # grouping-sets rollup
+    "degree_assortativity",
+    "script_ratios",
+    "lang_pivot",
+    "rollup_counts",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2319,6 +2325,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             budget_tokens=20_000,
         )
 
+    def q_degree_assortativity(sf_dir):
+        """Global degree-assortativity moments of the link graph (fold
+        over avg_neighbor_degree; exact integer moments + num/den)."""
+        from agentic_doc_ray.functions.graph import degree_assortativity
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        return degree_assortativity(docs, n_docs=docs.count())
+
+    def q_script_ratios(sf_dir):
+        """Char-class profile per doc (ASCII letters/digits/space/other +
+        alpha per-mille); Arrow-regex kernels, zero exchanges."""
+        from agentic_doc_ray.functions.text import script_ratios
+
+        return script_ratios(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        )
+
+    def q_lang_pivot(sf_dir):
+        """Crosstab: per-source doc counts, one column per language
+        (one-hot partials + tiny aggregate)."""
+        from agentic_doc_ray.functions.text import lang_pivot
+
+        return lang_pivot(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+            )
+        )
+
+    def q_rollup_counts(sf_dir):
+        """GROUPING SETS rollup (source x lang, marginals, total) — only
+        the finest level shuffles, coarser levels derived from the
+        group-cardinality-bounded fine table."""
+        from agentic_doc_ray.functions.profile import rollup_counts
+
+        return rollup_counts(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
+            )
+        )
+
     def q_source_vocab_overlap(sf_dir):
         """Pairwise distinct-vocabulary overlap between sources (wimbd
         cross-corpus comparison): batch-local distinct partials, one
@@ -3582,6 +3632,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_card": q_dataset_card,
         "user_latest_state": q_user_latest_state,
         "mixture_plan": q_mixture_plan,
+        "degree_assortativity": q_degree_assortativity,
+        "script_ratios": q_script_ratios,
+        "lang_pivot": q_lang_pivot,
+        "rollup_counts": q_rollup_counts,
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
@@ -5788,6 +5842,58 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT source, avail AS avail_tokens, take AS alloc_tokens "
             "FROM sweep WHERE i > 0"
+        ),
+        # degree-assortativity moments over the shared LCG edge CTE
+        "degree_assortativity": (
+            "WITH ids AS (SELECT doc_id AS i FROM documents),"
+            "nn AS (SELECT count(*) AS n FROM ids),"
+            "e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst"
+            "       FROM ids, nn, generate_series(1,3) AS t(k)),"
+            "e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),"
+            "canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e1 WHERE src <> dst),"
+            "dir AS (SELECT a AS node, b AS other FROM canon"
+            "        UNION ALL SELECT b AS node, a AS other FROM canon),"
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM dir GROUP BY node),"
+            "pn AS (SELECT r.node, dn.degree AS d, CAST(sum(do_.degree) AS BIGINT) AS s"
+            "       FROM dir r JOIN deg dn ON dn.node = r.node"
+            "       JOIN deg do_ ON do_.node = r.other GROUP BY r.node, dn.degree),"
+            "m AS (SELECT CAST(sum(d) AS BIGINT) AS n, CAST(sum(d*d) AS BIGINT) AS sx,"
+            "  CAST(sum(d*d*d) AS BIGINT) AS sxx, CAST(sum(d*s) AS BIGINT) AS sxy FROM pn) "
+            "SELECT n AS n_endpoints, sx, sxx, sxy, "
+            "  CAST(n*sxy - sx*sx AS BIGINT) AS num, "
+            "  CAST(n*sxx - sx*sx AS BIGINT) AS den FROM m"
+        ),
+        # char-class profile (RE2 classes mirror Arrow's)
+        "script_ratios": (
+            "WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, "
+            "  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, "
+            "  CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_space "
+            "FROM documents) "
+            "SELECT doc_id, n_chars, n_alpha, n_digit, n_space, "
+            "  CAST(n_chars - n_alpha - n_digit - n_space AS BIGINT) AS n_other, "
+            "  CAST(1000 * n_alpha // greatest(n_chars, 1) AS BIGINT) AS alpha_permille "
+            "FROM s"
+        ),
+        # per-source language crosstab
+        "lang_pivot": (
+            "SELECT source, "
+            "  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de, "
+            "  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en, "
+            "  CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es, "
+            "  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr, "
+            "  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh, "
+            "  CAST(count(*) FILTER (lang NOT IN ('de','en','es','fr','zh')) AS BIGINT) AS n_other "
+            "FROM documents GROUP BY source"
+        ),
+        # grouping-sets rollup with literal ALL markers
+        "rollup_counts": (
+            "SELECT COALESCE(source, 'ALL') AS source, "
+            "  COALESCE(lang, 'ALL') AS lang, "
+            "  CAST(count(*) AS BIGINT) AS n_docs, "
+            "  CAST(sum(length(text)) AS BIGINT) AS n_chars "
+            "FROM documents "
+            "GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"
         ),
         # pairwise distinct-vocab overlap; pairs with zero shared tokens
         # are omitted on both sides (inner join)

@@ -2732,3 +2732,80 @@ def scc_oracle(
         ],
         schema=_SCC_OUT,
     )
+
+
+_ASSORT_SCHEMA = pa.schema(
+    [
+        ("n_endpoints", pa.int64()),
+        ("sx", pa.int64()),
+        ("sxx", pa.int64()),
+        ("sxy", pa.int64()),
+        ("num", pa.int64()),
+        ("den", pa.int64()),
+    ]
+)
+
+
+def degree_assortativity(
+    docs: "ray.data.Dataset",
+    n_docs: int,
+    n_buckets: int = 64,
+    n_rows_hint: int | None = None,
+) -> pa.Table:
+    """Global degree-assortativity moments of the link graph: Pearson
+    moments of (deg(u), deg(v)) over DIRECTED edge endpoints — do hubs
+    link hubs (assortative, num/den > 0) or leaves (disassortative)? The
+    one-number structural summary after ``degree_histogram``.
+
+    The directed-edge moment sums collapse to per-NODE sums because the
+    endpoint distribution is symmetric: n = Σd, Σx = Σd², Σxx = Σd³,
+    Σxy = Σ d·nbr_degree_sum, and Σy/Σyy equal Σx/Σxx — so the whole
+    statistic is a vectorized fold over ``avg_neighbor_degree``'s output
+    (3 edge-bounded exchanges, nothing new moves). num = n·Σxy − Σx²,
+    den = n·Σxx − Σx², computed in Python ints on the single merged row
+    (products can exceed int64 at web scale); r = num/den.
+    Output: one row (n_endpoints, sx, sxx, sxy, num, den)."""
+    from ray.data.aggregate import Sum
+
+    per_node = avg_neighbor_degree(docs, n_docs, n_buckets, n_rows_hint)
+
+    def mpart(batch: pa.Table) -> pa.Table:
+        # Python-int sums: d^3 over a web-scale hub can exceed int64 in
+        # numpy silently; the per-batch row count is node-bounded
+        d = batch.column("degree").to_pylist()
+        s = batch.column("nbr_degree_sum").to_pylist()
+        n = sum(d)
+        sx = sum(x * x for x in d)
+        sxx = sum(x * x * x for x in d)
+        sxy = sum(x * y for x, y in zip(d, s))
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sx": pa.array([sx], pa.int64()),
+                "sxx": pa.array([sxx], pa.int64()),
+                "sxy": pa.array([sxy], pa.int64()),
+            }
+        )
+
+    agg = per_node.map_batches(mpart, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sx", alias_name="sx"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("sxy", alias_name="sxy"),
+    )
+    n, sx, sxx, sxy = (
+        int(agg["n"]), int(agg["sx"]), int(agg["sxx"]), int(agg["sxy"])
+    )
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_endpoints": n,
+                "sx": sx,
+                "sxx": sxx,
+                "sxy": sxy,
+                "num": n * sxy - sx * sx,
+                "den": n * sxx - sx * sx,
+            }
+        ],
+        schema=_ASSORT_SCHEMA,
+    )

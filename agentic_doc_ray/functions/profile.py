@@ -572,3 +572,82 @@ def dataset_card(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby("g", num_partitions=shuffle_partitions(2))
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# rollup (GROUPING SETS) counts
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("lang", pa.string()),
+        ("n_docs", pa.int64()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+
+def rollup_counts(docs: "ray.data.Dataset") -> pa.Table:
+    """GROUPING SETS in one pass: doc/char counts at every rollup level —
+    (source, lang), (source, ALL), (ALL, lang), (ALL, ALL) — the OLAP
+    cube slice a mixture dashboard reads, marked with the literal 'ALL'.
+
+    Shape: ONLY the finest level shuffles (per-batch (source, lang)
+    partials through one tiny ``groupby().aggregate()``); the coarser
+    levels are derived from the finest table, which is bounded by
+    ``|sources| x |langs|`` — a group-cardinality collect, never a row
+    collect (the nation-broadcast precedent)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [
+                batch.column("source"),
+                batch.column("lang"),
+                pc.utf8_length(batch.column("text")).cast(pa.int64()),
+            ],
+            names=["source", "lang", "n_chars"],
+        )
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")]
+        )
+        return g.rename_columns(["source", "lang", "n_docs", "n_chars"])
+
+    fine = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"], num_partitions=shuffle_partitions(4))
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+    )
+    blocks = [
+        b for b in _ray.get(fine.materialize().to_arrow_refs()) if b.num_rows
+    ]
+    if not blocks:
+        return _ROLLUP_SCHEMA.empty_table()
+    t = pa.concat_tables(blocks).combine_chunks()
+    rows: dict[tuple[str, str], list[int]] = {}
+    for r in t.to_pylist():
+        for key in [
+            (r["source"], r["lang"]),
+            (r["source"], "ALL"),
+            ("ALL", r["lang"]),
+            ("ALL", "ALL"),
+        ]:
+            c = rows.setdefault(key, [0, 0])
+            c[0] += int(r["n_docs"])
+            c[1] += int(r["n_chars"])
+    out = sorted((s, l, c[0], c[1]) for (s, l), c in rows.items())
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array([r[0] for r in out], pa.string()),
+            "lang": pa.array([r[1] for r in out], pa.string()),
+            "n_docs": pa.array([r[2] for r in out], pa.int64()),
+            "n_chars": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )

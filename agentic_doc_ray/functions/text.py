@@ -3106,3 +3106,80 @@ def mixed_lang_flags(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     per-doc deterministic, batch-local, zero exchanges; regex scoring is
     Arrow-kernel vectorized over both halves."""
     return docs.map_batches(mixed_lang_flags_batch, batch_format="pyarrow")
+
+
+def script_ratios(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Character-class profile per doc (the Dolma/CCNet script filter
+    signal): counts of ASCII letters, digits, whitespace, other — plus
+    the ASCII-letter per-mille share. All four counts are Arrow-regex
+    kernels (RE2 char classes DuckDB's regexp_replace mirrors exactly);
+    batch-local, zero exchanges. Output (doc_id, n_chars, n_alpha,
+    n_digit, n_space, n_other, alpha_permille)."""
+
+    def flags(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        n_alpha = pc.count_substring_regex(text, r"[A-Za-z]").cast(pa.int64())
+        n_digit = pc.count_substring_regex(text, r"[0-9]").cast(pa.int64())
+        n_space = pc.count_substring_regex(text, r"\s").cast(pa.int64())
+        n_other = pc.subtract(
+            n_chars, pc.add(pc.add(n_alpha, n_digit), n_space)
+        )
+        denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+        alpha_pm = pc.divide(pc.multiply(n_alpha, pa.scalar(1000, pa.int64())), denom)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                n_chars,
+                n_alpha,
+                n_digit,
+                n_space,
+                n_other,
+                alpha_pm,
+            ],
+            names=[
+                "doc_id", "n_chars", "n_alpha", "n_digit", "n_space",
+                "n_other", "alpha_permille",
+            ],
+        )
+
+    return docs.map_batches(flags, batch_format="pyarrow")
+
+
+def lang_pivot(
+    docs: "ray.data.Dataset", langs: tuple[str, ...] = ("de", "en", "es", "fr", "zh")
+) -> "ray.data.Dataset":
+    """Crosstab/pivot: per-source doc counts in WIDE form, one column per
+    language — (source, n_de, n_en, ...) plus n_other for anything
+    outside the fixed column set (pivots need a closed column universe;
+    the long form is ``lang_doc_stats``).
+
+    Shape: per-batch vectorized one-hot partials -> one tiny
+    ``groupby(source).aggregate(Sum per column)`` — the aggregate path,
+    no sentinels needed, exchange rows bounded by sources x batches."""
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{l}" for l in langs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        src = batch.column("source")
+        arrays = [src]
+        known = np.zeros(len(lang), bool)
+        for l in langs:
+            m = lang == l
+            known |= m
+            arrays.append(pa.array(m.astype(np.int64)))
+        arrays.append(pa.array((~known).astype(np.int64)))
+        t = pa.Table.from_arrays(arrays, names=["source"] + cols + ["n_other"])
+        return (
+            t.group_by("source")
+            .aggregate([(c, "sum") for c in cols + ["n_other"]])
+            .rename_columns(["source"] + cols + ["n_other"])
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols + ["n_other"]])
+    )

@@ -841,6 +841,49 @@ def main() -> None:
 
     timed("mixture_plan", mixture_plan_q)
 
+    def assortativity_q() -> None:
+        from agentic_doc_ray.functions.graph import degree_assortativity
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        degree_assortativity(docs, n_docs=docs.count()).num_rows
+
+    timed("degree_assortativity", assortativity_q)
+
+    def script_ratios_q() -> None:
+        from agentic_doc_ray.functions.text import script_ratios
+
+        script_ratios(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("script_ratios", script_ratios_q)
+
+    def lang_pivot_q() -> None:
+        from agentic_doc_ray.functions.text import lang_pivot
+
+        lang_pivot(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["source", "lang"]
+            )
+        ).count()
+
+    timed("lang_pivot", lang_pivot_q)
+
+    def rollup_q() -> None:
+        from agentic_doc_ray.functions.profile import rollup_counts
+
+        rollup_counts(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["source", "lang", "text"]
+            )
+        ).num_rows
+
+    timed("rollup_counts", rollup_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

@@ -906,3 +906,37 @@ def test_degree_histogram_brute_force():
     }
     assert got == want
     assert sum(got.values()) == len(deg)
+
+
+def test_degree_assortativity_matches_sql():
+    import duckdb
+    import ray.data
+
+    from agentic_doc_ray.functions.graph import degree_assortativity
+
+    SF = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    got = degree_assortativity(docs, n_docs=docs.count()).to_pylist()[0]
+    want = duckdb.sql(
+        f"""
+        WITH ids AS (SELECT doc_id AS i FROM read_parquet('{SF}/documents.parquet')),
+        nn AS (SELECT count(*) AS n FROM ids),
+        e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst
+               FROM ids, nn, generate_series(1,3) AS t(k)),
+        e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),
+        canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e1 WHERE src <> dst),
+        dir AS (SELECT a AS node, b AS other FROM canon UNION ALL SELECT b, a FROM canon),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM dir GROUP BY node),
+        pn AS (SELECT r.node, dn.degree AS d, CAST(sum(do_.degree) AS BIGINT) AS s
+               FROM dir r JOIN deg dn ON dn.node = r.node
+               JOIN deg do_ ON do_.node = r.other GROUP BY r.node, dn.degree)
+        SELECT CAST(sum(d) AS BIGINT) AS n, CAST(sum(d*d) AS BIGINT) AS sx,
+               CAST(sum(d*d*d) AS BIGINT) AS sxx, CAST(sum(d*s) AS BIGINT) AS sxy FROM pn
+        """
+    ).fetchone()
+    assert got["n_endpoints"] == want[0]
+    assert got["sx"] == want[1]
+    assert got["sxx"] == want[2]
+    assert got["sxy"] == want[3]
+    assert got["num"] == want[0] * want[3] - want[1] ** 2
+    assert got["den"] == want[0] * want[2] - want[1] ** 2

@@ -102,3 +102,27 @@ def test_dataset_card_planted():
     assert got["max_chars"] == 13
     assert got["mean_chars_x100"] == 100 * 22 // 3
     assert got["docs:a"] == 2 and got["docs:b"] == 1
+
+
+def test_rollup_counts_planted():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.profile import rollup_counts
+
+    t = pa.table(
+        {
+            "source": ["a", "a", "b"],
+            "lang": ["en", "de", "en"],
+            "text": ["xx", "yyy", "z"],
+        }
+    )
+    got = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_chars"])
+        for r in rollup_counts(ray.data.from_arrow(t).repartition(2)).to_pylist()
+    }
+    assert got[("a", "en")] == (1, 2)
+    assert got[("a", "ALL")] == (2, 5)
+    assert got[("ALL", "en")] == (2, 3)
+    assert got[("ALL", "ALL")] == (3, 6)
+    assert len(got) == 3 + 2 + 2 + 1

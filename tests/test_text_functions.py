@@ -1092,3 +1092,50 @@ def test_mixed_lang_flags_planted():
     assert bool(by.loc["mixed", "mixed"]) is True
     assert bool(by.loc["pure", "mixed"]) is False
     assert bool(by.loc["empty", "mixed"]) is False
+
+
+def test_script_ratios_planted():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import script_ratios
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["ab1 2c!", "", "日本語 text"],
+        }
+    )
+    got = (
+        script_ratios(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # "ab1 2c!": 7 chars, 3 alpha, 2 digit, 1 space, 1 other
+    assert got.loc[1].tolist() == [7, 3, 2, 1, 1, 1000 * 3 // 7]
+    assert got.loc[2].tolist() == [0, 0, 0, 0, 0, 0]
+    # "日本語 text": 8 chars, 4 alpha, 0 digit, 1 space, 3 other
+    assert got.loc[3].tolist() == [8, 4, 0, 1, 3, 1000 * 4 // 8]
+
+
+def test_lang_pivot_planted():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import lang_pivot
+
+    t = pa.table(
+        {
+            "source": ["a", "a", "a", "b"],
+            "lang": ["en", "en", "xx", "de"],
+        }
+    )
+    got = (
+        lang_pivot(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["a"].tolist() == [0, 2, 0, 0, 0, 1]
+    assert got.loc["b"].tolist() == [1, 0, 0, 0, 0, 0]
