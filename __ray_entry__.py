@@ -1041,6 +1041,10 @@ _DRIVER_PRIORITY = [
     "script_ratios",
     "lang_pivot",
     "rollup_counts",
+    # new in session 12 (batch 6): topic keywords over kmeans clusters,
+    # per-group percent_rank window
+    "cluster_top_terms",
+    "segment_percent_rank",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2369,6 +2373,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_cluster_top_terms(sf_dir):
+        """BERTopic-style topic keywords: k-means labels joined to docs,
+        per-cluster top-k tokens by integer lift. Oracle: SQL over the
+        kmeans replica parquet + the shared tokenization idiom."""
+        from agentic_doc_ray.functions.similarity import kmeans
+        from agentic_doc_ray.functions.text import cluster_top_terms
+
+        _ensure_extraction_oracles(sf_dir)
+        labels = kmeans(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            k=8,
+            n_iter=5,
+        )
+        return cluster_top_terms(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            labels,
+        )
+
+    def q_segment_percent_rank(sf_dir):
+        """percent_rank() OVER (PARTITION BY segment ORDER BY price)
+        without a global sort: per-group value-range ranking (the
+        global_rank recipe composed with the group key)."""
+        from agentic_doc_ray.functions.scans import segment_percent_rank
+
+        return segment_percent_rank(sf_dir)
+
     def q_source_vocab_overlap(sf_dir):
         """Pairwise distinct-vocabulary overlap between sources (wimbd
         cross-corpus comparison): batch-local distinct partials, one
@@ -3636,6 +3670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_ratios": q_script_ratios,
         "lang_pivot": q_lang_pivot,
         "rollup_counts": q_rollup_counts,
+        "cluster_top_terms": q_cluster_top_terms,
+        "segment_percent_rank": q_segment_percent_rank,
         "generic_join": q_generic_join,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
@@ -5894,6 +5930,41 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(sum(length(text)) AS BIGINT) AS n_chars "
             "FROM documents "
             "GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"
+        ),
+        # per-cluster topic keywords over the kmeans replica assignment
+        "cluster_top_terms": (
+            "WITH lab AS (SELECT vec_id AS doc_id, cluster "
+            f"  FROM read_parquet('{_ORACLE_SQL_DIR}/kmeans.parquet')), "
+            "tr AS (SELECT d.doc_id, lab.cluster, "
+            "  regexp_replace(d.text, '^\\s+|\\s+$', '', 'g') AS trimmed "
+            "  FROM documents d JOIN lab USING (doc_id)), "
+            "tok AS (SELECT cluster, "
+            "  unnest(regexp_split_to_array(trimmed, '\\s+')) AS token "
+            "  FROM tr WHERE trimmed <> ''), "
+            "ct AS (SELECT cluster, token, CAST(count(*) AS BIGINT) AS tf "
+            "  FROM tok GROUP BY 1, 2), "
+            "nc AS (SELECT cluster, CAST(sum(tf) AS BIGINT) AS n_c FROM ct GROUP BY 1), "
+            "ft AS (SELECT token, CAST(sum(tf) AS BIGINT) AS tf_g FROM ct GROUP BY 1), "
+            "nt AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM ct), "
+            "scored AS (SELECT ct.cluster, ct.token, ct.tf, ft.tf_g, "
+            "  CAST((ct.tf * nt.n) // (ft.tf_g * nc.n_c) AS BIGINT) AS lift "
+            "  FROM ct JOIN ft USING (token) JOIN nc USING (cluster) "
+            "  CROSS JOIN nt WHERE ct.tf >= 3), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cluster "
+            "  ORDER BY lift DESC, token) AS BIGINT) AS rank FROM scored) "
+            "SELECT cluster, token, tf, tf_g, lift, rank FROM r WHERE rank <= 10"
+        ),
+        # percent_rank window with integer RANK/COUNT arithmetic
+        "segment_percent_rank": (
+            "WITH j AS (SELECT o_orderkey, c_mktsegment, "
+            "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "  FROM orders JOIN customer ON o_custkey = c_custkey) "
+            "SELECT o_orderkey, c_mktsegment, cents, "
+            "  CAST(1000000 * (rank() OVER (PARTITION BY c_mktsegment "
+            "    ORDER BY cents) - 1) "
+            "  // greatest(count(*) OVER (PARTITION BY c_mktsegment) - 1, 1) "
+            "  AS BIGINT) AS pr_ppm "
+            "FROM j"
         ),
         # pairwise distinct-vocab overlap; pairs with zero shared tokens
         # are omitted on both sides (inner join)

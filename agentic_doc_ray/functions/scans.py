@@ -1220,3 +1220,236 @@ def crawl_schedule(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
     return keyed.groupby("bucket", num_partitions=partitions_for(n_rows)).map_groups(
         schedule_bucket, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group percent_rank without a global sort
+# ---------------------------------------------------------------------------
+
+_SPR_JOIN_SCHEMA = pa.schema(
+    [
+        ("cbucket", pa.int32()),
+        ("custkey", pa.int64()),
+        ("side", pa.string()),
+        ("o_orderkey", pa.int64()),
+        ("cents", pa.int64()),
+        ("segment", pa.string()),
+    ]
+)
+_SPR_OUT = pa.schema(
+    [
+        ("o_orderkey", pa.int64()),
+        ("c_mktsegment", pa.string()),
+        ("cents", pa.int64()),
+        ("pr_ppm", pa.int64()),
+    ]
+)
+
+
+def segment_percent_rank(sf_dir: str, n_vbuckets: int = 32) -> "ray.data.Dataset":
+    """SQL ``percent_rank() OVER (PARTITION BY segment ORDER BY price)``
+    at scale — every order's price percentile WITHIN its market segment,
+    as exact integer ppm ``10^6·(rank−1)//(n_seg−1)`` with SQL RANK tie
+    semantics (ties share the first row's rank).
+
+    Why not ``sort()``: a window function is a global sort per partition;
+    this runs the ``global_rank`` recipe PER GROUP instead — value-range
+    buckets composed with the group key, per-bucket counts (tiny summary)
+    prefix-summed on the driver, ranks assigned bucket-locally. Ties
+    can't straddle buckets because the bucket is a function of the value.
+
+    Exchanges: one custkey join (segment attach, keys only) + one
+    (segment, value-range) groupby. Driver state: one integer per
+    (segment, bucket) — segments are a bounded dimension."""
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    n_rows = orders.count()
+    np_ = partitions_for(n_rows)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").cast(pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(pc.bit_wise_and(ck, pa.scalar(63, pa.int64())), pa.int32()),
+                ck,
+                pa.array(["o"] * batch.num_rows, pa.string()),
+                batch.column("o_orderkey").cast(pa.int64()),
+                cents,
+                pa.array([""] * batch.num_rows, pa.string()),
+            ],
+            schema=_SPR_JOIN_SCHEMA,
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").cast(pa.int64())
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(pc.bit_wise_and(ck, pa.scalar(63, pa.int64())), pa.int32()),
+                ck,
+                pa.array(["c"] * n, pa.string()),
+                pa.array(np.zeros(n, np.int64)),
+                pa.array(np.zeros(n, np.int64)),
+                batch.column("c_mktsegment"),
+            ],
+            schema=_SPR_JOIN_SCHEMA,
+        )
+
+    seg_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("segment", pa.string()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "s"))
+        is_c = pc.equal(g.column("side"), "c")
+        cust = g.filter(is_c)
+        orow = g.filter(pc.invert(is_c))
+        if cust.num_rows == 0 or orow.num_rows == 0:
+            return seg_schema.empty_table()
+        c_keys = cust.column("custkey").to_numpy(zero_copy_only=False)
+        c_seg = np.asarray(cust.column("segment").to_pylist(), dtype=object)
+        order = np.argsort(c_keys)
+        c_keys, c_seg = c_keys[order], c_seg[order]
+        o_keys = orow.column("custkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(c_keys, o_keys), 0, len(c_keys) - 1)
+        hit = c_keys[pos] == o_keys
+        kept = orow.filter(pa.array(hit))
+        return pa.Table.from_arrays(
+            [
+                kept.column("o_orderkey"),
+                pa.array(c_seg[pos[hit]], pa.string()),
+                kept.column("cents"),
+            ],
+            schema=seg_schema,
+        )
+
+    seg_orders = (
+        orders.map_batches(order_rows, batch_format="pyarrow")
+        .union(customer.map_batches(cust_rows, batch_format="pyarrow"))
+        .union(
+            int_key_sentinels(
+                _SPR_JOIN_SCHEMA, "cbucket", fill={"custkey": -1, "side": "s"}
+            )
+        )
+        .groupby("cbucket", num_partitions=np_)
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .materialize()  # consumed 3x: min/max pass, count pass, rank pass
+    )
+
+    mm = seg_orders.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "lo": [pc.min(b.column("cents")).as_py()],
+                "hi": [pc.max(b.column("cents")).as_py()],
+            }
+        )
+        if b.num_rows
+        else pa.Table.from_pydict({"lo": [None], "hi": [None]}),
+        batch_format="pyarrow",
+    ).take_all()
+    los = [r["lo"] for r in mm if r["lo"] is not None]
+    if not los:
+        return ray.data.from_arrow(_SPR_OUT.empty_table())
+    lo = min(los)
+    hi = max(r["hi"] for r in mm if r["hi"] is not None)
+    width = max(1, (hi - lo + n_vbuckets) // n_vbuckets)
+
+    rk_schema = pa.schema(
+        [
+            ("rbucket", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("segment", pa.string()),
+            ("cents", pa.int64()),
+            ("vb", pa.int64()),
+        ]
+    )
+
+    def with_vbucket(batch: pa.Table) -> pa.Table:
+        vb = pc.divide(
+            pc.subtract(batch.column("cents"), pa.scalar(lo, pa.int64())),
+            pa.scalar(width, pa.int64()),
+        )
+        rb = pc.binary_join_element_wise(
+            batch.column("segment"), pc.cast(vb, pa.string()), "\x1f"
+        )
+        return pa.Table.from_arrays(
+            [rb, batch.column("o_orderkey"), batch.column("segment"),
+             batch.column("cents"), vb],
+            schema=rk_schema,
+        )
+
+    keyed = seg_orders.map_batches(with_vbucket, batch_format="pyarrow")
+
+    counts: dict[tuple[str, int], int] = {}
+    for r in keyed.map_batches(
+        lambda b: b.select(["segment", "vb"])
+        .group_by(["segment", "vb"])
+        .aggregate([("vb", "count")])
+        .rename_columns(["segment", "vb", "n"]),
+        batch_format="pyarrow",
+    ).take_all():
+        k = (r["segment"], int(r["vb"]))
+        counts[k] = counts.get(k, 0) + int(r["n"])
+    offsets: dict[tuple[str, int], int] = {}
+    seg_totals: dict[str, int] = {}
+    for seg, vb in sorted(counts):
+        offsets[(seg, vb)] = seg_totals.get(seg, 0)
+        seg_totals[seg] = seg_totals.get(seg, 0) + counts[(seg, vb)]
+    off_ref = ray.put((offsets, seg_totals))
+
+    from agentic_doc_ray.functions._exchange import str_key_sentinels
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("o_orderkey"), 0))
+        if g.num_rows == 0:
+            return _SPR_OUT.empty_table()
+        offs, totals = ray.get(off_ref)
+        order = pc.sort_indices(
+            g, sort_keys=[("cents", "ascending"), ("o_orderkey", "ascending")]
+        )
+        g = g.take(order)
+        seg = g.column("segment")[0].as_py()
+        base = offs[(seg, int(g.column("vb")[0].as_py()))]
+        n_seg = totals[seg]
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        # SQL RANK tie semantics: first row index of each distinct value
+        first = np.concatenate(([True], cents[1:] != cents[:-1]))
+        rank = np.arange(g.num_rows, dtype=np.int64)
+        rank = np.maximum.accumulate(np.where(first, rank, np.int64(-1)))
+        rank = rank + base + 1
+        pr = (
+            1_000_000 * (rank - 1) // max(n_seg - 1, 1)
+            if n_seg > 1
+            else np.zeros(g.num_rows, np.int64)
+        )
+        return pa.Table.from_arrays(
+            [
+                g.column("o_orderkey"),
+                g.column("segment"),
+                g.column("cents"),
+                pa.array(np.asarray(pr, np.int64), pa.int64()),
+            ],
+            schema=_SPR_OUT,
+        )
+
+    return (
+        keyed.union(
+            str_key_sentinels(rk_schema, "rbucket", fill={"o_orderkey": -1, "vb": 0})
+        )
+        .groupby("rbucket", num_partitions=np_)
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )

@@ -3183,3 +3183,226 @@ def lang_pivot(
         .groupby("source")
         .aggregate(*[Sum(c, alias_name=c) for c in cols + ["n_other"]])
     )
+
+
+def cluster_top_terms(
+    docs: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    k_top: int = 10,
+    min_tf: int = 3,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """BERTopic-style topic keywords: per embedding-CLUSTER top-k tokens
+    by integer lift (tf_c/N_c) / (tf_g/N), scored as the exact floor
+    division (tf_c·N)//(tf_g·N_c) — the "what is this cluster about"
+    report that turns k-means assignments into a topic model. ``labels``
+    is any (vec_id, cluster) dataset (e.g. ``similarity.kmeans``);
+    vec_id joins doc_id.
+
+    Scale shape (the ``distinctive_terms`` skeleton with a label join in
+    front): per-batch (doc_id, token, cnt) partials meet the label rows
+    in ONE doc-bucketed exchange (tokens ship pre-counted, text never
+    does); per-(cluster, token) tf via one composite hash aggregate;
+    per-cluster totals are a k-bounded collect; global token counts
+    attach through one token-keyed exchange whose buckets emit only
+    their local per-cluster top-k."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.delta import _fingerprint64
+
+    np_ = num_partitions or shuffle_partitions()
+    n_buckets = 64
+
+    at_schema = pa.schema(
+        [
+            ("dbucket", pa.int32()),
+            ("doc_id", pa.int64()),
+            ("side", pa.string()),
+            ("token", pa.string()),
+            ("cnt", pa.int64()),
+            ("cluster", pa.int64()),
+        ]
+    )
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        nonempty = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks)
+        ids = (
+            batch.column("doc_id")
+            .cast(pa.int64())
+            .filter(nonempty)
+            .combine_chunks()
+            .take(parents)
+        )
+        t = pa.Table.from_arrays([ids, flat], names=["doc_id", "token"])
+        g = t.group_by(["doc_id", "token"]).aggregate([("token", "count")])
+        g = g.rename_columns(["doc_id", "token", "cnt"])
+        did = g.column("doc_id")
+        return pa.Table.from_arrays(
+            [
+                pc.cast(pc.bit_wise_and(did, pa.scalar(63, pa.int64())), pa.int32()),
+                did,
+                pa.array(["t"] * g.num_rows, pa.string()),
+                g.column("token"),
+                g.column("cnt").cast(pa.int64()),
+                pa.array(np.full(g.num_rows, -1, np.int64)),
+            ],
+            schema=at_schema,
+        )
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                pc.cast(pc.bit_wise_and(vid, pa.scalar(63, pa.int64())), pa.int32()),
+                vid,
+                pa.array(["l"] * batch.num_rows, pa.string()),
+                pa.array([""] * batch.num_rows, pa.string()),
+                pa.array(np.zeros(batch.num_rows, np.int64)),
+                batch.column("cluster").cast(pa.int64()),
+            ],
+            schema=at_schema,
+        )
+
+    ct_part_schema = pa.schema(
+        [("cluster", pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("side"), "s"))
+        is_l = pc.equal(g.column("side"), "l")
+        lab = g.filter(is_l)
+        tok = g.filter(pc.invert(is_l))
+        if lab.num_rows == 0 or tok.num_rows == 0:
+            return ct_part_schema.empty_table()
+        l_ids = lab.column("doc_id").to_numpy(zero_copy_only=False)
+        l_cl = lab.column("cluster").to_numpy(zero_copy_only=False)
+        order = np.argsort(l_ids)
+        l_ids, l_cl = l_ids[order], l_cl[order]
+        t_ids = tok.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(l_ids, t_ids)
+        pos = np.clip(pos, 0, len(l_ids) - 1)
+        hit = l_ids[pos] == t_ids  # inner join: unlabeled docs drop
+        t2 = tok.filter(pa.array(hit)).append_column(
+            "cl", pa.array(l_cl[pos[hit]], pa.int64())
+        )
+        g2 = (
+            t2.select(["cl", "token", "cnt"])
+            .group_by(["cl", "token"])
+            .aggregate([("cnt", "sum")])
+        )
+        return g2.rename_columns(["cluster", "token", "tf"]).cast(ct_part_schema)
+
+    ct = (
+        docs.map_batches(doc_tokens, batch_format="pyarrow")
+        .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+        .union(
+            int_key_sentinels(
+                at_schema, "dbucket", fill={"doc_id": -1, "side": "s", "cluster": -1}
+            )
+        )
+        .groupby("dbucket", num_partitions=np_)
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby(["cluster", "token"], num_partitions=np_)
+        .aggregate(Sum("tf", alias_name="tf"))
+        .materialize()  # |clusters| x |vocab| bounded; consumed twice below
+    )
+
+    # per-cluster totals: k-bounded collect (like nation broadcasts)
+    nc_rows = (
+        ct.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("cluster"), b.column("tf")], names=["cluster", "n"]
+            )
+            .group_by("cluster")
+            .aggregate([("n", "sum")])
+            .rename_columns(["cluster", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("cluster", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n_c"))
+        .take_all()
+    )
+    n_c_map = {int(r["cluster"]): int(r["n_c"]) for r in nc_rows}
+    n_total = sum(n_c_map.values())
+
+    ex = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("token", pa.string()),
+            ("cluster", pa.int64()),
+            ("tf", pa.int64()),
+        ]
+    )
+
+    def tag_ct(batch: pa.Table) -> pa.Table:
+        tok = batch.column("token").combine_chunks()
+        bucket = pc.cast(
+            pc.bit_wise_and(
+                _fingerprint64(tok), pa.scalar(n_buckets - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [bucket, tok, batch.column("cluster"), batch.column("tf")],
+            schema=ex,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("token", pa.string()),
+            ("tf", pa.int64()),
+            ("tf_g", pa.int64()),
+            ("lift", pa.int64()),
+        ]
+    )
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("cluster"), 0))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        import pandas as pd
+
+        df = g.select(["token", "cluster", "tf"]).to_pandas()
+        ftg = df.groupby("token")["tf"].transform("sum")
+        df = df[df["tf"] >= min_tf].copy()
+        if df.empty:
+            return out_schema.empty_table()
+        df["tf_g"] = ftg[df.index]
+        n_c = df["cluster"].map(n_c_map).to_numpy(np.int64)
+        df["lift"] = (
+            df["tf"].to_numpy(np.int64) * n_total
+        ) // (df["tf_g"].to_numpy(np.int64) * n_c)
+        df = df.sort_values(["cluster", "lift", "token"], ascending=[True, False, True])
+        df = df.groupby("cluster").head(k_top)
+        return pa.Table.from_pandas(
+            df[["cluster", "token", "tf", "tf_g", "lift"]], preserve_index=False
+        ).cast(out_schema)
+
+    cands = (
+        ct.map_batches(tag_ct, batch_format="pyarrow")
+        .union(int_key_sentinels(ex, "bucket", fill={"cluster": -1, "token": ""}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(score_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(cands)
+    if df.empty:
+        return out_schema.empty_table()
+    df = df.sort_values(["cluster", "lift", "token"], ascending=[True, False, True])
+    df = df.groupby("cluster").head(k_top)
+    df["rank"] = df.groupby("cluster").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["cluster", "token", "tf", "tf_g", "lift", "rank"]],
+        preserve_index=False,
+    ).cast(out_schema.append(pa.field("rank", pa.int64())))

@@ -884,6 +884,33 @@ def main() -> None:
 
     timed("rollup_counts", rollup_q)
 
+    def cluster_terms_q() -> None:
+        from agentic_doc_ray.functions.similarity import kmeans
+        from agentic_doc_ray.functions.text import cluster_top_terms
+
+        labels = kmeans(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            k=8,
+            n_iter=5,
+        )
+        cluster_top_terms(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            labels,
+        ).num_rows
+
+    timed("cluster_top_terms", cluster_terms_q)
+
+    def seg_pr_q() -> None:
+        from agentic_doc_ray.functions.scans import segment_percent_rank
+
+        segment_percent_rank(SF_DIR).count()
+
+    timed("segment_percent_rank", seg_pr_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

@@ -357,3 +357,35 @@ def test_revenue_gini_exact():
     assert 0 <= r["gini_per_mille"] < 1000
     # identity: gini_num/den reconstruct from the raw moments
     assert r["gini_num"] == 2 * r["weighted_rank_sum"] - (r["n"] + 1) * r["sum_cents"]
+
+
+def test_segment_percent_rank_matches_sql():
+    import duckdb
+    import pandas as pd
+
+    from agentic_doc_ray.functions.scans import segment_percent_rank
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        segment_percent_rank(SF)
+        .to_pandas()
+        .sort_values(["c_mktsegment", "cents", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"""
+        WITH j AS (SELECT o_orderkey, c_mktsegment,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM read_parquet('{SF}/orders.parquet') o
+          JOIN read_parquet('{SF}/customer.parquet') c ON o_custkey = c_custkey)
+        SELECT o_orderkey, c_mktsegment, cents,
+          CAST(1000000 * (rank() OVER (PARTITION BY c_mktsegment ORDER BY cents) - 1)
+          // greatest(count(*) OVER (PARTITION BY c_mktsegment) - 1, 1) AS BIGINT) AS pr_ppm
+        FROM j ORDER BY c_mktsegment, cents, o_orderkey
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

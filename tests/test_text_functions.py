@@ -1139,3 +1139,44 @@ def test_lang_pivot_planted():
     )
     assert got.loc["a"].tolist() == [0, 2, 0, 0, 0, 1]
     assert got.loc["b"].tolist() == [1, 0, 0, 0, 0, 0]
+
+
+def test_cluster_top_terms_planted():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import cluster_top_terms
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": [
+                "apple apple apple pie",
+                "apple apple tart pie",
+                "apple pie pie crumble",
+                "rocket rocket engine",
+                "rocket engine engine thrust",
+                "rocket thrust nozzle engine",
+            ],
+        }
+    )
+    labels = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "cluster": pa.array([0, 0, 0, 1, 1, 1], pa.int64()),
+        }
+    )
+    got = cluster_top_terms(
+        ray.data.from_arrow(docs).repartition(3),
+        ray.data.from_arrow(labels).repartition(2),
+        k_top=2,
+        min_tf=2,
+    ).to_pandas()
+    top = got[got["rank"] == 1].set_index("cluster")["token"].to_dict()
+    assert top[0] in {"apple", "pie"}      # cluster-0 vocabulary only
+    assert top[1] in {"rocket", "engine"}  # cluster-1 vocabulary only
+    # lift of a cluster-exclusive token: tf_g == tf, so lift = N // n_c
+    ex = got[(got["cluster"] == 0) & (got["token"] == "apple")]
+    assert not ex.empty
+    r = ex.iloc[0]
+    assert r["tf"] == 6 and r["tf_g"] == 6
