@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 47  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 48  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -201,6 +201,22 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     )
     _pq.write_table(
         LangIdActor()(docs_tbl), os.path.join(out_dir, "lang_id.parquet")
+    )
+
+    # char-n-gram-profile lang-id replica: profiles are GLOBAL (counts ->
+    # (cnt desc, h asc) top-m, deterministic) and classification is
+    # row-local, so the single-process run is bit-equal to the
+    # distributed train -> broadcast -> classify plan
+    from agentic_doc_ray.functions.text import char_lang_id_oracle
+
+    _pq.write_table(
+        char_lang_id_oracle(
+            pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "lang"],
+            )
+        ),
+        os.path.join(out_dir, "char_lang_id.parquet"),
     )
 
     # BPE merge-table replica: exact integer word counts + deterministic
@@ -1045,6 +1061,12 @@ _DRIVER_PRIORITY = [
     # per-group percent_rank window
     "cluster_top_terms",
     "segment_percent_rank",
+    # new in session 13: modularity audit, n-gram-profile lang-id,
+    # normalization dedup, word2vec negative-sampling table
+    "graph_modularity",
+    "char_lang_id",
+    "normalized_dedup",
+    "neg_sampling_table",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -1957,6 +1979,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
         return label_propagation(edges, n_iter=4)
+
+    def q_graph_modularity(sf_dir):
+        """Per-community modularity decomposition (n_nodes / intra edges /
+        degree sum per community, exact integers) of the LPA partition
+        over the canonical LCG edge set — the community-quality audit.
+        Oracle: SQL over the LPA replica parquet + the shared edge CTE."""
+        from agentic_doc_ray.functions.graph import (
+            graph_modularity,
+            label_propagation,
+        )
+        from agentic_doc_ray.functions.pagerank import link_edges
+
+        _ensure_extraction_oracles(sf_dir)
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        n = d.count()
+        edges = d.map_batches(
+            lambda b: link_edges(b.column("doc_id"), n),
+            batch_format="pyarrow",
+        )
+        labels = label_propagation(edges, n_iter=4)
+        return graph_modularity(d, n, labels)
+
+    def q_char_lang_id(sf_dir):
+        """Char-trigram-profile language ID (Cavnar–Trenkle shape):
+        per-language top-256 trigram-hash profiles trained from the
+        corpus labels, docs classified by exact integer profile-hit
+        counts. Oracle: bit-equal single-process replica."""
+        from agentic_doc_ray.functions.text import char_ngram_lang_id
+
+        _ensure_extraction_oracles(sf_dir)
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return char_ngram_lang_id(d)
+
+    def q_normalized_dedup(sf_dir):
+        """Aggressive-normalization 'fuzzy exact' dedup (Dolma first
+        pass): case/whitespace/punctuation-insensitive clusters, keeper =
+        min doc_id, cluster size attached. One key-only exchange."""
+        from agentic_doc_ray.functions.dedup import normalized_dedup_keep
+
+        d = docs(sf_dir)
+        return normalized_dedup_keep(d, shuffle_partitions=_pfor(d.count()))
+
+    def q_neg_sampling_table(sf_dir):
+        """word2vec negative-sampling table: top-k vocabulary with exact
+        integer floor(n^0.75) weights (math.isqrt) + cumulative sampling
+        ranges in (n DESC, token) order; k-bounded driver cumsum."""
+        return T.neg_sampling_table(docs(sf_dir), k=512)
 
     def q_bfs_distances(sf_dir):
         """Multi-source BFS hop distances over the synthetic link graph
@@ -3636,6 +3709,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": q_anchor_texts,
         "bfs_distances": q_bfs_distances,
         "label_propagation": q_label_propagation,  # bit-equal replica oracle
+        "graph_modularity": q_graph_modularity,    # SQL over LPA replica + edge CTE
+        "char_lang_id": q_char_lang_id,            # bit-equal replica oracle
+        "normalized_dedup": q_normalized_dedup,
+        "neg_sampling_table": q_neg_sampling_table,
         "personalized_pagerank": q_personalized_pagerank,  # bit-equal replica
         "clustering_coefficient": q_clustering_coeff,
         "avg_neighbor_degree": q_avg_neighbor_degree,
@@ -5479,6 +5556,65 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": (
             "SELECT node, community "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/lpa.parquet')"
+        ),
+        # modularity decomposition of the LPA partition: the shared LCG
+        # canonical edge CTE joined to the LPA replica on both endpoints;
+        # degree_sum counts endpoint incidences, n_intra same-community
+        # edges — exact integers, communities with no edges kept via the
+        # left joins
+        "graph_modularity": (
+            "WITH ids AS (SELECT doc_id AS i FROM documents),"
+            "nn AS (SELECT count(*) AS n FROM ids),"
+            "e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst"
+            "       FROM ids, nn, generate_series(1,3) AS t(k)),"
+            "e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),"
+            "canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e1 WHERE src <> dst),"
+            "lab AS (SELECT node, community "
+            f"       FROM read_parquet('{_ORACLE_SQL_DIR}/lpa.parquet')),"
+            "le AS (SELECT la.community AS ca, lb.community AS cb FROM canon c"
+            "       JOIN lab la ON la.node = CAST(c.a AS VARCHAR)"
+            "       JOIN lab lb ON lb.node = CAST(c.b AS VARCHAR)),"
+            "inc AS (SELECT ca AS community FROM le UNION ALL SELECT cb AS community FROM le),"
+            "dg AS (SELECT community, CAST(count(*) AS BIGINT) AS degree_sum FROM inc GROUP BY 1),"
+            "it AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS n_intra FROM le WHERE ca = cb GROUP BY 1),"
+            "nodes AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1) "
+            "SELECT n.community, n.n_nodes, "
+            "  CAST(coalesce(it.n_intra, 0) AS BIGINT) AS n_intra, "
+            "  CAST(coalesce(dg.degree_sum, 0) AS BIGINT) AS degree_sum "
+            "FROM nodes n LEFT JOIN dg USING (community) LEFT JOIN it USING (community)"
+        ),
+        # bit-equal replica (global profiles + row-local classify)
+        "char_lang_id": (
+            "SELECT doc_id, lang_pred, n_hits, n_trigrams "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/char_lang_id.parquet')"
+        ),
+        # case/whitespace/punct-insensitive cluster keeper + size
+        "normalized_dedup": (
+            "WITH n AS (SELECT doc_id, "
+            "  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS h "
+            "FROM documents) "
+            "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
+            "  CAST(count(*) AS BIGINT) AS n_variants "
+            "FROM n GROUP BY h"
+        ),
+        # floor(n^0.75) via floor(sqrt(n*floor(sqrt(n)))) — exact vs
+        # math.isqrt for all n <= 2^34 (doc at text.neg_sampling_table)
+        "neg_sampling_table": (
+            "WITH tok AS ("
+            "  SELECT unnest(regexp_split_to_array("
+            "    regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token "
+            "  FROM documents "
+            "  WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''), "
+            "ct AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token), "
+            "top AS (SELECT * FROM ct ORDER BY n DESC, token LIMIT 512), "
+            "w AS (SELECT token, n, "
+            "  CAST(floor(sqrt(n * floor(sqrt(n)))) AS BIGINT) AS weight FROM top), "
+            "c AS (SELECT *, CAST(coalesce(sum(weight) OVER ("
+            "  ORDER BY n DESC, token "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_lo "
+            "FROM w) "
+            "SELECT token, n, weight, cum_lo, "
+            "  CAST(cum_lo + weight AS BIGINT) AS cum_hi FROM c"
         ),
         "personalized_pagerank": (
             "SELECT node, rank_scaled "

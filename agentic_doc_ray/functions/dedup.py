@@ -113,6 +113,54 @@ def dedup_keep(
     ).map_groups(keep_group, batch_format="pyarrow")
 
 
+def normalized_dedup_keep(
+    docs: "ray.data.Dataset", shuffle_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """Aggressive-normalization "fuzzy exact" dedup (the Dolma / Gopher
+    first pass): documents that differ only in case, whitespace or
+    punctuation collapse to one cluster. Key = md5 of ``lower(text)``
+    with every non-``[a-z0-9]`` char removed; keeper = min ``doc_id``.
+
+    Output: one row per kept document — ``(doc_id, n_variants)`` where
+    ``n_variants`` is the cluster size (1 for unique docs).
+
+    Scale shape is ``dedup_keep``'s: normalization + hashing are
+    batch-local, ONE bucketed exchange moves (bucket, h, doc_id) key rows
+    (documents never shuffle, nothing collects on the driver), and each
+    bucket resolves keeper + cluster size with vectorized Arrow kernels.
+    """
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z0-9]", ""
+        )
+        h = pa.array(_md5_hex(norm.to_pylist()))
+        bucket = pa.array(
+            [int(x[:4], 16) % _N_DEDUP_BUCKETS for x in h.to_pylist()],
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [bucket, h, batch.column("doc_id")], names=["bucket", "h", "doc_id"]
+        )
+
+    def keep_group(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["h", "doc_id"])
+            .group_by("h")
+            .aggregate([("doc_id", "min"), ("doc_id", "count")])
+            .rename_columns(["h", "doc_id", "n_variants"])
+        )
+        return g.select(["doc_id", "n_variants"]).cast(
+            pa.schema([("doc_id", pa.int64()), ("n_variants", pa.int64())])
+        )
+
+    keyed = docs.map_batches(key_rows, batch_format="pyarrow")
+    return keyed.groupby(
+        "bucket", num_partitions=_cap(shuffle_partitions)
+    ).map_groups(keep_group, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

@@ -2809,3 +2809,136 @@ def degree_assortativity(
         ],
         schema=_ASSORT_SCHEMA,
     )
+
+
+def graph_modularity(
+    docs: "ray.data.Dataset",
+    n_docs: int,
+    labels: "ray.data.Dataset",
+    n_buckets: int = 64,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-community modularity decomposition of a node partition over
+    the synthetic LCG link graph — the community-quality audit for a
+    clustering (e.g. ``label_propagation``'s). One row per community:
+    ``(community, n_nodes, n_intra, degree_sum)`` over the canonical
+    DISTINCT undirected edge set, all exact integers. Newman modularity
+    follows as Q = sum_c [n_intra_c/m - (degree_sum_c/(2m))^2]; the
+    table is emitted instead of the scalar so the driver compare is
+    integer-exact and per-community regressions are visible.
+
+    Shape: the shared canonical edge exchange, then the two community
+    attaches run through the generic bucketed ``hash_join`` (labels
+    scale with nodes — never broadcast above the threshold); incidence /
+    intra partials collapse per batch before a community-bounded
+    groupby; the node-count rollup joins last. Label payloads ship once
+    per endpoint; document text never enters the plan.
+    """
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions.join_api import hash_join
+    from agentic_doc_ray.functions.pagerank import N_LINKS
+
+    n_hint = n_rows_hint if n_rows_hint is not None else n_docs * N_LINKS
+    np_ = partitions_for(n_hint)
+
+    edges = _distinct_link_edges(docs, n_docs, n_buckets, np_)
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a_s": pc.cast(batch.column("a"), pa.string()),
+                "b_s": pc.cast(batch.column("b"), pa.string()),
+            }
+        )
+
+    ek = edges.map_batches(edge_keys, batch_format="pyarrow")
+
+    def lab_as(name_key: str, name_c: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    name_key: batch.column("node"),
+                    name_c: batch.column("community"),
+                }
+            )
+
+        return f
+
+    lab_a = labels.map_batches(lab_as("a_s", "ca"), batch_format="pyarrow")
+    lab_b = labels.map_batches(lab_as("b_s", "cb"), batch_format="pyarrow")
+    e1 = hash_join(ek, lab_a, left_on="a_s", num_partitions=np_)
+    e2 = hash_join(e1, lab_b, left_on="b_s", num_partitions=np_)
+
+    def inc_partials(batch: pa.Table) -> pa.Table:
+        ca = batch.column("ca").combine_chunks()
+        cb = batch.column("cb").combine_chunks()
+        if isinstance(ca, pa.ChunkedArray):
+            ca = ca.combine_chunks()
+        if isinstance(cb, pa.ChunkedArray):
+            cb = cb.combine_chunks()
+        both = pa.concat_arrays([ca, cb])
+        inc = (
+            pa.table({"community": both})
+            .group_by("community")
+            .aggregate([("community", "count")])
+            .rename_columns(["community", "n_inc"])
+        )
+        intra = (
+            pa.table({"community": ca.filter(pc.equal(ca, cb))})
+            .group_by("community")
+            .aggregate([("community", "count")])
+            .rename_columns(["community", "n_intra"])
+        )
+        df = inc.to_pandas().merge(intra.to_pandas(), on="community", how="left")
+        df["n_intra"] = df["n_intra"].fillna(0).astype("int64")
+        df["n_inc"] = df["n_inc"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    stats = (
+        e2.map_batches(inc_partials, batch_format="pyarrow")
+        .groupby("community", num_partitions=partitions_for(n_docs))
+        .aggregate(
+            Sum("n_inc", alias_name="degree_sum"),
+            Sum("n_intra", alias_name="n_intra"),
+        )
+    )
+
+    def node_partials(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["community"])
+            .group_by("community")
+            .aggregate([("community", "count")])
+            .rename_columns(["community", "n_nodes"])
+        )
+
+    nodes = (
+        labels.map_batches(node_partials, batch_format="pyarrow")
+        .groupby("community", num_partitions=partitions_for(n_docs))
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+    )
+
+    joined = hash_join(
+        nodes, stats, left_on="community", how="left", num_partitions=np_
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "community": batch.column("community"),
+                "n_nodes": pc.cast(batch.column("n_nodes"), pa.int64()),
+                "n_intra": pc.cast(
+                    pc.coalesce(batch.column("n_intra"), pa.scalar(0, pa.int64())),
+                    pa.int64(),
+                ),
+                "degree_sum": pc.cast(
+                    pc.coalesce(
+                        batch.column("degree_sum"), pa.scalar(0, pa.int64())
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -603,6 +603,160 @@ def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(_lang_id_batch, batch_format="pyarrow")
 
 
+def _tri_profile_partial(batch: pa.Table, n: int) -> pa.Table:
+    """Per-batch (lang, h, cnt) partial counts of char n-gram hashes."""
+    from agentic_doc_ray.functions.substr import _gram_hashes
+
+    h, doc_idx, _, _, _ = _gram_hashes(batch.column("text"), n)
+    langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+    if len(h) == 0:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "h": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.table(
+        {
+            "lang": pa.array(langs[doc_idx], pa.string()),
+            "h": pa.array(h.astype(np.int64)),
+        }
+    )
+    g = t.group_by(["lang", "h"]).aggregate([("h", "count")])
+    return g.rename_columns(["lang", "h", "cnt"])
+
+
+def _lang_profiles(
+    docs: "ray.data.Dataset", n: int, top_m: int
+) -> "dict[str, np.ndarray]":
+    """Global per-language top-m n-gram-hash profiles (Cavnar–Trenkle
+    training): partial counts -> one (lang, h) hash aggregate -> local
+    top-m partials (valid: counts are FINAL after the aggregate) -> a
+    language-keyed merge whose exchange is m-bounded per lang per block.
+    The returned dict is langs x top_m hashes — kilobytes, broadcast via
+    task closure."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions._exchange import str_key_sentinels
+
+    agg = (
+        docs.map_batches(lambda b: _tri_profile_partial(b, n), batch_format="pyarrow")
+        .groupby(["lang", "h"], num_partitions=shuffle_partitions(8))
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df = df.sort_values(["lang", "cnt", "h"], ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(top_m), preserve_index=False
+        ).cast(batch.schema)
+
+    prof_schema = pa.schema(
+        [("lang", pa.string()), ("h", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def merge_top(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("h"), pa.scalar(-1)))
+        if g.num_rows == 0:
+            return prof_schema.empty_table()
+        return local_top(g.cast(prof_schema))
+
+    final = (
+        agg.map_batches(local_top, batch_format="pyarrow")
+        .union(
+            str_key_sentinels(prof_schema, "lang", fill={"h": -1, "cnt": 0})
+        )
+        .groupby("lang", num_partitions=shuffle_partitions(4))
+        .map_groups(merge_top, batch_format="pyarrow")
+        .take_all()
+    )
+    out: dict[str, list] = {}
+    for r in final:
+        out.setdefault(r["lang"], []).append(int(r["h"]))
+    return {k: np.array(sorted(v), dtype=np.int64) for k, v in out.items()}
+
+
+def _char_lang_classify_batch(
+    batch: pa.Table, profiles: "dict[str, np.ndarray]", n: int
+) -> pa.Table:
+    from agentic_doc_ray.functions.substr import _gram_hashes
+
+    h, doc_idx, _, _, _ = _gram_hashes(batch.column("text"), n)
+    h = h.astype(np.int64)
+    n_docs = batch.num_rows
+    n_tri = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    best_lang = np.full(n_docs, "und", dtype=object)
+    best_hits = np.zeros(n_docs, dtype=np.int64)
+    for lang in sorted(profiles):  # ascending -> first lang wins ties
+        mask = np.isin(h, profiles[lang])
+        hits = np.bincount(doc_idx[mask], minlength=n_docs).astype(np.int64)
+        better = hits > best_hits
+        best_hits = np.where(better, hits, best_hits)
+        best_lang = np.where(better, lang, best_lang)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(best_lang, pa.string()),
+            pa.array(best_hits, pa.int64()),
+            pa.array(n_tri, pa.int64()),
+        ],
+        names=["doc_id", "lang_pred", "n_hits", "n_trigrams"],
+    )
+
+
+def char_ngram_lang_id(
+    docs: "ray.data.Dataset", n: int = 3, top_m: int = 256
+) -> "ray.data.Dataset":
+    """Char n-gram-profile language ID (Cavnar & Trenkle 1994 shape): a
+    supervised counterpart to the stopword `lang_id` — train per-language
+    top-``top_m`` character n-gram profiles from the corpus's own labels,
+    then classify each doc by how many of its n-gram OCCURRENCES hit each
+    profile (argmax, ties to the ascending language code). Exact
+    integers end to end; n-grams are the shared 61-bit rolling hashes
+    (``substr._gram_hashes`` — content-only, batch-independent).
+
+    Scale: training moves one (lang, h) row per distinct pair per batch
+    through a hash aggregate bounded by langs x n-gram space, then an
+    m-bounded top-m merge; the langs x top_m profile dict (kilobytes)
+    ships in the classify closure; classification is batch-local.
+    Oracle: bit-equal single-process replica (profiles are global and
+    deterministic, classification is row-local)."""
+    profiles = _lang_profiles(docs, n, top_m)
+    return docs.map_batches(
+        lambda b: _char_lang_classify_batch(b, profiles, n),
+        batch_format="pyarrow",
+    )
+
+
+def char_lang_id_oracle(docs_tbl: pa.Table, n: int = 3, top_m: int = 256) -> pa.Table:
+    """Single-process replica of ``char_ngram_lang_id`` (bit-equal: global
+    counts -> (cnt desc, h asc) top-m profiles -> the same row-local
+    classify kernel)."""
+    part = _tri_profile_partial(docs_tbl, n)
+    g = (
+        part.group_by(["lang", "h"]).aggregate([("cnt", "sum")])
+        .rename_columns(["lang", "h", "cnt"])
+    )
+    import pandas as pd
+
+    df = g.to_pandas().sort_values(
+        ["lang", "cnt", "h"], ascending=[True, False, True]
+    )
+    top = df.groupby("lang", sort=False).head(top_m)
+    profiles = {
+        lang: np.array(sorted(sub["h"].tolist()), dtype=np.int64)
+        for lang, sub in top.groupby("lang")
+    }
+    return _char_lang_classify_batch(docs_tbl, profiles, n)
+
+
 def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
 
@@ -1013,6 +1167,47 @@ def top_tokens(docs: "ray.data.Dataset", k: int = 100) -> "ray.data.Dataset":
     ).aggregate(Sum("n", alias_name="n"))
     # deterministic tie-break: count desc, token asc
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def neg_sampling_table(
+    docs: "ray.data.Dataset", k: int = 4096
+) -> "ray.data.Dataset":
+    """word2vec negative-sampling table (Mikolov et al. 2013): the top-k
+    vocabulary with EXACT integer ``count^(3/4)`` sampling weights and
+    the cumulative ranges a sampler bisects into.
+
+    weight = isqrt(n * isqrt(n)) = floor(n^0.75) computed with
+    ``math.isqrt`` — no floats, so the DuckDB oracle (which uses
+    ``floor(sqrt(...))``; correctly-rounded double sqrt agrees with isqrt
+    for all arguments <= 2^51, i.e. token counts <= 2^34 ~ 1.7e10) is
+    exact. Rows are ordered by (n DESC, token ASC); ``cum_lo``/``cum_hi``
+    are the half-open prefix ranges of the weights in that order.
+
+    Shape: the ``top_tokens`` exchange (per-batch partial counts, one row
+    per distinct token per batch; the tiny global groupby) -> sort/limit
+    to the k-bounded table -> driver cumsum over k rows. The collect is
+    k-bounded by construction — the table is the artifact a trainer holds
+    in memory — and the cap is the op's contract (tail tokens are not
+    sampled), mirroring fixed-vocab practice; k and the vocabulary size
+    are both in the output domain, nothing silent.
+    """
+    from math import isqrt
+
+    top = top_tokens(docs, k=k).take_all()
+    # deterministic order is already (n desc, token asc) from top_tokens
+    rows = [(r["token"], int(r["n"])) for r in top]
+    weights = [isqrt(n * isqrt(n)) for _, n in rows]
+    cum = np.concatenate(([0], np.cumsum(np.array(weights, dtype=object))))
+    out = pa.Table.from_pydict(
+        {
+            "token": [t for t, _ in rows],
+            "n": pa.array([n for _, n in rows], pa.int64()),
+            "weight": pa.array(weights, pa.int64()),
+            "cum_lo": pa.array([int(x) for x in cum[:-1]], pa.int64()),
+            "cum_hi": pa.array([int(x) for x in cum[1:]], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)
 
 
 def _commonness_batch(batch: pa.Table, vocab: "object") -> pa.Table:

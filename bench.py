@@ -911,6 +911,58 @@ def main() -> None:
 
     timed("segment_percent_rank", seg_pr_q)
 
+    def graph_modularity_q() -> None:
+        from agentic_doc_ray.functions.graph import (
+            graph_modularity,
+            label_propagation,
+        )
+        from agentic_doc_ray.functions.pagerank import link_edges
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        n = d.count()
+        edges = d.map_batches(
+            lambda b: link_edges(b.column("doc_id"), n), batch_format="pyarrow"
+        )
+        graph_modularity(d, n, label_propagation(edges, n_iter=4)).count()
+
+    timed("graph_modularity", graph_modularity_q)
+
+    def char_lang_id_q() -> None:
+        from agentic_doc_ray.functions.text import char_ngram_lang_id
+
+        char_ngram_lang_id(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+            )
+        ).count()
+
+    timed("char_lang_id", char_lang_id_q)
+
+    def normalized_dedup_q() -> None:
+        from agentic_doc_ray.functions.dedup import normalized_dedup_keep
+
+        normalized_dedup_keep(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("normalized_dedup", normalized_dedup_q)
+
+    def neg_sampling_q() -> None:
+        from agentic_doc_ray.functions.text import neg_sampling_table
+
+        neg_sampling_table(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            k=512,
+        ).count()
+
+    timed("neg_sampling_table", neg_sampling_q)
+
     def generic_join_q() -> None:
         from agentic_doc_ray.functions.join_api import hash_join
 

@@ -940,3 +940,74 @@ def test_degree_assortativity_matches_sql():
     assert got["sxy"] == want[3]
     assert got["num"] == want[0] * want[3] - want[1] ** 2
     assert got["den"] == want[0] * want[2] - want[1] ** 2
+
+
+def test_graph_modularity_brute_force():
+    """Engine decomposition == a pure-Python recount over the same LCG
+    edge set and LPA labels; global identities pinned."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from agentic_doc_ray.functions.graph import (
+        graph_modularity,
+        label_propagation,
+        label_propagation_oracle,
+    )
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C, link_edges
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    n = tbl.num_rows
+    d = ray.data.from_arrow(tbl).repartition(3)
+    edges = d.map_batches(
+        lambda b: link_edges(b.column("doc_id"), n), batch_format="pyarrow"
+    )
+    labels = label_propagation(edges, n_iter=4)
+    got = (
+        graph_modularity(d, n, labels)
+        .to_pandas()
+        .sort_values("community")
+        .reset_index(drop=True)
+    )
+
+    # brute force: canonical distinct undirected edges + oracle labels
+    ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=np.int64)
+    src = np.repeat(ids, N_LINKS)
+    k = np.tile(np.arange(1, N_LINKS + 1, dtype=np.int64), len(ids))
+    dst = (src * _LCG_A + k * _LCG_C) % n
+    dst = np.where(dst == src, (dst + 1) % n, dst)
+    a, b = np.minimum(src, dst), np.maximum(src, dst)
+    keep = a != b
+    pairs = {(int(x), int(y)) for x, y in zip(a[keep], b[keep])}
+    lab = {
+        r["node"]: r["community"]
+        for r in label_propagation_oracle(
+            link_edges(tbl.column("doc_id"), n), n_iter=4
+        ).to_pylist()
+    }
+    from collections import Counter
+
+    deg, intra, nnodes = Counter(), Counter(), Counter()
+    for x, y in pairs:
+        ca, cb = lab[str(x)], lab[str(y)]
+        deg[ca] += 1
+        deg[cb] += 1
+        if ca == cb:
+            intra[ca] += 1
+    for c in lab.values():
+        nnodes[c] += 1
+
+    want = {
+        c: (nnodes[c], intra.get(c, 0), deg.get(c, 0)) for c in nnodes
+    }
+    got_map = {
+        r["community"]: (r["n_nodes"], r["n_intra"], r["degree_sum"])
+        for r in got.to_dict("records")
+    }
+    assert got_map == want
+    # identities: sum(degree_sum) == 2m, sum(n_nodes) == n
+    assert got["degree_sum"].sum() == 2 * len(pairs)
+    assert got["n_nodes"].sum() == n

@@ -1180,3 +1180,95 @@ def test_cluster_top_terms_planted():
     assert not ex.empty
     r = ex.iloc[0]
     assert r["tf"] == 6 and r["tf_g"] == 6
+
+
+def test_neg_sampling_table_brute_force():
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import neg_sampling_table
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": [
+                "a a a a b b c",
+                "b b a d",
+                " a  b ",
+                "",
+            ],
+        }
+    )
+    got = (
+        neg_sampling_table(ray.data.from_arrow(t).repartition(3), k=3)
+        .to_pandas()
+        .set_index("token")
+    )
+    # counts: a=6 b=5 c=1 d=1 -> top-3 = a, b, c (count desc, token asc)
+    assert list(got.index) == ["a", "b", "c"]
+    w = {tok: math.isqrt(n * math.isqrt(n)) for tok, n in [("a", 6), ("b", 5), ("c", 1)]}
+    assert got.loc["a", "weight"] == w["a"]
+    assert got.loc["b", "weight"] == w["b"]
+    assert got.loc["c", "weight"] == w["c"]
+    # half-open cumulative ranges tile [0, total)
+    assert got.loc["a", "cum_lo"] == 0
+    assert got.loc["a", "cum_hi"] == w["a"]
+    assert got.loc["b", "cum_lo"] == w["a"]
+    assert got.loc["c", "cum_hi"] == w["a"] + w["b"] + w["c"]
+
+
+def test_normalized_dedup_keep_planted():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.dedup import normalized_dedup_keep
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                "Hello, World!",
+                "hello world",          # same after normalization
+                "HELLO ... WORLD",      # same
+                "hello world 2",        # different (digit)
+                "unrelated text",
+            ],
+        }
+    )
+    got = (
+        normalized_dedup_keep(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")["n_variants"]
+        .to_dict()
+    )
+    assert got == {1: 3, 4: 1, 5: 1}
+
+
+def test_char_ngram_lang_id_matches_replica():
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from agentic_doc_ray.functions.text import char_lang_id_oracle, char_ngram_lang_id
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    got = (
+        char_ngram_lang_id(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        char_lang_id_oracle(tbl)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # classifier actually separates: every doc with >= 1 hit got a real lang
+    assert (got.loc[got["n_hits"] > 0, "lang_pred"] != "und").all()
