@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 48  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 49  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -217,6 +217,16 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
             )
         ),
         os.path.join(out_dir, "char_lang_id.parquet"),
+    )
+
+    # trigram stupid-backoff replica: count tables are global and
+    # deterministically capped, scoring is row-local fixed-order float —
+    # bit-equal to the distributed three-pass + broadcast plan
+    from agentic_doc_ray.functions.text import trigram_backoff_oracle
+
+    _pq.write_table(
+        trigram_backoff_oracle(docs_tbl, train_mod=2),
+        os.path.join(out_dir, "trigram_backoff.parquet"),
     )
 
     # BPE merge-table replica: exact integer word counts + deterministic
@@ -1067,6 +1077,12 @@ _DRIVER_PRIORITY = [
     "char_lang_id",
     "normalized_dedup",
     "neg_sampling_table",
+    # new in session 13 (batch 2): FULL OUTER completes the join API,
+    # retrieval-quality MRR gate, snake-balanced export shards
+    "generic_full_join",
+    "label_mrr",
+    "balanced_shards",
+    "trigram_backoff_nll",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2143,6 +2159,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
             broadcast_threshold=0,
         )
 
+    def q_generic_full_join(sf_dir):
+        """Generic hash_join API, FULL OUTER (always the exchange route —
+        the broadcast route would replay unmatched right rows per batch):
+        per-customer urgent-order counts ⟗ per-user purchase counts,
+        coalesced key, absent sides as 0. SQL FULL OUTER JOIN oracle."""
+        from ray.data.aggregate import Sum
+
+        from agentic_doc_ray.context import shuffle_partitions
+        from agentic_doc_ray.functions.join_api import hash_join
+
+        def o_part(b: pa.Table) -> pa.Table:
+            f = b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT"))
+            g = f.select(["o_custkey"]).group_by("o_custkey").aggregate(
+                [("o_custkey", "count")]
+            )
+            return g.rename_columns(["k", "n"])
+
+        def e_part(b: pa.Table) -> pa.Table:
+            f = b.filter(pc.equal(b.column("event_type"), "purchase"))
+            g = f.select(["user_id"]).group_by("user_id").aggregate(
+                [("user_id", "count")]
+            )
+            return g.rename_columns(["k", "n"])
+
+        left = (
+            ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_custkey", "o_orderpriority"],
+            )
+            .map_batches(o_part, batch_format="pyarrow")
+            .groupby("k", num_partitions=shuffle_partitions(8))
+            .aggregate(Sum("n", alias_name="n_urgent"))
+        )
+        right = (
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+            )
+            .map_batches(e_part, batch_format="pyarrow")
+            .groupby("k", num_partitions=shuffle_partitions(8))
+            .aggregate(Sum("n", alias_name="n_purchases"))
+        )
+        joined = hash_join(left, right, left_on="k", how="full")
+
+        def finish(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": b.column("k"),
+                    "n_urgent": pc.coalesce(
+                        b.column("n_urgent"), pa.scalar(0, pa.int64())
+                    ),
+                    "n_purchases": pc.coalesce(
+                        b.column("n_purchases"), pa.scalar(0, pa.int64())
+                    ),
+                }
+            )
+
+        return joined.map_batches(finish, batch_format="pyarrow")
+
     def q_clustering_coeff(sf_dir):
         """Local clustering coefficient in exact per-mille integers
         (2000*T // d(d-1), degree >= 2) — triangle counts composed with a
@@ -2556,6 +2630,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         _ensure_extraction_oracles(sf_dir)
         return bigram_lm_score(docs(sf_dir))
+
+    def q_trigram_backoff(sf_dir):
+        """Trigram stupid-backoff NLL (Brants et al. 2007) in integer
+        micro-bits — the higher-order LM quality signal: three count
+        exchanges + broadcast probe, backoff level counts emitted.
+        Oracle: bit-equal single-process replica."""
+        from agentic_doc_ray.functions.text import trigram_backoff_score
+
+        _ensure_extraction_oracles(sf_dir)
+        # holdout-trained (doc_id % 2 == 0) so backoff levels BIND:
+        # self-trained tables contain every in-corpus trigram
+        return trigram_backoff_score(docs(sf_dir), train_mod=2)
 
     def q_cdc_chunks(sf_dir):
         """Content-defined chunking (FastCDC-style, stateless variant):
@@ -3320,6 +3406,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=5,
         )
 
+    def q_label_mrr(sf_dir):
+        """Retrieval-quality gate: per-vector first same-label neighbor
+        rank in the knn_join top-k + integer reciprocal-rank (ppm).
+        Oracle: SQL over the bit-equal knn replica parquet + the
+        embeddings labels."""
+        from agentic_doc_ray.functions.similarity import label_mrr
+
+        _ensure_extraction_oracles(sf_dir)
+        return label_mrr(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding", "label"],
+            ),
+            k=5,
+        )
+
+    def q_balanced_shards(sf_dir):
+        """Size-balanced export sharding: snake (boustrophedon) deal of
+        the (n_chars DESC, doc_id DESC) rank onto k shards; rank via the
+        global_rank range-partition machinery (no global sort). SQL
+        row_number window oracle."""
+        from agentic_doc_ray.functions.sampling import balanced_shards
+
+        return balanced_shards(sf_dir, k=8)
+
     def q_similarity_pq(sf_dir):
         """Product-quantization ADC top-k. Per-vector scores depend only on
         the broadcast codebooks/LUTs, so the distributed partial-top-k merge
@@ -3753,7 +3864,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,    # independent SQL levenshtein
         "entity_clusters": q_entity_clusters,      # independent closure oracle
         "generic_anti_join": q_generic_anti_join,
+        "generic_full_join": q_generic_full_join,
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
+        "trigram_backoff_nll": q_trigram_backoff,  # single-process replica oracle
         "source_divergence": q_source_divergence,  # single-process replica oracle
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
         "cdc_dedup_stats": q_cdc_dedup_stats,      # SQL over the chunk replica
@@ -3780,6 +3893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_postings": q_index_postings,
         "similarity_topk_ivf": q_similarity_ivf,   # single-process replica oracle
         "knn_join": q_knn_join,                    # single-process replica oracle
+        "label_mrr": q_label_mrr,                  # SQL over knn replica + labels
+        "balanced_shards": q_balanced_shards,
         "similarity_topk_pq": q_similarity_pq,     # single-process replica oracle
         "random_projection": q_random_projection,  # single-process replica oracle
         "binary_quantize": q_binary_quantize,
@@ -5650,6 +5765,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_bigrams, n_scored, nll_micro "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/bigram_lm.parquet')"
         ),
+        "trigram_backoff_nll": (
+            "SELECT doc_id, n_trigrams, n_scored, n_backoff2, n_backoff1, "
+            "nll_micro "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/trigram_backoff.parquet')"
+        ),
         "source_divergence": (
             "SELECT source, n_tokens, kl_micro "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/source_divergence.parquet')"
@@ -5770,6 +5890,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.c_custkey, c.c_name, c.c_mktsegment FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "  WHERE o.o_orderkey % 7 = 0 AND o.o_custkey = c.c_custkey)"
+        ),
+        "generic_full_join": (
+            "WITH o AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_urgent "
+            "  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1), "
+            "e AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_purchases "
+            "  FROM events WHERE event_type = 'purchase' GROUP BY 1) "
+            "SELECT CAST(coalesce(o.k, e.k) AS BIGINT) AS k, "
+            "  CAST(coalesce(o.n_urgent, 0) AS BIGINT) AS n_urgent, "
+            "  CAST(coalesce(e.n_purchases, 0) AS BIGINT) AS n_purchases "
+            "FROM o FULL OUTER JOIN e ON o.k = e.k"
         ),
         # triangle closure + degree rollup; integer per-mille coefficient
         "clustering_coefficient": (
@@ -6487,6 +6617,29 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": (
             "SELECT vec_id, rank, neighbor_id "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/knn_join.parquet')"
+        ),
+        # first same-label neighbor over the bit-equal knn replica edges
+        "label_mrr": (
+            "WITH lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings), "
+            f"nn AS (SELECT * FROM read_parquet('{_ORACLE_SQL_DIR}/knn_join.parquet')), "
+            "m AS (SELECT nn.vec_id, CAST(min(nn.rank) AS BIGINT) AS fm "
+            "  FROM nn JOIN lab q ON q.vec_id = nn.vec_id "
+            "  JOIN lab nb ON nb.vec_id = nn.neighbor_id "
+            "  WHERE q.label = nb.label GROUP BY nn.vec_id) "
+            "SELECT lab.vec_id, lab.label, "
+            "  CAST(coalesce(m.fm, 0) AS BIGINT) AS first_match_rank, "
+            "  CAST(CASE WHEN m.fm IS NULL THEN 0 ELSE 1000000 // m.fm END AS BIGINT) AS mrr_ppm "
+            "FROM lab LEFT JOIN m ON m.vec_id = lab.vec_id"
+        ),
+        # snake deal over the (n_chars DESC, doc_id DESC) global rank
+        "balanced_shards": (
+            "WITH r AS (SELECT doc_id, n_chars, "
+            "  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id DESC) - 1 AS BIGINT) AS r0 "
+            "FROM documents) "
+            "SELECT doc_id, n_chars, "
+            "  CAST(CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8 "
+            "       ELSE 7 - (r0 % 8) END AS BIGINT) AS shard "
+            "FROM r"
         ),
         "similarity_topk_ivf": (
             "SELECT query_id, rank, vec_id "

@@ -44,6 +44,11 @@ _HOW_TO_ARROW = {
     "left": "left outer",
     "semi": "left semi",
     "anti": "left anti",
+    # full outer ALWAYS takes the bucketed exchange route: the broadcast
+    # route replays the right side per left batch, so unmatched right
+    # rows would be emitted once per batch (or lost); per-bucket full
+    # joins are correct because buckets partition the key space.
+    "full": "full outer",
 }
 
 
@@ -119,6 +124,9 @@ def hash_join(
     ).schema
 
     n_right = right.count()
+
+    if how == "full":
+        broadcast_threshold = -1  # see _HOW_TO_ARROW: exchange route only
 
     if n_right <= broadcast_threshold:
         r_tbl = pa.concat_tables(
@@ -199,7 +207,7 @@ def hash_join(
             .rename_columns(list(r_schema.names))
             .cast(r_schema)
         )
-        if lt.num_rows == 0:
+        if lt.num_rows == 0 and how != "full":
             return out_schema.empty_table()
         out = _arrow_join(lt, rt, lk, rk, how)
         return out.select(out_schema.names).cast(out_schema)

@@ -645,3 +645,40 @@ def mixture_plan(
             "alloc_tokens": pa.array([r[2] for r in out], pa.int64()),
         }
     )
+
+
+def balanced_shards(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
+    """Size-balanced shard assignment (the LPT-flavored export layout):
+    documents in (n_chars DESC, doc_id DESC) order are dealt onto ``k``
+    shards in SNAKE (boustrophedon) order — round r goes left-to-right
+    when r is even, right-to-left when odd — so consecutive size ranks
+    never pile on one shard and per-shard byte totals stay within one
+    document of each other for near-uniform sizes.
+
+    Rank comes from ``scans.global_rank`` (value-range partition + driver
+    prefix sums — no global sort, one exchange); the snake formula is a
+    pure function of the rank, so assignment is deterministic and
+    batch-independent. Output: (doc_id, n_chars, shard) per document.
+    """
+    from agentic_doc_ray.functions.scans import global_rank
+
+    ranked = global_rank(sf_dir)
+    n = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+
+    def assign(batch: pa.Table) -> pa.Table:
+        asc = batch.column("global_rank").to_numpy(zero_copy_only=False)
+        r0 = (n - asc).astype(np.int64)  # 0-based DESC rank (ties: id desc)
+        rnd, idx = r0 // k, r0 % k
+        shard = np.where(rnd % 2 == 0, idx, k - 1 - idx)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("n_chars"),
+                pa.array(shard.astype(np.int64)),
+            ],
+            names=["doc_id", "n_chars", "shard"],
+        )
+
+    return ranked.map_batches(assign, batch_format="pyarrow")

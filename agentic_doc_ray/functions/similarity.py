@@ -2043,3 +2043,77 @@ def embedding_clusters_oracle(knn_table: pa.Table) -> pa.Table:
             "cluster": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+def label_mrr(
+    embeddings: "ray.data.Dataset",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 5,
+) -> "ray.data.Dataset":
+    """Retrieval-quality evaluation of the kNN graph against labels
+    (the embedding-space sanity gate before SemDeDup / clustering runs):
+    per vector, the rank of its FIRST same-label neighbor in the
+    ``knn_join`` top-k and the integer reciprocal-rank score
+    ``mrr_ppm = 10^6 // rank`` (0 when no same-label neighbor is in the
+    top-k). Corpus MRR is the mean of ``mrr_ppm`` — left to the consumer
+    so the output stays integer-exact per row.
+
+    Shape: the kNN edges (rank-only) take two label attaches through the
+    generic bucketed ``hash_join`` (labels scale with vectors); matched
+    ranks collapse to per-batch min partials before a key-only
+    groupby-min; unmatched vectors re-enter via one left join from the
+    label table. Embedding payloads ship only inside ``knn_join``."""
+    from ray.data.aggregate import Min
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions.join_api import hash_join
+
+    nn = knn_join(
+        embeddings.select_columns(["vec_id", "embedding"]),
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        seed=seed,
+    )
+    labels = embeddings.select_columns(["vec_id", "label"])
+
+    with_q = hash_join(nn, labels, left_on="vec_id", right_on="vec_id")
+    with_nb = hash_join(
+        with_q, labels, left_on="neighbor_id", right_on="vec_id"
+    )
+
+    def match_partial(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.equal(batch.column("label"), batch.column("label_r")))
+        g = (
+            m.select(["vec_id", "rank"])
+            .group_by("vec_id")
+            .aggregate([("rank", "min")])
+        )
+        return g.rename_columns(["vec_id", "first_match"])
+
+    matched = (
+        with_nb.map_batches(match_partial, batch_format="pyarrow")
+        .groupby("vec_id", num_partitions=shuffle_partitions(8))
+        .aggregate(Min("first_match", alias_name="first_match"))
+    )
+
+    out = hash_join(labels, matched, left_on="vec_id", how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        fm = pc.coalesce(
+            batch.column("first_match"), pa.scalar(0, pa.int64())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        mrr = np.where(fm > 0, 1_000_000 // np.maximum(fm, 1), 0)
+        return pa.Table.from_arrays(
+            [
+                batch.column("vec_id"),
+                pc.cast(batch.column("label"), pa.int64()),
+                pa.array(fm),
+                pa.array(mrr.astype(np.int64)),
+            ],
+            names=["vec_id", "label", "first_match_rank", "mrr_ppm"],
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

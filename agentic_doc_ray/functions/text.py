@@ -3601,3 +3601,257 @@ def cluster_top_terms(
         df[["cluster", "token", "tf", "tf_g", "lift", "rank"]],
         preserve_index=False,
     ).cast(out_schema.append(pa.field("rank", pa.int64())))
+
+
+# ---------------------------------------------------------------------------
+# Trigram stupid-backoff LM (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+
+def _trigram_partial(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> partial (trigram, n) counts (same-doc windows)."""
+    trimmed = _regex_trim(batch.column("text"))
+    nonempty = pc.not_equal(trimmed, "")
+    toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks_list, pa.ChunkedArray):
+        toks_list = toks_list.combine_chunks()
+    flat = toks_list.flatten()
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    n = len(flat)
+    if n < 3:
+        return pa.table(
+            {"trigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    same = (parents[:-2] == parents[1:-1]) & (parents[1:-1] == parents[2:])
+    joined = pc.binary_join_element_wise(
+        flat.slice(0, n - 2), flat.slice(1, n - 2), flat.slice(2), " "
+    ).filter(pa.array(same))
+    g = pa.Table.from_arrays([joined], names=["trigram"]).group_by(
+        "trigram"
+    ).aggregate([("trigram", "count")])
+    return g.rename_columns(["trigram", "n"])
+
+
+def _unigram_partial(batch: pa.Table) -> pa.Table:
+    trimmed = _regex_trim(batch.column("text"))
+    nonempty = pc.not_equal(trimmed, "")
+    toks = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    g = pa.Table.from_arrays([toks.flatten()], names=["token"]).group_by(
+        "token"
+    ).aggregate([("token", "count")])
+    return g.rename_columns(["token", "n"])
+
+
+# stupid backoff discount: alpha = 0.4 per backoff level (Brants 2007)
+_SB_ALPHA = 0.4
+
+
+def _sb_score_batch(batch: pa.Table, tmap, bmap, umap, n_total: int) -> pa.Table:
+    """Score one batch against broadcast trigram/bigram/unigram count
+    Series. Per trigram position (w1 w2 w3), stupid backoff:
+      S = C(w1w2w3)/C(w1w2)          if the trigram is in the table
+        = 0.4 * C(w2w3)/C(w2)        elif the (w2 w3) bigram is
+        = 0.16 * C(w3)/N             elif w3 is
+        = unscored (OOV)             otherwise
+    nll_micro = -sum round(log2(S)*1e6); backoff level counts emitted."""
+    import pandas as pd
+
+    trimmed = _regex_trim(batch.column("text"))
+    if isinstance(trimmed, pa.ChunkedArray):
+        trimmed = trimmed.combine_chunks()
+    nonempty = pc.not_equal(trimmed, "")
+    toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks_list, pa.ChunkedArray):
+        toks_list = toks_list.combine_chunks()
+    flat = toks_list.flatten()
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    n = len(flat)
+
+    n_docs = batch.num_rows
+    n_tri = np.zeros(n_docs, np.int64)
+    n_scored = np.zeros(n_docs, np.int64)
+    n_bo2 = np.zeros(n_docs, np.int64)
+    n_bo1 = np.zeros(n_docs, np.int64)
+    nll_micro = np.zeros(n_docs, np.int64)
+    idx = np.flatnonzero(nonempty.to_numpy(zero_copy_only=False))
+
+    if n >= 3:
+        same = (parents[:-2] == parents[1:-1]) & (parents[1:-1] == parents[2:])
+        w1 = flat.slice(0, n - 2).filter(pa.array(same))
+        w2 = flat.slice(1, n - 2).filter(pa.array(same))
+        w3 = flat.slice(2).filter(pa.array(same))
+        seg = parents[:-2][same]
+
+        tri = pc.binary_join_element_wise(w1, w2, w3, " ")
+        big12 = pc.binary_join_element_wise(w1, w2, " ")
+        big23 = pc.binary_join_element_wise(w2, w3, " ")
+
+        def probe(arr, series):
+            return pd.Series(arr.to_numpy(zero_copy_only=False)).map(
+                series
+            ).to_numpy(dtype=np.float64, na_value=np.nan)
+
+        ct = probe(tri, tmap)
+        cb12 = probe(big12, bmap)
+        cb23 = probe(big23, bmap)
+        cu2 = probe(w2, umap)
+        cu3 = probe(w3, umap)
+
+        lvl3 = ~np.isnan(ct) & ~np.isnan(cb12)
+        lvl2 = ~lvl3 & ~np.isnan(cb23) & ~np.isnan(cu2)
+        lvl1 = ~lvl3 & ~lvl2 & ~np.isnan(cu3)
+        scored = lvl3 | lvl2 | lvl1
+
+        s = np.full(len(seg), np.nan)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s[lvl3] = ct[lvl3] / cb12[lvl3]
+            s[lvl2] = _SB_ALPHA * cb23[lvl2] / cu2[lvl2]
+            s[lvl1] = _SB_ALPHA * _SB_ALPHA * cu3[lvl1] / float(n_total)
+            ll = np.log2(s[scored])
+        ll_micro = np.zeros(len(seg), np.int64)
+        ll_micro[scored] = np.round(ll * _LM_SCALE).astype(np.int64)
+
+        n_ne = int(parents[-1]) + 1 if n else 0
+        # bincount float64 weights: exact for these magnitudes (< 2^53)
+        n_tri[idx[:n_ne]] = np.bincount(seg, minlength=n_ne).astype(np.int64)
+        n_scored[idx[:n_ne]] = np.round(
+            np.bincount(seg, weights=scored.astype(np.float64), minlength=n_ne)
+        ).astype(np.int64)
+        n_bo2[idx[:n_ne]] = np.round(
+            np.bincount(seg, weights=lvl2.astype(np.float64), minlength=n_ne)
+        ).astype(np.int64)
+        n_bo1[idx[:n_ne]] = np.round(
+            np.bincount(seg, weights=lvl1.astype(np.float64), minlength=n_ne)
+        ).astype(np.int64)
+        nll_micro[idx[:n_ne]] = -np.round(
+            np.bincount(seg, weights=ll_micro.astype(np.float64), minlength=n_ne)
+        ).astype(np.int64)
+
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_tri, pa.int64()),
+            pa.array(n_scored, pa.int64()),
+            pa.array(n_bo2, pa.int64()),
+            pa.array(n_bo1, pa.int64()),
+            pa.array(nll_micro, pa.int64()),
+        ],
+        names=[
+            "doc_id", "n_trigrams", "n_scored", "n_backoff2", "n_backoff1",
+            "nll_micro",
+        ],
+    )
+
+
+def trigram_backoff_score(
+    docs: "ray.data.Dataset",
+    max_vocab: int = 1 << 22,
+    train_mod: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Per-document trigram stupid-backoff NLL (Brants et al. 2007) in
+    integer micro-bits — the higher-order LM quality signal beside
+    ``bigram_lm_score``. Raw-count backoff S(w3|w1w2) with alpha = 0.4
+    per level.
+
+    ``train_mod=None`` trains the count tables on the full corpus
+    (CCNet-style self-scored quality signal — note every in-corpus
+    trigram is then in-table, so backoff binds only via the vocab cap);
+    ``train_mod=m`` trains on the ``doc_id % m == 0`` holdout so
+    out-of-train trigrams genuinely back off — the eval-style run.
+
+    Shape: THREE streaming count passes (per-batch distinct partials ->
+    one small exchange each), tables capped at ``max_vocab`` (logged;
+    out-of-cap lookups back off, never silently score), broadcast once
+    via ray.put, then one streaming scoring pass with vectorized
+    hashtable probes. Deterministic: float ops are fixed-order per
+    trigram position, so the single-process replica is bit-equal."""
+    import ray as _ray
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from ray.data.aggregate import Sum
+
+    np_ = shuffle_partitions()
+
+    train = docs
+    if train_mod is not None:
+        def _train_filter(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % train_mod == 0))
+
+        train = docs.map_batches(_train_filter, batch_format="pyarrow")
+
+    def collect(ds, key):
+        blocks = [
+            b for b in _ray.get(ds.materialize().to_arrow_refs()) if b.num_rows
+        ]
+        if not blocks:
+            return pa.table(
+                {key: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(blocks).combine_chunks()
+
+    ttbl = collect(
+        train.map_batches(_trigram_partial, batch_format="pyarrow")
+        .groupby("trigram", num_partitions=np_)
+        .aggregate(Sum("n", alias_name="n")),
+        "trigram",
+    )
+    btbl = collect(
+        train.map_batches(_bigram_partial, batch_format="pyarrow")
+        .groupby("bigram", num_partitions=np_)
+        .aggregate(Sum("n", alias_name="n")),
+        "bigram",
+    )
+    utbl = collect(
+        train.map_batches(_unigram_partial, batch_format="pyarrow")
+        .groupby("token", num_partitions=np_)
+        .aggregate(Sum("n", alias_name="n")),
+        "token",
+    )
+    n_total = int(pc.sum(utbl.column("n")).as_py() or 0)
+    tmap = _counts_to_series(_cap_counts(ttbl, "trigram", max_vocab, "trigram"), "trigram")
+    bmap = _counts_to_series(_cap_counts(btbl, "bigram", max_vocab, "bigram"), "bigram")
+    umap = _counts_to_series(_cap_counts(utbl, "token", max_vocab, "unigram"), "token")
+    tref, bref, uref = _ray.put(tmap), _ray.put(bmap), _ray.put(umap)
+
+    def score(batch: pa.Table, *, _t=tref, _b=bref, _u=uref) -> pa.Table:
+        cache = score.__dict__
+        if "t" not in cache:
+            cache["t"], cache["b"], cache["u"] = (
+                _ray.get(_t), _ray.get(_b), _ray.get(_u)
+            )
+        return _sb_score_batch(batch, cache["t"], cache["b"], cache["u"], n_total)
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def trigram_backoff_oracle(
+    docs_tbl: pa.Table,
+    max_vocab: int = 1 << 22,
+    train_mod: "int | None" = None,
+) -> pa.Table:
+    """Single-process replica of ``trigram_backoff_score`` (same partials,
+    same caps, same holdout split, same fixed-order float scoring —
+    bit-equal)."""
+    train_tbl = docs_tbl
+    if train_mod is not None:
+        ids = docs_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        train_tbl = docs_tbl.filter(pa.array(ids % train_mod == 0))
+
+    def agg(part_fn, key):
+        t = part_fn(train_tbl)
+        if t.num_rows == 0:
+            return t
+        g = t.group_by(key).aggregate([("n", "sum")])
+        return g.rename_columns([key, "n"])
+
+    ttbl = agg(_trigram_partial, "trigram")
+    btbl = agg(_bigram_partial, "bigram")
+    utbl = agg(_unigram_partial, "token")
+    n_total = int(pc.sum(utbl.column("n")).as_py() or 0) if utbl.num_rows else 0
+    tmap = _counts_to_series(_cap_counts(ttbl, "trigram", max_vocab, "trigram"), "trigram")
+    bmap = _counts_to_series(_cap_counts(btbl, "bigram", max_vocab, "bigram"), "bigram")
+    umap = _counts_to_series(_cap_counts(utbl, "token", max_vocab, "unigram"), "token")
+    return _sb_score_batch(docs_tbl, tmap, bmap, umap, n_total)

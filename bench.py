@@ -951,6 +951,55 @@ def main() -> None:
 
     timed("normalized_dedup", normalized_dedup_q)
 
+    def label_mrr_q() -> None:
+        from agentic_doc_ray.functions.similarity import label_mrr
+
+        label_mrr(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet",
+                columns=["vec_id", "embedding", "label"],
+            ),
+            k=5,
+        ).count()
+
+    timed("label_mrr", label_mrr_q)
+
+    def balanced_shards_q() -> None:
+        from agentic_doc_ray.functions.sampling import balanced_shards
+
+        balanced_shards(SF_DIR, k=8).count()
+
+    timed("balanced_shards", balanced_shards_q)
+
+    def trigram_backoff_q() -> None:
+        from agentic_doc_ray.functions.text import trigram_backoff_score
+
+        trigram_backoff_score(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            train_mod=2,
+        ).count()
+
+    timed("trigram_backoff", trigram_backoff_q)
+
+    def full_join_q() -> None:
+        from agentic_doc_ray.functions.join_api import hash_join
+
+        hash_join(
+            ray.data.read_parquet(
+                f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+            ),
+            ray.data.read_parquet(
+                f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"]
+            ),
+            left_on="o_custkey",
+            right_on="user_id",
+            how="full",
+        ).count()
+
+    timed("generic_full_join", full_join_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

@@ -144,3 +144,44 @@ def test_hash_join_rejects_schemaless_input(ray_session):
             _orders(), schemaless,
             left_on="o_custkey", right_on="c_custkey", how="left",
         )
+
+
+def test_hash_join_full_outer():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.join_api import hash_join
+
+    l = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "x": ["a", "b", "c"]})
+    ).repartition(2)
+    r = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 4], pa.int64()), "y": ["B", "C", "D"]})
+    ).repartition(2)
+    got = (
+        hash_join(l, r, left_on="k", how="full")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3, 4]
+    assert got["x"].tolist()[0] == "a" and got["x"].isna().tolist() == [
+        False, False, False, True,
+    ]
+    assert got["y"].isna().tolist() == [True, False, False, False]
+
+
+def test_hash_join_full_outer_empty_sides():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.join_api import hash_join
+
+    l = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "x": pa.array([], pa.string())})
+    )
+    r = ray.data.from_arrow(
+        pa.table({"k": pa.array([7], pa.int64()), "y": pa.array(["Z"], pa.string())})
+    )
+    got = hash_join(l, r, left_on="k", how="full").to_pandas()
+    assert got["k"].tolist() == [7] and got["y"].tolist() == ["Z"]

@@ -417,3 +417,23 @@ def test_mixture_plan_waterfilling():
     assert got.loc["big1", "alloc_tokens"] == 445
     assert got.loc["big2", "alloc_tokens"] == 445
     assert got["alloc_tokens"].sum() == 1000
+
+
+def test_balanced_shards_snake_balance():
+    from agentic_doc_ray.functions.sampling import balanced_shards
+
+    got = balanced_shards("/root/testdata/sf0.001", k=8).to_pandas()
+    assert len(got) == 500
+    per = got.groupby("shard")["n_chars"].agg(["count", "sum"])
+    assert set(per.index) == set(range(8))
+    # snake deal: doc counts within 1 of each other, sizes near-balanced
+    assert per["count"].max() - per["count"].min() <= 1
+    spread = per["sum"].max() - per["sum"].min()
+    assert spread <= got["n_chars"].max() * 2
+    # brute-force check of the snake formula on the exact rank order
+    ref = got.sort_values(["n_chars", "doc_id"], ascending=[False, False])
+    ref = ref.reset_index(drop=True)
+    for r0, row in enumerate(ref.itertuples()):
+        idx = r0 % 8
+        want = idx if (r0 // 8) % 2 == 0 else 7 - idx
+        assert row.shard == want

@@ -677,3 +677,39 @@ def test_embedding_clusters_matches_unionfind():
     for members in by_cluster.values():
         sides = {m // 30 for m in members}
         assert len(sides) == 1
+
+
+def test_label_mrr_planted_duplicates():
+    """A vector with an exact same-label duplicate must have
+    first_match_rank == 1; the replica SQL derivation is covered by the
+    driver oracle — here we pin the engine's invariants."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import label_mrr
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 8)
+    vecs = np.vstack([base, base[:5]])  # 5 exact duplicates
+    labels = np.concatenate([np.arange(40) % 4, (np.arange(5) % 4)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(45), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    got = (
+        label_mrr(ray.data.from_arrow(t).repartition(3), k=5, n_probe=16)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert len(got) == 45
+    # duplicated vectors: nearest neighbor is the exact copy, same label
+    for vid in range(5):
+        assert got.loc[vid, "first_match_rank"] == 1
+        assert got.loc[vid, "mrr_ppm"] == 1_000_000
+        assert got.loc[40 + vid, "first_match_rank"] == 1
+    # score bounds
+    assert ((got["mrr_ppm"] >= 0) & (got["mrr_ppm"] <= 1_000_000)).all()

@@ -1272,3 +1272,81 @@ def test_char_ngram_lang_id_matches_replica():
     assert got.equals(want)
     # classifier actually separates: every doc with >= 1 hit got a real lang
     assert (got.loc[got["n_hits"] > 0, "lang_pred"] != "und").all()
+
+
+def test_trigram_backoff_hand_case_and_replica():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import (
+        trigram_backoff_oracle,
+        trigram_backoff_score,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "a b c a b c",   # trigram "a b c" seen twice
+                "a b x",         # "a b x" unseen at trigram level? no - counted
+                "zz",            # too short: zero trigrams
+            ],
+        }
+    )
+    got = (
+        trigram_backoff_score(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        trigram_backoff_oracle(t)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    r3 = got.set_index("doc_id").loc[3]
+    assert r3["n_trigrams"] == 0 and r3["nll_micro"] == 0
+    # doc 1: all 4 trigrams in-table -> no backoff
+    r1 = got.set_index("doc_id").loc[1]
+    assert r1["n_trigrams"] == 4 and r1["n_scored"] == 4
+    assert r1["n_backoff2"] == 0 and r1["n_backoff1"] == 0
+    # hand-check one position: "a b c" count=2, "a b" count=3 ->
+    # S = 2/3; "b c a" =1, "b c"=2 -> 1/2; "c a b"=1, "c a"=1 -> 1;
+    # second "a b c" -> 2/3 again
+    exp = -(round(np.log2(2 / 3) * 1e6) * 2 + round(np.log2(1 / 2) * 1e6) + 0)
+    assert r1["nll_micro"] == exp
+
+
+def test_trigram_backoff_levels():
+    """Backoff levels actually bind: an unseen trigram with a seen
+    (w2,w3) bigram scores at level 2; unseen bigram + seen unigram at
+    level 1."""
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.text import trigram_backoff_oracle
+
+    # holdout split: doc 2 trains (doc_id % 2 == 0), odd docs score
+    t = pa.table(
+        {
+            "doc_id": pa.array([2, 1, 3], pa.int64()),
+            "text": [
+                "p q r s",       # TRAIN: trigrams "p q r", "q r s"
+                "s p q",         # "s p q" not trained; bigram "p q" is
+                "w p z",         # nothing trained but "p" -> level 1 + OOV
+            ],
+        }
+    )
+    out = trigram_backoff_oracle(t, train_mod=2).to_pandas().set_index("doc_id")
+    d1 = out.loc[1]
+    assert d1["n_trigrams"] == 1 and d1["n_scored"] == 1
+    assert d1["n_backoff2"] == 1  # backed off to the (p q) bigram level
+    d3 = out.loc[3]
+    # "w p z": trigram/bigram unseen; w3 = "z" unseen too -> unscored
+    assert d3["n_trigrams"] == 1 and d3["n_scored"] == 0
+    # train doc scores itself fully at level 3
+    d2 = out.loc[2]
+    assert d2["n_scored"] == d2["n_trigrams"] == 2
+    assert d2["n_backoff2"] == 0 and d2["n_backoff1"] == 0
