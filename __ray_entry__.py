@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 49  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 50  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -227,6 +227,15 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         trigram_backoff_oracle(docs_tbl, train_mod=2),
         os.path.join(out_dir, "trigram_backoff.parquet"),
+    )
+
+    # char-entropy replica: batch-local with per-doc fixed-order float
+    # ops (ascending char keys), so the whole-table run is bit-equal
+    from agentic_doc_ray.functions.text import char_entropy_batch
+
+    _pq.write_table(
+        char_entropy_batch(docs_tbl),
+        os.path.join(out_dir, "char_entropy.parquet"),
     )
 
     # BPE merge-table replica: exact integer word counts + deterministic
@@ -1083,6 +1092,12 @@ _DRIVER_PRIORITY = [
     "label_mrr",
     "balanced_shards",
     "trigram_backoff_nll",
+    # new in session 13 (batch 3): per-group exact percentiles, byte
+    # entropy, KS drift monitor, 2-hop reach
+    "group_quantiles",
+    "char_entropy",
+    "ks_drift",
+    "two_hop_reach",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2643,6 +2658,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-trained tables contain every in-corpus trigram
         return trigram_backoff_score(docs(sf_dir), train_mod=2)
 
+    def q_group_quantiles(sf_dir):
+        """Per-event-type EXACT p50/p90/p99 of value cents — the latency
+        percentile shape, computed from the value DISTRIBUTION (distinct
+        (group, cents) partials), never the rows. SQL list_sort oracle."""
+        from agentic_doc_ray.functions.analytics import group_quantiles
+
+        return group_quantiles(sf_dir)
+
+    def q_char_entropy(sf_dir):
+        """Per-doc Shannon byte entropy in micro-bits (repetitiveness /
+        randomness quality signal); batch-local, scan speed. Oracle:
+        bit-equal single-process replica."""
+        from agentic_doc_ray.functions.text import char_entropy
+
+        _ensure_extraction_oracles(sf_dir)
+        return char_entropy(docs(sf_dir))
+
+    def q_ks_drift(sf_dir):
+        """Per-source exact Kolmogorov-Smirnov drift (crawl-over-crawl
+        length-distribution shift monitor) vs the deterministic second
+        crawl; integer cross-multiplied CDF differences. SQL window
+        oracle over the same v2 CTE."""
+        from agentic_doc_ray.functions.delta import ks_drift
+
+        return ks_drift(docs_with_source(sf_dir))
+
+    def q_two_hop_reach(sf_dir):
+        """Per-node distinct 2-hop reach over the canonical LCG edge set
+        (friend-of-friend audience size): apex-keyed wedge pairs + one
+        src-keyed distinct-count exchange, no BSP loop. SQL self-join
+        oracle."""
+        from agentic_doc_ray.functions.graph import two_hop_reach
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        return two_hop_reach(d, d.count())
+
     def q_cdc_chunks(sf_dir):
         """Content-defined chunking (FastCDC-style, stateless variant):
         one row per chunk; batch-local, zero exchanges. Oracle: bit-equal
@@ -3867,6 +3920,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "generic_full_join": q_generic_full_join,
         "bigram_lm_nll": q_bigram_lm,              # single-process replica oracle
         "trigram_backoff_nll": q_trigram_backoff,  # single-process replica oracle
+        "group_quantiles": q_group_quantiles,
+        "char_entropy": q_char_entropy,            # single-process replica oracle
+        "ks_drift": q_ks_drift,
+        "two_hop_reach": q_two_hop_reach,
         "source_divergence": q_source_divergence,  # single-process replica oracle
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
         "cdc_dedup_stats": q_cdc_dedup_stats,      # SQL over the chunk replica
@@ -5769,6 +5826,69 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_trigrams, n_scored, n_backoff2, n_backoff1, "
             "nll_micro "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/trigram_backoff.parquet')"
+        ),
+        "char_entropy": (
+            "SELECT doc_id, n_chars, n_distinct_chars, entropy_micro "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/char_entropy.parquet')"
+        ),
+        # exact per-group quantiles: 1-based sorted-list index at
+        # floor((n-1)*p) matches the engine's integer num/den rule
+        "group_quantiles": (
+            "WITH c AS (SELECT event_type, "
+            "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT event_type, list_sort(list(cents)) AS v, "
+            "  CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1) "
+            "SELECT event_type, n, "
+            "  v[CAST((n-1)//2 AS BIGINT) + 1] AS p50_cents, "
+            "  v[CAST((n-1)*9//10 AS BIGINT) + 1] AS p90_cents, "
+            "  v[CAST((n-1)*99//100 AS BIGINT) + 1] AS p99_cents "
+            "FROM s"
+        ),
+        # exact KS over the merged length set vs the shared v2 CTE;
+        # cross-multiplied CDF differences, earliest length on ties
+        "ks_drift": (
+            "WITH v1 AS (SELECT source, CAST(length(text) AS BIGINT) AS len FROM documents), "
+            "v2d AS ("
+            "  SELECT source, CASE WHEN doc_id % 5 = 0 THEN text || ' [edited v2]' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 "
+            "  UNION ALL "
+            "  SELECT source, text || ' (new)' AS text "
+            "FROM documents WHERE doc_id % 11 = 0), "
+            "v2 AS (SELECT source, CAST(length(text) AS BIGINT) AS len FROM v2d), "
+            "la AS (SELECT source, len, CAST(count(*) AS BIGINT) AS na FROM v1 GROUP BY 1, 2), "
+            "lb AS (SELECT source, len, CAST(count(*) AS BIGINT) AS nb FROM v2 GROUP BY 1, 2), "
+            "m AS (SELECT coalesce(la.source, lb.source) AS source, "
+            "  coalesce(la.len, lb.len) AS len, coalesce(na, 0) AS na, "
+            "  coalesce(nb, 0) AS nb "
+            "  FROM la FULL OUTER JOIN lb ON la.source = lb.source AND la.len = lb.len), "
+            "cum AS (SELECT source, len, "
+            "  sum(na) OVER (PARTITION BY source ORDER BY len) AS ca, "
+            "  sum(nb) OVER (PARTITION BY source ORDER BY len) AS cb, "
+            "  sum(na) OVER (PARTITION BY source) AS n1, "
+            "  sum(nb) OVER (PARTITION BY source) AS n2 FROM m), "
+            "d AS (SELECT source, len, abs(ca*n2 - cb*n1) AS diff, n1, n2 FROM cum), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY source "
+            "  ORDER BY diff DESC, len) AS rn FROM d) "
+            "SELECT source, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+            "  CAST(1000000 * diff // (n1 * n2) AS BIGINT) AS ks_ppm, "
+            "  CAST(len AS BIGINT) AS ks_at_len "
+            "FROM r WHERE rn = 1"
+        ),
+        # distinct nodes within distance <= 2 over the shared edge CTE
+        "two_hop_reach": (
+            "WITH ids AS (SELECT doc_id AS i FROM documents),"
+            "nn AS (SELECT count(*) AS n FROM ids),"
+            "e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst"
+            "       FROM ids, nn, generate_series(1,3) AS t(k)),"
+            "e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),"
+            "canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e1 WHERE src <> dst),"
+            "dir AS (SELECT a AS s, b AS t FROM canon UNION ALL SELECT b, a FROM canon),"
+            "two AS (SELECT d1.t AS src, d2.t AS dst FROM dir d1 "
+            "  JOIN dir d2 ON d1.s = d2.s AND d1.t <> d2.t),"
+            "reach AS (SELECT s AS src, t AS dst FROM dir "
+            "  UNION SELECT src, dst FROM two) "
+            "SELECT src AS node, CAST(count(DISTINCT dst) AS BIGINT) AS n_reach2 "
+            "FROM reach WHERE dst <> src GROUP BY 1"
         ),
         "source_divergence": (
             "SELECT source, n_tokens, kl_micro "

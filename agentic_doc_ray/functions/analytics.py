@@ -2166,3 +2166,96 @@ def user_latest_state(sf_dir: str) -> "ray.data.Dataset":
         .groupby("bucket", num_partitions=np_)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def group_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group EXACT quantiles (p50/p90/p99 of event value cents per
+    event_type) — the latency-percentile shape at scale, sketch-free and
+    bit-exact.
+
+    Quantile definition: the element at 0-based index floor((n-1)*p) of
+    the ascending values — computed from the VALUE DISTRIBUTION, never
+    the rows: per-batch (event_type, cents) count partials collapse each
+    batch to its occupied values, one hash aggregate bounds the exchange
+    by distinct (group, value) pairs (cents domains are bounded — ~50k
+    distinct for a bounded price field — regardless of row count), and a
+    group-keyed fold walks each group's sorted distribution with integer
+    cumulative counts. floor((n-1)*p) uses integer num/den arithmetic,
+    so the SQL oracle (list_sort + 1-based index) is exact.
+    """
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import str_key_sentinels
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(batch.column("value"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("event_type"), cents], names=["event_type", "cents"]
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    dist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"], num_partitions=_cap(8))
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    dist_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("cents", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("p50_cents", pa.int64()),
+            ("p90_cents", pa.int64()),
+            ("p99_cents", pa.int64()),
+        ]
+    )
+
+    def fold_group(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("cents"), pa.scalar(-1)))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        rows = []
+        import pandas as pd
+
+        df = g.to_pandas()
+        for etype, sub in df.groupby("event_type"):
+            sub = sub.sort_values("cents")
+            cents = sub["cents"].to_numpy()
+            cnt = sub["n"].to_numpy()
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            qs = []
+            for num, den in ((1, 2), (9, 10), (99, 100)):
+                idx = (n - 1) * num // den  # 0-based exact
+                qs.append(int(cents[np.searchsorted(cum, idx + 1)]))
+            rows.append(
+                {
+                    "event_type": etype,
+                    "n": n,
+                    "p50_cents": qs[0],
+                    "p90_cents": qs[1],
+                    "p99_cents": qs[2],
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_type", "cents", "n"]).cast(dist_schema)
+
+    return (
+        dist.map_batches(rekey, batch_format="pyarrow")
+        .union(str_key_sentinels(dist_schema, "event_type", fill={"cents": -1, "n": 0}))
+        .groupby("event_type", num_partitions=_cap(4))
+        .map_groups(fold_group, batch_format="pyarrow")
+    )

@@ -472,3 +472,162 @@ def merge_upsert(
         .groupby("bucket", num_partitions=partitions_for(n_rows))
         .map_groups(apply_bucket, batch_format="pyarrow")
     )
+
+
+def _second_crawl_with_source(batch: pa.Table) -> pa.Table:
+    """``second_crawl_batch``'s rule with the source column carried
+    through (added docs keep their original doc's source)."""
+    did = batch.column("doc_id")
+    kept = batch.filter(pc.not_equal(_mod(did, 7), pa.scalar(0, pa.int64())))
+    ktext = pc.if_else(
+        pc.equal(_mod(kept.column("doc_id"), 5), pa.scalar(0, pa.int64())),
+        pc.binary_join_element_wise(
+            kept.column("text"), pa.scalar(" [edited v2]"), ""
+        ),
+        kept.column("text"),
+    )
+    added = batch.filter(pc.equal(_mod(did, 11), pa.scalar(0, pa.int64())))
+    atext = pc.binary_join_element_wise(
+        added.column("text"), pa.scalar(" (new)"), ""
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.concat_arrays(
+                [
+                    kept.column("doc_id").combine_chunks().cast(pa.int64()),
+                    pc.add(
+                        added.column("doc_id"), pa.scalar(10_000_000, pa.int64())
+                    ).combine_chunks(),
+                ]
+            ),
+            pa.concat_arrays(
+                [ktext.combine_chunks(), atext.combine_chunks()]
+            ),
+            pa.concat_arrays(
+                [
+                    kept.column("source").combine_chunks(),
+                    added.column("source").combine_chunks(),
+                ]
+            ),
+        ],
+        names=["doc_id", "text", "source"],
+    )
+
+
+_KS_DIST = pa.schema(
+    [
+        ("source", pa.string()),
+        ("len", pa.int64()),
+        ("na", pa.int64()),
+        ("nb", pa.int64()),
+    ]
+)
+
+_KS_OUT = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n1", pa.int64()),
+        ("n2", pa.int64()),
+        ("ks_ppm", pa.int64()),
+        ("ks_at_len", pa.int64()),
+    ]
+)
+
+
+def ks_drift(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source EXACT Kolmogorov–Smirnov drift between the current
+    crawl and the deterministic next crawl (``second_crawl_batch``'s
+    rule): the crawl-over-crawl distribution-shift monitor a recurring
+    ingestion pipeline alarms on. Statistic over doc LENGTHS:
+    ``KS = max_v |F1(v) - F2(v)|`` computed as an exact rational —
+    ``max |cum1*n2 - cum2*n1|`` over the merged value set, reported as
+    ``ks_ppm = 10^6 * maxdiff // (n1*n2)`` with the smallest length
+    achieving the max (``ks_at_len``).
+
+    Shape: both snapshots stream once; per-batch (source, len, side)
+    count partials bound the exchange by the distinct length domain
+    (not rows); one hash aggregate + a source-keyed fold that walks each
+    source's sorted length distribution with integer cumsums. Nothing
+    row-sized leaves the scan stages.
+    """
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.functions._exchange import str_key_sentinels
+
+    def partial(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            lens = pc.utf8_length(batch.column("text")).cast(pa.int64())
+            t = pa.Table.from_arrays(
+                [batch.column("source"), lens], names=["source", "len"]
+            )
+            g = t.group_by(["source", "len"]).aggregate([("len", "count")])
+            g = g.rename_columns(["source", "len", "cnt"])
+            n = g.num_rows
+            zero = pa.array(np.zeros(n, np.int64))
+            cnt = g.column("cnt").cast(pa.int64())
+            return pa.Table.from_arrays(
+                [
+                    g.column("source"),
+                    g.column("len"),
+                    cnt if side == "a" else zero,
+                    cnt if side == "b" else zero,
+                ],
+                schema=_KS_DIST,
+            )
+
+        return f
+
+    v2 = docs.map_batches(_second_crawl_with_source, batch_format="pyarrow")
+    dist = (
+        docs.map_batches(partial("a"), batch_format="pyarrow")
+        .union(v2.map_batches(partial("b"), batch_format="pyarrow"))
+        .groupby(["source", "len"], num_partitions=shuffle_partitions(8))
+        .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("len"), pa.scalar(-1)))
+        if g.num_rows == 0:
+            return _KS_OUT.empty_table()
+        import pandas as pd
+
+        rows = []
+        for source, sub in g.to_pandas().groupby("source"):
+            sub = sub.sort_values("len")
+            na = sub["na"].to_numpy().astype(object)  # Python ints: the
+            nb = sub["nb"].to_numpy().astype(object)  # cross-products below
+            ca = np.cumsum(na)                        # can exceed int64 at
+            cb = np.cumsum(nb)                        # crawl scale
+            n1, n2 = int(ca[-1]), int(cb[-1])
+            if n1 == 0 or n2 == 0:
+                diff = [n1 * n2] if (n1 or n2) else [0]
+                best, best_len = max(diff), int(sub["len"].iloc[0])
+            else:
+                d = [abs(int(x) * n2 - int(y) * n1) for x, y in zip(ca, cb)]
+                best = max(d)
+                best_len = int(sub["len"].to_numpy()[d.index(best)])
+            denom = max(n1 * n2, 1)
+            rows.append(
+                {
+                    "source": source,
+                    "n1": n1,
+                    "n2": n2,
+                    "ks_ppm": 1_000_000 * best // denom,
+                    "ks_at_len": best_len,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=_KS_OUT)
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return batch.select(["source", "len", "na", "nb"]).cast(_KS_DIST)
+
+    return (
+        dist.map_batches(rekey, batch_format="pyarrow")
+        .union(
+            str_key_sentinels(
+                _KS_DIST, "source", fill={"len": -1, "na": 0, "nb": 0}
+            )
+        )
+        .groupby("source", num_partitions=shuffle_partitions(4))
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -2942,3 +2942,106 @@ def graph_modularity(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_REACH_DIR = pa.schema(
+    [("bucket", pa.int32()), ("node", pa.int64()), ("nbr", pa.int64())]
+)
+_REACH_PAIR = pa.schema(
+    [("bucket", pa.int32()), ("src", pa.int64()), ("dst", pa.int64())]
+)
+
+
+def two_hop_reach(
+    docs: "ray.data.Dataset",
+    n_docs: int,
+    n_buckets: int = 64,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-node 2-hop reach: distinct nodes within distance <= 2 over the
+    canonical undirected LCG edge set (the friend-of-friend audience /
+    influence feature; also the crawl frontier-growth forecast). Exact
+    integers, no BSP loop.
+
+    Shape: the shared canonical edge exchange, then (1) symmetric
+    adjacency keyed by the APEX node — each apex group emits its
+    neighbor PAIRS via the shared degree-class matrices (2-hop
+    candidates through that apex; O(d^2) rows per apex, degree-ordering
+    is the documented skew fix) plus its own 1-hop rows, (2) a
+    src-keyed exchange finishes the global DISTINCT and counts. Payload
+    is Sum(d^2) key rows — bounded-degree graphs ship ~constant x edges.
+    """
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.pagerank import N_LINKS
+
+    n_hint = n_rows_hint if n_rows_hint is not None else n_docs * N_LINKS
+    np_ = partitions_for(n_hint)
+
+    edges = _distinct_link_edges(docs, n_docs, n_buckets, np_)
+
+    def dir_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        return pa.Table.from_arrays(
+            [
+                pa.array((node % n_buckets).astype(np.int32)),
+                pa.array(node),
+                pa.array(nbr),
+            ],
+            schema=_REACH_DIR,
+        )
+
+    def wedge_stage(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("node"), pa.scalar(-1)))
+        if g.num_rows == 0:
+            return _REACH_PAIR.empty_table()
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        nbr = g.column("nbr").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        x, y, _apex = _wedge_pairs(node, nbr)
+        # 2-hop candidates in both directions + this bucket's 1-hop rows
+        src = np.concatenate([x, y, node])
+        dst = np.concatenate([y, x, nbr])
+        return pa.Table.from_arrays(
+            [
+                pa.array((src % n_buckets).astype(np.int32)),
+                pa.array(src),
+                pa.array(dst),
+            ],
+            schema=_REACH_PAIR,
+        )
+
+    def count_stage(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group.column("src"), pa.scalar(-1)))
+        g = g.filter(pc.not_equal(g.column("src"), g.column("dst")))
+        if g.num_rows == 0:
+            return pa.schema(
+                [("node", pa.int64()), ("n_reach2", pa.int64())]
+            ).empty_table()
+        d = (
+            g.select(["src", "dst"])
+            .group_by(["src", "dst"])
+            .aggregate([])
+        )
+        out = (
+            d.group_by("src")
+            .aggregate([("dst", "count")])
+            .rename_columns(["node", "n_reach2"])
+        )
+        return out.cast(
+            pa.schema([("node", pa.int64()), ("n_reach2", pa.int64())])
+        )
+
+    return (
+        edges.map_batches(dir_rows, batch_format="pyarrow")
+        .union(int_key_sentinels(_REACH_DIR, "bucket", fill={"node": -1, "nbr": -1}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(wedge_stage, batch_format="pyarrow")
+        .union(int_key_sentinels(_REACH_PAIR, "bucket", fill={"src": -1, "dst": -1}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(count_stage, batch_format="pyarrow")
+    )

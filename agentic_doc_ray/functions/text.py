@@ -3855,3 +3855,53 @@ def trigram_backoff_oracle(
     bmap = _counts_to_series(_cap_counts(btbl, "bigram", max_vocab, "bigram"), "bigram")
     umap = _counts_to_series(_cap_counts(utbl, "token", max_vocab, "unigram"), "token")
     return _sb_score_batch(docs_tbl, tmap, bmap, umap, n_total)
+
+
+def char_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Shannon entropy of the byte distribution in micro-bits
+    (the Gopher/Dolma randomness signal: ~0 for repeated filler, high
+    for natural text; ASCII enforced like the substr family). Exact-ish:
+    H = log2(n) - (sum c_i log2 c_i)/n evaluated in fixed operation
+    order per doc, rounded to integer micro-bits — batch-independent, so
+    the single-process replica is bit-equal."""
+    arr = batch.column("text")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    if buf.size and buf.max() > 127:
+        raise ValueError("char_entropy requires ASCII text")
+    n_docs = batch.num_rows
+    lens = np.diff(offsets)
+    n = buf.size
+    ent_micro = np.zeros(n_docs, np.int64)
+    n_distinct = np.zeros(n_docs, np.int64)
+    if n:
+        doc_idx = np.searchsorted(offsets[1:], np.arange(n), side="right")
+        key = doc_idx * 256 + buf.astype(np.int64)
+        uk, ucnt = np.unique(key, return_counts=True)
+        udoc = uk >> 8
+        n_distinct = np.bincount(udoc, minlength=n_docs).astype(np.int64)
+        clogc = ucnt.astype(np.float64) * np.log2(ucnt.astype(np.float64))
+        s = np.bincount(udoc, weights=clogc, minlength=n_docs)
+        nz = lens > 0
+        h = np.zeros(n_docs, np.float64)
+        h[nz] = np.log2(lens[nz].astype(np.float64)) - s[nz] / lens[nz]
+        ent_micro = np.round(h * 1_000_000).astype(np.int64)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(lens.astype(np.int64)),
+            pa.array(n_distinct),
+            pa.array(ent_micro),
+        ],
+        names=["doc_id", "n_chars", "n_distinct_chars", "entropy_micro"],
+    )
+
+
+def char_entropy(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Batch-local, zero exchanges — runs at scan speed."""
+    return docs.map_batches(char_entropy_batch, batch_format="pyarrow")

@@ -1000,6 +1000,46 @@ def main() -> None:
 
     timed("generic_full_join", full_join_q)
 
+    def group_quantiles_q() -> None:
+        from agentic_doc_ray.functions.analytics import group_quantiles
+
+        group_quantiles(SF_DIR).count()
+
+    timed("group_quantiles", group_quantiles_q)
+
+    def char_entropy_q() -> None:
+        from agentic_doc_ray.functions.text import char_entropy
+
+        char_entropy(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("char_entropy", char_entropy_q)
+
+    def ks_drift_q() -> None:
+        from agentic_doc_ray.functions.delta import ks_drift
+
+        ks_drift(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        ).count()
+
+    timed("ks_drift", ks_drift_q)
+
+    def two_hop_q() -> None:
+        from agentic_doc_ray.functions.graph import two_hop_reach
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        two_hop_reach(d, d.count()).count()
+
+    timed("two_hop_reach", two_hop_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

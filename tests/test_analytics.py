@@ -1542,3 +1542,29 @@ def test_user_latest_state_matches_sql():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_quantiles_brute_force():
+    import duckdb
+    import numpy as np
+
+    from agentic_doc_ray.functions.analytics import group_quantiles
+
+    got = (
+        group_quantiles("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    ev = con.execute(
+        "SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).df()
+    for etype, sub in ev.groupby("event_type"):
+        v = np.sort(sub["cents"].to_numpy())
+        n = len(v)
+        assert got.loc[etype, "n"] == n
+        assert got.loc[etype, "p50_cents"] == v[(n - 1) // 2]
+        assert got.loc[etype, "p90_cents"] == v[(n - 1) * 9 // 10]
+        assert got.loc[etype, "p99_cents"] == v[(n - 1) * 99 // 100]

@@ -95,3 +95,53 @@ def test_incremental_empty_sides():
         for r in incremental_token_counts(empty, one).take_all()
     )
     assert got == [(1, 2)]
+
+
+def test_ks_drift_brute_force():
+    """Engine KS == a pure-Python recount over v1/v2 length multisets."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from agentic_doc_ray.functions.delta import (
+        _second_crawl_with_source,
+        ks_drift,
+    )
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    got = (
+        ks_drift(ray.data.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .set_index("source")
+    )
+    v2 = _second_crawl_with_source(tbl)
+
+    def dists(t):
+        out = {}
+        for s, txt in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            out.setdefault(s, Counter())[len(txt)] += 1
+        return out
+
+    d1, d2 = dists(tbl), dists(v2)
+    for s in sorted(set(d1) | set(d2)):
+        c1, c2 = d1.get(s, Counter()), d2.get(s, Counter())
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        lens = sorted(set(c1) | set(c2))
+        ca = cb = 0
+        best, best_len = -1, None
+        for ln in lens:
+            ca += c1.get(ln, 0)
+            cb += c2.get(ln, 0)
+            diff = abs(ca * n2 - cb * n1)
+            if diff > best:
+                best, best_len = diff, ln
+        assert got.loc[s, "n1"] == n1 and got.loc[s, "n2"] == n2
+        assert got.loc[s, "ks_ppm"] == 1_000_000 * best // (n1 * n2)
+        assert got.loc[s, "ks_at_len"] == best_len

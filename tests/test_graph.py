@@ -1011,3 +1011,41 @@ def test_graph_modularity_brute_force():
     # identities: sum(degree_sum) == 2m, sum(n_nodes) == n
     assert got["degree_sum"].sum() == 2 * len(pairs)
     assert got["n_nodes"].sum() == n
+
+
+def test_two_hop_reach_brute_force():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from agentic_doc_ray.functions.graph import two_hop_reach
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    n = tbl.num_rows
+    got = (
+        two_hop_reach(ray.data.from_arrow(tbl).repartition(3), n)
+        .to_pandas()
+        .set_index("node")["n_reach2"]
+        .to_dict()
+    )
+    ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=np.int64)
+    src = np.repeat(ids, N_LINKS)
+    k = np.tile(np.arange(1, N_LINKS + 1, dtype=np.int64), len(ids))
+    dst = (src * _LCG_A + k * _LCG_C) % n
+    dst = np.where(dst == src, (dst + 1) % n, dst)
+    adj: dict[int, set] = {}
+    for s, d in zip(src, dst):
+        if s != d:
+            adj.setdefault(int(s), set()).add(int(d))
+            adj.setdefault(int(d), set()).add(int(s))
+    for node, nbrs in adj.items():
+        reach = set(nbrs)
+        for m in nbrs:
+            reach |= adj[m]
+        reach.discard(node)
+        assert got[node] == len(reach), node
+    assert set(got) == set(adj)

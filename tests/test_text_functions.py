@@ -1350,3 +1350,36 @@ def test_trigram_backoff_levels():
     d2 = out.loc[2]
     assert d2["n_scored"] == d2["n_trigrams"] == 2
     assert d2["n_backoff2"] == 0 and d2["n_backoff1"] == 0
+
+
+def test_char_entropy_properties():
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import char_entropy, char_entropy_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "aaaaaaa",        # zero entropy
+                "ab" * 8,         # exactly 1 bit/char
+                "",               # empty -> 0 by rule
+                "abcd",           # exactly 2 bits/char
+            ],
+        }
+    )
+    got = (
+        char_entropy(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "entropy_micro"] == 0 and got.loc[1, "n_distinct_chars"] == 1
+    assert got.loc[2, "entropy_micro"] == 1_000_000
+    assert got.loc[3, "entropy_micro"] == 0 and got.loc[3, "n_chars"] == 0
+    assert got.loc[4, "entropy_micro"] == 2_000_000
+    # distributed == single-process replica (bit-equal)
+    want = char_entropy_batch(t).to_pandas().set_index("doc_id")
+    assert got.equals(want)
