@@ -3792,24 +3792,30 @@ def trigram_backoff_score(
             )
         return pa.concat_tables(blocks).combine_chunks()
 
-    ttbl = collect(
-        train.map_batches(_trigram_partial, batch_format="pyarrow")
-        .groupby("trigram", num_partitions=np_)
+    # ONE fused count pass + ONE exchange for all three orders (the
+    # pmi_collocations trick): tokens cannot contain whitespace, so the
+    # uni/bi/trigram key spaces are DISJOINT by construction (space count
+    # = order - 1) and one hash aggregate counts them all; the collected
+    # table splits back by space count. 3 corpus reads + 3 exchanges ->
+    # 1 + 1 (measured 10.6 s -> see STATUS).
+    def _fused_partial(batch: pa.Table) -> pa.Table:
+        parts = [
+            _unigram_partial(batch).rename_columns(["gram", "n"]),
+            _bigram_partial(batch).rename_columns(["gram", "n"]),
+            _trigram_partial(batch).rename_columns(["gram", "n"]),
+        ]
+        return pa.concat_tables(parts)
+
+    fused = collect(
+        train.map_batches(_fused_partial, batch_format="pyarrow")
+        .groupby("gram", num_partitions=np_)
         .aggregate(Sum("n", alias_name="n")),
-        "trigram",
+        "gram",
     )
-    btbl = collect(
-        train.map_batches(_bigram_partial, batch_format="pyarrow")
-        .groupby("bigram", num_partitions=np_)
-        .aggregate(Sum("n", alias_name="n")),
-        "bigram",
-    )
-    utbl = collect(
-        train.map_batches(_unigram_partial, batch_format="pyarrow")
-        .groupby("token", num_partitions=np_)
-        .aggregate(Sum("n", alias_name="n")),
-        "token",
-    )
+    spaces = pc.count_substring(fused.column("gram"), " ")
+    utbl = fused.filter(pc.equal(spaces, 0)).rename_columns(["token", "n"])
+    btbl = fused.filter(pc.equal(spaces, 1)).rename_columns(["bigram", "n"])
+    ttbl = fused.filter(pc.equal(spaces, 2)).rename_columns(["trigram", "n"])
     n_total = int(pc.sum(utbl.column("n")).as_py() or 0)
     tmap = _counts_to_series(_cap_counts(ttbl, "trigram", max_vocab, "trigram"), "trigram")
     bmap = _counts_to_series(_cap_counts(btbl, "bigram", max_vocab, "bigram"), "bigram")
