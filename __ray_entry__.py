@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 50  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 51  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -236,6 +236,15 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         char_entropy_batch(docs_tbl),
         os.path.join(out_dir, "char_entropy.parquet"),
+    )
+
+    # phrase-merge replica: the phrase set is global and deterministic
+    # ((n desc, bigram) top-k), the greedy merge is doc-local — bit-equal
+    from agentic_doc_ray.functions.text import phrase_merge_oracle
+
+    _pq.write_table(
+        phrase_merge_oracle(docs_tbl),
+        os.path.join(out_dir, "phrase_merge.parquet"),
     )
 
     # BPE merge-table replica: exact integer word counts + deterministic
@@ -1098,6 +1107,11 @@ _DRIVER_PRIORITY = [
     "char_entropy",
     "ks_drift",
     "two_hop_reach",
+    # new in session 13 (batch 4): A-Priori triples, word2phrase apply,
+    # funnel conversion lags
+    "copurchase_triples",
+    "phrase_merge",
+    "conversion_lags",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2696,6 +2710,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return two_hop_reach(d, d.count())
 
+    def q_copurchase_triples(sf_dir):
+        """A-Priori pass 2: frequent part triples at support >= 2,
+        candidates pruned by the broadcast frequent-pair set (provably
+        result-neutral by monotonicity — the SQL oracle is the plain
+        triple HAVING)."""
+        from agentic_doc_ray.functions.analytics import copurchase_triples
+
+        return copurchase_triples(sf_dir, min_support=2)
+
+    def q_phrase_merge(sf_dir):
+        """word2phrase apply: top-bigram phrases merged greedily
+        left-to-right per doc (a_b tokens); run-parity vectorized.
+        Oracle: bit-equal single-process replica."""
+        from agentic_doc_ray.functions.text import phrase_merge
+
+        _ensure_extraction_oracles(sf_dir)
+        return phrase_merge(docs(sf_dir))
+
+    def q_conversion_lags(sf_dir):
+        """Per-user first-view -> first-purchase-at-or-after lag in whole
+        seconds (funnel latency input); one sentinel-guarded user-bucket
+        exchange of key rows. SQL epoch_us oracle."""
+        from agentic_doc_ray.functions.analytics import conversion_lags
+
+        return conversion_lags(sf_dir)
+
     def q_cdc_chunks(sf_dir):
         """Content-defined chunking (FastCDC-style, stateless variant):
         one row per chunk; batch-local, zero exchanges. Oracle: bit-equal
@@ -3924,6 +3964,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": q_char_entropy,            # single-process replica oracle
         "ks_drift": q_ks_drift,
         "two_hop_reach": q_two_hop_reach,
+        "copurchase_triples": q_copurchase_triples,
+        "phrase_merge": q_phrase_merge,            # single-process replica oracle
+        "conversion_lags": q_conversion_lags,
         "source_divergence": q_source_divergence,  # single-process replica oracle
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
         "cdc_dedup_stats": q_cdc_dedup_stats,      # SQL over the chunk replica
@@ -5830,6 +5873,31 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": (
             "SELECT doc_id, n_chars, n_distinct_chars, entropy_micro "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/char_entropy.parquet')"
+        ),
+        "phrase_merge": (
+            "SELECT doc_id, text_merged, n_merges "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/phrase_merge.parquet')"
+        ),
+        # plain triple HAVING — the engine's frequent-pair pruning is
+        # result-neutral by A-Priori monotonicity
+        "copurchase_triples": (
+            "WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+            "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "  c.l_partkey AS part_c, CAST(count(*) AS BIGINT) AS support "
+            "FROM l a "
+            "JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "JOIN l c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey "
+            "GROUP BY 1, 2, 3 HAVING count(*) >= 2"
+        ),
+        "conversion_lags": (
+            "WITH v AS (SELECT user_id, min(ts) AS fv FROM events "
+            "  WHERE event_type = 'view' GROUP BY 1), "
+            "p AS (SELECT e.user_id, min(e.ts) AS fp FROM events e "
+            "  JOIN v USING (user_id) "
+            "  WHERE e.event_type = 'purchase' AND e.ts >= v.fv GROUP BY 1) "
+            "SELECT v.user_id, "
+            "  CAST((epoch_us(p.fp) - epoch_us(v.fv)) // 1000000 AS BIGINT) AS lag_sec "
+            "FROM v JOIN p USING (user_id)"
         ),
         # exact per-group quantiles: 1-based sorted-list index at
         # floor((n-1)*p) matches the engine's integer num/den rule

@@ -2259,3 +2259,344 @@ def group_quantiles(sf_dir: str) -> "ray.data.Dataset":
         .groupby("event_type", num_partitions=_cap(4))
         .map_groups(fold_group, batch_format="pyarrow")
     )
+
+
+def _basket_triples(apex: np.ndarray, nb: np.ndarray):
+    """Vectorized per-basket TRIPLE generation (sorted (apex, item)
+    input): baskets bucketed by size d, each size class stacked into an
+    (m, d) matrix, one combination-index gather emits every C(d,3)
+    triple of the class — no per-basket Python. Mirrors
+    ``graph._wedge_pairs``'s degree-class trick one order higher."""
+    from itertools import combinations
+
+    if len(apex) == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e, e
+    uniq, starts, counts = np.unique(apex, return_index=True, return_counts=True)
+    xs, ys, zs = [], [], []
+    for d in np.unique(counts):
+        if d < 3:
+            continue
+        sel = counts == d
+        st = starts[sel]
+        mat = nb[st[:, None] + np.arange(int(d))[None, :]]
+        combos = np.array(list(combinations(range(int(d)), 3)), dtype=np.int64)
+        xs.append(mat[:, combos[:, 0]].ravel())
+        ys.append(mat[:, combos[:, 1]].ravel())
+        zs.append(mat[:, combos[:, 2]].ravel())
+    if not xs:
+        e = np.array([], dtype=np.int64)
+        return e, e, e
+    return np.concatenate(xs), np.concatenate(ys), np.concatenate(zs)
+
+
+def copurchase_triples(
+    sf_dir: str, min_support: int = 2, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """A-Priori pass 2 (Agrawal & Srikant 1994): frequent part TRIPLES at
+    ``min_support``, with candidate generation pruned by the frequent
+    PAIRS — by monotonicity (a frequent triple's sub-pairs are frequent)
+    the pruning provably never changes the result, it only bounds the
+    work, so the SQL oracle is the plain triple HAVING count.
+
+    Shape: pass 1 reuses the basket exchange to produce the frequent-pair
+    set (threshold-bounded by A-Priori's own guarantee — at min_support 2
+    and sf0.01 that is 3.4k of 112k pairs; size logged), broadcast once
+    as encoded ``a*2^32 + b`` keys (partkey < 2^32 by contract); pass 2
+    re-runs the basket exchange, generates each basket's triples through
+    the size-class matrices and keeps only candidates whose three
+    sub-pairs are all frequent BEFORE any counting; per-bucket partials,
+    one triple-keyed merge, HAVING >= min_support, deterministic
+    (support DESC, x, y, z) order.
+    """
+    import logging
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    np_ = partitions_for(ds.count())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+        )
+        bucket = pc.cast(
+            pc.bit_wise_and(
+                t.column("l_orderkey"), pa.scalar(n_buckets - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [bucket, t.column("l_orderkey"), t.column("l_partkey")],
+            schema=_BASKET_SCHEMA,
+        )
+
+    baskets = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                _BASKET_SCHEMA, "bucket", fill={"l_orderkey": -1, "l_partkey": -1}
+            )
+        )
+        .groupby("bucket", num_partitions=np_)
+    )
+
+    pair_schema = pa.schema(
+        [("pair", pa.int64()), ("n", pa.int64())]
+    )
+
+    def _sorted_baskets(group: pa.Table):
+        g = group.filter(pc.greater_equal(group.column("l_orderkey"), 0))
+        if g.num_rows == 0:
+            return None, None
+        g = (
+            g.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+        )
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("l_orderkey", "ascending"), ("l_partkey", "ascending")],
+        )
+        g = g.take(order)
+        return (
+            g.column("l_orderkey").to_numpy(zero_copy_only=False),
+            g.column("l_partkey").to_numpy(zero_copy_only=False),
+        )
+
+    def pair_counts(group: pa.Table) -> pa.Table:
+        from agentic_doc_ray.functions.graph import _wedge_pairs
+
+        apex, nb = _sorted_baskets(group)
+        if apex is None:
+            return pair_schema.empty_table()
+        x, y, _ = _wedge_pairs(apex, nb)
+        if len(x) == 0:
+            return pair_schema.empty_table()
+        t = pa.table({"pair": pa.array((x << 32) | y, pa.int64())})
+        g = t.group_by("pair").aggregate([("pair", "count")])
+        return g.rename_columns(["pair", "n"]).cast(pair_schema)
+
+    # pass 1: frequent pairs (the aggregate output feeds a FILTERING
+    # map_batches, then a bounded collect)
+    pair_agg = (
+        baskets.map_groups(pair_counts, batch_format="pyarrow")
+        .groupby("pair", num_partitions=np_)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def freq_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("n"), pa.scalar(min_support, pa.int64()))
+        ).select(["pair"])
+
+    blocks = [
+        b
+        for b in _ray.get(
+            pair_agg.map_batches(freq_only, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if b.num_rows
+    ]
+    freq_pairs = (
+        pa.concat_tables(blocks).column("pair").to_numpy(zero_copy_only=False)
+        if blocks
+        else np.array([], dtype=np.int64)
+    )
+    freq_pairs = np.sort(freq_pairs)
+    logging.getLogger(__name__).info(
+        "copurchase_triples: %d frequent pairs at min_support=%d",
+        len(freq_pairs), min_support,
+    )
+    fp_ref = _ray.put(freq_pairs)
+
+    tri_schema = pa.schema(
+        [
+            ("tbucket", pa.int32()),
+            ("x", pa.int64()),
+            ("y", pa.int64()),
+            ("z", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def triple_counts(group: pa.Table, *, _fp=fp_ref) -> pa.Table:
+        apex, nb = _sorted_baskets(group)
+        if apex is None:
+            return tri_schema.empty_table()
+        cache = triple_counts.__dict__
+        if "fp" not in cache:
+            cache["fp"] = _ray.get(_fp)
+        fp = cache["fp"]
+        x, y, z = _basket_triples(apex, nb)
+        if len(x) == 0:
+            return tri_schema.empty_table()
+        # A-Priori candidate pruning: all three sub-pairs frequent
+        ok = (
+            np.isin((x << 32) | y, fp)
+            & np.isin((x << 32) | z, fp)
+            & np.isin((y << 32) | z, fp)
+        )
+        x, y, z = x[ok], y[ok], z[ok]
+        if len(x) == 0:
+            return tri_schema.empty_table()
+        t = pa.table(
+            {
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "z": pa.array(z, pa.int64()),
+            }
+        )
+        g = t.group_by(["x", "y", "z"]).aggregate([("x", "count")])
+        g = g.rename_columns(["x", "y", "z", "n"])
+        tb = pc.cast(
+            pc.bit_wise_and(
+                pc.bit_wise_xor(
+                    pc.bit_wise_xor(
+                        g.column("x"),
+                        pc.multiply(g.column("y"), pa.scalar(0x9E3779B9, pa.int64())),
+                    ),
+                    pc.multiply(g.column("z"), pa.scalar(0x85EBCA6B, pa.int64())),
+                ),
+                pa.scalar(63, pa.int64()),
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [tb, g.column("x"), g.column("y"), g.column("z"), g.column("n").cast(pa.int64())],
+            schema=tri_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("part_a", pa.int64()),
+            ("part_b", pa.int64()),
+            ("part_c", pa.int64()),
+            ("support", pa.int64()),
+        ]
+    )
+
+    def merge_triples(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("x"), 0))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        agg = (
+            g.select(["x", "y", "z", "n"])
+            .group_by(["x", "y", "z"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["part_a", "part_b", "part_c", "support"])
+        )
+        agg = agg.filter(
+            pc.greater_equal(agg.column("support"), pa.scalar(min_support, pa.int64()))
+        )
+        return agg.cast(out_schema)
+
+    baskets2 = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                _BASKET_SCHEMA, "bucket", fill={"l_orderkey": -1, "l_partkey": -1}
+            )
+        )
+        .groupby("bucket", num_partitions=np_)
+    )
+    return (
+        baskets2.map_groups(triple_counts, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                tri_schema, "tbucket", fill={"x": -1, "y": -1, "z": -1, "n": 0}
+            )
+        )
+        .groupby("tbucket", num_partitions=np_)
+        .map_groups(merge_triples, batch_format="pyarrow")
+    )
+
+
+_CONV_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("user_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("is_view", pa.int64()),
+    ]
+)
+
+
+def conversion_lags(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-user view→purchase conversion lag in whole seconds (the
+    funnel-latency input; feed ``group_quantiles``-style folds for p50
+    time-to-convert): fv = the user's first 'view', fp = the first
+    'purchase' at or after fv; emit (user_id, lag_sec) for users with
+    both. Exact integer microsecond arithmetic, floor seconds.
+
+    Shape: one user-bucket exchange of (user, ts, is_view) key rows
+    (only view/purchase events ship — the filter is why the exchange is
+    sentinel-guarded); each bucket resolves first-view/first-purchase
+    with vectorized pandas min-merges. Events are user-bounded per
+    bucket; nothing collects on the driver."""
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    np_ = partitions_for(ds.count())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, "view"), pc.equal(et, "purchase"))
+        f = batch.filter(keep)
+        ts_us = f.column("ts").cast(pa.int64())
+        is_view = pc.cast(pc.equal(f.column("event_type"), "view"), pa.int64())
+        bucket = pc.cast(
+            pc.bit_wise_and(
+                f.column("user_id"), pa.scalar(n_buckets - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [bucket, f.column("user_id"), ts_us, is_view], schema=_CONV_SCHEMA
+        )
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("lag_sec", pa.int64())])
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("user_id"), 0))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        df = g.select(["user_id", "ts_us", "is_view"]).to_pandas()
+        fv = (
+            df[df["is_view"] == 1]
+            .groupby("user_id")["ts_us"]
+            .min()
+            .rename("fv")
+        )
+        p = df[df["is_view"] == 0].merge(fv, on="user_id")
+        p = p[p["ts_us"] >= p["fv"]]
+        if p.empty:
+            return out_schema.empty_table()
+        fp = p.groupby("user_id").agg(fp=("ts_us", "min"), fv=("fv", "min"))
+        lag = (fp["fp"] - fp["fv"]) // 1_000_000
+        return pa.Table.from_arrays(
+            [
+                pa.array(fp.index.to_numpy().astype(np.int64)),
+                pa.array(lag.to_numpy().astype(np.int64)),
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                _CONV_SCHEMA, "bucket", fill={"user_id": -1, "ts_us": 0, "is_view": 0}
+            )
+        )
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(fold, batch_format="pyarrow")
+    )

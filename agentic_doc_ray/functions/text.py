@@ -3911,3 +3911,116 @@ def char_entropy_batch(batch: pa.Table) -> pa.Table:
 def char_entropy(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Batch-local, zero exchanges — runs at scan speed."""
     return docs.map_batches(char_entropy_batch, batch_format="pyarrow")
+
+
+def _phrase_merge_batch(batch: pa.Table, phrases: "np.ndarray") -> pa.Table:
+    """Greedy left-to-right non-overlapping merge of phrase bigrams
+    (word2phrase apply): within each maximal run of consecutive matching
+    pairs, pairs at EVEN offsets merge (the exact greedy outcome),
+    vectorized with run-id arithmetic — no per-token Python."""
+    trimmed = _regex_trim(batch.column("text"))
+    if isinstance(trimmed, pa.ChunkedArray):
+        trimmed = trimmed.combine_chunks()
+    nonempty = pc.not_equal(trimmed, "")
+    toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks_list, pa.ChunkedArray):
+        toks_list = toks_list.combine_chunks()
+    flat = toks_list.flatten()
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    n = len(flat)
+    n_docs = batch.num_rows
+    idx = np.flatnonzero(nonempty.to_numpy(zero_copy_only=False))
+    n_ne = len(idx)
+
+    merged_text = np.full(n_docs, "", dtype=object)
+    n_merges = np.zeros(n_docs, np.int64)
+
+    if n:
+        flat_np = flat.to_numpy(zero_copy_only=False).astype(object)
+        m_full = np.zeros(n, dtype=bool)
+        if n >= 2 and len(phrases):
+            same = parents[:-1] == parents[1:]
+            joined = pc.binary_join_element_wise(
+                flat.slice(0, n - 1), flat.slice(1), " "
+            ).to_numpy(zero_copy_only=False)
+            match = same & np.isin(joined, phrases)
+            # greedy: select even offsets within each run of matches
+            run_start = match & ~np.concatenate(([False], match[:-1]))
+            run_id = np.cumsum(run_start)
+            pos = np.arange(len(match))
+            first_of_run = np.zeros(int(run_id.max()) + 1, np.int64)
+            first_of_run[run_id[run_start]] = pos[run_start]
+            offset = pos - first_of_run[run_id]
+            m_full[: n - 1] = match & (offset % 2 == 0)
+        sel_idx = np.flatnonzero(m_full)
+        vals = flat_np.copy()
+        if len(sel_idx):
+            vals[sel_idx] = vals[sel_idx] + "_" + flat_np[sel_idx + 1]
+        skip = np.zeros(n, dtype=bool)
+        skip[1:] = m_full[:-1]
+        keep = ~skip
+        kept_vals = vals[keep]
+        kept_parents = parents[keep]
+        counts = np.bincount(kept_parents, minlength=n_ne)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(kept_vals, pa.string())
+        )
+        joined_docs = pc.binary_join(la, " ").to_numpy(zero_copy_only=False)
+        merged_text[idx[: len(joined_docs)]] = joined_docs
+        mg = np.bincount(parents[m_full], minlength=n_ne).astype(np.int64)
+        n_merges[idx[: len(mg)]] = mg
+
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(merged_text, pa.string()),
+            pa.array(n_merges, pa.int64()),
+        ],
+        names=["doc_id", "text_merged", "n_merges"],
+    )
+
+
+def phrase_merge(
+    docs: "ray.data.Dataset", min_count: int = 3, k: int = 50
+) -> "ray.data.Dataset":
+    """word2phrase-style phrase merging (Mikolov et al. 2013 §4 applied):
+    the top-``k`` bigrams with count >= ``min_count`` become phrases;
+    every document is re-tokenized with greedy left-to-right
+    non-overlapping merges (``a b`` -> ``a_b``). Output: the merged text
+    (whitespace-normalized token join) + merge count per doc.
+
+    Shape: phrase selection reuses the ``top_bigrams`` exchange
+    (k-bounded result, broadcast in the closure); the merge pass is
+    batch-local and bit-equal to the single-process replica (the greedy
+    outcome is a pure function of the token sequence and the global
+    phrase set)."""
+    top = top_bigrams(docs, k=k).take_all()
+    phrases = np.array(
+        [r["bigram"] for r in top if r["n"] >= min_count], dtype=object
+    )
+    return docs.map_batches(
+        lambda b: _phrase_merge_batch(b, phrases), batch_format="pyarrow"
+    )
+
+
+def phrase_merge_oracle(
+    docs_tbl: pa.Table, min_count: int = 3, k: int = 50
+) -> pa.Table:
+    """Single-process replica of ``phrase_merge`` (same deterministic
+    phrase set — (n desc, bigram asc) top-k — and the same batch
+    kernel)."""
+    part = _bigram_partial(docs_tbl)
+    g = (
+        part.group_by("bigram").aggregate([("n", "sum")])
+        .rename_columns(["bigram", "n"])
+    )
+    import pandas as pd
+
+    df = g.to_pandas().sort_values(
+        ["n", "bigram"], ascending=[False, True]
+    ).head(k)
+    phrases = np.array(
+        df.loc[df["n"] >= min_count, "bigram"].tolist(), dtype=object
+    )
+    return _phrase_merge_batch(docs_tbl, phrases)

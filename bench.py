@@ -1040,6 +1040,31 @@ def main() -> None:
 
     timed("two_hop_reach", two_hop_q)
 
+    def copurchase_triples_q() -> None:
+        from agentic_doc_ray.functions.analytics import copurchase_triples
+
+        copurchase_triples(SF_DIR, min_support=2).count()
+
+    timed("copurchase_triples", copurchase_triples_q)
+
+    def phrase_merge_q() -> None:
+        from agentic_doc_ray.functions.text import phrase_merge
+
+        phrase_merge(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("phrase_merge", phrase_merge_q)
+
+    def conversion_lags_q() -> None:
+        from agentic_doc_ray.functions.analytics import conversion_lags
+
+        conversion_lags(SF_DIR).count()
+
+    timed("conversion_lags", conversion_lags_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

@@ -1568,3 +1568,66 @@ def test_group_quantiles_brute_force():
         assert got.loc[etype, "p50_cents"] == v[(n - 1) // 2]
         assert got.loc[etype, "p90_cents"] == v[(n - 1) * 9 // 10]
         assert got.loc[etype, "p99_cents"] == v[(n - 1) * 99 // 100]
+
+
+def test_copurchase_triples_brute_force():
+    from collections import Counter
+    from itertools import combinations
+
+    import duckdb
+
+    from agentic_doc_ray.functions.analytics import copurchase_triples
+
+    got = (
+        copurchase_triples("/root/testdata/sf0.001", min_support=2)
+        .to_pandas()
+        .sort_values(["part_a", "part_b", "part_c"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchall()
+    baskets: dict[int, list] = {}
+    for o, p in rows:
+        baskets.setdefault(o, []).append(p)
+    cnt = Counter()
+    for parts in baskets.values():
+        for tri in combinations(sorted(parts), 3):
+            cnt[tri] += 1
+    want = sorted((t, s) for t, s in cnt.items() if s >= 2)
+    assert [
+        ((r.part_a, r.part_b, r.part_c), r.support) for r in got.itertuples()
+    ] == want
+
+
+def test_conversion_lags_brute_force():
+    import duckdb
+
+    from agentic_doc_ray.functions.analytics import conversion_lags
+
+    got = (
+        conversion_lags("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("user_id")["lag_sec"]
+        .to_dict()
+    )
+    con = duckdb.connect()
+    ev = con.execute(
+        "SELECT user_id, epoch_us(ts) AS us, event_type "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet') "
+        "WHERE event_type IN ('view', 'purchase')"
+    ).df()
+    want = {}
+    for uid, sub in ev.groupby("user_id"):
+        views = sub.loc[sub["event_type"] == "view", "us"]
+        if views.empty:
+            continue
+        fv = views.min()
+        pur = sub.loc[(sub["event_type"] == "purchase") & (sub["us"] >= fv), "us"]
+        if pur.empty:
+            continue
+        want[uid] = int((pur.min() - fv) // 1_000_000)
+    assert got == want
+    assert all(v >= 0 for v in got.values())

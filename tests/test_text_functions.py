@@ -1383,3 +1383,55 @@ def test_char_entropy_properties():
     # distributed == single-process replica (bit-equal)
     want = char_entropy_batch(t).to_pandas().set_index("doc_id")
     assert got.equals(want)
+
+
+def test_phrase_merge_greedy_chain():
+    import numpy as np
+    import pyarrow as pa
+
+    from agentic_doc_ray.functions.text import _phrase_merge_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "a b c d",    # chain: (a b) and (b c) and (c d) all phrases
+                "x a b y",
+                "",
+            ],
+        }
+    )
+    phrases = np.array(["a b", "b c", "c d"], dtype=object)
+    out = _phrase_merge_batch(t, phrases).to_pandas().set_index("doc_id")
+    # greedy left-to-right: merge (a b), skip (b c), merge (c d)
+    assert out.loc[1, "text_merged"] == "a_b c_d"
+    assert out.loc[1, "n_merges"] == 2
+    assert out.loc[2, "text_merged"] == "x a_b y"
+    assert out.loc[2, "n_merges"] == 1
+    assert out.loc[3, "text_merged"] == "" and out.loc[3, "n_merges"] == 0
+
+
+def test_phrase_merge_distributed_matches_replica():
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from agentic_doc_ray.functions.text import phrase_merge, phrase_merge_oracle
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = (
+        phrase_merge(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        phrase_merge_oracle(tbl)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert (got["n_merges"] > 0).any()  # phrases actually fire
