@@ -1112,6 +1112,11 @@ _DRIVER_PRIORITY = [
     "copurchase_triples",
     "phrase_merge",
     "conversion_lags",
+    # new in session 13 (batch 5): boilerplate-prefix detector, DAU/WAU
+    # stickiness, first-seen growth split
+    "source_common_prefix",
+    "rolling_active_users",
+    "daily_new_users",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2736,6 +2741,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return conversion_lags(sf_dir)
 
+    def q_source_common_prefix(sf_dir):
+        """Per-source longest common document prefix (template-header /
+        boilerplate detector) via the mergeable lexicographic min/max
+        trick — two strings per source per batch move, never docs. SQL
+        lateral char-compare oracle."""
+        from agentic_doc_ray.functions.profile import source_common_prefix
+
+        return source_common_prefix(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["source", "text"]
+            )
+        )
+
+    def q_rolling_active_users(sf_dir):
+        """DAU / trailing-7-day WAU / integer stickiness per active day —
+        the product engagement rollup; exchanges bounded by (day, user)
+        activity pairs x7. SQL generate_series window oracle."""
+        from agentic_doc_ray.functions.analytics import rolling_active_users
+
+        return rolling_active_users(sf_dir)
+
+    def q_daily_new_users(sf_dir):
+        """Per-day active vs first-seen users (growth attribution):
+        user-keyed min exchange + day-keyed counts. SQL oracle."""
+        from agentic_doc_ray.functions.analytics import daily_new_users
+
+        return daily_new_users(sf_dir)
+
     def q_cdc_chunks(sf_dir):
         """Content-defined chunking (FastCDC-style, stateless variant):
         one row per chunk; batch-local, zero exchanges. Oracle: bit-equal
@@ -3967,6 +4000,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triples": q_copurchase_triples,
         "phrase_merge": q_phrase_merge,            # single-process replica oracle
         "conversion_lags": q_conversion_lags,
+        "source_common_prefix": q_source_common_prefix,
+        "rolling_active_users": q_rolling_active_users,
+        "daily_new_users": q_daily_new_users,
         "source_divergence": q_source_divergence,  # single-process replica oracle
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
         "cdc_dedup_stats": q_cdc_dedup_stats,      # SQL over the chunk replica
@@ -5898,6 +5934,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v.user_id, "
             "  CAST((epoch_us(p.fp) - epoch_us(v.fv)) // 1000000 AS BIGINT) AS lag_sec "
             "FROM v JOIN p USING (user_id)"
+        ),
+        # common prefix of a string SET == common prefix of its lex
+        # min/max; the lateral scan finds the first mismatching char
+        "source_common_prefix": (
+            "WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "  min(text) AS a, max(text) AS b FROM documents GROUP BY 1), "
+            "p AS (SELECT source, n_docs, a, "
+            "  CAST(coalesce((SELECT min(i) FROM "
+            "    (SELECT unnest(generate_series(1, least(length(a), length(b)))) AS i) "
+            "    WHERE substring(a, i, 1) <> substring(b, i, 1)) - 1, "
+            "  least(length(a), length(b))) AS BIGINT) AS prefix_len FROM m) "
+            "SELECT source, n_docs, prefix_len, "
+            "  substring(a, 1, CAST(least(prefix_len, 64) AS INT)) AS prefix "
+            "FROM p"
+        ),
+        "rolling_active_users": (
+            "WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, "
+            "  user_id FROM events), "
+            "w AS (SELECT day + i AS day, user_id FROM du, "
+            "  generate_series(0, 6) s(i)), "
+            "wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau "
+            "  FROM w GROUP BY 1), "
+            "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1) "
+            "SELECT CAST(d.day AS BIGINT) AS day, d.dau, w2.wau, "
+            "  CAST(1000000 * d.dau // w2.wau AS BIGINT) AS stickiness_ppm "
+            "FROM dau d JOIN wau w2 USING (day)"
+        ),
+        "daily_new_users": (
+            "WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, "
+            "  user_id FROM events), "
+            "a AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM du GROUP BY 1), "
+            "f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1), "
+            "n AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new "
+            "  FROM f GROUP BY 1) "
+            "SELECT CAST(a.day AS BIGINT) AS day, a.n_active, "
+            "  CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new "
+            "FROM a LEFT JOIN n USING (day)"
         ),
         # exact per-group quantiles: 1-based sorted-list index at
         # floor((n-1)*p) matches the engine's integer num/den rule

@@ -2600,3 +2600,159 @@ def conversion_lags(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
         .groupby("bucket", num_partitions=np_)
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _distinct_day_users(sf_dir: str) -> "ray.data.Dataset":
+    """Globally distinct (day, user_id) activity rows (day = epoch_us //
+    86400e6): per-batch distinct partials + one hash aggregate; the
+    exchange is bounded by active (day, user) pairs, not events."""
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            batch.column("ts").cast(pa.int64()),
+            pa.scalar(_US_PER_DAY, pa.int64()),
+        )
+        t = pa.Table.from_arrays(
+            [day, batch.column("user_id")], names=["day", "user_id"]
+        )
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "user_id"], num_partitions=_cap(8))
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda b: b.select(["day", "user_id"]), batch_format="pyarrow"
+        )
+    )
+
+
+def rolling_active_users(sf_dir: str) -> "ray.data.Dataset":
+    """DAU / trailing-7-day WAU / stickiness per day — the product
+    engagement rollup, exact: the distinct (day, user) table expands x7
+    into (window_day, user) rows, a second distinct-then-count exchange
+    yields WAU; stickiness_ppm = 10^6 * dau // wau. Output days are the
+    days with activity (the dau side of the join); early days carry
+    partial (shorter) trailing windows, same as the SQL.
+
+    Exchanges are bounded by active (day, user) pairs x7 — activity
+    tables, never raw events."""
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions.join_api import hash_join
+
+    du = _distinct_day_users(sf_dir).materialize()
+
+    def dau_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["day"]).group_by("day").aggregate([("day", "count")])
+        return g.rename_columns(["day", "n"])
+
+    dau = (
+        du.map_batches(dau_partial, batch_format="pyarrow")
+        .groupby("day", num_partitions=_cap(4))
+        .aggregate(Sum("n", alias_name="dau"))
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        user = batch.column("user_id").to_numpy(zero_copy_only=False)
+        wd = (day[:, None] + np.arange(7)[None, :]).ravel()
+        uu = np.repeat(user, 7)
+        t = pa.Table.from_arrays(
+            [pa.array(wd.astype(np.int64)), pa.array(uu)],
+            names=["day", "user_id"],
+        )
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    def wau_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["day"]).group_by("day").aggregate([("day", "count")])
+        return g.rename_columns(["day", "n"])
+
+    wau = (
+        du.map_batches(expand, batch_format="pyarrow")
+        .groupby(["day", "user_id"], num_partitions=_cap(8))
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(wau_partial, batch_format="pyarrow")
+        .groupby("day", num_partitions=_cap(4))
+        .aggregate(Sum("n", alias_name="wau"))
+    )
+
+    joined = hash_join(dau, wau, left_on="day", how="inner")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dau_v = batch.column("dau").to_numpy(zero_copy_only=False)
+        wau_v = batch.column("wau").to_numpy(zero_copy_only=False)
+        stick = 1_000_000 * dau_v // np.maximum(wau_v, 1)
+        return pa.Table.from_arrays(
+            [
+                batch.column("day").combine_chunks().cast(pa.int64()),
+                pa.array(dau_v.astype(np.int64)),
+                pa.array(wau_v.astype(np.int64)),
+                pa.array(stick.astype(np.int64)),
+            ],
+            names=["day", "dau", "wau", "stickiness_ppm"],
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def daily_new_users(sf_dir: str) -> "ray.data.Dataset":
+    """Per day: active users vs FIRST-SEEN (new) users — the growth /
+    retention attribution split. First-seen day per user via one
+    user-keyed min exchange over the distinct activity table; counts
+    join day-keyed. Exact integers."""
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions.join_api import hash_join
+    from ray.data.aggregate import Min
+
+    du = _distinct_day_users(sf_dir).materialize()
+
+    def dau_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["day"]).group_by("day").aggregate([("day", "count")])
+        return g.rename_columns(["day", "n"])
+
+    active = (
+        du.map_batches(dau_partial, batch_format="pyarrow")
+        .groupby("day", num_partitions=_cap(4))
+        .aggregate(Sum("n", alias_name="n_active"))
+    )
+
+    first = (
+        du.groupby("user_id", num_partitions=_cap(8))
+        .aggregate(Min("day", alias_name="first_day"))
+    )
+
+    def new_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["first_day"])
+            .group_by("first_day")
+            .aggregate([("first_day", "count")])
+        )
+        return g.rename_columns(["day", "n"])
+
+    new = (
+        first.map_batches(new_partial, batch_format="pyarrow")
+        .groupby("day", num_partitions=_cap(4))
+        .aggregate(Sum("n", alias_name="n_new"))
+    )
+
+    joined = hash_join(active, new, left_on="day", how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch.column("day").combine_chunks().cast(pa.int64()),
+                "n_active": batch.column("n_active").combine_chunks().cast(pa.int64()),
+                "n_new": pc.coalesce(
+                    batch.column("n_new").combine_chunks().cast(pa.int64()),
+                    pa.scalar(0, pa.int64()),
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

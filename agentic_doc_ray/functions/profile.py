@@ -651,3 +651,67 @@ def rollup_counts(docs: "ray.data.Dataset") -> pa.Table:
             "n_chars": pa.array([r[3] for r in out], pa.int64()),
         }
     )
+
+
+def source_common_prefix(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source longest common prefix of ALL documents (the template
+    header / boilerplate-prefix detector for crawl sources): exact via
+    the lexicographic min/max trick — the common prefix of a string SET
+    equals the common prefix of its lexicographic min and max, and
+    min/max are mergeable aggregates, so the exchange carries two
+    strings per source per batch, never documents.
+
+    Output: (source, n_docs, prefix_len, prefix) — prefix truncated to
+    64 chars for the report (length is exact)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["source", "text"])
+            .group_by("source")
+            .aggregate([("text", "min"), ("text", "max"), ("text", "count")])
+        )
+        return g.rename_columns(["source", "mn", "mx", "n"])
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=shuffle_partitions(4))
+        .aggregate(
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+            Sum("n", alias_name="n_docs"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # rows here are source-bounded; the per-row loop is over sources
+        rows = []
+        for r in batch.to_pylist():
+            a, b = r["mn"] or "", r["mx"] or ""
+            lim = min(len(a), len(b))
+            i = 0
+            while i < lim and a[i] == b[i]:
+                i += 1
+            rows.append(
+                {
+                    "source": r["source"],
+                    "n_docs": int(r["n_docs"]),
+                    "prefix_len": i,
+                    "prefix": a[: min(i, 64)],
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("prefix_len", pa.int64()),
+                    ("prefix", pa.string()),
+                ]
+            ),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1065,6 +1065,31 @@ def main() -> None:
 
     timed("conversion_lags", conversion_lags_q)
 
+    def common_prefix_q() -> None:
+        from agentic_doc_ray.functions.profile import source_common_prefix
+
+        source_common_prefix(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["source", "text"]
+            )
+        ).count()
+
+    timed("source_common_prefix", common_prefix_q)
+
+    def rolling_users_q() -> None:
+        from agentic_doc_ray.functions.analytics import rolling_active_users
+
+        rolling_active_users(SF_DIR).count()
+
+    timed("rolling_active_users", rolling_users_q)
+
+    def new_users_q() -> None:
+        from agentic_doc_ray.functions.analytics import daily_new_users
+
+        daily_new_users(SF_DIR).count()
+
+    timed("daily_new_users", new_users_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

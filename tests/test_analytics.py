@@ -1631,3 +1631,45 @@ def test_conversion_lags_brute_force():
         want[uid] = int((pur.min() - fv) // 1_000_000)
     assert got == want
     assert all(v >= 0 for v in got.values())
+
+
+def test_rolling_active_users_brute_force():
+    import duckdb
+
+    from agentic_doc_ray.functions.analytics import (
+        daily_new_users,
+        rolling_active_users,
+    )
+
+    got = (
+        rolling_active_users("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("day")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    du = con.execute(
+        "SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).df()
+    days = sorted(du["day"].unique())
+    for d in days:
+        dau = du[du["day"] == d]["user_id"].nunique()
+        wau = du[(du["day"] >= d - 6) & (du["day"] <= d)]["user_id"].nunique()
+        assert got.loc[d, "dau"] == dau
+        assert got.loc[d, "wau"] == wau
+        assert got.loc[d, "stickiness_ppm"] == 1_000_000 * dau // wau
+    assert set(got.index) == set(days)
+
+    new = (
+        daily_new_users("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("day")
+        .sort_index()
+    )
+    first = du.groupby("user_id")["day"].min()
+    for d in days:
+        assert new.loc[d, "n_active"] == du[du["day"] == d]["user_id"].nunique()
+        assert new.loc[d, "n_new"] == int((first == d).sum())
+    # conservation: total new users == distinct users
+    assert new["n_new"].sum() == du["user_id"].nunique()

@@ -126,3 +126,35 @@ def test_rollup_counts_planted():
     assert got[("ALL", "en")] == (2, 3)
     assert got[("ALL", "ALL")] == (3, 6)
     assert len(got) == 3 + 2 + 2 + 1
+
+
+def test_source_common_prefix_planted():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.profile import source_common_prefix
+
+    t = pa.table(
+        {
+            "source": ["a", "a", "a", "b", "b", "c"],
+            "text": [
+                "HEADER: one two",
+                "HEADER: three",
+                "HEADER: zz",
+                "xy1",
+                "xy2",
+                "solo document",
+            ],
+        }
+    )
+    got = (
+        source_common_prefix(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert got.loc["a", "prefix_len"] == len("HEADER: ")
+    assert got.loc["a", "prefix"] == "HEADER: "
+    assert got.loc["b", "prefix_len"] == 2 and got.loc["b", "prefix"] == "xy"
+    # single-doc source: the whole doc is its own common prefix
+    assert got.loc["c", "prefix_len"] == len("solo document")
+    assert got.loc["a", "n_docs"] == 3
