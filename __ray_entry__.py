@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 51  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 52  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -245,6 +245,15 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         phrase_merge_oracle(docs_tbl),
         os.path.join(out_dir, "phrase_merge.parquet"),
+    )
+
+    # alias-table replica: pure top-k counts + the same integer Vose
+    # construction (deterministic FIFO stacks) — bit-equal
+    from agentic_doc_ray.functions.text import alias_table_oracle
+
+    _pq.write_table(
+        alias_table_oracle(docs_tbl, k=512),
+        os.path.join(out_dir, "alias_table.parquet"),
     )
 
     # BPE merge-table replica: exact integer word counts + deterministic
@@ -1117,6 +1126,11 @@ _DRIVER_PRIORITY = [
     "source_common_prefix",
     "rolling_active_users",
     "daily_new_users",
+    # new in session 13 (batch 6): lexical diversity, burstiness, alias
+    # sampling table
+    "doc_ttr",
+    "token_burstiness",
+    "alias_table",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2741,6 +2755,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return conversion_lags(sf_dir)
 
+    def q_doc_ttr(sf_dir):
+        """Per-doc type-token ratio (lexical diversity / template spam
+        signal), floor per-mille; batch-local vectorized distinct. SQL
+        count-DISTINCT oracle."""
+        return T.doc_ttr(docs(sf_dir))
+
+    def q_token_burstiness(sf_dir):
+        """Church-Gale burstiness (cf*1000//df) per token at df >= 3,
+        deterministic top-200 — boilerplate/spam vocab detector; one
+        token-keyed aggregate of per-batch (cf, df) partials."""
+        return T.token_burstiness(docs(sf_dir))
+
+    def q_alias_table(sf_dir):
+        """Walker/Vose alias sampling table over the unigram^0.75
+        weights, exact integer construction with deterministic FIFO
+        stacks. Oracle: bit-equal single-process replica."""
+        _ensure_extraction_oracles(sf_dir)
+        return T.alias_table(docs(sf_dir), k=512)
+
     def q_source_common_prefix(sf_dir):
         """Per-source longest common document prefix (template-header /
         boilerplate detector) via the mergeable lexicographic min/max
@@ -4003,6 +4036,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_common_prefix": q_source_common_prefix,
         "rolling_active_users": q_rolling_active_users,
         "daily_new_users": q_daily_new_users,
+        "doc_ttr": q_doc_ttr,
+        "token_burstiness": q_token_burstiness,
+        "alias_table": q_alias_table,              # single-process replica oracle
         "source_divergence": q_source_divergence,  # single-process replica oracle
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
         "cdc_dedup_stats": q_cdc_dedup_stats,      # SQL over the chunk replica
@@ -5913,6 +5949,37 @@ def oracle_sql() -> dict[str, str]:
         "phrase_merge": (
             "SELECT doc_id, text_merged, n_merges "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/phrase_merge.parquet')"
+        ),
+        "alias_table": (
+            "SELECT slot, token, accept_num, alias_token, total "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/alias_table.parquet')"
+        ),
+        "doc_ttr": (
+            "WITH tr AS (SELECT doc_id, "
+            "  regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t FROM documents), "
+            "tok AS (SELECT doc_id, "
+            "  unnest(regexp_split_to_array(t, '\\s+')) AS token "
+            "  FROM tr WHERE t <> ''), "
+            "s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "  CAST(count(DISTINCT token) AS BIGINT) AS n_types "
+            "  FROM tok GROUP BY 1) "
+            "SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "  CAST(coalesce(s.n_types, 0) AS BIGINT) AS n_types, "
+            "  CAST(1000 * coalesce(s.n_types, 0) "
+            "    // greatest(coalesce(s.n_tokens, 0), 1) AS BIGINT) AS ttr_per_mille "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "token_burstiness": (
+            "WITH tr AS (SELECT doc_id, "
+            "  regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t FROM documents), "
+            "tok AS (SELECT doc_id, "
+            "  unnest(regexp_split_to_array(t, '\\s+')) AS token "
+            "  FROM tr WHERE t <> ''), "
+            "s AS (SELECT token, CAST(count(*) AS BIGINT) AS cf, "
+            "  CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1) "
+            "SELECT token, cf, df, CAST(1000 * cf // df AS BIGINT) AS burstiness "
+            "FROM s WHERE df >= 3 "
+            "ORDER BY burstiness DESC, token LIMIT 200"
         ),
         # plain triple HAVING — the engine's frequent-pair pruning is
         # result-neutral by A-Priori monotonicity

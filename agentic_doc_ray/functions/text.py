@@ -4024,3 +4024,227 @@ def phrase_merge_oracle(
         df.loc[df["n"] >= min_count, "bigram"].tolist(), dtype=object
     )
     return _phrase_merge_batch(docs_tbl, phrases)
+
+
+def doc_ttr(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-doc lexical diversity: type-token ratio (distinct tokens /
+    tokens, floor per-mille) — the template/spam repetitiveness signal
+    at the word level (char_entropy's token-level sibling). Batch-local,
+    vectorized distinct via factorize + (doc, code) unique."""
+    import pandas as pd
+
+    def f(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        if isinstance(trimmed, pa.ChunkedArray):
+            trimmed = trimmed.combine_chunks()
+        nonempty = pc.not_equal(trimmed, "")
+        toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        flat = toks_list.flatten()
+        parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+        n_docs = batch.num_rows
+        idx = np.flatnonzero(nonempty.to_numpy(zero_copy_only=False))
+        n_tok = np.zeros(n_docs, np.int64)
+        n_typ = np.zeros(n_docs, np.int64)
+        if len(flat):
+            codes, _ = pd.factorize(flat.to_numpy(zero_copy_only=False))
+            key = parents.astype(np.int64) * (codes.max() + 1) + codes
+            uk = np.unique(key)
+            n_ne = int(parents[-1]) + 1
+            n_tok[idx[:n_ne]] = np.bincount(parents, minlength=n_ne)
+            n_typ[idx[:n_ne]] = np.bincount(
+                (uk // (codes.max() + 1)).astype(np.int64), minlength=n_ne
+            )
+        ttr = 1000 * n_typ // np.maximum(n_tok, 1)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(n_tok),
+                pa.array(n_typ),
+                pa.array(ttr.astype(np.int64)),
+            ],
+            names=["doc_id", "n_tokens", "n_types", "ttr_per_mille"],
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def token_burstiness(
+    docs: "ray.data.Dataset", min_df: int = 3, k: int = 200
+) -> "ray.data.Dataset":
+    """Church–Gale burstiness per token: collection frequency vs document
+    frequency (cf*1000//df) — high values mark tokens that pile into few
+    documents (codes, boilerplate, spam vocab) vs evenly-spread function
+    words. Exact integers; deterministic (burstiness DESC, token) top-k.
+
+    Shape: one corpus pass emits per-batch (token, cf, df) partials — a
+    document is one ROW, so per-batch distinct-doc counts SUM to the
+    global df; one token-keyed aggregate, k-bounded output."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = _regex_trim(batch.column("text"))
+        if isinstance(trimmed, pa.ChunkedArray):
+            trimmed = trimmed.combine_chunks()
+        nonempty = pc.not_equal(trimmed, "")
+        toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        flat = toks_list.flatten()
+        parents = pc.list_parent_indices(toks_list)
+        t = pa.Table.from_arrays(
+            [flat, parents], names=["token", "p"]
+        )
+        cf = t.group_by("token").aggregate([("token", "count")])
+        dfp = (
+            t.group_by(["token", "p"]).aggregate([])
+            .group_by("token")
+            .aggregate([("p", "count")])
+        )
+        m = cf.rename_columns(["token", "cf"]).join(
+            dfp.rename_columns(["token", "df"]), keys="token"
+        )
+        return m.cast(
+            pa.schema(
+                [("token", pa.string()), ("cf", pa.int64()), ("df", pa.int64())]
+            )
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token", num_partitions=shuffle_partitions())
+        .aggregate(Sum("cf", alias_name="cf"), Sum("df", alias_name="df"))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.greater_equal(batch.column("df"), pa.scalar(min_df, pa.int64()))
+        )
+        if f.num_rows == 0:
+            return pa.schema(
+                [
+                    ("token", pa.string()),
+                    ("cf", pa.int64()),
+                    ("df", pa.int64()),
+                    ("burstiness", pa.int64()),
+                ]
+            ).empty_table()
+        b = pc.divide(
+            pc.multiply(f.column("cf"), pa.scalar(1000, pa.int64())),
+            f.column("df"),
+        )
+        return f.append_column("burstiness", b.cast(pa.int64()))
+
+    return (
+        agg.map_batches(score, batch_format="pyarrow")
+        .sort(["burstiness", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def alias_table(
+    docs: "ray.data.Dataset", k: int = 512
+) -> "ray.data.Dataset":
+    """Walker/Vose ALIAS sampling table over the negative-sampling
+    weights (O(1) draws for the trainer): exact integer construction —
+    slot i accepts its own token when ``u * total < accept_num[i]``
+    (u uniform over [0, total), slot uniform over k), else yields
+    ``alias_token[i]``. Deterministic: stacks are ascending-index FIFO
+    deques over the (n DESC, token) vocabulary order.
+
+    Builds on ``neg_sampling_table``'s k-bounded exchange; construction
+    is driver-side over k rows (the table IS the driver-resident
+    artifact). Invariant pinned in tests: sum of each token's acceptance
+    mass + alias contributions == k * weight exactly."""
+    from collections import deque
+
+    rows = neg_sampling_table(docs, k=k).take_all()
+    tokens = [r["token"] for r in rows]
+    w = [int(r["weight"]) for r in rows]
+    n = len(w)
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "slot": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "accept_num": pa.array([], pa.int64()),
+                    "alias_token": pa.array([], pa.string()),
+                    "total": pa.array([], pa.int64()),
+                }
+            )
+        )
+    total = sum(w)
+    # scaled_i = w_i * n, compared against total (exact rationals)
+    scaled = [x * n for x in w]
+    small = deque(i for i in range(n) if scaled[i] < total)
+    large = deque(i for i in range(n) if scaled[i] >= total)
+    accept = [total] * n  # full slots accept always
+    alias = list(range(n))
+    while small and large:
+        s = small.popleft()
+        l = large[0]
+        accept[s] = scaled[s]
+        alias[s] = l
+        scaled[l] -= total - scaled[s]
+        if scaled[l] < total:
+            large.popleft()
+            small.append(l)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "slot": pa.array(range(n), pa.int64()),
+                "token": pa.array(tokens, pa.string()),
+                "accept_num": pa.array(accept, pa.int64()),
+                "alias_token": pa.array([tokens[a] for a in alias], pa.string()),
+                "total": pa.array([total] * n, pa.int64()),
+            }
+        )
+    )
+
+
+def alias_table_oracle(docs_tbl: pa.Table, k: int = 512) -> pa.Table:
+    """Single-process replica of ``alias_table``: pure top-k counts ->
+    the same integer Vose construction (bit-equal)."""
+    import pandas as pd
+
+    part = _unigram_partial(docs_tbl)
+    g = (
+        part.group_by("token").aggregate([("n", "sum")])
+        .rename_columns(["token", "n"])
+    )
+    df = g.to_pandas().sort_values(["n", "token"], ascending=[False, True]).head(k)
+    from math import isqrt
+
+    from collections import deque
+
+    tokens = df["token"].tolist()
+    w = [isqrt(int(n) * isqrt(int(n))) for n in df["n"]]
+    n = len(w)
+    total = sum(w)
+    scaled = [x * n for x in w]
+    small = deque(i for i in range(n) if scaled[i] < total)
+    large = deque(i for i in range(n) if scaled[i] >= total)
+    accept = [total] * n
+    alias = list(range(n))
+    while small and large:
+        s = small.popleft()
+        l = large[0]
+        accept[s] = scaled[s]
+        alias[s] = l
+        scaled[l] -= total - scaled[s]
+        if scaled[l] < total:
+            large.popleft()
+            small.append(l)
+    return pa.table(
+        {
+            "slot": pa.array(range(n), pa.int64()),
+            "token": pa.array(tokens, pa.string()),
+            "accept_num": pa.array(accept, pa.int64()),
+            "alias_token": pa.array([tokens[a] for a in alias], pa.string()),
+            "total": pa.array([total] * n, pa.int64()),
+        }
+    )

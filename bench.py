@@ -1090,6 +1090,28 @@ def main() -> None:
 
     timed("daily_new_users", new_users_q)
 
+    def doc_ttr_q() -> None:
+        from agentic_doc_ray.functions.text import doc_ttr
+
+        doc_ttr(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("doc_ttr", doc_ttr_q)
+
+    def burstiness_q() -> None:
+        from agentic_doc_ray.functions.text import token_burstiness
+
+        token_burstiness(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("token_burstiness", burstiness_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

@@ -1435,3 +1435,70 @@ def test_phrase_merge_distributed_matches_replica():
     )
     assert got.equals(want)
     assert (got["n_merges"] > 0).any()  # phrases actually fire
+
+
+def test_doc_ttr_planted():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.text import doc_ttr
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["a a a a", "a b c d", ""],
+        }
+    )
+    got = doc_ttr(ray.data.from_arrow(t).repartition(2)).to_pandas().set_index("doc_id")
+    assert got.loc[1].tolist() == [4, 1, 250]
+    assert got.loc[2].tolist() == [4, 4, 1000]
+    assert got.loc[3].tolist() == [0, 0, 0]
+
+
+def test_alias_table_invariants():
+    """Exact mass conservation: each token's acceptance mass plus the
+    mass it receives as an alias equals k * weight (the defining alias
+    property), and the replica matches the distributed build."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from agentic_doc_ray.functions.text import alias_table, alias_table_oracle
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = (
+        alias_table(ray.data.from_arrow(tbl).repartition(3), k=16)
+        .to_pandas()
+        .sort_values("slot")
+        .reset_index(drop=True)
+    )
+    want = alias_table_oracle(tbl, k=16).to_pandas()
+    assert got.equals(want)
+
+    total = int(got["total"].iloc[0])
+    k = len(got)
+    mass = defaultdict(int)
+    for r in got.itertuples():
+        mass[r.token] += r.accept_num
+        if r.alias_token != r.token:
+            mass[r.alias_token] += total - r.accept_num
+    # reconstruct weights: mass[token] == weight * k exactly
+    import math
+
+    import duckdb
+
+    cnt = duckdb.sql(
+        "SELECT token, count(*) n FROM (SELECT unnest(regexp_split_to_array("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token "
+        "FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> '') GROUP BY 1 "
+        "ORDER BY n DESC, token LIMIT 16"
+    ).df()
+    for tok, n in zip(cnt["token"], cnt["n"]):
+        w = math.isqrt(int(n) * math.isqrt(int(n)))
+        assert mass[tok] == w * k, tok
+    assert sum(mass.values()) == total * k
