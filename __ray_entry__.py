@@ -1131,6 +1131,13 @@ _DRIVER_PRIORITY = [
     "doc_ttr",
     "token_burstiness",
     "alias_table",
+    # new in session 13 (batch 7): flagship-stream consumers — layout
+    # grammar, per-source extraction health, grounding coverage — and
+    # the footer detector
+    "kind_transitions",
+    "error_rate_by_source",
+    "grounding_coverage",
+    "source_common_suffix",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2755,6 +2762,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return conversion_lags(sf_dir)
 
+    def q_kind_transitions(sf_dir):
+        """Corpus document-grammar profile: consecutive span-kind
+        transition counts in offset order — consumed from the PARSED
+        (doc-atomic) stream so block re-slicing can never cut a pair.
+        SQL LEAD-window oracle over the flat-spans replica."""
+        from agentic_doc_ray.functions.interleave import kind_transitions
+
+        _ensure_extraction_oracles(sf_dir)
+        return kind_transitions(extract_corpus(_corpus_ds(sf_dir)))
+
+    def q_error_rate_by_source(sf_dir):
+        """Per-source extraction health (ingestion-quality alarm table):
+        docs / docs-with-errors / total page errors, source attached via
+        the bucketed hash_join on the doc-%08d id. SQL oracle joins the
+        doc_stats replica with documents."""
+        from agentic_doc_ray.functions.interleave import error_rate_by_source
+
+        _ensure_extraction_oracles(sf_dir)
+        return error_rate_by_source(extract_corpus(_corpus_ds(sf_dir)), sf_dir)
+
+    def q_grounding_coverage(sf_dir):
+        """Per-(doc, page) grounding coverage: exact clamped-bbox pixel
+        area sums vs the page raster as floor ppm (layout-density
+        audit). SQL oracle over the grounding replica."""
+        from agentic_doc_ray.functions.grounding import (
+            grounding_coverage,
+            grounding_manifest,
+        )
+
+        _ensure_extraction_oracles(sf_dir)
+        return grounding_coverage(
+            grounding_manifest(extract_corpus(_corpus_ds(sf_dir)), "/tmp/gm")
+        )
+
+    def q_source_common_suffix(sf_dir):
+        """Per-source longest common document SUFFIX (footer/boilerplate
+        detector) — the prefix op's min/max identity on reversed
+        strings. SQL reverse() oracle."""
+        from agentic_doc_ray.functions.profile import source_common_suffix
+
+        return source_common_suffix(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["source", "text"]
+            )
+        )
+
     def q_doc_ttr(sf_dir):
         """Per-doc type-token ratio (lexical diversity / template spam
         signal), floor per-mille; batch-local vectorized distinct. SQL
@@ -4039,6 +4092,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr": q_doc_ttr,
         "token_burstiness": q_token_burstiness,
         "alias_table": q_alias_table,              # single-process replica oracle
+        "kind_transitions": q_kind_transitions,    # SQL over flat replica
+        "error_rate_by_source": q_error_rate_by_source,
+        "grounding_coverage": q_grounding_coverage,
+        "source_common_suffix": q_source_common_suffix,
         "source_divergence": q_source_divergence,  # single-process replica oracle
         "cdc_chunks": q_cdc_chunks,                # single-process replica oracle
         "cdc_dedup_stats": q_cdc_dedup_stats,      # SQL over the chunk replica
@@ -5874,6 +5931,49 @@ def oracle_sql() -> dict[str, str]:
         "char_lang_id": (
             "SELECT doc_id, lang_pred, n_hits, n_trigrams "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/char_lang_id.parquet')"
+        ),
+        # span-kind transition counts via LEAD windows over the flat
+        # replica (the engine pairs inside the parsed span lists)
+        "kind_transitions": (
+            f"WITH f AS (SELECT doc_id, \"offset\", kind FROM {flat}), "
+            "w AS (SELECT doc_id, kind, lead(kind) OVER ("
+            '  PARTITION BY doc_id ORDER BY "offset") AS nk FROM f) '
+            "SELECT kind AS kind_a, nk AS kind_b, "
+            "  CAST(count(*) AS BIGINT) AS n "
+            "FROM w WHERE nk IS NOT NULL GROUP BY 1, 2"
+        ),
+        "error_rate_by_source": (
+            "WITH s AS (SELECT CAST(substring(doc_id, 5) AS BIGINT) AS did, "
+            f"  n_errors FROM {stats}), "
+            "j AS (SELECT d.source, s.n_errors FROM s "
+            "  JOIN documents d ON d.doc_id = s.did) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "  CAST(sum(CASE WHEN n_errors > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "    AS n_docs_with_errors, "
+            "  CAST(sum(n_errors) AS BIGINT) AS n_errors "
+            "FROM j GROUP BY 1"
+        ),
+        "grounding_coverage": (
+            "SELECT doc_id, CAST(page AS BIGINT) AS page, "
+            "  CAST(count(*) AS BIGINT) AS n_crops, "
+            "  CAST(sum((xmax - xmin) * (ymax - ymin)) AS BIGINT) AS area_sum, "
+            "  CAST(1000000 * sum((xmax - xmin) * (ymax - ymin)) "
+            "    // (816 * 1056) AS BIGINT) AS coverage_ppm "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/grounding.parquet') "
+            "GROUP BY 1, 2"
+        ),
+        "source_common_suffix": (
+            "WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "  min(reverse(text)) AS a, max(reverse(text)) AS b "
+            "  FROM documents GROUP BY 1), "
+            "p AS (SELECT source, n_docs, a, "
+            "  CAST(coalesce((SELECT min(i) FROM "
+            "    (SELECT unnest(generate_series(1, least(length(a), length(b)))) AS i) "
+            "    WHERE substring(a, i, 1) <> substring(b, i, 1)) - 1, "
+            "  least(length(a), length(b))) AS BIGINT) AS suffix_len FROM m) "
+            "SELECT source, n_docs, suffix_len, "
+            "  reverse(substring(a, 1, CAST(least(suffix_len, 64) AS INT))) AS suffix "
+            "FROM p"
         ),
         # case/whitespace/punct-insensitive cluster keeper + size
         "normalized_dedup": (

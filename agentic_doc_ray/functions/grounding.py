@@ -296,3 +296,57 @@ def save_groundings(
         },
         batch_format="pyarrow",
     )
+
+
+def grounding_coverage(manifest: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per (doc, page) grounding-coverage audit over the crop manifest:
+    sum of clamped bbox pixel areas (exact integers; overlaps counted —
+    a SUM coverage, the cheap layout-density signal) vs the page area,
+    as floor ppm. Per-batch (doc, page) partials -> one tiny aggregate.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        area = pc.multiply(
+            pc.subtract(batch.column("xmax"), batch.column("xmin")),
+            pc.subtract(batch.column("ymax"), batch.column("ymin")),
+        ).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column("page").cast(pa.int64()), area],
+            names=["doc_id", "page", "area"],
+        )
+        g = t.group_by(["doc_id", "page"]).aggregate(
+            [("area", "sum"), ("area", "count")]
+        )
+        return g.rename_columns(["doc_id", "page", "area", "n_crops"])
+
+    agg = (
+        manifest.map_batches(partial, batch_format="pyarrow")
+        .groupby(["doc_id", "page"], num_partitions=shuffle_partitions(8))
+        .aggregate(
+            Sum("area", alias_name="area_sum"),
+            Sum("n_crops", alias_name="n_crops"),
+        )
+    )
+    page_area = 816 * 1056  # the engine's default page raster (see above)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ppm = pc.divide(
+            pc.multiply(batch.column("area_sum"), pa.scalar(1_000_000, pa.int64())),
+            pa.scalar(page_area, pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("page"),
+                batch.column("n_crops").combine_chunks().cast(pa.int64()),
+                batch.column("area_sum").combine_chunks().cast(pa.int64()),
+                ppm.combine_chunks().cast(pa.int64()),
+            ],
+            names=["doc_id", "page", "n_crops", "area_sum", "coverage_ppm"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -243,3 +243,111 @@ def interleave_pack_oracle(
             used += c
             pos += 1
     return pa.Table.from_pylist(rows, schema=PACK_SCHEMA)
+
+
+def kind_transitions(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Layout-structure profile of the extracted span stream: counts of
+    consecutive (kind -> next kind) transitions in offset order per doc
+    (title->text, text->table, ... — the corpus-level document-grammar
+    signal). Consumes the PARSED stream — a document is one atomic row
+    carrying its ordered span list, so transitions can never be cut by
+    block re-slicing (the flat stream CAN split a doc across batches);
+    per-batch pair partials -> one tiny (kind_a, kind_b) aggregate."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    empty = pa.table(
+        {
+            "kind_a": pa.array([], pa.string()),
+            "kind_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        kinds = flat.field("kind")
+        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        n = len(kinds)
+        if n < 2:
+            return empty
+        same = pa.array(parents[:-1] == parents[1:])
+        t = pa.Table.from_arrays(
+            [
+                kinds.slice(0, n - 1).filter(same),
+                kinds.slice(1).filter(same),
+            ],
+            names=["kind_a", "kind_b"],
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["kind_a", "kind_b"]).aggregate([("kind_a", "count")])
+        return g.rename_columns(["kind_a", "kind_b", "n"])
+
+    return (
+        parsed.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind_a", "kind_b"], num_partitions=shuffle_partitions(4))
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def error_rate_by_source(
+    parsed: "ray.data.Dataset", sf_dir: str
+) -> "ray.data.Dataset":
+    """Per-source extraction health rollup (the ingestion-quality alarm
+    table): n_docs, docs with >= 1 page error, total page errors. The
+    corpus doc_id encodes the source table's integer id (doc-%08d), so
+    the source attaches through the generic bucketed ``hash_join``
+    against the documents table (source scales with docs — no
+    broadcast); per-source int partials finish in a tiny aggregate."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions.join_api import hash_join
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("doc_id"), 4, 1 << 30),
+            pa.int64(),
+        )
+        n_err = pc.list_value_length(batch.column("errors")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                ids,
+                pc.cast(pc.greater(n_err, 0), pa.int64()),
+                n_err,
+            ],
+            names=["doc_int", "has_err", "n_errors"],
+        )
+
+    per_doc = parsed.map_batches(doc_rows, batch_format="pyarrow")
+    src = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    joined = hash_join(per_doc, src, left_on="doc_int", right_on="doc_id")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["source", "has_err", "n_errors"])
+            .group_by("source")
+            .aggregate(
+                [("has_err", "count"), ("has_err", "sum"), ("n_errors", "sum")]
+            )
+        )
+        return g.rename_columns(["source", "n_docs", "n_docs_with_errors", "n_errors"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=shuffle_partitions(4))
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_docs_with_errors", alias_name="n_docs_with_errors"),
+            Sum("n_errors", alias_name="n_errors"),
+        )
+    )

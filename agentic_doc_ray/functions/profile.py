@@ -715,3 +715,65 @@ def source_common_prefix(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_common_suffix(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source longest common document SUFFIX (the footer /
+    copyright-boilerplate detector): ``source_common_prefix``'s min/max
+    identity applied to the REVERSED strings — reversal happens once per
+    batch (Arrow kernel), only two reversed strings per source per batch
+    move. Output suffix is reported right-side-out (last <= 64 chars)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.utf8_reverse(batch.column("text"))
+        t = pa.Table.from_arrays(
+            [batch.column("source"), rev], names=["source", "rt"]
+        )
+        g = (
+            t.group_by("source")
+            .aggregate([("rt", "min"), ("rt", "max"), ("rt", "count")])
+        )
+        return g.rename_columns(["source", "mn", "mx", "n"])
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=shuffle_partitions(4))
+        .aggregate(
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+            Sum("n", alias_name="n_docs"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            a, b = r["mn"] or "", r["mx"] or ""
+            lim = min(len(a), len(b))
+            i = 0
+            while i < lim and a[i] == b[i]:
+                i += 1
+            rows.append(
+                {
+                    "source": r["source"],
+                    "n_docs": int(r["n_docs"]),
+                    "suffix_len": i,
+                    "suffix": a[: min(i, 64)][::-1],
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("suffix_len", pa.int64()),
+                    ("suffix", pa.string()),
+                ]
+            ),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1112,6 +1112,39 @@ def main() -> None:
 
     timed("token_burstiness", burstiness_q)
 
+    def kind_transitions_q() -> None:
+        from agentic_doc_ray.functions.interleave import kind_transitions
+        from agentic_doc_ray.pipelines import extract_corpus, read_corpus
+        from agentic_doc_ray.synth import corpus_path_for
+
+        kind_transitions(
+            extract_corpus(read_corpus(corpus_path_for(SF_DIR)))
+        ).count()
+
+    timed("kind_transitions", kind_transitions_q)
+
+    def error_rate_q() -> None:
+        from agentic_doc_ray.functions.interleave import error_rate_by_source
+        from agentic_doc_ray.pipelines import extract_corpus, read_corpus
+        from agentic_doc_ray.synth import corpus_path_for
+
+        error_rate_by_source(
+            extract_corpus(read_corpus(corpus_path_for(SF_DIR))), SF_DIR
+        ).count()
+
+    timed("error_rate_by_source", error_rate_q)
+
+    def suffix_q() -> None:
+        from agentic_doc_ray.functions.profile import source_common_suffix
+
+        source_common_suffix(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["source", "text"]
+            )
+        ).count()
+
+    timed("source_common_suffix", suffix_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

@@ -170,3 +170,46 @@ def test_pack_real_corpus_matches_oracle():
     want = interleave_pack_oracle(tbl).to_pylist()
     skey = lambda r: (r["doc_id"], r["offset"])  # noqa: E731
     assert sorted(got, key=skey) == sorted(want, key=skey)
+
+
+def test_kind_transitions_counts(sf_smoke_corpus):
+    """Transitions recomputed from the oracle's parsed output."""
+    from collections import Counter
+
+    import ray.data
+
+    from agentic_doc_ray.functions.interleave import kind_transitions
+    from agentic_doc_ray.oracle import parse_corpus_oracle
+    from agentic_doc_ray.pipelines import extract_corpus
+
+    parsed_tbl = parse_corpus_oracle(sf_smoke_corpus)
+    want = Counter()
+    for spans in parsed_tbl["spans"].to_pylist():
+        kinds = [s["kind"] for s in spans]
+        for a, b in zip(kinds, kinds[1:]):
+            want[(a, b)] += 1
+
+    corpus = ray.data.from_arrow(sf_smoke_corpus).repartition(3)
+    got = {
+        (r["kind_a"], r["kind_b"]): r["n"]
+        for r in kind_transitions(extract_corpus(corpus)).take_all()
+    }
+    assert got == dict(want)
+
+
+def test_error_rate_by_source_conservation(sf_smoke_corpus):
+    import ray.data
+
+    from agentic_doc_ray.functions.interleave import error_rate_by_source
+    from agentic_doc_ray.oracle import parse_corpus_oracle
+    from agentic_doc_ray.pipelines import extract_corpus
+
+    corpus = ray.data.from_arrow(sf_smoke_corpus).repartition(3)
+    got = error_rate_by_source(
+        extract_corpus(corpus), "/root/testdata/sf0.001"
+    ).to_pandas()
+    parsed = parse_corpus_oracle(sf_smoke_corpus)
+    total_errs = sum(len(e) for e in parsed["errors"].to_pylist())
+    assert got["n_errors"].sum() == total_errs
+    assert got["n_docs"].sum() == sf_smoke_corpus.num_rows
+    assert (got["n_docs_with_errors"] <= got["n_docs"]).all()

@@ -158,3 +158,25 @@ def test_source_common_prefix_planted():
     # single-doc source: the whole doc is its own common prefix
     assert got.loc["c", "prefix_len"] == len("solo document")
     assert got.loc["a", "n_docs"] == 3
+
+
+def test_source_common_suffix_planted():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.profile import source_common_suffix
+
+    t = pa.table(
+        {
+            "source": ["a", "a", "b"],
+            "text": ["one (c) corp", "two words (c) corp", "nothing shared?"],
+        }
+    )
+    got = (
+        source_common_suffix(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert got.loc["a", "suffix_len"] == len(" (c) corp")
+    assert got.loc["a", "suffix"] == " (c) corp"
+    assert got.loc["b", "suffix_len"] == len("nothing shared?")
