@@ -1138,6 +1138,8 @@ _DRIVER_PRIORITY = [
     "error_rate_by_source",
     "grounding_coverage",
     "source_common_suffix",
+    # new in session 13 (batch 8): the generic safe groupby-apply API
+    "grouped_apply_median",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2808,6 +2810,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_grouped_apply(sf_dir):
+        """The generic grouped_apply API (safe distributed
+        groupby-apply): a custom per-group fn computes each language's
+        doc count + exact lower-median length. SQL list_sort oracle."""
+        from agentic_doc_ray.functions.group_api import grouped_apply
+
+        out_schema = pa.schema(
+            [
+                ("lang", pa.string()),
+                ("n_docs", pa.int64()),
+                ("median_n_chars", pa.int64()),
+            ]
+        )
+
+        def fn(g: pa.Table) -> pa.Table:
+            v = sorted(g.column("n_chars").to_pylist())
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "lang": g.column("lang")[0].as_py(),
+                        "n_docs": len(v),
+                        "median_n_chars": int(v[(len(v) - 1) // 2]),
+                    }
+                ],
+                schema=out_schema,
+            )
+
+        return grouped_apply(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+            ),
+            "lang",
+            fn,
+            out_schema,
+        )
+
     def q_doc_ttr(sf_dir):
         """Per-doc type-token ratio (lexical diversity / template spam
         signal), floor per-mille; batch-local vectorized distinct. SQL
@@ -4092,6 +4130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr": q_doc_ttr,
         "token_burstiness": q_token_burstiness,
         "alias_table": q_alias_table,              # single-process replica oracle
+        "grouped_apply_median": q_grouped_apply,
         "kind_transitions": q_kind_transitions,    # SQL over flat replica
         "error_rate_by_source": q_error_rate_by_source,
         "grounding_coverage": q_grounding_coverage,
@@ -5931,6 +5970,13 @@ def oracle_sql() -> dict[str, str]:
         "char_lang_id": (
             "SELECT doc_id, lang_pred, n_hits, n_trigrams "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/char_lang_id.parquet')"
+        ),
+        "grouped_apply_median": (
+            "WITH s AS (SELECT lang, list_sort(list(n_chars)) AS v, "
+            "  CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1) "
+            "SELECT lang, n AS n_docs, "
+            "  CAST(v[CAST((n - 1) // 2 AS BIGINT) + 1] AS BIGINT) AS median_n_chars "
+            "FROM s"
         ),
         # span-kind transition counts via LEAD windows over the flat
         # replica (the engine pairs inside the parsed span lists)

@@ -56,10 +56,45 @@ def _as_list(x: "str | list[str]") -> list[str]:
     return [x] if isinstance(x, str) else list(x)
 
 
+def _canon_key_strings(col, n: int) -> np.ndarray:
+    """Type-canonical string keys for hashing: int/timestamp via int64
+    repr, float by bit pattern (-0.0 normalized), else string cast;
+    nulls -> a reserved marker. A plain ``to_pandas()`` hash is NOT
+    layout-stable: an int64 arrow column converts to float64 pandas when
+    a batch happens to contain nulls, and 1 hashes differently from 1.0
+    — the same key would route to different buckets in different
+    batches."""
+    t = col.type
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+        v = col.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+        out = v.astype("U21").astype(object)
+    elif pa.types.is_floating(t):
+        v = col.cast(pa.float64()).fill_null(0.0).to_numpy(
+            zero_copy_only=False
+        ) + 0.0
+        out = np.char.mod("%d", v.view(np.int64)).astype(object)
+    else:
+        out = np.asarray(
+            col.cast(pa.string()).fill_null("").to_pandas(), dtype=object
+        )
+    if null_mask.any():
+        out = out.copy()
+        out[null_mask] = "\x00null"
+    return out
+
+
 def _key_bucket(tbl: pa.Table, keys: list[str], n_buckets: int) -> pa.Array:
-    """Deterministic vectorized multi-column key -> bucket hash."""
-    df = tbl.select(keys).to_pandas()
-    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    """Deterministic vectorized multi-column key -> bucket hash,
+    layout- and null-placement-stable (see _canon_key_strings)."""
+    n = tbl.num_rows
+    parts = [_canon_key_strings(tbl.column(k), n) for k in keys]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined + "\x1f" + p
+    h = pd.util.hash_array(joined)
     return pa.array((h % n_buckets).astype(np.int32), pa.int32())
 
 
