@@ -2348,7 +2348,7 @@ def copurchase_triples(
     )
 
     pair_schema = pa.schema(
-        [("pair", pa.int64()), ("n", pa.int64())]
+        [("pbucket", pa.int32()), ("pair", pa.int64()), ("n", pa.int64())]
     )
 
     def _sorted_baskets(group: pa.Table):
@@ -2381,25 +2381,47 @@ def copurchase_triples(
             return pair_schema.empty_table()
         t = pa.table({"pair": pa.array((x << 32) | y, pa.int64())})
         g = t.group_by("pair").aggregate([("pair", "count")])
-        return g.rename_columns(["pair", "n"]).cast(pair_schema)
+        g = g.rename_columns(["pair", "n"])
+        pb = pc.cast(
+            pc.bit_wise_and(
+                pc.multiply(g.column("pair"), pa.scalar(0x9E3779B9, pa.int64())),
+                pa.scalar(63, pa.int64()),
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [pb, g.column("pair"), g.column("n").cast(pa.int64())],
+            schema=pair_schema,
+        )
 
-    # pass 1: frequent pairs (the aggregate output feeds a FILTERING
-    # map_batches, then a bounded collect)
-    pair_agg = (
-        baskets.map_groups(pair_counts, batch_format="pyarrow")
-        .groupby("pair", num_partitions=np_)
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    def freq_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.greater_equal(batch.column("n"), pa.scalar(min_support, pa.int64()))
+    # pass 1: frequent pairs — per-bucket Arrow merge + HAVING instead of
+    # Ray's per-group hash aggregate (~60us/distinct group; the sf0.1
+    # 1.2M-pair table made that path a 25 s hot spot)
+    def merge_pairs(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("pair"), 0))
+        if g.num_rows == 0:
+            return pa.schema([("pair", pa.int64())]).empty_table()
+        agg = (
+            g.select(["pair", "n"])
+            .group_by("pair")
+            .aggregate([("n", "sum")])
+            .rename_columns(["pair", "n"])
+        )
+        return agg.filter(
+            pc.greater_equal(agg.column("n"), pa.scalar(min_support, pa.int64()))
         ).select(["pair"])
 
     blocks = [
         b
         for b in _ray.get(
-            pair_agg.map_batches(freq_only, batch_format="pyarrow")
+            baskets.map_groups(pair_counts, batch_format="pyarrow")
+            .union(
+                int_key_sentinels(
+                    pair_schema, "pbucket", fill={"pair": -1, "n": 0}
+                )
+            )
+            .groupby("pbucket", num_partitions=np_)
+            .map_groups(merge_pairs, batch_format="pyarrow")
             .materialize()
             .to_arrow_refs()
         )

@@ -284,7 +284,53 @@ def connected_components(
             schema=_RESOLVED_SCHEMA,
         )
 
-    for _ in range(max_iters):
+    # --- pointer jumping (label <- label(label)) -----------------------
+    # Min-label-only BSP needs O(component diameter) rounds; long chains
+    # (mutual-kNN graphs in embedding space, link rings) made the
+    # embedding_clusters CC a ~50-round 56 s tail at sf0.1. A shortcut
+    # round contracts label chains by half, so interleaving one after
+    # each neighbor round bounds total rounds by O(log diameter). The
+    # jump is safe: label(l) <= l (labels are monotonically nonincreasing
+    # within the component), and resolve still takes min-with-old. It
+    # engages from round 3 so shallow graphs (typical dedup components)
+    # never pay the extra exchanges.
+    def make_queries(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.not_equal(batch.column("node"), batch.column("label"))
+        )
+        lab = f.column("label").combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(lab),
+                lab,                       # lookup key: the label node
+                f.column("node"),          # requester rides in the label slot
+                pa.array(["q"] * f.num_rows, pa.string()),
+            ],
+            schema=_NODE_SCHEMA,
+        )
+
+    def shortcut(group: pa.Table) -> pa.Table:
+        group = _drop_sentinels(group)
+        is_q = pc.equal(group.column("side"), "q")
+        t = (
+            group.filter(pc.invert(is_q))
+            .select(["node", "label"])
+            .rename_columns(["node", "tlabel"])
+        )
+        q = group.filter(is_q).select(["node", "label"])
+        m = q.join(t, keys="node", join_type="inner")
+        v = m.column("label").combine_chunks()  # the requester node
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(v),
+                v,
+                m.column("tlabel"),
+                pa.array(["c"] * m.num_rows, pa.string()),
+            ],
+            schema=_NODE_SCHEMA,
+        )
+
+    for it in range(max_iters):
         cands = (
             edges.union(labels.map_batches(tag_labels, batch_format="pyarrow"))
             .union(_sentinels(_EDGE_SCHEMA))
@@ -304,6 +350,22 @@ def connected_components(
         labels = resolved.drop_columns(["changed"])
         if not n_changed:
             break
+        if it >= 2:
+            short_c = (
+                labels.map_batches(tag_old, batch_format="pyarrow")
+                .union(labels.map_batches(make_queries, batch_format="pyarrow"))
+                .union(_sentinels(_NODE_SCHEMA))
+                .groupby("bucket", num_partitions=np_)
+                .map_groups(shortcut, batch_format="pyarrow")
+            )
+            resolved2 = (
+                short_c.union(labels.map_batches(tag_old, batch_format="pyarrow"))
+                .union(_sentinels(_NODE_SCHEMA))
+                .groupby("bucket", num_partitions=np_)
+                .map_groups(resolve, batch_format="pyarrow")
+                .materialize()
+            )
+            labels = resolved2.drop_columns(["changed"])
     else:  # pragma: no cover - needs a >max_iters-diameter chain
         # no-silent-caps rule: min-label BSP needs O(diameter) rounds, so a
         # chain longer than max_iters leaves labels unconverged (mislabeled)
