@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 52  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 53  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -245,6 +245,20 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         phrase_merge_oracle(docs_tbl),
         os.path.join(out_dir, "phrase_merge.parquet"),
+    )
+
+    # class-separability replica: order-independent integer micro
+    # moments + Python-int cross products — bit-equal
+    from agentic_doc_ray.functions.similarity import class_separability_oracle
+
+    _pq.write_table(
+        class_separability_oracle(
+            pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding", "label"],
+            )
+        ),
+        os.path.join(out_dir, "class_separability.parquet"),
     )
 
     # alias-table replica: pure top-k counts + the same integer Vose
@@ -1140,6 +1154,11 @@ _DRIVER_PRIORITY = [
     "source_common_suffix",
     # new in session 13 (batch 8): the generic safe groupby-apply API
     "grouped_apply_median",
+    # new in session 13 (batch 9): class separability, lang-ID agreement,
+    # RFM segmentation
+    "class_separability",
+    "langid_agreement",
+    "rfm_segments",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2810,6 +2829,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_class_separability(sf_dir):
+        """Embedding-space class separability: exact per-label intra /
+        inter pairwise-dot moments from (n, S, Q) identities — the
+        cluster-quality gate. Oracle: bit-equal replica."""
+        from agentic_doc_ray.functions.similarity import class_separability
+
+        _ensure_extraction_oracles(sf_dir)
+        return class_separability(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding", "label"],
+            )
+        )
+
+    def q_langid_agreement(sf_dir):
+        """Confusion table between the stopword and trigram-profile
+        language identifiers, keyed by the gold label. SQL oracle joins
+        the two replica parquets with documents."""
+        from agentic_doc_ray.functions.text import langid_agreement
+
+        _ensure_extraction_oracles(sf_dir)
+        return langid_agreement(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang"],
+            )
+        )
+
+    def q_rfm_segments(sf_dir):
+        """RFM customer segmentation with exact integer tercile bins
+        (thresholds from value DISTRIBUTIONS — recency days, frequency,
+        dollars — never customer rows). SQL list_sort oracle."""
+        from agentic_doc_ray.functions.analytics import rfm_segments
+
+        return rfm_segments(sf_dir)
+
     def q_grouped_apply(sf_dir):
         """The generic grouped_apply API (safe distributed
         groupby-apply): a custom per-group fn computes each language's
@@ -4131,6 +4186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_burstiness": q_token_burstiness,
         "alias_table": q_alias_table,              # single-process replica oracle
         "grouped_apply_median": q_grouped_apply,
+        "class_separability": q_class_separability,  # bit-equal replica oracle
+        "langid_agreement": q_langid_agreement,
+        "rfm_segments": q_rfm_segments,
         "kind_transitions": q_kind_transitions,    # SQL over flat replica
         "error_rate_by_source": q_error_rate_by_source,
         "grounding_coverage": q_grounding_coverage,
@@ -5977,6 +6035,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, n AS n_docs, "
             "  CAST(v[CAST((n - 1) // 2 AS BIGINT) + 1] AS BIGINT) AS median_n_chars "
             "FROM s"
+        ),
+        "class_separability": (
+            "SELECT label, n, intra_pairs, inter_pairs, "
+            "intra_dot_micro2, inter_dot_micro2 "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/class_separability.parquet')"
+        ),
+        "langid_agreement": (
+            "SELECT d.lang, a.lang_pred AS sw_pred, b.lang_pred AS ng_pred, "
+            "  CAST(count(*) AS BIGINT) AS n "
+            "FROM documents d "
+            f"JOIN read_parquet('{_ORACLE_SQL_DIR}/lang_id.parquet') a USING (doc_id) "
+            f"JOIN read_parquet('{_ORACLE_SQL_DIR}/char_lang_id.parquet') b USING (doc_id) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "rfm_segments": (
+            "WITH p AS (SELECT o_custkey AS custkey, "
+            "  max(epoch_us(o_orderdate)) AS last_us, "
+            "  CAST(count(*) AS BIGINT) AS frequency, "
+            "  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents "
+            "  FROM orders GROUP BY 1), "
+            "mx AS (SELECT max(last_us) AS m FROM p), "
+            "b AS (SELECT custkey, "
+            "  CAST((mx.m - p.last_us) // 86400000000 AS BIGINT) AS recency_days, "
+            "  p.frequency, p.monetary_cents, "
+            "  CAST(p.monetary_cents // 100 AS BIGINT) AS dollars FROM p, mx), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "  list_sort(list(recency_days)) AS vr, "
+            "  list_sort(list(frequency)) AS vf, "
+            "  list_sort(list(dollars)) AS vd FROM b) "
+            "SELECT b.custkey, b.recency_days, b.frequency, b.monetary_cents, "
+            "  CAST(CASE WHEN b.recency_days <= t.vr[CAST((t.n - 1) // 3 AS BIGINT) + 1] THEN 0 "
+            "       WHEN b.recency_days <= t.vr[CAST(2 * (t.n - 1) // 3 AS BIGINT) + 1] THEN 1 "
+            "       ELSE 2 END AS BIGINT) AS r_bin, "
+            "  CAST(CASE WHEN b.frequency <= t.vf[CAST((t.n - 1) // 3 AS BIGINT) + 1] THEN 0 "
+            "       WHEN b.frequency <= t.vf[CAST(2 * (t.n - 1) // 3 AS BIGINT) + 1] THEN 1 "
+            "       ELSE 2 END AS BIGINT) AS f_bin, "
+            "  CAST(CASE WHEN b.dollars <= t.vd[CAST((t.n - 1) // 3 AS BIGINT) + 1] THEN 0 "
+            "       WHEN b.dollars <= t.vd[CAST(2 * (t.n - 1) // 3 AS BIGINT) + 1] THEN 1 "
+            "       ELSE 2 END AS BIGINT) AS m_bin "
+            "FROM b, t"
         ),
         # span-kind transition counts via LEAD windows over the flat
         # replica (the engine pairs inside the parsed span lists)

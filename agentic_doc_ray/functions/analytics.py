@@ -2778,3 +2778,128 @@ def daily_new_users(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
+    """RFM customer segmentation (recency / frequency / monetary) with
+    EXACT integer tercile bins: per customer, days since last order
+    (vs the global max order date), order count, revenue cents; each
+    metric bins 0/1/2 by the exact tercile thresholds of its customer
+    distribution — threshold = the element at floor((n-1)/3) and
+    floor(2(n-1)/3) of the sorted values, bin boundaries inclusive
+    (v <= t). Deterministic and SQL-mirrorable (list_sort index).
+
+    Scale: per-batch custkey partials -> one custkey aggregate; the
+    tercile thresholds come from VALUE DISTRIBUTIONS (recency in days
+    <= date range, frequency small ints, monetary floored to DOLLARS so
+    the distinct domain is price-bounded) collected as (metric, value,
+    count) rows — never customer rows; bins attach in a final scan."""
+    from ray.data.aggregate import Max, Sum
+
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("o_orderdate").cast(pa.int64())
+        cents = pc.round(
+            pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("o_custkey"), us, cents],
+            names=["custkey", "us", "cents"],
+        )
+        g = t.group_by("custkey").aggregate(
+            [("us", "max"), ("custkey", "count"), ("cents", "sum")]
+        )
+        return g.rename_columns(["custkey", "last_us", "n_orders", "cents"])
+
+    per_cust = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("custkey", num_partitions=partitions_for(ds.count()))
+        .aggregate(
+            Max("last_us", alias_name="last_us"),
+            Sum("n_orders", alias_name="frequency"),
+            Sum("cents", alias_name="monetary_cents"),
+        )
+        .materialize()
+    )
+
+    max_us = int(per_cust.max("last_us"))
+
+    def metric_dist(batch: pa.Table) -> pa.Table:
+        rec = pc.divide(
+            pc.subtract(pa.scalar(max_us, pa.int64()), batch.column("last_us")),
+            pa.scalar(_US_PER_DAY, pa.int64()),
+        )
+        dollars = pc.divide(batch.column("monetary_cents"), pa.scalar(100, pa.int64()))
+        parts = []
+        for mid, col in (
+            (0, rec),
+            (1, batch.column("frequency").combine_chunks()),
+            (2, dollars),
+        ):
+            t = pa.table({"v": col})
+            g = t.group_by("v").aggregate([("v", "count")])
+            g = g.rename_columns(["v", "n"])
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        pa.array(
+                            np.full(g.num_rows, mid, np.int64)
+                        ),
+                        g.column("v").combine_chunks().cast(pa.int64()),
+                        g.column("n").cast(pa.int64()),
+                    ],
+                    names=["metric", "v", "n"],
+                )
+            )
+        return pa.concat_tables(parts)
+
+    dist_rows = (
+        per_cust.map_batches(metric_dist, batch_format="pyarrow")
+        .groupby(["metric", "v"], num_partitions=_cap(4))
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    thresholds: dict[int, tuple[int, int]] = {}
+    for mid in (0, 1, 2):
+        rows = sorted((r["v"], r["n"]) for r in dist_rows if r["metric"] == mid)
+        vals = np.array([v for v, _ in rows], dtype=np.int64)
+        cum = np.cumsum(np.array([n for _, n in rows], dtype=np.int64))
+        n = int(cum[-1])
+        t1 = int(vals[np.searchsorted(cum, (n - 1) // 3 + 1)])
+        t2 = int(vals[np.searchsorted(cum, 2 * (n - 1) // 3 + 1)])
+        thresholds[mid] = (t1, t2)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rec = pc.divide(
+            pc.subtract(pa.scalar(max_us, pa.int64()), batch.column("last_us")),
+            pa.scalar(_US_PER_DAY, pa.int64()),
+        ).to_numpy(zero_copy_only=False)
+        freq = batch.column("frequency").to_numpy(zero_copy_only=False)
+        cents = batch.column("monetary_cents").to_numpy(zero_copy_only=False)
+        dollars = cents // 100
+
+        def bins(v, mid):
+            t1, t2 = thresholds[mid]
+            return np.where(v <= t1, 0, np.where(v <= t2, 1, 2)).astype(np.int64)
+
+        return pa.Table.from_arrays(
+            [
+                batch.column("custkey").combine_chunks().cast(pa.int64()),
+                pa.array(rec.astype(np.int64)),
+                pa.array(freq.astype(np.int64)),
+                pa.array(cents.astype(np.int64)),
+                pa.array(bins(rec, 0)),
+                pa.array(bins(freq, 1)),
+                pa.array(bins(dollars, 2)),
+            ],
+            names=[
+                "custkey", "recency_days", "frequency", "monetary_cents",
+                "r_bin", "f_bin", "m_bin",
+            ],
+        )
+
+    return per_cust.map_batches(finish, batch_format="pyarrow")

@@ -2117,3 +2117,166 @@ def label_mrr(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+_SEP_SCHEMA = pa.schema(
+    [
+        ("label", pa.int64()),
+        ("n", pa.int64()),
+        ("intra_pairs", pa.int64()),
+        ("inter_pairs", pa.int64()),
+        ("intra_dot_micro2", pa.string()),
+        ("inter_dot_micro2", pa.string()),
+    ]
+)
+
+
+def _separability_from(labels, ns, sums, qs) -> pa.Table:
+    """Exact per-label separability moments from (n, S, Q) — Python-int
+    cross products (S·S overflows int64 above ~100 vectors/label).
+    Dot sums are emitted as DECIMAL STRINGS: they exceed int64 by design
+    and the driver compare is value-based either way."""
+    S_tot = [sum(int(sums[i][d]) for i in range(len(labels))) for d in range(len(sums[0]))]
+    rows = []
+    n_tot = int(sum(ns))
+    for i, lab in enumerate(labels):
+        S = [int(x) for x in sums[i]]
+        n = int(ns[i])
+        q = int(qs[i])
+        ss = sum(a * a for a in S)
+        intra = ss - q  # ordered pairs i != j
+        inter = sum(a * (t - a) for a, t in zip(S, S_tot))
+        rows.append(
+            {
+                "label": int(lab),
+                "n": n,
+                "intra_pairs": n * (n - 1),
+                "inter_pairs": n * (n_tot - n),
+                "intra_dot_micro2": str(intra),
+                "inter_dot_micro2": str(inter),
+            }
+        )
+    rows.sort(key=lambda r: r["label"])
+    return pa.Table.from_pylist(rows, schema=_SEP_SCHEMA)
+
+
+def class_separability(embeddings: "ray.data.Dataset") -> pa.Table:
+    """Embedding-space class separability (the Fisher-style
+    cluster-quality gate before SemDeDup / clustering runs): per label,
+    the EXACT sums of pairwise dot products within the label (ordered
+    pairs, self excluded) and against every other label, plus the pair
+    counts — mean intra/inter similarity and their ratio derive driver-
+    side. All arithmetic integer-exact in micro units: the identities
+    sum_{i!=j in c} x_i.x_j = |S_c|^2 - sum_i |x_i|^2 and
+    sum_{i in c, j not in c} x_i.x_j = S_c.(S_tot - S_c) collapse the
+    all-pairs computation to per-label (n, S, Q) moments.
+
+    Scale shape: per-batch (label, n, sum-vector, sum-of-squared-norms)
+    partials — one row per label per batch — through one tiny
+    sentinel-guarded exchange; cross products finish in Python ints on
+    the label-bounded result (S.S overflows int64 above ~100 vectors per
+    label). Vectors never shuffle."""
+    import pyarrow.compute as _pc
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ex_schema = pa.schema(
+        [
+            ("label", pa.int64()),
+            ("n", pa.int64()),
+            ("sums", pa.list_(pa.int64())),
+            ("q", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column("embedding").combine_chunks()
+        lens = _pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        if len(lens) == 0:
+            return ex_schema.empty_table()
+        dim = int(lens[0])
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        micro = np.round(flat * 1_000_000.0).astype(np.int64).reshape(-1, dim)
+        labs = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        ulab, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(ulab), dim), np.int64)
+        np.add.at(sums, inv, micro)
+        counts = np.bincount(inv).astype(np.int64)
+        # per-vector squared norms: <= dim * (micro_max)^2 ~ 8e14/vector;
+        # per-(batch, label) partial sums stay far inside int64
+        norms2 = (micro * micro).sum(axis=1)
+        q = np.zeros(len(ulab), np.int64)
+        np.add.at(q, inv, norms2)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ulab, pa.int64()),
+                pa.array(counts, pa.int64()),
+                pa.array([list(map(int, s)) for s in sums], pa.list_(pa.int64())),
+                pa.array(q, pa.int64()),
+            ],
+            schema=ex_schema,
+        )
+
+    def merge_label(group: pa.Table) -> pa.Table:
+        g = group.filter(_pc.greater(group.column("n"), 0))
+        if g.num_rows == 0:
+            return ex_schema.empty_table()
+        # Python-int merge: global Q per label can exceed int64 at scale
+        agg: dict[int, list] = {}
+        for r in g.to_pylist():
+            cur = agg.setdefault(r["label"], [0, None, 0])
+            cur[0] += int(r["n"])
+            s = [int(x) for x in r["sums"]]
+            cur[1] = s if cur[1] is None else [a + b for a, b in zip(cur[1], s)]
+            cur[2] += int(r["q"])
+        for v in agg.values():  # no-silent-caps: overflow must raise
+            if v[2] >= 1 << 63 or any(abs(x) >= 1 << 63 for x in v[1]):
+                raise OverflowError(
+                    "class_separability: per-label moment exceeds int64 — "
+                    "shrink the micro unit for this corpus scale"
+                )
+        rows = [
+            {"label": lab, "n": v[0], "sums": v[1], "q": v[2]}
+            for lab, v in sorted(agg.items())
+        ]
+        return pa.Table.from_pylist(rows, schema=ex_schema)
+
+    merged = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .union(int_key_sentinels(ex_schema, "label", fill={"n": 0, "q": 0}))
+        .groupby("label", num_partitions=shuffle_partitions(4))
+        .map_groups(merge_label, batch_format="pyarrow")
+    )
+    rows = [r for r in merged.take_all() if r["n"] > 0]
+    labels = [r["label"] for r in rows]
+    ns = [r["n"] for r in rows]
+    sums = [r["sums"] for r in rows]
+    qs = [r["q"] for r in rows]
+    return _separability_from(labels, ns, sums, qs)
+
+
+def class_separability_oracle(embeddings: pa.Table) -> pa.Table:
+    """Single-process replica: same micro rounding, same exact moment
+    identities (order-independent integer sums -> bit-equal)."""
+    import pyarrow.compute as _pc
+
+    arr = embeddings.column("embedding").combine_chunks()
+    lens = _pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    dim = int(lens[0])
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    micro = np.round(flat * 1_000_000.0).astype(np.int64).reshape(-1, dim)
+    labs = np.asarray(embeddings.column("label").to_pylist(), dtype=np.int64)
+    ulab, inv = np.unique(labs, return_inverse=True)
+    sums = np.zeros((len(ulab), dim), np.int64)
+    np.add.at(sums, inv, micro)
+    ns = np.bincount(inv).astype(np.int64)
+    norms2 = (micro * micro).sum(axis=1)
+    qs = np.zeros(len(ulab), np.int64)
+    np.add.at(qs, inv, norms2)
+    return _separability_from(
+        [int(x) for x in ulab],
+        [int(x) for x in ns],
+        [list(map(int, s)) for s in sums],
+        [int(x) for x in qs],
+    )

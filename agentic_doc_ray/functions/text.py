@@ -4248,3 +4248,48 @@ def alias_table_oracle(docs_tbl: pa.Table, k: int = 512) -> pa.Table:
             "total": pa.array([total] * n, pa.int64()),
         }
     )
+
+
+def langid_agreement(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Method-agreement confusion table between the two language
+    identifiers (stopword-ratio ``lang_id`` vs trigram-profile
+    ``char_ngram_lang_id``), keyed by the gold label: one row per
+    (lang, stopword_pred, ngram_pred) with its doc count — the eval
+    table that decides which lang-ID gates a cleaning run. Both
+    classifiers stream once; predictions meet through the generic
+    bucketed joins; counts collapse per batch before a tiny aggregate."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions.join_api import hash_join
+
+    sw = lang_id(docs.select_columns(["doc_id", "text"])).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "sw_pred": b.column("lang_pred")}
+        ),
+        batch_format="pyarrow",
+    )
+    ng = char_ngram_lang_id(docs).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "ng_pred": b.column("lang_pred")}
+        ),
+        batch_format="pyarrow",
+    )
+    gold = docs.select_columns(["doc_id", "lang"])
+    j = hash_join(
+        hash_join(gold, sw, left_on="doc_id"), ng, left_on="doc_id"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["lang", "sw_pred", "ng_pred"])
+            .group_by(["lang", "sw_pred", "ng_pred"])
+            .aggregate([("lang", "count")])
+        )
+        return g.rename_columns(["lang", "sw_pred", "ng_pred", "n"])
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "sw_pred", "ng_pred"], num_partitions=shuffle_partitions(4))
+        .aggregate(Sum("n", alias_name="n"))
+    )

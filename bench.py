@@ -1145,6 +1145,37 @@ def main() -> None:
 
     timed("source_common_suffix", suffix_q)
 
+    def class_sep_q() -> None:
+        from agentic_doc_ray.functions.similarity import class_separability
+
+        class_separability(
+            ray.data.read_parquet(
+                f"{SF_DIR}/embeddings.parquet",
+                columns=["vec_id", "embedding", "label"],
+            )
+        ).num_rows
+
+    timed("class_separability", class_sep_q)
+
+    def langid_agreement_q() -> None:
+        from agentic_doc_ray.functions.text import langid_agreement
+
+        langid_agreement(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet",
+                columns=["doc_id", "text", "lang"],
+            )
+        ).count()
+
+    timed("langid_agreement", langid_agreement_q)
+
+    def rfm_q() -> None:
+        from agentic_doc_ray.functions.analytics import rfm_segments
+
+        rfm_segments(SF_DIR).count()
+
+    timed("rfm_segments", rfm_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

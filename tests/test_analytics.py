@@ -1673,3 +1673,45 @@ def test_rolling_active_users_brute_force():
         assert new.loc[d, "n_new"] == int((first == d).sum())
     # conservation: total new users == distinct users
     assert new["n_new"].sum() == du["user_id"].nunique()
+
+
+def test_rfm_segments_brute_force():
+    import duckdb
+    import numpy as np
+
+    from agentic_doc_ray.functions.analytics import rfm_segments
+
+    got = (
+        rfm_segments("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("custkey")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    p = con.execute(
+        "SELECT o_custkey AS custkey, max(epoch_us(o_orderdate)) AS last_us, "
+        "count(*) AS freq, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents "
+        "FROM read_parquet('/root/testdata/sf0.001/orders.parquet') GROUP BY 1"
+    ).df()
+    mx = p["last_us"].max()
+    p["rec"] = (mx - p["last_us"]) // 86_400_000_000
+    p["dollars"] = p["cents"] // 100
+
+    def terciles(v):
+        s = np.sort(v.to_numpy())
+        n = len(s)
+        return s[(n - 1) // 3], s[2 * (n - 1) // 3]
+
+    tr, tf, td = terciles(p["rec"]), terciles(p["freq"]), terciles(p["dollars"])
+
+    def binv(v, t):
+        return 0 if v <= t[0] else (1 if v <= t[1] else 2)
+
+    for row in p.itertuples():
+        g = got.loc[row.custkey]
+        assert g["recency_days"] == row.rec
+        assert g["frequency"] == row.freq
+        assert g["monetary_cents"] == row.cents
+        assert g["r_bin"] == binv(row.rec, tr)
+        assert g["f_bin"] == binv(row.freq, tf)
+        assert g["m_bin"] == binv(row.dollars, td)

@@ -713,3 +713,39 @@ def test_label_mrr_planted_duplicates():
         assert got.loc[40 + vid, "first_match_rank"] == 1
     # score bounds
     assert ((got["mrr_ppm"] >= 0) & (got["mrr_ppm"] <= 1_000_000)).all()
+
+
+def test_class_separability_brute_force():
+    """Engine moments == brute-force all-pairs dot sums in Python ints."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import class_separability
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    got = class_separability(
+        ray.data.from_arrow(tbl).repartition(3)
+    ).to_pandas().set_index("label")
+
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    micro = np.round(emb * 1_000_000.0).astype(np.int64)
+    labs = np.asarray(tbl.column("label").to_pylist(), dtype=np.int64)
+    for lab in np.unique(labs):
+        inside = micro[labs == lab].astype(object)
+        outside = micro[labs != lab].astype(object)
+        intra = 0
+        for i in range(len(inside)):
+            for j in range(len(inside)):
+                if i != j:
+                    intra += int(np.dot(inside[i], inside[j]))
+        inter = int(np.dot(inside.sum(axis=0), outside.sum(axis=0)))
+        row = got.loc[lab]
+        assert int(row["intra_dot_micro2"]) == intra
+        assert int(row["inter_dot_micro2"]) == inter
+        assert row["intra_pairs"] == len(inside) * (len(inside) - 1)
+        assert row["inter_pairs"] == len(inside) * len(outside)
