@@ -60,7 +60,7 @@ def _corpus_ds(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(corpus_path_for(sf_dir))
 
 
-_ORACLE_VERSION = 53  # bump when any oracle-producing logic changes
+_ORACLE_VERSION = 54  # bump when any oracle-producing logic changes
 
 _VIZ_DIGEST_SCHEMA = pa.schema(
     [
@@ -245,6 +245,18 @@ def _ensure_extraction_oracles(sf_dir: str) -> str:
     _pq.write_table(
         phrase_merge_oracle(docs_tbl),
         os.path.join(out_dir, "phrase_merge.parquet"),
+    )
+
+    # simhash near-dup pairs: INDEPENDENT brute-force all-pairs Hamming
+    # over the planted corpus (equality == banded-LSH completeness)
+    from agentic_doc_ray.functions.dedup import (
+        simhash_dup_pairs_oracle,
+        simhash_plant_batch,
+    )
+
+    _pq.write_table(
+        simhash_dup_pairs_oracle(simhash_plant_batch(docs_tbl)),
+        os.path.join(out_dir, "simhash_pairs.parquet"),
     )
 
     # class-separability replica: order-independent integer micro
@@ -1159,6 +1171,7 @@ _DRIVER_PRIORITY = [
     "class_separability",
     "langid_agreement",
     "rfm_segments",
+    "simhash_dup_pairs",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2829,6 +2842,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_simhash_pairs(sf_dir):
+        """SimHash near-dup pairs over the planted corpus (exact copies
+        + lightly edited copies) — banded Hamming LSH, exact at <= 3 by
+        pigeonhole. Oracle: independent brute-force all-pairs."""
+        from agentic_doc_ray.functions.dedup import (
+            simhash_dup_pairs,
+            simhash_plant_batch,
+        )
+
+        _ensure_extraction_oracles(sf_dir)
+        planted = docs(sf_dir).map_batches(
+            simhash_plant_batch, batch_format="pyarrow"
+        )
+        return simhash_dup_pairs(planted)
+
     def q_class_separability(sf_dir):
         """Embedding-space class separability: exact per-label intra /
         inter pairwise-dot moments from (n, S, Q) identities — the
@@ -4187,6 +4215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,              # single-process replica oracle
         "grouped_apply_median": q_grouped_apply,
         "class_separability": q_class_separability,  # bit-equal replica oracle
+        "simhash_dup_pairs": q_simhash_pairs,        # independent all-pairs oracle
         "langid_agreement": q_langid_agreement,
         "rfm_segments": q_rfm_segments,
         "kind_transitions": q_kind_transitions,    # SQL over flat replica
@@ -6040,6 +6069,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, n, intra_pairs, inter_pairs, "
             "intra_dot_micro2, inter_dot_micro2 "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/class_separability.parquet')"
+        ),
+        "simhash_dup_pairs": (
+            "SELECT doc_a, doc_b, hamming "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/simhash_pairs.parquet')"
         ),
         "langid_agreement": (
             "SELECT d.lang, a.lang_pred AS sw_pred, b.lang_pred AS ng_pred, "

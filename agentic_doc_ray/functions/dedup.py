@@ -1922,3 +1922,180 @@ def dedup_savings_by_source(
         Sum("n_chars", alias_name="n_chars"),
         Sum("n_chars_kept", alias_name="n_chars_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (banded Hamming LSH — the text-side sibling of
+# phash.image_dup_pairs)
+# ---------------------------------------------------------------------------
+
+_SIM_N_BANDS = 4
+_SIM_BAND_BITS = 16
+_SIM_BUCKET_CAP = 1000
+
+_SIM_BAND_SCHEMA = pa.schema(
+    [("bkey", pa.int64()), ("doc_id", pa.int64()), ("simhash", pa.int64())]
+)
+_SIM_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+)
+
+
+def simhash_plant_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic near-dup fixture (shared by the query and its
+    replica oracle): doc_id < 30 gets an EXACT copy at +1_000_000
+    (hamming 0 by construction); 30 <= doc_id < 60 a lightly edited
+    copy at +2_000_000 (one appended token)."""
+    did = batch.column("doc_id")
+    exact = batch.filter(pc.less(did, 30))
+    edited = batch.filter(
+        pc.and_(pc.greater_equal(did, 30), pc.less(did, 60))
+    )
+    parts = [batch]
+    if exact.num_rows:
+        parts.append(
+            pa.Table.from_arrays(
+                [
+                    pc.add(exact.column("doc_id"), pa.scalar(1_000_000, pa.int64())).combine_chunks(),
+                    exact.column("text").combine_chunks(),
+                ],
+                names=["doc_id", "text"],
+            )
+        )
+    if edited.num_rows:
+        parts.append(
+            pa.Table.from_arrays(
+                [
+                    pc.add(edited.column("doc_id"), pa.scalar(2_000_000, pa.int64())).combine_chunks(),
+                    pc.binary_join_element_wise(
+                        edited.column("text"), pa.scalar(" extra"), ""
+                    ).combine_chunks(),
+                ],
+                names=["doc_id", "text"],
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _sim_band_rows(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return _SIM_BAND_SCHEMA.empty_table()
+    h = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+    n = len(h)
+    mask = np.uint64((1 << _SIM_BAND_BITS) - 1)
+    keys = np.empty(_SIM_N_BANDS * n, dtype=np.int64)
+    for b in range(_SIM_N_BANDS):
+        keys[b * n : (b + 1) * n] = (
+            ((h >> np.uint64(b * _SIM_BAND_BITS)) & mask).astype(np.int64)
+            + (b << _SIM_BAND_BITS)
+        )
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sh = batch.column("simhash").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "bkey": pa.array(keys),
+            "doc_id": pa.array(np.tile(ids, _SIM_N_BANDS)),
+            "simhash": pa.array(np.tile(sh, _SIM_N_BANDS)),
+        },
+        schema=_SIM_BAND_SCHEMA,
+    )
+
+
+def _sim_popcount(x: np.ndarray) -> np.ndarray:
+    v = x.copy()
+    c = np.zeros(len(x), dtype=np.int64)
+    while v.any():
+        c += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    return c
+
+
+def _sim_bucket_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
+    g = group.filter(pc.greater_equal(group.column("doc_id"), 0))
+    ids = g.column("doc_id").to_pylist()
+    out = {"doc_a": [], "doc_b": [], "hamming": []}
+    if len(ids) >= 2:
+        h = g.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        if len(ids) > _SIM_BUCKET_CAP:
+            # degenerate band bucket: star pairs around the min id — no
+            # silent drop, linear work (documented phash fallback)
+            rep = ids.index(min(ids))
+            d = _sim_popcount(h ^ h[rep])
+            for j in np.flatnonzero(d <= max_hamming):
+                if j == rep:
+                    continue
+                a, b = sorted((ids[rep], ids[j]))
+                out["doc_a"].append(a)
+                out["doc_b"].append(b)
+                out["hamming"].append(int(d[j]))
+        else:
+            ii, jj = np.triu_indices(len(ids), k=1)
+            d = _sim_popcount(h[ii] ^ h[jj])
+            keep = d <= max_hamming
+            for i, j, dist in zip(ii[keep], jj[keep], d[keep]):
+                a, b = sorted((ids[i], ids[j]))
+                out["doc_a"].append(a)
+                out["doc_b"].append(b)
+                out["hamming"].append(int(dist))
+    return pa.Table.from_pydict(out, schema=_SIM_PAIR_SCHEMA)
+
+
+def simhash_dup_pairs(
+    docs: "ray.data.Dataset", max_hamming: int = 3
+) -> "ray.data.Dataset":
+    """SimHash near-duplicate pairs: (doc_a, doc_b, hamming) with
+    Hamming(simhash) <= max_hamming, doc_a < doc_b — the text-side
+    sibling of ``phash.image_dup_pairs`` and the cheap complement to
+    MinHash (one int64 per doc vs a 64-int signature). EXACT (recall
+    1.0) for max_hamming <= 3 by pigeonhole: 4 disjoint 16-bit bands of
+    the 63-bit hash — any pair within distance 3 agrees on at least one
+    whole band and meets in that band's bucket.
+
+    Shape: signatures are batch-local; only (bkey, doc_id, simhash)
+    rows x4 bands shuffle; per-bucket pairing is all-pairs under the
+    bucket cap with the star fallback above it; one pair-keyed min
+    aggregate dedupes multi-band hits."""
+    from ray.data.aggregate import Min
+
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    if max_hamming > _SIM_N_BANDS - 1:
+        raise ValueError(
+            f"banded LSH is exact only for max_hamming <= {_SIM_N_BANDS - 1}"
+        )
+    np_ = _cap()
+    sigs = simhashes(docs)
+    pairs = (
+        sigs.map_batches(_sim_band_rows, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                _SIM_BAND_SCHEMA, "bkey", fill={"doc_id": -1, "simhash": 0}
+            )
+        )
+        .groupby("bkey", num_partitions=np_)
+        .map_groups(
+            lambda g: _sim_bucket_pairs(g, max_hamming), batch_format="pyarrow"
+        )
+    )
+    return pairs.groupby(
+        ["doc_a", "doc_b"], num_partitions=max(2, np_ // 4)
+    ).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def simhash_dup_pairs_oracle(docs_tbl: pa.Table, max_hamming: int = 3) -> pa.Table:
+    """Brute-force all-pairs oracle — an INDEPENDENT implementation (no
+    banding): exact Hamming over the same signatures. Equality with the
+    pipeline is the banded-LSH completeness guarantee."""
+    sigs = simhash_batch(docs_tbl)
+    ids = sigs.column("doc_id").to_pylist()
+    h = sigs.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+    out = {"doc_a": [], "doc_b": [], "hamming": []}
+    for i in range(len(ids)):
+        d = _sim_popcount(h[i + 1 :] ^ h[i])
+        for off in np.flatnonzero(d <= max_hamming):
+            a, b = sorted((ids[i], ids[i + 1 + off]))
+            out["doc_a"].append(a)
+            out["doc_b"].append(b)
+            out["hamming"].append(int(d[off]))
+    return pa.Table.from_pydict(out, schema=_SIM_PAIR_SCHEMA)

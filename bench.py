@@ -1176,6 +1176,20 @@ def main() -> None:
 
     timed("rfm_segments", rfm_q)
 
+    def simhash_pairs_q() -> None:
+        from agentic_doc_ray.functions.dedup import (
+            simhash_dup_pairs,
+            simhash_plant_batch,
+        )
+
+        simhash_dup_pairs(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ).map_batches(simhash_plant_batch, batch_format="pyarrow")
+        ).count()
+
+    timed("simhash_dup_pairs", simhash_pairs_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

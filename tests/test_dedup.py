@@ -447,3 +447,45 @@ def test_dedup_savings_by_source_planted():
     assert got.loc["s1"].tolist() == [1, 1, 5, 5]
     # s2: 3 docs, the 'x' copy (doc 20) loses to keeper doc 10 in s1
     assert got.loc["s2"].tolist() == [3, 2, 21, 16]
+
+
+def test_simhash_dup_pairs_matches_brute_force():
+    """Banded pipeline == independent all-pairs Hamming, and the exact
+    planted copies surface at hamming 0."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from agentic_doc_ray.functions.dedup import (
+        simhash_dup_pairs,
+        simhash_dup_pairs_oracle,
+        simhash_plant_batch,
+    )
+
+    tbl = simhash_plant_batch(
+        pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+    )
+    got = (
+        simhash_dup_pairs(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        simhash_dup_pairs_oracle(tbl)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    ham = dict(zip(zip(got["doc_a"], got["doc_b"]), got["hamming"]))
+    # every exact planted copy is a hamming-0 pair (recall 1.0)
+    ids = set(tbl.column("doc_id").to_pylist())
+    for d in range(30):
+        if d in ids and d + 1_000_000 in ids:
+            assert (d, d + 1_000_000) in pairs
+            assert ham[(d, d + 1_000_000)] == 0
