@@ -1172,6 +1172,9 @@ _DRIVER_PRIORITY = [
     "langid_agreement",
     "rfm_segments",
     "simhash_dup_pairs",
+    # new in session 13 (batch 11): packing audit, tokenizer fertility
+    "packing_stats",
+    "lang_fertility",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2842,6 +2845,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_packing_stats(sf_dir):
+        """Packing efficiency audit: per pack, members / used tokens /
+        waste over the deterministic pack_sequences assignment. SQL
+        rollup over the pack replica parquet."""
+        from agentic_doc_ray.functions.sampling import packing_stats
+
+        _ensure_extraction_oracles(sf_dir)
+        return packing_stats(docs(sf_dir))
+
+    def q_lang_fertility(sf_dir):
+        """BPE tokens per 1000 chars per language (the multilingual
+        tokenizer-budget signal); one tiny lang aggregate. SQL oracle."""
+        from agentic_doc_ray.functions.text import lang_fertility
+
+        return lang_fertility(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+            )
+        )
+
     def q_simhash_pairs(sf_dir):
         """SimHash near-dup pairs over the planted corpus (exact copies
         + lightly edited copies) — banded Hamming LSH, exact at <= 3 by
@@ -4216,6 +4239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_apply_median": q_grouped_apply,
         "class_separability": q_class_separability,  # bit-equal replica oracle
         "simhash_dup_pairs": q_simhash_pairs,        # independent all-pairs oracle
+        "packing_stats": q_packing_stats,
+        "lang_fertility": q_lang_fertility,
         "langid_agreement": q_langid_agreement,
         "rfm_segments": q_rfm_segments,
         "kind_transitions": q_kind_transitions,    # SQL over flat replica
@@ -6073,6 +6098,24 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": (
             "SELECT doc_a, doc_b, hamming "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/simhash_pairs.parquet')"
+        ),
+        "packing_stats": (
+            "SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs, "
+            "  CAST(sum(n_tokens) AS BIGINT) AS used_tokens, "
+            "  CAST(greatest(1024 - sum(n_tokens), 0) AS BIGINT) AS waste "
+            f"FROM read_parquet('{_ORACLE_SQL_DIR}/pack_sequences.parquet') "
+            "GROUP BY 1"
+        ),
+        "lang_fertility": (
+            "WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "  CAST(sum(len(regexp_extract_all(text, "
+            "    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_bpe_tokens, "
+            "  CAST(sum(length(text)) AS BIGINT) AS n_chars "
+            "FROM documents GROUP BY 1) "
+            "SELECT lang, n_docs, n_bpe_tokens, n_chars, "
+            "  CAST(1000 * n_bpe_tokens // greatest(n_chars, 1) AS BIGINT) "
+            "    AS fertility_per_mille "
+            "FROM s"
         ),
         "langid_agreement": (
             "SELECT d.lang, a.lang_pred AS sw_pred, b.lang_pred AS ng_pred, "

@@ -682,3 +682,53 @@ def balanced_shards(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
         )
 
     return ranked.map_batches(assign, batch_format="pyarrow")
+
+
+def packing_stats(
+    docs: "ray.data.Dataset", token_budget: int = 1024
+) -> "ray.data.Dataset":
+    """Sequence-packing efficiency audit over ``pack_sequences``: per
+    pack, member count, used tokens and waste = max(0, budget − used)
+    (over-budget single-doc packs waste 0 — they were never splittable).
+    The fill-rate distribution is the signal that tunes the budget.
+    Per-batch pack partials -> one tiny pack-keyed aggregate."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    packed = pack_sequences(docs, token_budget=token_budget)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["pack_id", "n_tokens"])
+            .group_by("pack_id")
+            .aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
+        )
+        return g.rename_columns(["pack_id", "used_tokens", "n_docs"])
+
+    agg = (
+        packed.map_batches(partial, batch_format="pyarrow")
+        .groupby("pack_id", num_partitions=shuffle_partitions(8))
+        .aggregate(
+            Sum("used_tokens", alias_name="used_tokens"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        used = batch.column("used_tokens").combine_chunks().cast(pa.int64())
+        waste = pc.max_element_wise(
+            pc.subtract(pa.scalar(token_budget, pa.int64()), used),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("pack_id").combine_chunks(),
+                batch.column("n_docs").combine_chunks().cast(pa.int64()),
+                used,
+                waste,
+            ],
+            names=["pack_id", "n_docs", "used_tokens", "waste"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -4293,3 +4293,54 @@ def langid_agreement(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby(["lang", "sw_pred", "ng_pred"], num_partitions=shuffle_partitions(4))
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def lang_fertility(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Tokenizer fertility by language: BPE-lexer tokens per 1000 chars
+    per lang (the multilingual tokenizer-budget signal — languages with
+    high fertility cost more context per character). Exact integers;
+    per-batch (lang, tokens, chars) partials -> one tiny aggregate."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(batch.column("text"), _BPE_PATTERN).cast(
+            pa.int64()
+        )
+        chars = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("lang"), toks, chars], names=["lang", "t", "c"]
+        )
+        g = t.group_by("lang").aggregate([("t", "sum"), ("c", "sum"), ("t", "count")])
+        return g.rename_columns(["lang", "t", "c", "n"])
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang", num_partitions=shuffle_partitions(4))
+        .aggregate(
+            Sum("t", alias_name="n_bpe_tokens"),
+            Sum("c", alias_name="n_chars"),
+            Sum("n", alias_name="n_docs"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.column("n_bpe_tokens").combine_chunks().cast(pa.int64())
+        c = batch.column("n_chars").combine_chunks().cast(pa.int64())
+        fert = pc.divide(
+            pc.multiply(t, pa.scalar(1000, pa.int64())),
+            pc.max_element_wise(c, pa.scalar(1, pa.int64())),
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("lang").combine_chunks(),
+                batch.column("n_docs").combine_chunks().cast(pa.int64()),
+                t,
+                c,
+                fert.cast(pa.int64()),
+            ],
+            names=["lang", "n_docs", "n_bpe_tokens", "n_chars", "fertility_per_mille"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1190,6 +1190,28 @@ def main() -> None:
 
     timed("simhash_dup_pairs", simhash_pairs_q)
 
+    def packing_stats_q() -> None:
+        from agentic_doc_ray.functions.sampling import packing_stats
+
+        packing_stats(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("packing_stats", packing_stats_q)
+
+    def lang_fertility_q() -> None:
+        from agentic_doc_ray.functions.text import lang_fertility
+
+        lang_fertility(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["lang", "text"]
+            )
+        ).count()
+
+    timed("lang_fertility", lang_fertility_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

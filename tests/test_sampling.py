@@ -437,3 +437,28 @@ def test_balanced_shards_snake_balance():
         idx = r0 % 8
         want = idx if (r0 // 8) % 2 == 0 else 7 - idx
         assert row.shard == want
+
+
+def test_packing_stats_invariants():
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from agentic_doc_ray.functions.sampling import pack_sequences, packing_stats
+
+    d = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    stats = packing_stats(d, token_budget=256).to_pandas()
+    packed = pack_sequences(d, token_budget=256).to_pandas()
+    # conservation: member counts and token sums match the assignment
+    want = packed.groupby("pack_id")["n_tokens"].agg(["count", "sum"])
+    got = stats.set_index("pack_id")
+    assert len(got) == len(want)
+    for pid, row in want.iterrows():
+        assert got.loc[pid, "n_docs"] == row["count"]
+        assert got.loc[pid, "used_tokens"] == row["sum"]
+        assert got.loc[pid, "waste"] == max(0, 256 - row["sum"])
+    # multi-doc packs never exceed the budget
+    multi = got[got["n_docs"] > 1]
+    assert (multi["used_tokens"] <= 256).all()
