@@ -1175,6 +1175,9 @@ _DRIVER_PRIORITY = [
     # new in session 13 (batch 11): packing audit, tokenizer fertility
     "packing_stats",
     "lang_fertility",
+    # new in session 13 (batch 12): reconciliation audit, length outliers
+    "order_total_audit",
+    "length_outliers_by_source",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2865,6 +2868,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_order_total_audit(sf_dir):
+        """Fact reconciliation: per order, header total vs exact line-sum
+        cents + diff (the post-load warehouse audit join). SQL oracle."""
+        from agentic_doc_ray.functions.analytics import order_total_audit
+
+        return order_total_audit(sf_dir)
+
+    def q_length_outliers(sf_dir):
+        """Per-source exact 3-sigma doc-length outlier flags
+        (template-farm / truncation detector); sketch-then-filter, rows
+        never shuffle. HUGEINT SQL oracle."""
+        from agentic_doc_ray.functions.analytics import length_outliers_by_source
+
+        return length_outliers_by_source(sf_dir)
+
     def q_simhash_pairs(sf_dir):
         """SimHash near-dup pairs over the planted corpus (exact copies
         + lightly edited copies) — banded Hamming LSH, exact at <= 3 by
@@ -4241,6 +4259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": q_simhash_pairs,        # independent all-pairs oracle
         "packing_stats": q_packing_stats,
         "lang_fertility": q_lang_fertility,
+        "order_total_audit": q_order_total_audit,
+        "length_outliers_by_source": q_length_outliers,
         "langid_agreement": q_langid_agreement,
         "rfm_segments": q_rfm_segments,
         "kind_transitions": q_kind_transitions,    # SQL over flat replica
@@ -6105,6 +6125,29 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(greatest(1024 - sum(n_tokens), 0) AS BIGINT) AS waste "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pack_sequences.parquet') "
             "GROUP BY 1"
+        ),
+        "order_total_audit": (
+            "WITH l AS (SELECT l_orderkey AS o_orderkey, "
+            "  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "    AS line_cents "
+            "  FROM lineitem GROUP BY 1) "
+            "SELECT o.o_orderkey, "
+            "  CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents, "
+            "  CAST(coalesce(l.line_cents, 0) AS BIGINT) AS line_cents, "
+            "  CAST(round(o.o_totalprice * 100) - coalesce(l.line_cents, 0) "
+            "    AS BIGINT) AS diff_cents "
+            "FROM orders o LEFT JOIN l USING (o_orderkey)"
+        ),
+        "length_outliers_by_source": (
+            "WITH mo AS (SELECT source, CAST(count(*) AS HUGEINT) AS n, "
+            "  CAST(sum(n_chars) AS HUGEINT) AS s, "
+            "  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q "
+            "FROM documents GROUP BY 1) "
+            "SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars, "
+            "  CAST(CASE WHEN (d.n_chars * mo.n - mo.s) * (d.n_chars * mo.n - mo.s) "
+            "    > 9 * (mo.n * mo.q - mo.s * mo.s) THEN 1 ELSE 0 END AS BIGINT) "
+            "    AS is_outlier "
+            "FROM documents d JOIN mo USING (source)"
         ),
         "lang_fertility": (
             "WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "

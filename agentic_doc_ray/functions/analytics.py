@@ -2903,3 +2903,146 @@ def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return per_cust.map_batches(finish, batch_format="pyarrow")
+
+
+def order_total_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Fact-consistency reconciliation (the lakehouse audit join): per
+    order, the header total vs the sum of its line extended prices, in
+    exact integer cents — the table a warehouse diffs after every load.
+    Lineitem collapses to per-batch (orderkey, cents) partials before
+    its exchange; the header attaches through the generic bucketed
+    hash_join (both sides scale with orders — no broadcast); orders with
+    no lines reconcile against 0 via the left join."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions.join_api import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("l_orderkey"), cents], names=["o_orderkey", "c"]
+        )
+        g = t.group_by("o_orderkey").aggregate([("c", "sum")])
+        return g.rename_columns(["o_orderkey", "c"])
+
+    line_sums = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey", num_partitions=partitions_for(li.count()))
+        .aggregate(Sum("c", alias_name="line_cents"))
+    )
+
+    def header(batch: pa.Table) -> pa.Table:
+        total = pc.round(
+            pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("o_orderkey"), total],
+            names=["o_orderkey", "total_cents"],
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        header, batch_format="pyarrow"
+    )
+    joined = hash_join(orders, line_sums, left_on="o_orderkey", how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lc = pc.coalesce(
+            batch.column("line_cents").combine_chunks().cast(pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        total = batch.column("total_cents").combine_chunks().cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                batch.column("o_orderkey").combine_chunks().cast(pa.int64()),
+                total,
+                lc,
+                pc.subtract(total, lc),
+            ],
+            names=["o_orderkey", "total_cents", "line_cents", "diff_cents"],
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def length_outliers_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source 3-sigma doc-length outliers (template-farm / truncation
+    detector), EXACT integers via the cross-multiplied test
+    (x*n - S)^2 > 9*(n*Q - S^2): per-source (n, S, Q) moment partials
+    fold through one tiny exchange, thresholds finish in Python ints on
+    the source-bounded rows (n*Q exceeds int64 on crawl-scale sources —
+    the event_outliers limb machinery is the documented fallback), and
+    the flagging scan re-reads documents with the kilobyte moment dict
+    in its closure. Rows never shuffle (sketch-then-filter)."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_chars").cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [
+                batch.column("source"),
+                x,
+                pc.multiply(x, x),
+            ],
+            names=["source", "s", "q"],
+        )
+        g = t.group_by("source").aggregate(
+            [("s", "count"), ("s", "sum"), ("q", "sum")]
+        )
+        return g.rename_columns(["source", "n", "s", "q"])
+
+    rows = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("source", num_partitions=_cap(4))
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("q", alias_name="q"),
+        )
+        .take_all()
+    )
+    # Python-int moments per source: (n, S, 9*(n*Q - S^2))
+    m = {
+        r["source"]: (int(r["n"]), int(r["s"]), 9 * (int(r["n"]) * int(r["q"]) - int(r["s"]) ** 2))
+        for r in rows
+    }
+
+    def flag(batch: pa.Table) -> pa.Table:
+        src_arr = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.zeros(len(x), dtype=np.int64)
+        for s in np.unique(src_arr):  # loop over SOURCES, not rows
+            n, S, rhs = m[s]
+            mask = src_arr == s
+            xv = x[mask]
+            bound = max(n * int(xv.max(initial=0)), S)
+            if bound < 3_000_000_000:  # (x*n - S)^2 < 2^63: int64-safe
+                if rhs >= 1 << 63:
+                    continue  # every int64-safe lhs < 2^63 <= rhs: no flags
+                lhs = (xv * n - S) ** 2
+                out[mask] = (lhs > rhs).astype(np.int64)
+            else:  # bounded exact fallback (crawl-scale sources)
+                out[mask] = np.fromiter(
+                    (1 if (int(v) * n - S) ** 2 > rhs else 0 for v in xv),
+                    dtype=np.int64,
+                    count=len(xv),
+                )
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("source"),
+                batch.column("n_chars").cast(pa.int64()),
+                pa.array(out),
+            ],
+            names=["doc_id", "source", "n_chars", "is_outlier"],
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

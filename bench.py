@@ -1212,6 +1212,20 @@ def main() -> None:
 
     timed("lang_fertility", lang_fertility_q)
 
+    def order_audit_q() -> None:
+        from agentic_doc_ray.functions.analytics import order_total_audit
+
+        order_total_audit(SF_DIR).count()
+
+    timed("order_total_audit", order_audit_q)
+
+    def length_outliers_q() -> None:
+        from agentic_doc_ray.functions.analytics import length_outliers_by_source
+
+        length_outliers_by_source(SF_DIR).count()
+
+    timed("length_outliers_by_source", length_outliers_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

@@ -1715,3 +1715,47 @@ def test_rfm_segments_brute_force():
         assert g["r_bin"] == binv(row.rec, tr)
         assert g["f_bin"] == binv(row.freq, tf)
         assert g["m_bin"] == binv(row.dollars, td)
+
+
+def test_length_outliers_brute_force():
+    import duckdb
+
+    from agentic_doc_ray.functions.analytics import length_outliers_by_source
+
+    got = (
+        length_outliers_by_source("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT doc_id, source, n_chars FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    for src, sub in df.groupby("source"):
+        xs = [int(v) for v in sub["n_chars"]]
+        n, S = len(xs), sum(xs)
+        Q = sum(v * v for v in xs)
+        rhs = 9 * (n * Q - S * S)
+        for did, v in zip(sub["doc_id"], xs):
+            want = 1 if (v * n - S) ** 2 > rhs else 0
+            assert got.loc[did, "is_outlier"] == want, (src, did)
+
+
+def test_order_total_audit_conservation():
+    import duckdb
+
+    from agentic_doc_ray.functions.analytics import order_total_audit
+
+    got = order_total_audit("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    n_orders = con.execute(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).fetchone()[0]
+    total_line = con.execute(
+        "SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) "
+        "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchone()[0]
+    assert len(got) == n_orders
+    assert got["line_cents"].sum() == total_line
+    assert (got["diff_cents"] == got["total_cents"] - got["line_cents"]).all()
