@@ -1178,6 +1178,10 @@ _DRIVER_PRIORITY = [
     # new in session 13 (batch 12): reconciliation audit, length outliers
     "order_total_audit",
     "length_outliers_by_source",
+    # new in session 13 (batch 13): cross-source near-dup matrix,
+    # shared-intro boilerplate mining
+    "near_dup_source_matrix",
+    "prefix_dedup_clusters",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2883,6 +2887,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return length_outliers_by_source(sf_dir)
 
+    def q_near_dup_source_matrix(sf_dir):
+        """Cross-source NEAR-dup provenance matrix over the verified
+        (exact-Jaccard >= 0.8) pair pipeline; two bucketed source
+        attaches + canonical pair counts. SQL oracle: the brute-force
+        all-pairs Jaccard replica joined with documents."""
+        from agentic_doc_ray.functions.dedup import near_dup_source_matrix
+
+        _ensure_extraction_oracles(sf_dir)
+        return near_dup_source_matrix(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        )
+
+    def q_prefix_dedup(sf_dir):
+        """Shared-intro boilerplate mining: clusters by md5 of the first
+        128 chars with >= 2 members; one key-only exchange. SQL oracle."""
+        from agentic_doc_ray.functions.dedup import prefix_dedup_clusters
+
+        return prefix_dedup_clusters(docs(sf_dir))
+
     def q_simhash_pairs(sf_dir):
         """SimHash near-dup pairs over the planted corpus (exact copies
         + lightly edited copies) — banded Hamming LSH, exact at <= 3 by
@@ -4261,6 +4287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_fertility": q_lang_fertility,
         "order_total_audit": q_order_total_audit,
         "length_outliers_by_source": q_length_outliers,
+        "near_dup_source_matrix": q_near_dup_source_matrix,
+        "prefix_dedup_clusters": q_prefix_dedup,
         "langid_agreement": q_langid_agreement,
         "rfm_segments": q_rfm_segments,
         "kind_transitions": q_kind_transitions,    # SQL over flat replica
@@ -6125,6 +6153,27 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(greatest(1024 - sum(n_tokens), 0) AS BIGINT) AS waste "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pack_sequences.parquet') "
             "GROUP BY 1"
+        ),
+        # the brute-force all-pairs Jaccard replica (the same oracle the
+        # pair queries use) joined with documents on both endpoints
+        "near_dup_source_matrix": (
+            "WITH p AS (SELECT CAST(doc_a AS BIGINT) AS a, "
+            "  CAST(doc_b AS BIGINT) AS b "
+            f"  FROM read_parquet('{_ORACLE_SQL_DIR}/jaccard_pairs.parquet') "
+            "  WHERE jaccard >= 0.8), "
+            "j AS (SELECT least(da.source, db.source) AS source_a, "
+            "  greatest(da.source, db.source) AS source_b "
+            "  FROM p JOIN documents da ON da.doc_id = p.a "
+            "  JOIN documents db ON db.doc_id = p.b) "
+            "SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM j GROUP BY 1, 2"
+        ),
+        "prefix_dedup_clusters": (
+            "WITH k AS (SELECT doc_id, "
+            "  md5(substring(text, 1, 128)) AS h FROM documents) "
+            "SELECT h, CAST(count(*) AS BIGINT) AS n_docs, "
+            "  CAST(min(doc_id) AS BIGINT) AS min_doc_id "
+            "FROM k GROUP BY h HAVING count(*) >= 2"
         ),
         "order_total_audit": (
             "WITH l AS (SELECT l_orderkey AS o_orderkey, "

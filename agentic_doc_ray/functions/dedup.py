@@ -2099,3 +2099,131 @@ def simhash_dup_pairs_oracle(docs_tbl: pa.Table, max_hamming: int = 3) -> pa.Tab
             out["doc_b"].append(b)
             out["hamming"].append(int(d[off]))
     return pa.Table.from_pydict(out, schema=_SIM_PAIR_SCHEMA)
+
+
+def near_dup_source_matrix(
+    docs_with_source: "ray.data.Dataset", exact_threshold: float = 0.8
+) -> "ray.data.Dataset":
+    """Cross-source NEAR-duplicate provenance matrix (the syndication /
+    mirror-site audit — `cross_source_duplicates`' fuzzy sibling): per
+    unordered source pair, how many VERIFIED near-dup pairs (exact
+    n-gram Jaccard >= threshold via the LSH-bounded pipeline) connect
+    them. Diagonal rows = within-source duplication.
+
+    Shape: the verified pair table (candidate-bounded) takes two
+    bucketed hash_join source attaches against the documents table
+    (sources scale with docs — no broadcast); per-batch canonical
+    (min, max) pair counts collapse before a tiny aggregate."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.functions.join_api import hash_join
+
+    docs_str = docs_with_source.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.string()),
+                "text": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = verified_dedup_pairs(docs_str, exact_threshold=exact_threshold)
+    if isinstance(pairs, pa.Table):
+        # the verified pipeline returns its candidate-bounded pair table
+        # driver-resident; re-enter the Dataset plan for the joins
+        pairs = ray.data.from_arrow(pairs)
+
+    def pair_ints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.cast(batch.column("doc_a"), pa.int64()),
+                "b": pc.cast(batch.column("doc_b"), pa.int64()),
+            }
+        )
+
+    p = pairs.map_batches(pair_ints, batch_format="pyarrow")
+    src = docs_with_source.select_columns(["doc_id", "source"])
+    sa = src.map_batches(
+        lambda b: pa.table(
+            {"a": b.column("doc_id"), "source_x": b.column("source")}
+        ),
+        batch_format="pyarrow",
+    )
+    sb = src.map_batches(
+        lambda b: pa.table(
+            {"b": b.column("doc_id"), "source_y": b.column("source")}
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(hash_join(p, sa, left_on="a"), sb, left_on="b")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("source_x")
+        y = batch.column("source_y")
+        lo = pc.min_element_wise(x, y)
+        hi = pc.max_element_wise(x, y)
+        t = pa.Table.from_arrays([lo, hi], names=["source_a", "source_b"])
+        g = t.group_by(["source_a", "source_b"]).aggregate([("source_a", "count")])
+        return g.rename_columns(["source_a", "source_b", "n_pairs"])
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"], num_partitions=shuffle_partitions(4))
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+
+def prefix_dedup_clusters(
+    docs: "ray.data.Dataset", prefix_len: int = 128, min_cluster: int = 2
+) -> "ray.data.Dataset":
+    """Shared-intro boilerplate mining (head-dedup): cluster documents by
+    the md5 of their first ``prefix_len`` characters and report clusters
+    with >= ``min_cluster`` members — the template-intro complement to
+    ``source_common_prefix`` (which needs ALL of a source's docs to
+    share the prefix; this finds cross-source and partial-coverage
+    templates). Output: (h, n_docs, min_doc_id).
+
+    One key-only exchange (`exact_dedup`'s shape) of per-batch
+    (bucket, h, min_id, n) partials; text never shuffles."""
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        prefix = pc.utf8_slice_codeunits(batch.column("text"), 0, prefix_len)
+        h = pa.array(_md5_hex(prefix.to_pylist()))
+        t = pa.Table.from_arrays(
+            [h, batch.column("doc_id")], names=["h", "doc_id"]
+        )
+        g = t.group_by("h").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        g = g.rename_columns(["h", "min_doc_id", "n"])
+        bucket = pa.array(
+            [int(x[:4], 16) % _N_DEDUP_BUCKETS for x in g.column("h").to_pylist()],
+            pa.int32(),
+        )
+        return g.append_column("bucket", bucket)
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["h", "min_doc_id", "n"])
+            .group_by("h")
+            .aggregate([("min_doc_id", "min"), ("n", "sum")])
+            .rename_columns(["h", "min_doc_id", "n_docs"])
+        )
+        g = g.filter(
+            pc.greater_equal(g.column("n_docs"), pa.scalar(min_cluster, pa.int64()))
+        )
+        return g.select(["h", "n_docs", "min_doc_id"]).cast(
+            pa.schema(
+                [
+                    ("h", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("min_doc_id", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        docs.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=_cap(8))
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )

@@ -1226,6 +1226,29 @@ def main() -> None:
 
     timed("length_outliers_by_source", length_outliers_q)
 
+    def near_dup_matrix_q() -> None:
+        from agentic_doc_ray.functions.dedup import near_dup_source_matrix
+
+        near_dup_source_matrix(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        ).count()
+
+    timed("near_dup_source_matrix", near_dup_matrix_q)
+
+    def prefix_dedup_q() -> None:
+        from agentic_doc_ray.functions.dedup import prefix_dedup_clusters
+
+        prefix_dedup_clusters(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ).count()
+
+    timed("prefix_dedup_clusters", prefix_dedup_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

@@ -489,3 +489,61 @@ def test_simhash_dup_pairs_matches_brute_force():
         if d in ids and d + 1_000_000 in ids:
             assert (d, d + 1_000_000) in pairs
             assert ham[(d, d + 1_000_000)] == 0
+
+
+def test_prefix_dedup_clusters_planted():
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_doc_ray.functions.dedup import prefix_dedup_clusters
+
+    head = "X" * 128
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 2, 9, 7], pa.int64()),
+            "text": [
+                head + " tail one",
+                head + " other tail",
+                "unique document body",
+                head + " third",
+            ],
+        }
+    )
+    got = prefix_dedup_clusters(
+        ray.data.from_arrow(t).repartition(2)
+    ).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["n_docs"] == 3
+    assert got.iloc[0]["min_doc_id"] == 2
+
+
+def test_near_dup_source_matrix_symmetry():
+    """Canonical source pairs; totals match the verified pair count."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from agentic_doc_ray.functions.dedup import (
+        near_dup_source_matrix,
+        verified_dedup_pairs,
+    )
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    d = ray.data.from_arrow(tbl).repartition(3)
+    got = near_dup_source_matrix(d).to_pandas()
+    assert (got["source_a"] <= got["source_b"]).all()
+    docs_str = d.map_batches(
+        lambda b: __import__("pyarrow").table(
+            {
+                "doc_id": b.column("doc_id").cast("string"),
+                "text": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = verified_dedup_pairs(docs_str, exact_threshold=0.8)
+    n_pairs = pairs.num_rows if hasattr(pairs, "num_rows") else pairs.count()
+    assert got["n_pairs"].sum() == n_pairs
