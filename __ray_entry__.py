@@ -1182,6 +1182,11 @@ _DRIVER_PRIORITY = [
     # shared-intro boilerplate mining
     "near_dup_source_matrix",
     "prefix_dedup_clusters",
+    # new in session 13 (batch 14): extraction yield, activity
+    # concentration, co-citation
+    "extraction_yield",
+    "activity_concentration",
+    "cocitation_counts",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2887,6 +2892,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return length_outliers_by_source(sf_dir)
 
+    def q_extraction_yield(sf_dir):
+        """Per-doc extraction yield (markdown chars out vs raw span chars
+        in, floor per-mille) — the boilerplate-strip efficiency audit;
+        doc-local over the parsed stream. SQL oracle: corpus unnest +
+        stats replica."""
+        from agentic_doc_ray.functions.interleave import extraction_yield
+
+        _ensure_extraction_oracles(sf_dir)
+        return extraction_yield(
+            extract_corpus(_corpus_ds(sf_dir)), _corpus_ds(sf_dir)
+        )
+
+    def q_activity_concentration(sf_dir):
+        """Event-volume concentration: heavy users (count >= p90) and
+        their exact share of volume; count-distribution driver fold.
+        SQL list_sort oracle."""
+        from agentic_doc_ray.functions.analytics import activity_concentration
+
+        return activity_concentration(sf_dir)
+
+    def q_cocitation(sf_dir):
+        """Co-citation counts over the directed LCG link graph (Small
+        1973 related-page signal): citing side derives batch-locally,
+        one pair-bucket exchange with local top-k. SQL self-join oracle."""
+        from agentic_doc_ray.functions.graph import cocitation_counts
+
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        return cocitation_counts(d, d.count())
+
     def q_near_dup_source_matrix(sf_dir):
         """Cross-source NEAR-dup provenance matrix over the verified
         (exact-Jaccard >= 0.8) pair pipeline; two bucketed source
@@ -4289,6 +4325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers_by_source": q_length_outliers,
         "near_dup_source_matrix": q_near_dup_source_matrix,
         "prefix_dedup_clusters": q_prefix_dedup,
+        "extraction_yield": q_extraction_yield,
+        "activity_concentration": q_activity_concentration,
+        "cocitation_counts": q_cocitation,
         "langid_agreement": q_langid_agreement,
         "rfm_segments": q_rfm_segments,
         "kind_transitions": q_kind_transitions,    # SQL over flat replica
@@ -6153,6 +6192,45 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(greatest(1024 - sum(n_tokens), 0) AS BIGINT) AS waste "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pack_sequences.parquet') "
             "GROUP BY 1"
+        ),
+        "extraction_yield": (
+            f"WITH f AS (SELECT doc_id, unnest(spans, recursive := true) FROM {corpus}), "
+            "raw AS (SELECT doc_id, CAST(sum(length(text)) AS BIGINT) AS raw_chars "
+            "  FROM f GROUP BY 1), "
+            f"s AS (SELECT doc_id, markdown_chars FROM {stats}) "
+            "SELECT s.doc_id, CAST(coalesce(r.raw_chars, 0) AS BIGINT) AS raw_chars, "
+            "  CAST(s.markdown_chars AS BIGINT) AS markdown_chars, "
+            "  CAST(1000 * s.markdown_chars "
+            "    // greatest(coalesce(r.raw_chars, 0), 1) AS BIGINT) AS yield_per_mille "
+            "FROM s LEFT JOIN raw r USING (doc_id)"
+        ),
+        "activity_concentration": (
+            "WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n "
+            "  FROM events GROUP BY 1), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n_users, "
+            "  CAST(sum(n) AS BIGINT) AS n_events, list_sort(list(n)) AS v FROM pu), "
+            "th AS (SELECT n_users, n_events, "
+            "  v[CAST((n_users - 1) * 9 // 10 AS BIGINT) + 1] AS thr FROM t) "
+            "SELECT th.n_users, th.n_events, CAST(th.thr AS BIGINT) AS threshold, "
+            "  CAST((SELECT count(*) FROM pu WHERE n >= th.thr) AS BIGINT) AS n_heavy_users, "
+            "  CAST((SELECT coalesce(sum(n), 0) FROM pu WHERE n >= th.thr) AS BIGINT) AS heavy_events, "
+            "  CAST(1000000 * (SELECT coalesce(sum(n), 0) FROM pu WHERE n >= th.thr) "
+            "    // greatest(th.n_events, 1) AS BIGINT) AS heavy_share_ppm "
+            "FROM th"
+        ),
+        "cocitation_counts": (
+            "WITH ids AS (SELECT doc_id AS i FROM documents),"
+            "nn AS (SELECT count(*) AS n FROM ids),"
+            "e0 AS (SELECT i AS src, (i*1103515245 + k*2654435761) % nn.n AS dst"
+            "       FROM ids, nn, generate_series(1,3) AS t(k)),"
+            "e1 AS (SELECT src, CASE WHEN dst = src THEN (dst+1) % (SELECT n FROM nn) ELSE dst END AS dst FROM e0),"
+            "ed AS (SELECT DISTINCT src, dst FROM e1),"
+            "co AS (SELECT d1.dst AS page_a, d2.dst AS page_b FROM ed d1 "
+            "  JOIN ed d2 ON d1.src = d2.src AND d1.dst < d2.dst),"
+            "c AS (SELECT page_a, page_b, CAST(count(*) AS BIGINT) AS n_cociting "
+            "  FROM co GROUP BY 1, 2) "
+            "SELECT page_a, page_b, n_cociting FROM c "
+            "ORDER BY n_cociting DESC, page_a, page_b LIMIT 100"
         ),
         # the brute-force all-pairs Jaccard replica (the same oracle the
         # pair queries use) joined with documents on both endpoints

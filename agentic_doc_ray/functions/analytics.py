@@ -3046,3 +3046,68 @@ def length_outliers_by_source(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def activity_concentration(sf_dir: str) -> "ray.data.Dataset":
+    """Event-volume concentration: what share of events the HEAVY users
+    (per-user count >= the 90th-percentile count) generate — the
+    workload-skew headline number next to the per-key Gini. Exact:
+    threshold = the element at 0-based index floor((n_users-1)*9/10) of
+    the ascending per-user counts; one summary row
+    (n_users, n_events, threshold, n_heavy_users, heavy_events,
+    heavy_share_ppm).
+
+    Shape: per-batch user-count partials -> one user aggregate; the
+    threshold and the rollup come from the COUNT DISTRIBUTION (distinct
+    per-user-count values — a tiny domain), never user rows."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("user_id").aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "n"])
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=partitions_for(ds.count()))
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def dist(batch: pa.Table) -> pa.Table:
+        g = batch.select(["n"]).group_by("n").aggregate([("n", "count")])
+        return g.rename_columns(["v", "cnt"])
+
+    rows = (
+        per_user.map_batches(dist, batch_format="pyarrow")
+        .groupby("v", num_partitions=_cap(4))
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    rows = sorted((int(r["v"]), int(r["cnt"])) for r in rows)
+    vals = np.array([v for v, _ in rows], dtype=np.int64)
+    cnts = np.array([c for _, c in rows], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n_users = int(cum[-1])
+    n_events = int((vals * cnts).sum())
+    t = int(vals[np.searchsorted(cum, (n_users - 1) * 9 // 10 + 1)])
+    heavy_mask = vals >= t
+    n_heavy = int(cnts[heavy_mask].sum())
+    heavy_events = int((vals[heavy_mask] * cnts[heavy_mask]).sum())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_users": pa.array([n_users], pa.int64()),
+                "n_events": pa.array([n_events], pa.int64()),
+                "threshold": pa.array([t], pa.int64()),
+                "n_heavy_users": pa.array([n_heavy], pa.int64()),
+                "heavy_events": pa.array([heavy_events], pa.int64()),
+                "heavy_share_ppm": pa.array(
+                    [1_000_000 * heavy_events // max(n_events, 1)], pa.int64()
+                ),
+            }
+        )
+    )

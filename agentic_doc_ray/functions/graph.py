@@ -3107,3 +3107,104 @@ def two_hop_reach(
         .groupby("bucket", num_partitions=np_)
         .map_groups(count_stage, batch_format="pyarrow")
     )
+
+
+def cocitation_counts(
+    docs: "ray.data.Dataset", n_docs: int, k: int = 100
+) -> "ray.data.Dataset":
+    """Co-citation counts over the directed LCG link graph (Small 1973 —
+    the related-page / bibliographic-coupling signal): for every pair of
+    pages cited by the SAME page, in how many citing pages they co-occur;
+    deterministic (n DESC, a, b) top-k.
+
+    Shape: a page's out-links derive batch-locally from its id (no
+    co-location exchange at all — the citing side never ships); pairs of
+    distinct out-neighbors emit per-batch partial counts, and ONE
+    pair-hash bucket exchange finishes the counts with in-bucket Arrow
+    merges + local top-k (the deterministic total order distributes over
+    pair-disjoint buckets, so the final sort sees <= 64*k rows)."""
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+
+    np_ = partitions_for(n_docs * N_LINKS)
+
+    pair_schema = pa.schema(
+        [
+            ("pbucket", pa.int32()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, N_LINKS)
+        kk = np.tile(np.arange(1, N_LINKS + 1, dtype=np.int64), len(ids))
+        dst = (src * _LCG_A + kk * _LCG_C) % n_docs
+        dst = np.where(dst == src, (dst + 1) % n_docs, dst)
+        # distinct out-neighbors per citing page, sorted -> pair gen
+        order = np.lexsort((dst, src))
+        s, d = src[order], dst[order]
+        keep = np.ones(len(s), dtype=bool)
+        keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        s, d = s[keep], d[keep]
+        x, y, _ = _wedge_pairs(s, d)
+        if len(x) == 0:
+            return pair_schema.empty_table()
+        t = pa.table({"a": pa.array(x), "b": pa.array(y)})
+        g = t.group_by(["a", "b"]).aggregate([("a", "count")])
+        g = g.rename_columns(["a", "b", "n"])
+        pb = pc.cast(
+            pc.bit_wise_and(
+                pc.bit_wise_xor(
+                    g.column("a"),
+                    pc.multiply(g.column("b"), pa.scalar(0x9E3779B9, pa.int64())),
+                ),
+                pa.scalar(63, pa.int64()),
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [pb, g.column("a"), g.column("b"), g.column("n").cast(pa.int64())],
+            schema=pair_schema,
+        )
+
+    out_schema = pa.schema(
+        [("page_a", pa.int64()), ("page_b", pa.int64()), ("n_cociting", pa.int64())]
+    )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("a"), 0))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        agg = (
+            g.select(["a", "b", "n"])
+            .group_by(["a", "b"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["page_a", "page_b", "n_cociting"])
+        )
+        order = pc.sort_indices(
+            agg,
+            sort_keys=[
+                ("n_cociting", "descending"),
+                ("page_a", "ascending"),
+                ("page_b", "ascending"),
+            ],
+        )
+        return agg.take(order[: min(k, len(order))]).cast(out_schema)
+
+    topk = (
+        docs.map_batches(pair_partials, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(pair_schema, "pbucket", fill={"a": -1, "b": -1, "n": 0})
+        )
+        .groupby("pbucket", num_partitions=np_)
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+    import ray.data as _rd
+
+    rows = topk.take_all()
+    rows.sort(key=lambda r: (-r["n_cociting"], r["page_a"], r["page_b"]))
+    return _rd.from_arrow(pa.Table.from_pylist(rows[:k], schema=out_schema))

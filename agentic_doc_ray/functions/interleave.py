@@ -351,3 +351,62 @@ def error_rate_by_source(
             Sum("n_errors", alias_name="n_errors"),
         )
     )
+
+
+def extraction_yield(
+    parsed: "ray.data.Dataset", corpus: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Per-doc extraction yield audit: markdown chars OUT vs raw corpus
+    span chars IN (boilerplate-strip efficiency + error losses), floor
+    per-mille. Both sides collapse to per-doc char counts batch-locally
+    (doc-atomic rows); they meet in one bucketed ``hash_join`` — nothing
+    text-sized shuffles."""
+    from agentic_doc_ray.functions.join_api import hash_join
+
+    def raw_side(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        tl = pc.utf8_length(flat.field("text")).cast(pa.int64())
+        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        n_docs = batch.num_rows
+        raw = np.zeros(n_docs, np.int64)
+        if len(tl):
+            np.add.at(raw, parents, tl.to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(raw)],
+            names=["doc_id", "raw_chars"],
+        )
+
+    def md_side(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.utf8_length(batch.column("markdown")).cast(pa.int64()),
+            ],
+            names=["doc_id", "markdown_chars"],
+        )
+
+    raw = corpus.map_batches(raw_side, batch_format="pyarrow")
+    md = parsed.map_batches(md_side, batch_format="pyarrow")
+    joined = hash_join(md, raw, left_on="doc_id", how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = pc.coalesce(
+            batch.column("raw_chars").combine_chunks().cast(pa.int64()),
+            pa.scalar(0, pa.int64()),
+        ).to_numpy(zero_copy_only=False)
+        o = batch.column("markdown_chars").combine_chunks().cast(pa.int64())
+        ypm = 1000 * o.to_numpy(zero_copy_only=False) // np.maximum(r, 1)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(r.astype(np.int64)),
+                o,
+                pa.array(ypm.astype(np.int64)),
+            ],
+            names=["doc_id", "raw_chars", "markdown_chars", "yield_per_mille"],
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1249,6 +1249,33 @@ def main() -> None:
 
     timed("prefix_dedup_clusters", prefix_dedup_q)
 
+    def extraction_yield_q() -> None:
+        from agentic_doc_ray.functions.interleave import extraction_yield
+        from agentic_doc_ray.pipelines import extract_corpus, read_corpus
+        from agentic_doc_ray.synth import corpus_path_for
+
+        c = read_corpus(corpus_path_for(SF_DIR))
+        extraction_yield(extract_corpus(c), c).count()
+
+    timed("extraction_yield", extraction_yield_q)
+
+    def activity_conc_q() -> None:
+        from agentic_doc_ray.functions.analytics import activity_concentration
+
+        activity_concentration(SF_DIR).count()
+
+    timed("activity_concentration", activity_conc_q)
+
+    def cocitation_q() -> None:
+        from agentic_doc_ray.functions.graph import cocitation_counts
+
+        d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        cocitation_counts(d, d.count()).count()
+
+    timed("cocitation_counts", cocitation_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

@@ -1049,3 +1049,39 @@ def test_two_hop_reach_brute_force():
         reach.discard(node)
         assert got[node] == len(reach), node
     assert set(got) == set(adj)
+
+
+def test_cocitation_counts_brute_force():
+    from collections import Counter
+    from itertools import combinations
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from agentic_doc_ray.functions.graph import cocitation_counts
+    from agentic_doc_ray.functions.pagerank import N_LINKS, _LCG_A, _LCG_C
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    n = tbl.num_rows
+    got = cocitation_counts(
+        ray.data.from_arrow(tbl).repartition(3), n, k=50
+    ).to_pandas()
+    ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=np.int64)
+    cnt = Counter()
+    for i in ids:
+        outs = set()
+        for k in range(1, N_LINKS + 1):
+            d = (int(i) * _LCG_A + k * _LCG_C) % n
+            if d == i:
+                d = (d + 1) % n
+            outs.add(d)
+        for a, b in combinations(sorted(outs), 2):
+            cnt[(a, b)] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert [
+        ((r.page_a, r.page_b), r.n_cociting) for r in got.itertuples()
+    ] == want

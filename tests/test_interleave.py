@@ -213,3 +213,25 @@ def test_error_rate_by_source_conservation(sf_smoke_corpus):
     assert got["n_errors"].sum() == total_errs
     assert got["n_docs"].sum() == sf_smoke_corpus.num_rows
     assert (got["n_docs_with_errors"] <= got["n_docs"]).all()
+
+
+def test_extraction_yield_invariants(sf_smoke_corpus):
+    import ray.data
+
+    from agentic_doc_ray.functions.interleave import extraction_yield
+    from agentic_doc_ray.oracle import parse_corpus_oracle
+    from agentic_doc_ray.pipelines import extract_corpus
+
+    corpus = ray.data.from_arrow(sf_smoke_corpus).repartition(3)
+    got = extraction_yield(
+        extract_corpus(corpus), corpus
+    ).to_pandas().set_index("doc_id")
+    parsed = parse_corpus_oracle(sf_smoke_corpus)
+    # markdown side equals the oracle's markdown lengths exactly
+    for d, md in zip(parsed["doc_id"].to_pylist(), parsed["markdown"].to_pylist()):
+        assert got.loc[d, "markdown_chars"] == len(md)
+    # raw side equals the corpus span-char sums
+    for d, spans in zip(
+        sf_smoke_corpus["doc_id"].to_pylist(), sf_smoke_corpus["spans"].to_pylist()
+    ):
+        assert got.loc[d, "raw_chars"] == sum(len(s["text"]) for s in spans)
