@@ -1187,6 +1187,9 @@ _DRIVER_PRIORITY = [
     "extraction_yield",
     "activity_concentration",
     "cocitation_counts",
+    # new in session 13 (batch 15): layout-mix profile, hourly seasonality
+    "kind_stats",
+    "hourly_profile",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2892,6 +2895,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return length_outliers_by_source(sf_dir)
 
+    def q_kind_stats(sf_dir):
+        """Per-span-kind corpus stats over the extracted stream (count,
+        total chars, floor mean) — the layout-mix profile; per-batch
+        kind partials from the parsed doc-atomic rows + tiny aggregate.
+        SQL oracle over the flat replica."""
+        from ray.data.aggregate import Sum
+
+        from agentic_doc_ray.context import shuffle_partitions
+
+        _ensure_extraction_oracles(sf_dir)
+        parsed = extract_corpus(_corpus_ds(sf_dir))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            spans = batch.column("spans")
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            flat = spans.flatten()
+            t = pa.Table.from_arrays(
+                [
+                    flat.field("kind"),
+                    pc.utf8_length(flat.field("text")).cast(pa.int64()),
+                ],
+                names=["kind", "c"],
+            )
+            g = t.group_by("kind").aggregate([("c", "count"), ("c", "sum")])
+            return g.rename_columns(["kind", "n_spans", "total_chars"])
+
+        agg = (
+            parsed.map_batches(partial, batch_format="pyarrow")
+            .groupby("kind", num_partitions=shuffle_partitions(4))
+            .aggregate(
+                Sum("n_spans", alias_name="n_spans"),
+                Sum("total_chars", alias_name="total_chars"),
+            )
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            n = batch.column("n_spans").combine_chunks().cast(pa.int64())
+            c = batch.column("total_chars").combine_chunks().cast(pa.int64())
+            mean = pc.divide(c, pc.max_element_wise(n, pa.scalar(1, pa.int64())))
+            return pa.Table.from_arrays(
+                [batch.column("kind").combine_chunks(), n, c, mean.cast(pa.int64())],
+                names=["kind", "n_spans", "total_chars", "mean_chars"],
+            )
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    def q_hourly_profile(sf_dir):
+        """Hour-of-day × event-type seasonality histogram (the traffic
+        profile behind crawl-rate planning); per-batch partials + tiny
+        aggregate. SQL oracle."""
+        from ray.data.aggregate import Sum
+
+        from agentic_doc_ray.context import shuffle_partitions
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            us = batch.column("ts").cast(pa.int64())
+            hour = pc.divide(
+                pc.subtract(
+                    us,
+                    pc.multiply(
+                        pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+                        pa.scalar(86_400_000_000, pa.int64()),
+                    ),
+                ),
+                pa.scalar(3_600_000_000, pa.int64()),
+            )
+            t = pa.Table.from_arrays(
+                [batch.column("event_type"), hour.cast(pa.int64())],
+                names=["event_type", "hour"],
+            )
+            g = t.group_by(["event_type", "hour"]).aggregate([("hour", "count")])
+            return g.rename_columns(["event_type", "hour", "n"])
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "hour"], num_partitions=shuffle_partitions(4))
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
     def q_extraction_yield(sf_dir):
         """Per-doc extraction yield (markdown chars out vs raw span chars
         in, floor per-mille) — the boilerplate-strip efficiency audit;
@@ -4328,6 +4415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_yield": q_extraction_yield,
         "activity_concentration": q_activity_concentration,
         "cocitation_counts": q_cocitation,
+        "kind_stats": q_kind_stats,
+        "hourly_profile": q_hourly_profile,
         "langid_agreement": q_langid_agreement,
         "rfm_segments": q_rfm_segments,
         "kind_transitions": q_kind_transitions,    # SQL over flat replica
@@ -6192,6 +6281,18 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(greatest(1024 - sum(n_tokens), 0) AS BIGINT) AS waste "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pack_sequences.parquet') "
             "GROUP BY 1"
+        ),
+        "kind_stats": (
+            f"SELECT kind, CAST(count(*) AS BIGINT) AS n_spans, "
+            "  CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+            "  CAST(sum(length(text)) // greatest(count(*), 1) AS BIGINT) AS mean_chars "
+            f"FROM {flat} GROUP BY kind"
+        ),
+        "hourly_profile": (
+            "SELECT event_type, "
+            "  CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour, "
+            "  CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2"
         ),
         "extraction_yield": (
             f"WITH f AS (SELECT doc_id, unnest(spans, recursive := true) FROM {corpus}), "
