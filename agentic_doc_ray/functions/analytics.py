@@ -2918,7 +2918,13 @@ def order_total_audit(sf_dir: str) -> "ray.data.Dataset":
     from agentic_doc_ray.context import partitions_for
     from agentic_doc_ray.functions.join_api import hash_join
 
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    part_schema = pa.schema(
+        [("obucket", pa.int32()), ("o_orderkey", pa.int64()), ("c", pa.int64())]
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         cents = pc.round(
@@ -2928,12 +2934,38 @@ def order_total_audit(sf_dir: str) -> "ray.data.Dataset":
             [batch.column("l_orderkey"), cents], names=["o_orderkey", "c"]
         )
         g = t.group_by("o_orderkey").aggregate([("c", "sum")])
-        return g.rename_columns(["o_orderkey", "c"])
+        g = g.rename_columns(["o_orderkey", "c"])
+        ob = pc.cast(
+            pc.bit_wise_and(g.column("o_orderkey"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [ob, g.column("o_orderkey"), g.column("c").cast(pa.int64())],
+            schema=part_schema,
+        )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        # in-bucket Arrow merge instead of Ray's per-group hash aggregate
+        # (~60us/distinct group across ~60k orderkeys at sf0.1)
+        g = group.filter(pc.greater_equal(group.column("o_orderkey"), 0))
+        if g.num_rows == 0:
+            return pa.schema(
+                [("o_orderkey", pa.int64()), ("line_cents", pa.int64())]
+            ).empty_table()
+        return (
+            g.select(["o_orderkey", "c"])
+            .group_by("o_orderkey")
+            .aggregate([("c", "sum")])
+            .rename_columns(["o_orderkey", "line_cents"])
+        )
 
     line_sums = (
         li.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderkey", num_partitions=partitions_for(li.count()))
-        .aggregate(Sum("c", alias_name="line_cents"))
+        .union(
+            int_key_sentinels(part_schema, "obucket", fill={"o_orderkey": -1, "c": 0})
+        )
+        .groupby("obucket", num_partitions=partitions_for(li.count()))
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
     def header(batch: pa.Table) -> pa.Table:
