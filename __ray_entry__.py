@@ -1190,6 +1190,8 @@ _DRIVER_PRIORITY = [
     # new in session 13 (batch 15): layout-mix profile, hourly seasonality
     "kind_stats",
     "hourly_profile",
+    # new in session 13 (batch 16): composed quality score
+    "quality_composite",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2895,6 +2897,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return length_outliers_by_source(sf_dir)
 
+    def q_quality_composite(sf_dir):
+        """Composed quality SCORE: 4*gopher_keep + 2*(entropy >= 2 bits)
+        + (TTR >= 0.3) — three oracle-pinned signal families fused into
+        one zero-exchange scan (corpus-adapted stopword inventory, same
+        as curation_keep). SQL oracle composes the curation flags CTE,
+        the entropy replica and the TTR rollup."""
+        from agentic_doc_ray.functions.text import quality_composite
+
+        _ensure_extraction_oracles(sf_dir)
+        return quality_composite(docs(sf_dir), stopwords=_CURATION_STOPWORDS)
+
     def q_kind_stats(sf_dir):
         """Per-span-kind corpus stats over the extracted stream (count,
         total chars, floor mean) — the layout-mix profile; per-batch
@@ -4417,6 +4430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation_counts": q_cocitation,
         "kind_stats": q_kind_stats,
         "hourly_profile": q_hourly_profile,
+        "quality_composite": q_quality_composite,
         "langid_agreement": q_langid_agreement,
         "rfm_segments": q_rfm_segments,
         "kind_transitions": q_kind_transitions,    # SQL over flat replica
@@ -6281,6 +6295,31 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(greatest(1024 - sum(n_tokens), 0) AS BIGINT) AS waste "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pack_sequences.parquet') "
             "GROUP BY 1"
+        ),
+        "quality_composite": (
+            "WITH gf AS (SELECT doc_id, keep FROM ("
+            + _CURATION_FLAGS_SQL
+            + ") gsub), "
+            "ce AS (SELECT doc_id, entropy_micro "
+            f"  FROM read_parquet('{_ORACLE_SQL_DIR}/char_entropy.parquet')), "
+            "tr2 AS (SELECT doc_id, "
+            "  regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t FROM documents), "
+            "tok2 AS (SELECT doc_id, "
+            "  unnest(regexp_split_to_array(t, '\\s+')) AS token "
+            "  FROM tr2 WHERE t <> ''), "
+            "tt0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "  CAST(count(DISTINCT token) AS BIGINT) AS n_types "
+            "  FROM tok2 GROUP BY 1), "
+            "tt AS (SELECT d.doc_id, CAST(1000 * coalesce(t0.n_types, 0) "
+            "  // greatest(coalesce(t0.n_tokens, 0), 1) AS BIGINT) AS ttr "
+            "  FROM documents d LEFT JOIN tt0 t0 USING (doc_id)) "
+            "SELECT gf.doc_id, CAST(gf.keep AS BIGINT) AS gopher_keep, "
+            "  CAST(CASE WHEN ce.entropy_micro >= 2000000 THEN 1 ELSE 0 END AS BIGINT) AS ent_ok, "
+            "  CAST(CASE WHEN tt.ttr >= 300 THEN 1 ELSE 0 END AS BIGINT) AS ttr_ok, "
+            "  CAST(4 * gf.keep "
+            "    + CASE WHEN ce.entropy_micro >= 2000000 THEN 2 ELSE 0 END "
+            "    + CASE WHEN tt.ttr >= 300 THEN 1 ELSE 0 END AS BIGINT) AS score "
+            "FROM gf JOIN ce USING (doc_id) JOIN tt USING (doc_id)"
         ),
         "kind_stats": (
             f"SELECT kind, CAST(count(*) AS BIGINT) AS n_spans, "

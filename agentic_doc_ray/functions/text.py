@@ -4026,45 +4026,90 @@ def phrase_merge_oracle(
     return _phrase_merge_batch(docs_tbl, phrases)
 
 
+def doc_ttr_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc type-token ratio kernel (see ``doc_ttr``); module-level so
+    composed scans (``quality_composite``) reuse it."""
+    import pandas as pd
+
+    trimmed = _regex_trim(batch.column("text"))
+    if isinstance(trimmed, pa.ChunkedArray):
+        trimmed = trimmed.combine_chunks()
+    nonempty = pc.not_equal(trimmed, "")
+    toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    if isinstance(toks_list, pa.ChunkedArray):
+        toks_list = toks_list.combine_chunks()
+    flat = toks_list.flatten()
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    n_docs = batch.num_rows
+    idx = np.flatnonzero(nonempty.to_numpy(zero_copy_only=False))
+    n_tok = np.zeros(n_docs, np.int64)
+    n_typ = np.zeros(n_docs, np.int64)
+    if len(flat):
+        codes, _ = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        key = parents.astype(np.int64) * (codes.max() + 1) + codes
+        uk = np.unique(key)
+        n_ne = int(parents[-1]) + 1
+        n_tok[idx[:n_ne]] = np.bincount(parents, minlength=n_ne)
+        n_typ[idx[:n_ne]] = np.bincount(
+            (uk // (codes.max() + 1)).astype(np.int64), minlength=n_ne
+        )
+    ttr = 1000 * n_typ // np.maximum(n_tok, 1)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_tok),
+            pa.array(n_typ),
+            pa.array(ttr.astype(np.int64)),
+        ],
+        names=["doc_id", "n_tokens", "n_types", "ttr_per_mille"],
+    )
+
+
 def doc_ttr(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-doc lexical diversity: type-token ratio (distinct tokens /
     tokens, floor per-mille) — the template/spam repetitiveness signal
     at the word level (char_entropy's token-level sibling). Batch-local,
     vectorized distinct via factorize + (doc, code) unique."""
-    import pandas as pd
+    return docs.map_batches(doc_ttr_batch, batch_format="pyarrow")
+
+
+def quality_composite(
+    docs: "ray.data.Dataset",
+    stopwords: "tuple[str, ...]" = _GOPHER_STOPWORDS,
+    ent_threshold_micro: int = 2_000_000,
+    ttr_threshold_pm: int = 300,
+) -> "ray.data.Dataset":
+    """Composed quality SCORE (the ranking complement to the gating
+    pipelines): per doc, ``score = 4*gopher_keep + 2*ent_ok + ttr_ok``
+    where ent_ok = byte entropy >= 2 bits/char and ttr_ok = type-token
+    ratio >= 0.3 — three independent signal families (rule set, char
+    distribution, lexical diversity) fused into ONE zero-exchange
+    streaming scan; all three kernels are batch-local and already
+    oracle-pinned individually."""
 
     def f(batch: pa.Table) -> pa.Table:
-        trimmed = _regex_trim(batch.column("text"))
-        if isinstance(trimmed, pa.ChunkedArray):
-            trimmed = trimmed.combine_chunks()
-        nonempty = pc.not_equal(trimmed, "")
-        toks_list = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
-        if isinstance(toks_list, pa.ChunkedArray):
-            toks_list = toks_list.combine_chunks()
-        flat = toks_list.flatten()
-        parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
-        n_docs = batch.num_rows
-        idx = np.flatnonzero(nonempty.to_numpy(zero_copy_only=False))
-        n_tok = np.zeros(n_docs, np.int64)
-        n_typ = np.zeros(n_docs, np.int64)
-        if len(flat):
-            codes, _ = pd.factorize(flat.to_numpy(zero_copy_only=False))
-            key = parents.astype(np.int64) * (codes.max() + 1) + codes
-            uk = np.unique(key)
-            n_ne = int(parents[-1]) + 1
-            n_tok[idx[:n_ne]] = np.bincount(parents, minlength=n_ne)
-            n_typ[idx[:n_ne]] = np.bincount(
-                (uk // (codes.max() + 1)).astype(np.int64), minlength=n_ne
-            )
-        ttr = 1000 * n_typ // np.maximum(n_tok, 1)
+        keep = gopher_quality_flags_batch(batch, stopwords).column("keep")
+        ent = char_entropy_batch(batch).column("entropy_micro")
+        ttr = doc_ttr_batch(batch).column("ttr_per_mille")
+        ent_ok = pc.cast(
+            pc.greater_equal(ent, pa.scalar(ent_threshold_micro, pa.int64())),
+            pa.int64(),
+        )
+        ttr_ok = pc.cast(
+            pc.greater_equal(ttr, pa.scalar(ttr_threshold_pm, pa.int64())),
+            pa.int64(),
+        )
+        keep64 = pc.cast(keep, pa.int64())
+        score = pc.add(
+            pc.add(
+                pc.multiply(keep64, pa.scalar(4, pa.int64())),
+                pc.multiply(ent_ok, pa.scalar(2, pa.int64())),
+            ),
+            ttr_ok,
+        )
         return pa.Table.from_arrays(
-            [
-                batch.column("doc_id"),
-                pa.array(n_tok),
-                pa.array(n_typ),
-                pa.array(ttr.astype(np.int64)),
-            ],
-            names=["doc_id", "n_tokens", "n_types", "ttr_per_mille"],
+            [batch.column("doc_id"), keep64, ent_ok, ttr_ok, score],
+            names=["doc_id", "gopher_keep", "ent_ok", "ttr_ok", "score"],
         )
 
     return docs.map_batches(f, batch_format="pyarrow")

@@ -1276,6 +1276,18 @@ def main() -> None:
 
     timed("cocitation_counts", cocitation_q)
 
+    def quality_composite_q() -> None:
+        from agentic_doc_ray.functions.text import quality_composite
+
+        quality_composite(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            stopwords=("the", "a", "data", "value"),
+        ).count()
+
+    timed("quality_composite", quality_composite_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 
