@@ -1192,6 +1192,8 @@ _DRIVER_PRIORITY = [
     "hourly_profile",
     # new in session 13 (batch 16): composed quality score
     "quality_composite",
+    # new in session 13 (batch 17): repeat-purchase cadence quantiles
+    "order_gap_quantiles",
     # new this round: k-core decomposition over the link graph (distributed
     # H-index BSP vs exact peeling replica)
     "kcore_numbers",
@@ -2897,6 +2899,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return length_outliers_by_source(sf_dir)
 
+    def q_order_gap_quantiles(sf_dir):
+        """Repeat-purchase cadence: exact p50/p90/p99 of whole-day gaps
+        between consecutive orders per customer; gap-distribution
+        exchange, driver quantile indices. SQL LAG + list_sort oracle."""
+        from agentic_doc_ray.functions.analytics import order_gap_quantiles
+
+        return order_gap_quantiles(sf_dir)
+
     def q_quality_composite(sf_dir):
         """Composed quality SCORE: 4*gopher_keep + 2*(entropy >= 2 bits)
         + (TTR >= 0.3) — three oracle-pinned signal families fused into
@@ -4431,6 +4441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kind_stats": q_kind_stats,
         "hourly_profile": q_hourly_profile,
         "quality_composite": q_quality_composite,
+        "order_gap_quantiles": q_order_gap_quantiles,
         "langid_agreement": q_langid_agreement,
         "rfm_segments": q_rfm_segments,
         "kind_transitions": q_kind_transitions,    # SQL over flat replica
@@ -6295,6 +6306,20 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(greatest(1024 - sum(n_tokens), 0) AS BIGINT) AS waste "
             f"FROM read_parquet('{_ORACLE_SQL_DIR}/pack_sequences.parquet') "
             "GROUP BY 1"
+        ),
+        "order_gap_quantiles": (
+            "WITH o AS (SELECT o_custkey, "
+            "  epoch_us(o_orderdate) // 86400000000 AS day FROM orders), "
+            "g AS (SELECT day - lag(day) OVER ("
+            "  PARTITION BY o_custkey ORDER BY day) AS gap FROM o), "
+            "gg AS (SELECT CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "  list_sort(list(gap)) AS v FROM gg) "
+            "SELECT n AS n_gaps, "
+            "  CAST(v[CAST((n-1)//2 AS BIGINT) + 1] AS BIGINT) AS p50_days, "
+            "  CAST(v[CAST((n-1)*9//10 AS BIGINT) + 1] AS BIGINT) AS p90_days, "
+            "  CAST(v[CAST((n-1)*99//100 AS BIGINT) + 1] AS BIGINT) AS p99_days "
+            "FROM t"
         ),
         "quality_composite": (
             "WITH gf AS (SELECT doc_id, keep FROM ("

@@ -3143,3 +3143,100 @@ def activity_concentration(sf_dir: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def order_gap_quantiles(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Repeat-purchase cadence: exact p50/p90/p99 of the gaps (whole
+    days) between a customer's CONSECUTIVE orders — the retention /
+    reorder-cycle metric. One row out.
+
+    Shape: (custkey, day) key rows through one sentinel-guarded
+    customer-bucket exchange; per bucket, a vectorized sort+diff emits
+    GAP-DISTRIBUTION partials (one row per distinct gap per bucket —
+    the day-domain bounds the exchange, not order rows); the exact
+    quantile indices floor((n-1)*p) resolve on the driver over the
+    merged distribution."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for
+    from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    np_ = partitions_for(ds.count())
+
+    gap_schema = pa.schema(
+        [("bucket", pa.int32()), ("custkey", pa.int64()), ("day", pa.int64())]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            batch.column("o_orderdate").cast(pa.int64()),
+            pa.scalar(_US_PER_DAY, pa.int64()),
+        )
+        bucket = pc.cast(
+            pc.bit_wise_and(
+                batch.column("o_custkey"), pa.scalar(n_buckets - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [bucket, batch.column("o_custkey"), day.cast(pa.int64())],
+            schema=gap_schema,
+        )
+
+    def gaps_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("custkey"), 0))
+        empty = pa.schema([("gap", pa.int64()), ("n", pa.int64())]).empty_table()
+        if g.num_rows == 0:
+            return empty
+        cust = g.column("custkey").to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, cust))
+        c, d = cust[order], day[order]
+        same = c[1:] == c[:-1]
+        gaps = (d[1:] - d[:-1])[same]
+        if len(gaps) == 0:
+            return empty
+        t = pa.table({"gap": pa.array(gaps.astype(np.int64))})
+        out = t.group_by("gap").aggregate([("gap", "count")])
+        return out.rename_columns(["gap", "n"])
+
+    rows = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .union(int_key_sentinels(gap_schema, "bucket", fill={"custkey": -1, "day": 0}))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(gaps_bucket, batch_format="pyarrow")
+        .groupby("gap", num_partitions=_cap(4))
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    rows = sorted((int(r["gap"]), int(r["n"])) for r in rows)
+    vals = np.array([v for v, _ in rows], dtype=np.int64)
+    cum = np.cumsum(np.array([n for _, n in rows], dtype=np.int64))
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_gaps": pa.array([0], pa.int64()),
+                    "p50_days": pa.array([0], pa.int64()),
+                    "p90_days": pa.array([0], pa.int64()),
+                    "p99_days": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    qs = [
+        int(vals[np.searchsorted(cum, (n - 1) * num // den + 1)])
+        for num, den in ((1, 2), (9, 10), (99, 100))
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_gaps": pa.array([n], pa.int64()),
+                "p50_days": pa.array([qs[0]], pa.int64()),
+                "p90_days": pa.array([qs[1]], pa.int64()),
+                "p99_days": pa.array([qs[2]], pa.int64()),
+            }
+        )
+    )

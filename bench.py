@@ -1288,6 +1288,13 @@ def main() -> None:
 
     timed("quality_composite", quality_composite_q)
 
+    def order_gap_q() -> None:
+        from agentic_doc_ray.functions.analytics import order_gap_quantiles
+
+        order_gap_quantiles(SF_DIR).count()
+
+    timed("order_gap_quantiles", order_gap_q)
+
     def neg_sampling_q() -> None:
         from agentic_doc_ray.functions.text import neg_sampling_table
 

@@ -1759,3 +1759,27 @@ def test_order_total_audit_conservation():
     assert len(got) == n_orders
     assert got["line_cents"].sum() == total_line
     assert (got["diff_cents"] == got["total_cents"] - got["line_cents"]).all()
+
+
+def test_order_gap_quantiles_brute_force():
+    import duckdb
+    import numpy as np
+
+    from agentic_doc_ray.functions.analytics import order_gap_quantiles
+
+    got = order_gap_quantiles("/root/testdata/sf0.001").to_pandas().iloc[0]
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day "
+        "FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).df()
+    gaps = []
+    for _, sub in df.groupby("o_custkey"):
+        days = np.sort(sub["day"].to_numpy())
+        gaps.extend(np.diff(days).tolist())
+    gaps = np.sort(np.array(gaps, dtype=np.int64))
+    n = len(gaps)
+    assert got["n_gaps"] == n
+    assert got["p50_days"] == gaps[(n - 1) // 2]
+    assert got["p90_days"] == gaps[(n - 1) * 9 // 10]
+    assert got["p99_days"] == gaps[(n - 1) * 99 // 100]
