@@ -237,13 +237,9 @@ def classifier_gated_sample(
         if "w" not in cache:
             cache["w"] = _ray.get(_w)
         scored = _score_batch(batch, cache["w"], positive, negative)
-        pm = np.array(
-            [
-                int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 1000
-                for d in scored.column("doc_id").to_pylist()
-            ],
-            dtype=np.int64,
-        )
+        from agentic_doc_ray.functions._digest import md5_per_mille
+
+        pm = md5_per_mille(scored.column("doc_id"))
         thr = np.where(
             pc.equal(scored.column("pred"), positive).to_numpy(
                 zero_copy_only=False

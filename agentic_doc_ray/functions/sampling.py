@@ -25,15 +25,16 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from agentic_doc_ray.functions._digest import md5_per_mille
 from agentic_doc_ray.functions.text import _token_count
 
 
-def _pct(doc_ids: list[str]) -> np.ndarray:
-    """Stable percentile 0..99 per doc_id (md5-based; SQL-reproducible)."""
-    return np.array(
-        [int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 100 for d in doc_ids],
-        dtype=np.int64,
-    )
+def _pct(doc_ids) -> np.ndarray:
+    """Stable percentile 0..99 per doc_id (md5-based; SQL-reproducible;
+    vectorized single-block MD5 — see ``_digest``)."""
+    from agentic_doc_ray.functions._digest import md5_per_cent
+
+    return md5_per_cent(doc_ids)
 
 
 def train_val_split(
@@ -42,7 +43,7 @@ def train_val_split(
     """Tag each doc 'train' / 'val' by its stable hash percentile."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        pct = _pct(batch.column("doc_id").to_pylist())
+        pct = _pct(batch.column("doc_id"))
         split = np.where(pct < val_pct, "val", "train")
         return pa.Table.from_arrays(
             [batch.column("doc_id"), pa.array(split, pa.string())],
@@ -59,7 +60,7 @@ def stratified_sample(
     row level so distributed output == the SQL predicate)."""
 
     def keep(batch: pa.Table) -> pa.Table:
-        p = _pct(batch.column("doc_id").to_pylist())
+        p = _pct(batch.column("doc_id"))
         return batch.filter(pa.array(p < pct)).select(["doc_id", by])
 
     return docs.map_batches(keep, batch_format="pyarrow")
@@ -253,14 +254,7 @@ def mixture_sample(
     wseries = pd.Series(weights, dtype=np.int64)
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        pm = np.array(
-            [
-                int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 1000
-                for d in ids
-            ],
-            dtype=np.int64,
-        )
+        pm = md5_per_mille(batch.column("doc_id"))
         thr = (
             pd.Series(batch.column("source").to_numpy(zero_copy_only=False))
             .map(wseries)
@@ -331,14 +325,7 @@ def temperature_mixture_sample(
         cache = keep.__dict__
         if "r" not in cache:
             cache["r"] = _ray.get(_ref)
-        ids = batch.column("doc_id").to_pylist()
-        h = np.array(
-            [
-                int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 1000
-                for d in ids
-            ],
-            dtype=np.int64,
-        )
+        h = md5_per_mille(batch.column("doc_id"))
         thr = (
             pd.Series(batch.column("source").to_numpy(zero_copy_only=False))
             .map(cache["r"])
@@ -468,14 +455,7 @@ def upsample_sources(
     def expand(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        ids = batch.column("doc_id").to_pylist()
-        h = np.array(
-            [
-                int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 1000
-                for d in ids
-            ],
-            dtype=np.int64,
-        )
+        h = md5_per_mille(batch.column("doc_id"))
         f = (
             pd.Series(batch.column("source").to_pylist())
             .map(factors_permille)
@@ -483,7 +463,7 @@ def upsample_sources(
             .to_numpy(dtype=np.int64)
         )
         n_copies = f // 1000 + (h < f % 1000)
-        idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_copies)
+        idx = np.repeat(np.arange(len(h), dtype=np.int64), n_copies)
         starts = np.concatenate(([0], np.cumsum(n_copies)))[:-1]
         epoch = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, n_copies)
         out = batch.select(["doc_id", "source"]).take(pa.array(idx))
