@@ -11,7 +11,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -1611,7 +1611,7 @@ def qty_discount_covariance(sf_dir: str) -> "ray.data.Dataset":
     partials are safe: q <= 50, d <= 10, so sum_qd grows at <= 500/row).
     No exchange carries more than |flags| x blocks rows.
     """
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from agentic_doc_ray.context import shuffle_partitions
 
@@ -2627,13 +2627,32 @@ def conversion_lags(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
 _US_PER_DAY = 86_400_000_000
 
 
-def _distinct_day_users(sf_dir: str) -> "ray.data.Dataset":
-    """Globally distinct (day, user_id) activity rows (day = epoch_us //
-    86400e6): per-batch distinct partials + one hash aggregate; the
-    exchange is bounded by active (day, user) pairs, not events."""
+def rolling_active_users(sf_dir: str) -> "ray.data.Dataset":
+    """DAU / trailing-7-day WAU / stickiness per day — the product
+    engagement rollup, exact: distinct (day, user) activity expands x7
+    into (window_day, user) rows; stickiness_ppm = 10^6 * dau // wau.
+    Output days are the days with activity (dau > 0); early days carry
+    partial (shorter) trailing windows, same as the SQL.
+
+    Scale shape (the house bucket-then-Arrow-merge pattern — Ray groupby
+    keys must be bounded dimensions, never entity ids): one user-hash
+    bucket exchange co-locates each user's activity; the (day, user)
+    distinct, the x7 window expand, AND the windowed distinct all run
+    as C-speed Arrow group_bys INSIDE the bucket (a user's window rows
+    live in its bucket by construction), so the only aggregate keyed
+    exchange is the final day-keyed count merge — bounded by the date
+    range, not by users."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for
     from agentic_doc_ray.context import shuffle_partitions as _cap
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
 
     ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    part_schema = pa.schema(
+        [("ubucket", pa.int32()), ("day", pa.int64()), ("user_id", pa.int64())]
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         day = pc.divide(
@@ -2643,141 +2662,185 @@ def _distinct_day_users(sf_dir: str) -> "ray.data.Dataset":
         t = pa.Table.from_arrays(
             [day, batch.column("user_id")], names=["day", "user_id"]
         )
-        return t.group_by(["day", "user_id"]).aggregate([])
+        g = t.group_by(["day", "user_id"]).aggregate([])
+        ub = pc.cast(
+            pc.bit_wise_and(g.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [ub, g.column("day").cast(pa.int64()), g.column("user_id")],
+            schema=part_schema,
+        )
 
-    return (
+    out_schema = pa.schema(
+        [("day", pa.int64()), ("n_dau", pa.int64()), ("n_wau", pa.int64())]
+    )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.greater_equal(group.column("user_id"), 0))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        du = g.select(["day", "user_id"]).group_by(["day", "user_id"]).aggregate([])
+        dau = du.group_by("day").aggregate([("day", "count")])
+        day = du.column("day").to_numpy(zero_copy_only=False)
+        user = du.column("user_id").to_numpy(zero_copy_only=False)
+        wt = pa.table(
+            {
+                "day": (day[:, None] + np.arange(7)[None, :]).ravel(),
+                "user_id": np.repeat(user, 7),
+            }
+        )
+        wau = (
+            wt.group_by(["day", "user_id"])
+            .aggregate([])
+            .group_by("day")
+            .aggregate([("day", "count")])
+        )
+        z_d = pa.array(np.zeros(dau.num_rows, np.int64))
+        z_w = pa.array(np.zeros(wau.num_rows, np.int64))
+        return pa.concat_tables(
+            [
+                pa.Table.from_arrays(
+                    [
+                        dau.column("day").cast(pa.int64()),
+                        dau.column("day_count").cast(pa.int64()),
+                        z_d,
+                    ],
+                    schema=out_schema,
+                ),
+                pa.Table.from_arrays(
+                    [
+                        wau.column("day").cast(pa.int64()),
+                        z_w,
+                        wau.column("day_count").cast(pa.int64()),
+                    ],
+                    schema=out_schema,
+                ),
+            ]
+        )
+
+    per_day = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["day", "user_id"], num_partitions=_cap(8))
-        .aggregate(Count(alias_name="_c"))
-        .map_batches(
-            lambda b: b.select(["day", "user_id"]), batch_format="pyarrow"
+        .union(
+            int_key_sentinels(
+                part_schema, "ubucket", fill={"day": -1, "user_id": -1}
+            )
         )
-    )
-
-
-def rolling_active_users(sf_dir: str) -> "ray.data.Dataset":
-    """DAU / trailing-7-day WAU / stickiness per day — the product
-    engagement rollup, exact: the distinct (day, user) table expands x7
-    into (window_day, user) rows, a second distinct-then-count exchange
-    yields WAU; stickiness_ppm = 10^6 * dau // wau. Output days are the
-    days with activity (the dau side of the join); early days carry
-    partial (shorter) trailing windows, same as the SQL.
-
-    Exchanges are bounded by active (day, user) pairs x7 — activity
-    tables, never raw events."""
-    from agentic_doc_ray.context import shuffle_partitions as _cap
-    from agentic_doc_ray.functions.join_api import hash_join
-
-    du = _distinct_day_users(sf_dir).materialize()
-
-    def dau_partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["day"]).group_by("day").aggregate([("day", "count")])
-        return g.rename_columns(["day", "n"])
-
-    dau = (
-        du.map_batches(dau_partial, batch_format="pyarrow")
+        .groupby("ubucket", num_partitions=partitions_for(ds.count()))
+        .map_groups(bucket_counts, batch_format="pyarrow")
         .groupby("day", num_partitions=_cap(4))
-        .aggregate(Sum("n", alias_name="dau"))
+        .aggregate(Sum("n_dau", alias_name="dau"), Sum("n_wau", alias_name="wau"))
     )
-
-    def expand(batch: pa.Table) -> pa.Table:
-        day = batch.column("day").to_numpy(zero_copy_only=False)
-        user = batch.column("user_id").to_numpy(zero_copy_only=False)
-        wd = (day[:, None] + np.arange(7)[None, :]).ravel()
-        uu = np.repeat(user, 7)
-        t = pa.Table.from_arrays(
-            [pa.array(wd.astype(np.int64)), pa.array(uu)],
-            names=["day", "user_id"],
-        )
-        return t.group_by(["day", "user_id"]).aggregate([])
-
-    def wau_partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["day"]).group_by("day").aggregate([("day", "count")])
-        return g.rename_columns(["day", "n"])
-
-    wau = (
-        du.map_batches(expand, batch_format="pyarrow")
-        .groupby(["day", "user_id"], num_partitions=_cap(8))
-        .aggregate(Count(alias_name="_c"))
-        .map_batches(wau_partial, batch_format="pyarrow")
-        .groupby("day", num_partitions=_cap(4))
-        .aggregate(Sum("n", alias_name="wau"))
-    )
-
-    joined = hash_join(dau, wau, left_on="day", how="inner")
 
     def finish(batch: pa.Table) -> pa.Table:
-        dau_v = batch.column("dau").to_numpy(zero_copy_only=False)
-        wau_v = batch.column("wau").to_numpy(zero_copy_only=False)
+        b = batch.filter(pc.greater(batch.column("dau"), 0))
+        dau_v = b.column("dau").to_numpy(zero_copy_only=False).astype(np.int64)
+        wau_v = b.column("wau").to_numpy(zero_copy_only=False).astype(np.int64)
         stick = 1_000_000 * dau_v // np.maximum(wau_v, 1)
         return pa.Table.from_arrays(
             [
-                batch.column("day").combine_chunks().cast(pa.int64()),
-                pa.array(dau_v.astype(np.int64)),
-                pa.array(wau_v.astype(np.int64)),
+                b.column("day").combine_chunks().cast(pa.int64()),
+                pa.array(dau_v),
+                pa.array(wau_v),
                 pa.array(stick.astype(np.int64)),
             ],
             names=["day", "dau", "wau", "stickiness_ppm"],
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return per_day.map_batches(finish, batch_format="pyarrow")
 
 
 def daily_new_users(sf_dir: str) -> "ray.data.Dataset":
     """Per day: active users vs FIRST-SEEN (new) users — the growth /
-    retention attribution split. First-seen day per user via one
-    user-keyed min exchange over the distinct activity table; counts
-    join day-keyed. Exact integers."""
+    retention attribution split. Exact integers.
+
+    Scale shape: one user-hash bucket exchange co-locates each user's
+    distinct activity; the per-user first-seen min runs as an Arrow
+    group_by INSIDE the bucket, so the only aggregate-keyed exchange is
+    the final day-keyed count merge (bounded by the date range)."""
+    from ray.data.aggregate import Sum
+
+    from agentic_doc_ray.context import partitions_for
     from agentic_doc_ray.context import shuffle_partitions as _cap
-    from agentic_doc_ray.functions.join_api import hash_join
-    from ray.data.aggregate import Min
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
 
-    du = _distinct_day_users(sf_dir).materialize()
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
 
-    def dau_partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["day"]).group_by("day").aggregate([("day", "count")])
-        return g.rename_columns(["day", "n"])
-
-    active = (
-        du.map_batches(dau_partial, batch_format="pyarrow")
-        .groupby("day", num_partitions=_cap(4))
-        .aggregate(Sum("n", alias_name="n_active"))
+    part_schema = pa.schema(
+        [("ubucket", pa.int32()), ("day", pa.int64()), ("user_id", pa.int64())]
     )
 
-    first = (
-        du.groupby("user_id", num_partitions=_cap(8))
-        .aggregate(Min("day", alias_name="first_day"))
-    )
-
-    def new_partial(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["first_day"])
-            .group_by("first_day")
-            .aggregate([("first_day", "count")])
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            batch.column("ts").cast(pa.int64()),
+            pa.scalar(_US_PER_DAY, pa.int64()),
         )
-        return g.rename_columns(["day", "n"])
+        t = pa.Table.from_arrays(
+            [day, batch.column("user_id")], names=["day", "user_id"]
+        )
+        g = t.group_by(["day", "user_id"]).aggregate([])
+        ub = pc.cast(
+            pc.bit_wise_and(g.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [ub, g.column("day").cast(pa.int64()), g.column("user_id")],
+            schema=part_schema,
+        )
 
-    new = (
-        first.map_batches(new_partial, batch_format="pyarrow")
-        .groupby("day", num_partitions=_cap(4))
-        .aggregate(Sum("n", alias_name="n_new"))
+    out_schema = pa.schema(
+        [("day", pa.int64()), ("n_active", pa.int64()), ("n_new", pa.int64())]
     )
 
-    joined = hash_join(active, new, left_on="day", how="left")
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "day": batch.column("day").combine_chunks().cast(pa.int64()),
-                "n_active": batch.column("n_active").combine_chunks().cast(pa.int64()),
-                "n_new": pc.coalesce(
-                    batch.column("n_new").combine_chunks().cast(pa.int64()),
-                    pa.scalar(0, pa.int64()),
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        # users are co-located in their bucket, so the per-user first-seen
+        # min is exact in-bucket — no user-keyed Ray aggregate (the house
+        # rule: Ray groupby keys are bounded dimensions, never entity ids)
+        g = group.filter(pc.greater_equal(group.column("user_id"), 0))
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        du = g.select(["day", "user_id"]).group_by(["day", "user_id"]).aggregate([])
+        active = du.group_by("day").aggregate([("day", "count")])
+        first = du.group_by("user_id").aggregate([("day", "min")])
+        new = first.group_by("day_min").aggregate([("day_min", "count")])
+        z_a = pa.array(np.zeros(active.num_rows, np.int64))
+        z_n = pa.array(np.zeros(new.num_rows, np.int64))
+        return pa.concat_tables(
+            [
+                pa.Table.from_arrays(
+                    [
+                        active.column("day").cast(pa.int64()),
+                        active.column("day_count").cast(pa.int64()),
+                        z_a,
+                    ],
+                    schema=out_schema,
                 ),
-            }
+                pa.Table.from_arrays(
+                    [
+                        new.column("day_min").cast(pa.int64()),
+                        z_n,
+                        new.column("day_min_count").cast(pa.int64()),
+                    ],
+                    schema=out_schema,
+                ),
+            ]
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .union(
+            int_key_sentinels(
+                part_schema, "ubucket", fill={"day": -1, "user_id": -1}
+            )
+        )
+        .groupby("ubucket", num_partitions=partitions_for(ds.count()))
+        .map_groups(bucket_counts, batch_format="pyarrow")
+        .groupby("day", num_partitions=_cap(4))
+        .aggregate(
+            Sum("n_active", alias_name="n_active"),
+            Sum("n_new", alias_name="n_new"),
+        )
+    )
 
 
 def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
@@ -2799,7 +2862,19 @@ def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
     from agentic_doc_ray.context import partitions_for
     from agentic_doc_ray.context import shuffle_partitions as _cap
 
+    from agentic_doc_ray.functions._exchange import int_key_sentinels
+
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    part_schema = pa.schema(
+        [
+            ("cbucket", pa.int32()),
+            ("custkey", pa.int64()),
+            ("last_us", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         us = batch.column("o_orderdate").cast(pa.int64())
@@ -2813,16 +2888,55 @@ def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
         g = t.group_by("custkey").aggregate(
             [("us", "max"), ("custkey", "count"), ("cents", "sum")]
         )
-        return g.rename_columns(["custkey", "last_us", "n_orders", "cents"])
+        g = g.rename_columns(["custkey", "last_us", "n_orders", "cents"])
+        cb = pc.cast(
+            pc.bit_wise_and(g.column("custkey"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [
+                cb,
+                g.column("custkey").cast(pa.int64()),
+                g.column("last_us").cast(pa.int64()),
+                g.column("n_orders").cast(pa.int64()),
+                g.column("cents").cast(pa.int64()),
+            ],
+            schema=part_schema,
+        )
+
+    cust_schema = pa.schema(
+        [
+            ("custkey", pa.int64()),
+            ("last_us", pa.int64()),
+            ("frequency", pa.int64()),
+            ("monetary_cents", pa.int64()),
+        ]
+    )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        # in-bucket Arrow merge instead of a custkey-keyed Ray hash
+        # aggregate (~60us/distinct group; the house bucket pattern)
+        g = group.filter(pc.greater_equal(group.column("custkey"), 0))
+        if g.num_rows == 0:
+            return cust_schema.empty_table()
+        m = g.group_by("custkey").aggregate(
+            [("last_us", "max"), ("n_orders", "sum"), ("cents", "sum")]
+        )
+        return m.rename_columns(
+            ["custkey", "last_us", "frequency", "monetary_cents"]
+        ).cast(cust_schema)
 
     per_cust = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("custkey", num_partitions=partitions_for(ds.count()))
-        .aggregate(
-            Max("last_us", alias_name="last_us"),
-            Sum("n_orders", alias_name="frequency"),
-            Sum("cents", alias_name="monetary_cents"),
+        .union(
+            int_key_sentinels(
+                part_schema,
+                "cbucket",
+                fill={"custkey": -1, "last_us": 0, "n_orders": 0, "cents": 0},
+            )
         )
+        .groupby("cbucket", num_partitions=partitions_for(ds.count()))
+        .map_groups(merge_bucket, batch_format="pyarrow")
         .materialize()
     )
 
