@@ -1551,7 +1551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return D.verified_dedup_pairs(
             _docs_str(sf_dir), exact_threshold=0.8
-        ).select(["doc_a", "doc_b"])
+        ).select_columns(["doc_a", "doc_b"])
 
     def q_exact_dedup(sf_dir):
         d = docs(sf_dir)
@@ -1811,11 +1811,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path so the oracle validates it (a pa.Table input would take
         # the local union-find fast path)
         return connected_components(
-            ray.data.from_arrow(
-                D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8).select(
-                    ["doc_a", "doc_b"]
-                )
-            )
+            D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8)
+            .select_columns(["doc_a", "doc_b"])
         )
 
     def q_near_dedup_keep(sf_dir):
@@ -1827,9 +1824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_extraction_oracles(sf_dir)
         return near_dedup_keep(
             _docs_str(sf_dir),
-            D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8).select(
-                ["doc_a", "doc_b"]
-            ),
+            D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8)
+            .select_columns(["doc_a", "doc_b"]),
         )
 
     def q_near_dedup_keep_best(sf_dir):
@@ -1845,9 +1841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return near_dedup_keep_best(
             scored,
-            D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8).select(
-                ["doc_a", "doc_b"]
-            ),
+            D.verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8)
+            .select_columns(["doc_a", "doc_b"]),
             score_col="n_chars",
         )
 
@@ -3641,11 +3636,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from agentic_doc_ray.functions.sampling import leakage_free_split
 
         _ensure_extraction_oracles(sf_dir)
-        pairs = ray.data.from_arrow(
-            verified_dedup_pairs(_docs_str(sf_dir), exact_threshold=0.8).select(
-                ["doc_a", "doc_b"]
-            )
-        )
+        pairs = verified_dedup_pairs(
+            _docs_str(sf_dir), exact_threshold=0.8
+        ).select_columns(["doc_a", "doc_b"])
         return leakage_free_split(_docs_str(sf_dir), pairs, val_pct=10)
 
     def q_train_val_split(sf_dir):

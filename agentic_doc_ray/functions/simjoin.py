@@ -20,9 +20,9 @@ Plan shape:
      in-bucket (size-ratio prefilter |A|/|B| >= t applied before the
      pair is ever emitted), duplicates dropped per bucket;
   3. one key-only pair exchange for the global dedupe;
-  4. exact verify via ``dedup.jaccard_verify`` — candidate-bounded
-     broadcast of the needed shingle sets (same documented shape as
-     verified_dedup_pairs).
+  4. exact verify via ``dedup.jaccard_verify_pairs`` — distributed
+     (broadcast under the explicit pair bound, doc-keyed attach
+     exchanges above it; same shape as verified_dedup_pairs).
 
 Skew note: a prefix gram shared by m docs generates O(m^2) candidate
 pairs — on natural text the prefix grams are each doc's RAREST-hashing
@@ -43,9 +43,8 @@ import ray.data
 from agentic_doc_ray.context import partitions_for
 from agentic_doc_ray.functions._exchange import int_key_sentinels
 from agentic_doc_ray.functions.dedup import (
-    PAIR_SCHEMA,
     char_shingles,
-    jaccard_verify,
+    jaccard_verify_pairs,
 )
 
 _N_BUCKETS = 64
@@ -71,7 +70,7 @@ _CAND_SCHEMA = pa.schema(
 
 def exact_jaccard_join(
     docs: "ray.data.Dataset", threshold: float = 0.8
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """All pairs with char-shingle Jaccard >= ``threshold``, exact in
     both directions (recall by the prefix-filter theorem, precision by
     the verify pass). Output (doc_a < doc_b, jaccard)."""
@@ -178,16 +177,13 @@ def exact_jaccard_join(
         .union(int_key_sentinels(_CAND_SCHEMA, "bucket", fill={"side": "s"}))
         .groupby("bucket", num_partitions=np_)
         .map_groups(dedupe, batch_format="pyarrow")
-        .take_all()
     )
-    pairs = sorted((r["doc_a"], r["doc_b"]) for r in cands)
-    rows = [
-        r for r in jaccard_verify(docs, pairs) if r["jaccard"] >= threshold
-    ]
-    return pa.Table.from_pylist(
-        [
-            {"doc_a": r["doc_a"], "doc_b": r["doc_b"], "jaccard": r["jaccard"]}
-            for r in rows
-        ],
-        schema=PAIR_SCHEMA,
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("jaccard"), threshold))
+
+    # distributed verify (broadcast under the pair bound, attach exchanges
+    # above it) — candidates never reach the driver
+    return jaccard_verify_pairs(docs, cands, np_).map_batches(
+        keep, batch_format="pyarrow"
     )

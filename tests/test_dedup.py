@@ -179,6 +179,37 @@ def test_minhash_routes_bit_equal(monkeypatch):
     assert via_broadcast == via_exchange and via_broadcast
 
 
+def test_jaccard_verify_routes_bit_equal(monkeypatch):
+    """The verify dual route: broadcast (needed shingle table via ray.put,
+    zero exchanges) vs the big route (two doc-keyed attach exchanges) must
+    produce identical (doc_a, doc_b, jaccard) rows, including a pair that
+    references an absent doc (scores 0.0 on both routes)."""
+    import ray.data as rd
+
+    docs = ray.data.from_arrow(_planted_docs())
+    pair_tbl = pa.table(
+        {
+            "doc_a": pa.array(["a", "a", "b", "a"], pa.string()),
+            "doc_b": pa.array(["a_dup", "b", "c", "zz_missing"], pa.string()),
+        }
+    )
+    def run():
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in D.jaccard_verify_pairs(
+                docs, rd.from_arrow(pair_tbl)
+            ).take_all()
+        )
+
+    via_broadcast = run()
+    monkeypatch.setattr(D, "_VERIFY_BROADCAST_PAIRS", 0)
+    via_exchange = run()
+    assert via_broadcast == via_exchange and len(via_broadcast) == 4
+    by_pair = {(a, b): j for a, b, j in via_broadcast}
+    assert by_pair[("a", "a_dup")] > 0.5
+    assert by_pair[("a", "zz_missing")] == 0.0
+
+
 def test_embedding_routes_bit_equal(monkeypatch):
     """Broadcast (unit matrix via ray.put, cosine in the pair-gen group)
     and exchange (two vec-keyed attaches) routes must agree exactly."""
