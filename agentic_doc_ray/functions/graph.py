@@ -39,17 +39,7 @@ from agentic_doc_ray.context import shuffle_partitions
 
 _N_BUCKETS = 64
 
-# union schema for exchange 1 (key: src): edge rows + label rows
-_EDGE_SCHEMA = pa.schema(
-    [
-        ("bucket", pa.int32()),
-        ("src", pa.string()),
-        ("dst", pa.string()),
-        ("side", pa.string()),
-        ("label", pa.string()),
-    ]
-)
-# union schema for init + exchange 2 (key: node): candidates + old labels
+# union schema shared by label_propagation's exchanges (key: node)
 _NODE_SCHEMA = pa.schema(
     [
         ("bucket", pa.int32()),
@@ -71,6 +61,18 @@ _RESOLVED_SCHEMA = pa.schema(
         ("bucket", pa.int32()),
         ("node", pa.string()),
         ("label", pa.string()),
+        ("changed", pa.int64()),
+    ]
+)
+# fused CC round row (VERDICT r03 #6 — ONE exchange per BSP round instead
+# of propagate + resolve, with pointer-jump queries/answers riding the same
+# exchange): edge, label, candidate and query rows share one schema
+_CC_FUSED_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("node", pa.string()),  # e: src / o,c: the node / q: the label node
+        ("aux", pa.string()),   # e: dst / o: label / c: cand label / q: requester
+        ("side", pa.string()),
         ("changed", pa.int64()),
     ]
 )
@@ -183,189 +185,160 @@ def connected_components(
                 src,
                 dst,
                 pa.array(["e"] * n, pa.string()),
-                pa.nulls(n, pa.string()),
+                pa.array(np.zeros(n, np.int64)),
             ],
-            schema=_EDGE_SCHEMA,
+            schema=_CC_FUSED_SCHEMA,
         )
 
     edges = pairs.map_batches(symmetric, batch_format="pyarrow").materialize()
 
-    # initial labels: every node labels itself (batch-local distinct, then
-    # one exchange makes it globally distinct)
-    def self_label(batch: pa.Table) -> pa.Table:
-        nodes = (
-            batch.select(["src"]).group_by("src").aggregate([]).column("src")
-        ).combine_chunks()
+    # --- fused BSP (ONE exchange per round) ------------------------------
+    # Each bucket holds its nodes' current labels ("o"), the candidate
+    # labels shipped to them last round ("c"), pointer-jump queries for
+    # labels owned here ("q") AND the static edges keyed by bucket(src) —
+    # so one map_groups both folds the min-label update and emits next
+    # round's candidates/queries/answers. Pointer jumping (label <-
+    # label(label), O(log diameter) rounds on chain graphs) rides the same
+    # exchange: a node emits a query to its label's bucket, which answers
+    # next round with a candidate to the requester; answers lag one round
+    # but cost zero extra exchanges. Stopping is exact: a round with zero
+    # label changes is the min-label fixpoint (labels are then constant
+    # per component, so any in-flight jump answer is a no-op).
+    def _emit(nodes, new, changed: np.ndarray, e: pa.Table, jump: bool) -> pa.Table:
+        nodes = nodes.combine_chunks() if isinstance(nodes, pa.ChunkedArray) else nodes
+        new = new.combine_chunks() if isinstance(new, pa.ChunkedArray) else new
         n = len(nodes)
-        return pa.Table.from_arrays(
-            [_bucket_of(nodes), nodes, nodes, pa.array(["o"] * n, pa.string())],
-            schema=_NODE_SCHEMA,
-        )
+        parts = [
+            pa.Table.from_arrays(
+                [
+                    _bucket_of(nodes),
+                    nodes,
+                    new,
+                    pa.array(["o"] * n, pa.string()),
+                    pa.array(changed),
+                ],
+                schema=_CC_FUSED_SCHEMA,
+            )
+        ]
+        if e.num_rows:
+            lab = pa.table({"node": nodes, "lab": new})
+            m = e.select(["node", "aux"]).join(lab, keys="node", join_type="inner")
+            dst = m.column("aux").combine_chunks()
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        _bucket_of(dst),
+                        dst,
+                        m.column("lab").combine_chunks(),
+                        pa.array(["c"] * m.num_rows, pa.string()),
+                        pa.array(np.zeros(m.num_rows, np.int64)),
+                    ],
+                    schema=_CC_FUSED_SCHEMA,
+                )
+            )
+        if jump:
+            f = pa.table({"node": nodes, "lab": new}).filter(
+                pc.not_equal(pc.field("node"), pc.field("lab"))
+            )
+            lab2 = f.column("lab").combine_chunks()
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        _bucket_of(lab2),
+                        lab2,                     # lookup key: the label node
+                        f.column("node").combine_chunks(),  # requester
+                        pa.array(["q"] * f.num_rows, pa.string()),
+                        pa.array(np.zeros(f.num_rows, np.int64)),
+                    ],
+                    schema=_CC_FUSED_SCHEMA,
+                )
+            )
+        return pa.concat_tables(parts)
 
-    def dedup_nodes(group: pa.Table) -> pa.Table:
-        g = (
-            _drop_sentinels(group)
-            .select(["bucket", "node", "label"])
-            .group_by(["bucket", "node"])
-            .aggregate([("label", "min")])
-        )
-        return g.rename_columns(["bucket", "node", "label"])
-
-    labels = (
-        edges.map_batches(self_label, batch_format="pyarrow")
-        .union(_sentinels(_NODE_SCHEMA))
-        .groupby("bucket", num_partitions=np_)
-        .map_groups(dedup_nodes, batch_format="pyarrow")
-        .materialize()
-    )
-
-    def tag_labels(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.Table.from_arrays(
-            [
-                batch.column("bucket"),
-                batch.column("node"),
-                pa.nulls(n, pa.string()),
-                pa.array(["l"] * n, pa.string()),
-                batch.column("label"),
-            ],
-            schema=_EDGE_SCHEMA,
-        )
-
-    def propagate(group: pa.Table) -> pa.Table:
-        group = _drop_sentinels(group)
-        is_edge = pc.equal(group.column("side"), "e")
-        e = group.filter(is_edge).select(["src", "dst"])
-        l = group.filter(pc.invert(is_edge)).select(["src", "label"])
-        m = e.join(l, keys="src", join_type="inner")
-        dst = m.column("dst").combine_chunks()
-        return pa.Table.from_arrays(
-            [
-                _bucket_of(dst),
-                dst,
-                m.column("label"),
-                pa.array(["c"] * m.num_rows, pa.string()),
-            ],
-            schema=_NODE_SCHEMA,
-        )
-
-    def tag_old(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [
-                batch.column("bucket"),
-                batch.column("node"),
-                batch.column("label"),
-                pa.array(["o"] * batch.num_rows, pa.string()),
-            ],
-            schema=_NODE_SCHEMA,
-        )
-
-    def resolve(group: pa.Table) -> pa.Table:
-        # min over candidates + own label; exact per-node changed flag
-        # (the old label is co-located by construction)
-        group = _drop_sentinels(group)
-        best = (
-            group.select(["node", "label"])
-            .group_by("node")
-            .aggregate([("label", "min")])
-            .rename_columns(["node", "new_label"])
-        )
-        old = (
-            group.filter(pc.equal(group.column("side"), "o"))
-            .select(["bucket", "node", "label"])
-            .rename_columns(["bucket", "node", "old_label"])
-        )
-        m = old.join(best, keys="node", join_type="inner")
-        changed = pc.cast(
-            pc.not_equal(m.column("new_label"), m.column("old_label")), pa.int64()
-        )
-        return pa.Table.from_arrays(
-            [m.column("bucket"), m.column("node"), m.column("new_label"), changed],
-            schema=_RESOLVED_SCHEMA,
-        )
-
-    # --- pointer jumping (label <- label(label)) -----------------------
-    # Min-label-only BSP needs O(component diameter) rounds; long chains
-    # (mutual-kNN graphs in embedding space, link rings) made the
-    # embedding_clusters CC a ~50-round 56 s tail at sf0.1. A shortcut
-    # round contracts label chains by half, so interleaving one after
-    # each neighbor round bounds total rounds by O(log diameter). The
-    # jump is safe: label(l) <= l (labels are monotonically nonincreasing
-    # within the component), and resolve still takes min-with-old. It
-    # engages from round 3 so shallow graphs (typical dedup components)
-    # never pay the extra exchanges.
-    def make_queries(batch: pa.Table) -> pa.Table:
-        f = batch.filter(
-            pc.not_equal(batch.column("node"), batch.column("label"))
-        )
-        lab = f.column("label").combine_chunks()
-        return pa.Table.from_arrays(
-            [
-                _bucket_of(lab),
-                lab,                       # lookup key: the label node
-                f.column("node"),          # requester rides in the label slot
-                pa.array(["q"] * f.num_rows, pa.string()),
-            ],
-            schema=_NODE_SCHEMA,
-        )
-
-    def shortcut(group: pa.Table) -> pa.Table:
-        group = _drop_sentinels(group)
-        is_q = pc.equal(group.column("side"), "q")
-        t = (
-            group.filter(pc.invert(is_q))
-            .select(["node", "label"])
-            .rename_columns(["node", "tlabel"])
-        )
-        q = group.filter(is_q).select(["node", "label"])
-        m = q.join(t, keys="node", join_type="inner")
-        v = m.column("label").combine_chunks()  # the requester node
+    def _answers(own_tbl: pa.Table, q: pa.Table) -> pa.Table:
+        """Answer pointer-jump queries against this bucket's new labels:
+        candidate label(label) rows addressed to the requesters."""
+        if q.num_rows == 0:
+            return _CC_FUSED_SCHEMA.empty_table()
+        m = q.select(["node", "aux"]).join(own_tbl, keys="node", join_type="inner")
+        v = m.column("aux").combine_chunks()  # the requester node
         return pa.Table.from_arrays(
             [
                 _bucket_of(v),
                 v,
-                m.column("tlabel"),
+                m.column("lab").combine_chunks(),
                 pa.array(["c"] * m.num_rows, pa.string()),
+                pa.array(np.zeros(m.num_rows, np.int64)),
             ],
-            schema=_NODE_SCHEMA,
+            schema=_CC_FUSED_SCHEMA,
         )
 
+    def init_group(group: pa.Table) -> pa.Table:
+        g = _drop_sentinels(group)
+        e = g.filter(pc.equal(g.column("side"), "e"))
+        if e.num_rows == 0:
+            return _CC_FUSED_SCHEMA.empty_table()
+        nodes = (
+            e.select(["node"]).group_by("node").aggregate([]).column("node")
+        ).combine_chunks()
+        return _emit(nodes, nodes, np.ones(len(nodes), np.int64), e, False)
+
+    def make_round(jump: bool):
+        def fused_round(group: pa.Table) -> pa.Table:
+            g = _drop_sentinels(group)
+            own = g.filter(pc.equal(g.column("side"), "o"))
+            if own.num_rows == 0:
+                return _CC_FUSED_SCHEMA.empty_table()
+            cands = g.filter(pc.equal(g.column("side"), "c"))
+            best = (
+                pa.concat_tables(
+                    [own.select(["node", "aux"]), cands.select(["node", "aux"])]
+                )
+                .group_by("node")
+                .aggregate([("aux", "min")])
+                .rename_columns(["node", "lab"])
+            )
+            old = own.select(["node", "aux"]).rename_columns(["node", "old"])
+            m = old.join(best, keys="node", join_type="inner")
+            changed = pc.cast(
+                pc.not_equal(m.column("lab"), m.column("old")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            own_new = pa.table(
+                {
+                    "node": m.column("node").combine_chunks(),
+                    "lab": m.column("lab").combine_chunks(),
+                }
+            )
+            out = _emit(
+                own_new.column("node"),
+                own_new.column("lab"),
+                changed,
+                g.filter(pc.equal(g.column("side"), "e")),
+                jump,
+            )
+            ans = _answers(own_new, g.filter(pc.equal(g.column("side"), "q")))
+            return pa.concat_tables([out, ans]) if ans.num_rows else out
+
+        return fused_round
+
+    state = (
+        edges.union(_sentinels(_CC_FUSED_SCHEMA))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(init_group, batch_format="pyarrow")
+        .materialize()
+    )
+
     for it in range(max_iters):
-        cands = (
-            edges.union(labels.map_batches(tag_labels, batch_format="pyarrow"))
-            .union(_sentinels(_EDGE_SCHEMA))
+        state = (
+            state.union(edges)
+            .union(_sentinels(_CC_FUSED_SCHEMA))
             .groupby("bucket", num_partitions=np_)
-            .map_groups(propagate, batch_format="pyarrow")
-        )
-        resolved = (
-            cands.union(labels.map_batches(tag_old, batch_format="pyarrow"))
-            .union(_sentinels(_NODE_SCHEMA))
-            .groupby("bucket", num_partitions=np_)
-            .map_groups(resolve, batch_format="pyarrow")
+            .map_groups(make_round(jump=it >= 2), batch_format="pyarrow")
             .materialize()
         )
-        n_changed = resolved.sum("changed")
-        # resolved is already materialized; the drop is a lazy projection
-        # re-run (cheaply) by the next round's two consumers
-        labels = resolved.drop_columns(["changed"])
+        n_changed = state.sum("changed")
         if not n_changed:
             break
-        if it >= 2:
-            short_c = (
-                labels.map_batches(tag_old, batch_format="pyarrow")
-                .union(labels.map_batches(make_queries, batch_format="pyarrow"))
-                .union(_sentinels(_NODE_SCHEMA))
-                .groupby("bucket", num_partitions=np_)
-                .map_groups(shortcut, batch_format="pyarrow")
-            )
-            resolved2 = (
-                short_c.union(labels.map_batches(tag_old, batch_format="pyarrow"))
-                .union(_sentinels(_NODE_SCHEMA))
-                .groupby("bucket", num_partitions=np_)
-                .map_groups(resolve, batch_format="pyarrow")
-                .materialize()
-            )
-            labels = resolved2.drop_columns(["changed"])
     else:  # pragma: no cover - needs a >max_iters-diameter chain
         # no-silent-caps rule: min-label BSP needs O(diameter) rounds, so a
         # chain longer than max_iters leaves labels unconverged (mislabeled)
@@ -375,12 +348,11 @@ def connected_components(
             "component diameter exceeds the round budget — raise max_iters"
         )
 
-    return labels.map_batches(
-        lambda b: b.select(["node", "label"]).rename_columns(
-            ["doc_id", "component"]
-        ),
-        batch_format="pyarrow",
-    )
+    def final(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("side"), "o"))
+        return b.select(["node", "aux"]).rename_columns(["doc_id", "component"])
+
+    return state.map_batches(final, batch_format="pyarrow")
 
 
 def near_dedup_keep(
@@ -992,29 +964,17 @@ def link_prediction(
 
 # ---------------------------------------------------------------- k-core
 
-_KCORE_ATTACH_SCHEMA = pa.schema(
+# fused-round row (VERDICT r03 #6 — one exchange per H-index round instead
+# of attach + resolve): est rows and edge rows share one schema so a round's
+# output unions with the static edge set for the next exchange
+_KCORE_FUSED_SCHEMA = pa.schema(
     [
         ("bucket", pa.int32()),
-        ("src", pa.int64()),
-        ("dst", pa.int64()),   # -1 on estimate rows
-        ("est", pa.int64()),   # -1 on edge rows
-        ("side", pa.string()),  # 'e' edge / 'v' estimate / 's' sentinel
-    ]
-)
-_KCORE_EST_SCHEMA = pa.schema(
-    [
-        ("bucket", pa.int32()),
-        ("node", pa.int64()),
-        ("est", pa.int64()),
-        ("side", pa.string()),  # 'o' own / 'n' neighbor / 's' sentinel
-    ]
-)
-_KCORE_RES_SCHEMA = pa.schema(
-    [
-        ("bucket", pa.int32()),
-        ("node", pa.int64()),
-        ("est", pa.int64()),
-        ("side", pa.string()),  # always 'o' — dropping 'changed' re-feeds the loop
+        ("node", pa.int64()),   # est rows: the node; edge rows: src
+        ("dst", pa.int64()),    # -1 on est rows
+        ("est", pa.int64()),    # -1 on edge rows; partial degree on 'p'
+        ("side", pa.string()),  # e edge / p degree partial / o own est /
+                                # n neighbor est / s sentinel
         ("changed", pa.int64()),
     ]
 )
@@ -1053,12 +1013,16 @@ def kcore(
     every node starts at its degree; each round replaces the estimate
     with the H-index of its neighbors' estimates; the sequence is
     non-increasing, lower-bounded by the true coreness, and converges to
-    it exactly. TWO bucketed hash exchanges per round (attach estimates
-    to edges by src; fold H-indexes by dst) over tables bounded by the
-    symmetric EDGE count, never the corpus — the same BSP shape as
-    ``connected_components``/``pagerank``, sentinel-guarded per
-    ``_exchange.py``. Convergence detection is exact: a round with zero
-    changed estimates is a fixpoint (the operator is deterministic).
+    it exactly. ONE bucketed hash exchange per round (VERDICT r03 #6):
+    each round's ``map_groups`` both folds the H-index update for its
+    bucket's nodes AND — because the static edge rows key on the same
+    bucket(src) — emits the neighbor-estimate rows the NEXT round needs,
+    fusing what used to be separate attach and resolve exchanges. Tables
+    stay bounded by the symmetric EDGE count, never the corpus — the
+    same BSP shape as ``connected_components``/``pagerank``,
+    sentinel-guarded per ``_exchange.py``. Convergence detection is
+    exact: a round with zero changed estimates is a fixpoint (the
+    operator is deterministic).
 
     Output: (node, core) for every node of the graph.
     """
@@ -1083,95 +1047,93 @@ def kcore(
                 pa.array(dst),
                 pa.array(np.full(n, -1, np.int64)),
                 pa.array(["e"] * n, pa.string()),
+                pa.array(np.zeros(n, np.int64)),
             ],
-            schema=_KCORE_ATTACH_SCHEMA,
+            schema=_KCORE_FUSED_SCHEMA,
         )
 
     sym = edges.map_batches(symmetric, batch_format="pyarrow").materialize()
 
     # initial estimates = degree: per-batch partial counts finish in-bucket
     def degree_partials(batch: pa.Table) -> pa.Table:
-        src = batch.column("src").to_numpy(zero_copy_only=False)
+        src = batch.column("node").to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(src, return_counts=True)
+        n = len(uniq)
         return pa.Table.from_arrays(
             [
                 pa.array((uniq % n_buckets).astype(np.int32)),
                 pa.array(uniq),
-                pa.array(cnt.astype(np.int64)),
-                pa.array(["o"] * len(uniq), pa.string()),
-            ],
-            schema=_KCORE_EST_SCHEMA,
-        )
-
-    def sum_degrees(group: pa.Table) -> pa.Table:
-        g = group.filter(pc.not_equal(group.column("side"), "s"))
-        if g.num_rows == 0:
-            return _KCORE_EST_SCHEMA.empty_table()
-        t = (
-            g.select(["bucket", "node", "est"])
-            .group_by(["bucket", "node"])
-            .aggregate([("est", "sum")])
-            .rename_columns(["bucket", "node", "est"])
-        )
-        return t.append_column(
-            "side", pa.array(["o"] * t.num_rows, pa.string())
-        )
-
-    est = (
-        sym.map_batches(degree_partials, batch_format="pyarrow")
-        .union(
-            int_key_sentinels(
-                _KCORE_EST_SCHEMA, "bucket", fill={"node": -1, "est": -1, "side": "s"}
-            )
-        )
-        .groupby("bucket", num_partitions=np_)
-        .map_groups(sum_degrees, batch_format="pyarrow")
-        .materialize()
-    )
-
-    def tag_for_attach(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.Table.from_arrays(
-            [
-                batch.column("bucket"),
-                batch.column("node"),
                 pa.array(np.full(n, -1, np.int64)),
-                batch.column("est"),
-                pa.array(["v"] * n, pa.string()),
+                pa.array(cnt.astype(np.int64)),
+                pa.array(["p"] * n, pa.string()),
+                pa.array(np.zeros(n, np.int64)),
             ],
-            schema=_KCORE_ATTACH_SCHEMA,
+            schema=_KCORE_FUSED_SCHEMA,
         )
 
-    def attach(group: pa.Table) -> pa.Table:
+    def _emit(nodes: np.ndarray, new: np.ndarray, changed: np.ndarray,
+              e: pa.Table) -> pa.Table:
+        """Own-estimate rows for this bucket PLUS the neighbor-estimate
+        rows the next round's buckets need (edge srcs are co-located, so
+        the attach that used to be its own exchange happens here)."""
+        n = len(nodes)
+        parts = [
+            pa.Table.from_arrays(
+                [
+                    pa.array((nodes % n_buckets).astype(np.int32)),
+                    pa.array(nodes),
+                    pa.array(np.full(n, -1, np.int64)),
+                    pa.array(new),
+                    pa.array(["o"] * n, pa.string()),
+                    pa.array(changed),
+                ],
+                schema=_KCORE_FUSED_SCHEMA,
+            )
+        ]
+        if e.num_rows:
+            es = e.column("node").to_numpy(zero_copy_only=False)
+            ed = e.column("dst").to_numpy(zero_copy_only=False)
+            o = np.argsort(nodes)
+            # every edge src has its estimate row co-located (same bucket)
+            est_src = new[o][np.searchsorted(nodes[o], es)]
+            m = len(ed)
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        pa.array((ed % n_buckets).astype(np.int32)),
+                        pa.array(ed),
+                        pa.array(np.full(m, -1, np.int64)),
+                        pa.array(est_src),
+                        pa.array(["n"] * m, pa.string()),
+                        pa.array(np.zeros(m, np.int64)),
+                    ],
+                    schema=_KCORE_FUSED_SCHEMA,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def init_group(group: pa.Table) -> pa.Table:
         g = group.filter(pc.not_equal(group.column("side"), "s"))
-        is_e = pc.equal(g.column("side"), "e")
-        e = g.filter(is_e)
-        v = g.filter(pc.invert(is_e))
-        if e.num_rows == 0 or v.num_rows == 0:
-            return _KCORE_EST_SCHEMA.empty_table()
-        vn = v.column("src").to_numpy(zero_copy_only=False)
-        ve = v.column("est").to_numpy(zero_copy_only=False)
-        o = np.argsort(vn)
-        vn, ve = vn[o], ve[o]
-        es = e.column("src").to_numpy(zero_copy_only=False)
-        ed = e.column("dst").to_numpy(zero_copy_only=False)
-        # every edge src has its estimate row co-located (same bucket key)
-        est_src = ve[np.searchsorted(vn, es)]
-        return pa.Table.from_arrays(
-            [
-                pa.array((ed % n_buckets).astype(np.int32)),
-                pa.array(ed),
-                pa.array(est_src),
-                pa.array(["n"] * len(ed), pa.string()),
-            ],
-            schema=_KCORE_EST_SCHEMA,
+        p = g.filter(pc.equal(g.column("side"), "p"))
+        if p.num_rows == 0:
+            return _KCORE_FUSED_SCHEMA.empty_table()
+        t = (
+            p.select(["node", "est"])
+            .group_by("node")
+            .aggregate([("est", "sum")])
+        )
+        nodes = t.column("node").to_numpy(zero_copy_only=False)
+        deg = t.column("est_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _emit(
+            nodes, deg, np.ones(len(nodes), np.int64),
+            g.filter(pc.equal(g.column("side"), "e")),
         )
 
-    def resolve(group: pa.Table) -> pa.Table:
+    def fused_round(group: pa.Table) -> pa.Table:
         g = group.filter(pc.not_equal(group.column("side"), "s"))
         own = g.filter(pc.equal(g.column("side"), "o"))
         if own.num_rows == 0:
-            return _KCORE_RES_SCHEMA.empty_table()
+            return _KCORE_FUSED_SCHEMA.empty_table()
         nb = g.filter(pc.equal(g.column("side"), "n"))
         nodes = own.column("node").to_numpy(zero_copy_only=False)
         old = own.column("est").to_numpy(zero_copy_only=False)
@@ -1185,45 +1147,28 @@ def kcore(
             found = uniq[pos] == nodes
             new = np.where(found, np.minimum(old, h[pos]), old)
         changed = (new != old).astype(np.int64)
-        return pa.Table.from_arrays(
-            [
-                own.column("bucket"),
-                pa.array(nodes),
-                pa.array(new),
-                pa.array(["o"] * len(nodes), pa.string()),
-                pa.array(changed),
-            ],
-            schema=_KCORE_RES_SCHEMA,
-        )
+        return _emit(nodes, new, changed, g.filter(pc.equal(g.column("side"), "e")))
+
+    _sent = dict(fill={"node": -1, "dst": -1, "est": -1, "side": "s", "changed": 0})
+
+    state = (
+        sym.map_batches(degree_partials, batch_format="pyarrow")
+        .union(sym)
+        .union(int_key_sentinels(_KCORE_FUSED_SCHEMA, "bucket", **_sent))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(init_group, batch_format="pyarrow")
+        .materialize()
+    )
 
     for _ in range(max_iters):
-        nb_est = (
-            sym.union(est.map_batches(tag_for_attach, batch_format="pyarrow"))
-            .union(
-                int_key_sentinels(
-                    _KCORE_ATTACH_SCHEMA,
-                    "bucket",
-                    fill={"src": -1, "dst": -1, "est": -1, "side": "s"},
-                )
-            )
+        state = (
+            state.union(sym)
+            .union(int_key_sentinels(_KCORE_FUSED_SCHEMA, "bucket", **_sent))
             .groupby("bucket", num_partitions=np_)
-            .map_groups(attach, batch_format="pyarrow")
-        )
-        resolved = (
-            nb_est.union(est)
-            .union(
-                int_key_sentinels(
-                    _KCORE_EST_SCHEMA,
-                    "bucket",
-                    fill={"node": -1, "est": -1, "side": "s"},
-                )
-            )
-            .groupby("bucket", num_partitions=np_)
-            .map_groups(resolve, batch_format="pyarrow")
+            .map_groups(fused_round, batch_format="pyarrow")
             .materialize()
         )
-        n_changed = resolved.sum("changed")
-        est = resolved.drop_columns(["changed"])
+        n_changed = state.sum("changed")
         if not n_changed:
             break
     else:  # pragma: no cover - H-index converges in O(tens) on any test graph
@@ -1233,10 +1178,11 @@ def kcore(
             f"({n_changed} estimates still changing) — raise max_iters"
         )
 
-    return est.map_batches(
-        lambda b: b.select(["node", "est"]).rename_columns(["node", "core"]),
-        batch_format="pyarrow",
-    )
+    def final(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("side"), "o"))
+        return b.select(["node", "est"]).rename_columns(["node", "core"])
+
+    return state.map_batches(final, batch_format="pyarrow")
 
 
 def peel_core(a: np.ndarray, b: np.ndarray) -> pa.Table:
