@@ -1061,318 +1061,197 @@ def entry() -> Any:
     return extract_corpus(_corpus_ds("/root/testdata/sf0.001"))
 
 
-# Round-3 driver-window rotation (VERDICT r02 #3). The driver records
-# correctness for only the first ~50 registered queries, so list here, in
-# order: (1) the r02 hash-fail whose oracle was fixed this round, (2) the 38
-# queries never checked by any driver round, (3) r01-green queries whose
-# implementation was since refactored or is touched this round. Everything
-# not listed keeps its original (r02-green) position after these.
+# Round-4 driver-window rotation (VERDICT r03 #1: freeze additions, drain
+# the driver-evidence backlog). The driver records correctness for only the
+# first ~50 registered queries, so list here, in order:
+#   1. the two r01 `no_oracle` verdicts (oracles exist since r02/r03 but the
+#      rotation never brought them back into a window);
+#   2. everything r04 MODIFIED: the three entity-keyed-aggregate reworks
+#      (rolling_active_users / daily_new_users / rfm_segments), the
+#      distributed-verify consumers (ngram_jaccard_pairs,
+#      near_dedup_keep_best, cross_snapshot_dedup) and the fused-BSP ops
+#      (kcore_numbers, embedding_clusters) — their prior evidence, where it
+#      existed, predates the rewrite;
+#   3. the never-driver-checked families in the verdict's order: TPC-H
+#      joins, scans/ranking, retrieval/index, substr, sketches,
+#      multimodal/viz/ppm, text-IO roundtrips — sized so the ~50-entry
+#      window is exactly #1+#2+#3;
+#   4. r05 spillover: every remaining never-checked query grouped by family
+#      (curation, remaining scans, similarity/ANN, dedup, graph, text).
+# Everything not listed keeps its original (driver-green) position.
 _DRIVER_PRIORITY = [
-    # r02 FAIL — oracle HUGEINT->BIGINT cast added this round
-    "repetition_stats",
-    # new in session 11: degree assortativity, lakehouse Z-order layout,
-    # exact covariance moments, code-corpus line-stat quality rules
-    "avg_neighbor_degree",
-    "zorder_layout",
-    "qty_discount_covariance",
-    "code_quality_flags",
-    # new in session 11 (batch 2): GloVe co-occurrence window counts,
-    # market-basket support, moving-average rollup, SCD2 history
-    "cooccurrence_counts",
-    "copurchase_pairs",
-    "revenue_moving_avg",
-    "scd2_history",
-    # new in session 11 (batch 3): FK integrity audit, exact Gini skew
-    # diagnostic, degree histogram
-    "referential_integrity",
-    "revenue_gini",
-    "degree_histogram",
-    # new in session 11 (batch 4): cross-corpus vocab overlap, CUSUM
-    # change-point
-    "source_vocab_overlap",
-    "revenue_changepoint",
-    # new in session 11 (batch 5): contrastive hard-negative mining
-    "hard_negatives",
-    # new in session 12: soft dedup, dedup audit, skyline, mutual kNN
-    "soft_dedup_weights",
-    "dup_cluster_histogram",
-    "pareto_front",
-    "mutual_knn_pairs",
-    # new in session 12 (batch 2): mixture upsampling, provenance audits,
-    # centroid affinity
-    "upsample_sources",
-    "cross_source_duplicates",
-    "dedup_savings_by_source",
-    "centroid_affinity",
-    # new in session 12 (batch 3): T5 span corruption, mixed-language
-    # flags, mutual-kNN agglomerative clustering
-    "span_corruption",
-    "mixed_lang_flags",
-    "embedding_clusters",
-    # new in session 12 (batch 4): dataset card, survivorship rollup,
-    # mixture waterfilling
-    "dataset_card",
-    "user_latest_state",
-    "mixture_plan",
-    # new in session 12 (batch 5): assortativity, script profile, pivot,
-    # grouping-sets rollup
-    "degree_assortativity",
-    "script_ratios",
-    "lang_pivot",
-    "rollup_counts",
-    # new in session 12 (batch 6): topic keywords over kmeans clusters,
-    # per-group percent_rank window
-    "cluster_top_terms",
-    "segment_percent_rank",
-    # new in session 13: modularity audit, n-gram-profile lang-id,
-    # normalization dedup, word2vec negative-sampling table
-    "graph_modularity",
-    "char_lang_id",
-    "normalized_dedup",
-    "neg_sampling_table",
-    # new in session 13 (batch 2): FULL OUTER completes the join API,
-    # retrieval-quality MRR gate, snake-balanced export shards
-    "generic_full_join",
-    "label_mrr",
-    "balanced_shards",
-    "trigram_backoff_nll",
-    # new in session 13 (batch 3): per-group exact percentiles, byte
-    # entropy, KS drift monitor, 2-hop reach
-    "group_quantiles",
-    "char_entropy",
-    "ks_drift",
-    "two_hop_reach",
-    # new in session 13 (batch 4): A-Priori triples, word2phrase apply,
-    # funnel conversion lags
-    "copurchase_triples",
-    "phrase_merge",
-    "conversion_lags",
-    # new in session 13 (batch 5): boilerplate-prefix detector, DAU/WAU
-    # stickiness, first-seen growth split
-    "source_common_prefix",
+    "similarity_topk_ivf",
+    "hll_distinct_users",
     "rolling_active_users",
     "daily_new_users",
-    # new in session 13 (batch 6): lexical diversity, burstiness, alias
-    # sampling table
-    "doc_ttr",
-    "token_burstiness",
-    "alias_table",
-    # new in session 13 (batch 7): flagship-stream consumers — layout
-    # grammar, per-source extraction health, grounding coverage — and
-    # the footer detector
-    "kind_transitions",
-    "error_rate_by_source",
-    "grounding_coverage",
-    "source_common_suffix",
-    # new in session 13 (batch 8): the generic safe groupby-apply API
-    "grouped_apply_median",
-    # new in session 13 (batch 9): class separability, lang-ID agreement,
-    # RFM segmentation
-    "class_separability",
-    "langid_agreement",
     "rfm_segments",
-    "simhash_dup_pairs",
-    # new in session 13 (batch 11): packing audit, tokenizer fertility
-    "packing_stats",
-    "lang_fertility",
-    # new in session 13 (batch 12): reconciliation audit, length outliers
-    "order_total_audit",
-    "length_outliers_by_source",
-    # new in session 13 (batch 13): cross-source near-dup matrix,
-    # shared-intro boilerplate mining
-    "near_dup_source_matrix",
-    "prefix_dedup_clusters",
-    # new in session 13 (batch 14): extraction yield, activity
-    # concentration, co-citation
-    "extraction_yield",
-    "activity_concentration",
-    "cocitation_counts",
-    # new in session 13 (batch 15): layout-mix profile, hourly seasonality
-    "kind_stats",
-    "hourly_profile",
-    # new in session 13 (batch 16): composed quality score
-    "quality_composite",
-    # new in session 13 (batch 17): repeat-purchase cadence quantiles
-    "order_gap_quantiles",
-    # new this round: k-core decomposition over the link graph (distributed
-    # H-index BSP vs exact peeling replica)
     "kcore_numbers",
-    # new this round (rendered overlays; byte-exact PPM digest oracle)
-    "viz_overlays",
-    # new this round: full Gopher rule set (integer cross-multiplied flags)
-    "gopher_quality_flags",
-    # new this round: C4 rule set (line-level) + applied clean
-    "c4_quality_flags",
-    "c4_clean",
-    # new this round: CCNet-style per-domain boilerplate line removal
-    "domain_boilerplate_strip",
-    # new this round: interleaved multimodal sequence packing
-    "interleave_pack",
-    # new this round: quality-based cluster-representative keep, token-budget
-    # prefix selection, and the composed gopher->dedup->pricing pipeline
     "near_dedup_keep_best",
-    "token_budget_select",
-    "curation_keep",
-    "source_capped_select",
-    "shard_manifest",
-    "curation_pipeline",
-    # new this round: incremental crawl-over-crawl dedup
     "cross_snapshot_dedup",
-    # new this round: intra-doc line dedup + temperature mixture sampling
-    "dedup_lines",
-    "temperature_mixture",
-    # new this round: TPC-H Q3 shape (semi-join + revenue join + top-k)
+    "ngram_jaccard_pairs",
+    "embedding_clusters",
     "shipping_priority",
-    # new this round: corpus n-gram novelty fingerprint
-    "ngram_novelty",
-    # new this round: per-domain Gopher-pass scorecard
-    "domain_scorecard",
-    # new this round: substring-dedup removal end stage, plus its two
-    # never-driver-checked inputs (widths re-threaded this round)
-    "strip_repeated_substrings",
-    "repeated_substring_spans",
-    "substring_dup_stats",
-    # new this round: O(delta) incremental curation across snapshots
-    "incremental_curation",
-    # new this round: Q12/Q14 join shapes
     "late_shipment_priority",
     "promo_revenue_share",
-    # new this round: all-vector kNN join (neighbor graph)
-    "knn_join",
-    # new this round: corpus-wide sentence dedup
-    "sentence_dedup",
-    # new this round: the remaining feasible TPC-H join shapes
-    # (Q8/Q15/Q17/Q19/Q22)
     "nation_market_share",
     "top_supplier_revenue",
     "small_quantity_revenue",
     "brand_bracket_revenue",
     "idle_rich_customers",
-    # new this round: Q21 shape (the double-correlated lineitem self-join)
     "waiting_supplier_check",
-    # new this round: FlashText-style dictionary tagging
-    "keyword_tag_counts",
-    # new this round: integer-exact JL random projection
-    "random_projection",
-    # new this round: common-neighbor link prediction over the link graph
-    "link_prediction",
-    # new this round: sign-bit binary quantization + Hamming ANN
-    "binary_quantize",
-    "hamming_topk",
-    # new this round: SQ8 scalar quantization (per-dim range codes) + ADC search
-    "sq8_codes",
-    "sq8_topk",
-    # new this round: fuzzy (MinHash-band) benchmark decontamination
-    "fuzzy_contamination",
-    # new this round: per-user Markov transition counts
-    "event_transitions",
-    # new this round: hybrid lexical+dense RRF retrieval
-    "rrf_fusion",
-    # new this round: per-source lexical-diversity scorecard
-    "source_diversity",
-    # new this round: anchor-text harvesting over the link graph
-    "anchor_texts",
-    # new this round: local clustering coefficient (integer per-mille)
-    "clustering_coefficient",
-    # new this round: generic hash_join API (broadcast + bucketed routes)
-    "generic_join",
-    "generic_anti_join",
-    # new this round: near-dup-aware (leakage-free) train/val split
-    "leakage_free_split",
-    # new this round: Count-Min frequency sketch
-    "cms_token_counts",
-    # new this round: min-k% membership-inference signal
-    "mink_prob",
-    # new in r03 and never driver-checked — outranks the refactor
-    # re-checks at the window tail
-    "frame_samples",
-    # never driver-checked (r01+r02)
-    "split_sentences",
-    "paragraph_dedup",
-    "bm25_topk",
-    "index_postings",
-    "similarity_topk_pq",
-    "kmeans_clusters",
-    "semantic_dedup_pairs",
     "nation_returned_revenue",
-    "cohort_retention",
-    "value_quantiles",
-    "curriculum_bins",
-    "purchase_sessions",
-    "funnel_counts",
-    "user_event_paths",
-    "order_rollup",
-    "user_event_pivot",
-    "event_value_histogram",
     "priority_revenue_share",
-    "late_events",
-    "user_cumulative_spend",
-    "global_rank",
-    "shuffle_positions",
-    "on_time_hourly",
-    "docs_above_group_median",
-    "top_orders_per_segment",
-    "heavy_hitter_tokens",
     "customer_order_dist",
     "large_qty_orders",
     "customers_without_urgent",
     "urgent_revenue_bloom",
-    "media_resize",
-    "audio_chunks",
-    "ppm_media_features",
-    "ppm_media_resize",
-    "image_dup_pairs",
-    "image_dedup_keep",
-    # r01-green but refactored since (fingerprint prefix-sum fix, adaptive
-    # sentinel width, customer-side join distribution, LSH exchange slimming)
-    "doc_fingerprints",
-    "orders_by_segment",
-    "embedding_dup_pairs",
-    "similarity_topk",
-    "similarity_topk_ivf",
-    # new this round (position would otherwise fall outside the ~50-entry
-    # driver window); displaces simhash, whose implementation is untouched
-    # since its r01-green check and which is exchange-free (per-doc)
-    "frame_samples",
-    "lang_id",
-    "simhash",
-    "lineitem_pricing_summary",
-    "order_priority_revenue_bucketed",
-    "sessionize",
-    # new in the final r03 session — outside this round's ~50-entry window
-    # (verified by scripts/driver_sim.py locally); rotate into r04's front
-    "forecast_revenue",
     "product_type_profit",
-    "bfs_distances",
-    "label_propagation",
-    "embedding_gram",
-    "ivf_recall",
-    "fim_transform",
-    "personalized_pagerank",
     "brand_supplier_counts",
     "min_cost_supplier",
     "important_part_values",
     "excess_stock_suppliers",
+    "late_events",
+    "global_rank",
+    "heavy_hitter_tokens",
+    "heavy_hitter_ngrams",
+    "bm25_topk",
+    "rrf_fusion",
+    "index_postings",
+    "repeated_substring_spans",
+    "strip_repeated_substrings",
+    "substring_dup_stats",
+    "cms_token_counts",
+    "value_quantiles",
+    "viz_overlays",
+    "ppm_media_features",
+    "media_resize",
+    "image_dup_pairs",
+    "jsonl_roundtrip",
+    "csv_roundtrip",
+    "partitioned_parquet",
+    "merge_upsert",
+    "table_profile",
+    "curation_keep",
+    "token_budget_select",
+    "source_capped_select",
+    "shard_manifest",
+    "curation_pipeline",
+    "temperature_mixture",
+    "incremental_curation",
+    "curriculum_bins",
+    "leakage_free_split",
+    "interleave_pack",
+    "regional_supplier_volume",
+    "large_volume_customer",
+    "nation_trade_volume",
+    "order_priority_check",
+    "pruned_revenue_scan",
+    "generic_join",
+    "generic_anti_join",
+    "order_rollup",
+    "user_event_pivot",
+    "event_value_histogram",
+    "user_cumulative_spend",
+    "on_time_hourly",
+    "docs_above_group_median",
+    "top_orders_per_segment",
+    "shuffle_positions",
+    "purchase_sessions",
+    "funnel_counts",
+    "user_event_paths",
+    "cohort_retention",
+    "event_transitions",
+    "event_outliers",
+    "forecast_revenue",
+    "revenue_trend",
+    "similarity_topk_pq",
+    "kmeans_clusters",
+    "semantic_dedup_pairs",
+    "knn_join",
+    "random_projection",
+    "binary_quantize",
+    "hamming_topk",
+    "sq8_codes",
+    "sq8_topk",
+    "ivf_recall",
+    "embedding_gram",
+    "pca_project",
+    "kcenter_coreset",
+    "class_separability",
+    "link_prediction",
+    "sentence_dedup",
+    "paragraph_dedup",
+    "dedup_lines",
+    "fuzzy_contamination",
+    "exact_jaccard_join",
+    "streaming_dedup_keep",
+    "prefix_dedup_clusters",
+    "simhash_dup_pairs",
+    "near_dup_source_matrix",
+    "image_dedup_keep",
+    "cdc_chunks",
+    "cdc_dedup_stats",
+    "cdc_transfer_stats",
+    "substring_counts",
+    "bfs_distances",
+    "label_propagation",
+    "scc_labels",
+    "hits_scores",
+    "graph_walks",
+    "triangle_counts",
+    "clustering_coefficient",
+    "personalized_pagerank",
+    "entity_clusters",
+    "cocitation_counts",
+    "gopher_quality_flags",
+    "c4_quality_flags",
+    "c4_clean",
+    "domain_boilerplate_strip",
+    "ngram_novelty",
+    "domain_scorecard",
     "pmi_collocations",
     "winnow_fingerprints",
     "vocab_growth",
-    "jsonl_roundtrip",
-    "csv_roundtrip",
     "distinctive_terms",
-    "partitioned_parquet",
-    "scc_labels",
-    "pca_project",
-    "hits_scores",
+    "keyword_tag_counts",
+    "split_sentences",
+    "mink_prob",
+    "source_diversity",
+    "anchor_texts",
+    "source_common_prefix",
+    "doc_ttr",
+    "token_burstiness",
+    "alias_table",
+    "kind_transitions",
+    "error_rate_by_source",
+    "grounding_coverage",
+    "source_common_suffix",
+    "grouped_apply_median",
+    "langid_agreement",
+    "packing_stats",
+    "lang_fertility",
+    "order_total_audit",
+    "length_outliers_by_source",
+    "extraction_yield",
+    "activity_concentration",
+    "kind_stats",
+    "hourly_profile",
+    "quality_composite",
+    "order_gap_quantiles",
+    "frame_samples",
+    "audio_chunks",
+    "ppm_media_resize",
+    "fim_transform",
     "fuzzy_name_pairs",
-    "graph_walks",
-    "event_outliers",
-    "revenue_trend",
-    "exact_jaccard_join",
-    "table_profile",
-    "entity_clusters",
     "crawl_schedule",
-    "merge_upsert",
-    "kcenter_coreset",
+    "source_divergence",
+    "table_cells",
+    "doc_outline",
+    "video_scene_cuts",
+    "audio_segments",
+    "video_scenes",
+    "unigram_vocab",
+    "unigram_token_counts",
 ]
 
 
