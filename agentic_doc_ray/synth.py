@@ -277,16 +277,20 @@ def build_corpus_table(
 
 
 def corpus_path_for(
-    sf_dir: str, config: EngineConfig = DEFAULT_CONFIG, n_files: int = 16
+    sf_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    n_files: int = 16,
+    variant: str = "",
 ) -> str:
     """Synthesize (once, cached) the corpus for an sf dir under /tmp.
 
     Written as a DIRECTORY of parquet shard files: a single file serializes
     the read into one task, and the shards double as the partition units for
-    the resumable manifest (state/manifest.py).
+    the resumable manifest (state/manifest.py). ``variant`` distinguishes
+    cache dirs for non-default configs sharing a seed (the skew corpus).
     """
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/agentic_corpus/v2/{tag}-seed{config.seed}"
+    out_dir = f"/tmp/agentic_corpus/v2/{tag}-seed{config.seed}{variant}"
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
         tmp_dir = out_dir + ".tmp"
@@ -312,8 +316,25 @@ def corpus_path_for(
     return out_dir
 
 
+def skewed_corpus_path_for(sf_dir: str) -> str:
+    """Mega-doc-heavy corpus variant for the skew-path scaling protocol
+    (VERDICT r03 #5): 1% of docs are pathological mega documents of 10^4
+    spans each (vs the default 0.1% at 200), so the span mass is dominated
+    by the docs that take ``extract_corpus_adaptive``'s salted two-phase
+    split/merge branch — the part of the engine that actually faces
+    multi-node shuffle risk. Same deterministic per-doc generation, cached
+    separately from the default corpus."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, mega_doc_modulus=100, mega_doc_spans=10_000
+    )
+    return replicated_corpus_path_for(sf_dir, 4, cfg, variant="-skew1pct10k")
+
+
 def replicated_corpus_path_for(
-    sf_dir: str, repl: int, config: EngineConfig = DEFAULT_CONFIG
+    sf_dir: str, repl: int, config: EngineConfig = DEFAULT_CONFIG,
+    variant: str = "",
 ) -> str:
     """Corpus replicated ``repl``x with distinct doc_ids (bench-only).
 
@@ -322,10 +343,10 @@ def replicated_corpus_path_for(
     preserving per-doc determinism.
     """
     if repl <= 1:
-        return corpus_path_for(sf_dir, config)
-    base = corpus_path_for(sf_dir, config)
+        return corpus_path_for(sf_dir, config, variant=variant)
+    base = corpus_path_for(sf_dir, config, variant=variant)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/agentic_corpus/v2/{tag}-seed{config.seed}-x{repl}"
+    out_dir = f"/tmp/agentic_corpus/v2/{tag}-seed{config.seed}{variant}-x{repl}"
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
         import shutil

@@ -31,13 +31,15 @@ REPL = int(os.environ.get("GRAFT_BENCH_REPL", "8"))
 
 
 def _scaling() -> None:
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, skew: bool = False) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_REPL=os.environ.get("GRAFT_BENCH_REPL", "64"),
             GRAFT_BENCH_HEADLINE_ONLY="1",
         )
+        if skew:
+            env["GRAFT_BENCH_SKEW"] = "1"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -59,6 +61,19 @@ def _scaling() -> None:
     r_lo = min(trials_lo, key=lambda r: r["value"])
     r_hi = min(trials_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+
+    # skew-path protocol (VERDICT r03 #5): the fused headline has zero
+    # exchanges, so it cannot surface multi-node shuffle risk. Run the
+    # size-aware adaptive pipeline over the mega-doc-heavy corpus (1% of
+    # docs at 10^4 spans — span mass dominated by the two-phase salted
+    # split/merge branch) at both levels too.
+    sk_lo, sk_hi = [], []
+    for _ in range(2):
+        sk_lo.append(run(lo, skew=True))
+        sk_hi.append(run(hi, skew=True))
+    s_lo = min(sk_lo, key=lambda r: r["value"])
+    s_hi = min(sk_hi, key=lambda r: r["value"])
+    s_eff = (s_lo["value"] / s_hi["value"]) / (hi / lo)
     print(
         json.dumps(
             {
@@ -67,6 +82,11 @@ def _scaling() -> None:
                 "docs_per_sec_8": r_lo["docs_per_sec"],
                 "docs_per_sec_32": r_hi["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "skew_sec_8": s_lo["value"],
+                "skew_sec_32": s_hi["value"],
+                "skew_spans_per_sec_8": s_lo.get("spans_per_sec"),
+                "skew_spans_per_sec_32": s_hi.get("spans_per_sec"),
+                "skew_scaling_efficiency": round(s_eff, 3),
                 "sf": SF_DIR,
             }
         )
@@ -100,7 +120,12 @@ def main() -> None:
     # untimed: corpus synthesis is cached; one read warms the page cache and
     # a small extract warms the Ray worker pool (process startup + imports
     # otherwise land inside the first timed pipeline)
-    if REPL > 1:
+    skew_mode = bool(os.environ.get("GRAFT_BENCH_SKEW"))
+    if skew_mode:
+        from agentic_doc_ray.synth import skewed_corpus_path_for
+
+        corpus_path = skewed_corpus_path_for(SF_DIR)
+    elif REPL > 1:
         from agentic_doc_ray.synth import replicated_corpus_path_for
 
         corpus_path = replicated_corpus_path_for(SF_DIR, REPL)
@@ -111,12 +136,27 @@ def main() -> None:
     # tasks -> less per-task IPC, the sandbox's bottleneck), small corpora
     # still fan out across every core
     bs = max(128, min(4000, n_docs // (NUM_CPUS * 5)))
-    cfg = EngineConfig(
-        parse_concurrency=(1, max(2, NUM_CPUS - 4)),
-        parse_batch_size=bs,
-        explode_batch_size=bs,
-        reassemble_num_partitions=max(8, NUM_CPUS // 2),
-    )
+    if skew_mode:
+        # skew protocol: IDENTICAL plan shape at every CPU level (block
+        # count fixed by the data, not the cluster — the multi-node
+        # analogue), batches sized for span mass rather than doc count.
+        # np=8 measured best at BOTH levels: exchange fixed cost scales
+        # with partition count, and 16 merge tasks already saturate the
+        # mega span mass
+        bs = 2048
+        cfg = EngineConfig(
+            parse_concurrency=(1, max(2, NUM_CPUS - 4)),
+            parse_batch_size=bs,
+            explode_batch_size=bs,
+            reassemble_num_partitions=8,
+        )
+    else:
+        cfg = EngineConfig(
+            parse_concurrency=(1, max(2, NUM_CPUS - 4)),
+            parse_batch_size=bs,
+            explode_batch_size=bs,
+            reassemble_num_partitions=max(8, NUM_CPUS // 2),
+        )
     extract_corpus(ray.data.read_parquet(corpus_path).limit(200), cfg).count()
 
     timings: dict[str, float] = {}
@@ -160,29 +200,50 @@ def main() -> None:
 
     def headline() -> None:
         shutil.rmtree(sink, ignore_errors=True)
-        ds = ray.data.read_parquet(corpus_path)
-        extract_corpus(ds, cfg).write_parquet(sink)
+        ds = (
+            ray.data.read_parquet(corpus_path, override_num_blocks=32)
+            if skew_mode
+            else ray.data.read_parquet(corpus_path)
+        )
+        if skew_mode:
+            # the skew protocol times the size-aware adaptive router: mega
+            # docs take the salted two-phase split/merge branch
+            from agentic_doc_ray.pipelines import extract_corpus_adaptive
+
+            extract_corpus_adaptive(ds, cfg).write_parquet(sink)
+        else:
+            extract_corpus(ds, cfg).write_parquet(sink)
 
     # min of 2 steady-state runs: the sandbox host is time-shared and single
     # runs vary >2x under neighbor load; min approximates uncontended time
     timed("extract", headline, trials=2)
 
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
-        print(
-            json.dumps(
-                {
-                    "metric": "extract_sf_corpus",
-                    "value": timings["extract"],
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": SF_DIR,
-                    "num_cpus": NUM_CPUS,
-                    "n_docs": n_docs,
-                    "repl": REPL,
-                    "docs_per_sec": round(n_docs / timings["extract"], 1),
-                }
+        out = {
+            "metric": "extract_sf_corpus_skew" if skew_mode else "extract_sf_corpus",
+            "value": timings["extract"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_docs": n_docs,
+            "repl": 1 if skew_mode else REPL,
+            "docs_per_sec": round(n_docs / timings["extract"], 1),
+        }
+        if skew_mode:
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+            import glob as _glob
+
+            n_spans = sum(
+                _pc.sum(
+                    _pc.list_value_length(_pq.read_table(f, columns=["spans"])["spans"])
+                ).as_py()
+                for f in _glob.glob(os.path.join(corpus_path, "*.parquet"))
             )
-        )
+            out["n_spans"] = n_spans
+            out["spans_per_sec"] = round(n_spans / timings["extract"], 1)
+        print(json.dumps(out))
         ray.shutdown()
         return
 
