@@ -266,13 +266,11 @@ def pagerank(
             schema=_A_SCHEMA,
         )
 
-    def contribute(group: pa.Table) -> pa.Table:
-        g = group.filter(pc.not_equal(group.column("side"), "s"))
-        is_edge = pc.equal(g.column("side"), "e")
-        e = g.filter(is_edge).select(["src", "dst"])
-        r = g.filter(pc.invert(is_edge)).select(["src", "rank", "deg"])
+    def _contrib_rows(e: pa.Table, r: pa.Table) -> pa.Table:
+        """Per-edge contribution rows (side 'c', addressed to bucket(dst))
+        from co-located edges e(src, dst) and state r(src, rank, deg)."""
         if e.num_rows == 0 or r.num_rows == 0:
-            return _B_SCHEMA.empty_table()
+            return _A_SCHEMA.empty_table()
         m = e.join(r, keys="src", join_type="inner")
         contrib = pc.divide(  # int64 // int64 floor for non-negatives
             m.column("rank"), m.column("deg")
@@ -283,84 +281,108 @@ def pagerank(
             [
                 _bucket_of(dst),
                 dst,
+                pa.nulls(n, pa.string()),
                 pa.array(["c"] * n, pa.string()),
                 contrib.combine_chunks()
                 if isinstance(contrib, pa.ChunkedArray)
                 else contrib,
                 pa.nulls(n, pa.int64()),
             ],
-            schema=_B_SCHEMA,
+            schema=_A_SCHEMA,
         )
 
-    def state_as_b(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.Table.from_arrays(
-            [
-                batch.column("bucket").combine_chunks(),
-                batch.column("node").combine_chunks(),
-                pa.array(["r"] * n, pa.string()),
-                batch.column("rank").combine_chunks(),
-                batch.column("deg").combine_chunks(),
-            ],
-            schema=_B_SCHEMA,
-        )
-
-    def update(group: pa.Table) -> pa.Table:
+    def contribute(group: pa.Table) -> pa.Table:
+        # first attach only: contributions from the initial ranks
         g = group.filter(pc.not_equal(group.column("side"), "s"))
-        is_state = pc.equal(g.column("side"), "r")
-        st = g.filter(is_state).select(["bucket", "node", "deg"])
-        if st.num_rows == 0:
-            return _STATE_SCHEMA.empty_table()
-        c = g.filter(pc.invert(is_state)).select(["node", "val"])
-        sums = (
-            c.group_by("node")
-            .aggregate([("val", "sum")])
-            .rename_columns(["node", "csum"])
-        )
-        m = st.join(sums, keys="node", join_type="left outer")
-        csum = m.column("csum").combine_chunks().fill_null(0)
-        new_rank = pc.add(
-            node_base(m.column("node").combine_chunks()),
-            pc.divide(
-                pc.multiply(csum, pa.scalar(_DAMP_NUM, pa.int64())),
-                pa.scalar(_DAMP_DEN, pa.int64()),
-            ),
-        )
-        return pa.Table.from_arrays(
-            [
-                m.column("bucket").combine_chunks(),
-                m.column("node").combine_chunks(),
-                new_rank.combine_chunks()
-                if isinstance(new_rank, pa.ChunkedArray)
-                else new_rank,
-                m.column("deg").combine_chunks(),
-            ],
-            schema=_STATE_SCHEMA,
+        is_edge = pc.equal(g.column("side"), "e")
+        return _contrib_rows(
+            g.filter(is_edge).select(["src", "dst"]),
+            g.filter(pc.invert(is_edge)).select(["src", "rank", "deg"]),
         )
 
-    for _ in range(n_iter):
-        contribs = (
-            edge_rows.union(
-                state.map_batches(state_as_a, batch_format="pyarrow")
+    def make_round(emit_contrib: bool):
+        # fused BSP round (one exchange, VERDICT r03 #6 pattern): fold the
+        # damped update for this bucket's nodes AND — because the static
+        # edge rows key on the same bucket(src) — emit the next round's
+        # contribution rows from the just-updated ranks
+        def fused_round(group: pa.Table) -> pa.Table:
+            g = group.filter(pc.not_equal(group.column("side"), "s"))
+            st = g.filter(pc.equal(g.column("side"), "r"))
+            if st.num_rows == 0:
+                return _A_SCHEMA.empty_table()
+            c = g.filter(pc.equal(g.column("side"), "c")).select(["src", "rank"])
+            sums = (
+                c.group_by("src")
+                .aggregate([("rank", "sum")])
+                .rename_columns(["src", "csum"])
             )
+            m = st.select(["bucket", "src", "deg"]).join(
+                sums, keys="src", join_type="left outer"
+            )
+            csum = m.column("csum").combine_chunks().fill_null(0)
+            new_rank = pc.add(
+                node_base(m.column("src").combine_chunks()),
+                pc.divide(
+                    pc.multiply(csum, pa.scalar(_DAMP_NUM, pa.int64())),
+                    pa.scalar(_DAMP_DEN, pa.int64()),
+                ),
+            )
+            n = m.num_rows
+            new_state = pa.Table.from_arrays(
+                [
+                    m.column("bucket").combine_chunks(),
+                    m.column("src").combine_chunks(),
+                    pa.nulls(n, pa.string()),
+                    pa.array(["r"] * n, pa.string()),
+                    new_rank.combine_chunks()
+                    if isinstance(new_rank, pa.ChunkedArray)
+                    else new_rank,
+                    m.column("deg").combine_chunks(),
+                ],
+                schema=_A_SCHEMA,
+            )
+            if not emit_contrib:
+                return new_state
+            e = g.filter(pc.equal(g.column("side"), "e"))
+            out_c = _contrib_rows(
+                e.select(["src", "dst"]),
+                new_state.select(["src", "rank", "deg"]),
+            )
+            return (
+                pa.concat_tables([new_state, out_c])
+                if out_c.num_rows
+                else new_state
+            )
+
+        return fused_round
+
+    # first contributions (from rank_0) via one attach exchange; every
+    # subsequent round folds update + next-round attach in ONE exchange:
+    # n_iter + 2 exchanges total instead of 2*n_iter + 1
+    cur = (
+        edge_rows.union(state.map_batches(state_as_a, batch_format="pyarrow"))
+        .union(_sentinels(_A_SCHEMA))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(contribute, batch_format="pyarrow")
+        .union(state.map_batches(state_as_a, batch_format="pyarrow"))
+        .materialize()
+    )
+    for k in range(n_iter):
+        cur = (
+            cur.union(edge_rows)
             .union(_sentinels(_A_SCHEMA))
             .groupby("bucket", num_partitions=np_)
-            .map_groups(contribute, batch_format="pyarrow")
-        )
-        state = (
-            contribs.union(state.map_batches(state_as_b, batch_format="pyarrow"))
-            .union(_sentinels(_B_SCHEMA))
-            .groupby("bucket", num_partitions=np_)
-            .map_groups(update, batch_format="pyarrow")
+            .map_groups(
+                make_round(emit_contrib=k < n_iter - 1), batch_format="pyarrow"
+            )
             .materialize()
         )
 
-    return state.map_batches(
-        lambda b: b.select(["node", "rank"]).rename_columns(
-            ["node", "rank_scaled"]
-        ),
-        batch_format="pyarrow",
-    )
+    def final(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("side"), "r"))
+        return b.select(["src", "rank"]).rename_columns(["node", "rank_scaled"])
+
+    return cur.map_batches(final, batch_format="pyarrow")
 
 
 N_LINKS = 3
