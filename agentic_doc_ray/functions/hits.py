@@ -221,86 +221,142 @@ def hits(
 
         return contribute
 
-    def make_update(dst_score: str):
-        keep_score = "hub" if dst_score == "auth" else "auth"
+    def _col_max(ds: "ray.data.Dataset", col: str) -> int:
+        """Block-local max scan — no 200-partition aggregate fleet (same
+        rationale as graph._changed_sum); 'c' rows carry nulls in the
+        score columns, which pc.max ignores."""
+        parts = ds.map_batches(
+            lambda b: pa.table(
+                {"m": pa.array([pc.max(b.column(col)).as_py()], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        vals = [r["m"] for r in parts if r["m"] is not None]
+        return max(vals) if vals else 0
 
-        def update(group: pa.Table) -> pa.Table:
+    def make_fused(src_score: str, dst_score: str, s_prev: int, emit_next: bool):
+        """Fused half-step (one exchange, VERDICT r03 #6 pattern): the
+        previous half-step's power-of-two rescale is DEFERRED into this
+        group — contributions are exact per-edge copies of the giver's
+        score, so shifting each c.val by s_prev equals shifting at the
+        source — then the new dst_score sums fold, and the giving-end
+        edge rows co-located on this bucket emit the NEXT half-step's
+        contribution rows from the just-updated (unshifted) scores."""
+
+        def fused(group: pa.Table) -> pa.Table:
             g = group.filter(pc.not_equal(group.column("side"), "s"))
-            st = g.filter(pc.equal(g.column("side"), "r")).select(
-                ["bucket", "node", "hub", "auth"]
-            )
+            st = g.filter(pc.equal(g.column("side"), "r"))
             if st.num_rows == 0:
-                return _STATE_SCHEMA.empty_table()
-            c = g.filter(pc.equal(g.column("side"), "c")).select(
-                ["node", "val"]
-            )
+                return _H_SCHEMA.empty_table()
+            c = g.filter(pc.equal(g.column("side"), "c")).select(["node", "val"])
+            src_vals = st.column(src_score).combine_chunks()
+            if s_prev:
+                src_vals = pa.array(
+                    src_vals.to_numpy(zero_copy_only=False) >> s_prev, pa.int64()
+                )
+                c = c.set_column(
+                    1,
+                    "val",
+                    pa.array(
+                        c.column("val").to_numpy(zero_copy_only=False) >> s_prev,
+                        pa.int64(),
+                    ),
+                )
             sums = (
                 c.group_by("node")
                 .aggregate([("val", "sum")])
                 .rename_columns(["node", "csum"])
             )
-            m = st.join(sums, keys="node", join_type="left outer")
+            base = pa.Table.from_arrays(
+                [st.column("bucket").combine_chunks(),
+                 st.column("node").combine_chunks(), src_vals],
+                names=["bucket", "node", "srcv"],
+            )
+            m = base.join(sums, keys="node", join_type="left outer")
             new_val = m.column("csum").combine_chunks().fill_null(0)
+            n = m.num_rows
             cols = {
                 "bucket": m.column("bucket").combine_chunks(),
                 "node": m.column("node").combine_chunks(),
-                keep_score: m.column(keep_score).combine_chunks(),
+                "peer": pa.nulls(n, pa.string()),
+                "side": pa.array(["r"] * n, pa.string()),
+                src_score: m.column("srcv").combine_chunks(),
                 dst_score: new_val,
+                "val": pa.nulls(n, pa.int64()),
             }
-            return pa.Table.from_arrays(
-                [cols[f.name] for f in _STATE_SCHEMA],
-                schema=_STATE_SCHEMA,
+            out = pa.Table.from_arrays(
+                [cols[f.name] for f in _H_SCHEMA], schema=_H_SCHEMA
             )
+            if not emit_next:
+                return out
+            e = g.filter(pc.equal(g.column("side"), "e")).select(["node", "peer"])
+            if e.num_rows == 0:
+                return out
+            giver = pa.Table.from_arrays(
+                [m.column("node").combine_chunks(), new_val],
+                names=["node", "gval"],
+            )
+            me = e.join(giver, keys="node", join_type="inner")
+            peer = me.column("peer").combine_chunks()
+            k = me.num_rows
+            out_c = pa.Table.from_arrays(
+                [
+                    _bucket_of(peer),
+                    peer,
+                    pa.nulls(k, pa.string()),
+                    pa.array(["c"] * k, pa.string()),
+                    pa.nulls(k, pa.int64()),
+                    pa.nulls(k, pa.int64()),
+                    me.column("gval").combine_chunks(),
+                ],
+                schema=_H_SCHEMA,
+            )
+            return pa.concat_tables([out, out_c])
 
-        return update
+        return fused
 
-    def half_step(
-        state: "ray.data.Dataset",
-        edge_rows: "ray.data.Dataset",
-        src_score: str,
-        dst_score: str,
-    ) -> "ray.data.Dataset":
-        contribs = (
-            edge_rows.union(_state_rows(state))
+    # seed: contributions from the initial hub scores (one attach exchange),
+    # then ONE exchange per half-step — the rescale shift travels as a
+    # driver scalar into the next group. 2 exchanges/iteration instead of 4
+    # (plus the per-half-step Dataset.max fleets, now block-local scans).
+    cur = (
+        e_by_src.union(_state_rows(state))
+        .union(_sentinels(_H_SCHEMA))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(make_contribute("hub"), batch_format="pyarrow")
+        .union(_state_rows(state))
+        .materialize()
+    )
+    s_pending = 0
+    steps = [("hub", "auth", e_by_dst), ("auth", "hub", e_by_src)] * n_iter
+    for i, (src_score, dst_score, next_edges) in enumerate(steps):
+        last = i == len(steps) - 1
+        cur = (
+            cur.union(next_edges)
             .union(_sentinels(_H_SCHEMA))
             .groupby("bucket", num_partitions=np_)
-            .map_groups(make_contribute(src_score), batch_format="pyarrow")
-        )
-        new_state = (
-            contribs.union(_state_rows(state))
-            .union(_sentinels(_H_SCHEMA))
-            .groupby("bucket", num_partitions=np_)
-            .map_groups(make_update(dst_score), batch_format="pyarrow")
+            .map_groups(
+                make_fused(src_score, dst_score, s_pending, emit_next=not last),
+                batch_format="pyarrow",
+            )
             .materialize()
         )
-        # power-of-two rescale from ONE driver scalar (exact, order-free)
-        m = new_state.max(dst_score) or 0
-        s = _shift_for(m)
-        if s == 0:
-            return new_state
-        idx = _STATE_SCHEMA.get_field_index(dst_score)
+        s_pending = _shift_for(_col_max(cur, dst_score))
 
-        def shift(batch: pa.Table) -> pa.Table:
-            shifted = pa.array(
-                batch.column(dst_score).to_numpy(zero_copy_only=False) >> s,
-                pa.int64(),
+    def final(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("side"), "r"))
+        hub = b.column("hub").combine_chunks()
+        if s_pending:  # the last half-step's deferred rescale (hub)
+            hub = pa.array(
+                hub.to_numpy(zero_copy_only=False) >> s_pending, pa.int64()
             )
-            return batch.set_column(idx, dst_score, shifted)
+        return pa.Table.from_arrays(
+            [b.column("node").combine_chunks(), hub,
+             b.column("auth").combine_chunks()],
+            names=["node", "hub_scaled", "auth_scaled"],
+        )
 
-        return new_state.map_batches(shift, batch_format="pyarrow").materialize()
-
-    for _ in range(n_iter):
-        # auth <- sum of hub over in-edges (edges keyed by src give hub)
-        state = half_step(state, e_by_src, "hub", "auth")
-        # hub <- sum of auth over out-edges (edges keyed by dst give auth)
-        state = half_step(state, e_by_dst, "auth", "hub")
-
-    return state.map_batches(
-        lambda b: b.select(["node", "hub", "auth"]).rename_columns(
-            ["node", "hub_scaled", "auth_scaled"]
-        ),
-        batch_format="pyarrow",
-    )
+    return cur.map_batches(final, batch_format="pyarrow")
 
 
 def hits_oracle(
