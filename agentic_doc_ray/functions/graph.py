@@ -2091,32 +2091,6 @@ def label_propagation(
             schema=_LPA_CNT,
         )
 
-    def resolve(group: pa.Table) -> pa.Table:
-        group = _drop_sentinels(group)
-        votes = group.filter(pc.equal(group.column("side"), "c"))
-        merged = (
-            votes.select(["node", "label", "cnt"])
-            .group_by(["node", "label"])
-            .aggregate([("cnt", "sum")])
-            .rename_columns(["node", "label", "cnt"])
-        )
-        best = _lpa_argmax(merged)
-        old = (
-            group.filter(pc.equal(group.column("side"), "o"))
-            .select(["node", "label"])
-            .rename_columns(["node", "old_label"])
-        )
-        # nodes with no votes this round (can't happen for degree>=1
-        # graphs, but keep the state total) fall back to the old label
-        m = old.join(best, keys="node", join_type="left outer")
-        label = pc.if_else(
-            pc.is_null(m.column("label")), m.column("old_label"), m.column("label")
-        )
-        node = m.column("node").combine_chunks()
-        return pa.Table.from_arrays(
-            [_bucket_of(node), node, label], schema=_LPA_STATE
-        )
-
     def tag_old(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.Table.from_arrays(
@@ -2130,27 +2104,133 @@ def label_propagation(
             schema=_LPA_CNT,
         )
 
-    for _ in range(n_iter):
-        votes = (
-            edge_rows.union(state.map_batches(tag_state, batch_format="pyarrow"))
-            .union(_sentinels(_LPA_EDGE))
-            .groupby("bucket", num_partitions=np_)
-            .map_groups(count_votes, batch_format="pyarrow")
+    def edges_as_cnt(batch: pa.Table) -> pa.Table:
+        # edge rows in the _LPA_CNT shape: node=src (bucket key), label=dst
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("bucket"),
+                batch.column("src"),
+                batch.column("dst"),
+                pa.nulls(n, pa.int64()),
+                pa.array(["e"] * n, pa.string()),
+            ],
+            schema=_LPA_CNT,
         )
-        state = (
-            votes.union(state.map_batches(tag_old, batch_format="pyarrow"))
-            .union(int_key_sentinels(_LPA_CNT, "bucket", fill={"side": "s", "node": "", "label": ""}))
+
+    edge_cnt_rows = edge_rows.map_batches(
+        edges_as_cnt, batch_format="pyarrow"
+    ).materialize()
+
+    def make_round(emit_votes: bool):
+        # fused LPA round (one exchange, VERDICT r03 #6 pattern): fold the
+        # vote argmax for this bucket's nodes AND — the edge rows key on
+        # the same bucket(src) — emit the NEXT round's per-(dst, label)
+        # count partials from the just-updated labels
+        def fused_round(group: pa.Table) -> pa.Table:
+            group = _drop_sentinels(group)
+            old = (
+                group.filter(pc.equal(group.column("side"), "o"))
+                .select(["node", "label"])
+                .rename_columns(["node", "old_label"])
+            )
+            if old.num_rows == 0:
+                return _LPA_CNT.empty_table()
+            votes = group.filter(pc.equal(group.column("side"), "c"))
+            merged = (
+                votes.select(["node", "label", "cnt"])
+                .group_by(["node", "label"])
+                .aggregate([("cnt", "sum")])
+                .rename_columns(["node", "label", "cnt"])
+            )
+            best = _lpa_argmax(merged)
+            # nodes with no votes this round (can't happen for degree>=1
+            # graphs, but keep the state total) fall back to the old label
+            m = old.join(best, keys="node", join_type="left outer")
+            label = pc.if_else(
+                pc.is_null(m.column("label")),
+                m.column("old_label"),
+                m.column("label"),
+            )
+            node = m.column("node").combine_chunks()
+            n = len(node)
+            out = pa.Table.from_arrays(
+                [
+                    _bucket_of(node),
+                    node,
+                    label.combine_chunks()
+                    if isinstance(label, pa.ChunkedArray)
+                    else label,
+                    pa.nulls(n, pa.int64()),
+                    pa.array(["o"] * n, pa.string()),
+                ],
+                schema=_LPA_CNT,
+            )
+            if not emit_votes:
+                return out
+            e = group.filter(pc.equal(group.column("side"), "e"))
+            if e.num_rows == 0:
+                return out
+            lab = pa.Table.from_arrays(
+                [node, out.column("label").combine_chunks()],
+                names=["node", "new_label"],
+            )
+            me = (
+                e.select(["node", "label"])
+                .rename_columns(["node", "dst"])
+                .join(lab, keys="node", join_type="inner")
+            )
+            votes_next = me.select(["dst", "new_label"]).append_column(
+                "one", pa.array(np.ones(me.num_rows, np.int64))
+            )
+            cnt = (
+                votes_next.group_by(["dst", "new_label"])
+                .aggregate([("one", "sum")])
+                .rename_columns(["node", "label", "cnt"])
+            )
+            vn = cnt.column("node").combine_chunks()
+            out_c = pa.Table.from_arrays(
+                [
+                    _bucket_of(vn),
+                    vn,
+                    cnt.column("label").combine_chunks(),
+                    cnt.column("cnt").cast(pa.int64()).combine_chunks(),
+                    pa.array(["c"] * cnt.num_rows, pa.string()),
+                ],
+                schema=_LPA_CNT,
+            )
+            return pa.concat_tables([out, out_c])
+
+        return fused_round
+
+    _cnt_sent = int_key_sentinels(
+        _LPA_CNT, "bucket", fill={"side": "s", "node": "", "label": ""}
+    )
+    # seed: first-round vote partials from the initial labels (one attach
+    # exchange), then ONE exchange per round: n_iter + 1 exchanges instead
+    # of 2 * n_iter
+    cur = (
+        edge_rows.union(state.map_batches(tag_state, batch_format="pyarrow"))
+        .union(_sentinels(_LPA_EDGE))
+        .groupby("bucket", num_partitions=np_)
+        .map_groups(count_votes, batch_format="pyarrow")
+        .union(state.map_batches(tag_old, batch_format="pyarrow"))
+        .materialize()
+    )
+    for k in range(n_iter):
+        cur = (
+            cur.union(edge_cnt_rows)
+            .union(_cnt_sent)
             .groupby("bucket", num_partitions=np_)
-            .map_groups(resolve, batch_format="pyarrow")
+            .map_groups(make_round(emit_votes=k < n_iter - 1), batch_format="pyarrow")
             .materialize()
         )
 
-    return state.map_batches(
-        lambda b: b.select(["node", "label"]).rename_columns(
-            ["node", "community"]
-        ),
-        batch_format="pyarrow",
-    )
+    def final(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("side"), "o"))
+        return b.select(["node", "label"]).rename_columns(["node", "community"])
+
+    return cur.map_batches(final, batch_format="pyarrow")
 
 
 def label_propagation_oracle(
