@@ -126,3 +126,30 @@ def partitions_for(n_rows: int, target_rows: int = 1 << 16) -> int:
     ~64k x CPUs rows — at 10^12 rows every exchange runs at full width.
     """
     return shuffle_partitions(max(2, -(-max(n_rows, 1) // target_rows)))
+
+
+def scalar_agg(ds, col: str, how: str = "sum"):
+    """One scalar (sum/min/max) of a Dataset column WITHOUT the aggregate
+    fleet: ``Dataset.sum/min/max`` each plan a full hash-aggregate
+    (200-partition fleet spawn, ~0.8 s of fixed cost at ANY input size).
+    A per-block partial + driver fold is exact for these associative
+    aggregates and costs one map-only pass. Returns None on an empty
+    dataset (mirrors Dataset.sum's null)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fn = {"sum": pc.sum, "min": pc.min, "max": pc.max}[how]
+
+    def part(b: "pa.Table") -> "pa.Table":
+        typ = b.schema.field(col).type
+        if b.num_rows == 0:
+            return pa.table({"v": pa.array([], typ)})
+        return pa.table({"v": pa.array([fn(b.column(col)).as_py()], typ)})
+
+    rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+    vals = [r["v"] for r in rows if r["v"] is not None]
+    if not vals:
+        return None
+    if how == "sum":
+        return sum(vals)
+    return min(vals) if how == "min" else max(vals)

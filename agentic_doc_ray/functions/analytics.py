@@ -2940,7 +2940,9 @@ def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
         .materialize()
     )
 
-    max_us = int(per_cust.max("last_us"))
+    from agentic_doc_ray.context import scalar_agg
+
+    max_us = int(scalar_agg(per_cust, "last_us", "max"))
 
     def metric_dist(batch: pa.Table) -> pa.Table:
         rec = pc.divide(

@@ -2569,7 +2569,9 @@ def top_revenue_supplier(
         .materialize()  # consumed twice below (max + winner filter)
     )
 
-    mx = revenue.max("cents")
+    from agentic_doc_ray.context import scalar_agg
+
+    mx = scalar_agg(revenue, "cents", "max")
 
     def at_max(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("cents"), pa.scalar(mx, pa.int64())))
@@ -2724,7 +2726,11 @@ def small_quantity_revenue(
         total = int(pc.sum(cents.filter(pa.array(keep))).as_py() or 0)
         return pa.table({"cents": pa.array([total], pa.int64())})
 
-    total = lineitem.map_batches(cents_partial, batch_format="pyarrow").sum("cents")
+    from agentic_doc_ray.context import scalar_agg
+
+    total = scalar_agg(
+        lineitem.map_batches(cents_partial, batch_format="pyarrow"), "cents"
+    )
     total = int(total or 0)
     return ray.data.from_arrow(
         pa.table(
@@ -2870,9 +2876,10 @@ def brand_bracket_revenue(
         .union(int_key_sentinels(ex_schema, "bucket", fill={"side": "sent"}))
         .groupby("bucket", num_partitions=partitions_for(n_rows))
         .map_groups(join_bucket, batch_format="pyarrow")
-        .sum("cents")
     )
-    total = int(total or 0)
+    from agentic_doc_ray.context import scalar_agg
+
+    total = int(scalar_agg(total, "cents") or 0)
     return ray.data.from_arrow(
         pa.table(
             {
@@ -4669,7 +4676,9 @@ def important_part_values(
         .materialize()  # consumed thrice: total + count scalars + filter
     )
 
-    total = int(per_part.sum("value_cents") or 0)
+    from agentic_doc_ray.context import scalar_agg
+
+    total = int(scalar_agg(per_part, "value_cents") or 0)
     n_parts = per_part.count()
 
     def keep(batch: pa.Table) -> pa.Table:

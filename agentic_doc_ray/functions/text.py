@@ -2706,16 +2706,24 @@ def pmi_collocations(
     def _is_bigram(t: pa.Table):
         return pc.match_substring(t.column("key"), " ")
 
+    from agentic_doc_ray.context import scalar_agg
+
     n_total = int(
-        merged.map_batches(
-            lambda t: t.filter(pc.invert(_is_bigram(t))), batch_format="pyarrow"
-        ).sum("c")
+        scalar_agg(
+            merged.map_batches(
+                lambda t: t.filter(pc.invert(_is_bigram(t))), batch_format="pyarrow"
+            ),
+            "c",
+        )
         or 0
     )
     b_total = int(
-        merged.map_batches(
-            lambda t: t.filter(_is_bigram(t)), batch_format="pyarrow"
-        ).sum("c")
+        scalar_agg(
+            merged.map_batches(
+                lambda t: t.filter(_is_bigram(t)), batch_format="pyarrow"
+            ),
+            "c",
+        )
         or 0
     )
 
@@ -2929,8 +2937,11 @@ def vocab_growth(
 
     from agentic_doc_ray.context import shuffle_partitions
 
-    mn = int(docs.min("doc_id"))
-    mx = int(docs.max("doc_id"))
+    from agentic_doc_ray.context import scalar_agg
+
+    docs = docs.materialize()  # consumed thrice: min + max + the bucket map
+    mn = int(scalar_agg(docs, "doc_id", "min"))
+    mx = int(scalar_agg(docs, "doc_id", "max"))
     K = n_checkpoints
     span = mx - mn + 1
     his = np.array([mn - 1 + (span * k) // K for k in range(1, K + 1)], np.int64)

@@ -194,10 +194,16 @@ def extract_corpus_adaptive(
         m = pc.max(pc.list_value_length(batch.column("spans"))).as_py()
         return pa.table({"m": pa.array([int(m or 0)], pa.int64())})
 
+    from agentic_doc_ray.context import scalar_agg
+
     max_spans = (
-        corpus.map_batches(
-            batch_max_spans, batch_format="pyarrow", zero_copy_batch=True
-        ).max("m")
+        scalar_agg(
+            corpus.map_batches(
+                batch_max_spans, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "m",
+            "max",
+        )
         or 0
     )
 
