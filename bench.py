@@ -541,9 +541,8 @@ def main() -> None:
         from agentic_doc_ray.functions.graph import connected_components
 
         connected_components(
-            D.verified_dedup_pairs(docs_str(), exact_threshold=0.8).select(
-                ["doc_a", "doc_b"]
-            )
+            D.verified_dedup_pairs(docs_str(), exact_threshold=0.8)
+            .select_columns(["doc_a", "doc_b"])
         ).count()
 
     timed("dedup_components", cc_q)
@@ -1391,11 +1390,9 @@ def main() -> None:
         from agentic_doc_ray.functions.dedup import verified_dedup_pairs
         from agentic_doc_ray.functions.sampling import leakage_free_split
 
-        pairs = ray.data.from_arrow(
-            verified_dedup_pairs(docs_str(), exact_threshold=0.8).select(
-                ["doc_a", "doc_b"]
-            )
-        )
+        pairs = verified_dedup_pairs(
+            docs_str(), exact_threshold=0.8
+        ).select_columns(["doc_a", "doc_b"])
         leakage_free_split(docs_str(), pairs, val_pct=10).count()
 
     timed("leakage_free_split", leakage_split_q)
@@ -1740,7 +1737,7 @@ def main() -> None:
                 batch_format="pyarrow",
             ),
             exact_threshold=0.8,
-        ).select(["doc_a", "doc_b"])
+        ).select_columns(["doc_a", "doc_b"])
         near_dedup_keep_best(scored, pairs).count()
 
     timed("near_dedup_keep_best", keep_best_q)
