@@ -806,12 +806,20 @@ def jaccard_verify_pairs(
     intersections run C-speed inside ``map_groups``. The driver never
     holds shingles or pairs on either route. Pairs referencing absent
     doc_ids score 0.0 (empty-set semantics)."""
+    from agentic_doc_ray.context import partitions_for
     from agentic_doc_ray.context import shuffle_partitions as _cap
     from agentic_doc_ray.functions._exchange import int_key_sentinels
 
-    np_ = _cap(shuffle_partitions)
     pairs = pairs.materialize()  # counted here, consumed once below
     n_pairs = pairs.count()
+    # exchange width tracks the PAIR volume (the partitions_for rule:
+    # partition count costs real finalize latency per exchange), unless
+    # the caller pinned a width
+    np_ = (
+        partitions_for(n_pairs)
+        if shuffle_partitions is None
+        else _cap(shuffle_partitions)
+    )
 
     def _gather(p_keys: np.ndarray, s_tbl: pa.Table) -> pa.ListArray:
         """Per-key shingle list, aligned to p_keys; empty for missing."""
