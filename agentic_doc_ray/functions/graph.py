@@ -1702,11 +1702,15 @@ _BFS_NODE = pa.schema(
         ("side", pa.string()),
     ]
 )
-_BFS_RESOLVED = pa.schema(
+# fused BFS round row (one exchange per round): edge rows put src in
+# `node`; state/candidate rows put the node there
+_BFS_FUSED = pa.schema(
     [
         ("bucket", pa.int32()),
         ("node", pa.string()),
+        ("dst", pa.string()),   # edge rows only
         ("dist", pa.int64()),
+        ("side", pa.string()),  # e edge / o reached state / c candidate / s
         ("changed", pa.int64()),
     ]
 )
@@ -1787,105 +1791,120 @@ def bfs_distances(
 
     state = seeds.map_batches(seed_state, batch_format="pyarrow").materialize()
 
-    def tag_state(batch: pa.Table) -> pa.Table:
-        # state rows keyed by SRC bucket for the edge join
+    # --- fused BSP rounds (one exchange each, VERDICT r03 #6 pattern) ----
+    # Each bucket folds the min-dist update for its reached nodes AND —
+    # because the static edge rows key on the same bucket(src) — emits the
+    # next round's dist+1 candidates from the just-folded state. A round
+    # can REACH new nodes (no prior state row), so the changed flag uses
+    # a left join against the old rows. Rows share _BFS_FUSED: edges put
+    # src in `node`, candidates/state put the node there.
+    def fused_round(group: pa.Table) -> pa.Table:
+        group = _drop_sentinels(group)
+        o = group.filter(pc.equal(group.column("side"), "o"))
+        c = group.filter(pc.equal(group.column("side"), "c"))
+        if o.num_rows == 0 and c.num_rows == 0:
+            return _BFS_FUSED.empty_table()
+        best = (
+            pa.concat_tables(
+                [o.select(["node", "dist"]), c.select(["node", "dist"])]
+            )
+            .group_by("node")
+            .aggregate([("dist", "min")])
+            .rename_columns(["node", "new_dist"])
+        )
+        old = o.select(["node", "dist"]).rename_columns(["node", "old_dist"])
+        m = best.join(old, keys="node", join_type="left outer")
+        changed = pc.fill_null(
+            pc.cast(
+                pc.or_kleene(
+                    pc.is_null(m.column("old_dist")),
+                    pc.less(m.column("new_dist"), m.column("old_dist")),
+                ),
+                pa.int64(),
+            ),
+            1,
+        )
+        node = m.column("node").combine_chunks()
+        n = len(node)
+        parts = [
+            pa.Table.from_arrays(
+                [
+                    _bucket_of(node),
+                    node,
+                    pa.nulls(n, pa.string()),
+                    m.column("new_dist").combine_chunks(),
+                    pa.array(["o"] * n, pa.string()),
+                    changed.combine_chunks()
+                    if isinstance(changed, pa.ChunkedArray)
+                    else changed,
+                ],
+                schema=_BFS_FUSED,
+            )
+        ]
+        e = group.filter(pc.equal(group.column("side"), "e"))
+        if e.num_rows:
+            lab = pa.table({"node": node, "d": parts[0].column("dist")})
+            me = e.select(["node", "dst"]).join(lab, keys="node", join_type="inner")
+            dst = me.column("dst").combine_chunks()
+            k = me.num_rows
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        _bucket_of(dst),
+                        dst,
+                        pa.nulls(k, pa.string()),
+                        pc.add(me.column("d"), pa.scalar(1, pa.int64())).combine_chunks(),
+                        pa.array(["c"] * k, pa.string()),
+                        pa.array(np.zeros(k, np.int64)),
+                    ],
+                    schema=_BFS_FUSED,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def edges_as_fused(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("bucket"),
+                batch.column("src"),
+                batch.column("dst"),
+                pa.nulls(n, pa.int64()),
+                pa.array(["e"] * n, pa.string()),
+                pa.array(np.zeros(n, np.int64)),
+            ],
+            schema=_BFS_FUSED,
+        )
+
+    def seeds_as_fused(batch: pa.Table) -> pa.Table:
+        # seeds enter as CANDIDATES (no old row): round 1 then reaches
+        # them (changed=1 each) and emits their dist-1 frontier — the
+        # same first-reach semantics as every later round
         n = batch.num_rows
         return pa.Table.from_arrays(
             [
                 batch.column("bucket"),
                 batch.column("node"),
                 pa.nulls(n, pa.string()),
-                pa.array(["l"] * n, pa.string()),
                 batch.column("dist"),
+                pa.array(["c"] * n, pa.string()),
+                pa.array(np.zeros(n, np.int64)),
             ],
-            schema=_BFS_EDGE,
+            schema=_BFS_FUSED,
         )
 
-    def propagate(group: pa.Table) -> pa.Table:
-        group = _drop_sentinels(group)
-        is_edge = pc.equal(group.column("side"), "e")
-        e = group.filter(is_edge).select(["src", "dst"])
-        # one state row per node by construction; the node sits in the
-        # src field (tag_state), so the column name already aligns
-        l = group.filter(pc.invert(is_edge)).select(["src", "dist"])
-        m = e.join(l, keys="src", join_type="inner")
-        dst = m.column("dst").combine_chunks()
-        return pa.Table.from_arrays(
-            [
-                _bucket_of(dst),
-                dst,
-                pc.add(m.column("dist"), pa.scalar(1, pa.int64())),
-                pa.array(["c"] * m.num_rows, pa.string()),
-            ],
-            schema=_BFS_NODE,
-        )
-
-    def tag_old(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [
-                batch.column("bucket"),
-                batch.column("node"),
-                batch.column("dist"),
-                pa.array(["o"] * batch.num_rows, pa.string()),
-            ],
-            schema=_BFS_NODE,
-        )
-
-    def resolve(group: pa.Table) -> pa.Table:
-        group = _drop_sentinels(group)
-        best = (
-            group.select(["node", "dist"])
-            .group_by("node")
-            .aggregate([("dist", "min")])
-            .rename_columns(["node", "new_dist"])
-        )
-        old = (
-            group.filter(pc.equal(group.column("side"), "o"))
-            .select(["node", "dist"])
-            .rename_columns(["node", "old_dist"])
-        )
-        # LEFT join: nodes reached for the first time have no old row
-        m = best.join(old, keys="node", join_type="left outer")
-        changed = pc.cast(
-            pc.or_kleene(
-                pc.is_null(m.column("old_dist")),
-                pc.less(m.column("new_dist"), m.column("old_dist")),
-            ),
-            pa.int64(),
-        )
-        node = m.column("node").combine_chunks()
-        return pa.Table.from_arrays(
-            [_bucket_of(node), node, m.column("new_dist"), pc.fill_null(changed, 1)],
-            schema=_BFS_RESOLVED,
-        )
-
+    edge_f = edge_rows.map_batches(edges_as_fused, batch_format="pyarrow").materialize()
+    _f_sent = _sentinels(_BFS_FUSED)
+    cur = state.map_batches(seeds_as_fused, batch_format="pyarrow")
     for _ in range(max_iters):
-        cands = (
-            edge_rows.union(state.map_batches(tag_state, batch_format="pyarrow"))
-            .union(_sentinels(_BFS_EDGE))
+        cur = (
+            cur.union(edge_f)
+            .union(_f_sent)
             .groupby("bucket", num_partitions=np_)
-            .map_groups(propagate, batch_format="pyarrow")
-        )
-        resolved = (
-            cands.union(state.map_batches(tag_old, batch_format="pyarrow"))
-            .union(_sentinels(_BFS_NODE))
-            .groupby("bucket", num_partitions=np_)
-            .map_groups(resolve, batch_format="pyarrow")
+            .map_groups(fused_round, batch_format="pyarrow")
             .materialize()
         )
-        n_changed = _changed_sum(resolved)
-        state = resolved.drop_columns(["changed"]).map_batches(
-            lambda b: pa.Table.from_arrays(
-                [
-                    b.column("bucket"),
-                    b.column("node"),
-                    b.column("dist"),
-                    pa.array(["o"] * b.num_rows, pa.string()),
-                ],
-                schema=_BFS_NODE,
-            ),
-            batch_format="pyarrow",
-        ).materialize()
+        n_changed = _changed_sum(cur)
         if not n_changed:
             break
     else:  # pragma: no cover - needs a >max_iters-eccentricity graph
@@ -1895,9 +1914,11 @@ def bfs_distances(
             "eccentricity exceeds the round budget — raise max_iters"
         )
 
-    return state.map_batches(
-        lambda b: b.select(["node", "dist"]), batch_format="pyarrow"
-    )
+    def final(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("side"), "o"))
+        return b.select(["node", "dist"])
+
+    return cur.map_batches(final, batch_format="pyarrow")
 
 
 # --- label-propagation communities (synchronous, deterministic) -----------
