@@ -2309,11 +2309,16 @@ _SCC_NODE = pa.schema(
         ("side", pa.string()),
     ]
 )
-_SCC_RESOLVED = pa.schema(
+# fused SCC round row (one exchange per inner iteration): edge rows put
+# the GIVING end in `node`; state (o), color (k) and candidate (c) rows
+# put the node there
+_SCC_FUSED = pa.schema(
     [
         ("bucket", pa.int32()),
         ("node", pa.string()),
+        ("dst", pa.string()),   # edge rows only: the receiving end
         ("label", pa.string()),
+        ("side", pa.string()),
         ("changed", pa.int64()),
     ]
 )
@@ -2393,272 +2398,286 @@ def scc(
 
     out_parts: list = []
 
-    def tag_state_src(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.Table.from_arrays(
-            [
-                batch.column("bucket"),
-                batch.column("node"),
-                pa.nulls(n, pa.string()),
-                pa.array(["l"] * n, pa.string()),
-                batch.column("label"),
-            ],
-            schema=_SCC_EDGE,
-        )
-
-    def fwd_propagate(group: pa.Table) -> pa.Table:
-        g = _drop_sentinels(group)
-        is_e = pc.equal(g.column("side"), "e")
-        e = g.filter(is_e).select(["src", "dst"])
-        l = g.filter(pc.equal(g.column("side"), "l")).select(["src", "label"])
-        m = e.join(l, keys="src", join_type="inner")
-        if m.num_rows == 0:
-            return _SCC_NODE.empty_table()
-        # pre-fold per dst: only the max incoming label leaves the bucket
-        m = (
-            m.select(["dst", "label"])
-            .group_by("dst")
-            .aggregate([("label", "max")])
-        )
-        dst = m.column("dst").combine_chunks()
-        return pa.Table.from_arrays(
-            [
-                _bucket_of(dst),
-                dst,
-                m.column("label_max").combine_chunks(),
-                pa.array(["c"] * m.num_rows, pa.string()),
-            ],
-            schema=_SCC_NODE,
-        )
-
-    def fwd_resolve(group: pa.Table) -> pa.Table:
-        g = _drop_sentinels(group)
-        best = (
-            g.select(["node", "label"])
-            .group_by("node")
-            .aggregate([("label", "max")])
-            .rename_columns(["node", "new_label"])
-        )
-        old = (
-            g.filter(pc.equal(g.column("side"), "o"))
-            .select(["node", "label"])
-            .rename_columns(["node", "old_label"])
-        )
-        # inner join: every remaining node has an old color row
-        m = best.join(old, keys="node", join_type="inner")
-        changed = pc.cast(
-            pc.greater(m.column("new_label"), m.column("old_label")), pa.int64()
-        )
-        node = m.column("node").combine_chunks()
-        return pa.Table.from_arrays(
-            [_bucket_of(node), node, m.column("new_label"), changed],
-            schema=_SCC_RESOLVED,
-        )
-
-    def _as_state(ds):
-        return ds.map_batches(
-            lambda b: pa.Table.from_arrays(
-                [
-                    b.column("bucket"),
-                    b.column("node"),
-                    b.column("label"),
-                    pa.array(["o"] * b.num_rows, pa.string()),
-                ],
-                schema=_SCC_NODE,
-            ),
-            batch_format="pyarrow",
-        )
-
-    for _round in range(max_rounds):
-        if remaining_nodes.count() == 0:
-            break
-        # ---- (1) forward max-label fixpoint -----------------------------
-        color = remaining_nodes
-        for _ in range(max_iters):
-            cands = (
-                fwd_edges.union(
-                    color.map_batches(tag_state_src, batch_format="pyarrow")
-                )
-                .union(_sentinels(_SCC_EDGE))
-                .groupby("bucket", num_partitions=np_)
-                .map_groups(fwd_propagate, batch_format="pyarrow")
-            )
-            resolved = (
-                cands.union(color.map_batches(
-                    lambda b: b, batch_format="pyarrow"
-                ))
-                .union(_sentinels(_SCC_NODE))
-                .groupby("bucket", num_partitions=np_)
-                .map_groups(fwd_resolve, batch_format="pyarrow")
-                .materialize()
-            )
-            n_changed = _changed_sum(resolved)
-            color = _as_state(resolved.drop_columns(["changed"])).materialize()
-            if not n_changed:
-                break
-        else:  # pragma: no cover - needs a >max_iters forward chain
-            raise RuntimeError(
-                f"scc: forward coloring did not converge within "
-                f"max_iters={max_iters}; raise max_iters"
-            )
-
-        # ---- (2) backward mark within color ------------------------------
-        # roots: color == self; their SCC mark is their own id
-        def roots_only(batch: pa.Table) -> pa.Table:
-            return batch.filter(
-                pc.equal(batch.column("node"), batch.column("label"))
-            )
-
-        marked = color.map_batches(roots_only, batch_format="pyarrow").materialize()
-
-        def tag_state_dst(batch: pa.Table) -> pa.Table:
-            # marks travel BACKWARD: key marked state by the edge's dst
+    # ---- fused BSP machinery (one exchange per inner iteration, the
+    # VERDICT r03 #6 pattern shared with CC/kcore/pagerank/hits/LPA):
+    # edges key on the bucket of their GIVING end, so each round's
+    # map_groups both folds its bucket's update and emits the next
+    # round's candidate rows from the just-folded state. Initial state
+    # enters as CANDIDATES (the BFS seeding trick), so round 1 takes the
+    # ordinary fold path with changed > 0 and the zero-change stop stays
+    # exact.
+    def _state_rows(ds, side: str, changed: int = 0):
+        def f(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             return pa.Table.from_arrays(
                 [
                     batch.column("bucket"),
                     batch.column("node"),
                     pa.nulls(n, pa.string()),
-                    pa.array(["l"] * n, pa.string()),
                     batch.column("label"),
+                    pa.array([side] * n, pa.string()),
+                    pa.array(np.full(n, changed, np.int64)),
                 ],
-                schema=_SCC_EDGE,
+                schema=_SCC_FUSED,
             )
 
-        def rekey_dst(batch: pa.Table) -> pa.Table:
-            dst = batch.column("dst").combine_chunks()
-            return pa.Table.from_arrays(
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def _filter_side(ds, side: str):
+        return ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column("side"), side)).select(
+                ["bucket", "node", "label"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    def fwd_round(group: pa.Table) -> pa.Table:
+        g = _drop_sentinels(group)
+        o = g.filter(pc.equal(g.column("side"), "o"))
+        c = g.filter(pc.equal(g.column("side"), "c"))
+        if o.num_rows == 0 and c.num_rows == 0:
+            return _SCC_FUSED.empty_table()
+        best = (
+            pa.concat_tables(
+                [o.select(["node", "label"]), c.select(["node", "label"])]
+            )
+            .group_by("node")
+            .aggregate([("label", "max")])
+            .rename_columns(["node", "new_label"])
+        )
+        old = o.select(["node", "label"]).rename_columns(["node", "old_label"])
+        m = best.join(old, keys="node", join_type="left outer")
+        changed = pc.fill_null(
+            pc.cast(
+                pc.or_kleene(
+                    pc.is_null(m.column("old_label")),
+                    pc.greater(m.column("new_label"), m.column("old_label")),
+                ),
+                pa.int64(),
+            ),
+            1,
+        )
+        node = m.column("node").combine_chunks()
+        n = len(node)
+        parts = [
+            pa.Table.from_arrays(
                 [
-                    _bucket_of(dst),
-                    batch.column("src"),
-                    dst,
-                    batch.column("side"),
-                    batch.column("label"),
+                    _bucket_of(node),
+                    node,
+                    pa.nulls(n, pa.string()),
+                    m.column("new_label").combine_chunks(),
+                    pa.array(["o"] * n, pa.string()),
+                    changed.combine_chunks()
+                    if isinstance(changed, pa.ChunkedArray)
+                    else changed,
                 ],
-                schema=_SCC_EDGE,
+                schema=_SCC_FUSED,
             )
-
-        bwd_edges = fwd_edges.map_batches(
-            rekey_dst, batch_format="pyarrow"
-        ).materialize()
-
-        def bwd_propagate(group: pa.Table) -> pa.Table:
-            g = _drop_sentinels(group)
-            is_e = pc.equal(g.column("side"), "e")
-            e = g.filter(is_e).select(["src", "dst"])
-            l = (
-                g.filter(pc.equal(g.column("side"), "l"))
-                .select(["src", "label"])
-                .rename_columns(["dst", "label"])
+        ]
+        e = g.filter(pc.equal(g.column("side"), "e"))
+        if e.num_rows:
+            lab = pa.table({"node": node, "lab": parts[0].column("label")})
+            me = e.select(["node", "dst"]).join(lab, keys="node", join_type="inner")
+            # pre-fold per receiver: only the max label leaves the bucket
+            me = (
+                me.select(["dst", "lab"]).group_by("dst").aggregate([("lab", "max")])
             )
-            m = e.join(l, keys="dst", join_type="inner")
-            if m.num_rows == 0:
-                return _SCC_NODE.empty_table()
-            m = (
-                m.select(["src", "label"])
-                .group_by(["src", "label"])
+            dst = me.column("dst").combine_chunks()
+            k = me.num_rows
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        _bucket_of(dst),
+                        dst,
+                        pa.nulls(k, pa.string()),
+                        me.column("lab_max").combine_chunks(),
+                        pa.array(["c"] * k, pa.string()),
+                        pa.array(np.zeros(k, np.int64)),
+                    ],
+                    schema=_SCC_FUSED,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def bwd_round(group: pa.Table) -> pa.Table:
+        g = _drop_sentinels(group)
+        k = g.filter(pc.equal(g.column("side"), "k"))
+        if k.num_rows == 0:
+            return _SCC_FUSED.empty_table()
+        o = g.filter(pc.equal(g.column("side"), "o"))
+        c = (
+            g.filter(pc.equal(g.column("side"), "c"))
+            .select(["node", "label"])
+            .group_by(["node", "label"])
+            .aggregate([])
+        )
+        col = k.select(["node", "label"]).rename_columns(["node", "color"])
+        acc = c.join(col, keys="node", join_type="inner")
+        acc = acc.filter(
+            pc.equal(acc.column("label"), acc.column("color"))
+        ).select(["node", "label"])
+        if o.num_rows:
+            hit = pc.is_in(
+                acc.column("node"), value_set=o.column("node").combine_chunks()
+            )
+            acc = acc.filter(pc.invert(hit))
+        node_new = acc.column("node").combine_chunks()
+        marked_all = pa.concat_tables(
+            [o.select(["node", "label"]), acc.select(["node", "label"])]
+        )
+        nodes_m = marked_all.column("node").combine_chunks()
+        nm = marked_all.num_rows
+        ch = np.zeros(nm, np.int64)
+        ch[o.num_rows:] = 1  # acc rows are the new marks
+        parts = [
+            pa.Table.from_arrays(
+                [
+                    _bucket_of(nodes_m),
+                    nodes_m,
+                    pa.nulls(nm, pa.string()),
+                    marked_all.column("label").combine_chunks(),
+                    pa.array(["o"] * nm, pa.string()),
+                    pa.array(ch),
+                ],
+                schema=_SCC_FUSED,
+            ),
+            pa.Table.from_arrays(
+                [
+                    k.column("bucket").combine_chunks(),
+                    k.column("node").combine_chunks(),
+                    pa.nulls(k.num_rows, pa.string()),
+                    k.column("label").combine_chunks(),
+                    pa.array(["k"] * k.num_rows, pa.string()),
+                    pa.array(np.zeros(k.num_rows, np.int64)),
+                ],
+                schema=_SCC_FUSED,
+            ),
+        ]
+        e = g.filter(pc.equal(g.column("side"), "e"))
+        if e.num_rows and nm:
+            me = (
+                e.select(["node", "dst"])
+                .join(
+                    pa.table({"node": nodes_m, "lab": parts[0].column("label")}),
+                    keys="node",
+                    join_type="inner",
+                )
+                .select(["dst", "lab"])
+                .group_by(["dst", "lab"])
                 .aggregate([])
             )
-            src = m.column("src").combine_chunks()
-            return pa.Table.from_arrays(
-                [
-                    _bucket_of(src),
-                    src,
-                    m.column("label").combine_chunks(),
-                    pa.array(["c"] * m.num_rows, pa.string()),
-                ],
-                schema=_SCC_NODE,
+            dst = me.column("dst").combine_chunks()
+            kk = me.num_rows
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        _bucket_of(dst),
+                        dst,
+                        pa.nulls(kk, pa.string()),
+                        me.column("lab").combine_chunks(),
+                        pa.array(["c"] * kk, pa.string()),
+                        pa.array(np.zeros(kk, np.int64)),
+                    ],
+                    schema=_SCC_FUSED,
+                )
             )
+        return pa.concat_tables(parts)
 
+    def _fixpoint(cur, edge_f, round_fn, what: str):
         for _ in range(max_iters):
-            cands = (
-                bwd_edges.union(
-                    marked.map_batches(tag_state_dst, batch_format="pyarrow")
-                )
-                .union(_sentinels(_SCC_EDGE))
+            cur = (
+                cur.union(edge_f)
+                .union(_sentinels(_SCC_FUSED))
                 .groupby("bucket", num_partitions=np_)
-                .map_groups(bwd_propagate, batch_format="pyarrow")
-            )
-
-            def bwd_resolve(group: pa.Table) -> pa.Table:
-                g = _drop_sentinels(group)
-                old = g.filter(pc.equal(g.column("side"), "o")).select(
-                    ["node", "label"]
-                )
-                col = (
-                    g.filter(pc.equal(g.column("side"), "k"))
-                    .select(["node", "label"])
-                    .rename_columns(["node", "color"])
-                )
-                cand = (
-                    g.filter(pc.equal(g.column("side"), "c"))
-                    .select(["node", "label"])
-                    .group_by(["node", "label"])
-                    .aggregate([])
-                )
-                # accept a mark only when it equals the node's own color
-                acc = cand.join(col, keys="node", join_type="inner")
-                acc = acc.filter(
-                    pc.equal(acc.column("label"), acc.column("color"))
-                ).select(["node", "label"])
-                if old.num_rows:
-                    hit = pc.is_in(
-                        acc.column("node"),
-                        value_set=old.column("node").combine_chunks(),
-                    )
-                    acc = acc.filter(pc.invert(hit))
-                node_new = acc.column("node").combine_chunks()
-                new_rows = pa.Table.from_arrays(
-                    [
-                        _bucket_of(node_new),
-                        node_new,
-                        acc.column("label").combine_chunks(),
-                        pa.array(
-                            np.ones(acc.num_rows, np.int64), pa.int64()
-                        ),
-                    ],
-                    schema=_SCC_RESOLVED,
-                )
-                node_old = old.column("node").combine_chunks()
-                old_rows = pa.Table.from_arrays(
-                    [
-                        _bucket_of(node_old),
-                        node_old,
-                        old.column("label").combine_chunks(),
-                        pa.array(np.zeros(old.num_rows, np.int64), pa.int64()),
-                    ],
-                    schema=_SCC_RESOLVED,
-                )
-                return pa.concat_tables([old_rows, new_rows])
-
-            def tag_color_k(batch: pa.Table) -> pa.Table:
-                return pa.Table.from_arrays(
-                    [
-                        batch.column("bucket"),
-                        batch.column("node"),
-                        batch.column("label"),
-                        pa.array(["k"] * batch.num_rows, pa.string()),
-                    ],
-                    schema=_SCC_NODE,
-                )
-
-            resolved = (
-                cands.union(marked.map_batches(lambda b: b, batch_format="pyarrow"))
-                .union(color.map_batches(tag_color_k, batch_format="pyarrow"))
-                .union(_sentinels(_SCC_NODE))
-                .groupby("bucket", num_partitions=np_)
-                .map_groups(bwd_resolve, batch_format="pyarrow")
+                .map_groups(round_fn, batch_format="pyarrow")
                 .materialize()
             )
-            n_changed = _changed_sum(resolved)
-            marked = _as_state(resolved.drop_columns(["changed"])).materialize()
-            if not n_changed:
-                break
-        else:  # pragma: no cover - needs a >max_iters backward chain
-            raise RuntimeError(
-                f"scc: backward marking did not converge within "
-                f"max_iters={max_iters}; raise max_iters"
+            if not _changed_sum(cur):
+                return cur
+        raise RuntimeError(  # pragma: no cover - needs a >max_iters chain
+            f"scc: {what} did not converge within max_iters={max_iters}; "
+            "raise max_iters"
+        )
+
+    def _fwd_edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("bucket"),
+                batch.column("src"),
+                batch.column("dst"),
+                pa.nulls(n, pa.string()),
+                pa.array(["e"] * n, pa.string()),
+                pa.array(np.zeros(n, np.int64)),
+            ],
+            schema=_SCC_FUSED,
+        )
+
+    def _bwd_edge_rows(batch: pa.Table) -> pa.Table:
+        # marks travel AGAINST the edge: the giving end is dst
+        dst = batch.column("dst").combine_chunks()
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(dst),
+                dst,
+                batch.column("src").combine_chunks(),
+                pa.nulls(n, pa.string()),
+                pa.array(["e"] * n, pa.string()),
+                pa.array(np.zeros(n, np.int64)),
+            ],
+            schema=_SCC_FUSED,
+        )
+
+    def rekey_dst(batch: pa.Table) -> pa.Table:
+        dst = batch.column("dst").combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                _bucket_of(dst),
+                batch.column("src"),
+                dst,
+                batch.column("side"),
+                batch.column("label"),
+            ],
+            schema=_SCC_EDGE,
+        )
+
+    for _round in range(max_rounds):
+        if remaining_nodes.count() == 0:
+            break
+        fwd_edge_f = fwd_edges.map_batches(
+            _fwd_edge_rows, batch_format="pyarrow"
+        ).materialize()
+        # ---- (1) forward max-label fixpoint (fused rounds) --------------
+        color = _filter_side(
+            _fixpoint(
+                _state_rows(remaining_nodes, "c"), fwd_edge_f, fwd_round,
+                "forward coloring",
+            ),
+            "o",
+        ).materialize()
+
+        # ---- (2) backward mark within color (fused rounds) ---------------
+        # roots: color == self; their SCC mark is their own id — they
+        # enter as CANDIDATES (self-mark == own color, accepted round 1)
+        def roots_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch.column("node"), batch.column("label"))
             )
+
+        roots = color.map_batches(roots_only, batch_format="pyarrow")
+        bwd_edge_f = fwd_edges.map_batches(
+            _bwd_edge_rows, batch_format="pyarrow"
+        ).materialize()
+        marked = _filter_side(
+            _fixpoint(
+                _state_rows(roots, "c").union(_state_rows(color, "k")),
+                bwd_edge_f,
+                bwd_round,
+                "backward marking",
+            ),
+            "o",
+        ).materialize()
 
         out_parts.append(
             marked.map_batches(
