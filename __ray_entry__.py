@@ -1061,75 +1061,27 @@ def entry() -> Any:
     return extract_corpus(_corpus_ds("/root/testdata/sf0.001"))
 
 
-# Round-4 driver-window rotation (VERDICT r03 #1: freeze additions, drain
-# the driver-evidence backlog). The driver records correctness for only the
-# first ~50 registered queries, so list here, in order:
-#   1. the two r01 `no_oracle` verdicts (oracles exist since r02/r03 but the
-#      rotation never brought them back into a window);
-#   2. everything r04 MODIFIED: the three entity-keyed-aggregate reworks
-#      (rolling_active_users / daily_new_users / rfm_segments), the
-#      distributed-verify consumers (ngram_jaccard_pairs,
-#      near_dedup_keep_best, cross_snapshot_dedup) and the fused-BSP ops
-#      (kcore_numbers, embedding_clusters) — their prior evidence, where it
-#      existed, predates the rewrite;
-#   3. the never-driver-checked families in the verdict's order: TPC-H
-#      joins, scans/ranking, retrieval/index, substr, sketches,
-#      multimodal/viz/ppm, text-IO roundtrips — sized so the ~50-entry
-#      window is exactly #1+#2+#3;
-#   4. r05 spillover: every remaining never-checked query grouped by family
-#      (curation, remaining scans, similarity/ANN, dedup, graph, text).
+# Round-5 driver-window rotation (VERDICT r04 #1: registry frozen, drain
+# the backlog). The driver records correctness for only the first ~50
+# registered queries, so list here, in order:
+#   1. the five BSP ops whose implementations were rewritten in the r04
+#      epilogue AFTER that round's driver window ran (fused one-exchange
+#      rounds): pagerank / hits_scores / label_propagation /
+#      bfs_distances / scc_labels — pagerank is a re-check, the other four
+#      are first-ever driver entries;
+#   2. every remaining never-driver-checked query (122 cumulative after
+#      r04), family-grouped in the r04 order: curation, TPC-H joins,
+#      scans/events, similarity/ANN, dedup/CDC, graph, text,
+#      multimodal/viz, tokenizers. A 50-entry window lands 49 first-ever
+#      checks -> cumulative driver-green 211/284; the rest is the r06
+#      spillover.
 # Everything not listed keeps its original (driver-green) position.
 _DRIVER_PRIORITY = [
-    "similarity_topk_ivf",
-    "hll_distinct_users",
-    "rolling_active_users",
-    "daily_new_users",
-    "rfm_segments",
-    "kcore_numbers",
-    "near_dedup_keep_best",
-    "cross_snapshot_dedup",
-    "ngram_jaccard_pairs",
-    "embedding_clusters",
-    "shipping_priority",
-    "late_shipment_priority",
-    "promo_revenue_share",
-    "nation_market_share",
-    "top_supplier_revenue",
-    "small_quantity_revenue",
-    "brand_bracket_revenue",
-    "idle_rich_customers",
-    "waiting_supplier_check",
-    "nation_returned_revenue",
-    "priority_revenue_share",
-    "customer_order_dist",
-    "large_qty_orders",
-    "customers_without_urgent",
-    "urgent_revenue_bloom",
-    "product_type_profit",
-    "brand_supplier_counts",
-    "min_cost_supplier",
-    "important_part_values",
-    "excess_stock_suppliers",
-    "late_events",
-    "global_rank",
-    "heavy_hitter_tokens",
-    "heavy_hitter_ngrams",
-    "bm25_topk",
-    "rrf_fusion",
-    "index_postings",
-    "repeated_substring_spans",
-    "strip_repeated_substrings",
-    "substring_dup_stats",
-    "cms_token_counts",
-    "value_quantiles",
-    "viz_overlays",
-    "ppm_media_features",
-    "media_resize",
-    "image_dup_pairs",
-    "jsonl_roundtrip",
-    "csv_roundtrip",
-    "partitioned_parquet",
-    "merge_upsert",
+    "pagerank",
+    "hits_scores",
+    "label_propagation",
+    "bfs_distances",
+    "scc_labels",
     "table_profile",
     "curation_keep",
     "token_budget_select",
@@ -1193,10 +1145,6 @@ _DRIVER_PRIORITY = [
     "cdc_dedup_stats",
     "cdc_transfer_stats",
     "substring_counts",
-    "bfs_distances",
-    "label_propagation",
-    "scc_labels",
-    "hits_scores",
     "graph_walks",
     "triangle_counts",
     "clustering_coefficient",

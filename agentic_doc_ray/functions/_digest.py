@@ -51,9 +51,9 @@ def _utf8_bytes(col) -> tuple[np.ndarray, np.ndarray]:
     return data, off
 
 
-def _md5_words_block(padded: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Run the 64 MD5 rounds on (n, 64) padded byte rows; return final
-    (A, B) state words (uint32) — enough for any <= 8-byte digest prefix."""
+def _md5_words_block(padded: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Run the 64 MD5 rounds on (n, 64) padded byte rows; return the final
+    (A, B, C, D) state words (uint32) — the full 16-byte digest."""
     M = padded.view("<u4").reshape(padded.shape[0], 16)
     n = padded.shape[0]
     A = np.full(n, 0x67452301, np.uint32)
@@ -83,7 +83,39 @@ def _md5_words_block(padded: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             # previous line already shifted the registers.
         A += a
         B += b
-    return A, B
+        C += c
+        D += d
+    return A, B, C, D
+
+
+def _pad_short(
+    data: np.ndarray, off: np.ndarray, idx: np.ndarray, sl: np.ndarray, n: int
+) -> np.ndarray:
+    """Single-block MD5 padding for the <= 55-byte rows at ``idx``:
+    returns (len(idx), 64) padded message blocks."""
+    nshort = len(idx)
+    # flat scatter over the actual bytes (total ~avg_len per row), not a
+    # (n, 64) mask gather — the mask path was 4x the total work
+    padded = np.zeros((nshort, 64), dtype=np.uint8)
+    L = int(sl[0]) if nshort else 0
+    if nshort == n and (sl == L).all() and len(data) == n * L:
+        # uniform-length ids over a dense buffer (the doc_id norm):
+        # one reshape+memcpy, no index math at all
+        if L:
+            padded[:, :L] = data.reshape(n, L)
+        padded[:, L] = 0x80
+    else:
+        total = int(sl.sum())
+        rows = np.repeat(np.arange(nshort, dtype=np.int64), sl)
+        starts = np.concatenate(([0], np.cumsum(sl[:-1])))
+        posw = np.arange(total, dtype=np.int64) - np.repeat(starts, sl)
+        flat = padded.reshape(-1)
+        flat[rows * 64 + posw] = data[np.repeat(off[idx], sl) + posw]
+        padded[np.arange(nshort), sl] = 0x80
+    padded[:, 56:64] = (
+        (sl.astype(np.uint64) * 8).astype("<u8").view(np.uint8).reshape(-1, 8)
+    )
+    return padded
 
 
 def md5_prefix_vec(col, nbytes: int = 2) -> np.ndarray:
@@ -106,30 +138,8 @@ def md5_prefix_vec(col, nbytes: int = 2) -> np.ndarray:
 
     idx = np.nonzero(short)[0]
     if len(idx):
-        sl = lens[idx]
-        nshort = len(idx)
-        # flat scatter over the actual bytes (total ~avg_len per row), not a
-        # (n, 64) mask gather — the mask path was 4x the total work
-        padded = np.zeros((nshort, 64), dtype=np.uint8)
-        L = int(sl[0]) if nshort else 0
-        if nshort == n and (sl == L).all() and len(data) == n * L:
-            # uniform-length ids over a dense buffer (the doc_id norm):
-            # one reshape+memcpy, no index math at all
-            if L:
-                padded[:, :L] = data.reshape(n, L)
-            padded[:, L] = 0x80
-        else:
-            total = int(sl.sum())
-            rows = np.repeat(np.arange(nshort, dtype=np.int64), sl)
-            starts = np.concatenate(([0], np.cumsum(sl[:-1])))
-            posw = np.arange(total, dtype=np.int64) - np.repeat(starts, sl)
-            flat = padded.reshape(-1)
-            flat[rows * 64 + posw] = data[np.repeat(off[idx], sl) + posw]
-            padded[np.arange(nshort), sl] = 0x80
-        padded[:, 56:64] = (
-            (sl.astype(np.uint64) * 8).astype("<u8").view(np.uint8).reshape(-1, 8)
-        )
-        A, B = _md5_words_block(padded)
+        padded = _pad_short(data, off, idx, lens[idx], n)
+        A, B, _, _ = _md5_words_block(padded)
         # digest bytes 0..3 = A little-endian, 4..7 = B little-endian; a
         # big-endian integer prefix is therefore byteswap(A)||byteswap(B)
         full = (A.byteswap().astype(np.uint64) << np.uint64(32)) | B.byteswap().astype(
@@ -153,3 +163,40 @@ def md5_per_mille(col) -> np.ndarray:
 def md5_per_cent(col) -> np.ndarray:
     """int(md5(s).hexdigest()[:4], 16) % 100, vectorized."""
     return (md5_prefix_vec(col, 2) % np.uint64(100)).astype(np.int64)
+
+
+_HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def md5_hex_vec(col) -> np.ndarray:
+    """Full ``md5(s).hexdigest()`` per row, vectorized — numpy 'U32'.
+
+    Byte-identical to hashlib (pinned in tests); used where an operator
+    sorts or keys on the complete digest string (e.g. the group-top-k
+    min-wise sampler, whose SQL oracle orders by DuckDB ``md5()``)."""
+    data, off = _utf8_bytes(col)
+    n = len(off) - 1
+    if n == 0:
+        return np.zeros(0, dtype="U32")
+    lens = np.diff(off)
+    short = lens <= 55
+    dig = np.zeros((n, 16), dtype=np.uint8)
+
+    idx = np.nonzero(short)[0]
+    if len(idx):
+        padded = _pad_short(data, off, idx, lens[idx], n)
+        A, B, C, D = _md5_words_block(padded)
+        # digest = A||B||C||D, each word little-endian
+        dig[idx, 0:4] = A.astype("<u4").view(np.uint8).reshape(-1, 4)
+        dig[idx, 4:8] = B.astype("<u4").view(np.uint8).reshape(-1, 4)
+        dig[idx, 8:12] = C.astype("<u4").view(np.uint8).reshape(-1, 4)
+        dig[idx, 12:16] = D.astype("<u4").view(np.uint8).reshape(-1, 4)
+
+    for i in np.nonzero(~short)[0]:
+        s = bytes(data[off[i]:off[i + 1]])
+        dig[i] = np.frombuffer(hashlib.md5(s).digest(), dtype=np.uint8)
+
+    hexchars = np.empty((n, 32), dtype=np.uint8)
+    hexchars[:, 0::2] = _HEX[dig >> 4]
+    hexchars[:, 1::2] = _HEX[dig & 0x0F]
+    return hexchars.reshape(-1).view("S32").astype("U32")

@@ -207,12 +207,16 @@ def sample_k_per_group(
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        ids = [str(x) for x in batch.column("doc_id").to_pylist()]
+        from agentic_doc_ray.functions._digest import md5_hex_vec
+
+        ids = pc.cast(batch.column("doc_id"), pa.string())
         df = pd.DataFrame(
             {
-                "g": batch.column(by).to_pylist(),
-                "h": [hashlib.md5(d.encode()).hexdigest() for d in ids],
-                "doc_id": ids,
+                "g": batch.column(by).to_pandas(),
+                # full-hexdigest batch MD5, byte-equal to hashlib — the
+                # sort key the SQL oracle reproduces with DuckDB md5()
+                "h": md5_hex_vec(ids),
+                "doc_id": ids.to_pandas(),
             }
         )
         df = df.sort_values(["g", "h", "doc_id"])

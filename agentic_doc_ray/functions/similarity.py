@@ -312,31 +312,34 @@ def semantic_dedup_pairs(
         group = group.filter(  # drop exchange-guard sentinel rows
             pc.greater_equal(group.column("vec_id"), pa.scalar(0, pa.int64()))
         )
-        ids = [int(x) for x in group.column("vec_id").to_pylist()]
-        out = {"vec_a": [], "vec_b": [], "cosine": []}
-        if len(ids) >= 2:
+        ids = _ids(group.column("vec_id"))
+        n = len(ids)
+        va = vb = np.zeros(0, np.int64)
+        cs = np.zeros(0, np.float64)
+        if n >= 2:
             U = _unit(_as_matrix(group.column("embedding")))
-            if len(ids) > 5000:
+            if n > 5000:
+                # star pattern around the min-id representative: O(n)
                 rep = int(np.argmin(ids))
                 s = U @ U[rep]
-                for j in np.flatnonzero(s >= threshold):
-                    if j == rep:
-                        continue
-                    a, b = ids[rep], ids[j]
-                    out["vec_a"].append(min(a, b))
-                    out["vec_b"].append(max(a, b))
-                    out["cosine"].append(float(s[j]))
+                j = np.flatnonzero(s >= threshold)
+                j = j[j != rep]
+                a = np.full(len(j), ids[rep], np.int64)
+                b = ids[j]
+                va, vb, cs = np.minimum(a, b), np.maximum(a, b), s[j]
             else:
                 S = U @ U.T
-                ii, jj = np.triu_indices(len(ids), k=1)
+                ii, jj = np.triu_indices(n, k=1)
                 keep = S[ii, jj] >= threshold
-                for i, j, s in zip(ii[keep], jj[keep], S[ii, jj][keep]):
-                    a, b = ids[i], ids[j]
-                    out["vec_a"].append(min(a, b))
-                    out["vec_b"].append(max(a, b))
-                    out["cosine"].append(float(s))
-        return pa.Table.from_pydict(
-            out,
+                a, b = ids[ii[keep]], ids[jj[keep]]
+                va, vb = np.minimum(a, b), np.maximum(a, b)
+                cs = S[ii[keep], jj[keep]]
+        return pa.Table.from_arrays(
+            [
+                pa.array(va, pa.int64()),
+                pa.array(vb, pa.int64()),
+                pa.array(cs.astype(np.float64, copy=False), pa.float64()),
+            ],
             schema=pa.schema(
                 [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
             ),
@@ -1452,8 +1455,8 @@ def ivf_recall(sf_dir: str, k: int = 10, max_qid: int = 5) -> pa.Table:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     qt = t.filter(pc.less(t["vec_id"], max_qid))
-    queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
-    qids = [int(x) for x in qt["vec_id"].to_pylist()]
+    queries = _as_matrix(qt["embedding"])
+    qids = _ids(qt["vec_id"]).tolist()
 
     def emb():
         return ray.data.read_parquet(
@@ -2016,11 +2019,17 @@ def embedding_clusters(
     def pad(batch: pa.Table) -> pa.Table:
         # the CC engine min-labels over STRING ids; zero-pad so the
         # lexicographic min it picks IS the numeric min vec_id
-        return pa.Table.from_pydict(
-            {
-                "vec_id_a": ["%019d" % x for x in batch.column("vec_id_a").to_pylist()],
-                "vec_id_b": ["%019d" % x for x in batch.column("vec_id_b").to_pylist()],
-            }
+        # (Arrow lpad kernel — no per-row Python formatting)
+        return pa.Table.from_arrays(
+            [
+                pc.utf8_lpad(
+                    pc.cast(batch.column("vec_id_a"), pa.string()), 19, "0"
+                ),
+                pc.utf8_lpad(
+                    pc.cast(batch.column("vec_id_b"), pa.string()), 19, "0"
+                ),
+            ],
+            names=["vec_id_a", "vec_id_b"],
         )
 
     cc = connected_components(

@@ -180,10 +180,13 @@ def test_minhash_routes_bit_equal(monkeypatch):
 
 
 def test_jaccard_verify_routes_bit_equal(monkeypatch):
-    """The verify dual route: broadcast (needed shingle table via ray.put,
-    zero exchanges) vs the big route (two doc-keyed attach exchanges) must
-    produce identical (doc_a, doc_b, jaccard) rows, including a pair that
-    references an absent doc (scores 0.0 on both routes)."""
+    """The verify tri-route: broadcast (needed shingle table via ray.put,
+    zero exchanges), the big route reusing the materialized needed-only
+    shingles (byte budget exceeded but pair ids collectable), and the
+    crawl-scale big route that never touches the driver (pair ids NOT
+    collectable, full-docs shingling) must all produce identical
+    (doc_a, doc_b, jaccard) rows, including a pair referencing an absent
+    doc (scores 0.0 on every route)."""
     import ray.data as rd
 
     docs = ray.data.from_arrow(_planted_docs())
@@ -202,9 +205,12 @@ def test_jaccard_verify_routes_bit_equal(monkeypatch):
         )
 
     via_broadcast = run()
-    monkeypatch.setattr(D, "_VERIFY_BROADCAST_PAIRS", 0)
-    via_exchange = run()
-    assert via_broadcast == via_exchange and len(via_broadcast) == 4
+    monkeypatch.setattr(D, "_VERIFY_BROADCAST_BYTES", 0)
+    via_exchange_cached = run()
+    monkeypatch.setattr(D, "_VERIFY_ID_COLLECT_PAIRS", 0)
+    via_exchange_full = run()
+    assert via_broadcast == via_exchange_cached == via_exchange_full
+    assert len(via_broadcast) == 4
     by_pair = {(a, b): j for a, b, j in via_broadcast}
     assert by_pair[("a", "a_dup")] > 0.5
     assert by_pair[("a", "zz_missing")] == 0.0
