@@ -188,6 +188,22 @@ def connected_components(
     # to the full shuffle_partitions cap.
     np_ = max(2, min(shuffle_partitions(), 1 + n_pairs // 65536))
 
+    # bucket VALUES == exchange width (NOT the global 64-value _bucket_of):
+    # map_groups groups by bucket VALUE, so with 64 values each local
+    # fixpoint saw only 1/64 of the edges regardless of np_ — on a small
+    # graph the per-group contraction was negligible and rounds stayed
+    # O(diameter). With nb == np_, every group IS its partition's whole
+    # local subgraph (~1/np_ of edges, ~64k+ rows by the np_ formula), so
+    # the per-exchange contraction factor is what the fixpoint promises.
+    nb = np_
+
+    def _bk(arr: "pa.ChunkedArray | pa.Array") -> pa.Array:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        vals = np.asarray(a.to_pandas(), dtype=object)
+        return pa.array(
+            (pd.util.hash_array(vals) % nb).astype(np.int32), pa.int32()
+        )
+
     def symmetric(batch: pa.Table) -> pa.Table:
         a = pc.cast(batch.column(a_col), pa.string()).combine_chunks()
         b = pc.cast(batch.column(b_col), pa.string()).combine_chunks()
@@ -196,7 +212,7 @@ def connected_components(
         n = len(src)
         return pa.Table.from_arrays(
             [
-                _bucket_of(src),
+                _bk(src),
                 src,
                 dst,
                 pa.array(["e"] * n, pa.string()),
@@ -226,7 +242,7 @@ def connected_components(
         parts = [
             pa.Table.from_arrays(
                 [
-                    _bucket_of(nodes),
+                    _bk(nodes),
                     nodes,
                     new,
                     pa.array(["o"] * n, pa.string()),
@@ -242,7 +258,7 @@ def connected_components(
             parts.append(
                 pa.Table.from_arrays(
                     [
-                        _bucket_of(dst),
+                        _bk(dst),
                         dst,
                         m.column("lab").combine_chunks(),
                         pa.array(["c"] * m.num_rows, pa.string()),
@@ -259,7 +275,7 @@ def connected_components(
             parts.append(
                 pa.Table.from_arrays(
                     [
-                        _bucket_of(lab2),
+                        _bk(lab2),
                         lab2,                     # lookup key: the label node
                         f.column("node").combine_chunks(),  # requester
                         pa.array(["q"] * f.num_rows, pa.string()),
@@ -279,7 +295,7 @@ def connected_components(
         v = m.column("aux").combine_chunks()  # the requester node
         return pa.Table.from_arrays(
             [
-                _bucket_of(v),
+                _bk(v),
                 v,
                 m.column("lab").combine_chunks(),
                 pa.array(["c"] * m.num_rows, pa.string()),
@@ -287,6 +303,55 @@ def connected_components(
             ],
             schema=_CC_FUSED_SCHEMA,
         )
+
+    def _local_fixpoint(
+        own_nodes: np.ndarray, own_labs: np.ndarray, e: pa.Table
+    ) -> np.ndarray:
+        """Min-label fixpoint of this bucket's LOCAL subgraph (VERDICT r04
+        #4: multi-iteration local convergence per exchange). Vertices are
+        the bucket's nodes, their current labels (always same-component
+        node ids — the BSP invariant) and the local edges' endpoints
+        (remote dsts join as bare ids); relations are the edge rows plus
+        each node→label binding. A numpy pointer-doubling sweep
+        (edge-relax + jump to fixpoint, Shiloach–Vishkin shape) contracts
+        every bucket-local chain in ONE exchange instead of one hop per
+        round — the global round count drops from O(diameter) to
+        O(log diameter / log contraction). Monotone and safe: every
+        propagated label is the id of a provably same-component node, so
+        convergence and the zero-change stopping rule are unchanged."""
+        ea = (
+            e.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+            if e.num_rows
+            else np.zeros(0, object)
+        )
+        eb = (
+            e.column("aux").combine_chunks().to_numpy(zero_copy_only=False)
+            if e.num_rows
+            else np.zeros(0, object)
+        )
+        names, inv = np.unique(
+            np.concatenate([own_nodes, own_labs, ea, eb]), return_inverse=True
+        )
+        n_own = len(own_nodes)
+        node_i = inv[:n_own]
+        lab_i = inv[n_own : 2 * n_own]
+        u = np.concatenate([inv[2 * n_own : 2 * n_own + len(ea)], node_i])
+        v = np.concatenate([inv[2 * n_own + len(ea) :], lab_i])
+        # index order == lexicographic name order (np.unique sorts), so
+        # min index IS the min string label
+        p = np.arange(len(names), dtype=np.int64)
+        for _ in range(64):  # log2(vertices) bound; 64 >> any real bucket
+            pu, pv = p[u], p[v]
+            np.minimum.at(p, u, pv)
+            np.minimum.at(p, v, pu)
+            while True:
+                pp = p[p]
+                if np.array_equal(pp, p):
+                    break
+                p = pp
+            if len(u) == 0 or (p[u] == p[v]).all():
+                break
+        return names[p[node_i]]
 
     def init_group(group: pa.Table) -> pa.Table:
         g = _drop_sentinels(group)
@@ -296,7 +361,15 @@ def connected_components(
         nodes = (
             e.select(["node"]).group_by("node").aggregate([]).column("node")
         ).combine_chunks()
-        return _emit(nodes, nodes, np.ones(len(nodes), np.int64), e, False)
+        nn = nodes.to_numpy(zero_copy_only=False)
+        labs = _local_fixpoint(nn, nn, e)
+        return _emit(
+            nodes,
+            pa.array(labs, pa.string()),
+            np.ones(len(nodes), np.int64),
+            e,
+            False,
+        )
 
     def make_round(jump: bool):
         def fused_round(group: pa.Table) -> pa.Table:
@@ -315,20 +388,31 @@ def connected_components(
             )
             old = own.select(["node", "aux"]).rename_columns(["node", "old"])
             m = old.join(best, keys="node", join_type="inner")
-            changed = pc.cast(
-                pc.not_equal(m.column("lab"), m.column("old")), pa.int64()
-            ).to_numpy(zero_copy_only=False)
+            e = g.filter(pc.equal(g.column("side"), "e"))
+            nn = m.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+            # local multi-iteration convergence: contract the bucket's
+            # whole local subgraph before emitting (not just one min fold)
+            labs = _local_fixpoint(
+                nn,
+                m.column("lab").combine_chunks().to_numpy(zero_copy_only=False),
+                e,
+            )
+            changed = (
+                labs != m.column("old").combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+            ).astype(np.int64)
             own_new = pa.table(
                 {
                     "node": m.column("node").combine_chunks(),
-                    "lab": m.column("lab").combine_chunks(),
+                    "lab": pa.array(labs, pa.string()),
                 }
             )
             out = _emit(
                 own_new.column("node"),
                 own_new.column("lab"),
                 changed,
-                g.filter(pc.equal(g.column("side"), "e")),
+                e,
                 jump,
             )
             ans = _answers(own_new, g.filter(pc.equal(g.column("side"), "q")))
