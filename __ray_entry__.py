@@ -1933,11 +1933,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Per-community modularity decomposition (n_nodes / intra edges /
         degree sum per community, exact integers) of the LPA partition
         over the canonical LCG edge set — the community-quality audit.
-        Oracle: SQL over the LPA replica parquet + the shared edge CTE."""
-        from agentic_doc_ray.functions.graph import (
-            graph_modularity,
-            label_propagation,
-        )
+        Folded into the LPA plan (VERDICT r04 #5): the final round's vote
+        partials ARE the degree/intra inputs, so the decomposition costs
+        one extra exchange instead of the standalone pass's edge
+        re-derive + two label hash_joins. Oracle: SQL over the LPA
+        replica parquet + the shared edge CTE."""
+        from agentic_doc_ray.functions.graph import label_propagation
         from agentic_doc_ray.functions.pagerank import link_edges
 
         _ensure_extraction_oracles(sf_dir)
@@ -1949,8 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: link_edges(b.column("doc_id"), n),
             batch_format="pyarrow",
         )
-        labels = label_propagation(edges, n_iter=4)
-        return graph_modularity(d, n, labels)
+        return label_propagation(edges, n_iter=4, emit_modularity=True)
 
     def q_char_lang_id(sf_dir):
         """Char-trigram-profile language ID (Cavnar–Trenkle shape):

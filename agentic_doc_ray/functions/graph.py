@@ -1133,6 +1133,12 @@ def kcore(
     np_ = partitions_for(n_hint)
     edges = _distinct_link_edges(docs, n_docs, n_buckets, np_)
 
+    # node-bucket VALUES == exchange width (the CC lesson, r05): each
+    # map_groups group is then its partition's WHOLE local subgraph, so
+    # the in-bucket multi-iteration below contracts 1/np_ of the graph
+    # per exchange instead of 1/64
+    nbk = np_
+
     def symmetric(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
         b = batch.column("b").to_numpy(zero_copy_only=False)
@@ -1141,7 +1147,7 @@ def kcore(
         n = len(src)
         return pa.Table.from_arrays(
             [
-                pa.array((src % n_buckets).astype(np.int32)),
+                pa.array((src % nbk).astype(np.int32)),
                 pa.array(src),
                 pa.array(dst),
                 pa.array(np.full(n, -1, np.int64)),
@@ -1160,7 +1166,7 @@ def kcore(
         n = len(uniq)
         return pa.Table.from_arrays(
             [
-                pa.array((uniq % n_buckets).astype(np.int32)),
+                pa.array((uniq % nbk).astype(np.int32)),
                 pa.array(uniq),
                 pa.array(np.full(n, -1, np.int64)),
                 pa.array(cnt.astype(np.int64)),
@@ -1179,7 +1185,7 @@ def kcore(
         parts = [
             pa.Table.from_arrays(
                 [
-                    pa.array((nodes % n_buckets).astype(np.int32)),
+                    pa.array((nodes % nbk).astype(np.int32)),
                     pa.array(nodes),
                     pa.array(np.full(n, -1, np.int64)),
                     pa.array(new),
@@ -1199,9 +1205,12 @@ def kcore(
             parts.append(
                 pa.Table.from_arrays(
                     [
-                        pa.array((ed % n_buckets).astype(np.int32)),
+                        pa.array((ed % nbk).astype(np.int32)),
                         pa.array(ed),
-                        pa.array(np.full(m, -1, np.int64)),
+                        # carry the SOURCE node id: the receiving bucket's
+                        # local multi-iteration refreshes this row's est
+                        # in place when the src is bucket-local
+                        pa.array(es),
                         pa.array(est_src),
                         pa.array(["n"] * m, pa.string()),
                         pa.array(np.zeros(m, np.int64)),
@@ -1236,17 +1245,36 @@ def kcore(
         nb = g.filter(pc.equal(g.column("side"), "n"))
         nodes = own.column("node").to_numpy(zero_copy_only=False)
         old = own.column("est").to_numpy(zero_copy_only=False)
-        new = old
+        est = old
         if nb.num_rows:
-            uniq, h = _segment_h_index(
-                nb.column("node").to_numpy(zero_copy_only=False),
-                nb.column("est").to_numpy(zero_copy_only=False),
-            )
-            pos = np.searchsorted(uniq, nodes).clip(max=len(uniq) - 1)
-            found = uniq[pos] == nodes
-            new = np.where(found, np.minimum(old, h[pos]), old)
-        changed = (new != old).astype(np.int64)
-        return _emit(nodes, new, changed, g.filter(pc.equal(g.column("side"), "e")))
+            # local multi-iteration (async H-index, r05): neighbor rows
+            # whose SOURCE is bucket-local refresh their estimate from the
+            # just-updated local value each sweep; remote sources keep the
+            # received (stale-but-higher) estimate. The operator is
+            # monotone non-increasing and lower-bounded by coreness, so
+            # chaotic in-bucket sweeps converge to the same fixpoint and
+            # the global zero-change stopping rule is unchanged — each
+            # exchange now contracts the whole bucket-local subgraph.
+            nbn = nb.column("node").to_numpy(zero_copy_only=False)
+            nbs = nb.column("dst").to_numpy(zero_copy_only=False)
+            nbe = nb.column("est").to_numpy(zero_copy_only=False)
+            o = np.argsort(nodes)
+            sn = nodes[o]
+            pos_s = np.searchsorted(sn, nbs).clip(max=len(sn) - 1)
+            src_local = sn[pos_s] == nbs
+            src_idx = o[pos_s]
+            est = old.copy()
+            for _ in range(64):  # log-bounded; each sweep only lowers ests
+                cur_e = np.where(src_local, est[src_idx], nbe)
+                uniq, h = _segment_h_index(nbn, cur_e)
+                pos = np.searchsorted(uniq, nodes).clip(max=len(uniq) - 1)
+                found = uniq[pos] == nodes
+                new = np.where(found, np.minimum(est, h[pos]), est)
+                if np.array_equal(new, est):
+                    break
+                est = new
+        changed = (est != old).astype(np.int64)
+        return _emit(nodes, est, changed, g.filter(pc.equal(g.column("side"), "e")))
 
     _sent = dict(fill={"node": -1, "dst": -1, "est": -1, "side": "s", "changed": 0})
 
@@ -2052,6 +2080,7 @@ def label_propagation(
     n_iter: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    emit_modularity: bool = False,
 ) -> "ray.data.Dataset":
     """Synchronous label-propagation communities (Raghavan et al. 2007)
     over an undirected view of ``edges``: every node starts as its own
@@ -2327,9 +2356,103 @@ def label_propagation(
             cur.union(edge_cnt_rows)
             .union(_cnt_sent)
             .groupby("bucket", num_partitions=np_)
-            .map_groups(make_round(emit_votes=k < n_iter - 1), batch_format="pyarrow")
+            .map_groups(
+                make_round(emit_votes=k < n_iter - 1 or emit_modularity),
+                batch_format="pyarrow",
+            )
             .materialize()
         )
+
+    if emit_modularity:
+        # Modularity decomposition folded into the LPA plan (VERDICT r04
+        # #5): the FINAL round also emits its vote partials, and those
+        # per-(node, neighbor-label) counts over the distinct symmetric
+        # edge set ARE the decomposition's inputs — degree(n) = sum of
+        # n's vote counts, and an intra edge appears in BOTH endpoints'
+        # votes under their shared label, so n_intra = (matching-vote
+        # sum) / 2, exact. One extra node-bucket exchange computes
+        # per-community partials; a small community-keyed aggregate
+        # finishes. Replaces the standalone pass's edge re-derive + two
+        # label hash_joins + incidence groupby (~5 exchanges -> 2).
+        from ray.data.aggregate import Sum
+
+        def mod_fold(group: pa.Table) -> pa.Table:
+            group = _drop_sentinels(group)
+            own = group.filter(pc.equal(group.column("side"), "o")).select(
+                ["node", "label"]
+            )
+            if own.num_rows == 0:
+                return pa.schema(
+                    [
+                        ("community", pa.string()),
+                        ("n_nodes", pa.int64()),
+                        ("intra2", pa.int64()),
+                        ("degree_sum", pa.int64()),
+                    ]
+                ).empty_table()
+            votes = (
+                group.filter(pc.equal(group.column("side"), "c"))
+                .select(["node", "label", "cnt"])
+                .rename_columns(["node", "vlabel", "cnt"])
+            )
+            j = votes.join(own, keys="node", join_type="inner")
+            deg = (
+                j.select(["label", "cnt"])
+                .group_by("label")
+                .aggregate([("cnt", "sum")])
+                .rename_columns(["community", "degree_sum"])
+            )
+            intra = (
+                j.filter(pc.equal(j.column("vlabel"), j.column("label")))
+                .select(["label", "cnt"])
+                .group_by("label")
+                .aggregate([("cnt", "sum")])
+                .rename_columns(["community", "intra2"])
+            )
+            nn = (
+                own.select(["label"])
+                .group_by("label")
+                .aggregate([("label", "count")])
+                .rename_columns(["community", "n_nodes"])
+            )
+            df = nn.to_pandas().merge(
+                deg.to_pandas(), on="community", how="left"
+            ).merge(intra.to_pandas(), on="community", how="left")
+            df["degree_sum"] = df["degree_sum"].fillna(0).astype("int64")
+            df["intra2"] = df["intra2"].fillna(0).astype("int64")
+            return pa.Table.from_pandas(
+                df[["community", "n_nodes", "intra2", "degree_sum"]],
+                preserve_index=False,
+            )
+
+        agg = (
+            cur.union(_cnt_sent)
+            .groupby("bucket", num_partitions=np_)
+            .map_groups(mod_fold, batch_format="pyarrow")
+            .groupby("community", num_partitions=max(2, np_ // 2))
+            .aggregate(
+                Sum("n_nodes", alias_name="n_nodes"),
+                Sum("intra2", alias_name="intra2"),
+                Sum("degree_sum", alias_name="degree_sum"),
+            )
+        )
+
+        def mod_finish(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "community": batch.column("community"),
+                    "n_nodes": pc.cast(batch.column("n_nodes"), pa.int64()),
+                    "n_intra": pc.cast(
+                        pc.divide(batch.column("intra2"), pa.scalar(2, pa.int64())),
+                        pa.int64(),
+                    ),
+                    "degree_sum": pc.cast(
+                        batch.column("degree_sum"), pa.int64()
+                    ),
+                }
+            )
+
+        return agg.map_batches(mod_finish, batch_format="pyarrow")
 
     def final(batch: pa.Table) -> pa.Table:
         b = batch.filter(pc.equal(batch.column("side"), "o"))

@@ -30,7 +30,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPL = int(os.environ.get("GRAFT_BENCH_REPL", "8"))
 
 
-def _scaling() -> None:
+def _scaling_result(n_fused: int = 3, n_skew: int = 2) -> dict:
     def run(ncpu: int, skew: bool = False) -> dict:
         env = dict(
             os.environ,
@@ -55,8 +55,8 @@ def _scaling() -> None:
     # steal time lands squarely on it)
     lo, hi = 8, 32
     trials_lo, trials_hi = [], []
-    for _ in range(3):  # genuinely alternate so both levels sample the
-        trials_lo.append(run(lo))  # same noise regime
+    for _ in range(n_fused):  # genuinely alternate so both levels sample
+        trials_lo.append(run(lo))  # the same noise regime
         trials_hi.append(run(hi))
     r_lo = min(trials_lo, key=lambda r: r["value"])
     r_hi = min(trials_hi, key=lambda r: r["value"])
@@ -68,29 +68,29 @@ def _scaling() -> None:
     # docs at 10^4 spans — span mass dominated by the two-phase salted
     # split/merge branch) at both levels too.
     sk_lo, sk_hi = [], []
-    for _ in range(2):
+    for _ in range(n_skew):
         sk_lo.append(run(lo, skew=True))
         sk_hi.append(run(hi, skew=True))
     s_lo = min(sk_lo, key=lambda r: r["value"])
     s_hi = min(sk_hi, key=lambda r: r["value"])
     s_eff = (s_lo["value"] / s_hi["value"]) / (hi / lo)
-    print(
-        json.dumps(
-            {
-                "sec_8": r_lo["value"],
-                "sec_32": r_hi["value"],
-                "docs_per_sec_8": r_lo["docs_per_sec"],
-                "docs_per_sec_32": r_hi["docs_per_sec"],
-                "scaling_efficiency": round(eff, 3),
-                "skew_sec_8": s_lo["value"],
-                "skew_sec_32": s_hi["value"],
-                "skew_spans_per_sec_8": s_lo.get("spans_per_sec"),
-                "skew_spans_per_sec_32": s_hi.get("spans_per_sec"),
-                "skew_scaling_efficiency": round(s_eff, 3),
-                "sf": SF_DIR,
-            }
-        )
-    )
+    return {
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "skew_sec_8": s_lo["value"],
+        "skew_sec_32": s_hi["value"],
+        "skew_spans_per_sec_8": s_lo.get("spans_per_sec"),
+        "skew_spans_per_sec_32": s_hi.get("spans_per_sec"),
+        "skew_scaling_efficiency": round(s_eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+def _scaling() -> None:
+    print(json.dumps(_scaling_result()))
 
 
 def main() -> None:
@@ -1895,21 +1895,25 @@ def main() -> None:
     timed("probe_late", interleave_q)
 
     headline_sec = timings["extract"]
-    print(
-        json.dumps(
-            {
-                "metric": "extract_sf_corpus",
-                "value": headline_sec,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "num_cpus": NUM_CPUS,
-                "n_docs": n_docs,
-                "docs_per_sec": round(n_docs / headline_sec, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "extract_sf_corpus",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline_sec, 1),
+    }
     ray.shutdown()
+    # VERDICT r04 #6: the external record (BENCH_rNN.json) must carry the
+    # >=0.8 scaling evidence itself, not via BASELINE.md prose. A pared
+    # protocol (2 fused + 1 skew trial pairs, min per level) runs in
+    # fresh subprocesses AFTER the suite session shuts down; skip with
+    # GRAFT_BENCH_NO_SCALING=1 when iterating locally or via --only.
+    if not os.environ.get("GRAFT_BENCH_NO_SCALING") and not only:
+        out["scaling"] = _scaling_result(n_fused=2, n_skew=1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
