@@ -1871,13 +1871,25 @@ def bfs_distances(
 
     np_ = max(2, min(shuffle_partitions(), 1 + n_edges // 65536))
 
+    # bucket VALUES == exchange width (the CC lesson, r05): each group is
+    # its partition's whole local subgraph, so the capped local relaxation
+    # below collapses bucket-local frontiers in one exchange
+    nb = np_
+
+    def _bk(arr: "pa.ChunkedArray | pa.Array") -> pa.Array:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        vals = np.asarray(a.to_pandas(), dtype=object)
+        return pa.array(
+            (pd.util.hash_array(vals) % nb).astype(np.int32), pa.int32()
+        )
+
     def canon_edges(batch: pa.Table) -> pa.Table:
         src = pc.cast(batch.column(src_col), pa.string()).combine_chunks()
         dst = pc.cast(batch.column(dst_col), pa.string()).combine_chunks()
         n = len(src)
         return pa.Table.from_arrays(
             [
-                _bucket_of(src),
+                _bk(src),
                 src,
                 dst,
                 pa.array(["e"] * n, pa.string()),
@@ -1893,7 +1905,7 @@ def bfs_distances(
         n = len(nodes)
         return pa.Table.from_arrays(
             [
-                _bucket_of(nodes),
+                _bk(nodes),
                 nodes,
                 pa.array([0] * n, pa.int64()),
                 pa.array(["o"] * n, pa.string()),
@@ -1910,6 +1922,8 @@ def bfs_distances(
     # can REACH new nodes (no prior state row), so the changed flag uses
     # a left join against the old rows. Rows share _BFS_FUSED: edges put
     # src in `node`, candidates/state put the node there.
+    _INF = np.int64(1) << 62
+
     def fused_round(group: pa.Table) -> pa.Table:
         group = _drop_sentinels(group)
         o = group.filter(pc.equal(group.column("side"), "o"))
@@ -1924,54 +1938,100 @@ def bfs_distances(
             .aggregate([("dist", "min")])
             .rename_columns(["node", "new_dist"])
         )
-        old = o.select(["node", "dist"]).rename_columns(["node", "old_dist"])
-        m = best.join(old, keys="node", join_type="left outer")
-        changed = pc.fill_null(
-            pc.cast(
-                pc.or_kleene(
-                    pc.is_null(m.column("old_dist")),
-                    pc.less(m.column("new_dist"), m.column("old_dist")),
-                ),
-                pa.int64(),
-            ),
-            1,
+        bn = best.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        bd = best.column("new_dist").combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        e = group.filter(pc.equal(group.column("side"), "e"))
+        es = (
+            e.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+            if e.num_rows
+            else np.zeros(0, object)
         )
-        node = m.column("node").combine_chunks()
+        ed = (
+            e.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+            if e.num_rows
+            else np.zeros(0, object)
+        )
+        # local multi-iteration relaxation (r05): run bounded Bellman-Ford
+        # sweeps over the bucket's local edges before emitting, so a
+        # bucket-local frontier advances many hops per exchange instead of
+        # one. Monotone (dists only decrease, always valid path lengths):
+        # a sweep cap keeps adversarial in-bucket chains cheap — capped
+        # sweeps just leave the remainder to later global rounds, so the
+        # zero-change stopping rule stays exact. Local edge dsts join the
+        # vertex set at +inf and are emitted only once actually reached.
+        names, inv = np.unique(np.concatenate([bn, es, ed]), return_inverse=True)
+        dist = np.full(len(names), _INF, np.int64)
+        np.minimum.at(dist, inv[: len(bn)], bd)
+        ui = inv[len(bn) : len(bn) + len(es)]
+        vi = inv[len(bn) + len(es) :]
+        for _ in range(32):
+            prev = dist.copy()
+            if len(ui):
+                np.minimum.at(dist, vi, dist[ui] + 1)
+            if np.array_equal(prev, dist):
+                break
+        reached = dist < _INF
+        # "o" rows ONLY for this bucket's HOME vertices (the o/c rows were
+        # addressed here by _bk(node), so bn IS the home set). A locally
+        # reached REMOTE dst must NOT get an o row from this bucket — its
+        # changed flag would compare against o rows that live in its own
+        # bucket and stay 1 forever; it gets its relaxed dist through the
+        # candidate emission below instead (one round later, same value).
+        home_idx = inv[: len(bn)]
+        node_np = names[home_idx]
+        d_np = dist[home_idx]
+        # changed flag vs the OLD state rows (first-reach counts as changed)
+        on = o.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        od = o.column("dist").combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        oo = np.argsort(on)
+        son = on[oo]
+        pos = (
+            np.searchsorted(son, node_np).clip(max=max(len(son) - 1, 0))
+            if len(son)
+            else np.zeros(len(node_np), np.int64)
+        )
+        has_old = son[pos] == node_np if len(son) else np.zeros(len(node_np), bool)
+        old_d = np.where(has_old, od[oo][pos] if len(son) else 0, _INF)
+        changed = (d_np < old_d).astype(np.int64)
+        node = pa.array(node_np, pa.string())
         n = len(node)
         parts = [
             pa.Table.from_arrays(
                 [
-                    _bucket_of(node),
+                    _bk(node),
                     node,
                     pa.nulls(n, pa.string()),
-                    m.column("new_dist").combine_chunks(),
+                    pa.array(d_np, pa.int64()),
                     pa.array(["o"] * n, pa.string()),
-                    changed.combine_chunks()
-                    if isinstance(changed, pa.ChunkedArray)
-                    else changed,
+                    pa.array(changed),
                 ],
                 schema=_BFS_FUSED,
             )
         ]
-        e = group.filter(pc.equal(group.column("side"), "e"))
-        if e.num_rows:
-            lab = pa.table({"node": node, "d": parts[0].column("dist")})
-            me = e.select(["node", "dst"]).join(lab, keys="node", join_type="inner")
-            dst = me.column("dst").combine_chunks()
-            k = me.num_rows
-            parts.append(
-                pa.Table.from_arrays(
-                    [
-                        _bucket_of(dst),
-                        dst,
-                        pa.nulls(k, pa.string()),
-                        pc.add(me.column("d"), pa.scalar(1, pa.int64())).combine_chunks(),
-                        pa.array(["c"] * k, pa.string()),
-                        pa.array(np.zeros(k, np.int64)),
-                    ],
-                    schema=_BFS_FUSED,
+        if len(ui):
+            src_reached = reached[ui]
+            dst_np = ed[src_reached]
+            cd = dist[ui][src_reached] + 1
+            k = len(dst_np)
+            if k:
+                dst = pa.array(dst_np, pa.string())
+                parts.append(
+                    pa.Table.from_arrays(
+                        [
+                            _bk(dst),
+                            dst,
+                            pa.nulls(k, pa.string()),
+                            pa.array(cd, pa.int64()),
+                            pa.array(["c"] * k, pa.string()),
+                            pa.array(np.zeros(k, np.int64)),
+                        ],
+                        schema=_BFS_FUSED,
+                    )
                 )
-            )
         return pa.concat_tables(parts)
 
     def edges_as_fused(batch: pa.Table) -> pa.Table:
