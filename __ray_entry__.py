@@ -1777,7 +1777,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             batch_format="pyarrow",
         )
-        return D.cross_snapshot_dedup(_docs_str(sf_dir), new)
+        n_old = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).count()  # parquet-metadata count: sizes the exchange widths
+        return D.cross_snapshot_dedup(
+            _docs_str(sf_dir), new, n_rows_hint=2 * n_old
+        )
 
     def q_chunk_windows(sf_dir):
         """Context-window chunking for pretraining: overlapping fixed-size

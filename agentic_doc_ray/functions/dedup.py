@@ -681,15 +681,26 @@ def _pairs_from_sigs(
     pairs (both scoring routes of ``minhash_dedup_pairs``); ``pair_filter``
     is applied inside the pair-gen/scoring tasks."""
     bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
+    from agentic_doc_ray.context import partitions_for
     from agentic_doc_ray.context import shuffle_partitions as _cap
     from agentic_doc_ray.functions._exchange import int_key_sentinels
 
-    np_ = _cap(shuffle_partitions)
+    n_docs = sigs.count()
+    # exchange width tracks the BAND-ROW volume unless the caller pinned
+    # one (the partitions_for rule: every hash partition is a cold-spawned
+    # aggregator actor per execution, so a 5k-doc corpus on the full
+    # 32-partition cap pays ~16x the fleet latency for nothing; 10^12-doc
+    # inputs still saturate the cluster cap)
+    np_ = (
+        partitions_for(n_docs * N_BANDS)
+        if shuffle_partitions is None
+        else _cap(shuffle_partitions)
+    )
     guarded_bands = bands.union(  # empty-first-block guard; doc_id=""
         int_key_sentinels(_BAND_ROW_SCHEMA, "shard", fill={"doc_id": ""})
     )
 
-    if sigs.count() <= _SIG_BROADCAST_DOCS:
+    if n_docs <= _SIG_BROADCAST_DOCS:
         # sigs is MATERIALIZED (to_arrow_refs on a lazy dataset would run
         # the plan twice) and bounded by the explicit doc limit
         sig_tbl = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
@@ -1626,6 +1637,7 @@ def cross_snapshot_dedup(
     exact_threshold: float = 0.8,
     lsh_threshold: float = 0.5,
     shuffle_partitions: int | None = None,
+    n_rows_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """Incremental crawl ingestion dedup: classify every document of a NEW
     snapshot against the PREVIOUS (kept) snapshot — ``exact`` (verbatim
@@ -1655,10 +1667,20 @@ def cross_snapshot_dedup(
     pairing. Reference has no counterpart (single-process HTTP client);
     semantics follow standard incremental-dedup practice.
     """
+    from agentic_doc_ray.context import partitions_for
     from agentic_doc_ray.context import shuffle_partitions as _cap
     from agentic_doc_ray.functions._exchange import int_key_sentinels
 
-    np_ = _cap(shuffle_partitions)
+    # every exchange here carries ~one key row per doc across both
+    # snapshots — with a row hint the width tracks that volume
+    # (partitions_for rule) instead of paying the full cluster cap's
+    # aggregator-fleet latency six times over on a small recrawl
+    if shuffle_partitions is not None:
+        np_ = _cap(shuffle_partitions)
+    elif n_rows_hint is not None:
+        np_ = partitions_for(n_rows_hint)
+    else:
+        np_ = _cap(None)
 
     # ---- phase 1: exact text-hash match (key-only exchange) -------------
     keyed_schema = pa.schema(

@@ -469,7 +469,14 @@ def near_dedup_keep(
     exchange; only (bucket, doc_id, side) key rows move, never payloads,
     and nothing lands on the driver."""
     comp = connected_components(pairs, a_col, b_col)
-    np_ = shuffle_partitions()
+    # exchange volume ~ corpus id rows: size the width by it (the
+    # partitions_for rule) instead of the cluster cap — the id projection
+    # is consumed by the exchange anyway, so materializing it costs one
+    # narrow pass and makes count() free
+    ids_ds = docs.select_columns(["doc_id"]).materialize()
+    from agentic_doc_ray.context import partitions_for
+
+    np_ = partitions_for(ids_ds.count())
 
     def drop_rows(batch: pa.Table) -> pa.Table:
         m = batch.filter(
@@ -499,8 +506,7 @@ def near_dedup_keep(
         return a.filter(keep).select(["doc_id"])
 
     return (
-        docs.select_columns(["doc_id"])
-        .map_batches(id_rows, batch_format="pyarrow")
+        ids_ds.map_batches(id_rows, batch_format="pyarrow")
         .union(comp.map_batches(drop_rows, batch_format="pyarrow"))
         .union(_sentinels(_ANTI_SCHEMA))
         .groupby("bucket", num_partitions=np_)
@@ -547,7 +553,13 @@ def near_dedup_keep_best(
     Only (id, component, int64 score) keys ever shuffle — never document
     payloads — and nothing lands on the driver."""
     comp = connected_components(pairs, a_col, b_col)
-    np_ = shuffle_partitions()
+    # exchange volume ~ one key row per doc: size the width by it (the
+    # partitions_for rule, same as near_dedup_keep)
+    sel = docs.select_columns(["doc_id", score_col]).materialize()
+    from agentic_doc_ray.context import partitions_for
+
+    np_ = partitions_for(sel.count())
+    docs = sel
 
     def score_rows(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch.column("doc_id"), pa.string()).combine_chunks()
