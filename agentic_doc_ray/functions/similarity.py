@@ -56,6 +56,46 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n[:, None]
 
 
+def _seed_matrix(embeddings: "ray.data.Dataset", n: int) -> np.ndarray:
+    """Deterministic centroid-seeding sample: the embedding rows of the
+    ``n`` SMALLEST vec_ids, ascending — a pure function of content.
+
+    The former ``Dataset.limit(n).take_all()`` depends on block ARRIVAL
+    order under the streaming executor, so identical calls could seed
+    different centroids across executions (caught r05: two consecutive
+    ``knn_join`` runs disagreed with each other and with their replica).
+    Per-batch partial min-n then a driver merge; the driver holds <= n
+    rows per block partial — fine at bench scale, and the 10^12-vector
+    path grows centroids with the distributed k-means instead of this
+    seeded sample (see ``knn_join``)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch.column("vec_id"))
+        order = np.argsort(ids, kind="stable")[:n]
+        m = _as_matrix(batch.column("embedding"))
+        m = m[order] if m.size else m
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "embedding": pa.array(
+                    [row for row in m], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    parts = embeddings.map_batches(part, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in parts], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")[:n]
+    return np.array([parts[i]["embedding"] for i in order], dtype=np.float64)
+
+
+def _seed_matrix_tbl(embeddings: pa.Table, n: int) -> np.ndarray:
+    """Replica-side twin of ``_seed_matrix`` (same smallest-id rule)."""
+    ids = _ids(embeddings.column("vec_id"))
+    order = np.argsort(ids, kind="stable")[:n]
+    return _as_matrix(embeddings.column("embedding"))[order]
+
+
 def brute_force_topk(
     embeddings: "ray.data.Dataset",
     queries: np.ndarray,
@@ -171,8 +211,7 @@ def kmeans_fit(
     size). Init = seeded choice from the first rows (same sampling as
     ``ivf_topk``); an emptied cluster keeps its previous centroid.
     """
-    sample = embeddings.limit(max(k * 20, 256)).take_all()
-    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    X = _seed_matrix(embeddings, max(k * 20, 256))
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
 
@@ -242,7 +281,7 @@ def kmeans_oracle(
     embeddings: pa.Table, k: int = 8, n_iter: int = 5, seed: int = 5
 ) -> pa.Table:
     """Single-process replica of ``kmeans`` (same integer accumulation)."""
-    X = _as_matrix(embeddings.column("embedding").slice(0, max(k * 20, 256)))
+    X = _seed_matrix_tbl(embeddings, max(k * 20, 256))
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
     vecs = _as_matrix(embeddings.column("embedding"))
@@ -457,7 +496,7 @@ def ivf_topk_oracle(
     distributed execution. Per-batch partial top-k then merge equals
     global top-k over the probed subset, so one global pass suffices."""
     sample_n = max(n_centroids * 20, 256)
-    X = _unit(_as_matrix(embeddings.column("embedding").slice(0, sample_n)))
+    X = _unit(_seed_matrix_tbl(embeddings, sample_n))
     centroids = _sample_centroids(X, n_centroids, seed)
     q_unit = _unit(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :n_probe]
@@ -542,7 +581,7 @@ def pq_topk_oracle(
     scores are batch-independent, so partial-top-k-then-merge equals this
     one global pass bit-for-bit."""
     sample_n = max(n_codes * 20, 256)
-    X = _unit(_as_matrix(embeddings.column("embedding").slice(0, sample_n)))
+    X = _unit(_seed_matrix_tbl(embeddings, sample_n))
     books = _pq_train(X, n_sub, n_codes, n_iter, seed)
     q_unit = _unit(np.asarray(queries, dtype=np.float64))
     sub = q_unit.shape[1] // n_sub
@@ -590,8 +629,7 @@ def pq_topk(
     Same output schema and (score desc, vec_id asc) tie-break as
     brute_force_topk; recall < 1 by design (quantization error).
     """
-    sample = embeddings.limit(max(n_codes * 20, 256)).take_all()
-    X = _unit(np.array([r["embedding"] for r in sample], dtype=np.float64))
+    X = _unit(_seed_matrix(embeddings, max(n_codes * 20, 256)))
     books = _pq_train(X, n_sub, n_codes, n_iter, seed)
     q_unit = _unit(np.asarray(queries, dtype=np.float64))
     sub = q_unit.shape[1] // n_sub
@@ -641,8 +679,7 @@ def ivf_topk(
     emits partial top-k ONLY for queries probing that centroid. Same output
     schema as brute_force_topk; recall < 1 by design (approximate).
     """
-    sample = embeddings.limit(max(n_centroids * 20, 256)).take_all()
-    X = _unit(np.array([r["embedding"] for r in sample], dtype=np.float64))
+    X = _unit(_seed_matrix(embeddings, max(n_centroids * 20, 256)))
     centroids = _sample_centroids(X, n_centroids, seed)
     q_unit = _unit(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :n_probe]  # (q, P)
@@ -717,8 +754,7 @@ def knn_join(
     from agentic_doc_ray.context import partitions_for, shuffle_partitions
     from agentic_doc_ray.functions._exchange import int_key_sentinels
 
-    sample = embeddings.limit(max(n_centroids * 20, 256)).take_all()
-    C = _unit(np.array([r["embedding"] for r in sample], dtype=np.float64))
+    C = _unit(_seed_matrix(embeddings, max(n_centroids * 20, 256)))
     C = _sample_centroids(C, n_centroids, seed)
     ref = ray.put(C)
 
@@ -854,7 +890,7 @@ def knn_join_oracle(
     vecs = _unit(
         _as_matrix(embeddings.column("embedding"))
     )
-    head = vecs[: max(n_centroids * 20, 256)]
+    head = _unit(_seed_matrix_tbl(embeddings, max(n_centroids * 20, 256)))
     C = _sample_centroids(head, n_centroids, seed)
     probe = _knn_probe(C, vecs, n_probe)
     home = probe[:, 0]
@@ -2078,6 +2114,12 @@ def embedding_clusters_oracle(knn_table: pa.Table) -> pa.Table:
     )
 
 
+# bounded-broadcast cap for label-key tables (vec_id + label int64 pairs:
+# 1M rows = 16 MB via ray.put — the minhash _SIG_BROADCAST_DOCS pattern);
+# larger label tables take the bucketed hash_join route
+_LABEL_BROADCAST_VECS = 1 << 20
+
+
 def label_mrr(
     embeddings: "ray.data.Dataset",
     k: int = 5,
@@ -2093,14 +2135,17 @@ def label_mrr(
     top-k). Corpus MRR is the mean of ``mrr_ppm`` — left to the consumer
     so the output stays integer-exact per row.
 
-    Shape: the kNN edges (rank-only) take two label attaches through the
-    generic bucketed ``hash_join`` (labels scale with vectors); matched
-    ranks collapse to per-batch min partials before a key-only
-    groupby-min; unmatched vectors re-enter via one left join from the
-    label table. Embedding payloads ship only inside ``knn_join``."""
+    Shape: the label table is (vec_id, label) keys only, so under the
+    bounded-broadcast cap (``_LABEL_BROADCAST_VECS``, the sig-broadcast
+    pattern) it ships once via ``ray.put`` and both label attaches plus
+    the final left join run batch-locally — the only exchange beyond
+    ``knn_join`` is one vec-keyed groupby-min sized by vector count.
+    Above the cap the attaches fall back to the generic bucketed
+    ``hash_join`` route (labels scale with vectors — never broadcast
+    unbounded). Embedding payloads ship only inside ``knn_join``."""
     from ray.data.aggregate import Min
 
-    from agentic_doc_ray.context import shuffle_partitions
+    from agentic_doc_ray.context import partitions_for, shuffle_partitions
     from agentic_doc_ray.functions.join_api import hash_join
 
     nn = knn_join(
@@ -2110,7 +2155,71 @@ def label_mrr(
         n_probe=n_probe,
         seed=seed,
     )
-    labels = embeddings.select_columns(["vec_id", "label"])
+    labels = embeddings.select_columns(["vec_id", "label"]).materialize()
+    n_vecs = labels.count()
+
+    def finish_arrays(vec_id, label, fm: np.ndarray) -> pa.Table:
+        mrr = np.where(fm > 0, 1_000_000 // np.maximum(fm, 1), 0)
+        return pa.Table.from_arrays(
+            [
+                vec_id,
+                pc.cast(label, pa.int64()),
+                pa.array(fm),
+                pa.array(mrr.astype(np.int64)),
+            ],
+            names=["vec_id", "label", "first_match_rank", "mrr_ppm"],
+        )
+
+    if n_vecs <= _LABEL_BROADCAST_VECS:
+        lab_tbl = pa.concat_tables(
+            t.select(["vec_id", "label"]) for t in ray.get(labels.to_arrow_refs())
+        )
+        lids = _ids(lab_tbl.column("vec_id"))
+        llab = _ids(lab_tbl.column("label"))
+        order = np.argsort(lids)
+        lab_ref = ray.put((lids[order], llab[order]))
+
+        def match_partial_b(batch: pa.Table) -> pa.Table:
+            sid, slab = ray.get(lab_ref)
+            ql = slab[np.searchsorted(sid, _ids(batch.column("vec_id")))]
+            nl = slab[np.searchsorted(sid, _ids(batch.column("neighbor_id")))]
+            m = batch.filter(pa.array(ql == nl))
+            g = (
+                m.select(["vec_id", "rank"])
+                .group_by("vec_id")
+                .aggregate([("rank", "min")])
+            )
+            return g.rename_columns(["vec_id", "first_match"])
+
+        matched = (
+            nn.map_batches(match_partial_b, batch_format="pyarrow")
+            .groupby("vec_id", num_partitions=partitions_for(n_vecs))
+            .aggregate(Min("first_match", alias_name="first_match"))
+            .materialize()
+        )
+        m_tbl = pa.concat_tables(
+            t.select(["vec_id", "first_match"])
+            for t in ray.get(matched.to_arrow_refs())
+            if t.num_rows and "vec_id" in t.column_names
+        ) if matched.count() else pa.table(
+            {"vec_id": pa.array([], pa.int64()), "first_match": pa.array([], pa.int64())}
+        )
+        mids = _ids(m_tbl.column("vec_id"))
+        mfm = _ids(m_tbl.column("first_match"))
+        mo = np.argsort(mids)
+        m_ref = ray.put((mids[mo], mfm[mo]))
+
+        def finish_b(batch: pa.Table) -> pa.Table:
+            sid, sfm = ray.get(m_ref)
+            v = _ids(batch.column("vec_id"))
+            if len(sid):
+                pos = np.searchsorted(sid, v).clip(max=len(sid) - 1)
+                fm = np.where(sid[pos] == v, sfm[pos], 0).astype(np.int64)
+            else:
+                fm = np.zeros(len(v), np.int64)
+            return finish_arrays(batch.column("vec_id"), batch.column("label"), fm)
+
+        return labels.map_batches(finish_b, batch_format="pyarrow")
 
     with_q = hash_join(nn, labels, left_on="vec_id", right_on="vec_id")
     with_nb = hash_join(
@@ -2138,16 +2247,7 @@ def label_mrr(
         fm = pc.coalesce(
             batch.column("first_match"), pa.scalar(0, pa.int64())
         ).to_numpy(zero_copy_only=False).astype(np.int64)
-        mrr = np.where(fm > 0, 1_000_000 // np.maximum(fm, 1), 0)
-        return pa.Table.from_arrays(
-            [
-                batch.column("vec_id"),
-                pc.cast(batch.column("label"), pa.int64()),
-                pa.array(fm),
-                pa.array(mrr.astype(np.int64)),
-            ],
-            names=["vec_id", "label", "first_match_rank", "mrr_ppm"],
-        )
+        return finish_arrays(batch.column("vec_id"), batch.column("label"), fm)
 
     return out.map_batches(finish, batch_format="pyarrow")
 

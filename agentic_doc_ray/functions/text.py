@@ -4312,40 +4312,35 @@ def langid_agreement(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     ``char_ngram_lang_id``), keyed by the gold label: one row per
     (lang, stopword_pred, ngram_pred) with its doc count — the eval
     table that decides which lang-ID gates a cleaning run. Both
-    classifiers stream once; predictions meet through the generic
-    bucketed joins; counts collapse per batch before a tiny aggregate."""
+    classifiers are row-local kernels, so after the shared profile
+    training they run in ONE fused pass over the corpus (no joins:
+    the former plan streamed the docs three times and paid two
+    doc-keyed hash_join exchanges to reunite per-row columns that
+    were never apart); counts collapse per batch before a tiny
+    aggregate."""
     from ray.data.aggregate import Sum
 
     from agentic_doc_ray.context import shuffle_partitions
-    from agentic_doc_ray.functions.join_api import hash_join
 
-    sw = lang_id(docs.select_columns(["doc_id", "text"])).map_batches(
-        lambda b: pa.table(
-            {"doc_id": b.column("doc_id"), "sw_pred": b.column("lang_pred")}
-        ),
-        batch_format="pyarrow",
-    )
-    ng = char_ngram_lang_id(docs).map_batches(
-        lambda b: pa.table(
-            {"doc_id": b.column("doc_id"), "ng_pred": b.column("lang_pred")}
-        ),
-        batch_format="pyarrow",
-    )
-    gold = docs.select_columns(["doc_id", "lang"])
-    j = hash_join(
-        hash_join(gold, sw, left_on="doc_id"), ng, left_on="doc_id"
-    )
+    profiles = _lang_profiles(docs, 3, 256)
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["lang", "sw_pred", "ng_pred"])
-            .group_by(["lang", "sw_pred", "ng_pred"])
-            .aggregate([("lang", "count")])
+        sw = _lang_id_batch(batch)
+        ng = _char_lang_classify_batch(batch, profiles, 3)
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "sw_pred": sw.column("lang_pred"),
+                "ng_pred": ng.column("lang_pred"),
+            }
+        )
+        g = t.group_by(["lang", "sw_pred", "ng_pred"]).aggregate(
+            [("lang", "count")]
         )
         return g.rename_columns(["lang", "sw_pred", "ng_pred", "n"])
 
     return (
-        j.map_batches(partial, batch_format="pyarrow")
+        docs.map_batches(partial, batch_format="pyarrow")
         .groupby(["lang", "sw_pred", "ng_pred"], num_partitions=shuffle_partitions(4))
         .aggregate(Sum("n", alias_name="n"))
     )
