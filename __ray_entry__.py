@@ -2473,11 +2473,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=8,
             n_iter=5,
         )
+        d = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        # exchange volume ~ per-doc distinct tokens (~50/doc): size the
+        # widths by it (partitions_for rule) instead of the cluster cap
         return cluster_top_terms(
-            ray.data.read_parquet(
-                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-            ),
-            labels,
+            d, labels, num_partitions=_pfor(d.count() * 64)
         )
 
     def q_segment_percent_rank(sf_dir):

@@ -491,7 +491,7 @@ def ivf_topk_oracle(
     seed: int = 5,
 ) -> pa.Table:
     """Single-process replica of ``ivf_topk`` (no Ray): same centroid
-    sample (first rows in table order, seeded choice), same assignment,
+    sample (smallest-vec_id rows, seeded choice), same assignment,
     probe mask and tie-break — the materialized oracle that validates the
     distributed execution. Per-batch partial top-k then merge equals
     global top-k over the probed subset, so one global pass suffices."""
@@ -576,8 +576,8 @@ def pq_topk_oracle(
     n_iter: int = 5,
     seed: int = 7,
 ) -> pa.Table:
-    """Single-process replica of ``pq_topk`` — same training sample (first
-    rows in table order), codebooks, encode and tie-break. Per-vector ADC
+    """Single-process replica of ``pq_topk`` — same training sample
+    (smallest-vec_id rows), codebooks, encode and tie-break. Per-vector ADC
     scores are batch-independent, so partial-top-k-then-merge equals this
     one global pass bit-for-bit."""
     sample_n = max(n_codes * 20, 256)
