@@ -749,3 +749,45 @@ def test_class_separability_brute_force():
         assert int(row["inter_dot_micro2"]) == inter
         assert row["intra_pairs"] == len(inside) * (len(inside) - 1)
         assert row["inter_pairs"] == len(inside) * len(outside)
+
+
+def test_seeding_is_arrival_order_independent(ray_session):
+    """Centroid seeding must be a pure function of CONTENT, not of block
+    arrival order (r05 regression guard: `Dataset.limit(n).take_all()`
+    follows whichever blocks arrive first under the streaming executor,
+    so identical knn_join calls seeded different centroids). Pins:
+    (1) _seed_matrix over a shuffled/partitioned view == the replica
+    rule on the raw table; (2) knn_join is bit-equal across two
+    executions of a multi-block, order-perturbed input."""
+    import pandas as pd
+    import ray.data
+
+    from agentic_doc_ray.functions.similarity import (
+        _seed_matrix,
+        _seed_matrix_tbl,
+        knn_join,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # reversed row order + fine partitioning: same content, different
+    # arrival layout
+    rev = t.take(list(range(t.num_rows - 1, -1, -1)))
+    ds_rev = ray.data.from_arrow(rev).repartition(7)
+
+    want = _seed_matrix_tbl(t, 64)
+    got = _seed_matrix(ds_rev, 64)
+    assert np.array_equal(got, want)
+
+    run1 = (
+        knn_join(ds_rev, k=3)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    run2 = (
+        knn_join(ds_rev, k=3)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(run1, run2, check_dtype=False, check_exact=True)
