@@ -2642,11 +2642,24 @@ def scc(
     n_edges = np_base.count()
     np_ = max(2, min(shuffle_partitions(), 1 + n_edges // 65536))
 
+    # bucket VALUES == exchange width (the CC lesson, r05): each group is
+    # its partition's whole local subgraph, so the in-bucket relaxations
+    # in fwd_round / bwd_round actually see the local edges
+    nb = np_
+
+    def _bk(arr: "pa.ChunkedArray | pa.Array") -> pa.Array:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        vals = np.asarray(a.to_pandas(), dtype=object)
+        return pa.array(
+            (pd.util.hash_array(vals) % nb).astype(np.int32), pa.int32()
+        )
+
+
     def canon_nodes(batch: pa.Table) -> pa.Table:
         nd = pc.cast(batch.column(node_col), pa.string()).combine_chunks()
         return pa.Table.from_arrays(
             [
-                _bucket_of(nd),
+                _bk(nd),
                 nd,
                 nd,  # initial color = self
                 pa.array(["o"] * len(nd), pa.string()),
@@ -2660,7 +2673,7 @@ def scc(
         n = len(src)
         return pa.Table.from_arrays(
             [
-                _bucket_of(src),
+                _bk(src),
                 src,
                 dst,
                 pa.array(["e"] * n, pa.string()),
@@ -2724,39 +2737,75 @@ def scc(
             .aggregate([("label", "max")])
             .rename_columns(["node", "new_label"])
         )
-        old = o.select(["node", "label"]).rename_columns(["node", "old_label"])
-        m = best.join(old, keys="node", join_type="left outer")
-        changed = pc.fill_null(
-            pc.cast(
-                pc.or_kleene(
-                    pc.is_null(m.column("old_label")),
-                    pc.greater(m.column("new_label"), m.column("old_label")),
-                ),
-                pa.int64(),
-            ),
-            1,
+        e = g.filter(pc.equal(g.column("side"), "e"))
+        bn = best.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        bl = best.column("new_label").combine_chunks().to_numpy(
+            zero_copy_only=False
         )
-        node = m.column("node").combine_chunks()
-        n = len(node)
+        es = (
+            e.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+            if e.num_rows
+            else np.zeros(0, object)
+        )
+        ed = (
+            e.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+            if e.num_rows
+            else np.zeros(0, object)
+        )
+        # local multi-iteration relaxation (r05, the CC/BFS pattern):
+        # colors ARE node ids, so mapping every name to its sorted-unique
+        # index makes max-label propagation an int np.maximum sweep over
+        # the bucket's local edges — capped, monotone (labels only grow
+        # toward the true max-reaching id), so the global zero-change stop
+        # stays exact and any capped remainder spills to later rounds.
+        names, inv = np.unique(np.concatenate([bn, bl, es, ed]), return_inverse=True)
+        n_b = len(bn)
+        node_i = inv[:n_b]
+        lab0 = np.full(len(names), -1, np.int64)
+        np.maximum.at(lab0, node_i, inv[n_b : 2 * n_b])
+        u = inv[2 * n_b : 2 * n_b + len(es)]
+        v = inv[2 * n_b + len(es) :]
+        lab = lab0
+        for _ in range(32):
+            prev = lab.copy()
+            if len(u):
+                np.maximum.at(lab, v, lab[u])  # -1 (unlabeled) no-ops
+            if np.array_equal(prev, lab):
+                break
+        # "o" rows ONLY for this bucket's home vertices (bn — the o/c rows
+        # were addressed here); a locally relaxed REMOTE dst leaves as a
+        # candidate below, never as a foreign own-state row (the BFS
+        # changed-flag-oscillation lesson)
+        new_lab = names[lab[node_i]]
+        on = o.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        ol = o.column("label").combine_chunks().to_numpy(zero_copy_only=False)
+        oo = np.argsort(on)
+        son = on[oo]
+        if len(son):
+            pos = np.searchsorted(son, bn).clip(max=len(son) - 1)
+            has_old = son[pos] == bn
+            old_l = ol[oo][pos]
+            changed = (~has_old | (new_lab > old_l)).astype(np.int64)
+        else:
+            changed = np.ones(n_b, np.int64)
+        node = pa.array(bn, pa.string())
+        n = n_b
         parts = [
             pa.Table.from_arrays(
                 [
-                    _bucket_of(node),
+                    _bk(node),
                     node,
                     pa.nulls(n, pa.string()),
-                    m.column("new_label").combine_chunks(),
+                    pa.array(new_lab, pa.string()),
                     pa.array(["o"] * n, pa.string()),
-                    changed.combine_chunks()
-                    if isinstance(changed, pa.ChunkedArray)
-                    else changed,
+                    pa.array(changed),
                 ],
                 schema=_SCC_FUSED,
             )
         ]
-        e = g.filter(pc.equal(g.column("side"), "e"))
         if e.num_rows:
-            lab = pa.table({"node": node, "lab": parts[0].column("label")})
-            me = e.select(["node", "dst"]).join(lab, keys="node", join_type="inner")
+            lab_t = pa.table({"node": node, "lab": parts[0].column("label")})
+            me = e.select(["node", "dst"]).join(lab_t, keys="node", join_type="inner")
             # pre-fold per receiver: only the max label leaves the bucket
             me = (
                 me.select(["dst", "lab"]).group_by("dst").aggregate([("lab", "max")])
@@ -2766,7 +2815,7 @@ def scc(
             parts.append(
                 pa.Table.from_arrays(
                     [
-                        _bucket_of(dst),
+                        _bk(dst),
                         dst,
                         pa.nulls(k, pa.string()),
                         me.column("lab_max").combine_chunks(),
@@ -2800,18 +2849,69 @@ def scc(
                 acc.column("node"), value_set=o.column("node").combine_chunks()
             )
             acc = acc.filter(pc.invert(hit))
-        node_new = acc.column("node").combine_chunks()
-        marked_all = pa.concat_tables(
+        # local multi-iteration mark spread (r05, the CC/BFS pattern): a
+        # mark is a node's OWN color, so within the bucket it can hop
+        # along local reversed edges g->r whenever color(r) == color(g) —
+        # both colors known for home nodes from the k rows. Capped int
+        # sweeps (colors mapped to unique indices); monotone set growth,
+        # so the zero-change stop stays exact. Home-only "o" emission;
+        # remote receivers keep getting candidates below (BFS lesson).
+        kn = k.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        kc = k.column("label").combine_chunks().to_numpy(zero_copy_only=False)
+        e = g.filter(pc.equal(g.column("side"), "e"))
+        es = (
+            e.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+            if e.num_rows
+            else np.zeros(0, object)
+        )
+        ed = (
+            e.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+            if e.num_rows
+            else np.zeros(0, object)
+        )
+        names, inv = np.unique(np.concatenate([kn, es, ed]), return_inverse=True)
+        kn_i = inv[: len(kn)]
+        u = inv[len(kn) : len(kn) + len(es)]
+        v = inv[len(kn) + len(es) :]
+        cpool, c_inv = np.unique(kc, return_inverse=True)
+        color = np.full(len(names), -1, np.int64)
+        color[kn_i] = c_inv
+        mark = np.zeros(len(names), bool)
+        m0 = pa.concat_tables(
             [o.select(["node", "label"]), acc.select(["node", "label"])]
         )
-        nodes_m = marked_all.column("node").combine_chunks()
-        nm = marked_all.num_rows
-        ch = np.zeros(nm, np.int64)
-        ch[o.num_rows:] = 1  # acc rows are the new marks
+        m0n = m0.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        if len(m0n):
+            pos = np.searchsorted(names, m0n)
+            mark[pos] = True  # marked nodes are home -> always present
+        if len(u):
+            # only color-matched local edges can ever carry a mark
+            live = (color[u] >= 0) & (color[u] == color[v])
+            lu, lv = u[live], v[live]
+            for _ in range(32):
+                prev = mark.copy()
+                np.logical_or.at(mark, lv, mark[lu])
+                if np.array_equal(prev, mark):
+                    break
+        new_marked = mark[kn_i]
+        # previously marked home nodes (o rows)
+        was = np.zeros(len(kn), bool)
+        if o.num_rows:
+            on = o.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(names, on)
+            home_was = np.zeros(len(names), bool)
+            home_was[pos] = True
+            was = home_was[kn_i]
+        sel = new_marked
+        nodes_m = pa.array(kn[sel], pa.string())
+        lab_m = pa.array(kc[sel], pa.string())
+        nm = int(sel.sum())
+        ch = (~was[sel]).astype(np.int64)
+        marked_all = pa.table({"node": nodes_m, "label": lab_m})
         parts = [
             pa.Table.from_arrays(
                 [
-                    _bucket_of(nodes_m),
+                    _bk(nodes_m),
                     nodes_m,
                     pa.nulls(nm, pa.string()),
                     marked_all.column("label").combine_chunks(),
@@ -2832,7 +2932,6 @@ def scc(
                 schema=_SCC_FUSED,
             ),
         ]
-        e = g.filter(pc.equal(g.column("side"), "e"))
         if e.num_rows and nm:
             me = (
                 e.select(["node", "dst"])
@@ -2850,7 +2949,7 @@ def scc(
             parts.append(
                 pa.Table.from_arrays(
                     [
-                        _bucket_of(dst),
+                        _bk(dst),
                         dst,
                         pa.nulls(kk, pa.string()),
                         me.column("lab").combine_chunks(),
@@ -2898,7 +2997,7 @@ def scc(
         n = batch.num_rows
         return pa.Table.from_arrays(
             [
-                _bucket_of(dst),
+                _bk(dst),
                 dst,
                 batch.column("src").combine_chunks(),
                 pa.nulls(n, pa.string()),
@@ -2912,7 +3011,7 @@ def scc(
         dst = batch.column("dst").combine_chunks()
         return pa.Table.from_arrays(
             [
-                _bucket_of(dst),
+                _bk(dst),
                 batch.column("src"),
                 dst,
                 batch.column("side"),
@@ -3041,7 +3140,7 @@ def scc(
                     src = e.column("src").combine_chunks()
                     e = pa.Table.from_arrays(
                         [
-                            _bucket_of(src),
+                            _bk(src),
                             src,
                             e.column("dst"),
                             e.column("side"),
