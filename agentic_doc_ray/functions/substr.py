@@ -341,6 +341,17 @@ def repeated_substring_spans(
         .materialize()
     )
     n_cand = cands.count()
+    # the verify / span-merge exchanges carry only DUPLICATED-position
+    # rows — volume ~ n_cand x multiplicity, not corpus size; size their
+    # width by it (partitions_for rule, x16 multiplicity headroom) unless
+    # the caller pinned one
+    from agentic_doc_ray.context import partitions_for as _pfor
+
+    np_small = (
+        shuffle_partitions(num_partitions)
+        if num_partitions is not None
+        else _pfor(16 * n_cand)
+    )
     out_schema = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -409,7 +420,7 @@ def repeated_substring_spans(
     marks = (
         raw_marks
         .union(str_key_sentinels(gram_schema, "gram", fill={"doc_id": -1, "pos": -1}))
-        .groupby("gram", num_partitions=shuffle_partitions(num_partitions))
+        .groupby("gram", num_partitions=np_small)
         .map_groups(verify_gram, batch_format="pyarrow")
     )
 
@@ -454,7 +465,7 @@ def repeated_substring_spans(
     return (
         marks.map_batches(add_bucket, batch_format="pyarrow")
         .union(int_key_sentinels(marks_schema, "bucket", fill={"doc_id": -1, "pos": 1}))
-        .groupby("bucket", num_partitions=shuffle_partitions(num_partitions))
+        .groupby("bucket", num_partitions=np_small)
         .map_groups(spans_bucket, batch_format="pandas")
     )
 
